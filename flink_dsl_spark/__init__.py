@@ -1,0 +1,22 @@
+"""flink_dsl_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of kduy/Flink-DSL (FSQL streaming SQL dialect
++ batch SQL dialect + Table-API expression strings), re-expressed
+Spark-first: parse -> resolve -> emit DataFrame plans -> Catalyst.
+
+See SURVEY.md at the repo root for the full blueprint and reference
+citations.
+"""
+
+from .engine import FsqlEngine
+from .errors import (FsqlError, Failure, Ok, ParseError, PlanError,
+                     ResolutionError, UnsupportedError)
+from .parser import parse, parse_many
+from .session import get_session
+
+__all__ = [
+    "FsqlEngine", "FsqlError", "Failure", "Ok", "ParseError", "PlanError",
+    "ResolutionError", "UnsupportedError", "parse", "parse_many",
+    "get_session",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,412 @@
+"""Unified AST for the three reference language surfaces.
+
+Covers, in one dataclass tree:
+  * the FSQL streaming dialect  (reference fsql/Ast.scala:11-257)
+  * the batch SQL dialect       (reference flinkdsl/ast.scala:20-241)
+  * the expression-string DSL   (reference ExpressionParser.scala:14-183)
+
+The reference keeps two parallel ASTs (plus a third in sqltyped/);
+they differ only in window specs and a handful of clauses, so one tree
+with optional fields is simpler and loses nothing (SURVEY.md §2).
+
+Resolution state: the reference parameterizes ``Column[T]`` over the
+qualifier type (Option[String] = unresolved, Stream = resolved,
+fsql/Ast.scala:11-29).  Here ``Col.binding`` is ``None`` until the
+resolver fills in the relation binding name.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+
+# --------------------------------------------------------------------------
+# Expressions
+# --------------------------------------------------------------------------
+
+class Expr:
+    __slots__ = ()
+
+
+@dataclass
+class Lit(Expr):
+    """Typed literal (fsql/parser.scala:344-371: string->VARCHAR,
+    numeric-with-dot->DOUBLE, numeric->BIGINT, boolean, null)."""
+
+    value: object            # str | int | float | bool | None
+    type_name: str           # 'string' | 'long' | 'double' | 'boolean' | 'null'
+
+
+@dataclass
+class Param(Expr):
+    """``?`` positional parameter (fsql/Ast.scala:164)."""
+
+    index: int               # 0-based occurrence order
+
+
+@dataclass
+class Col(Expr):
+    """Column reference, optionally qualified (fsql/Ast.scala:11-29)."""
+
+    name: str
+    qualifier: Optional[str] = None     # as written in the query
+    binding: Optional[str] = None       # set by resolver: relation binding name
+
+
+@dataclass
+class Star(Expr):
+    """``*`` or ``t.*`` (fsql/parser.scala:131-132)."""
+
+    qualifier: Optional[str] = None
+
+
+@dataclass
+class FuncCall(Expr):
+    """Generic function call; aggregate-ness decided by the registry
+    (flinkdsl/typer.scala_:272-282).  ``distinct`` per-arg DISTINCT
+    (flinkdsl/parser.scala:201)."""
+
+    name: str
+    args: list            # list[Expr]; count(*) -> [Star(None)]
+    distinct: bool = False
+
+
+@dataclass
+class Case(Expr):
+    """Searched CASE (fsql/parser.scala:247-255)."""
+
+    whens: list           # list[tuple[Expr, Expr]]
+    else_: Optional[Expr] = None
+
+
+@dataclass
+class BinOp(Expr):
+    """Binary op: arithmetic + - * / %, bitwise | & ^ << >>,
+    comparisons = != <> < > <= >=, LIKE, AND, OR.
+    NOTE: the reference's F/B grammars flatten + - * / % to one
+    precedence level (fsql/parser.scala:108-116) — a parser-combinator
+    accident; we use standard SQL precedence (SURVEY.md §7.0(1))."""
+
+    op: str
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class UnOp(Expr):
+    """Unary NOT / - / ~ (ExpressionParser.scala:109-115)."""
+
+    op: str
+    operand: Expr
+
+
+@dataclass
+class Between(Expr):
+    """[NOT] BETWEEN (fsql/Ast.scala:191-193,219)."""
+
+    expr: Expr
+    lo: Expr
+    hi: Expr
+    negated: bool = False
+
+
+@dataclass
+class IsNull(Expr):
+    """IS [NOT] NULL (fsql/Ast.scala:174-178)."""
+
+    expr: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    """[NOT] IN (v1, v2, ...) (flinkdsl/ast.scala:71)."""
+
+    expr: Expr
+    items: list
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    """[NOT] IN (select ...) (flinkdsl/parser.scala:138-139)."""
+
+    expr: Expr
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass
+class Exists(Expr):
+    """[NOT] EXISTS (select ...) (flinkdsl/ast.scala:79-80)."""
+
+    query: "Select"
+    negated: bool = False
+
+
+@dataclass
+class ScalarSubquery(Expr):
+    """(select ...) in expression position; forced nullable in the
+    reference's typer (flinkdsl/typer.scala_:259-260)."""
+
+    query: "Select"
+
+
+# --------------------------------------------------------------------------
+# Relations / FROM clause
+# --------------------------------------------------------------------------
+
+@dataclass
+class Policy:
+    """Window extent policy: ``N [unit] [on col]``
+    (fsql/Ast.scala:136 PolicyBased).  unit None => count-based (rows);
+    time units: microsec|milisec|sec|min|h|d (fsql/parser.scala:356)."""
+
+    value: int
+    unit: Optional[str] = None
+    on_col: Optional[Col] = None
+
+
+@dataclass
+class WindowSpec:
+    """``[size N [unit] [on c] [every M [unit] [on c]] [partitioned on c]]``
+    (fsql/parser.scala:157-176, fsql/Ast.scala:132-136)."""
+
+    size: Policy
+    every: Optional[Policy] = None
+    partition: Optional[Col] = None
+
+
+@dataclass
+class TableRef:
+    """Named stream/table with optional alias + window
+    (fsql/Ast.scala:105-106, flinkdsl/ast.scala:74)."""
+
+    name: str
+    alias: Optional[str] = None
+    window: Optional[WindowSpec] = None
+
+    @property
+    def binding(self) -> str:
+        return self.alias or self.name
+
+
+@dataclass
+class DerivedTable:
+    """(select ...) as alias in FROM (fsql/parser.scala:180-185)."""
+
+    query: "Select"
+    alias: str
+    window: Optional[WindowSpec] = None
+
+    @property
+    def binding(self) -> str:
+        return self.alias
+
+
+@dataclass
+class Join:
+    """Join tree node.  kind: inner|left|right|full|cross
+    (flinkdsl/ast.scala:205-216; fsql/Ast.scala:143-151).
+    Exactly one of (on, using) may be set; cross joins have neither."""
+
+    left: object          # TableRef | DerivedTable | Join
+    right: object
+    kind: str
+    on: Optional[Expr] = None
+    using: Optional[list] = None       # list[str]
+
+
+Relation = Union[TableRef, DerivedTable, Join]
+
+
+# --------------------------------------------------------------------------
+# Statements
+# --------------------------------------------------------------------------
+
+@dataclass
+class SelectItem:
+    """Projection item (``Named`` in fsql/Ast.scala:107-109)."""
+
+    expr: Expr
+    alias: Optional[str] = None
+
+
+@dataclass
+class OrderItem:
+    expr: Expr
+    ascending: bool = True
+    collate: Optional[str] = None      # parsed, no-op (flinkdsl/parser.scala:250-256)
+
+
+@dataclass
+class Select:
+    """SELECT core (both dialects).  ``rollup`` per flinkdsl/ast.scala:218-220;
+    streaming dialect has no order/limit (fsql/parser.scala:67-68)."""
+
+    items: list                                  # list[SelectItem]
+    from_: Optional[Relation] = None             # None => dual (typer.scala_:355-357)
+    where: Optional[Expr] = None
+    group_by: list = field(default_factory=list) # list[Expr]
+    rollup: bool = False
+    having: Optional[Expr] = None
+    order_by: list = field(default_factory=list) # list[OrderItem]
+    limit: Optional[Expr] = None                 # Lit or Param
+    offset: Optional[Expr] = None
+    distinct: bool = False
+
+
+@dataclass
+class SetOp:
+    """UNION [ALL] / EXCEPT / INTERSECT (flinkdsl/parser.scala:32-40).
+    The reference parses-then-drops ALL; we honor it (SURVEY.md §7.0(3))."""
+
+    op: str                                      # union|union_all|except|intersect
+    left: object                                 # Select | SetOp
+    right: object
+    order_by: list = field(default_factory=list)
+    limit: Optional[Expr] = None
+    offset: Optional[Expr] = None
+
+
+@dataclass
+class ColumnDef:
+    """``name type`` in DDL (fsql/Ast.scala:54-61; types fsql/parser.scala:355)."""
+
+    name: str
+    type_name: str
+
+
+@dataclass
+class CreateSchema:
+    """CREATE SCHEMA name (cols) [EXTENDS parent] (fsql/Ast.scala:49-51)."""
+
+    name: str
+    columns: list                                # list[ColumnDef]
+    extends: Optional[str] = None
+
+
+# --- stream sources (fsql/Ast.scala:77-87) ---
+
+@dataclass
+class HostSource:
+    host: str
+    port: int
+
+
+@dataclass
+class FileSource:
+    path: str
+    format: Optional[str] = None   # engine extension; reference has bare file('p')
+
+
+@dataclass
+class RateSource:
+    """Engine extension: Spark's rate source for demos/tests."""
+
+    rows_per_second: int = 1
+
+
+@dataclass
+class DerivedSource:
+    query: Union[Select, SetOp]
+
+
+@dataclass
+class CreateStream:
+    """CREATE STREAM name (cols)|schemaName [source ...]
+    (fsql/Ast.scala:70-87, fsql/parser.scala:47-62)."""
+
+    name: str
+    schema: Union[str, list, None]   # named schema ref | list[ColumnDef] | None (derived)
+    source: Union[HostSource, FileSource, RateSource, DerivedSource, None] = None
+
+
+@dataclass
+class Insert:
+    """INSERT INTO t [(cols)] VALUES (...)|select
+    (flinkdsl/ast.scala:154-161; fsql/parser.scala:268-277)."""
+
+    table: str
+    columns: Optional[list] = None               # list[str]
+    values: Optional[list] = None                # list[list[Expr]]
+    query: Union[Select, SetOp, None] = None
+
+
+@dataclass
+class Assignment:
+    col: Col
+    value: Expr
+
+
+@dataclass
+class Update:
+    """UPDATE — parse-only, rejected at plan time (SURVEY.md §7.0(5))."""
+
+    tables: list                                 # list[TableRef]
+    assignments: list                            # list[Assignment]
+    where: Optional[Expr] = None
+    order_by: list = field(default_factory=list)
+    limit: Optional[Expr] = None
+
+
+@dataclass
+class Delete:
+    """DELETE — parse-only, rejected at plan time."""
+
+    tables: list                                 # list[TableRef]
+    where: Optional[Expr] = None
+
+
+Statement = Union[Select, SetOp, CreateSchema, CreateStream, Insert, Update, Delete]
+
+
+# --------------------------------------------------------------------------
+# Traversal helpers
+# --------------------------------------------------------------------------
+
+def expr_children(e: Expr) -> list:
+    """Direct child expressions (skips subquery bodies)."""
+    if isinstance(e, BinOp):
+        return [e.left, e.right]
+    if isinstance(e, UnOp):
+        return [e.operand]
+    if isinstance(e, FuncCall):
+        return list(e.args)
+    if isinstance(e, Case):
+        out = []
+        for c, v in e.whens:
+            out.extend((c, v))
+        if e.else_ is not None:
+            out.append(e.else_)
+        return out
+    if isinstance(e, Between):
+        return [e.expr, e.lo, e.hi]
+    if isinstance(e, IsNull):
+        return [e.expr]
+    if isinstance(e, InList):
+        return [e.expr] + list(e.items)
+    if isinstance(e, InSubquery):
+        return [e.expr]
+    return []
+
+
+def walk_expr(e: Expr):
+    """Yield e and all descendants, pre-order (Predicate.find parity,
+    fsql/Ast.scala:199-209)."""
+    yield e
+    for c in expr_children(e):
+        yield from walk_expr(c)
+
+
+def relation_leaves(rel: Relation):
+    """All TableRef/DerivedTable leaves of a relation tree, left-to-right
+    (parity: stmt.streams collection, fsql/Ast.scala:95-103)."""
+    if rel is None:
+        return
+    if isinstance(rel, Join):
+        yield from relation_leaves(rel.left)
+        yield from relation_leaves(rel.right)
+    else:
+        yield rel

@@ -1,0 +1,225 @@
+"""FsqlEngine: the user-facing entry point.
+
+Lifecycle parity (SURVEY.md §3.1): SQL text -> parse -> resolve ->
+plan (DataFrame emission) -> Catalyst analyzes/optimizes/executes.
+The three phases are timed like the reference's Timer
+(fsql/parser.scala:414-423).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ast_nodes import (
+    CreateSchema, CreateStream, DerivedSource, FileSource, HostSource,
+    RateSource, Select, SetOp,
+)
+from .catalog import Catalog, StreamMeta, column_defs_to_struct
+from .errors import PlanError, UnsupportedError
+from .functions import FunctionRegistry
+from .parser import parse, parse_many
+from .planner import Planner
+from .resolver import Resolver
+from .session import get_session
+from .timer import Timer
+
+_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
+               ".txt": "text", ".text": "text"}
+
+
+class FsqlEngine:
+    def __init__(self, spark: Optional[SparkSession] = None,
+                 streaming: bool = False, timer: bool = False):
+        self.spark = spark or get_session()
+        self.streaming = streaming          # CREATE STREAM uses readStream
+        self.catalog = Catalog(self.spark)
+        self.registry = FunctionRegistry()
+        self.resolver = Resolver(self.catalog)
+        self.planner = Planner(self.catalog, self.registry, self.resolver)
+        self.timer = Timer(enabled=timer)
+
+    # ------------------------------------------------------------------
+    # registration API
+    # ------------------------------------------------------------------
+
+    def register(self, name: str, df: DataFrame,
+                 event_time_col: Optional[str] = None,
+                 watermark: Optional[str] = None) -> None:
+        """Register a DataFrame as a stream/table.  ``watermark`` is an
+        engine extension (reference has no late-data handling,
+        SURVEY.md §7.0(4))."""
+        if watermark and event_time_col and df.isStreaming:
+            df = df.withWatermark(event_time_col, watermark)
+        self.catalog.register(
+            name, df,
+            StreamMeta(name, is_stream=df.isStreaming,
+                       event_time_col=event_time_col, watermark=watermark))
+
+    def register_parquet(self, name: str, path: str,
+                         event_time_col: Optional[str] = None) -> None:
+        df = self.spark.read.parquet(path)
+        df = _restore_nano_timestamps(df, path)
+        self.register(name, df, event_time_col=event_time_col)
+
+    def load_dir(self, sf_dir: str) -> None:
+        """Register every ``<table>.parquet`` under a testdata dir.
+        The ``events`` table gets ``ts`` as its event-time column."""
+        for fname in sorted(os.listdir(sf_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            name = fname[:-len(".parquet")]
+            et = "ts" if name == "events" else None
+            self.register_parquet(name, os.path.join(sf_dir, fname),
+                                  event_time_col=et)
+
+    # ------------------------------------------------------------------
+    # SQL entry points
+    # ------------------------------------------------------------------
+
+    def sql(self, text: str, params: Optional[list] = None):
+        """Execute one statement.  Queries return a DataFrame; DDL returns
+        None; INSERT returns the updated relation."""
+        with self.timer.phase("parse"):
+            stmt = parse(text)
+        return self._run(stmt, params)
+
+    def sql_script(self, text: str, params: Optional[list] = None):
+        """Execute a ;-separated script, returning the last result."""
+        with self.timer.phase("parse"):
+            stmts = parse_many(text)
+        result = None
+        for stmt in stmts:
+            result = self._run(stmt, params)
+        return result
+
+    def _run(self, stmt, params):
+        if isinstance(stmt, CreateSchema):
+            self.catalog.register_schema(stmt.name, stmt.columns,
+                                         stmt.extends)
+            return None
+        if isinstance(stmt, CreateStream):
+            return self._create_stream(stmt, params)
+        with self.timer.phase("resolve"):
+            self.resolver.resolve(stmt)
+        with self.timer.phase("plan"):
+            df = self.planner.plan(stmt, params)
+        return df
+
+    # ------------------------------------------------------------------
+    # CREATE STREAM (fsql/Ast.scala:70-87)
+    # ------------------------------------------------------------------
+
+    def _create_stream(self, stmt: CreateStream, params):
+        schema = None
+        if isinstance(stmt.schema, str):
+            schema = self.catalog.get_schema(stmt.schema)
+        elif isinstance(stmt.schema, list):
+            schema = column_defs_to_struct(stmt.schema)
+
+        src = stmt.source
+        if isinstance(src, DerivedSource):
+            with self.timer.phase("resolve"):
+                self.resolver.resolve(src.query)
+            with self.timer.phase("plan"):
+                df = self.planner.plan(src.query, params)
+            if schema is not None:
+                df = df.toDF(*[f.name for f in schema.fields])
+            self.register(stmt.name, df)
+            return None
+
+        if isinstance(src, FileSource):
+            fmt = src.format or self._infer_format(src.path)
+            if self.streaming:
+                reader = self.spark.readStream.format(fmt)
+                if schema is None:
+                    raise PlanError(
+                        "streaming file source requires an explicit schema")
+                reader = reader.schema(schema)
+            else:
+                reader = self.spark.read.format(fmt)
+                if schema is not None:
+                    reader = reader.schema(schema)
+            if fmt == "csv":
+                reader = reader.option("header", "false")
+            df = reader.load(src.path)
+            self.register(stmt.name, df)
+            return None
+
+        if isinstance(src, HostSource):
+            # TCP text source (fsql/Ast.scala:77-80) — inherently streaming
+            df = (self.spark.readStream.format("socket")
+                  .option("host", src.host).option("port", src.port).load())
+            df = self._parse_text_lines(df, schema)
+            self.register(stmt.name, df)
+            return None
+
+        if isinstance(src, RateSource):
+            df = (self.spark.readStream.format("rate")
+                  .option("rowsPerSecond", src.rows_per_second).load())
+            self.register(stmt.name, df, event_time_col="timestamp")
+            return None
+
+        if src is None:
+            # declared stream without a source: empty relation w/ schema
+            if schema is None:
+                raise PlanError(
+                    f"stream {stmt.name!r} needs a schema or a source")
+            df = self.spark.createDataFrame([], schema)
+            self.register(stmt.name, df)
+            return None
+        raise UnsupportedError(f"unknown source {type(src).__name__}")
+
+    def _parse_text_lines(self, df: DataFrame, schema):
+        """Socket lines -> typed columns via CSV parsing of the value
+        column (comma-separated, matching the reference's socket-text
+        intent)."""
+        if schema is None:
+            return df
+        from pyspark.sql import functions as F
+        csv_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                               for f in schema.fields)
+        return df.select(
+            F.from_csv(F.col("value"), csv_schema).alias("r")).select("r.*")
+
+    @staticmethod
+    def _infer_format(path: str) -> str:
+        for ext, fmt in _EXT_FORMAT.items():
+            if path.endswith(ext):
+                return fmt
+        return "parquet"
+
+    # ------------------------------------------------------------------
+    # diagnostics
+    # ------------------------------------------------------------------
+
+    def explain(self, text: str, params: Optional[list] = None,
+                mode: str = "formatted") -> None:
+        df = self.sql(text, params)
+        if df is not None:
+            df.explain(mode)
+
+
+def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
+    """Driver testdata stores TIMESTAMP(NANOS); with
+    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads them as long.
+    Detect nano-timestamp columns from the parquet footer (pyarrow) and
+    cast back to TimestampType (micro precision).  The cast is a
+    projection on top of the scan — column pruning & predicate pushdown
+    on other columns are unaffected."""
+    try:
+        import pyarrow.dataset as ds
+        arrow_schema = ds.dataset(path, format="parquet").schema
+    except Exception:
+        return df
+    from pyspark.sql import functions as F
+    import pyarrow as pa
+    for field in arrow_schema:
+        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+            df = df.withColumn(
+                field.name,
+                F.timestamp_micros(
+                    (F.col(field.name) / F.lit(1000)).cast("long")))
+    return df

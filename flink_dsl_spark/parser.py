@@ -1,0 +1,827 @@
+"""Hand-written tokenizer + recursive-descent parser for the unified dialect.
+
+Grammar parity targets:
+  * FSQL streaming statements: CREATE SCHEMA / CREATE STREAM / SELECT with
+    ``[size .. every .. partitioned on ..]`` window specs
+    (reference fsql/parser.scala:23-277).
+  * Batch dialect: SELECT w/ set-ops, joins incl. USING, GROUP BY
+    [WITH ROLLUP], HAVING, ORDER BY [collate], LIMIT/OFFSET, IN/EXISTS/
+    scalar subselects, INSERT/UPDATE/DELETE (flinkdsl/parser.scala:24-289).
+
+Deliberate divergences (recorded in SURVEY.md §7.0):
+  * standard SQL operator precedence (the reference's F/B grammars flatten
+    ``+ - * / %`` to one level — fsql/parser.scala:108-116 — by accident);
+  * ``UNION ALL`` honored (reference parses-then-drops ALL,
+    flinkdsl/parser.scala:35-40);
+  * parse errors raise ParseError with 1-based line/column (parity with
+    Failure(msg, column, line), fsql/package.scala:75).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .ast_nodes import (
+    Assignment, Between, BinOp, Case, Col, ColumnDef, CreateSchema,
+    CreateStream, Delete, DerivedSource, DerivedTable, Exists, FileSource,
+    FuncCall, HostSource, InList, InSubquery, Insert, IsNull, Join, Lit,
+    OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
+    SetOp, Star, TableRef, UnOp, Update, WindowSpec,
+)
+from .errors import ParseError
+
+# --------------------------------------------------------------------------
+# Tokenizer
+# --------------------------------------------------------------------------
+
+# Reserved words (union of fsql/parser.scala:309-319 and
+# flinkdsl/parser.scala:284-289).  Words that are only meaningful in one
+# syntactic position (stream/schema/size/every/partitioned/source/host/
+# file/rate/extends/collate/rollup) are CONTEXTUAL, not reserved — the
+# reference's own test corpus uses ``stream`` as a stream name
+# (test/parserTest.scala:50-54).
+RESERVED = {
+    "select", "distinct", "from", "where", "as", "and", "or", "not",
+    "join", "inner", "outer", "left", "right", "full", "cross", "on",
+    "using", "group", "by", "having", "order", "asc", "desc", "limit",
+    "offset", "union", "except", "intersect", "all", "insert", "into",
+    "values", "update", "set", "delete", "create", "between", "like",
+    "in", "exists", "is", "null", "case", "when", "then", "else", "end",
+    "true", "false", "with",
+}
+
+# DDL type names (fsql/parser.scala:355)
+TYPE_NAMES = {
+    "int", "string", "double", "date", "byte", "short", "long", "float",
+    "character", "boolean",
+    # engine extensions so driver testdata round-trips:
+    "timestamp", "decimal", "binary",
+}
+
+TIME_UNITS = {"microsec", "milisec", "millisec", "sec", "min", "h", "d"}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*)
+  | (?P<number>\d+\.\d+([eE][+-]?\d+)?|\.\d+|\d+)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<qident>"[^"]+"|`[^`]+`)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+  | (?P<op>===|!==|<>|!=|<=|>=|<<|>>|\|\||&&|[=<>+\-*/%(),.?\[\]|&^~;!])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Token:
+    kind: str        # 'number' | 'string' | 'ident' | 'qident' | 'op' | 'eof'
+    text: str
+    line: int
+    col: int
+
+    @property
+    def lower(self) -> str:
+        return self.text.lower()
+
+
+def tokenize(sql: str) -> list[Token]:
+    tokens: list[Token] = []
+    pos, line, line_start = 0, 1, 0
+    n = len(sql)
+    while pos < n:
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise ParseError(
+                f"unexpected character {sql[pos]!r}", line, pos - line_start + 1
+            )
+        kind = m.lastgroup
+        text = m.group(0)
+        # dotted-number lastgroup fix: named groups inside number
+        if kind not in ("ws", "comment"):
+            for k in ("number", "string", "qident", "ident", "op"):
+                if m.group(k) is not None:
+                    kind = k
+                    break
+            tokens.append(Token(kind, text, line, pos - line_start + 1))
+        nl = text.count("\n")
+        if nl:
+            line += nl
+            line_start = pos + text.rfind("\n") + 1
+        pos = m.end()
+    tokens.append(Token("eof", "<eof>", line, n - line_start + 1))
+    return tokens
+
+
+# --------------------------------------------------------------------------
+# Parser
+# --------------------------------------------------------------------------
+
+_AGG_HINT = {"count", "sum", "avg", "min", "max"}
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.tokens = tokenize(sql)
+        self.i = 0
+        self.n_params = 0
+
+    # --- token helpers ---
+
+    @property
+    def cur(self) -> Token:
+        return self.tokens[self.i]
+
+    def peek(self, k: int = 1) -> Token:
+        j = min(self.i + k, len(self.tokens) - 1)
+        return self.tokens[j]
+
+    def advance(self) -> Token:
+        t = self.cur
+        if t.kind != "eof":
+            self.i += 1
+        return t
+
+    def error(self, msg: str, tok: Token | None = None):
+        t = tok or self.cur
+        raise ParseError(f"{msg} (got {t.text!r})", t.line, t.col)
+
+    def at_kw(self, *words: str) -> bool:
+        t = self.cur
+        return t.kind == "ident" and t.lower in words
+
+    def eat_kw(self, *words: str) -> bool:
+        if self.at_kw(*words):
+            self.advance()
+            return True
+        return False
+
+    def expect_kw(self, word: str):
+        if not self.eat_kw(word):
+            self.error(f"expected {word.upper()}")
+
+    def at_op(self, *ops: str) -> bool:
+        t = self.cur
+        return t.kind == "op" and t.text in ops
+
+    def eat_op(self, *ops: str) -> bool:
+        if self.at_op(*ops):
+            self.advance()
+            return True
+        return False
+
+    def expect_op(self, op: str):
+        if not self.eat_op(op):
+            self.error(f"expected {op!r}")
+
+    def ident(self, what: str = "identifier") -> str:
+        t = self.cur
+        if t.kind == "qident":
+            self.advance()
+            return t.text[1:-1]
+        if t.kind == "ident" and t.lower not in RESERVED:
+            self.advance()
+            return t.text
+        self.error(f"expected {what}")
+
+    def alias_ident(self) -> str | None:
+        """Optional [AS] alias."""
+        if self.eat_kw("as"):
+            return self.ident("alias")
+        t = self.cur
+        if t.kind == "qident" or (t.kind == "ident" and t.lower not in RESERVED):
+            self.advance()
+            return t.text[1:-1] if t.kind == "qident" else t.text
+        return None
+
+    # --- entry points ---
+
+    def parse_statement(self):
+        """stmt := createSchema | createStream | insert | update | delete
+        | selectStmt  (fsql/parser.scala:23 + flinkdsl/parser.scala:24)."""
+        if self.at_kw("create"):
+            if self.peek().lower == "schema":
+                return self.parse_create_schema()
+            if self.peek().lower == "stream":
+                return self.parse_create_stream()
+            self.error("expected SCHEMA or STREAM after CREATE", self.peek())
+        if self.at_kw("insert"):
+            return self.parse_insert()
+        if self.at_kw("update"):
+            return self.parse_update()
+        if self.at_kw("delete"):
+            return self.parse_delete()
+        if self.at_kw("select") or self.at_op("("):
+            return self.parse_select_statement()
+        self.error("expected a statement")
+
+    def parse(self):
+        stmt = self.parse_statement()
+        self.eat_op(";")
+        if self.cur.kind != "eof":
+            self.error("unexpected trailing input")
+        return stmt
+
+    # --- DDL ---
+
+    def parse_create_schema(self) -> CreateSchema:
+        """create schema <id> (<col type>,...) [extends <id>]
+        (fsql/parser.scala:31-39)."""
+        self.expect_kw("create")
+        self.expect_kw("schema")
+        name = self.ident("schema name")
+        self.expect_op("(")
+        cols = self.parse_column_defs()
+        self.expect_op(")")
+        parent = None
+        if self.eat_kw("extends"):
+            parent = self.ident("parent schema name")
+        return CreateSchema(name, cols, parent)
+
+    def parse_column_defs(self) -> list[ColumnDef]:
+        cols = [self.parse_column_def()]
+        while self.eat_op(","):
+            cols.append(self.parse_column_def())
+        return cols
+
+    def parse_column_def(self) -> ColumnDef:
+        name = self.ident("column name")
+        t = self.cur
+        if t.kind == "ident" and t.lower in TYPE_NAMES:
+            self.advance()
+            return ColumnDef(name, t.lower)
+        self.error("expected a type name")
+
+    def parse_create_stream(self) -> CreateStream:
+        """create stream name ((cols) | schemaName) [source ...] |
+        create stream name[(cols)] as (select ...)
+        (fsql/parser.scala:47-62)."""
+        self.expect_kw("create")
+        self.expect_kw("stream")
+        name = self.ident("stream name")
+        schema = None
+        if self.eat_op("("):
+            schema = self.parse_column_defs()
+            self.expect_op(")")
+        elif not self.at_kw("source", "as"):
+            schema = self.ident("schema name")   # named schema ref
+        if self.eat_kw("as"):
+            self.expect_op("(")
+            q = self.parse_select_statement()
+            self.expect_op(")")
+            return CreateStream(name, schema, DerivedSource(q))
+        if self.eat_kw("source"):
+            return CreateStream(name, schema, self.parse_source())
+        return CreateStream(name, schema, None)
+
+    def parse_source(self):
+        if self.eat_kw("host"):
+            self.expect_op("(")
+            host = self.string_lit()
+            self.expect_op(",")
+            port = int(self.number_lit())
+            self.expect_op(")")
+            return HostSource(host, port)
+        if self.eat_kw("file"):
+            self.expect_op("(")
+            path = self.string_lit()
+            fmt = None
+            if self.eat_op(","):
+                fmt = self.string_lit()
+            self.expect_op(")")
+            return FileSource(path, fmt)
+        if self.eat_kw("rate"):
+            self.expect_op("(")
+            rps = int(self.number_lit())
+            self.expect_op(")")
+            return RateSource(rps)
+        self.error("expected HOST, FILE or RATE source")
+
+    def string_lit(self) -> str:
+        t = self.cur
+        if t.kind != "string":
+            self.error("expected string literal")
+        self.advance()
+        return t.text[1:-1].replace("''", "'")
+
+    def number_lit(self) -> str:
+        t = self.cur
+        if t.kind != "number":
+            self.error("expected numeric literal")
+        self.advance()
+        return t.text
+
+    # --- DML ---
+
+    def parse_insert(self) -> Insert:
+        """insert into t [(cols)] values (...),... | select ...
+        (flinkdsl/parser.scala:44-51)."""
+        self.expect_kw("insert")
+        self.expect_kw("into")
+        table = self.ident("table name")
+        cols = None
+        if self.at_op("(") and not self._paren_starts_select():
+            self.expect_op("(")
+            cols = [self.ident("column")]
+            while self.eat_op(","):
+                cols.append(self.ident("column"))
+            self.expect_op(")")
+        if self.eat_kw("values"):
+            rows = [self.parse_value_row()]
+            while self.eat_op(","):
+                rows.append(self.parse_value_row())
+            return Insert(table, cols, values=rows)
+        q = self.parse_select_statement()
+        return Insert(table, cols, query=q)
+
+    def parse_value_row(self) -> list:
+        self.expect_op("(")
+        row = [self.parse_expr()]
+        while self.eat_op(","):
+            row.append(self.parse_expr())
+        self.expect_op(")")
+        return row
+
+    def parse_update(self) -> Update:
+        self.expect_kw("update")
+        tables = [self.parse_table_name_alias()]
+        while self.eat_op(","):
+            tables.append(self.parse_table_name_alias())
+        self.expect_kw("set")
+        assigns = [self.parse_assignment()]
+        while self.eat_op(","):
+            assigns.append(self.parse_assignment())
+        where = self.parse_expr() if self.eat_kw("where") else None
+        order = self.parse_order_by() if self.at_kw("order") else []
+        limit = None
+        if self.eat_kw("limit"):
+            limit = self.parse_limit_term()
+        return Update(tables, assigns, where, order, limit)
+
+    def parse_assignment(self) -> Assignment:
+        col = self.parse_column_ref()
+        self.expect_op("=")
+        return Assignment(col, self.parse_expr())
+
+    def parse_delete(self) -> Delete:
+        self.expect_kw("delete")
+        self.expect_kw("from")
+        tables = [self.parse_table_name_alias()]
+        while self.eat_op(","):
+            tables.append(self.parse_table_name_alias())
+        where = self.parse_expr() if self.eat_kw("where") else None
+        return Delete(tables, where)
+
+    def parse_table_name_alias(self) -> TableRef:
+        name = self.ident("table name")
+        return TableRef(name, self.alias_ident())
+
+    # --- SELECT / set ops ---
+
+    def parse_select_statement(self):
+        """select (UNION [ALL]|EXCEPT|INTERSECT select)* [order] [limit]
+        (flinkdsl/parser.scala:32-40)."""
+        left = self.parse_select_core()
+        while self.at_kw("union", "except", "intersect"):
+            op = self.advance().lower
+            if op == "union" and self.eat_kw("all"):
+                op = "union_all"
+            right = self.parse_select_core()
+            left = SetOp(op, left, right)
+            # standard compound-select scoping: a trailing ORDER BY/LIMIT
+            # parsed by an unparenthesized right operand applies to the
+            # whole set operation (the reference grammar also hangs them
+            # on the union node, flinkdsl/parser.scala:35-40)
+            if isinstance(right, Select) and \
+                    not getattr(right, "_parened", False):
+                left.order_by, right.order_by = right.order_by, []
+                left.limit, right.limit = right.limit, None
+                left.offset, right.offset = right.offset, None
+        if isinstance(left, SetOp):
+            if self.at_kw("order"):
+                left.order_by = self.parse_order_by()
+            if self.eat_kw("limit"):
+                left.limit = self.parse_limit_term()
+                if self.eat_kw("offset"):
+                    left.offset = self.parse_limit_term()
+        return left
+
+    def parse_select_core(self) -> Select:
+        if self.eat_op("("):
+            sel = self.parse_select_statement()
+            self.expect_op(")")
+            if isinstance(sel, Select):
+                sel._parened = True
+            return sel
+        self.expect_kw("select")
+        distinct = bool(self.eat_kw("distinct"))
+        items = [self.parse_select_item()]
+        while self.eat_op(","):
+            items.append(self.parse_select_item())
+        from_ = None
+        if self.eat_kw("from"):
+            from_ = self.parse_from()
+        where = self.parse_expr() if self.eat_kw("where") else None
+        group_by, rollup, having = [], False, None
+        if self.eat_kw("group"):
+            self.expect_kw("by")
+            group_by = [self.parse_expr()]
+            while self.eat_op(","):
+                group_by.append(self.parse_expr())
+            if self.eat_kw("collate"):
+                self.ident("collation")          # parsed, no-op
+            if self.eat_kw("with"):
+                self.expect_kw("rollup")
+                rollup = True
+            if self.eat_kw("having"):
+                having = self.parse_expr()
+        order_by = self.parse_order_by() if self.at_kw("order") else []
+        limit = offset = None
+        if self.eat_kw("limit"):
+            limit = self.parse_limit_term()
+            if self.eat_kw("offset"):
+                offset = self.parse_limit_term()
+        return Select(items, from_, where, group_by, rollup, having,
+                      order_by, limit, offset, distinct)
+
+    def parse_select_item(self) -> SelectItem:
+        if self.at_op("*"):
+            self.advance()
+            return SelectItem(Star(None))
+        # t.*
+        if (self.cur.kind in ("ident", "qident")
+                and self.cur.lower not in RESERVED
+                and self.peek().kind == "op" and self.peek().text == "."
+                and self.peek(2).kind == "op" and self.peek(2).text == "*"):
+            qual = self.ident()
+            self.advance()  # .
+            self.advance()  # *
+            return SelectItem(Star(qual))
+        expr = self.parse_expr()
+        return SelectItem(expr, self.alias_ident())
+
+    def parse_order_by(self) -> list[OrderItem]:
+        self.expect_kw("order")
+        self.expect_kw("by")
+        items = [self.parse_order_item()]
+        while self.eat_op(","):
+            items.append(self.parse_order_item())
+        return items
+
+    def parse_order_item(self) -> OrderItem:
+        expr = self.parse_expr()
+        collate = None
+        if self.eat_kw("collate"):
+            collate = self.ident("collation")
+        asc = True
+        if self.eat_kw("desc"):
+            asc = False
+        else:
+            self.eat_kw("asc")
+        return OrderItem(expr, asc, collate)
+
+    def parse_limit_term(self):
+        if self.at_op("?"):
+            self.advance()
+            p = Param(self.n_params)
+            self.n_params += 1
+            return p
+        return Lit(int(self.number_lit()), "long")
+
+    # --- FROM / joins / windows ---
+
+    def parse_from(self):
+        """from t1 [, t2 ...] with joins; comma = implicit cross join
+        (flinkdsl/parser.scala:31)."""
+        rel = self.parse_joinable()
+        while self.eat_op(","):
+            rel = Join(rel, self.parse_joinable(), "cross")
+        return rel
+
+    def parse_joinable(self):
+        rel = self.parse_relation_primary()
+        while True:
+            kind = self.peek_join_kind()
+            if kind is None:
+                return rel
+            right = self.parse_relation_primary()
+            on = using = None
+            if kind != "cross":
+                if self.eat_kw("on"):
+                    on = self.parse_expr()
+                elif self.eat_kw("using"):
+                    # B dialect: USING (c1, ...); F dialect: USING col
+                    # (fsql/parser.scala:199-202, flinkdsl/parser.scala:103-107)
+                    if self.eat_op("("):
+                        using = [self.ident("column")]
+                        while self.eat_op(","):
+                            using.append(self.ident("column"))
+                        self.expect_op(")")
+                    else:
+                        using = [self.ident("column")]
+            rel = Join(rel, right, kind, on, using)
+
+    def peek_join_kind(self) -> str | None:
+        """Consume join keywords and return kind, or None.
+        Default INNER when bare JOIN (flinkdsl/parser.scala:98)."""
+        if self.eat_kw("join"):
+            return "inner"
+        for kw, kind in (("inner", "inner"), ("left", "left"),
+                         ("right", "right"), ("full", "full"),
+                         ("cross", "cross")):
+            if self.at_kw(kw):
+                self.advance()
+                if kind in ("left", "right", "full"):
+                    self.eat_kw("outer")
+                self.expect_kw("join")
+                return kind
+        return None
+
+    def parse_relation_primary(self):
+        if self.at_op("("):
+            # lookahead: derived table vs parenthesized join
+            if self._paren_starts_select():
+                self.expect_op("(")
+                q = self.parse_select_statement()
+                self.expect_op(")")
+                window = self.parse_window_spec() if self.at_op("[") else None
+                alias = self.alias_ident()
+                if alias is None:
+                    self.error("derived table requires an alias")
+                return DerivedTable(q, alias, window)
+            self.expect_op("(")
+            rel = self.parse_from()
+            self.expect_op(")")
+            return rel
+        name = self.ident("stream/table name")
+        window = self.parse_window_spec() if self.at_op("[") else None
+        alias = self.alias_ident()
+        if window is None and self.at_op("["):
+            window = self.parse_window_spec()
+        return TableRef(name, alias, window)
+
+    def _paren_starts_select(self) -> bool:
+        j = self.i
+        depth = 0
+        while j < len(self.tokens):
+            t = self.tokens[j]
+            if t.kind == "op" and t.text == "(":
+                depth += 1
+                j += 1
+                continue
+            if depth >= 1:
+                return t.kind == "ident" and t.lower == "select"
+            j += 1
+        return False
+
+    def parse_window_spec(self) -> WindowSpec:
+        """[size N [unit] [on col] [every M [unit] [on col]]
+        [partitioned on col]]  (fsql/parser.scala:157-176)."""
+        self.expect_op("[")
+        self.expect_kw("size")
+        size = self.parse_policy()
+        every = None
+        if self.eat_kw("every"):
+            every = self.parse_policy()
+        partition = None
+        if self.eat_kw("partitioned"):
+            self.expect_kw("on")
+            partition = self.parse_column_ref()
+        self.expect_op("]")
+        return WindowSpec(size, every, partition)
+
+    def parse_policy(self) -> Policy:
+        value = int(self.number_lit())
+        unit = None
+        t = self.cur
+        if t.kind == "ident" and t.lower in TIME_UNITS:
+            self.advance()
+            unit = {"millisec": "milisec"}.get(t.lower, t.lower)
+        on_col = None
+        if self.eat_kw("on"):
+            on_col = self.parse_column_ref()
+        return Policy(value, unit, on_col)
+
+    def parse_column_ref(self) -> Col:
+        a = self.ident("column")
+        if self.at_op(".") and self.peek().kind in ("ident", "qident"):
+            self.advance()
+            b = self.ident("column")
+            return Col(b, qualifier=a)
+        return Col(a)
+
+    # --- expressions (standard SQL precedence) ---
+
+    def parse_expr(self):
+        return self.parse_or()
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.at_kw("or") or self.at_op("||"):
+            self.advance()
+            left = BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while self.at_kw("and") or self.at_op("&&"):
+            self.advance()
+            left = BinOp("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        if self.eat_kw("not") or self.eat_op("!"):
+            return UnOp("not", self.parse_not())
+        return self.parse_predicate()
+
+    def parse_predicate(self):
+        """Comparisons + LIKE/BETWEEN/IS NULL/IN/EXISTS
+        (fsql/parser.scala:217-233, flinkdsl/parser.scala:125-150)."""
+        if self.at_kw("exists"):
+            self.advance()
+            return Exists(self.parse_subquery())
+        if self.at_kw("not") and self.peek().lower == "exists":
+            self.advance()
+            self.advance()
+            return Exists(self.parse_subquery(), negated=True)
+        left = self.parse_bitwise()
+        while True:
+            if self.at_op("=", "!=", "<>", "<", ">", "<=", ">=", "===", "!=="):
+                op = self.advance().text
+                op = {"<>": "!=", "===": "=", "!==": "!="}.get(op, op)
+                left = BinOp(op, left, self.parse_bitwise())
+                continue
+            negated = False
+            save = self.i
+            if self.eat_kw("not"):
+                negated = True
+            if self.eat_kw("like"):
+                left = BinOp("like", left, self.parse_bitwise())
+                if negated:
+                    left = UnOp("not", left)
+                continue
+            if self.eat_kw("between"):
+                lo = self.parse_bitwise()
+                self.expect_kw("and")
+                hi = self.parse_bitwise()
+                left = Between(left, lo, hi, negated)
+                continue
+            if self.eat_kw("in"):
+                self.expect_op("(")
+                if self.at_kw("select"):
+                    q = self.parse_select_statement()
+                    self.expect_op(")")
+                    left = InSubquery(left, q, negated)
+                else:
+                    items = [self.parse_expr()]
+                    while self.eat_op(","):
+                        items.append(self.parse_expr())
+                    self.expect_op(")")
+                    left = InList(left, items, negated)
+                continue
+            if negated:
+                self.i = save           # bare NOT belongs to parse_not
+                return left
+            if self.eat_kw("is"):
+                neg = bool(self.eat_kw("not"))
+                self.expect_kw("null")
+                left = IsNull(left, neg)
+                continue
+            return left
+
+    def parse_subquery(self) -> Select:
+        self.expect_op("(")
+        q = self.parse_select_statement()
+        self.expect_op(")")
+        return q
+
+    def parse_bitwise(self):
+        """| & ^ << >> as infix (flinkdsl/parser.scala:220-228).  Placed
+        below comparisons, above additive — matches B dialect."""
+        left = self.parse_additive()
+        while self.at_op("|", "&", "^", "<<", ">>"):
+            op = self.advance().text
+            left = BinOp(op, left, self.parse_additive())
+        return left
+
+    def parse_additive(self):
+        left = self.parse_multiplicative()
+        while self.at_op("+", "-"):
+            op = self.advance().text
+            left = BinOp(op, left, self.parse_multiplicative())
+        return left
+
+    def parse_multiplicative(self):
+        left = self.parse_unary()
+        while self.at_op("*", "/", "%"):
+            op = self.advance().text
+            left = BinOp(op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.eat_op("-"):
+            return UnOp("-", self.parse_unary())
+        if self.eat_op("+"):
+            return self.parse_unary()
+        if self.eat_op("~"):
+            return UnOp("~", self.parse_unary())
+        return self.parse_term()
+
+    def parse_term(self):
+        t = self.cur
+        if t.kind == "number":
+            self.advance()
+            txt = t.text.rstrip()
+            if "." in txt or "e" in txt or "E" in txt:
+                return Lit(float(txt), "double")
+            return Lit(int(txt), "long")
+        if t.kind == "string":
+            self.advance()
+            return Lit(t.text[1:-1].replace("''", "'"), "string")
+        if self.at_op("?"):
+            self.advance()
+            p = Param(self.n_params)
+            self.n_params += 1
+            return p
+        if self.at_kw("true"):
+            self.advance()
+            return Lit(True, "boolean")
+        if self.at_kw("false"):
+            self.advance()
+            return Lit(False, "boolean")
+        if self.at_kw("null"):
+            self.advance()
+            return Lit(None, "null")
+        if self.at_kw("case"):
+            return self.parse_case()
+        if self.at_op("("):
+            if self._paren_starts_select():
+                return ScalarSubquery(self.parse_subquery())
+            self.advance()
+            e = self.parse_expr()
+            self.expect_op(")")
+            return e
+        if t.kind in ("ident", "qident"):
+            return self.parse_name_or_call()
+        self.error("expected an expression term")
+
+    def parse_case(self) -> Case:
+        self.expect_kw("case")
+        whens = []
+        while self.eat_kw("when"):
+            cond = self.parse_expr()
+            self.expect_kw("then")
+            whens.append((cond, self.parse_expr()))
+        if not whens:
+            self.error("CASE requires at least one WHEN")
+        else_ = self.parse_expr() if self.eat_kw("else") else None
+        self.expect_kw("end")
+        return Case(whens, else_)
+
+    def parse_name_or_call(self):
+        """ident | ident.ident | ident(args) — function names may be any
+        identifier incl. agg names (fsql/parser.scala:239-242)."""
+        t = self.cur
+        name = self.ident("identifier")
+        if self.at_op("("):
+            self.advance()
+            distinct = bool(self.eat_kw("distinct"))
+            args: list = []
+            if self.at_op("*"):
+                self.advance()
+                args = [Star(None)]
+            elif not self.at_op(")"):
+                args = [self.parse_expr()]
+                while self.eat_op(","):
+                    args.append(self.parse_expr())
+            self.expect_op(")")
+            return FuncCall(name.lower(), args, distinct)
+        if self.at_op(".") and self.peek().kind in ("ident", "qident") \
+                and self.peek().lower not in RESERVED:
+            self.advance()
+            col = self.ident("column")
+            return Col(col, qualifier=name)
+        _ = t
+        return Col(name)
+
+
+def parse(sql: str):
+    """Parse one statement (parity: FsqlParser.parseAllWith,
+    fsql/parser.scala:12-17)."""
+    return Parser(sql).parse()
+
+
+def parse_many(sql: str) -> list:
+    """Parse a ;-separated script."""
+    out = []
+    p = Parser(sql)
+    while p.cur.kind != "eof":
+        out.append(p.parse_statement())
+        if not p.eat_op(";"):
+            break
+    if p.cur.kind != "eof":
+        p.error("unexpected trailing input")
+    return out

@@ -1,0 +1,674 @@
+"""Planner: resolved AST -> PySpark DataFrame (Catalyst logical plan).
+
+This is the layer the reference stubbed out (empty SQLContext,
+fsql/SQLContext.scala:4-41; catalog stub fsql/Catalog.scala:14-17).
+We emit declarative DataFrame expressions and let Catalyst do predicate
+pushdown / column pruning / join selection / codegen (SURVEY.md §4 —
+zero custom optimizer rules by design).
+
+Key mechanics:
+  * every base relation is ``df.alias(binding)`` so qualified column refs
+    compile to ``F.col("binding.name")``;
+  * aggregation uses a two-phase compile: pre-project grouping exprs as
+    ``__g{i}`` and aggregate arguments as ``__a{j}``, then groupBy/rollup
+    over the hidden columns — HAVING and ORDER BY compile in the same
+    aggregate context (SQL semantics, evaluated per group);
+  * FSQL window specs (fsql/Ast.scala:132-136) compile to:
+      - time windows  -> F.window(tcol, size, every)   [Spark-native]
+      - count windows -> row_number / exploded trigger buckets
+      - delta windows -> numeric trigger buckets (same helper)
+    batch emulation documented in streaming/windows.py;
+  * statements containing subqueries in expression position (IN/EXISTS/
+    scalar) compile via SQL-text generation -> spark.sql, which is the
+    documented Spark primitive for decorrelation (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .ast_nodes import (
+    Between, BinOp, Case, Col, CreateSchema, CreateStream, Delete,
+    DerivedTable, Exists, FuncCall, InList, InSubquery, Insert, IsNull,
+    Join, Lit, OrderItem, Param, ScalarSubquery, Select, SelectItem, SetOp,
+    Star, TableRef, UnOp, Update, WindowSpec, relation_leaves, walk_expr,
+)
+from .errors import PlanError, UnsupportedError
+from .functions import FunctionRegistry
+from .streaming.windows import last_window_filter, window_grouping
+
+
+def _contains_subquery(e) -> bool:
+    return any(isinstance(x, (InSubquery, Exists, ScalarSubquery))
+               for x in walk_expr(e))
+
+
+def _select_has_subquery(sel) -> bool:
+    if isinstance(sel, SetOp):
+        return _select_has_subquery(sel.left) or _select_has_subquery(sel.right)
+    exprs = [i.expr for i in sel.items] + sel.group_by \
+        + [o.expr for o in sel.order_by]
+    for opt in (sel.where, sel.having):
+        if opt is not None:
+            exprs.append(opt)
+    if any(_contains_subquery(e) for e in exprs if not isinstance(e, Star)):
+        return True
+    if sel.from_ is not None:
+        for leaf in relation_leaves(sel.from_):
+            if isinstance(leaf, DerivedTable) and _select_has_subquery(leaf.query):
+                return True
+        # join conditions
+        def join_conds(rel):
+            if isinstance(rel, Join):
+                yield from join_conds(rel.left)
+                yield from join_conds(rel.right)
+                if rel.on is not None:
+                    yield rel.on
+        if any(_contains_subquery(c) for c in join_conds(sel.from_)):
+            return True
+    return False
+
+
+def _has_window(sel) -> bool:
+    if isinstance(sel, SetOp):
+        return _has_window(sel.left) or _has_window(sel.right)
+    if sel.from_ is None:
+        return False
+    return any(getattr(l, "window", None) is not None
+               for l in relation_leaves(sel.from_))
+
+
+class Planner:
+    def __init__(self, catalog, registry: FunctionRegistry, resolver):
+        self.catalog = catalog
+        self.registry = registry
+        self.resolver = resolver
+        self._params: list = []
+
+    # ------------------------------------------------------------------
+    # statement dispatch
+    # ------------------------------------------------------------------
+
+    def plan(self, stmt, params: Optional[list] = None):
+        self._params = params or []
+        if isinstance(stmt, (Select, SetOp)):
+            return self.plan_query(stmt)
+        if isinstance(stmt, Insert):
+            return self.plan_insert(stmt)
+        if isinstance(stmt, (Update, Delete)):
+            # parse-only parity: the reference grammar accepts these but the
+            # snapshot never executes them (SURVEY.md §7.0(5))
+            raise UnsupportedError(
+                f"{type(stmt).__name__.upper()} parses but is not executable "
+                "in this engine (reference parity; use Delta Lake for "
+                "mutable tables)")
+        raise PlanError(f"cannot plan statement {type(stmt).__name__}")
+
+    def plan_query(self, q) -> DataFrame:
+        if _select_has_subquery(q):
+            if _has_window(q):
+                raise UnsupportedError(
+                    "subqueries combined with stream window specs are not "
+                    "supported")
+            return self._plan_via_sql(q)
+        if isinstance(q, SetOp):
+            return self.plan_setop(q)
+        return self.plan_select(q)
+
+    def _plan_via_sql(self, q) -> DataFrame:
+        from .sqlgen import to_sql
+        return self.catalog.spark.sql(to_sql(q, self._params))
+
+    def plan_setop(self, s: SetOp) -> DataFrame:
+        left = self.plan_query(s.left)
+        right = self.plan_query(s.right)
+        if s.op == "union_all":
+            df = left.union(right)
+        elif s.op == "union":
+            df = left.union(right).distinct()
+        elif s.op == "except":
+            df = left.subtract(right)
+        elif s.op == "intersect":
+            df = left.intersect(right)
+        else:
+            raise PlanError(f"unknown set op {s.op}")
+        if s.order_by:
+            df = df.orderBy(*[
+                F.col(df.columns[_setop_order_index(s, o, df)]).asc()
+                if o.ascending else
+                F.col(df.columns[_setop_order_index(s, o, df)]).desc()
+                for o in s.order_by])
+        df = _apply_limit_offset(df, self._lit_int(s.limit),
+                                 self._lit_int(s.offset))
+        return df
+
+    def _lit_int(self, e) -> Optional[int]:
+        if e is None:
+            return None
+        if isinstance(e, Param):
+            return int(self._bind_param(e))
+        if isinstance(e, Lit):
+            return int(e.value)
+        raise PlanError("LIMIT/OFFSET must be a literal or parameter")
+
+    def _bind_param(self, p: Param):
+        if p.index >= len(self._params):
+            raise PlanError(
+                f"statement uses parameter ?#{p.index + 1} but only "
+                f"{len(self._params)} parameter(s) were supplied")
+        return self._params[p.index]
+
+    # ------------------------------------------------------------------
+    # SELECT
+    # ------------------------------------------------------------------
+
+    def plan_select(self, sel: Select) -> DataFrame:
+        agg_ctx = self._needs_aggregation(sel)
+        windowed = [l for l in (relation_leaves(sel.from_)
+                                if sel.from_ is not None else [])
+                    if getattr(l, "window", None) is not None]
+        # Window-spec execution mode (SURVEY.md §2.9 / windows.py header):
+        #   - non-aggregating query, or a windowed JOIN of 2+ streams:
+        #     snapshot semantics — each leaf filtered to its latest window
+        #     BEFORE joining ("rows co-resident in current windows").
+        #   - aggregating query over exactly one windowed stream:
+        #     per-window grouping (tumbling/sliding).
+        snapshot_mode = bool(windowed) and (not agg_ctx or len(windowed) > 1)
+        group_window_leaf = windowed[0] if (agg_ctx and len(windowed) == 1) \
+            else None
+
+        # FROM
+        if sel.from_ is None:
+            df = self.catalog.spark.range(1).select()   # dual
+        else:
+            df = self._plan_relation(sel.from_, snapshot=snapshot_mode)
+
+        # WHERE
+        if sel.where is not None:
+            df = df.filter(self._compile(sel.where, df))
+
+        if agg_ctx:
+            df = self._plan_aggregate(sel, df, group_window_leaf)
+        else:
+            df = self._plan_projection(sel, df)
+
+        if sel.distinct:
+            df = df.distinct()
+        df = _apply_limit_offset(df, self._lit_int(sel.limit),
+                                 self._lit_int(sel.offset))
+        return df
+
+    def _leaf_time_col(self, leaf) -> Optional[Column]:
+        """Default event-time column for a windowed stream: the policy's
+        ``on`` column, else catalog metadata event_time_col."""
+        w: WindowSpec = leaf.window
+        if w.size.on_col is not None:
+            c = w.size.on_col
+            return F.col(f"{c.binding}.{c.name}")
+        if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
+            meta = self.catalog.meta(leaf.name)
+            if meta.event_time_col:
+                return F.col(f"{leaf.binding}.{meta.event_time_col}")
+        return None
+
+    def _needs_aggregation(self, sel: Select) -> bool:
+        if sel.group_by or sel.having is not None:
+            return True
+        return any(self._expr_has_agg(i.expr) for i in sel.items
+                   if not isinstance(i.expr, Star))
+
+    def _expr_has_agg(self, e) -> bool:
+        return any(isinstance(x, FuncCall) and self.registry.is_aggregate(x.name)
+                   for x in walk_expr(e))
+
+    # --- non-aggregate projection ---
+
+    def _plan_projection(self, sel: Select, df: DataFrame) -> DataFrame:
+        cols: list[Column] = []
+        out_names: list[str] = []
+        for i, item in enumerate(sel.items):
+            if isinstance(item.expr, Star):
+                star_cols, star_names = self._expand_star(sel, item.expr)
+                cols.extend(star_cols)
+                out_names.extend(star_names)
+            else:
+                name = _item_name(item, i)
+                cols.append(self._compile(item.expr, df).alias(name))
+                out_names.append(name)
+
+        if not sel.order_by:
+            return df.select(*cols)
+
+        # ORDER BY may reference projection aliases or input columns
+        hidden: list[Column] = []
+        order_cols: list[Column] = []
+        lower_names = {n.lower(): n for n in out_names}
+        for k, o in enumerate(sel.order_by):
+            if isinstance(o.expr, Col) and o.expr.qualifier is None and \
+                    o.expr.name.lower() in lower_names:
+                oc = F.col(lower_names[o.expr.name.lower()])
+            else:
+                h = f"__o{k}"
+                hidden.append(self._compile(o.expr, df).alias(h))
+                oc = F.col(h)
+            order_cols.append(oc.asc() if o.ascending else oc.desc())
+        df = df.select(*cols, *hidden).orderBy(*order_cols)
+        return df.drop(*[f"__o{k}" for k in range(len(sel.order_by))
+                         if f"__o{k}" in df.columns])
+
+    def _expand_star(self, sel: Select, star: Star):
+        cols, names = [], []
+        for leaf in relation_leaves(sel.from_):
+            if star.qualifier is not None and \
+                    leaf.binding.lower() != star.qualifier.lower():
+                continue
+            leaf_cols = (self.catalog.columns(leaf.name)
+                         if isinstance(leaf, TableRef)
+                         else self.resolver.output_names(leaf.query))
+            for c in leaf_cols:
+                cols.append(F.col(f"{leaf.binding}.{c}"))
+                names.append(c)
+        return cols, names
+
+    # --- aggregate path ---
+
+    def _plan_aggregate(self, sel: Select, df: DataFrame,
+                        window_leaf) -> DataFrame:
+        group_exprs = list(sel.group_by)
+        g_names = [f"__g{i}" for i in range(len(group_exprs))]
+
+        # stream-window grouping: transform df (adds __win/__idx/__trigger
+        # columns) and collect extra grouping keys + output columns
+        win_group: list[Column] = []
+        win_out: list[tuple] = []
+        if window_leaf is not None:
+            spec = window_leaf.window
+            df, win_group, win_out = window_grouping(
+                df, spec, self._leaf_time_col(window_leaf))
+            if spec.partition is not None:
+                p = spec.partition
+                group_exprs.append(p)
+                g_names.append(f"__g{len(g_names)}")
+
+        # collect aggregate calls from items / having / order-by
+        agg_calls: list[FuncCall] = []
+
+        def collect(e):
+            for x in walk_expr(e):
+                if isinstance(x, FuncCall) and self.registry.is_aggregate(x.name):
+                    if not any(x is a for a in agg_calls):
+                        agg_calls.append(x)
+
+        for item in sel.items:
+            if not isinstance(item.expr, Star):
+                collect(item.expr)
+        if sel.having is not None:
+            collect(sel.having)
+        for o in sel.order_by:
+            collect(o.expr)
+
+        # pre-projection: grouping exprs + agg argument exprs
+        pre_cols: list[Column] = [F.col("*")]
+        for i, g in enumerate(group_exprs):
+            pre_cols.append(self._compile(g, df).alias(g_names[i]))
+        arg_names: dict[int, Optional[str]] = {}
+        for j, call in enumerate(agg_calls):
+            if len(call.args) > 1:
+                raise PlanError(
+                    f"aggregate {call.name} expects one argument")
+            if not call.args or isinstance(call.args[0], Star):
+                arg_names[id(call)] = None          # count(*)
+            else:
+                a = f"__a{j}"
+                pre_cols.append(self._compile(call.args[0], df).alias(a))
+                arg_names[id(call)] = a
+
+        pre = df.select(*pre_cols)
+
+        group_cols = [F.col(n) for n in g_names] + win_group
+        if sel.rollup:
+            gdf = pre.rollup(*group_cols)
+        elif group_cols:
+            gdf = pre.groupBy(*group_cols)
+        else:
+            gdf = pre.groupBy()
+
+        # compile output/having/order in aggregate context
+        agg_exprs: list[Column] = []
+        out_specs: list[tuple[str, str]] = []   # (hidden_name, out_name)
+        ctx = _AggContext(self, group_exprs, g_names, agg_calls, arg_names)
+
+        for i, item in enumerate(sel.items):
+            if isinstance(item.expr, Star):
+                raise PlanError("SELECT * cannot be combined with GROUP BY")
+            name = _item_name(item, i)
+            agg_exprs.append(ctx.compile(item.expr).alias(name))
+            out_specs.append((name, name))
+        for wname, wcol in win_out:
+            out_specs.append((wname, wname))
+
+        having_name = None
+        if sel.having is not None:
+            having_name = "__having"
+            agg_exprs.append(ctx.compile(sel.having).alias(having_name))
+
+        order_specs: list[tuple[Column, bool]] = []
+        lower_names = {n.lower(): n for n, _ in out_specs}
+        for k, o in enumerate(sel.order_by):
+            if isinstance(o.expr, Col) and o.expr.qualifier is None and \
+                    o.expr.name.lower() in lower_names:
+                order_specs.append(
+                    (F.col(lower_names[o.expr.name.lower()]), o.ascending))
+            else:
+                h = f"__ord{k}"
+                agg_exprs.append(ctx.compile(o.expr).alias(h))
+                order_specs.append((F.col(h), o.ascending))
+
+        if not agg_exprs:
+            agg_exprs = [F.count(F.lit(1)).alias("__cnt")]
+
+        res = gdf.agg(*agg_exprs)
+
+        # window struct -> window_start/window_end output columns
+        for wname, wcol in win_out:
+            res = res.withColumn(wname, wcol)
+
+        if having_name:
+            res = res.filter(F.col(having_name))
+        if order_specs:
+            res = res.orderBy(*[c.asc() if asc else c.desc()
+                                for c, asc in order_specs])
+        keep = [n for n, _ in out_specs]
+        return res.select(*keep)
+
+    # ------------------------------------------------------------------
+    # INSERT (append semantics; flinkdsl/ast.scala:154-161,
+    # fsql/parser.scala:268-277 — the reference parses both forms)
+    # ------------------------------------------------------------------
+
+    def plan_insert(self, ins: Insert) -> DataFrame:
+        target = self.catalog.get(ins.table)
+        target_cols = target.columns
+        lower = {c.lower(): c for c in target_cols}
+        cols = [lower[c.lower()] for c in (ins.columns or target_cols)]
+
+        if ins.values is not None:
+            rows = [tuple(self._const_value(e) for e in row)
+                    for row in ins.values]
+            schema = target.select(*cols).schema
+            new = self.catalog.spark.createDataFrame(rows, schema=schema)
+        else:
+            new = self.plan_query(ins.query).toDF(*cols)
+
+        dtypes = dict(target.dtypes)
+        for c in target_cols:
+            if c not in cols:
+                new = new.withColumn(c, F.lit(None).cast(dtypes[c]))
+        updated = target.unionByName(new.select(*target_cols))
+        self.catalog.register(ins.table, updated)
+        return updated
+
+    def _const_value(self, e):
+        """Evaluate a constant expression in VALUES position."""
+        if isinstance(e, Lit):
+            return e.value
+        if isinstance(e, Param):
+            return self._bind_param(e)
+        if isinstance(e, UnOp) and e.op == "-":
+            return -self._const_value(e.operand)
+        raise PlanError("INSERT VALUES must be literals or parameters")
+
+    # ------------------------------------------------------------------
+    # relations
+    # ------------------------------------------------------------------
+
+    def _plan_relation(self, rel, snapshot: bool = False) -> DataFrame:
+        if isinstance(rel, TableRef):
+            df = self.catalog.get(rel.name).alias(rel.binding)
+            if snapshot and rel.window is not None:
+                df = last_window_filter(df, rel.window,
+                                        self._leaf_time_col(rel))
+            return df
+        if isinstance(rel, DerivedTable):
+            sub = self.plan_query(rel.query).alias(rel.binding)
+            if snapshot and rel.window is not None:
+                sub = last_window_filter(sub, rel.window,
+                                         self._leaf_time_col(rel))
+            return sub
+        if isinstance(rel, Join):
+            left = self._plan_relation(rel.left, snapshot)
+            right = self._plan_relation(rel.right, snapshot)
+            if rel.kind == "cross" and rel.on is None and rel.using is None:
+                return left.crossJoin(right)
+            how = {"inner": "inner", "left": "left", "right": "right",
+                   "full": "full", "cross": "inner"}[rel.kind]
+            if rel.using is not None:
+                return left.join(right, on=list(rel.using), how=how)
+            if rel.on is None:
+                raise PlanError(f"{rel.kind} JOIN requires ON or USING")
+            # compile the ON predicate against the joined frame
+            joined = left.join(right, on=self._compile_join_cond(
+                rel.on, left, right), how=how)
+            return joined
+        raise PlanError(f"cannot plan relation {type(rel).__name__}")
+
+    def _compile_join_cond(self, e, left: DataFrame,
+                           right: DataFrame) -> Column:
+        # qualified refs work on the pre-join frames via their aliases
+        return self._compile(e, None)
+
+    # ------------------------------------------------------------------
+    # expression compilation (non-aggregate context)
+    # ------------------------------------------------------------------
+
+    def _compile(self, e, df: Optional[DataFrame]) -> Column:
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Param):
+            return F.lit(self._bind_param(e))
+        if isinstance(e, Col):
+            if e.binding is not None:
+                return F.col(f"{e.binding}.{e.name}")
+            return F.col(e.name)
+        if isinstance(e, BinOp):
+            return self._compile_binop(e, df)
+        if isinstance(e, UnOp):
+            x = self._compile(e.operand, df)
+            if e.op == "not":
+                return ~x
+            if e.op == "-":
+                return -x
+            if e.op == "~":
+                return F.bitwise_not(x)
+            raise PlanError(f"unknown unary op {e.op}")
+        if isinstance(e, Between):
+            x = self._compile(e.expr, df)
+            c = x.between(self._compile(e.lo, df), self._compile(e.hi, df))
+            return ~c if e.negated else c
+        if isinstance(e, IsNull):
+            x = self._compile(e.expr, df)
+            return x.isNotNull() if e.negated else x.isNull()
+        if isinstance(e, InList):
+            x = self._compile(e.expr, df)
+            vals = [self._compile(i, df) for i in e.items]
+            c = x.isin(*vals)
+            return ~c if e.negated else c
+        if isinstance(e, Case):
+            c = None
+            for cond, val in e.whens:
+                cc = self._compile(cond, df)
+                vv = self._compile(val, df)
+                c = F.when(cc, vv) if c is None else c.when(cc, vv)
+            if e.else_ is not None:
+                c = c.otherwise(self._compile(e.else_, df))
+            return c
+        if isinstance(e, FuncCall):
+            return self._compile_func(e, df)
+        if isinstance(e, (InSubquery, Exists, ScalarSubquery)):
+            raise PlanError(
+                "internal: subquery expressions go through the SQL path")
+        if isinstance(e, Star):
+            raise PlanError("* not valid in this position")
+        raise PlanError(f"cannot compile expression {type(e).__name__}")
+
+    def _compile_binop(self, e: BinOp, df) -> Column:
+        op = e.op
+        l = self._compile(e.left, df)
+        # shift amounts must be python ints for F.shiftleft/right
+        if op in ("<<", ">>"):
+            if not isinstance(e.right, Lit):
+                raise PlanError("shift amount must be a literal")
+            n = int(e.right.value)
+            return F.shiftleft(l, n) if op == "<<" else F.shiftright(l, n)
+        if op == "like" and isinstance(e.right, Lit) \
+                and isinstance(e.right.value, str):
+            return l.like(e.right.value)
+        return _apply_binop(op, l, self._compile(e.right, df))
+
+    def _compile_func(self, e: FuncCall, df) -> Column:
+        if self.registry.is_aggregate(e.name):
+            # aggregate in a non-aggregate context: only valid for
+            # count(*) style full-table aggregates — handled by agg path;
+            # reaching here means misuse
+            raise PlanError(
+                f"aggregate function {e.name}() used outside aggregation")
+        args = [self._compile(a, df) for a in e.args]
+        return self.registry.build(e.name, args)
+
+
+class _AggContext:
+    """Compile expressions evaluated per-group: aggregate calls map to
+    aggregates over pre-projected ``__a{j}`` columns; grouping expressions
+    map to ``__g{i}`` refs; literals pass through."""
+
+    def __init__(self, planner: Planner, group_exprs, g_names,
+                 agg_calls, arg_names):
+        self.p = planner
+        self.group_exprs = group_exprs
+        self.g_names = g_names
+        self.agg_calls = agg_calls
+        self.arg_names = arg_names
+
+    def compile(self, e) -> Column:
+        # grouping expression match (structural equality via dataclasses)
+        for i, g in enumerate(self.group_exprs):
+            if e == g:
+                return F.col(self.g_names[i])
+        if isinstance(e, FuncCall) and self.p.registry.is_aggregate(e.name):
+            return self._agg(e)
+        if isinstance(e, Lit):
+            return F.lit(e.value)
+        if isinstance(e, Param):
+            return F.lit(self.p._bind_param(e))
+        if isinstance(e, BinOp):
+            if e.op in ("<<", ">>"):
+                if not isinstance(e.right, Lit):
+                    raise PlanError("shift amount must be a literal")
+                n = int(e.right.value)
+                l = self.compile(e.left)
+                return F.shiftleft(l, n) if e.op == "<<" else F.shiftright(l, n)
+            return _apply_binop(e.op, self.compile(e.left),
+                                self.compile(e.right))
+        if isinstance(e, UnOp):
+            x = self.compile(e.operand)
+            return {"not": lambda: ~x, "-": lambda: -x,
+                    "~": lambda: F.bitwise_not(x)}[e.op]()
+        if isinstance(e, Case):
+            c = None
+            for cond, val in e.whens:
+                cc, vv = self.compile(cond), self.compile(val)
+                c = F.when(cc, vv) if c is None else c.when(cc, vv)
+            if e.else_ is not None:
+                c = c.otherwise(self.compile(e.else_))
+            return c
+        if isinstance(e, Between):
+            c = self.compile(e.expr).between(
+                self.compile(e.lo), self.compile(e.hi))
+            return ~c if e.negated else c
+        if isinstance(e, IsNull):
+            x = self.compile(e.expr)
+            return x.isNotNull() if e.negated else x.isNull()
+        if isinstance(e, InList):
+            x = self.compile(e.expr)
+            c = x.isin(*[self.compile(i) for i in e.items])
+            return ~c if e.negated else c
+        if isinstance(e, Col):
+            raise PlanError(
+                f"column {e.name!r} must appear in GROUP BY or inside an "
+                "aggregate function")
+        raise PlanError(
+            f"cannot compile {type(e).__name__} in aggregate context")
+
+    def _agg(self, call: FuncCall) -> Column:
+        hidden = self.arg_names[id(call)]
+        name = call.name.lower()
+        if hidden is None:                       # count(*)
+            return F.count(F.lit(1))
+        if call.distinct:
+            if name == "count":
+                return F.countDistinct(F.col(hidden))
+            if name == "sum":
+                return F.sum_distinct(F.col(hidden))
+            # general distinct aggregate over a named hidden column
+            return F.expr(f"{name}(DISTINCT {hidden})")
+        return self.p.registry.build(name, [F.col(hidden)])
+
+
+def _apply_binop(op: str, l: Column, r: Column) -> Column:
+    """Operator table shared by both compile contexts.
+    ``/`` yields double (non-ANSI Spark default), matching the reference's
+    nullable-Double division rule (flinkdsl/typer.scala_:243-244)."""
+    table = {
+        "+": lambda: l + r,
+        "-": lambda: l - r,
+        "*": lambda: l * r,
+        "/": lambda: l / r,
+        "%": lambda: l % r,
+        "=": lambda: l == r,
+        "!=": lambda: l != r,
+        "<": lambda: l < r,
+        ">": lambda: l > r,
+        "<=": lambda: l <= r,
+        ">=": lambda: l >= r,
+        "and": lambda: l & r,
+        "or": lambda: l | r,
+        "|": lambda: l.bitwiseOR(r),
+        "&": lambda: l.bitwiseAND(r),
+        "^": lambda: l.bitwiseXOR(r),
+        "like": lambda: F.like(l, r),
+    }
+    try:
+        return table[op]()
+    except KeyError:
+        raise PlanError(f"unknown operator {op}")
+
+
+def _item_name(item: SelectItem, i: int) -> str:
+    if item.alias:
+        return item.alias
+    if isinstance(item.expr, Col):
+        return item.expr.name
+    if isinstance(item.expr, FuncCall):
+        return item.expr.name
+    return f"_c{i}"
+
+
+def _apply_limit_offset(df: DataFrame, limit: Optional[int],
+                        offset: Optional[int]) -> DataFrame:
+    if offset is not None:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
+    return df
+
+
+def _setop_order_index(s: SetOp, o: OrderItem, df: DataFrame) -> int:
+    if isinstance(o.expr, Col) and o.expr.qualifier is None:
+        try:
+            return [c.lower() for c in df.columns].index(o.expr.name.lower())
+        except ValueError:
+            pass
+    raise PlanError("set-operation ORDER BY must reference output columns")

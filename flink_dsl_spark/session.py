@@ -1,0 +1,38 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Test profile is local[N] (single JVM), but every knob here is chosen for
+the 1000-executor case too: AQE on (runtime re-planning, skew-join
+handling, partition coalescing), auto broadcast for small dims, Arrow for
+the Pandas-UDF paths (LLM ops).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(app_name: str = "flink-dsl-spark",
+                shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # driver testdata uses parquet TIMESTAMP(NANOS); Spark reads them
+        # as long (engine.register_parquet casts back to timestamp)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()

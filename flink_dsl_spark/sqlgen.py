@@ -1,0 +1,194 @@
+"""AST -> SQL text generation.
+
+Used for (a) the subquery execution path — statements with IN/EXISTS/
+scalar subqueries compile to Spark SQL text so Catalyst performs the
+decorrelation (the documented Spark primitive, SURVEY.md §2.2/§3.2) —
+and (b) round-trip debugging.  Supports the batch-relational subset;
+stream window specs have no SQL-text form and raise.
+
+``dialect``: 'spark' (backtick idents) or 'ansi' (double-quoted idents,
+DuckDB-compatible) — the latter lets tests derive oracle SQL from the
+same AST that the engine executes.
+"""
+
+from __future__ import annotations
+
+from .ast_nodes import (
+    Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
+    InSubquery, IsNull, Join, Lit, Param, ScalarSubquery, Select, SetOp,
+    Star, TableRef, UnOp,
+)
+from .errors import PlanError, UnsupportedError
+
+_IDENT_SAFE = set("abcdefghijklmnopqrstuvwxyz0123456789_")
+
+
+class SqlGen:
+    def __init__(self, params: list | None = None, dialect: str = "spark"):
+        self.params = params or []
+        self.dialect = dialect
+
+    # --- identifiers / literals ---
+
+    def ident(self, name: str) -> str:
+        if name and all(ch in _IDENT_SAFE for ch in name.lower()):
+            return name
+        q = "`" if self.dialect == "spark" else '"'
+        return f"{q}{name}{q}"
+
+    def lit(self, v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    # --- statements ---
+
+    def query(self, q) -> str:
+        if isinstance(q, SetOp):
+            op = {"union": "UNION", "union_all": "UNION ALL",
+                  "except": "EXCEPT", "intersect": "INTERSECT"}[q.op]
+            s = f"{self.query(q.left)} {op} {self.query(q.right)}"
+            if q.order_by:
+                s += " ORDER BY " + ", ".join(self.order_item(o)
+                                              for o in q.order_by)
+            if q.limit is not None:
+                s += f" LIMIT {self.expr(q.limit)}"
+            if q.offset is not None:
+                s += f" OFFSET {self.expr(q.offset)}"
+            return s
+        return self.select(q)
+
+    def select(self, s: Select) -> str:
+        parts = ["SELECT"]
+        if s.distinct:
+            parts.append("DISTINCT")
+        items = []
+        for i, it in enumerate(s.items):
+            if isinstance(it.expr, Star):
+                items.append(f"{self.ident(it.expr.qualifier)}.*"
+                             if it.expr.qualifier else "*")
+            else:
+                e = self.expr(it.expr)
+                if it.alias:
+                    e += f" AS {self.ident(it.alias)}"
+                items.append(e)
+        parts.append(", ".join(items))
+        if s.from_ is not None:
+            parts.append("FROM " + self.relation(s.from_))
+        if s.where is not None:
+            parts.append("WHERE " + self.expr(s.where))
+        if s.group_by:
+            g = ", ".join(self.expr(e) for e in s.group_by)
+            if s.rollup:
+                parts.append(f"GROUP BY ROLLUP({g})")
+            else:
+                parts.append("GROUP BY " + g)
+        if s.having is not None:
+            parts.append("HAVING " + self.expr(s.having))
+        if s.order_by:
+            parts.append("ORDER BY " + ", ".join(self.order_item(o)
+                                                 for o in s.order_by))
+        if s.limit is not None:
+            parts.append(f"LIMIT {self.expr(s.limit)}")
+        if s.offset is not None:
+            parts.append(f"OFFSET {self.expr(s.offset)}")
+        return " ".join(parts)
+
+    def order_item(self, o) -> str:
+        return f"{self.expr(o.expr)} {'ASC' if o.ascending else 'DESC'}"
+
+    def relation(self, rel) -> str:
+        if isinstance(rel, TableRef):
+            if rel.window is not None:
+                raise UnsupportedError(
+                    "stream window specs have no SQL-text form")
+            s = self.ident(rel.name)
+            if rel.alias:
+                s += f" AS {self.ident(rel.alias)}"
+            return s
+        if isinstance(rel, DerivedTable):
+            if rel.window is not None:
+                raise UnsupportedError(
+                    "stream window specs have no SQL-text form")
+            return f"({self.query(rel.query)}) AS {self.ident(rel.alias)}"
+        if isinstance(rel, Join):
+            left = self.relation(rel.left)
+            right = self.relation(rel.right)
+            if rel.kind == "cross":
+                return f"{left} CROSS JOIN {right}"
+            kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                  "right": "RIGHT JOIN", "full": "FULL JOIN"}[rel.kind]
+            s = f"{left} {kw} {right}"
+            if rel.using is not None:
+                s += " USING (" + ", ".join(self.ident(c)
+                                            for c in rel.using) + ")"
+            elif rel.on is not None:
+                s += " ON " + self.expr(rel.on)
+            return s
+        raise PlanError(f"cannot generate SQL for {type(rel).__name__}")
+
+    # --- expressions ---
+
+    def expr(self, e) -> str:
+        if isinstance(e, Lit):
+            return self.lit(e.value)
+        if isinstance(e, Param):
+            if e.index >= len(self.params):
+                raise PlanError(
+                    f"parameter ?#{e.index + 1} not supplied")
+            return self.lit(self.params[e.index])
+        if isinstance(e, Col):
+            q = e.binding or e.qualifier
+            return (f"{self.ident(q)}.{self.ident(e.name)}"
+                    if q else self.ident(e.name))
+        if isinstance(e, Star):
+            return "*"
+        if isinstance(e, BinOp):
+            op = {"and": "AND", "or": "OR", "like": "LIKE",
+                  "=": "=", "!=": "<>"}.get(e.op, e.op)
+            return f"({self.expr(e.left)} {op} {self.expr(e.right)})"
+        if isinstance(e, UnOp):
+            op = {"not": "NOT ", "-": "-", "~": "~"}[e.op]
+            return f"({op}{self.expr(e.operand)})"
+        if isinstance(e, FuncCall):
+            if e.args and isinstance(e.args[0], Star):
+                inner = "*"
+            else:
+                inner = ", ".join(self.expr(a) for a in e.args)
+            d = "DISTINCT " if e.distinct else ""
+            return f"{e.name}({d}{inner})"
+        if isinstance(e, Case):
+            s = "CASE"
+            for c, v in e.whens:
+                s += f" WHEN {self.expr(c)} THEN {self.expr(v)}"
+            if e.else_ is not None:
+                s += f" ELSE {self.expr(e.else_)}"
+            return s + " END"
+        if isinstance(e, Between):
+            neg = "NOT " if e.negated else ""
+            return (f"({self.expr(e.expr)} {neg}BETWEEN "
+                    f"{self.expr(e.lo)} AND {self.expr(e.hi)})")
+        if isinstance(e, IsNull):
+            neg = "NOT " if e.negated else ""
+            return f"({self.expr(e.expr)} IS {neg}NULL)"
+        if isinstance(e, InList):
+            neg = "NOT " if e.negated else ""
+            vals = ", ".join(self.expr(i) for i in e.items)
+            return f"({self.expr(e.expr)} {neg}IN ({vals}))"
+        if isinstance(e, InSubquery):
+            neg = "NOT " if e.negated else ""
+            return f"({self.expr(e.expr)} {neg}IN ({self.query(e.query)}))"
+        if isinstance(e, Exists):
+            neg = "NOT " if e.negated else ""
+            return f"({neg}EXISTS ({self.query(e.query)}))"
+        if isinstance(e, ScalarSubquery):
+            return f"({self.query(e.query)})"
+        raise PlanError(f"cannot generate SQL for {type(e).__name__}")
+
+
+def to_sql(q, params: list | None = None, dialect: str = "spark") -> str:
+    return SqlGen(params, dialect).query(q)

@@ -1,0 +1,208 @@
+"""FSQL stream-window semantics on DataFrames.
+
+Window spec grammar (fsql/parser.scala:157-176):
+    stream [size N [unit] [on col] [every M [unit] [on col]]
+            [partitioned on col]]
+
+Three policy axes (fsql/Ast.scala:132-136 ``PolicyBased``):
+  * time  — ``size N sec``          : extent measured on a time column
+  * count — ``size N``  (no unit)   : extent measured in rows
+  * delta — ``size N on col``       : extent measured on a numeric column
+
+Execution semantics (the reference never built an executor, so these are
+our documented choices — SURVEY.md §2.9, §7.0):
+
+  * AGGREGATING query (GROUP BY / aggregates present):
+      - ``every`` present  -> sliding (hopping) windows; one output row per
+        (window, group).  Time axis uses Spark-native ``F.window(t, size,
+        every)``; count/delta axes use exploded trigger buckets — each row
+        joins the O(size/every) triggers whose window contains it, a
+        map-side operation that scales linearly (no self-join, no global
+        sort at the aggregation step).
+      - no ``every``       -> tumbling windows (Flink-0.9 behavior the
+        dialect targeted): time -> ``F.window(t, size)``, count -> groups
+        of N consecutive rows, delta -> ``floor(col / N)`` buckets.
+  * NON-aggregating query: the window is a CQL "now-relation" — the query
+    sees the rows of the LATEST window only (snapshot).  ``every`` does not
+    change the final snapshot in batch.
+  * ``partitioned on k`` -> all of the above per key (independent windows,
+    fsql/Ast.scala:440-445).
+
+Count-axis note for 100 TB scale: global row-numbering is inherently
+sequential; it uses a single-partition Window only when NO partition key is
+given (documented limitation, matching the semantics of a totally-ordered
+stream).  With ``partitioned on k`` the row_number partitions by key and
+parallelizes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..ast_nodes import Policy, WindowSpec
+from ..errors import PlanError
+
+_TIME_UNIT_STR = {
+    "microsec": "microseconds",
+    "milisec": "milliseconds",
+    "sec": "seconds",
+    "min": "minutes",
+    "h": "hours",
+    "d": "days",
+}
+
+
+def duration_str(p: Policy) -> str:
+    return f"{p.value} {_TIME_UNIT_STR[p.unit]}"
+
+
+def _axis(p: Policy) -> str:
+    if p.unit is not None:
+        return "time"
+    if p.on_col is not None:
+        return "delta"
+    return "count"
+
+
+def _unit_seconds(p: Policy) -> float:
+    mult = {"microsec": 1e-6, "milisec": 1e-3, "sec": 1.0,
+            "min": 60.0, "h": 3600.0, "d": 86400.0}
+    return p.value * mult[p.unit]
+
+
+def _partition_cols(spec: WindowSpec) -> list[Column]:
+    if spec.partition is None:
+        return []
+    c = spec.partition
+    return [F.col(f"{c.binding}.{c.name}" if c.binding else c.name)]
+
+
+def _order_col(spec: WindowSpec, time_col: Optional[Column]) -> Column:
+    """Row order for count windows: the stream's event-time column; the
+    reference's count windows assume arrival order — batch emulation pins
+    a deterministic order (SURVEY.md §7.3(1))."""
+    if time_col is None:
+        raise PlanError(
+            "count-based window needs an event-time column: add "
+            "`on <col>` or register the stream with event_time_col=...")
+    return time_col
+
+
+# --------------------------------------------------------------------------
+# non-aggregating: latest-window snapshot
+# --------------------------------------------------------------------------
+
+def last_window_filter(df: DataFrame, spec: WindowSpec,
+                       time_col: Optional[Column]) -> DataFrame:
+    size = spec.size
+    axis = _axis(size)
+    parts = _partition_cols(spec)
+
+    if axis == "count":
+        order = _order_col(spec, time_col)
+        w = W.partitionBy(*parts).orderBy(order.desc()) if parts else \
+            W.partitionBy().orderBy(order.desc())
+        out = (df.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") <= size.value)
+                 .drop("__rn"))
+        return out
+
+    if axis == "time":
+        if time_col is None:
+            raise PlanError("time window needs `on <col>` or stream "
+                            "event_time_col metadata")
+        span = F.expr(f"INTERVAL {duration_str(size)}")
+        w = W.partitionBy(*parts) if parts else W.partitionBy()
+        mx = F.max(time_col).over(w)
+        return (df.withColumn("__mx", mx)
+                  .filter(time_col > F.col("__mx") - span)
+                  .drop("__mx"))
+
+    # delta axis: numeric column, extent = last `value` units of the column
+    c = size.on_col
+    axis_col = F.col(f"{c.binding}.{c.name}" if c.binding else c.name)
+    w = W.partitionBy(*parts) if parts else W.partitionBy()
+    mx = F.max(axis_col).over(w)
+    return (df.withColumn("__mx", mx)
+              .filter(axis_col > F.col("__mx") - F.lit(size.value))
+              .drop("__mx"))
+
+
+# --------------------------------------------------------------------------
+# aggregating: grouping columns
+# --------------------------------------------------------------------------
+
+def window_grouping(df: DataFrame, spec: WindowSpec,
+                    time_col: Optional[Column]):
+    """Returns (df', group_cols, out_cols) where out_cols is a list of
+    (name, Column-over-agg-result) exposing window bounds."""
+    size, every = spec.size, spec.every
+    axis = _axis(size)
+    parts = _partition_cols(spec)
+
+    if axis == "time":
+        if time_col is None:
+            raise PlanError("time window needs `on <col>` or stream "
+                            "event_time_col metadata")
+        if every is not None:
+            win = F.window(time_col, duration_str(size), duration_str(every))
+        else:
+            win = F.window(time_col, duration_str(size))
+        df = df.withColumn("__win", win)
+        out = [("window_start", F.col("__win.start")),
+               ("window_end", F.col("__win.end"))]
+        return df, [F.col("__win")], out
+
+    if axis == "count":
+        order = _order_col(spec, time_col)
+        w = (W.partitionBy(*parts) if parts else W.partitionBy()).orderBy(order)
+        df = df.withColumn("__idx", F.row_number().over(w))
+        n = size.value
+        if every is None:
+            # tumbling count window: groups of N consecutive rows
+            df = df.withColumn(
+                "__win_no", F.floor((F.col("__idx") - 1) / F.lit(n)))
+            return df, [F.col("__win_no")], [("window_no", F.col("__win_no"))]
+        m = every.value
+        df = _explode_triggers(df, F.col("__idx"), n, m, parts,
+                               integral=True)
+        return df, [F.col("__trigger")], [("trigger", F.col("__trigger"))]
+
+    # delta axis
+    c = size.on_col
+    axis_col = F.col(f"{c.binding}.{c.name}" if c.binding else c.name)
+    v = size.value
+    if every is None:
+        df = df.withColumn("__win_no", F.floor(axis_col / F.lit(v)))
+        return df, [F.col("__win_no")], [("window_no", F.col("__win_no"))]
+    m = every.value
+    df = _explode_triggers(df, axis_col, v, m, parts, integral=False)
+    return df, [F.col("__trigger")], [("trigger", F.col("__trigger"))]
+
+
+def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
+                      parts: list[Column], integral: bool) -> DataFrame:
+    """Sliding windows on a count/numeric axis without a self-join.
+
+    A window fires at every trigger T (multiple of ``every``) and covers
+    positions (T - size, T].  A row at position p therefore belongs to the
+    triggers T in [p, p + size) — there are ceil(size/every) of them, so
+    this is a bounded row multiplication done map-side with
+    ``explode(sequence(...))`` (scales to any data size; no shuffle added
+    beyond the aggregation's own).  Triggers that lie beyond the last seen
+    position (per partition) have not fired yet and are dropped.
+    """
+    first = F.ceil(pos / F.lit(every)) * F.lit(every)
+    last = F.ceil((pos + F.lit(size)) / F.lit(every)) * F.lit(every) - F.lit(every)
+    df = df.withColumn(
+        "__trigger",
+        F.explode(F.sequence(first.cast("long"), last.cast("long"),
+                             F.lit(every).cast("long"))))
+    w = W.partitionBy(*parts) if parts else W.partitionBy()
+    df = df.withColumn("__maxpos", F.max(pos).over(w))
+    df = df.filter(F.col("__trigger") <= F.col("__maxpos")).drop("__maxpos")
+    return df
