@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every relational query below routes through the FSQL engine
+(``flink_dsl_spark.FsqlEngine``) — parse -> resolve -> plan -> Catalyst —
+so the correctness gate exercises the engine, not hand-written DataFrame
+code.  Each key maps to an operator row of SURVEY.md §2; the oracle is
+the equivalent DuckDB SQL on the same parquet tables.
+
+Float policy: aggregates over doubles are wrapped in round() on BOTH
+sides (Spark and oracle) so summation-order ulp differences can't flip
+the value hash.
 """
 
 from __future__ import annotations
@@ -13,26 +17,372 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ENGINES: dict = {}
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    eng = _ENGINES.get(key)
+    if eng is None:
+        from flink_dsl_spark import FsqlEngine
+        eng = FsqlEngine(spark)
+        eng.load_dir(sf_dir)
+        _ENGINES[key] = eng
+    return eng
+
+
+def _q(sql: str, params: list | None = None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sql(sql, params=params)
+    return run
+
+
+def _script(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine(spark, sf_dir).sql_script(sql)
+    return run
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary through the full
+    parse->resolve->plan pipeline on sf0.001."""
+    return _q(_FSQL["q01_pricing_summary"])(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# engine-routed FSQL text (Spark side)
+# ---------------------------------------------------------------------------
+
+_FSQL: dict[str, str] = {
+    # --- projection / filter / expressions (SURVEY §2.2, §2.8) ---
+    "q01_pricing_summary": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) as sum_disc_price,
+               round(avg(l_quantity), 4) as avg_qty,
+               round(avg(l_extendedprice), 4) as avg_price,
+               count(*) as count_order
+        from lineitem
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus""",
+    "q02_filter_projection": """
+        select event_id, event_type, value from events where value > 100.0""",
+    "q18_case_arith": """
+        select event_id,
+               case when value > 100 then 'high'
+                    when value > 50 then 'mid'
+                    else 'low' end as bucket,
+               (event_id % 7) * 3 + 1 as h,
+               event_id & 15 as m
+        from events""",
+    "q21_between_like_null": """
+        select count(*) as cnt from part
+        where p_retailprice between 905 and 915
+          and p_name like '%red%' and p_brand is not null""",
+    "q25_dual": "select 1 + 2 * 3 as x, upper('ab') as s",
+    # --- joins (SURVEY §2.3) ---
+    "q03_join_group": """
+        select n_name, count(*) as num_orders,
+               round(sum(o_totalprice), 2) as revenue
+        from orders
+        join customer on o_custkey = c_custkey
+        join nation on c_nationkey = n_nationkey
+        group by n_name""",
+    "q04_left_join": """
+        select c_custkey, count(o_orderkey) as cnt
+        from customer left join orders on c_custkey = o_custkey
+        group by c_custkey""",
+    "q05_right_join": """
+        select c_custkey, o_orderkey
+        from orders right join customer on o_custkey = c_custkey
+        where o_orderkey is null""",
+    "q06_full_join": """
+        select c_custkey, s_suppkey
+        from customer full join supplier on c_nationkey = s_nationkey
+        where c_custkey is null or s_suppkey is null""",
+    "q07_cross_join": """
+        select r_name, n_name from region cross join nation
+        where r_regionkey = 0 and n_nationkey < 5""",
+    "q08_using_join": """
+        select a.n_name, b.r_name
+        from (select n_name, n_regionkey as rk from nation) as a
+        join (select r_name, r_regionkey as rk from region) as b using (rk)""",
+    "q20_comma_from": """
+        select count(*) as cnt from region, nation
+        where r_regionkey = n_regionkey""",
+    # --- aggregation (SURVEY §2.4) ---
+    "q09_rollup": """
+        select o_orderstatus, o_orderpriority, count(*) as cnt,
+               round(sum(o_totalprice), 2) as total
+        from orders group by o_orderstatus, o_orderpriority with rollup""",
+    "q10_having": """
+        select o_custkey, count(*) as cnt from orders
+        group by o_custkey
+        having count(*) >= 3 and sum(o_totalprice) > 1000""",
+    "q22_agg_distinct": """
+        select count(distinct c_nationkey) as dc,
+               round(sum(distinct c_acctbal), 2) as sd
+        from customer""",
+    # --- distinct / sort / limit (SURVEY §2.2, §2.6) ---
+    "q11_distinct": "select distinct c_mktsegment, c_nationkey from customer",
+    "q12_order_limit_offset": """
+        select o_orderkey, o_totalprice from orders
+        order by o_totalprice desc, o_orderkey asc limit 20 offset 5""",
+    # --- predicates w/ subqueries (SURVEY §2.2) ---
+    "q13_in_list": """
+        select count(*) as cnt from orders
+        where o_orderpriority in ('1-URGENT', '2-HIGH')""",
+    "q14_in_subquery": """
+        select c_name from customer
+        where c_nationkey in
+              (select n_nationkey from nation where n_regionkey = 2)""",
+    "q15_exists": """
+        select o_orderkey from orders o
+        where exists (select 1 from lineitem l
+                      where l.l_orderkey = o.o_orderkey
+                        and l.l_quantity > 45)""",
+    "q16_scalar_subquery": """
+        select o_orderkey, o_totalprice from orders
+        where o_totalprice >
+              (select avg(o_totalprice) from orders) * 1.5""",
+    # --- set operations (SURVEY §2.7) ---
+    "q17a_union": """
+        select c_nationkey as k from customer
+        union select s_nationkey as k from supplier""",
+    "q17b_union_all": """
+        select c_nationkey as k from customer where c_nationkey < 3
+        union all select s_nationkey as k from supplier""",
+    "q17c_except": """
+        select c_nationkey as k from customer
+        except select s_nationkey as k from supplier""",
+    "q17d_intersect": """
+        select c_nationkey as k from customer
+        intersect select s_nationkey as k from supplier""",
+    # --- derived tables / star (SURVEY §2.2/§2.3) ---
+    "q19_derived_table": """
+        select q.et, q.cnt
+        from (select event_type as et, count(*) as cnt
+              from events group by event_type) as q
+        where q.cnt > 100""",
+    "q24_star_scoped": "select r.* from region as r",
+    # --- FSQL stream windows, batch emulation (SURVEY §2.9) ---
+    "q26_window_tumbling": """
+        select event_type, count(*) as cnt, round(sum(value), 2) as sv
+        from events [size 1 h on ts] group by event_type""",
+    "q27_window_sliding": """
+        select event_type, count(*) as cnt
+        from events [size 2 h on ts every 1 h] group by event_type""",
+    "q28_count_tumbling": """
+        select count(*) as cnt, round(sum(value), 2) as sv
+        from events [size 100]""",
+    "q29_count_sliding": """
+        select count(*) as cnt from events [size 200 every 100]""",
+    "q30_snapshot_window": """
+        select event_id, value from events [size 30 min on ts]""",
+    "q31_delta_tumbling": """
+        select count(*) as cnt from events [size 20 on value]""",
+    "q32_partitioned_window": """
+        select user_id, count(*) as cnt
+        from events [size 6 h on ts partitioned on user_id]""",
+    "q34_windowed_join": """
+        select s1.event_id, s2.event_id as id2
+        from events [size 10 min on ts] as s1
+        left join events [size 10 min on ts] as s2
+          on s1.user_id = s2.user_id""",
+}
+
+_PARAMS: dict[str, list] = {
+    "q23_params": ["click", 50.0],
+}
+
+_FSQL["q23_params"] = """
+        select count(*) as cnt from events
+        where event_type = ? and value > ?"""
+
+_SCRIPTS: dict[str, str] = {
+    # derived continuous view (create stream ... as select), then query it
+    "q33_derived_stream": """
+        create stream sview33 as
+            (select event_id as id, value as speed, ts as time from events);
+        select id, speed from sview33 where speed > 100""",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in _FSQL.items():
+        out[name] = _q(sql, _PARAMS.get(name))
+    for name, sql in _SCRIPTS.items():
+        out[name] = _script(sql)
+    return out
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# DuckDB oracles (ANSI SQL on the same parquet views)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus""",
+        "q02_filter_projection": """
+            SELECT event_id, event_type, value FROM events WHERE value > 100.0""",
+        "q03_join_group": """
+            SELECT n_name, count(*) AS num_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        "q04_left_join": """
+            SELECT c_custkey, count(o_orderkey) AS cnt
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        "q05_right_join": """
+            SELECT c_custkey, o_orderkey
+            FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+            WHERE o_orderkey IS NULL""",
+        "q06_full_join": """
+            SELECT c_custkey, s_suppkey
+            FROM customer FULL JOIN supplier ON c_nationkey = s_nationkey
+            WHERE c_custkey IS NULL OR s_suppkey IS NULL""",
+        "q07_cross_join": """
+            SELECT r_name, n_name FROM region CROSS JOIN nation
+            WHERE r_regionkey = 0 AND n_nationkey < 5""",
+        "q08_using_join": """
+            SELECT a.n_name, b.r_name
+            FROM (SELECT n_name, n_regionkey AS rk FROM nation) a
+            JOIN (SELECT r_name, r_regionkey AS rk FROM region) b USING (rk)""",
+        "q09_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""",
+        "q10_having": """
+            SELECT o_custkey, count(*) AS cnt FROM orders
+            GROUP BY o_custkey
+            HAVING count(*) >= 3 AND sum(o_totalprice) > 1000""",
+        "q11_distinct": """
+            SELECT DISTINCT c_mktsegment, c_nationkey FROM customer""",
+        "q12_order_limit_offset": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 5""",
+        "q13_in_list": """
+            SELECT count(*) AS cnt FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+        "q14_in_subquery": """
+            SELECT c_name FROM customer
+            WHERE c_nationkey IN
+                  (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""",
+        "q15_exists": """
+            SELECT o_orderkey FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_quantity > 45)""",
+        "q16_scalar_subquery": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice >
+                  (SELECT avg(o_totalprice) FROM orders) * 1.5""",
+        "q17a_union": """
+            SELECT c_nationkey AS k FROM customer
+            UNION SELECT s_nationkey AS k FROM supplier""",
+        "q17b_union_all": """
+            SELECT c_nationkey AS k FROM customer WHERE c_nationkey < 3
+            UNION ALL SELECT s_nationkey AS k FROM supplier""",
+        "q17c_except": """
+            SELECT c_nationkey AS k FROM customer
+            EXCEPT SELECT s_nationkey AS k FROM supplier""",
+        "q17d_intersect": """
+            SELECT c_nationkey AS k FROM customer
+            INTERSECT SELECT s_nationkey AS k FROM supplier""",
+        "q18_case_arith": """
+            SELECT event_id,
+                   CASE WHEN value > 100 THEN 'high'
+                        WHEN value > 50 THEN 'mid'
+                        ELSE 'low' END AS bucket,
+                   (event_id % 7) * 3 + 1 AS h,
+                   event_id & 15 AS m
+            FROM events""",
+        "q19_derived_table": """
+            SELECT q.et, q.cnt
+            FROM (SELECT event_type AS et, count(*) AS cnt
+                  FROM events GROUP BY event_type) q
+            WHERE q.cnt > 100""",
+        "q20_comma_from": """
+            SELECT count(*) AS cnt FROM region, nation
+            WHERE r_regionkey = n_regionkey""",
+        "q21_between_like_null": """
+            SELECT count(*) AS cnt FROM part
+            WHERE p_retailprice BETWEEN 905 AND 915
+              AND p_name LIKE '%red%' AND p_brand IS NOT NULL""",
+        "q22_agg_distinct": """
+            SELECT count(DISTINCT c_nationkey) AS dc,
+                   round(sum(DISTINCT c_acctbal), 2) AS sd
+            FROM customer""",
+        "q23_params": """
+            SELECT count(*) AS cnt FROM events
+            WHERE event_type = 'click' AND value > 50.0""",
+        "q24_star_scoped": "SELECT r.* FROM region r",
+        "q25_dual": "SELECT 1 + 2 * 3 AS x, upper('ab') AS s",
+        "q26_window_tumbling": """
+            SELECT event_type, count(*) AS cnt, round(sum(value), 2) AS sv,
+                   make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)
+                                  * 3600 * 1000000) AS window_start,
+                   make_timestamp((CAST(floor(epoch(ts)/3600) AS BIGINT) + 1)
+                                  * 3600 * 1000000) AS window_end
+            FROM events GROUP BY event_type, window_start, window_end""",
+        "q27_window_sliding": """
+            WITH b AS (SELECT *, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hb
+                       FROM events),
+                 u AS (SELECT *, unnest([hb - 1, hb]) AS ws FROM b)
+            SELECT event_type, count(*) AS cnt,
+                   make_timestamp(ws * 3600 * 1000000) AS window_start,
+                   make_timestamp((ws + 2) * 3600 * 1000000) AS window_end
+            FROM u GROUP BY event_type, ws""",
+        "q28_count_tumbling": """
+            WITH r AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn
+                       FROM events)
+            SELECT count(*) AS cnt, round(sum(value), 2) AS sv,
+                   CAST(floor((rn - 1) / 100) AS BIGINT) AS window_no
+            FROM r GROUP BY window_no""",
+        "q29_count_sliding": """
+            WITH r AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn
+                       FROM events),
+                 t AS (SELECT *, unnest([CAST(ceil(rn/100.0)*100 AS BIGINT),
+                                         CAST(ceil(rn/100.0)*100 + 100 AS BIGINT)])
+                                 AS trig FROM r)
+            SELECT count(*) AS cnt, trig AS trigger
+            FROM t WHERE trig <= (SELECT max(rn) FROM r)
+            GROUP BY trig""",
+        "q30_snapshot_window": """
+            SELECT event_id, value FROM events
+            WHERE ts > (SELECT max(ts) FROM events) - INTERVAL 30 MINUTE""",
+        "q31_delta_tumbling": """
+            SELECT count(*) AS cnt,
+                   CAST(floor(value / 20) AS BIGINT) AS window_no
+            FROM events GROUP BY window_no""",
+        "q32_partitioned_window": """
+            SELECT user_id, count(*) AS cnt,
+                   make_timestamp(CAST(floor(epoch(ts)/21600) AS BIGINT)
+                                  * 21600 * 1000000) AS window_start,
+                   make_timestamp((CAST(floor(epoch(ts)/21600) AS BIGINT) + 1)
+                                  * 21600 * 1000000) AS window_end
+            FROM events GROUP BY user_id, window_start, window_end""",
+        "q33_derived_stream": """
+            SELECT event_id AS id, value AS speed FROM events
+            WHERE value > 100""",
+        "q34_windowed_join": """
+            WITH w AS (SELECT * FROM events
+                       WHERE ts > (SELECT max(ts) FROM events)
+                                  - INTERVAL 10 MINUTE)
+            SELECT w1.event_id AS event_id, w2.event_id AS id2
+            FROM w w1 LEFT JOIN w w2 ON w1.user_id = w2.user_id""",
+    }

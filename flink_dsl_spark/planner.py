@@ -557,8 +557,12 @@ class _AggContext:
         for i, g in enumerate(self.group_exprs):
             if e == g:
                 return F.col(self.g_names[i])
-        if isinstance(e, FuncCall) and self.p.registry.is_aggregate(e.name):
-            return self._agg(e)
+        if isinstance(e, FuncCall):
+            if self.p.registry.is_aggregate(e.name):
+                return self._agg(e)
+            # scalar function over aggregate context, e.g. round(sum(x), 2)
+            return self.p.registry.build(
+                e.name, [self.compile(a) for a in e.args])
         if isinstance(e, Lit):
             return F.lit(e.value)
         if isinstance(e, Param):

@@ -1,0 +1,61 @@
+import duckdb
+import pytest
+
+from flink_dsl_spark import FsqlEngine, get_session
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="session")
+def spark():
+    return get_session()
+
+
+@pytest.fixture(scope="session")
+def engine(spark):
+    eng = FsqlEngine(spark)
+    eng.load_dir(SF_DIR)
+    return eng
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"'{SF_DIR}/{t}.parquet'")
+    return con
+
+
+def normalize(pdf):
+    """Driver-style normalization: columns sorted by name, rows sorted by
+    all columns, tz-stripped timestamps."""
+    import pandas as pd
+    pdf = pdf.reindex(sorted(pdf.columns, key=str.lower), axis=1)
+    for c in pdf.columns:
+        if pd.api.types.is_datetime64_any_dtype(pdf[c]):
+            try:
+                pdf[c] = pdf[c].dt.tz_localize(None)
+            except TypeError:
+                pass
+        # unify integer-valued numerics (int32/int64/float that are whole)
+        if pd.api.types.is_integer_dtype(pdf[c]):
+            pdf[c] = pdf[c].astype("int64")
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort",
+                              na_position="last")
+    return pdf.reset_index(drop=True)
+
+
+def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):
+    import pandas as pd
+    got = normalize(spark_df.toPandas())
+    exp = normalize(duck_con.sql(oracle).df())
+    assert list(got.columns) == list(exp.columns), \
+        f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
+    assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  check_exact=False, rtol=1e-9, atol=1e-9,
+                                  obj=name)
