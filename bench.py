@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+ "sf": ...}.
+
+Execution is forced with the noop sink (full plan runs, no driver
+collect, no sink I/O), so timings reflect scan+compute+shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family (engine-routed; see __spark_entry__)
+HEADLINE = [
+    "q01_pricing_summary",      # scan + hash agg
+    "q03_join_group",           # 3-way join + agg (broadcast dims)
+    "q04_left_join",            # outer join + agg
+    "q09_rollup",               # rollup grouping sets
+    "q12_order_limit_offset",   # TakeOrderedAndProject
+    "q15_exists",               # correlated EXISTS (semi join)
+    "q16_scalar_subquery",      # scalar subquery
+    "q17a_union",               # set op
+    "q26_window_tumbling",      # FSQL time window
+    "q27_window_sliding",       # FSQL sliding window
+    "q31_delta_tumbling",       # FSQL delta window
+    "q32_partitioned_window",   # partitioned time window
+]
+
+
+def _force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    import __spark_entry__ as entrymod
+    from flink_dsl_spark import get_session
+
+    spark = get_session("flink-dsl-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entrymod.queries()
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    # warm-up: JVM/codegen + table registration outside the timed region
+    _force(queries["q02_filter_projection"](spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
