@@ -209,12 +209,60 @@ _SCRIPTS: dict[str, str] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY.md north-star extensions)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return _engine(spark, sf_dir).catalog.get("documents")
+
+
+def _emb(spark, sf_dir):
+    return _engine(spark, sf_dir).catalog.get("embeddings")
+
+
+def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from flink_dsl_spark import llm_ops as L
+
+    return {
+        "llm01_dedup_exact": lambda s, d: L.exact_dedup(
+            _docs(s, d), "text", "doc_id"),
+        "llm02_dedup_ngram_jaccard": lambda s, d: L.ngram_jaccard_pairs(
+            _docs(s, d), "text", "doc_id", n=8, threshold=0.8),
+        "llm03_dedup_minhash_lsh": lambda s, d: L.minhash_lsh_pairs(
+            _docs(s, d), "text", "doc_id", num_hashes=64, bands=16,
+            n=8, threshold=0.8),
+        "llm04_dedup_simhash": lambda s, d: L.simhash_pairs(
+            _docs(s, d), "text", "doc_id", max_hamming=3),
+        "llm05_dedup_embedding": lambda s, d: L.embedding_dup_pairs(
+            _emb(s, d), "embedding", "vec_id", threshold=0.4),
+        "llm06_ann_topk_bruteforce": lambda s, d: L.cosine_topk(
+            _emb(s, d), "embedding", "vec_id", query_id=0, k=10),
+        "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
+            _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
+            planes=6, probe_bits=2),
+        "llm08_token_stats": lambda s, d: L.token_stats(
+            _docs(s, d), "text", "doc_id"),
+        "llm09_lang_id": lambda s, d: L.lang_id(
+            _docs(s, d), "text", "doc_id"),
+        "llm10_quality_score": lambda s, d: L.quality_score(
+            _docs(s, d), "text", "doc_id"),
+        "llm11_fingerprint": lambda s, d: L.fingerprint(
+            _docs(s, d), "text", "doc_id"),
+        "llm12_multimodal_decode": lambda s, d: L.decode_metadata(
+            L.with_binary_column(_docs(s, d), "text", "doc_id")),
+        "llm13_frame_sample": lambda s, d: L.sample_frames(
+            L.with_binary_column(_docs(s, d), "text", "doc_id")),
+    }
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _FSQL.items():
         out[name] = _q(sql, _PARAMS.get(name))
     for name, sql in _SCRIPTS.items():
         out[name] = _script(sql)
+    out.update(_llm_queries())
     return out
 
 
@@ -385,4 +433,124 @@ def oracle_sql() -> dict[str, str]:
                                   - INTERVAL 10 MINUTE)
             SELECT w1.event_id AS event_id, w2.event_id AS id2
             FROM w w1 LEFT JOIN w w2 ON w1.user_id = w2.user_id""",
+        # --- LLM pipeline ops (minhash/simhash/ann-lsh are xxhash64-based:
+        #     no SQL-expressible oracle -> rows-only check by design) ---
+        "llm01_dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_duplicates
+            FROM (SELECT doc_id,
+                         trim(regexp_replace(regexp_replace(lower(text),
+                              '[^a-z0-9\\s]', ' ', 'g'),
+                              '\\s+', ' ', 'g')) AS k
+                  FROM documents)
+            GROUP BY k""",
+        "llm02_dedup_ngram_jaccard": """
+            WITH d AS (SELECT doc_id,
+                              list_distinct([substr(text, i, 8)
+                               for i in range(1, greatest(length(text)-6, 2))])
+                              AS sh
+                       FROM documents),
+                 e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                       FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::DOUBLE /
+                         (any_value(a.n_sh) + any_value(b.n_sh) - count(*)),
+                         6) AS jaccard
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING jaccard >= 0.8""",
+        "llm05_dedup_embedding": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                   AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                  >= 0.4""",
+        "llm06_ann_topk_bruteforce": """
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cosine DESC, id ASC LIMIT 10""",
+        "llm08_token_stats": """
+            SELECT doc_id AS id,
+                   len(string_split(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g')), ' ')) AS ws_tokens,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens,
+                   length(text) AS chars
+            FROM documents""",
+        "llm09_lang_id": """
+            WITH t AS (SELECT doc_id,
+                              string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ') AS toks
+                       FROM documents),
+                 s AS (SELECT doc_id,
+                              greatest(len(toks), 1) AS n,
+                              len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','that','for')))::DOUBLE / greatest(len(toks),1) AS s_en,
+                              len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','es','se','no')))::DOUBLE / greatest(len(toks),1) AS s_es,
+                              len(list_filter(toks, x -> x IN ('der','die','das','und','ist','in','den','von','zu','mit')))::DOUBLE / greatest(len(toks),1) AS s_de,
+                              len(list_filter(toks, x -> x IN ('le','la','de','et','est','un','une','les','des','en')))::DOUBLE / greatest(len(toks),1) AS s_fr
+                       FROM t)
+            SELECT doc_id AS id,
+                   CASE WHEN s_de > 0 AND s_de = greatest(s_en,s_es,s_de,s_fr) THEN 'de'
+                        WHEN s_en > 0 AND s_en = greatest(s_en,s_es,s_de,s_fr) THEN 'en'
+                        WHEN s_es > 0 AND s_es = greatest(s_en,s_es,s_de,s_fr) THEN 'es'
+                        WHEN s_fr > 0 AND s_fr = greatest(s_en,s_es,s_de,s_fr) THEN 'fr'
+                        ELSE 'und' END AS lang_pred,
+                   round(greatest(s_en,s_es,s_de,s_fr), 6) AS lang_score
+            FROM s""",
+        "llm10_quality_score": """
+            WITH t AS (SELECT doc_id, text,
+                              string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ') AS toks
+                       FROM documents),
+                 m AS (SELECT doc_id,
+                              least(length(text) / 500.0, 1.0) AS len_score,
+                              length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                              len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','that','for')))::DOUBLE
+                                / greatest(len(toks), 1) AS stop_ratio,
+                              list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                / greatest(len(toks), 1) AS mean_wlen
+                       FROM t)
+            SELECT doc_id AS id,
+                   round(0.3 * len_score + 0.3 * alpha_ratio
+                         + 0.2 * least(stop_ratio * 5, 1.0)
+                         + 0.2 * (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 8
+                                       THEN 1.0 ELSE 0.5 END), 6) AS quality
+            FROM m""",
+        "llm11_fingerprint": """
+            SELECT doc_id AS id,
+                   md5(array_to_string(list_sort(list_distinct(
+                       string_split(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' '))), ' ')) AS fingerprint
+            FROM documents""",
+        "llm12_multimodal_decode": """
+            SELECT doc_id AS id,
+                   octet_length(encode(text)) AS byte_len,
+                   CASE octet_length(encode(text)) % 3
+                        WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png'
+                        ELSE 'webp' END AS format,
+                   CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER)
+                       AS width,
+                   CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER)
+                       AS height,
+                   3 AS channels
+            FROM documents""",
+        "llm13_frame_sample": """
+            SELECT doc_id AS id,
+                   CAST(octet_length(encode(text)) // 4096 + 1 AS INTEGER)
+                       AS n_frames,
+                   [CAST(i AS BIGINT) for i in
+                    range(0, octet_length(encode(text)), 4096)]
+                       AS frame_offsets
+            FROM documents""",
     }

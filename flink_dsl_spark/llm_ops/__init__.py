@@ -1,0 +1,26 @@
+"""LLM-data-pipeline operators (north-star extension, SURVEY.md §7 /
+BASELINE.json): deduplication, similarity search, text analysis,
+multimodal columns.  All hot paths are JVM-side built-ins (higher-order
+array functions, codegen-friendly); Python appears only in Arrow-batched
+Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
+"""
+
+from .dedup import (
+    exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
+    simhash_pairs, simhash_64, embedding_dup_pairs,
+)
+from .simsearch import cosine_topk, lsh_ann_topk
+from .textstats import (
+    lang_id, quality_score, token_stats, fingerprint,
+)
+from .multimodal import (
+    with_binary_column, decode_metadata, sample_frames,
+)
+
+__all__ = [
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "minhash_signatures", "simhash_pairs", "simhash_64",
+    "embedding_dup_pairs", "cosine_topk", "lsh_ann_topk", "lang_id",
+    "quality_score", "token_stats", "fingerprint", "with_binary_column",
+    "decode_metadata", "sample_frames",
+]

@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine.
+
+Scale design (100 TB):
+  * exact dedup is one hash-shuffle on a normalized key (map-side combine);
+  * n-gram Jaccard is the *verifier*: an inverted-index self-join — O(sum
+    of postings^2) — so at scale it runs on LSH candidates only
+    (minhash_lsh_pairs does exactly that);
+  * MinHash signatures + banding: signature computation is fully JVM-side
+    (higher-order functions inside whole-stage codegen), banding shuffles
+    (band_id, band_hash) — skew-safe because bucket sizes are bounded by
+    real duplicate clusters;
+  * SimHash: token hashes JVM-side, 64-bit fold in one Arrow-batched
+    Pandas UDF (numpy popcount matrix), candidate pairs via band-exact
+    match on 16-bit chunks, verified by hamming distance (pivoted to
+    JVM ``bit_count(a ^ b)``).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31-1: classic universal-hash modulus for minhash perms
+_MERSENNE = (1 << 31) - 1
+
+
+# ---------------------------------------------------------------------------
+# normalization / shingling (shared)
+# ---------------------------------------------------------------------------
+
+def normalized(text: Column) -> Column:
+    """Canonical text form: lowercase, alnum-only, squeezed whitespace."""
+    c = F.lower(text)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def char_shingles(text: Column, n: int) -> Column:
+    """Distinct character n-grams, computed with higher-order functions
+    (JVM-side, no UDF): transform(sequence(1, len-n+1), i -> substr)."""
+    ln = F.length(text)
+    idx = F.sequence(F.lit(1), F.greatest(ln - F.lit(n - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: F.substring(text, i, n))
+    return F.array_distinct(grams)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str,
+                normalize: bool = True) -> DataFrame:
+    """Exact duplicate removal by (normalized) content hash: one
+    hash-aggregate; survivor = min id per group.  Returns
+    (id, n_duplicates) for every surviving document."""
+    key = normalized(F.col(text_col)) if normalize else F.col(text_col)
+    return (df
+            .groupBy(key.alias("__key"))
+            .agg(F.min(id_col).alias(id_col),
+                 F.count(F.lit(1)).alias("n_duplicates"))
+            .select(id_col, "n_duplicates"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact pairwise, inverted-index join)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
+                        n: int = 8, threshold: float = 0.8) -> DataFrame:
+    """All pairs with char-n-gram Jaccard >= threshold, via an
+    inverted-index self-join (share >=1 shingle -> count shared ->
+    |A∩B| / (|A|+|B|-|A∩B|)).  Exact but quadratic in posting lengths:
+    at scale, use minhash_lsh_pairs (this function is its verifier)."""
+    sh = (df.select(F.col(id_col).alias("id"),
+                    char_shingles(F.col(text_col), n).alias("sh"))
+            .withColumn("n_sh", F.size("sh")))
+    e = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("shared"),
+                  F.first("a.n_sh").alias("na"),
+                  F.first("b.n_sh").alias("nb")))
+    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
+    return (pairs.withColumn("jaccard", F.round(jac, 6))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
+                       num_hashes: int = 64, n: int = 8,
+                       seed: int = 42) -> DataFrame:
+    """MinHash signature per document.  Shingle base-hashes via xxhash64
+    (JVM), then ``num_hashes`` universal-hash permutations
+    ``min((a*h+b) mod p)`` — all inside whole-stage codegen."""
+    sh = char_shingles(F.col(text_col), n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s),
+                                            F.lit(_MERSENNE)))
+    mins = [
+        F.array_min(F.transform(
+            base, lambda h: F.pmod(h * F.lit(a) + F.lit(b),
+                                   F.lit(_MERSENNE))))
+        for a, b in _perm_params(num_hashes, seed)
+    ]
+    return df.select(F.col(id_col).alias("id"),
+                     F.array(*mins).alias("signature"),
+                     sh.alias("__shingles"))
+
+
+def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
+                      num_hashes: int = 64, bands: int = 16,
+                      n: int = 8, threshold: float = 0.8,
+                      seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash-LSH, verified with exact
+    Jaccard on the candidates.  bands=16 x rows=4 over 64 hashes targets
+    ~(1/16)^(1/4) ≈ 0.5 similarity at 50% candidate probability — safely
+    below a 0.8 threshold (near-certain recall there)."""
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+    sig = sig.withColumn("n_sh", F.size("__shingles"))
+
+    band_arr = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.hash(F.slice("signature", i * r + 1, r)).alias("bh"))
+        for i in range(bands)
+    ])
+    buckets = (sig.select("id", F.explode(band_arr).alias("b"))
+                  .select("id", "b.band", "b.bh"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
+                   (F.col("x.bh") == F.col("y.bh")) &
+                   (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"))
+            .distinct())
+
+    # verify candidates with exact Jaccard on shingle sets
+    s = sig.select("id", "__shingles", "n_sh")
+    verified = (cand
+                .join(s.alias("sa"), F.col("id_a") == F.col("sa.id"))
+                .join(s.alias("sb"), F.col("id_b") == F.col("sb.id"))
+                .withColumn("shared", F.size(F.array_intersect(
+                    F.col("sa.__shingles"), F.col("sb.__shingles"))))
+                .withColumn("jaccard", F.round(
+                    F.col("shared") /
+                    (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")),
+                    6))
+                .filter(F.col("jaccard") >= threshold))
+    return verified.select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document.  Token hashes computed JVM-side
+    (xxhash64), the 64-lane sign fold runs in one Arrow-batched Pandas
+    UDF (numpy bit matrix) — the classic case where a vectorized UDF
+    beats 64 separate JVM aggregates."""
+    from pyspark.sql.functions import pandas_udf
+
+    tokens = F.split(normalized(F.col(text_col)), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    @pandas_udf("long")
+    def fold(hs: pd.Series) -> pd.Series:
+        import numpy as np
+        out = np.zeros(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                continue
+            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            # 64xN bit matrix -> sum of (2*bit-1) per lane -> sign bits
+            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
+            sim = np.uint64(0)
+            for lane in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(lane)
+            out[i] = np.int64(sim)
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"),
+                     fold(hashes).alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs: hamming(simhash_a, simhash_b) <= k.
+    Candidate generation by exact match on one of four 16-bit chunks
+    (pigeonhole: any pair with hamming <= 3 agrees on >= 1 chunk),
+    verified with JVM ``bit_count(a ^ b)``."""
+    sh = simhash_64(df, text_col, id_col)
+    chunks = F.array(*[
+        F.struct(F.lit(i).alias("chunk"),
+                 F.shiftrightunsigned("simhash", 16 * i)
+                  .bitwiseAND(F.lit(0xFFFF)).alias("cv"))
+        for i in range(4)
+    ])
+    b = sh.select("id", "simhash", F.explode(chunks).alias("c")) \
+          .select("id", "simhash", "c.chunk", "c.cv")
+    x, y = b.alias("x"), b.alias("y")
+    cand = (x.join(y, (F.col("x.chunk") == F.col("y.chunk")) &
+                   (F.col("x.cv") == F.col("y.cv")) &
+                   (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"),
+                    F.col("x.simhash").alias("ha"),
+                    F.col("y.simhash").alias("hb"))
+            .distinct())
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham)
+                .filter(F.col("hamming") <= max_hamming)
+                .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns, JVM-side:
+    zip_with product + aggregate sum (whole-stage codegen)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(ad, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(bd, lambda x: x * x),
+                            F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding near-duplicates: all pairs with cosine >= threshold.
+    Brute-force O(n^2) — correct baseline; at scale, bucket with
+    lsh_ann_topk's hyperplane signatures first (same verifier)."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    a, b = v.alias("a"), v.alias("b")
+    cos = cosine_sim(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"),
+                    F.col("b.id").alias("id_b"),
+                    F.round(cos, 6).alias("cosine"))
+            .filter(F.col("cosine") >= threshold))

@@ -1,0 +1,98 @@
+"""Text analysis operators: token counting, language ID, quality scoring,
+document fingerprinting.  Everything is JVM built-ins (regexp, array
+higher-order functions, md5) — zero Python in the row path, so these run
+inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import normalized
+
+# BPE-ish word/number/punct split (same RE2-safe pattern used in the
+# DuckDB oracles — letter runs, digit runs, single non-space symbols)
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# compact stopword lists for the n-gram/stopword language heuristic
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "in", "den", "von", "zu",
+           "mit"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "les", "des", "en"],
+}
+
+
+def _ws_tokens(text: Column) -> Column:
+    return F.split(normalized(text), " ")
+
+
+def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + char count."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(_ws_tokens(t)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0))
+         .alias("re_tokens"),
+        F.length(t).alias("chars"))
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-ratio language heuristic: for each language, the fraction
+    of tokens found in its stopword list; argmax wins (ties broken by
+    language code order, 'und' when no evidence)."""
+    tokens = _ws_tokens(F.col(text_col))
+    n = F.greatest(F.size(tokens), F.lit(1))
+    scores = {
+        lang: F.size(F.filter(
+            tokens, lambda tk: tk.isin(*words))).cast("double") / n
+        for lang, words in STOPWORDS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    lang_col = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        lang_col = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score),
+            F.lit(lang)).otherwise(lang_col)
+    return df.select(F.col(id_col).alias("id"),
+                     lang_col.alias("lang_pred"),
+                     F.round(best_score, 6).alias("lang_score"))
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic document quality in [0,1]: length saturation, alpha
+    ratio, stopword ratio, mean word length band."""
+    t = F.col(text_col)
+    tokens = _ws_tokens(t)
+    n_tok = F.greatest(F.size(tokens), F.lit(1))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+
+    len_score = F.least(F.length(t) / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = (F.length(F.regexp_replace(t, "[^A-Za-z]", "")) /
+                   n_chars.cast("double"))
+    stop_ratio = (F.size(F.filter(
+        tokens, lambda tk: tk.isin(*STOPWORDS["en"]))).cast("double")
+        / n_tok)
+    mean_wlen = (F.aggregate(tokens, F.lit(0),
+                             lambda acc, tk: acc + F.length(tk))
+                 .cast("double") / n_tok)
+    wlen_score = F.when((mean_wlen >= 3) & (mean_wlen <= 8), F.lit(1.0)) \
+                  .otherwise(F.lit(0.5))
+
+    score = (F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio +
+             F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0)) +
+             F.lit(0.2) * wlen_score)
+    return df.select(F.col(id_col).alias("id"),
+                     F.round(score, 6).alias("quality"))
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct normalized token
+    set (word-order-insensitive; md5 gives cross-engine reproducibility)."""
+    tokens = _ws_tokens(F.col(text_col))
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens)))
+    return df.select(F.col(id_col).alias("id"),
+                     F.md5(canon).alias("fingerprint"))

@@ -43,6 +43,13 @@ def normalize(pdf):
         # unify integer-valued numerics (int32/int64/float that are whole)
         if pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")
+        # array columns: make hashable/sortable
+        if pdf[c].dtype == object and len(pdf) and \
+                isinstance(pdf[c].iloc[0], (list, tuple)) or \
+                str(pdf[c].dtype) == "object" and len(pdf) and \
+                type(pdf[c].iloc[0]).__name__ == "ndarray":
+            pdf[c] = pdf[c].map(
+                lambda v: tuple(v) if v is not None else None)
     if len(pdf):
         pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort",
                               na_position="last")

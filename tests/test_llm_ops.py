@@ -1,0 +1,85 @@
+"""Internal consistency of the approximate (non-SQL-oracle) LLM ops:
+the approximate method must agree with its exact counterpart on the
+deterministic testdata.
+"""
+
+import pytest
+
+from flink_dsl_spark import llm_ops as L
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from flink_dsl_spark.engine import _restore_nano_timestamps
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_minhash_matches_exact_jaccard(docs):
+    """LSH at 64 hashes / 16 bands has near-certain recall at J>=0.8;
+    the verification step makes precision exact -> sets must be equal."""
+    exact = _pairs(L.ngram_jaccard_pairs(docs, "text", "doc_id", 8, 0.8))
+    approx = _pairs(L.minhash_lsh_pairs(docs, "text", "doc_id",
+                                        64, 16, 8, 0.8))
+    assert approx == exact and len(exact) > 0
+
+
+def test_simhash_banding_is_complete(docs):
+    """Pigeonhole property: 4x16-bit band candidates must find EXACTLY
+    the pairs with hamming <= 3 — compare against brute-force hamming
+    over all pairs."""
+    from pyspark.sql import functions as F
+    sh = L.simhash_64(docs, "text", "doc_id")
+    a, b = sh.alias("a"), sh.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    brute = {(r.id_a, r.id_b) for r in
+             a.join(b, F.col("a.id") < F.col("b.id"))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"),
+                      ham.alias("h"))
+              .filter("h <= 3").collect()}
+    banded = _pairs(L.simhash_pairs(docs, "text", "doc_id", max_hamming=3))
+    assert banded == brute and len(brute) > 0
+
+
+def test_ann_lsh_recall(emb):
+    """Multi-probe LSH top-k must overlap exact top-k substantially on
+    64-dim embeddings (deterministic planes -> deterministic recall on
+    this data: 7/10 at 6 planes / 2 probe bits)."""
+    exact = [r.id for r in
+             L.cosine_topk(emb, "embedding", "vec_id", 0, 10).collect()]
+    approx = [r.id for r in
+              L.lsh_ann_topk(emb, "embedding", "vec_id", 0, 10,
+                             planes=6, probe_bits=2).collect()]
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_exact_dedup_idempotent(docs):
+    d1 = L.exact_dedup(docs, "text", "doc_id")
+    assert d1.count() == docs.count()  # sf0.001 has no exact dups
+    # planting an exact duplicate must reduce the count
+    dup = docs.limit(1)
+    d2 = L.exact_dedup(docs.union(dup), "text", "doc_id")
+    assert d2.count() == docs.count()
+    assert d2.filter("n_duplicates = 2").count() == 1
+
+
+def test_multimodal_plumbing(docs):
+    b = L.with_binary_column(docs, "text", "doc_id")
+    meta = L.decode_metadata(b)
+    assert meta.schema.simpleString().startswith(
+        "struct<id:bigint,byte_len:bigint,format:string")
+    row = meta.orderBy("id").first()
+    assert row.channels == 3 and row.byte_len > 0
+    fr = L.sample_frames(b).orderBy("id").first()
+    assert fr.frame_offsets[0] == 0
