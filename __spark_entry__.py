@@ -256,6 +256,38 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+# ---------------------------------------------------------------------------
+# X surface: expression-string Table API (SURVEY §2.8-X, §3.3)
+# ---------------------------------------------------------------------------
+
+def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def x01(s, d):
+        return (_engine(s, d).table("events")
+                .select("event_id, (value + 1) * 2 as v2, "
+                        "event_type.substring(1, 3) as pre")
+                .to_df())
+
+    def x02(s, d):
+        return (_engine(s, d).table("events")
+                .filter("value > 100.0 && !(event_type === 'click')")
+                .group_by("user_id")
+                .select("user_id, value.min as min_v, value.max as max_v, "
+                        "value.count as n")
+                .to_df())
+
+    def x03(s, d):
+        # bitwise binds tighter than arithmetic in the X grammar
+        return (_engine(s, d).table("events")
+                .select("event_id, event_id & 7 + 1 as k, "
+                        "-event_id as neg, ~event_id as flip, "
+                        "value.isNotNull as nn")
+                .to_df())
+
+    return {"x01_expr_projection": x01,
+            "x02_expr_filter_groupby": x02,
+            "x03_expr_bitwise_unary": x03}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _FSQL.items():
@@ -263,6 +295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, sql in _SCRIPTS.items():
         out[name] = _script(sql)
     out.update(_llm_queries())
+    out.update(_x_queries())
     return out
 
 
@@ -553,4 +586,20 @@ def oracle_sql() -> dict[str, str]:
                     range(0, octet_length(encode(text)), 4096)]
                        AS frame_offsets
             FROM documents""",
+        # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
+        "x01_expr_projection": """
+            SELECT event_id, (value + 1) * 2 AS v2,
+                   substr(event_type, 1, 3) AS pre
+            FROM events""",
+        "x02_expr_filter_groupby": """
+            SELECT user_id, min(value) AS min_v, max(value) AS max_v,
+                   count(value) AS n
+            FROM events
+            WHERE value > 100.0 AND NOT event_type = 'click'
+            GROUP BY user_id""",
+        "x03_expr_bitwise_unary": """
+            SELECT event_id, (event_id & 7) + 1 AS k,
+                   -event_id AS neg, ~event_id AS flip,
+                   value IS NOT NULL AS nn
+            FROM events""",
     }

@@ -10,13 +10,14 @@ citations.
 from .engine import FsqlEngine
 from .errors import (FsqlError, Failure, Ok, ParseError, PlanError,
                      ResolutionError, UnsupportedError)
+from .expressions import XTable, parse_expression, parse_expression_list
 from .parser import parse, parse_many
 from .session import get_session
 
 __all__ = [
     "FsqlEngine", "FsqlError", "Failure", "Ok", "ParseError", "PlanError",
     "ResolutionError", "UnsupportedError", "parse", "parse_many",
-    "get_session",
+    "get_session", "XTable", "parse_expression", "parse_expression_list",
 ]
 
 __version__ = "0.1.0"

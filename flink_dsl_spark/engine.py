@@ -192,6 +192,16 @@ class FsqlEngine:
         return "parquet"
 
     # ------------------------------------------------------------------
+    # X surface: fluent Table API over expression strings (SURVEY §3.3)
+    # ------------------------------------------------------------------
+
+    def table(self, name: str):
+        """Fluent Table-API handle consuming X-surface expression strings:
+        ``engine.table("events").select("speed.avg as s")``."""
+        from .expressions import XTable
+        return XTable(self.catalog.get(name))
+
+    # ------------------------------------------------------------------
     # diagnostics
     # ------------------------------------------------------------------
 
