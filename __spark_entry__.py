@@ -257,6 +257,58 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------------------
+# True Structured-Streaming execution (SURVEY §2.9, M4/M5): each callable
+# runs a real streaming job (file source -> availableNow -> memory sink)
+# and returns the sink as a batch DataFrame, so the driver can collect it.
+# ---------------------------------------------------------------------------
+
+_SINK_SEQ = [0]
+
+
+def _run_stream(spark, df, output_mode):
+    _SINK_SEQ[0] += 1
+    name = f"entry_sink{_SINK_SEQ[0]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def s01(spark, d):
+        # streaming tumbling time window; complete-mode result == batch
+        # result, so it oracles exactly (window start aligns to epoch,
+        # same as DuckDB time_bucket)
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "events_s1", f"{d}/events.parquet", event_time_col="ts")
+        out = eng.sql("""
+            select event_type, count(*) as cnt
+            from events_s1 [size 1 h on ts] group by event_type""")
+        return _run_stream(spark, out, "complete")
+
+    def s02(spark, d):
+        # stateful count window (applyInPandasWithState); (ts, event_id)
+        # ordering makes window contents fully deterministic
+        from flink_dsl_spark.streaming import count_window_agg
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("events_s2", f"{d}/events.parquet")
+        out = count_window_agg(
+            eng.catalog.get("events_s2"), key_cols=["user_id"],
+            aggs=[("sum", "value", "sv"), ("count", "value", "n"),
+                  ("max", "value", "mx")],
+            size=5, order_col=["ts", "event_id"])
+        df = _run_stream(spark, out, "append")
+        from pyspark.sql import functions as F
+        return df.select("user_id", "window_no",
+                         F.round("sv", 2).alias("sv"),
+                         F.col("n").cast("long").alias("n"), "mx")
+
+    return {"s01_stream_time_window": s01,
+            "s02_stream_count_window": s02}
+
+
+# ---------------------------------------------------------------------------
 # X surface: expression-string Table API (SURVEY §2.8-X, §3.3)
 # ---------------------------------------------------------------------------
 
@@ -296,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out[name] = _script(sql)
     out.update(_llm_queries())
     out.update(_x_queries())
+    out.update(_stream_queries())
     return out
 
 
@@ -586,6 +639,28 @@ def oracle_sql() -> dict[str, str]:
                     range(0, octet_length(encode(text)), 4096)]
                        AS frame_offsets
             FROM documents""",
+        # --- true streaming execution (SURVEY §2.9) ---
+        "s01_stream_time_window": """
+            SELECT event_type, count(*) AS cnt,
+                   make_timestamp(CAST(floor(epoch(ts)/3600) AS BIGINT)
+                                  * 3600 * 1000000) AS window_start,
+                   make_timestamp((CAST(floor(epoch(ts)/3600) AS BIGINT) + 1)
+                                  * 3600 * 1000000) AS window_end
+            FROM events GROUP BY event_type, window_start, window_end""",
+        "s02_stream_count_window": """
+            WITH r AS (SELECT user_id, value,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS rn
+                       FROM events),
+                 c AS (SELECT user_id, (rn - 1) // 5 AS window_no,
+                              count(*) OVER (PARTITION BY user_id,
+                                             (rn - 1) // 5) AS wsz,
+                              value
+                       FROM r)
+            SELECT user_id, window_no, round(sum(value), 2) AS sv,
+                   count(value) AS n, max(value) AS mx
+            FROM c WHERE wsz = 5
+            GROUP BY user_id, window_no""",
         # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
         "x01_expr_projection": """
             SELECT event_id, (value + 1) * 2 AS v2,

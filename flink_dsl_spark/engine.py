@@ -64,6 +64,32 @@ class FsqlEngine:
         df = _restore_nano_timestamps(df, path)
         self.register(name, df, event_time_col=event_time_col)
 
+    def register_stream_parquet(self, name: str, path: str,
+                                event_time_col: Optional[str] = None,
+                                watermark: Optional[str] = None,
+                                max_files_per_trigger: Optional[int] = None
+                                ) -> None:
+        """Register a parquet path as a STREAMING relation (file stream).
+        Schema comes from a batch footer read; nano-timestamp columns are
+        restored the same way as the batch path."""
+        batch = self.spark.read.parquet(path)
+        reader = self.spark.readStream.schema(batch.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        stream_path = path
+        if os.path.isfile(path):
+            # the file-stream source wants a directory; wrap a single
+            # parquet file in a symlink dir
+            import tempfile
+            d = tempfile.mkdtemp(prefix=f"fsql_stream_{name}_")
+            os.symlink(os.path.abspath(path),
+                       os.path.join(d, os.path.basename(path)))
+            stream_path = d
+        df = _restore_nano_timestamps(reader.parquet(stream_path), path)
+        self.register(name, df, event_time_col=event_time_col,
+                      watermark=watermark)
+
     def load_dir(self, sf_dir: str) -> None:
         """Register every ``<table>.parquet`` under a testdata dir.
         The ``events`` table gets ``ts`` as its event-time column."""

@@ -1,0 +1,7 @@
+"""Streaming support: FSQL window-spec compilation (windows.py, shared
+with batch emulation) and streaming-native stateful count windows
+(stateful.py)."""
+
+from .stateful import count_window_agg
+
+__all__ = ["count_window_agg"]

@@ -1,0 +1,159 @@
+"""Streaming-native COUNT-axis windows via ``applyInPandasWithState``.
+
+Batch mode emulates FSQL count windows with ``row_number`` (windows.py);
+a streaming DataFrame forbids rank functions, so the streaming path keeps
+per-key state instead — exactly the design SURVEY.md §2.9 calls for
+("count-based window -> stateful op keeping a bounded deque").
+
+Semantics (matching the batch emulation in windows.py):
+  * ``[size N]``            — tumbling: each key emits one aggregated row
+    per N arrived rows (window_no = 0, 1, ...).
+  * ``[size N every M]``    — sliding: a trigger fires every M rows; each
+    emission aggregates the last ``min(N, seen)`` rows (trigger = row
+    count at the firing point).
+  * ``partitioned on k``    — the group key; state and windows are per
+    key, so the operator scales horizontally with key cardinality.  With
+    no partition key all rows share one group — inherently sequential,
+    same documented limitation as the batch path (a totally-ordered
+    stream has a total order).
+
+Aggregates supported: sum/count/min/max/avg — the complete aggregate
+surface of the reference (flinkdsl/typer.scala_:276-282); avg derives
+from sum/count.  State per (key, agg-col) is a bounded float buffer of
+the last N values (a few KB at typical sizes), kept in the state store
+across micro-batches.
+
+Row order: within a micro-batch rows are processed in arrival order (or
+by ``order_col`` when given — recommended, it pins determinism the same
+way the batch emulation's row_number order does).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType)
+
+from ..errors import PlanError
+
+_SUPPORTED = ("sum", "count", "min", "max", "avg")
+
+
+def count_window_agg(sdf: DataFrame,
+                     key_cols: list[str],
+                     aggs: list[tuple[str, str, str]],
+                     size: int,
+                     every: Optional[int] = None,
+                     order_col: Optional[object] = None) -> DataFrame:
+    """Aggregate a streaming DataFrame over count-based windows.
+
+    Parameters
+    ----------
+    sdf : streaming DataFrame
+    key_cols : partition keys (``partitioned on``); [] = single global
+        window sequence (sequential — see module docstring)
+    aggs : list of ``(fn, col, alias)``, fn in sum/count/min/max/avg
+    size : window extent in rows (``[size N]``)
+    every : trigger period in rows (``every M``); None = tumbling
+    order_col : intra-batch ordering column(s) (str or list of str) —
+        recommended: event time plus a unique tiebreaker, which makes
+        window contents fully deterministic
+
+    Returns a streaming DataFrame with schema
+    ``key_cols + [window_no] + [alias...]`` (append output mode).
+    """
+    for fn, _c, _a in aggs:
+        if fn not in _SUPPORTED:
+            raise PlanError(
+                f"count_window_agg supports {_SUPPORTED}, got {fn!r}")
+    m = every if every is not None else size
+    if m <= 0 or size <= 0:
+        raise PlanError("window size/every must be positive")
+    order_cols = ([order_col] if isinstance(order_col, str)
+                  else list(order_col or []))
+
+    agg_cols = [c for _f, c, _a in aggs]
+    keyed = sdf if key_cols else sdf.withColumn(
+        "__gk", _lit0())
+    group_keys = key_cols if key_cols else ["__gk"]
+
+    key_fields = [keyed.schema[k] for k in group_keys]
+    out_schema = StructType(
+        list(key_fields)
+        + [StructField("window_no", LongType())]
+        + [StructField(alias, DoubleType()) for _f, _c, alias in aggs])
+
+    # state: rows seen + one bounded value-buffer per agg column, encoded
+    # as a fixed-width struct (buffers as array<double>, nulls as NaN)
+    state_schema = StructType(
+        [StructField("seen", LongType())]
+        + [StructField(f"buf{i}", _arr_double())
+           for i in range(len(agg_cols))])
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            row = state.get
+            seen = row[0]
+            bufs = [list(row[1 + i]) for i in range(len(agg_cols))]
+        else:
+            seen = 0
+            bufs = [[] for _ in agg_cols]
+
+        out_rows = []
+        for pdf in pdf_iter:
+            if order_cols and all(c in pdf.columns for c in order_cols):
+                pdf = pdf.sort_values(order_cols, kind="mergesort")
+            cols = [pdf[c].astype("float64").to_numpy() for c in agg_cols]
+            for r in range(len(pdf)):
+                seen += 1
+                for b, arr in zip(bufs, cols):
+                    b.append(float(arr[r]))
+                    if len(b) > size:
+                        del b[0]
+                if seen % m == 0:
+                    out_rows.append(_emit(key, seen, bufs, aggs, m))
+        state.update(tuple([seen] + [list(b) for b in bufs]))
+        if out_rows:
+            yield pd.DataFrame(out_rows,
+                               columns=[f.name for f in out_schema.fields])
+
+    grouped = keyed.groupBy(*group_keys)
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    return out.drop("__gk") if not key_cols else out
+
+
+def _emit(key, seen, bufs, aggs, m):
+    import math
+    row = list(key) + [seen // m - 1]
+    for (fn, _c, _a), buf in zip(aggs, bufs):
+        vals = [v for v in buf if not math.isnan(v)]
+        if fn == "count":
+            row.append(float(len(vals)))
+        elif not vals:
+            row.append(None)
+        elif fn == "sum":
+            row.append(float(sum(vals)))
+        elif fn == "min":
+            row.append(float(min(vals)))
+        elif fn == "max":
+            row.append(float(max(vals)))
+        else:  # avg
+            row.append(float(sum(vals)) / len(vals))
+    return row
+
+
+def _lit0():
+    from pyspark.sql import functions as F
+    return F.lit(0)
+
+
+def _arr_double():
+    from pyspark.sql.types import ArrayType
+    return ArrayType(DoubleType())

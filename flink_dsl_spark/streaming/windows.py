@@ -98,6 +98,11 @@ def _order_col(spec: WindowSpec, time_col: Optional[Column]) -> Column:
 
 def last_window_filter(df: DataFrame, spec: WindowSpec,
                        time_col: Optional[Column]) -> DataFrame:
+    if df.isStreaming:
+        raise PlanError(
+            "snapshot (non-aggregating) window queries are batch-emulation "
+            "only: a streaming relation has no final 'latest window'; "
+            "aggregate over the window or run in batch mode")
     size = spec.size
     axis = _axis(size)
     parts = _partition_cols(spec)
@@ -158,6 +163,11 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
         return df, [F.col("__win")], out
 
     if axis == "count":
+        if df.isStreaming:
+            raise PlanError(
+                "count-based windows on a streaming relation need the "
+                "stateful operator: flink_dsl_spark.streaming.stateful."
+                "count_window_agg (row_number emulation is batch-only)")
         order = _order_col(spec, time_col)
         w = (W.partitionBy(*parts) if parts else W.partitionBy()).orderBy(order)
         df = df.withColumn("__idx", F.row_number().over(w))

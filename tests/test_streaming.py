@@ -1,0 +1,217 @@
+"""True Structured-Streaming execution tests (SURVEY.md §2.9, M4/M5).
+
+Sources are file streams (parquet) driven with availableNow triggers to
+memory sinks — deterministic micro-batch assertions, no wall-clock
+dependence.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_dsl_spark import FsqlEngine, PlanError
+from flink_dsl_spark.streaming import count_window_agg
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    """24 deterministic rows, 2 users, one row per 5 minutes."""
+    d = str(tmp_path_factory.mktemp("stream_src"))
+    rows = [(i, T0 + dt.timedelta(minutes=5 * i), "u%d" % (i % 2),
+             float(i + 1)) for i in range(24)]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user string, value double")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+@pytest.fixture()
+def sdf(spark, src_dir):
+    schema = ("event_id long, ts timestamp, user string, value double")
+    return spark.readStream.schema(schema).parquet(src_dir)
+
+
+_SINK_N = [0]
+
+
+def run_to_memory(df, output_mode="append"):
+    _SINK_N[0] += 1
+    name = f"msink{_SINK_N[0]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+# --------------------------------------------------------------------------
+# M4: time windows, watermarks, derived streams — streaming-native
+# --------------------------------------------------------------------------
+
+def test_fsql_time_tumbling_streaming(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql(
+        "select user, count(*) as cnt from ev [size 1 h on ts] "
+        "group by user")
+    assert out.isStreaming
+    sink = run_to_memory(out, "complete")
+    rows = spark.sql(f"select * from {sink}").collect()
+    # 24 rows over 115 min -> 2 hour-windows x 2 users
+    got = {(r["user"], r["cnt"]) for r in rows}
+    assert got == {("u0", 6), ("u1", 6)}
+    assert len(rows) == 4
+
+
+def test_fsql_sliding_window_streaming(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql(
+        "select count(*) as cnt from ev [size 1 h on ts every 30 min]")
+    sink = run_to_memory(out, "complete")
+    cnts = [r["cnt"] for r in spark.sql(f"select * from {sink}").collect()]
+    # hopping windows: each row lands in 2 windows => total = 48
+    assert sum(cnts) == 48
+
+
+def test_fsql_partitioned_window_streaming(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql(
+        "select user, round(sum(value), 2) as sv "
+        "from ev [size 2 h on ts partitioned on user] group by user")
+    sink = run_to_memory(out, "complete")
+    got = {(r["user"], r["sv"])
+           for r in spark.sql(f"select * from {sink}").collect()}
+    # one 2h window holds all 24 rows; sum 1..24 split by parity
+    assert got == {("u0", 144.0), ("u1", 156.0)}
+
+
+def test_watermark_update_mode(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts", watermark="10 minutes")
+    out = eng.sql(
+        "select user, count(*) as cnt from ev [size 1 h on ts] "
+        "group by user")
+    sink = run_to_memory(out, "update")
+    total = sum(r["cnt"]
+                for r in spark.sql(f"select * from {sink}").collect())
+    assert total == 24
+
+
+def test_derived_stream_streaming(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql_script("""
+        create stream fast as
+            (select event_id as id, value as speed from ev
+             where value > 20.0);
+        select id, speed from fast where speed <= 23.0""")
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    got = sorted(r["id"] for r in
+                 spark.sql(f"select * from {sink}").collect())
+    assert got == [20, 21, 22]          # values 21..23
+
+
+def test_streaming_file_source_via_ddl(spark, src_dir):
+    eng = FsqlEngine(spark, streaming=True)
+    eng.sql(f"""create stream ev
+                (event_id long, ts timestamp, user string, value double)
+                source file('{src_dir}')""")
+    df = eng.catalog.get("ev")
+    assert df.isStreaming
+    sink = run_to_memory(df.groupBy("user").count(), "complete")
+    got = {(r["user"], r["count"])
+           for r in spark.sql(f"select * from {sink}").collect()}
+    assert got == {("u0", 12), ("u1", 12)}
+
+
+def test_socket_line_parsing(spark):
+    # socket source itself needs a live TCP endpoint; the line-decode path
+    # (value -> typed columns, engine._parse_text_lines) is testable batch
+    eng = FsqlEngine(spark)
+    from flink_dsl_spark.catalog import column_defs_to_struct
+    from flink_dsl_spark.parser import parse
+    stmt = parse("create stream s (a int, b string, c double) "
+                 "source host('localhost', 9999)")
+    schema = column_defs_to_struct(stmt.schema)
+    lines = spark.createDataFrame([("1,x,2.5",), ("2,y,3.5",)], ["value"])
+    out = eng._parse_text_lines(lines, schema).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in out] == \
+        [(1, "x", 2.5), (2, "y", 3.5)]
+
+
+# --------------------------------------------------------------------------
+# M5: stateful count windows on streams
+# --------------------------------------------------------------------------
+
+def test_count_tumbling_stateful(spark, sdf):
+    out = count_window_agg(
+        sdf, key_cols=["user"],
+        aggs=[("sum", "value", "sv"), ("count", "value", "n")],
+        size=4, order_col="ts")
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    got = {(r["user"], r["window_no"], r["sv"], r["n"]) for r in rows}
+    # u0 values: 1,3,5,...,23; u1: 2,4,...,24; windows of 4 rows
+    assert got == {
+        ("u0", 0, 16.0, 4.0), ("u0", 1, 48.0, 4.0), ("u0", 2, 80.0, 4.0),
+        ("u1", 0, 20.0, 4.0), ("u1", 1, 52.0, 4.0), ("u1", 2, 84.0, 4.0),
+    }
+
+
+def test_count_sliding_stateful(spark, sdf):
+    out = count_window_agg(
+        sdf, key_cols=[],
+        aggs=[("avg", "value", "av"), ("max", "value", "mx")],
+        size=6, every=3, order_col="ts")
+    sink = run_to_memory(out, "append")
+    rows = sorted(spark.sql(f"select * from {sink}").collect(),
+                  key=lambda r: r["window_no"])
+    # triggers at rows 3,6,9,...,24 (values are 1..24 in ts order)
+    assert len(rows) == 8
+    # first trigger: only 3 rows seen -> avg(1,2,3)=2, max=3
+    assert (rows[0]["av"], rows[0]["mx"]) == (2.0, 3.0)
+    # later triggers aggregate the last 6 rows: e.g. at row 24,
+    # avg(19..24)=21.5, max=24
+    assert (rows[-1]["av"], rows[-1]["mx"]) == (21.5, 24.0)
+
+
+def test_count_window_state_across_batches(spark, src_dir):
+    # maxFilesPerTrigger=1 with a multi-file source => several
+    # micro-batches; state (partial window) must carry across them
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user string, value double")
+           .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    out = count_window_agg(
+        sdf, key_cols=["user"], aggs=[("sum", "value", "sv")],
+        size=4, order_col="ts")
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    assert {(r["user"], r["window_no"], r["sv"]) for r in rows} == {
+        ("u0", 0, 16.0), ("u0", 1, 48.0), ("u0", 2, 80.0),
+        ("u1", 0, 20.0), ("u1", 1, 52.0), ("u1", 2, 84.0),
+    }
+
+
+def test_count_window_rejects_bad_fn(sdf):
+    with pytest.raises(PlanError):
+        count_window_agg(sdf, [], [("median", "value", "m")], size=4)
+
+
+def test_fsql_count_window_on_stream_raises(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    with pytest.raises(PlanError, match="count_window_agg"):
+        eng.sql("select count(*) as cnt from ev [size 100]")
+
+
+def test_snapshot_window_on_stream_raises(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    with pytest.raises(PlanError, match="batch"):
+        eng.sql("select event_id from ev [size 30 min on ts]")
