@@ -111,6 +111,12 @@ class Catalog:
         try:
             return self._relations[name.lower()]
         except KeyError:
+            if name.lower() == "dual":
+                # `dual` pseudo-table: one row, one dummy column
+                # (flinkdsl/typer.scala_:355-357, 368-375)
+                from pyspark.sql import functions as F
+                return self.spark.range(1).select(
+                    F.lit("X").alias("dummy"))
             raise ResolutionError(f"unknown stream or table {name!r}")
 
     def meta(self, name: str) -> StreamMeta:

@@ -1,0 +1,154 @@
+"""Engine-level feature tests: DDL, INSERT, DML rejection, timer,
+Result helpers — the SURVEY.md §2.1/§2.11 rows not exercised by the
+driver-contract oracle suite.
+"""
+
+import pytest
+
+from flink_dsl_spark import (Failure, FsqlEngine, Ok, ParseError,
+                             UnsupportedError)
+from flink_dsl_spark.errors import ResolutionError, as_result
+from flink_dsl_spark.parser import parse
+
+
+@pytest.fixture()
+def eng(spark):
+    e = FsqlEngine(spark, timer=True)
+    e.sql("create stream t (a int, b string) ")
+    return e
+
+
+# --------------------------------------------------------------------------
+# CREATE SCHEMA inheritance (fsql/Ast.scala:49-51)
+# --------------------------------------------------------------------------
+
+def test_schema_inheritance_field_order(eng):
+    eng.sql("create schema base (id long, name string)")
+    eng.sql("create schema child (extra double) extends base")
+    s = eng.catalog.get_schema("child")
+    assert [f.name for f in s.fields] == ["id", "name", "extra"]
+
+
+def test_schema_inheritance_rejects_duplicate(eng):
+    eng.sql("create schema base2 (id long)")
+    with pytest.raises(ResolutionError):
+        eng.sql("create schema child2 (id int) extends base2")
+
+
+def test_create_stream_with_named_schema(eng):
+    eng.sql("create schema evsch (x int, y double)")
+    eng.sql("create stream withsch evsch")
+    df = eng.catalog.get("withsch")
+    assert df.columns == ["x", "y"]
+
+
+# --------------------------------------------------------------------------
+# INSERT (flinkdsl/parser.scala:44-51, col-count validation
+# flinkdsl/ast.scala:367-376)
+# --------------------------------------------------------------------------
+
+def test_insert_values(eng):
+    out = eng.sql("insert into t (a, b) values (1, 'x'), (2, 'y')")
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == \
+        [(1, "x"), (2, "y")]
+
+
+def test_insert_partial_columns_null_fill(eng):
+    eng.sql("insert into t (a) values (7)")
+    rows = eng.catalog.get("t").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(7, None)]
+
+
+def test_insert_select(eng):
+    eng.sql("insert into t values (1, 'x')")
+    eng.sql("insert into t select a + 10, upper(b) from t")
+    got = sorted((r["a"], r["b"]) for r in eng.catalog.get("t").collect())
+    assert got == [(1, "x"), (11, "X")]
+
+
+def test_insert_column_count_mismatch(eng):
+    with pytest.raises(Exception):
+        eng.sql("insert into t (a, b) values (1)")
+
+
+def test_insert_params(eng):
+    eng.sql("insert into t values (?, ?)", params=[5, "p"])
+    assert [(r["a"], r["b"]) for r in eng.catalog.get("t").collect()] == \
+        [(5, "p")]
+
+
+# --------------------------------------------------------------------------
+# UPDATE / DELETE: parse-only parity (SURVEY.md §7.0(5))
+# --------------------------------------------------------------------------
+
+def test_update_rejected_at_plan_time(eng):
+    with pytest.raises(UnsupportedError, match="UPDATE"):
+        eng.sql("update t set a = 1 where b = 'x'")
+
+
+def test_delete_rejected_at_plan_time(eng):
+    with pytest.raises(UnsupportedError, match="DELETE"):
+        eng.sql("delete from t where a = 1")
+
+
+# --------------------------------------------------------------------------
+# dual / no-FROM (flinkdsl/typer.scala_:355-375)
+# --------------------------------------------------------------------------
+
+def test_select_without_from(eng):
+    row = eng.sql("select 1 + 2 as x, lower('AB') as s").first()
+    assert (row["x"], row["s"]) == (3, "ab")
+
+
+def test_dual_pseudo_table(eng):
+    row = eng.sql("select 42 as x from dual").first()
+    assert row["x"] == 42
+
+
+# --------------------------------------------------------------------------
+# phase timer (fsql/timer.scala:3-16) + Result helpers
+# (fsql/package.scala:70-113)
+# --------------------------------------------------------------------------
+
+def test_timer_records_phases(eng):
+    eng.sql("select a from t where a > 0")
+    t = eng.timer.phases
+    assert {"parse", "resolve", "plan"} <= set(t)
+    assert all(v >= 0 for v in t.values())
+
+
+def test_as_result_ok():
+    r = as_result(parse, "select 1 as x")
+    assert isinstance(r, Ok) and r.ok
+
+
+def test_as_result_failure_carries_position():
+    r = as_result(parse, "select a\nfrom t where")
+    assert isinstance(r, Failure) and not r.ok
+    assert r.line == 2
+
+
+def test_parse_error_message_has_position():
+    with pytest.raises(ParseError, match=r"line 1"):
+        FsqlEngine.__call__  # no-op: keep flake happy
+        parse("select * frum t")
+
+
+# --------------------------------------------------------------------------
+# resolver policy: ambiguity raises (SURVEY.md §7.0(2))
+# --------------------------------------------------------------------------
+
+def test_ambiguous_unqualified_column_raises(spark):
+    e = FsqlEngine(spark)
+    e.sql("create stream s1 (x int, y int)")
+    e.sql("create stream s2 (x int, z int)")
+    with pytest.raises(ResolutionError, match="ambiguous"):
+        e.sql("select x from s1 join s2 on s1.x = s2.x")
+
+
+def test_unqualified_unique_column_binds(spark):
+    e = FsqlEngine(spark)
+    e.sql("create stream s3 (x int, y int)")
+    e.sql("create stream s4 (w int, z int)")
+    df = e.sql("select y, z from s3 join s4 on x = w")
+    assert set(df.columns) == {"y", "z"}

@@ -1,0 +1,291 @@
+"""Parser tests: reference corpus, AST shape, error positions, and
+property-based round-trips.
+
+Mirrors-and-strengthens the reference's test strategy (SURVEY.md §5):
+its ScalaCheck suite only asserts "parses successfully" over a fixed
+corpus (test/parserTest.scala:47-81); we additionally assert AST shape,
+faithful error positions, and a sqlgen fixed-point property.
+"""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_dsl_spark import ParseError, parse, parse_many
+from flink_dsl_spark.ast_nodes import (
+    CreateSchema, CreateStream, Delete, DerivedSource, DerivedTable,
+    FileSource, HostSource, Insert, Join, Select, SetOp, TableRef, Update,
+)
+from flink_dsl_spark.sqlgen import to_sql
+
+# --------------------------------------------------------------------------
+# the reference's own embedded corpus (SURVEY.md §5) must parse
+# --------------------------------------------------------------------------
+
+REFERENCE_CORPUS = [
+    # test/parserTest.scala:47-56
+    "select * from stream [size 3 min on time every 1 partitioned on time]",
+    "select id from stream [size 3] as s1 left join suoi [size 3] as s2 "
+    "on s1.time = s2.thoigian",
+    "select count(id) as i, 1+3 *2 as NUM from stream group by item "
+    "having item > 3",
+    "select id, s.speed, stream.time from stream as s",
+    # fsql/parser.scala:405-431
+    "select (age + p.hight) * 2 from person p "
+    "where age >3 and hight <1 or weight = 2",
+    "select p.age, j.type from person p join job j on p.job = j.id",
+    "select p.age, j.type from person p join job j on p.job = j.id "
+    "where p.age = 100",
+    "select id from (select p.id from oldStream as p) as q",
+    "create stream myStream(time long) as (select p.id from oldStream as p)",
+    "create schema name1 (a boolean) extends parents",
+    "create stream name1 name2 source file ('path')",
+    # flinkdsl/parser.scala:324-364
+    "select * from person where age = 10 and name = ?",
+]
+
+
+@pytest.mark.parametrize("sql", REFERENCE_CORPUS)
+def test_reference_corpus_parses(sql):
+    assert parse(sql) is not None
+
+
+# --------------------------------------------------------------------------
+# AST shape spot-checks
+# --------------------------------------------------------------------------
+
+def test_window_spec_fields():
+    stmt = parse("select * from s [size 3 min on t every 1 "
+                 "partitioned on k]")
+    ref = stmt.from_
+    assert isinstance(ref, TableRef)
+    w = ref.window
+    assert (w.size.value, w.size.unit, w.size.on_col.name) == (3, "min", "t")
+    assert (w.every.value, w.every.unit) == (1, None)
+    assert w.partition.name == "k"
+
+
+def test_windowed_join_shape():
+    stmt = parse("select id from a [size 3] as s1 "
+                 "left join b [size 3] as s2 on s1.x = s2.y")
+    j = stmt.from_
+    assert isinstance(j, Join) and j.kind == "left"
+    assert j.left.window.size.value == 3 and j.left.alias == "s1"
+    assert j.right.window.size.value == 3 and j.right.alias == "s2"
+
+
+def test_join_chain_is_left_deep():
+    stmt = parse("select * from a join b on a.x = b.x "
+                 "join c on b.y = c.y cross join d")
+    top = stmt.from_
+    assert isinstance(top, Join) and top.kind == "cross"
+    mid = top.left
+    assert mid.kind == "inner" and mid.right.name == "c"
+    assert mid.left.kind == "inner" and mid.left.left.name == "a"
+
+
+def test_using_join_multi_col():
+    stmt = parse("select * from a join b using (x, y)")
+    assert stmt.from_.using == ["x", "y"]
+
+
+def test_arithmetic_standard_precedence():
+    # deliberate divergence from the reference's flat precedence
+    # (SURVEY.md §7.0(1)): 1+3*2 must be 7, not 8
+    stmt = parse("select 1 + 3 * 2 as n from t")
+    e = stmt.items[0].expr
+    assert e.op == "+" and e.right.op == "*"
+
+
+def test_union_all_preserved():
+    stmt = parse("select a from t union all select a from u")
+    assert isinstance(stmt, SetOp) and stmt.op == "union_all"
+    stmt2 = parse("select a from t union select a from u")
+    assert stmt2.op == "union"
+
+
+def test_create_schema_extends():
+    stmt = parse("create schema child (a int, b string) extends parent")
+    assert isinstance(stmt, CreateSchema)
+    assert stmt.extends == "parent"
+    assert [(c.name, c.type_name) for c in stmt.columns] == \
+        [("a", "int"), ("b", "string")]
+
+
+def test_create_stream_sources():
+    f = parse("create stream s (a int) source file ('/tmp/x.csv')")
+    assert isinstance(f.source, FileSource) and f.source.path == "/tmp/x.csv"
+    h = parse("create stream s (a int) source host ('localhost', 9999)")
+    assert isinstance(h.source, HostSource) and h.source.port == 9999
+    d = parse("create stream s as (select a from t)")
+    assert isinstance(d.source, DerivedSource)
+    n = parse("create stream s named_schema source file ('p')")
+    assert n.schema == "named_schema"
+
+
+def test_insert_forms():
+    v = parse("insert into t (a, b) values (1, 'x'), (2, 'y')")
+    assert isinstance(v, Insert) and len(v.values) == 2
+    q = parse("insert into t select a, b from u")
+    assert isinstance(q, Insert) and isinstance(q.query, Select)
+
+
+def test_update_delete_parse():
+    u = parse("update t set a = 1, b = 'x' where c > 2 limit 5")
+    assert isinstance(u, Update) and len(u.assignments) == 2
+    d = parse("delete from t where a = 1")
+    assert isinstance(d, Delete)
+
+
+def test_params_are_positional():
+    stmt = parse("select * from t where a = ? and b > ?")
+    found = []
+    from flink_dsl_spark.ast_nodes import Param, walk_expr
+    for item in [stmt.where]:
+        for e in walk_expr(item):
+            if isinstance(e, Param):
+                found.append(e.index)
+    assert found == [0, 1]
+
+
+def test_parse_many_script():
+    stmts = parse_many("create schema s1 (a int); select 1 as x")
+    assert len(stmts) == 2
+
+
+def test_quoted_identifiers():
+    stmt = parse('select "select" from "from"')
+    assert stmt.items[0].expr.name == "select"
+    assert stmt.from_.name == "from"
+
+
+def test_derived_table_requires_alias_ok():
+    stmt = parse("select q.a from (select a from t) as q")
+    assert isinstance(stmt.from_, DerivedTable) and stmt.from_.alias == "q"
+
+
+# --------------------------------------------------------------------------
+# error positions (parity with Failure(msg, column, line),
+# fsql/package.scala:75)
+# --------------------------------------------------------------------------
+
+def test_error_has_position():
+    with pytest.raises(ParseError) as ei:
+        parse("select from t")
+    assert ei.value.line == 1 and ei.value.column >= 8
+
+
+def test_error_position_second_line():
+    with pytest.raises(ParseError) as ei:
+        parse("select a\nfrom t where")
+    assert ei.value.line == 2
+
+
+@pytest.mark.parametrize("bad", [
+    "", "select", "select * from", "select * from t where",
+    "select * from t group by", "create stream", "create schema x (",
+    "select * from t [size]", "insert into t values",
+    "select * from t order", "select a from t limit 'x'",
+])
+def test_bad_inputs_raise(bad):
+    with pytest.raises(ParseError):
+        parse(bad)
+
+
+# --------------------------------------------------------------------------
+# property-based tests (hypothesis; reference used ScalaCheck with
+# minSuccessfulTests=3 — we run far more)
+# --------------------------------------------------------------------------
+
+_ident = st.from_regex(r"[a-z][a-z0-9_]{0,9}", fullmatch=True).filter(
+    lambda s: s not in {
+        "select", "distinct", "from", "where", "as", "and", "or", "not",
+        "join", "inner", "outer", "left", "right", "full", "cross", "on",
+        "using", "group", "by", "having", "order", "asc", "desc", "limit",
+        "offset", "union", "except", "intersect", "all", "insert", "into",
+        "values", "update", "set", "delete", "create", "between", "like",
+        "in", "exists", "is", "null", "case", "when", "then", "else",
+        "end", "true", "false", "with", "size", "every", "partitioned",
+    })
+
+_literal = st.one_of(
+    st.integers(min_value=0, max_value=10**9).map(str),
+    st.floats(min_value=0, max_value=1e6, allow_nan=False,
+              allow_infinity=False).map(lambda f: f"{f:.3f}"),
+    st.sampled_from(["'abc'", "'it''s'", "true", "false", "null"]),
+)
+
+
+@st.composite
+def _expr(draw, depth=0):
+    if depth >= 3:
+        return draw(st.one_of(_ident, _literal))
+    branch = draw(st.integers(0, 5))
+    if branch <= 1:
+        return draw(st.one_of(_ident, _literal))
+    if branch == 2:
+        op = draw(st.sampled_from(["+", "-", "*", "/", "%"]))
+        return (f"({draw(_expr(depth + 1))} {op} "
+                f"{draw(_expr(depth + 1))})")
+    if branch == 3:
+        fn = draw(st.sampled_from(["sum", "avg", "count", "min", "max",
+                                   "abs", "upper", "lower"]))
+        return f"{fn}({draw(_expr(depth + 1))})"
+    if branch == 4:
+        return (f"case when {draw(_expr(depth + 1))} > 0 then "
+                f"{draw(_expr(depth + 1))} else "
+                f"{draw(_expr(depth + 1))} end")
+    return f"({draw(_expr(depth + 1))})"
+
+
+@st.composite
+def _select_sql(draw):
+    n = draw(st.integers(1, 4))
+    items = ", ".join(
+        f"{draw(_expr())} as c{i}" for i in range(n))
+    sql = f"select {items} from {draw(_ident)}"
+    if draw(st.booleans()):
+        sql += f" where {draw(_expr())} > {draw(_expr())}"
+    if draw(st.booleans()):
+        sql += f" group by {draw(_ident)}"
+    if draw(st.booleans()):
+        sql += f" order by c0 desc limit {draw(st.integers(1, 100))}"
+    return sql
+
+
+@settings(max_examples=200, deadline=None)
+@given(_select_sql())
+def test_generated_selects_parse(sql):
+    assert isinstance(parse(sql), Select)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_select_sql())
+def test_sqlgen_fixed_point(sql):
+    """parse -> to_sql -> parse -> to_sql reaches a fixed point: the
+    second generation equals the first (catches precedence/quoting bugs
+    in both parser and generator)."""
+    ast1 = parse(sql)
+    sql1 = to_sql(ast1)
+    ast2 = parse(sql1)
+    assert to_sql(ast2) == sql1
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 999), st.sampled_from(["", " sec", " min", " h"]),
+       st.integers(1, 999))
+def test_window_spec_roundtrip(size, unit, every):
+    sql = f"select count(a) as c from s [size {size}{unit} every {every}{unit}]"
+    stmt = parse(sql)
+    w = stmt.from_.window
+    assert w.size.value == size
+    assert w.every.value == every
+    assert w.size.unit == (unit.strip() or None)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_ident, _ident)
+def test_identifier_resolution_shape(t, c):
+    stmt = parse(f"select {t}.{c} from {t}")
+    col = stmt.items[0].expr
+    assert col.qualifier == t and col.name == c
