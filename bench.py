@@ -34,6 +34,11 @@ HEADLINE = [
     "q27_window_sliding",       # FSQL sliding window
     "q31_delta_tumbling",       # FSQL delta window
     "q32_partitioned_window",   # partitioned time window
+    "x02_expr_filter_groupby",  # X-surface expression DSL
+    "llm01_dedup_exact",        # exact dedup (hash-shuffle)
+    "llm03_dedup_minhash_lsh",  # minhash+LSH near-dedup
+    "llm08_token_stats",        # text analysis
+    "s01_stream_time_window",   # true streaming (availableNow -> memory)
 ]
 
 
