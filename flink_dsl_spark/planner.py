@@ -429,31 +429,80 @@ class Planner:
         if isinstance(rel, TableRef):
             df = self.catalog.get(rel.name).alias(rel.binding)
             if snapshot and rel.window is not None:
-                df = last_window_filter(df, rel.window,
-                                        self._leaf_time_col(rel))
+                df = self._apply_snapshot_window(df, rel)
             return df
         if isinstance(rel, DerivedTable):
             sub = self.plan_query(rel.query).alias(rel.binding)
             if snapshot and rel.window is not None:
-                sub = last_window_filter(sub, rel.window,
-                                         self._leaf_time_col(rel))
+                sub = self._apply_snapshot_window(sub, rel)
             return sub
         if isinstance(rel, Join):
             left = self._plan_relation(rel.left, snapshot)
             right = self._plan_relation(rel.right, snapshot)
+            lw, rw = self._cowin_name(rel.left), self._cowin_name(rel.right)
+            co_cond = None
+            if lw in left.columns and rw in right.columns:
+                # streaming windowed join: equality of co-trigger windows
+                # gives Spark a bounded-state stream-stream join
+                co_cond = F.col(lw) == F.col(rw)
             if rel.kind == "cross" and rel.on is None and rel.using is None:
+                if co_cond is not None:
+                    return (left.join(right, on=co_cond, how="inner")
+                            .drop(lw, rw))
                 return left.crossJoin(right)
             how = {"inner": "inner", "left": "left", "right": "right",
                    "full": "full", "cross": "inner"}[rel.kind]
             if rel.using is not None:
+                if co_cond is not None:
+                    raise PlanError(
+                        "windowed stream joins need an ON predicate "
+                        "(USING would drop the window columns)")
                 return left.join(right, on=list(rel.using), how=how)
             if rel.on is None:
                 raise PlanError(f"{rel.kind} JOIN requires ON or USING")
-            # compile the ON predicate against the joined frame
-            joined = left.join(right, on=self._compile_join_cond(
-                rel.on, left, right), how=how)
+            cond = self._compile_join_cond(rel.on, left, right)
+            if co_cond is not None:
+                cond = cond & co_cond
+            joined = left.join(right, on=cond, how=how)
+            if co_cond is not None:
+                joined = joined.drop(lw, rw)
             return joined
         raise PlanError(f"cannot plan relation {type(rel).__name__}")
+
+    @staticmethod
+    def _cowin_name(rel) -> str:
+        binding = getattr(rel, "binding", None)
+        return f"__cowin_{binding}" if binding else "__cowin"
+
+    def _apply_snapshot_window(self, df: DataFrame, rel) -> DataFrame:
+        """Snapshot-mode window on one relation leaf.
+
+        Batch: filter to the latest window (CQL now-relation,
+        windows.py).  Streaming: no final window exists — instead attach
+        a co-trigger window column (``F.window``) that the enclosing
+        join turns into a window-equality condition, running the join
+        continuously per window (time-axis specs only; the FSQL windowed
+        join of test/parserTest.scala:54 — SURVEY.md §2.9/§7.3(2))."""
+        if not df.isStreaming:
+            return last_window_filter(df, rel.window,
+                                      self._leaf_time_col(rel))
+        from .streaming.windows import _axis, duration_str
+        spec = rel.window
+        if _axis(spec.size) != "time":
+            raise PlanError(
+                "streaming windowed joins support time-axis windows only "
+                "(count/delta windows have no streaming join primitive; "
+                "run in batch mode or aggregate with count_window_agg)")
+        tcol = self._leaf_time_col(rel)
+        if tcol is None:
+            raise PlanError("time window needs `on <col>` or stream "
+                            "event_time_col metadata")
+        if spec.every is not None:
+            win = F.window(tcol, duration_str(spec.size),
+                           duration_str(spec.every))
+        else:
+            win = F.window(tcol, duration_str(spec.size))
+        return df.withColumn(self._cowin_name(rel), win)
 
     def _compile_join_cond(self, e, left: DataFrame,
                            right: DataFrame) -> Column:

@@ -210,8 +210,59 @@ def test_fsql_count_window_on_stream_raises(spark, sdf):
         eng.sql("select count(*) as cnt from ev [size 100]")
 
 
-def test_snapshot_window_on_stream_raises(spark, sdf):
+def test_windowed_select_on_stream_is_continuous(spark, sdf):
+    # CQL istream semantics: a non-aggregating windowed select over a
+    # stream is the stream itself — each arriving row appears once
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
-    with pytest.raises(PlanError, match="batch"):
-        eng.sql("select event_id from ev [size 30 min on ts]")
+    out = eng.sql("select event_id from ev [size 30 min on ts]")
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    assert spark.sql(f"select count(*) n from {sink}").first()["n"] == 24
+
+
+# --------------------------------------------------------------------------
+# M5: windowed stream JOINs (SURVEY.md §7.3(2) — the reference's own
+# test query shape: test/parserTest.scala:54)
+# --------------------------------------------------------------------------
+
+def test_windowed_stream_join_inner(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts", watermark="0 seconds")
+    out = eng.sql("""
+        select s1.event_id, s2.event_id as id2
+        from ev [size 1 h on ts] as s1
+        join ev [size 1 h on ts] as s2 on s1.user = s2.user""")
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    # per hour-window: 12 rows, 6 per user -> 2 windows * 2 users * 36
+    assert len(rows) == 144
+
+
+def test_windowed_stream_join_left(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts", watermark="0 seconds")
+    out = eng.sql("""
+        select s1.event_id, s2.event_id as id2
+        from ev [size 1 h on ts] as s1
+        left join ev [size 1 h on ts] as s2
+          on s1.user = s2.user and s2.value > 100.0""")
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    # no right match ever (value <= 24): left rows survive with null.
+    # Outer-join emission waits for the watermark to pass window end;
+    # final watermark = 1:55, so only window 0:00-1:00 (12 rows) emits —
+    # window 1:00-2:00 is still open when the stream ends.
+    assert len(rows) == 12
+    assert all(r["id2"] is None for r in rows)
+    assert all(r["event_id"] < 12 for r in rows)
+
+
+def test_windowed_join_count_axis_on_stream_raises(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    with pytest.raises(PlanError, match="time-axis"):
+        eng.sql("""
+            select s1.event_id from ev [size 3] as s1
+            join ev [size 3] as s2 on s1.user = s2.user""")
