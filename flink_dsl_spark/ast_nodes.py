@@ -332,6 +332,9 @@ class Insert:
     columns: Optional[list] = None               # list[str]
     values: Optional[list] = None                # list[list[Expr]]
     query: Union[Select, SetOp, None] = None
+    # F dialect: INSERT INTO stream <source> (fsql/parser.scala:268-277;
+    # parsed there but excluded from stmt at :23 — we wire it up)
+    source: object = None                        # FileSource|HostSource|...
 
 
 @dataclass

@@ -128,6 +128,9 @@ class FsqlEngine:
             return None
         if isinstance(stmt, CreateStream):
             return self._create_stream(stmt, params)
+        from .ast_nodes import Insert
+        if isinstance(stmt, Insert) and stmt.source is not None:
+            return self._insert_from_source(stmt)
         with self.timer.phase("resolve"):
             self.resolver.resolve(stmt)
         with self.timer.phase("plan"):
@@ -198,6 +201,59 @@ class FsqlEngine:
             return None
         raise UnsupportedError(f"unknown source {type(src).__name__}")
 
+    def _insert_from_source(self, stmt) -> DataFrame:
+        """``INSERT INTO stream <source>`` (fsql/parser.scala:268-277) —
+        append the source's rows into an existing stream relation.  The
+        inserted columns' schema is taken from the target, so the source
+        parses/casts to the right types."""
+        from pyspark.sql.types import StructType
+
+        target = self.catalog.get(stmt.table)
+        lower = {c.lower(): c for c in target.columns}
+        try:
+            cols = [lower[c.lower()] for c in (stmt.columns
+                                               or target.columns)]
+        except KeyError as e:
+            raise PlanError(f"unknown column {e.args[0]!r} in INSERT "
+                            f"into {stmt.table!r}")
+        ins_schema = StructType([target.schema[c] for c in cols])
+
+        src = stmt.source
+        if isinstance(src, FileSource):
+            fmt = src.format or self._infer_format(src.path)
+            if self.streaming or target.isStreaming:
+                reader = self.spark.readStream.format(fmt).schema(ins_schema)
+            else:
+                reader = self.spark.read.format(fmt).schema(ins_schema)
+            if fmt == "csv":
+                reader = reader.option("header", "false")
+            new = reader.load(src.path)
+        elif isinstance(src, HostSource):
+            lines = (self.spark.readStream.format("socket")
+                     .option("host", src.host).option("port", src.port)
+                     .load())
+            new = self._parse_text_lines(lines, ins_schema)
+        elif isinstance(src, RateSource):
+            new = (self.spark.readStream.format("rate")
+                   .option("rowsPerSecond", src.rows_per_second).load())
+        else:
+            raise UnsupportedError(
+                f"unsupported INSERT source {type(src).__name__}")
+
+        if new.isStreaming != target.isStreaming:
+            raise PlanError(
+                f"INSERT source is {'streaming' if new.isStreaming else 'batch'} "
+                f"but target {stmt.table!r} is not — register the target in "
+                "the matching mode (FsqlEngine(streaming=True) for streams)")
+        from pyspark.sql import functions as F
+        dtypes = dict(target.dtypes)
+        for c in target.columns:
+            if c not in cols:
+                new = new.withColumn(c, F.lit(None).cast(dtypes[c]))
+        updated = target.unionByName(new.select(*target.columns))
+        self.catalog.register(stmt.table, updated)
+        return updated
+
     def _parse_text_lines(self, df: DataFrame, schema):
         """Socket lines -> typed columns via CSV parsing of the value
         column (comma-separated, matching the reference's socket-text
@@ -216,6 +272,49 @@ class FsqlEngine:
             if path.endswith(ext):
                 return fmt
         return "parquet"
+
+    # ------------------------------------------------------------------
+    # sinks (engine extension: the reference defines no sink syntax —
+    # SURVEY.md §2.1 "Sinks: none exist in the reference")
+    # ------------------------------------------------------------------
+
+    def start_sink(self, df: DataFrame, format: str = "memory",
+                   path: Optional[str] = None, name: Optional[str] = None,
+                   output_mode: str = "append",
+                   available_now: bool = True,
+                   checkpoint: Optional[str] = None, **options):
+        """Write a streaming DataFrame to a sink; returns the
+        StreamingQuery.  ``available_now=True`` drains what's available
+        then stops (deterministic tests/batch-like runs); False runs
+        continuously."""
+        w = df.writeStream.format(format).outputMode(output_mode)
+        if name:
+            w = w.queryName(name)
+        if path:
+            w = w.option("path", path)
+        if checkpoint:
+            w = w.option("checkpointLocation", checkpoint)
+        for k, v in options.items():
+            w = w.option(k, v)
+        if available_now:
+            w = w.trigger(availableNow=True)
+        return w.start()
+
+    # ------------------------------------------------------------------
+    # external RDBMS catalog (flinkdsl/database.scala:11-31 used
+    # schemacrawler introspection; Spark's JDBC reader + df.schema is
+    # the 1:1 replacement — SURVEY.md §1.3/§2.1)
+    # ------------------------------------------------------------------
+
+    def register_jdbc(self, name: str, url: str, table: str,
+                      properties: Optional[dict] = None,
+                      event_time_col: Optional[str] = None) -> None:
+        """Register an external JDBC table/query as a relation; schema
+        (names, types, nullability) comes from driver metadata exactly
+        like the reference's schemacrawler path."""
+        df = self.spark.read.jdbc(url, table,
+                                  properties=properties or {})
+        self.register(name, df, event_time_col=event_time_col)
 
     # ------------------------------------------------------------------
     # X surface: fluent Table API over expression strings (SURVEY §3.3)

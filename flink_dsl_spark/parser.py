@@ -334,6 +334,10 @@ class Parser:
             while self.eat_op(","):
                 rows.append(self.parse_value_row())
             return Insert(table, cols, values=rows)
+        if self.eat_kw("source"):
+            # F dialect: append a host/file/rate source into the stream
+            # (fsql/parser.scala:268-277)
+            return Insert(table, cols, source=self.parse_source())
         q = self.parse_select_statement()
         return Insert(table, cols, query=q)
 

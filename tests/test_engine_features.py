@@ -78,6 +78,36 @@ def test_insert_params(eng):
 
 
 # --------------------------------------------------------------------------
+# INSERT INTO stream <source> — F dialect (fsql/parser.scala:268-277)
+# --------------------------------------------------------------------------
+
+def test_insert_from_file_source(eng, tmp_path):
+    f = tmp_path / "rows.csv"
+    f.write_text("3,c\n4,d\n")
+    eng.sql("insert into t values (1, 'x')")
+    out = eng.sql(f"insert into t source file ('{f}')")
+    assert sorted((r["a"], r["b"]) for r in out.collect()) == \
+        [(1, "x"), (3, "c"), (4, "d")]
+
+
+def test_insert_from_file_source_partial_cols(eng, tmp_path):
+    f = tmp_path / "rows2.csv"
+    f.write_text("9\n")
+    out = eng.sql(f"insert into t (a) source file ('{f}')")
+    assert [(r["a"], r["b"]) for r in out.collect()] == [(9, None)]
+
+
+def test_insert_streaming_mismatch_raises(spark, tmp_path):
+    from flink_dsl_spark import PlanError
+    e = FsqlEngine(spark, streaming=True)   # file sources become streams
+    e.sql("create stream bt (a int, b string)")   # batch empty relation
+    f = tmp_path / "rows3.csv"
+    f.write_text("1,x\n")
+    with pytest.raises(PlanError, match="streaming"):
+        e.sql(f"insert into bt source file ('{f}')")
+
+
+# --------------------------------------------------------------------------
 # UPDATE / DELETE: parse-only parity (SURVEY.md §7.0(5))
 # --------------------------------------------------------------------------
 

@@ -259,6 +259,26 @@ def test_windowed_stream_join_left(spark, sdf):
     assert all(r["event_id"] < 12 for r in rows)
 
 
+def test_parquet_sink(spark, sdf, tmp_path):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql("select event_id, value from ev where value > 20.0")
+    q = eng.start_sink(out, format="parquet",
+                       path=str(tmp_path / "out"),
+                       checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    back = spark.read.parquet(str(tmp_path / "out"))
+    assert back.count() == 4          # values 21..24
+
+
+def test_console_ish_noop_sink(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf)
+    q = eng.start_sink(eng.catalog.get("ev"), format="noop")
+    q.awaitTermination(120)
+    assert q.lastProgress is not None
+
+
 def test_windowed_join_count_axis_on_stream_raises(spark, sdf):
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
