@@ -286,6 +286,11 @@ class Planner:
         win_out: list[tuple] = []
         if window_leaf is not None:
             spec = window_leaf.window
+            from .streaming.windows import _axis
+            if df.isStreaming and _axis(spec.size) == "count":
+                # no rank-function emulation on streams: route through the
+                # stateful operator when the query shape allows
+                return self._stream_count_window_agg(sel, df, window_leaf)
             df, win_group, win_out = window_grouping(
                 df, spec, self._leaf_time_col(window_leaf))
             if spec.partition is not None:
@@ -468,6 +473,90 @@ class Planner:
                 joined = joined.drop(lw, rw)
             return joined
         raise PlanError(f"cannot plan relation {type(rel).__name__}")
+
+    def _stream_count_window_agg(self, sel: Select, df: DataFrame,
+                                 leaf) -> DataFrame:
+        """FSQL count-window aggregation on a STREAM: compile to the
+        stateful operator (streaming/stateful.py).  Supported shape —
+        plain-column grouping keys and simple sum/count/min/max/avg calls
+        on plain (numeric) columns, the reference's entire aggregate
+        surface.  Aggregate results are double (count cast back to long);
+        output carries window_no like the batch emulation."""
+        from .streaming.stateful import count_window_agg
+
+        spec: WindowSpec = leaf.window
+        keys: list[str] = []
+        for g in sel.group_by:
+            if not isinstance(g, Col):
+                raise PlanError(
+                    "streaming count-window GROUP BY supports plain "
+                    "columns only")
+            keys.append(g.name)
+        if spec.partition is not None and spec.partition.name not in keys:
+            keys.append(spec.partition.name)
+        if sel.having is not None or sel.order_by:
+            raise PlanError("HAVING/ORDER BY are not supported on "
+                            "streaming count windows")
+
+        aggs: list[tuple] = []
+        out_cols: list[tuple] = []      # (kind, source, alias)
+        needs_ones = False
+        for i, item in enumerate(sel.items):
+            name = _item_name(item, i)
+            e = item.expr
+            if isinstance(e, Col):
+                if e.name not in keys:
+                    raise PlanError(
+                        f"column {e.name!r} is not a grouping key of the "
+                        "streaming count window")
+                out_cols.append(("key", e.name, name))
+                continue
+            if isinstance(e, FuncCall) and self.registry.is_aggregate(e.name):
+                fn = e.name.lower()
+                if fn not in ("sum", "count", "min", "max", "avg"):
+                    raise PlanError(
+                        f"streaming count windows support "
+                        f"sum/count/min/max/avg, got {fn!r}")
+                if not e.args or isinstance(e.args[0], Star):
+                    needs_ones = True
+                    aggs.append(("count", "__ones", name))
+                elif isinstance(e.args[0], Col):
+                    aggs.append((fn, e.args[0].name, name))
+                else:
+                    raise PlanError(
+                        "streaming count-window aggregates take a plain "
+                        "column argument")
+                out_cols.append(("agg", fn, name))
+                continue
+            raise PlanError(
+                "streaming count-window select items must be grouping "
+                "keys or simple aggregate calls")
+
+        if spec.every is not None and (spec.every.unit is not None
+                                       or spec.every.on_col is not None):
+            raise PlanError("a count-based window needs a count-based "
+                            "`every` (no unit / `on` column)")
+        base = df.withColumn("__ones", F.lit(1.0)) if needs_ones else df
+        order_cols = None
+        if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
+            et = self.catalog.meta(leaf.name).event_time_col
+            if et:
+                order_cols = [et]
+        out = count_window_agg(
+            base, keys, aggs, spec.size.value,
+            every=spec.every.value if spec.every is not None else None,
+            order_col=order_cols)
+
+        final = []
+        for kind, src, alias in out_cols:
+            if kind == "key":
+                final.append(F.col(src).alias(alias))
+            elif src == "count":
+                final.append(F.col(alias).cast("long").alias(alias))
+            else:
+                final.append(F.col(alias))
+        final.append(F.col("window_no"))
+        return out.select(*final)
 
     @staticmethod
     def _cowin_name(rel) -> str:

@@ -203,11 +203,37 @@ def test_count_window_rejects_bad_fn(sdf):
         count_window_agg(sdf, [], [("median", "value", "m")], size=4)
 
 
-def test_fsql_count_window_on_stream_raises(spark, sdf):
+def test_fsql_count_window_streaming_routes_to_stateful(spark, sdf):
+    # FSQL count-window text executes on a stream via the stateful op
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
-    with pytest.raises(PlanError, match="count_window_agg"):
-        eng.sql("select count(*) as cnt from ev [size 100]")
+    out = eng.sql("select user, sum(value) as sv, count(*) as n "
+                  "from ev [size 4 partitioned on user] group by user")
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    got = {(r["user"], r["window_no"], r["sv"], r["n"]) for r in rows}
+    assert got == {
+        ("u0", 0, 16.0, 4), ("u0", 1, 48.0, 4), ("u0", 2, 80.0, 4),
+        ("u1", 0, 20.0, 4), ("u1", 1, 52.0, 4), ("u1", 2, 84.0, 4),
+    }
+
+
+def test_fsql_count_sliding_streaming(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql("select count(*) as n from ev [size 6 every 3]")
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    assert len(rows) == 8             # triggers at 3,6,...,24
+    assert sum(r["n"] for r in rows) == 3 + 6 * 7
+
+
+def test_fsql_count_window_bad_shape_raises(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    with pytest.raises(PlanError, match="simple aggregate"):
+        eng.sql("select sum(value) + 1 as x from ev [size 4]")
 
 
 def test_windowed_select_on_stream_is_continuous(spark, sdf):
