@@ -7,7 +7,7 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 
 from .dedup import (
     exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
-    simhash_pairs, simhash_64, embedding_dup_pairs,
+    simhash_pairs, simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
 )
 from .simsearch import cosine_topk, lsh_ann_topk
 from .textstats import (
@@ -20,7 +20,8 @@ from .multimodal import (
 __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "minhash_signatures", "simhash_pairs", "simhash_64",
-    "embedding_dup_pairs", "cosine_topk", "lsh_ann_topk", "lang_id",
+    "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
+    "lsh_ann_topk", "lang_id",
     "quality_score", "token_stats", "fingerprint", "with_binary_column",
     "decode_metadata", "sample_frames",
 ]

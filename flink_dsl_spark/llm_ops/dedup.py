@@ -283,8 +283,8 @@ def cosine_sim(a: Column, b: Column) -> Column:
 def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                         threshold: float = 0.95) -> DataFrame:
     """Embedding near-duplicates: all pairs with cosine >= threshold.
-    Brute-force O(n^2) — correct baseline; at scale, bucket with
-    lsh_ann_topk's hyperplane signatures first (same verifier)."""
+    Brute-force O(n^2) — correct baseline and the verifier for
+    embedding_dup_pairs_lsh (the scale path)."""
     v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     cos = cosine_sim(F.col("a.v"), F.col("b.v"))
@@ -293,3 +293,64 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                     F.col("b.id").alias("id_b"),
                     F.round(cos, 6).alias("cosine"))
             .filter(F.col("cosine") >= threshold))
+
+
+def embedding_dup_pairs_lsh(df: DataFrame, vec_col: str, id_col: str,
+                            threshold: float = 0.95, planes: int = 8,
+                            tables: int = 4) -> DataFrame:
+    """Embedding near-duplicates at scale: random-hyperplane LSH with
+    ``tables`` independent hash tables.
+
+    Candidates = pairs sharing a bucket in ANY table (equi-join on
+    (table, bucket) — a shuffle bounded by bucket sizes, never
+    all-pairs); exact cosine verifies candidates, so precision is exact
+    and only recall is approximate:
+
+        recall = 1 - (1 - (1 - acos(s)/pi)^planes)^tables
+
+    Tune to the threshold: tight dedup (s >= 0.9, per-plane p ~ 0.9)
+    supports planes=8/tables=4+; loose thresholds (s ~ 0.4, p ~ 0.63)
+    need few planes and more tables (e.g. planes=3/tables=12 -> ~95%).
+    More tables buy recall at linear cost; more planes shrink buckets
+    (cheaper join) but cut per-table recall."""
+    dim = len(df.select(vec_col).first()[0])
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    table_arr = F.array(*[
+        F.struct(F.lit(t).alias("t"),
+                 _table_sign_bits(F.col("v"), dim, planes, t).alias("b"))
+        for t in range(tables)
+    ])
+    buckets = (v.select("id", F.explode(table_arr).alias("tb"))
+                .select("id", "tb.t", "tb.b"))
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (x.join(y, (F.col("x.t") == F.col("y.t")) &
+                      (F.col("x.b") == F.col("y.b")) &
+                      (F.col("x.id") < F.col("y.id")))
+            .select(F.col("x.id").alias("id_a"),
+                    F.col("y.id").alias("id_b"))
+            .distinct())
+    a = v.alias("va")
+    b = v.alias("vb")
+    cos = cosine_sim(F.col("va.v"), F.col("vb.v"))
+    return (cand.join(a, F.col("id_a") == F.col("va.id"))
+                .join(b, F.col("id_b") == F.col("vb.id"))
+                .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+                .filter(F.col("cosine") >= threshold))
+
+
+def _table_sign_bits(vec: Column, dim: int, planes: int,
+                     table: int) -> Column:
+    """Sign-bit bucket for one LSH table; hyperplanes are derived from
+    xxhash64(table, plane, component) — deterministic, JVM-side."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        plane = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.xxhash64(F.lit(table), F.lit(p), j)
+                       % F.lit(10**6)).cast("double") / F.lit(5 * 10**5))
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda xx, h: xx.cast("double") * h),
+            F.lit(0.0), lambda acc, val: acc + val)
+        bucket = bucket + F.when(dot > 0,
+                                 F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket

@@ -64,6 +64,20 @@ def test_ann_lsh_recall(emb):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_embedding_lsh_vs_bruteforce(emb):
+    """LSH candidates verify with exact cosine, so the LSH result is a
+    subset of brute force.  The planted near-dups sit at cosine ~0.4
+    (per-plane collision p ~ 0.63), so the operating point is few
+    planes / many tables (see dedup.embedding_dup_pairs_lsh recall
+    formula): planes=3, tables=12 -> expected ~95% recall."""
+    exact = _pairs(L.embedding_dup_pairs(emb, "embedding", "vec_id", 0.4))
+    approx = _pairs(L.embedding_dup_pairs_lsh(emb, "embedding", "vec_id",
+                                              0.4, planes=3, tables=12))
+    assert approx <= exact
+    assert len(exact) > 0
+    assert len(approx) >= 0.85 * len(exact)
+
+
 def test_exact_dedup_idempotent(docs):
     d1 = L.exact_dedup(docs, "text", "doc_id")
     assert d1.count() == docs.count()  # sf0.001 has no exact dups
