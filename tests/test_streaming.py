@@ -129,6 +129,54 @@ def test_streaming_file_source_via_ddl(spark, src_dir):
     assert got == {("u0", 12), ("u1", 12)}
 
 
+def test_socket_source_live(spark):
+    """End-to-end socket source: a real TCP server feeds CSV lines into
+    `create stream ... source host(...)` and out a memory sink."""
+    import socket
+    import threading
+    import time
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(b"1,x,2.5\n2,y,3.5\n3,z,4.5\n")
+            stop.wait(90)          # keep the connection open until done
+        finally:
+            conn.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    try:
+        eng = FsqlEngine(spark)
+        eng.sql(f"create stream sock (a int, b string, c double) "
+                f"source host('127.0.0.1', {port})")
+        df = eng.catalog.get("sock")
+        assert df.isStreaming
+        q = eng.start_sink(df, name="socksink", available_now=False)
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("select count(*) c from socksink") \
+                        .first()["c"] >= 3:
+                    break
+                time.sleep(0.5)
+            rows = sorted((r["a"], r["b"], r["c"])
+                          for r in spark.table("socksink").collect())
+            assert rows == [(1, "x", 2.5), (2, "y", 3.5), (3, "z", 4.5)]
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        server.close()
+
+
 def test_socket_line_parsing(spark):
     # socket source itself needs a live TCP endpoint; the line-decode path
     # (value -> typed columns, engine._parse_text_lines) is testable batch
