@@ -69,12 +69,24 @@ def main():
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # engine compile-phase timings (parity with the reference's Timer,
+    # fsql/timer.scala:3-16 / BASELINE.md "engine-internal")
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    eng.load_dir(SF_DIR)
+    eng.sql("""select l_returnflag, count(*) as cnt, sum(l_quantity) as q
+               from lineitem join orders on l_orderkey = o_orderkey
+               where l_discount between 0.01 and 0.05
+               group by l_returnflag""")
+    phases = {k: round(v, 3) for k, v in eng.timer.phases.items()}
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "compile_phases_ms": phases,
         "sf": sf,
     }))
 
