@@ -477,11 +477,16 @@ class Planner:
     def _stream_count_window_agg(self, sel: Select, df: DataFrame,
                                  leaf) -> DataFrame:
         """FSQL count-window aggregation on a STREAM: compile to the
-        stateful operator (streaming/stateful.py).  Supported shape —
-        plain-column grouping keys and simple sum/count/min/max/avg calls
-        on plain (numeric) columns, the reference's entire aggregate
-        surface.  Aggregate results are double (count cast back to long);
-        output carries window_no like the batch emulation."""
+        stateful operator (streaming/stateful.py).
+
+        The stateful op evaluates the simple sum/count/min/max/avg calls
+        (the reference's entire aggregate surface) over plain numeric
+        columns; projection items and HAVING may be arbitrary scalar
+        expressions over those calls and the grouping keys — agg calls
+        are swapped for references to the stateful outputs and the rest
+        compiles as a normal post-projection/filter.  count(...) is cast
+        back to long; other aggregates are double; output carries
+        window_no like the batch emulation."""
         from .streaming.stateful import count_window_agg
 
         spec: WindowSpec = leaf.window
@@ -494,48 +499,60 @@ class Planner:
             keys.append(g.name)
         if spec.partition is not None and spec.partition.name not in keys:
             keys.append(spec.partition.name)
-        if sel.having is not None or sel.order_by:
-            raise PlanError("HAVING/ORDER BY are not supported on "
-                            "streaming count windows")
-
-        aggs: list[tuple] = []
-        out_cols: list[tuple] = []      # (kind, source, alias)
-        needs_ones = False
-        for i, item in enumerate(sel.items):
-            name = _item_name(item, i)
-            e = item.expr
-            if isinstance(e, Col):
-                if e.name not in keys:
-                    raise PlanError(
-                        f"column {e.name!r} is not a grouping key of the "
-                        "streaming count window")
-                out_cols.append(("key", e.name, name))
-                continue
-            if isinstance(e, FuncCall) and self.registry.is_aggregate(e.name):
-                fn = e.name.lower()
-                if fn not in ("sum", "count", "min", "max", "avg"):
-                    raise PlanError(
-                        f"streaming count windows support "
-                        f"sum/count/min/max/avg, got {fn!r}")
-                if not e.args or isinstance(e.args[0], Star):
-                    needs_ones = True
-                    aggs.append(("count", "__ones", name))
-                elif isinstance(e.args[0], Col):
-                    aggs.append((fn, e.args[0].name, name))
-                else:
-                    raise PlanError(
-                        "streaming count-window aggregates take a plain "
-                        "column argument")
-                out_cols.append(("agg", fn, name))
-                continue
-            raise PlanError(
-                "streaming count-window select items must be grouping "
-                "keys or simple aggregate calls")
-
+        if sel.order_by:
+            raise PlanError("ORDER BY is not supported on streaming "
+                            "count windows (unbounded result)")
         if spec.every is not None and (spec.every.unit is not None
                                        or spec.every.on_col is not None):
             raise PlanError("a count-based window needs a count-based "
                             "`every` (no unit / `on` column)")
+
+        # harvest aggregate calls from items + having; map each distinct
+        # call to a stateful output column
+        aggs: list[tuple] = []
+        call_alias: dict[int, str] = {}
+        count_aliases: set = set()
+        needs_ones = False
+
+        def harvest(e):
+            nonlocal needs_ones
+            for x in walk_expr(e):
+                if not (isinstance(x, FuncCall)
+                        and self.registry.is_aggregate(x.name)):
+                    continue
+                if id(x) in call_alias:
+                    continue
+                fn = x.name.lower()
+                if fn not in ("sum", "count", "min", "max", "avg"):
+                    raise PlanError(
+                        f"streaming count windows support "
+                        f"sum/count/min/max/avg, got {fn!r}")
+                alias = f"__sa{len(call_alias)}"
+                if not x.args or isinstance(x.args[0], Star):
+                    needs_ones = True
+                    aggs.append(("count", "__ones", alias))
+                    count_aliases.add(alias)
+                elif isinstance(x.args[0], Col):
+                    aggs.append((fn, x.args[0].name, alias))
+                    if fn == "count":
+                        count_aliases.add(alias)
+                else:
+                    raise PlanError(
+                        "streaming count-window aggregates take a plain "
+                        "column argument")
+                call_alias[id(x)] = alias
+
+        for item in sel.items:
+            if isinstance(item.expr, Star):
+                raise PlanError("SELECT * cannot be combined with a "
+                                "streaming count-window aggregation")
+            harvest(item.expr)
+        if sel.having is not None:
+            harvest(sel.having)
+        if not aggs:
+            raise PlanError("streaming count-window query needs at least "
+                            "one aggregate")
+
         base = df.withColumn("__ones", F.lit(1.0)) if needs_ones else df
         order_cols = None
         if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
@@ -546,16 +563,64 @@ class Planner:
             base, keys, aggs, spec.size.value,
             every=spec.every.value if spec.every is not None else None,
             order_col=order_cols)
+        for alias in count_aliases:
+            out = out.withColumn(alias, F.col(alias).cast("long"))
 
-        final = []
-        for kind, src, alias in out_cols:
-            if kind == "key":
-                final.append(F.col(src).alias(alias))
-            elif src == "count":
-                final.append(F.col(alias).cast("long").alias(alias))
-            else:
-                final.append(F.col(alias))
+        def compile_post(e) -> Column:
+            """Compile an item/having expression over the stateful output:
+            agg calls -> their output columns; Cols must be keys."""
+            a = call_alias.get(id(e))
+            if a is not None:
+                return F.col(a)
+            if isinstance(e, Col):
+                if e.name not in keys:
+                    raise PlanError(
+                        f"column {e.name!r} is not a grouping key of the "
+                        "streaming count window")
+                return F.col(e.name)
+            if isinstance(e, Lit):
+                return F.lit(e.value)
+            if isinstance(e, Param):
+                return F.lit(self._bind_param(e))
+            if isinstance(e, BinOp):
+                return _apply_binop(e.op, compile_post(e.left),
+                                    compile_post(e.right))
+            if isinstance(e, UnOp):
+                x = compile_post(e.operand)
+                return {"not": lambda: ~x, "-": lambda: -x,
+                        "~": lambda: F.bitwise_not(x)}[e.op]()
+            if isinstance(e, Case):
+                c = None
+                for w, v in e.whens:
+                    wc, vc = compile_post(w), compile_post(v)
+                    c = F.when(wc, vc) if c is None else c.when(wc, vc)
+                return c.otherwise(compile_post(e.else_)) \
+                    if e.else_ is not None else c
+            if isinstance(e, Between):
+                x = compile_post(e.expr).between(compile_post(e.lo),
+                                                 compile_post(e.hi))
+                return ~x if e.negated else x
+            if isinstance(e, IsNull):
+                x = compile_post(e.expr)
+                return x.isNotNull() if e.negated else x.isNull()
+            if isinstance(e, InList):
+                x = compile_post(e.expr).isin(
+                    *[compile_post(i) for i in e.items])
+                return ~x if e.negated else x
+            if isinstance(e, FuncCall):
+                return self.registry.build(
+                    e.name, [compile_post(a2) for a2 in e.args])
+            raise PlanError(
+                f"{type(e).__name__} is not supported in a streaming "
+                "count-window projection")
+
+        final = [compile_post(item.expr).alias(_item_name(item, i))
+                 for i, item in enumerate(sel.items)]
         final.append(F.col("window_no"))
+        if sel.having is not None:
+            return (out.select(*final,
+                               compile_post(sel.having).alias("__hav"))
+                    .filter(F.col("__hav")).drop("__hav"))
         return out.select(*final)
 
     @staticmethod

@@ -277,11 +277,31 @@ def test_fsql_count_sliding_streaming(spark, sdf):
     assert sum(r["n"] for r in rows) == 3 + 6 * 7
 
 
+def test_fsql_count_window_expression_aggs_and_having(spark, sdf):
+    # arbitrary scalar expressions over agg calls + HAVING post-filter
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql("""
+        select user, round(sum(value) / count(*), 2) as avg_v,
+               case when max(value) > 20 then 'hi' else 'lo' end as tag
+        from ev [size 4 partitioned on user] group by user
+        having min(value) > 2""")
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    got = {(r["user"], r["window_no"], r["avg_v"], r["tag"]) for r in rows}
+    # u0 windows: (1,3,5,7) min=1 -> filtered by HAVING;
+    # (9,11,13,15) avg=12 max=15 -> lo; (17,19,21,23) avg=20 max=23 -> hi
+    assert got == {
+        ("u0", 1, 12.0, "lo"), ("u0", 2, 20.0, "hi"),
+        ("u1", 1, 13.0, "lo"), ("u1", 2, 21.0, "hi"),
+    }
+
+
 def test_fsql_count_window_bad_shape_raises(spark, sdf):
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
-    with pytest.raises(PlanError, match="simple aggregate"):
-        eng.sql("select sum(value) + 1 as x from ev [size 4]")
+    with pytest.raises(PlanError, match="plain column"):
+        eng.sql("select sum(value + 1) as x from ev [size 4]")
 
 
 def test_windowed_select_on_stream_is_continuous(spark, sdf):
