@@ -291,6 +291,8 @@ class Planner:
                 # no rank-function emulation on streams: route through the
                 # stateful operator when the query shape allows
                 return self._stream_count_window_agg(sel, df, window_leaf)
+            if df.isStreaming and _axis(spec.size) == "time":
+                df = self._ensure_watermark(df, window_leaf, spec)
             df, win_group, win_out = window_grouping(
                 df, spec, self._leaf_time_col(window_leaf))
             if spec.partition is not None:
@@ -622,6 +624,27 @@ class Planner:
                                compile_post(sel.having).alias("__hav"))
                     .filter(F.col("__hav")).drop("__hav"))
         return out.select(*final)
+
+    def _ensure_watermark(self, df: DataFrame, leaf,
+                          spec: WindowSpec) -> DataFrame:
+        """Auto-watermark (engine extension, SURVEY.md §7.0(4)): the
+        reference pre-dates watermarks, but Spark needs one to finalize
+        windows in append mode.  If the stream was registered without an
+        explicit watermark, default the allowed lateness to the window
+        size on the window's own time column."""
+        from .streaming.windows import duration_str
+        if spec.size.on_col is not None:
+            tname = spec.size.on_col.name
+        elif isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
+            tname = self.catalog.meta(leaf.name).event_time_col
+        else:
+            return df
+        if tname is None:
+            return df
+        if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
+            if self.catalog.meta(leaf.name).watermark:
+                return df          # user already chose a lateness bound
+        return df.withWatermark(tname, duration_str(spec.size))
 
     @staticmethod
     def _cowin_name(rel) -> str:

@@ -101,6 +101,20 @@ def test_watermark_update_mode(spark, sdf):
     assert total == 24
 
 
+def test_append_mode_auto_watermark(spark, sdf):
+    # no watermark registered: the planner defaults one (= window size)
+    # so append mode works and emits only finalized windows
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql("select count(*) as cnt from ev [size 10 min on ts]")
+    sink = run_to_memory(out, "append")
+    rows = spark.sql(f"select * from {sink}").collect()
+    # rows at 0:00..1:55 every 5 min; final watermark = 1:55 - 10 min =
+    # 1:45 -> the ten windows ending 0:10..1:40 are final, 2 rows each
+    assert len(rows) == 10
+    assert all(r["cnt"] == 2 for r in rows)
+
+
 def test_derived_stream_streaming(spark, sdf):
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
