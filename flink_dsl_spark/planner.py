@@ -290,7 +290,14 @@ class Planner:
             if df.isStreaming and _axis(spec.size) == "count":
                 # no rank-function emulation on streams: route through the
                 # stateful operator when the query shape allows
-                return self._stream_count_window_agg(sel, df, window_leaf)
+                return self._stream_stateful_window_agg(
+                    sel, df, window_leaf, axis="count")
+            if df.isStreaming and _axis(spec.size) == "delta" \
+                    and spec.every is not None:
+                # sliding delta windows use a max-over-partition filter in
+                # batch — streaming needs the stateful operator
+                return self._stream_stateful_window_agg(
+                    sel, df, window_leaf, axis="delta")
             if df.isStreaming and _axis(spec.size) == "time":
                 df = self._ensure_watermark(df, window_leaf, spec)
             df, win_group, win_out = window_grouping(
@@ -476,10 +483,10 @@ class Planner:
             return joined
         raise PlanError(f"cannot plan relation {type(rel).__name__}")
 
-    def _stream_count_window_agg(self, sel: Select, df: DataFrame,
-                                 leaf) -> DataFrame:
-        """FSQL count-window aggregation on a STREAM: compile to the
-        stateful operator (streaming/stateful.py).
+    def _stream_stateful_window_agg(self, sel: Select, df: DataFrame,
+                                    leaf, axis: str) -> DataFrame:
+        """FSQL count/delta-window aggregation on a STREAM: compile to
+        the stateful operators (streaming/stateful.py).
 
         The stateful op evaluates the simple sum/count/min/max/avg calls
         (the reference's entire aggregate surface) over plain numeric
@@ -488,8 +495,9 @@ class Planner:
         are swapped for references to the stateful outputs and the rest
         compiles as a normal post-projection/filter.  count(...) is cast
         back to long; other aggregates are double; output carries
-        window_no like the batch emulation."""
-        from .streaming.stateful import count_window_agg
+        window_no (count axis) / trigger (delta axis) like the batch
+        emulation."""
+        from .streaming.stateful import count_window_agg, delta_window_agg
 
         spec: WindowSpec = leaf.window
         keys: list[str] = []
@@ -504,10 +512,15 @@ class Planner:
         if sel.order_by:
             raise PlanError("ORDER BY is not supported on streaming "
                             "count windows (unbounded result)")
-        if spec.every is not None and (spec.every.unit is not None
-                                       or spec.every.on_col is not None):
+        if axis == "count" and spec.every is not None and \
+                (spec.every.unit is not None
+                 or spec.every.on_col is not None):
             raise PlanError("a count-based window needs a count-based "
                             "`every` (no unit / `on` column)")
+        if axis == "delta" and spec.every.unit is not None:
+            raise PlanError("a delta window's `every` must be a plain "
+                            "numeric step (optionally `on` the same "
+                            "column)")
 
         # harvest aggregate calls from items + having; map each distinct
         # call to a stateful output column
@@ -556,15 +569,23 @@ class Planner:
                             "one aggregate")
 
         base = df.withColumn("__ones", F.lit(1.0)) if needs_ones else df
-        order_cols = None
-        if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
-            et = self.catalog.meta(leaf.name).event_time_col
-            if et:
-                order_cols = [et]
-        out = count_window_agg(
-            base, keys, aggs, spec.size.value,
-            every=spec.every.value if spec.every is not None else None,
-            order_col=order_cols)
+        if axis == "count":
+            order_cols = None
+            if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
+                et = self.catalog.meta(leaf.name).event_time_col
+                if et:
+                    order_cols = [et]
+            out = count_window_agg(
+                base, keys, aggs, spec.size.value,
+                every=spec.every.value if spec.every is not None else None,
+                order_col=order_cols)
+            win_col = "window_no"
+        else:
+            out = delta_window_agg(
+                base, keys, aggs, float(spec.size.value),
+                every=float(spec.every.value),
+                delta_col=spec.size.on_col.name)
+            win_col = "trigger"
         for alias in count_aliases:
             out = out.withColumn(alias, F.col(alias).cast("long"))
 
@@ -618,7 +639,7 @@ class Planner:
 
         final = [compile_post(item.expr).alias(_item_name(item, i))
                  for i, item in enumerate(sel.items)]
-        final.append(F.col("window_no"))
+        final.append(F.col(win_col))
         if sel.having is not None:
             return (out.select(*final,
                                compile_post(sel.having).alias("__hav"))

@@ -129,6 +129,136 @@ def count_window_agg(sdf: DataFrame,
     return out.drop("__gk") if not key_cols else out
 
 
+def delta_window_agg(sdf: DataFrame,
+                     key_cols: list[str],
+                     aggs: list[tuple[str, str, str]],
+                     size: float,
+                     every: float,
+                     delta_col: str) -> DataFrame:
+    """Sliding DELTA-axis windows on a streaming DataFrame.
+
+    ``[size N on col every M on col]``: a trigger fires at every multiple
+    T of ``every`` on the (assumed per-key monotone non-decreasing)
+    numeric column; each firing aggregates rows with col in (T-N, T] —
+    the same window bounds as the batch exploded-trigger emulation
+    (windows.py _explode_triggers).  Trigger T fires when the first row
+    with col > T arrives, so — unlike batch end-of-data semantics — a
+    trigger exactly at the maximum seen value stays open.  State per key
+    is the bounded row buffer of the trailing ``size`` units plus the
+    last fired trigger.
+
+    Output schema: key_cols + [trigger] + aliases (append mode).
+    """
+    for fn, _c, _a in aggs:
+        if fn not in _SUPPORTED:
+            raise PlanError(
+                f"delta_window_agg supports {_SUPPORTED}, got {fn!r}")
+    if size <= 0 or every <= 0:
+        raise PlanError("window size/every must be positive")
+
+    agg_cols = [c for _f, c, _a in aggs]
+    keyed = sdf if key_cols else sdf.withColumn("__gk", _lit0())
+    group_keys = key_cols if key_cols else ["__gk"]
+    key_fields = [keyed.schema[k] for k in group_keys]
+    out_schema = StructType(
+        list(key_fields)
+        + [StructField("trigger", DoubleType())]
+        + [StructField(alias, DoubleType()) for _f, _c, alias in aggs])
+    # state: last fired trigger, position buffer, one value buffer per agg
+    state_schema = StructType(
+        [StructField("last_t", DoubleType()),
+         StructField("pos", _arr_double())]
+        + [StructField(f"buf{i}", _arr_double())
+           for i in range(len(agg_cols))])
+
+    import math
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            row = state.get
+            last_t = row[0]
+            pos = list(row[1])
+            bufs = [list(row[2 + i]) for i in range(len(agg_cols))]
+        else:
+            last_t = None
+            pos = []
+            bufs = [[] for _ in agg_cols]
+
+        out_rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(delta_col, kind="mergesort")
+            cvals = pdf[delta_col].astype("float64").to_numpy()
+            vcols = [pdf[c].astype("float64").to_numpy() for c in agg_cols]
+            for r in range(len(pdf)):
+                c = float(cvals[r])
+                # fire every trigger T (multiple of `every`) with
+                # last_t < T < c before admitting this row
+                t = math.floor((c - 1e-12) / every) * every
+                first = (math.floor(pos[0] / every) * every
+                         if pos else t) - every
+                start = last_t if last_t is not None else first
+                nxt = math.floor(start / every) * every + every
+                while nxt < c - 1e-12:
+                    emitted = _emit_delta(key, nxt, pos, bufs, aggs, size)
+                    if emitted is not None:   # skip row-less triggers
+                        out_rows.append(emitted)
+                    last_t = nxt
+                    nxt += every
+                pos.append(c)
+                for b, arr in zip(bufs, vcols):
+                    b.append(float(arr[r]))
+                # prune: rows at col <= last_t - size serve no future
+                # trigger (triggers only move forward)
+                if last_t is not None:
+                    cut = last_t - size
+                    drop = 0
+                    while drop < len(pos) and pos[drop] <= cut + 1e-12:
+                        drop += 1
+                    if drop:
+                        del pos[:drop]
+                        for b in bufs:
+                            del b[:drop]
+        state.update(tuple([last_t, list(pos)]
+                           + [list(b) for b in bufs]))
+        if out_rows:
+            yield pd.DataFrame(out_rows,
+                               columns=[f.name for f in out_schema.fields])
+
+    grouped = keyed.groupBy(*group_keys)
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    return out.drop("__gk") if not key_cols else out
+
+
+def _emit_delta(key, trigger, pos, bufs, aggs, size):
+    import math
+    row = list(key) + [float(trigger)]
+    lo, hi = trigger - size, trigger
+    idx = [i for i, p in enumerate(pos)
+           if lo + 1e-12 < p <= hi + 1e-12]
+    if not idx:
+        # batch parity: a trigger with no co-resident rows produces no
+        # output row (windows.py joins rows TO triggers)
+        return None
+    for (fn, _c, _a), buf in zip(aggs, bufs):
+        vals = [buf[i] for i in idx if not math.isnan(buf[i])]
+        if fn == "count":
+            row.append(float(len(vals)))
+        elif not vals:
+            row.append(None)
+        elif fn == "sum":
+            row.append(float(sum(vals)))
+        elif fn == "min":
+            row.append(float(min(vals)))
+        elif fn == "max":
+            row.append(float(max(vals)))
+        else:
+            row.append(float(sum(vals)) / len(vals))
+    return row
+
+
 def _emit(key, seen, bufs, aggs, m):
     import math
     row = list(key) + [seen // m - 1]

@@ -311,6 +311,31 @@ def test_fsql_count_window_expression_aggs_and_having(spark, sdf):
     }
 
 
+def test_fsql_delta_sliding_streaming_matches_batch(spark, sdf, src_dir):
+    """Streaming delta-sliding windows (stateful) produce the same
+    (key, trigger, agg) set as the batch exploded-trigger emulation —
+    the final trigger never lands exactly on the max value here, so the
+    end-of-data difference doesn't bite."""
+    q = ("select user, sum(value) as sv, count(*) as n "
+         "from ev [size 10 on value every 5 on value partitioned on user] "
+         "group by user")
+    # batch
+    engb = FsqlEngine(spark)
+    engb.register("ev", spark.read.parquet(src_dir))
+    batch = {(r["user"], float(r["trigger"]), r["sv"], r["n"])
+             for r in engb.sql(q).collect()}
+    # streaming
+    engs = FsqlEngine(spark)
+    engs.register("ev", sdf, event_time_col="ts")
+    out = engs.sql(q)
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    stream = {(r["user"], float(r["trigger"]), r["sv"], r["n"])
+              for r in spark.sql(f"select * from {sink}").collect()}
+    assert len(batch) > 0
+    assert stream == batch
+
+
 def test_fsql_count_window_bad_shape_raises(spark, sdf):
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
