@@ -190,6 +190,11 @@ _FSQL: dict[str, str] = {
         from events [size 10 min on ts] as s1
         left join events [size 10 min on ts] as s2
           on s1.user_id = s2.user_id""",
+    "q35_delta_sliding": """
+        select user_id, count(*) as cnt, round(sum(value), 2) as sv
+        from events [size 50 on value every 20 on value
+                     partitioned on user_id]
+        group by user_id""",
 }
 
 _PARAMS: dict[str, list] = {
@@ -309,8 +314,38 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("sv", 2).alias("sv"),
                          F.col("n").cast("long").alias("n"), "mx")
 
+    def s03(spark, d):
+        # windowed stream JOIN: co-window equality inner join — emits
+        # immediately (no outer-side withholding), so complete
+        # determinism vs the SQL window-equality join
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "events_s3", f"{d}/events.parquet", event_time_col="ts",
+            watermark="0 seconds")
+        out = eng.sql("""
+            select s1.event_id, s2.event_id as id2
+            from events_s3 [size 10 min on ts] as s1
+            join events_s3 [size 10 min on ts] as s2
+              on s1.user_id = s2.user_id""")
+        return _run_stream(spark, out, "append")
+
+    def s04(spark, d):
+        # streaming delta-sliding windows (stateful); within each batch
+        # rows are processed in delta-column order, and the single-file
+        # source is one batch, so results are deterministic
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("events_s4", f"{d}/events.parquet")
+        out = eng.sql("""
+            select user_id, count(*) as cnt, round(sum(value), 2) as sv
+            from events_s4 [size 50 on value every 20 on value
+                            partitioned on user_id]
+            group by user_id""")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
-            "s02_stream_count_window": s02}
+            "s02_stream_count_window": s02,
+            "s03_stream_windowed_join": s03,
+            "s04_stream_delta_window": s04}
 
 
 # ---------------------------------------------------------------------------
@@ -644,6 +679,21 @@ def oracle_sql() -> dict[str, str]:
                     range(0, octet_length(encode(text)), 4096)]
                        AS frame_offsets
             FROM documents""",
+        "q35_delta_sliding": """
+            WITH mx AS (SELECT user_id, max(value) AS vmax
+                        FROM events GROUP BY user_id),
+                 tr AS (SELECT user_id,
+                               unnest(generate_series(
+                                   20, CAST(floor(vmax/20) AS BIGINT)*20,
+                                   20)) AS trig
+                        FROM mx)
+            SELECT t.user_id, count(*) AS cnt,
+                   round(sum(e.value), 2) AS sv,
+                   t.trig AS trigger
+            FROM tr t JOIN events e
+              ON e.user_id = t.user_id
+             AND e.value > t.trig - 50 AND e.value <= t.trig
+            GROUP BY t.user_id, t.trig""",
         # --- true streaming execution (SURVEY §2.9) ---
         "s01_stream_time_window": """
             SELECT event_type, count(*) AS cnt,
@@ -666,6 +716,28 @@ def oracle_sql() -> dict[str, str]:
                    count(value) AS n, max(value) AS mx
             FROM c WHERE wsz = 5
             GROUP BY user_id, window_no""",
+        "s03_stream_windowed_join": """
+            SELECT a.event_id AS event_id, b.event_id AS id2
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND time_bucket(INTERVAL 10 MINUTE, a.ts)
+                 = time_bucket(INTERVAL 10 MINUTE, b.ts)""",
+        "s04_stream_delta_window": """
+            WITH mx AS (SELECT user_id, max(value) AS vmax
+                        FROM events GROUP BY user_id),
+                 tr AS (SELECT user_id,
+                               unnest(generate_series(
+                                   20,
+                                   CAST(ceil(vmax/20) AS BIGINT)*20 - 20,
+                                   20)) AS trig
+                        FROM mx)
+            SELECT t.user_id, count(*) AS cnt,
+                   round(sum(e.value), 2) AS sv,
+                   CAST(t.trig AS DOUBLE) AS trigger
+            FROM tr t JOIN events e
+              ON e.user_id = t.user_id
+             AND e.value > t.trig - 50 AND e.value <= t.trig
+            GROUP BY t.user_id, t.trig""",
         # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
         "x01_expr_projection": """
             SELECT event_id, (value + 1) * 2 AS v2,
