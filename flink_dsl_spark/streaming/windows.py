@@ -74,6 +74,24 @@ def _unit_seconds(p: Policy) -> float:
     return p.value * mult[p.unit]
 
 
+def _check_every_axis(axis: str, every: Optional[Policy]) -> None:
+    """The slide must be measured on the same axis as the extent
+    (a `[size 1 h every 10]` mixing time rows is a user error, not a
+    silent reinterpretation)."""
+    if every is None:
+        return
+    if axis == "time" and every.unit is None:
+        raise PlanError("a time window needs a time-based `every` "
+                        "(add a unit: sec/min/h/d)")
+    if axis == "count" and (every.unit is not None
+                            or every.on_col is not None):
+        raise PlanError("a count-based window needs a count-based "
+                        "`every` (no unit / `on` column)")
+    if axis == "delta" and every.unit is not None:
+        raise PlanError("a delta window's `every` must be a plain "
+                        "numeric step (optionally `on` the same column)")
+
+
 def _partition_cols(spec: WindowSpec) -> list[Column]:
     if spec.partition is None:
         return []
@@ -148,6 +166,7 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
     size, every = spec.size, spec.every
     axis = _axis(size)
     parts = _partition_cols(spec)
+    _check_every_axis(axis, every)
 
     if axis == "time":
         if time_col is None:

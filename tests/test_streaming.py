@@ -260,6 +260,52 @@ def test_count_window_state_across_batches(spark, src_dir):
     }
 
 
+def test_count_window_checkpoint_recovery(spark, tmp_path):
+    """State survives a full query RESTART: run with a checkpoint, stop,
+    add more source files, run again — the partial window buffered in
+    the state store completes with the new data."""
+    import datetime as dt
+    src = tmp_path / "src"
+    src.mkdir()
+    outp, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = "ts timestamp, user string, value double"
+
+    def write_batch(vals, fname):
+        rows = [(T0 + dt.timedelta(minutes=v), "u", float(v))
+                for v in vals]
+        spark.createDataFrame(rows, schema=schema) \
+             .coalesce(1).write.mode("overwrite") \
+             .parquet(str(src / fname))
+
+    def run_once():
+        sdf = (spark.readStream.schema(schema)
+               .parquet(str(src) + "/*"))
+        out = count_window_agg(sdf, ["user"],
+                               [("sum", "value", "sv")],
+                               size=4, order_col="ts")
+        q = (out.writeStream.format("parquet").option("path", outp)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    write_batch([1, 2, 3, 4, 5, 6], "b1")
+    run_once()                      # window 0 (1..4) emits; 5,6 buffered
+    write_batch([7, 8, 9, 10, 11, 12], "b2")
+    run_once()                      # windows 1 (5..8) and 2 (9..12)
+    got = {(r["window_no"], r["sv"])
+           for r in spark.read.parquet(outp).collect()}
+    assert got == {(0, 10.0), (1, 26.0), (2, 42.0)}
+
+
+def test_mixed_axis_window_rejected(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    with pytest.raises(PlanError, match="time-based"):
+        eng.sql("select count(*) as c from ev [size 1 h on ts every 10] ")
+    with pytest.raises(PlanError, match="count-based"):
+        eng.sql("select count(*) as c from ev [size 10 every 5 min]")
+
+
 def test_count_window_rejects_bad_fn(sdf):
     with pytest.raises(PlanError):
         count_window_agg(sdf, [], [("median", "value", "m")], size=4)
