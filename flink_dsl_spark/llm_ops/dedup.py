@@ -62,7 +62,7 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
     hash-aggregate; survivor = min id per group.  Returns
     (id, n_duplicates) for every surviving document."""
     key = normalized(F.col(text_col)) if normalize else F.col(text_col)
-    return (df
+    return (spread_for_compute(df)
             .groupBy(key.alias("__key"))
             .agg(F.min(id_col).alias(id_col),
                  F.count(F.lit(1)).alias("n_duplicates"))

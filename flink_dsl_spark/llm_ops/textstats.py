@@ -10,6 +10,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import normalized
+from .util import spread_for_compute
 
 # BPE-ish word/number/punct split (same RE2-safe pattern used in the
 # DuckDB oracles — letter runs, digit runs, single non-space symbols)
@@ -32,7 +33,7 @@ def _ws_tokens(text: Column) -> Column:
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + char count."""
     t = F.col(text_col)
-    return df.select(
+    return spread_for_compute(df).select(
         F.col(id_col).alias("id"),
         F.size(_ws_tokens(t)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(t, F.lit(TOKEN_PATTERN), 0))
@@ -57,7 +58,7 @@ def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         lang_col = F.when(
             (scores[lang] > 0) & (scores[lang] == best_score),
             F.lit(lang)).otherwise(lang_col)
-    return df.select(F.col(id_col).alias("id"),
+    return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      lang_col.alias("lang_pred"),
                      F.round(best_score, 6).alias("lang_score"))
 
@@ -85,7 +86,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     score = (F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio +
              F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0)) +
              F.lit(0.2) * wlen_score)
-    return df.select(F.col(id_col).alias("id"),
+    return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      F.round(score, 6).alias("quality"))
 
 
@@ -94,5 +95,5 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     set (word-order-insensitive; md5 gives cross-engine reproducibility)."""
     tokens = _ws_tokens(F.col(text_col))
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens)))
-    return df.select(F.col(id_col).alias("id"),
+    return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      F.md5(canon).alias("fingerprint"))
