@@ -206,6 +206,57 @@ def test_socket_line_parsing(spark):
         [(1, "x", 2.5), (2, "y", 3.5)]
 
 
+def test_socket_source_survives_malformed_lines(spark):
+    """A garbage line on the wire must not kill the stream: it decodes to
+    an all-null row (CSV PERMISSIVE semantics) and good lines around it
+    still arrive."""
+    import socket
+    import threading
+    import time
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        try:
+            conn.sendall(b"1,x,2.5\n")
+            conn.sendall(b"this is not csv at all \x00\xff\n")
+            conn.sendall(b"2,y,3.5\n")
+            stop.wait(90)
+        finally:
+            conn.close()
+
+    threading.Thread(target=serve, daemon=True).start()
+    try:
+        eng = FsqlEngine(spark)
+        eng.sql(f"create stream sockbad (a int, b string, c double) "
+                f"source host('127.0.0.1', {port})")
+        q = eng.start_sink(eng.catalog.get("sockbad"), name="sockbadsink",
+                           available_now=False)
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                if spark.sql("select count(*) c from sockbadsink") \
+                        .first()["c"] >= 3:
+                    break
+                time.sleep(0.5)
+            assert q.isActive, "stream died on a malformed line"
+            rows = spark.table("sockbadsink").collect()
+            good = sorted((r["a"], r["b"], r["c"]) for r in rows
+                          if r["a"] is not None)
+            assert good == [(1, "x", 2.5), (2, "y", 3.5)]
+        finally:
+            q.stop()
+    finally:
+        stop.set()
+        server.close()
+
+
 # --------------------------------------------------------------------------
 # M5: stateful count windows on streams
 # --------------------------------------------------------------------------
