@@ -161,11 +161,20 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                       num_hashes: int = 64, bands: int = 16,
                       n: int = 8, threshold: float = 0.8,
-                      seed: int = 42) -> DataFrame:
+                      seed: int = 42,
+                      max_bucket_size: int | None = None) -> DataFrame:
     """Near-duplicate pairs via banded MinHash-LSH, verified with exact
     Jaccard on the candidates.  bands=16 x rows=4 over 64 hashes targets
     ~(1/16)^(1/4) ≈ 0.5 similarity at 50% candidate probability — safely
-    below a 0.8 threshold (near-certain recall there)."""
+    below a 0.8 threshold (near-certain recall there).
+
+    ``max_bucket_size`` is the skew guard for the candidate self-join: a
+    degenerate bucket of b identical documents contributes b^2/2 pairs,
+    so one million-document duplicate cluster turns the join into a
+    single 10^12-pair straggler.  Buckets larger than the cap are
+    dropped (cluster members still pair through exact_dedup, which
+    handles identical content in one hash-aggregate); every member of a
+    capped bucket still participates via its other bands."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
@@ -183,6 +192,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     ])
     buckets = (sig.select("id", F.explode(band_arr).alias("b"))
                   .select("id", "b.band", "b.bh"))
+    if max_bucket_size is not None:
+        # one extra (band, bh) aggregate — partial-agg shuffle of counts,
+        # not of members — then a broadcast-able small filter join
+        big = (buckets.groupBy("band", "bh")
+                      .agg(F.count(F.lit(1)).alias("__bc"))
+                      .filter(F.col("__bc") > max_bucket_size)
+                      .select("band", "bh"))
+        buckets = buckets.join(F.broadcast(big), ["band", "bh"],
+                               "left_anti")
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
                    (F.col("x.bh") == F.col("y.bh")) &

@@ -34,6 +34,40 @@ def test_minhash_matches_exact_jaccard(docs):
     assert approx == exact and len(exact) > 0
 
 
+def test_minhash_bucket_cap_guards_skew(spark, docs):
+    """With a giant identical-duplicate cluster planted, capping the
+    bucket size drops the degenerate intra-cluster buckets (those pairs
+    belong to exact_dedup) while genuinely-near pairs keep flowing
+    through their other bands."""
+    from pyspark.sql import functions as F
+    base = docs.limit(1).select("doc_id", "text")
+    clones = (spark.range(40)
+              .crossJoin(base)
+              .select((F.col("doc_id") + 100000 + F.col("id"))
+                      .alias("doc_id"), "text"))
+    corpus = docs.select("doc_id", "text").union(clones)
+
+    uncapped = _pairs(L.minhash_lsh_pairs(corpus, "text", "doc_id",
+                                          64, 16, 8, 0.8))
+    capped = _pairs(L.minhash_lsh_pairs(corpus, "text", "doc_id",
+                                        64, 16, 8, 0.8,
+                                        max_bucket_size=20))
+    clone_ids = {r.doc_id for r in clones.collect()} | \
+                {base.first()["doc_id"]}
+    in_cluster = {(a, b) for a, b in uncapped
+                  if a in clone_ids and b in clone_ids}
+    untouched = {(a, b) for a, b in uncapped
+                 if a not in clone_ids and b not in clone_ids}
+    assert len(in_cluster) > 100          # the quadratic blow-up exists
+    # identical clones share every bucket, so all their pairs are capped
+    assert not (capped & in_cluster)
+    # the cap only ever drops pairs, and only ones that co-bucket with
+    # the cluster — the bulk of unrelated near-dup pairs must survive
+    assert capped <= uncapped
+    assert len(capped & untouched) >= 0.8 * len(untouched)
+    assert len(capped) > 0
+
+
 def test_simhash_banding_is_complete(docs):
     """Pigeonhole property: 4x16-bit band candidates must find EXACTLY
     the pairs with hamming <= 3 — compare against brute-force hamming
