@@ -246,6 +246,12 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             planes=6, probe_bits=2),
+        "llm15_ann_ivf": lambda s, d: L.ivf_ann_topk(
+            _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
+            nlist=8, nprobe=4),
+        "llm16_ann_ivf_exhaustive": lambda s, d: L.ivf_ann_topk(
+            _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
+            nlist=8, nprobe=8),
         "llm08_token_stats": lambda s, d: L.token_stats(
             _docs(s, d), "text", "doc_id"),
         "llm09_lang_id": lambda s, d: L.lang_id(
@@ -593,6 +599,16 @@ def oracle_sql() -> dict[str, str]:
                                                b.embedding::DOUBLE[]), 6)
                   >= 0.4""",
         "llm06_ann_topk_bruteforce": """
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cosine DESC, id ASC LIMIT 10""",
+        # IVF with nprobe == nlist searches every cell, so its result is
+        # provably the exact top-k (same oracle as brute force); the
+        # pruned nprobe<nlist variant (llm15) is rows-only by nature
+        "llm16_ann_ivf_exhaustive": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
                          (SELECT embedding::DOUBLE[] FROM embeddings

@@ -9,7 +9,7 @@ from .dedup import (
     exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
     simhash_pairs, simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
 )
-from .simsearch import cosine_topk, lsh_ann_topk
+from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
     lang_id, quality_score, token_stats, fingerprint,
 )
@@ -21,7 +21,7 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "minhash_signatures", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
-    "lsh_ann_topk", "lang_id",
+    "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quality_score", "token_stats", "fingerprint", "with_binary_column",
     "decode_metadata", "sample_frames",
 ]

@@ -98,6 +98,22 @@ def test_ann_lsh_recall(emb):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ann_ivf_recall(emb):
+    """IVF with nprobe=4/nlist=8 must recover most of the exact top-k
+    (deterministic centroids from a seeded sample)."""
+    exact = [r.id for r in
+             L.cosine_topk(emb, "embedding", "vec_id", 0, 10).collect()]
+    approx = [r.id for r in
+              L.ivf_ann_topk(emb, "embedding", "vec_id", 0, 10,
+                             nlist=8, nprobe=4).collect()]
+    assert len(set(exact) & set(approx)) >= 6
+    # full probe == exact search (every cell searched)
+    full = [r.id for r in
+            L.ivf_ann_topk(emb, "embedding", "vec_id", 0, 10,
+                           nlist=8, nprobe=8).collect()]
+    assert full == exact
+
+
 def test_embedding_lsh_vs_bruteforce(emb):
     """LSH candidates verify with exact cosine, so the LSH result is a
     subset of brute force.  The planted near-dups sit at cosine ~0.4
