@@ -226,6 +226,42 @@ def _emb(spark, sf_dir):
     return _engine(spark, sf_dir).catalog.get("embeddings")
 
 
+def _events(spark, sf_dir):
+    return _engine(spark, sf_dir).catalog.get("events")
+
+
+def _temporal_queries() -> dict[str, Callable[[SparkSession, str],
+                                              DataFrame]]:
+    from flink_dsl_spark.temporal import asof_join, range_join
+
+    def q35(s, d):
+        ev = _events(s, d)
+        purchases = ev.filter("event_type = 'purchase'") \
+                      .selectExpr("user_id", "event_id as purchase_id",
+                                  "ts")
+        views = ev.filter("event_type = 'view'") \
+                  .selectExpr("user_id", "event_id as view_id", "ts",
+                              "value")
+        out = asof_join(purchases, views, by="user_id",
+                        left_on="ts", right_on="ts")
+        return out.selectExpr("user_id", "purchase_id", "view_id",
+                              "round(value, 2) as view_value")
+
+    def q36(s, d):
+        ev = _events(s, d)
+        clicks = ev.filter("event_type = 'click'") \
+                   .selectExpr("user_id", "event_id as click_id", "ts")
+        purchases = ev.filter("event_type = 'purchase'") \
+                      .selectExpr("user_id", "event_id as purchase_id",
+                                  "ts")
+        out = range_join(clicks, purchases, by="user_id",
+                         left_on="ts", right_on="ts",
+                         lower_sec=0, upper_sec=1800)
+        return out.selectExpr("user_id", "click_id", "purchase_id")
+
+    return {"q35_asof_join": q35, "q36_range_join": q36}
+
+
 def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_dsl_spark import llm_ops as L
 
@@ -395,6 +431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(_llm_queries())
     out.update(_x_queries())
     out.update(_stream_queries())
+    out.update(_temporal_queries())
     return out
 
 
@@ -598,6 +635,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6)
                   >= 0.4""",
+        "q35_asof_join": """
+            SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+                   v.event_id AS view_id, round(v.value, 2) AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts""",
+        "q36_range_join": """
+            SELECT c.user_id AS user_id, c.event_id AS click_id,
+                   p.event_id AS purchase_id
+            FROM events c JOIN events p
+              ON c.user_id = p.user_id
+             AND epoch(p.ts) >= epoch(c.ts)
+             AND epoch(p.ts) <= epoch(c.ts) + 1800
+            WHERE c.event_type = 'click'
+              AND p.event_type = 'purchase'""",
         "llm06_ann_topk_bruteforce": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

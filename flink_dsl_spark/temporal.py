@@ -1,0 +1,163 @@
+"""Temporal join operators (extension; the reference DSL has no as-of or
+range join — these cover the event/time-series queries a large pipeline
+needs on top of SURVEY.md §2.3's equality joins).
+
+Both operators are pure DataFrame compositions — no UDFs, no driver
+loops — so they inherit codegen, AQE, and spill handling:
+
+* ``asof_join`` is the union-and-carry-forward formulation: one shuffle
+  by key, one sort within partitions, a `last(..., ignorenulls)` running
+  window.  This is the scale-correct shape — the naive formulation
+  (inequality join + argmax) is a near-cross-product per key.
+* ``range_join`` buckets time into fixed bands and equi-joins on
+  (key, band), turning an inequality join Spark would plan as a
+  nested-loop into a hash/sort-merge join whose fan-out is bounded by
+  band occupancy; the exact predicate filters inside the band.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .errors import PlanError
+
+_MARK = "__asof_side"
+_T = "__asof_t"
+_PAY = "__asof_payload"
+
+
+def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
+              left_on: str, right_on: str,
+              direction: str = "backward",
+              tolerance_sec: Optional[float] = None,
+              suffix: str = "_right") -> DataFrame:
+    """For every left row, attach the single closest right row with
+    ``right_on <= left_on`` (direction='backward', inclusive) or
+    ``right_on >= left_on`` ('forward') within the same ``by`` key;
+    unmatched left rows keep nulls (left-outer semantics).
+
+    ``tolerance_sec`` additionally requires the match to lie within that
+    many seconds of the left timestamp.
+
+    Implementation: union both sides tagged with a marker, carry the
+    latest right payload forward with ``last(ignorenulls=True)`` over a
+    (key, time, marker) running window, then keep only left rows.
+    Exactly one exchange (hash by key) and one sort — at 100 TB this is
+    the same cost as any keyed aggregation, with no per-key quadratic
+    term.  Ties on the timestamp resolve to the LATEST right row in
+    (time, marker-ordinal) order, matching ASOF JOIN's inclusive bound.
+    """
+    if direction not in ("backward", "forward"):
+        raise PlanError("asof_join direction must be "
+                        "'backward' or 'forward'")
+    keys = [by] if isinstance(by, str) else list(by)
+    overlap = [c for c in right.columns
+               if c in left.columns and c not in keys]
+    r_payload = [c for c in right.columns if c not in keys]
+    if right_on not in right.columns:
+        raise PlanError(f"right_on column {right_on!r} not in right side")
+
+    def out_name(c: str) -> str:
+        return c + suffix if c in overlap else c
+
+    # right rows: key, event time, payload struct; marker 0 sorts before
+    # left marker 1 at equal timestamps -> inclusive match
+    r = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_on).cast("double").alias(_T),
+        F.lit(0).alias(_MARK),
+        F.struct(*[F.col(c).alias(out_name(c))
+                   for c in r_payload]).alias(_PAY),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in keys],
+    )
+    l = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_on).cast("double").alias(_T),
+        F.lit(1).alias(_MARK),
+        F.lit(None).cast(r.schema[_PAY].dataType).alias(_PAY),
+        *[F.col(c) for c in left.columns if c not in keys],
+    )
+    u = r.unionByName(l)
+
+    if direction == "backward":
+        w = (Window.partitionBy(*keys).orderBy(F.col(_T).asc(),
+                                               F.col(_MARK).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*keys).orderBy(F.col(_T).desc(),
+                                               F.col(_MARK).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = u.withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w)) \
+               .withColumn("__match_t",
+                           F.last(F.when(F.col(_MARK) == 0, F.col(_T)),
+                                  ignorenulls=True).over(w)) \
+               .filter(F.col(_MARK) == 1)
+
+    if tolerance_sec is not None:
+        gap = F.abs(F.col(_T) - F.col("__match_t"))
+        matched = matched.withColumn(
+            _PAY, F.when(gap <= F.lit(float(tolerance_sec)),
+                         F.col(_PAY)))
+
+    pay_cols = [F.col(f"{_PAY}.{out_name(c)}").alias(out_name(c))
+                for c in r_payload]
+    return matched.select(*keys,
+                          *[F.col(c) for c in left.columns
+                            if c not in keys],
+                          *pay_cols)
+
+
+def range_join(left: DataFrame, right: DataFrame, by: str | list[str],
+               left_on: str, right_on: str,
+               lower_sec: float, upper_sec: float,
+               suffix: str = "_right") -> DataFrame:
+    """All (left, right) pairs with the same ``by`` key and
+    ``left_on + lower_sec <= right_on <= left_on + upper_sec``
+    (bounds in seconds, inclusive).
+
+    Implementation: band the timeline into fixed buckets of the window
+    width and equi-join on (key, bucket), exploding each left row into
+    the buckets its admissible interval overlaps; the exact range
+    predicate then filters within the band.  Catalyst would otherwise
+    plan the pure inequality as a broadcast-nested-loop — quadratic per
+    key.  Each qualifying pair is produced exactly once because the
+    right row belongs to exactly one bucket."""
+    if upper_sec < lower_sec:
+        raise PlanError("range_join needs lower_sec <= upper_sec")
+    keys = [by] if isinstance(by, str) else list(by)
+    width = max(upper_sec - lower_sec, 1e-9)
+
+    overlap = [c for c in right.columns
+               if c in left.columns and c not in keys]
+
+    def out_name(c: str) -> str:
+        return c + suffix if c in overlap else c
+
+    lt = F.col(left_on).cast("double")
+    rt = F.col(right_on).cast("double")
+
+    lo_b = F.floor((lt + F.lit(lower_sec)) / F.lit(width))
+    hi_b = F.floor((lt + F.lit(upper_sec)) / F.lit(width))
+    l = left.select("*", F.explode(F.sequence(lo_b, hi_b))
+                    .alias("__band"))
+    r = right.select(
+        *[F.col(k).alias(f"__rk_{k}") for k in keys],
+        F.floor(rt / F.lit(width)).alias("__band"),
+        rt.alias("__rt"),
+        *[F.col(c).alias(out_name(c)) for c in right.columns
+          if c not in keys],
+    )
+    from functools import reduce
+    conds = [l["__band"] == r["__band"]] + \
+            [l[k] == r[f"__rk_{k}"] for k in keys]
+    joined = l.join(r, reduce(lambda a, b: a & b, conds))
+    lt_j = F.col(left_on).cast("double")
+    joined = joined.filter(
+        (F.col("__rt") >= lt_j + F.lit(lower_sec)) &
+        (F.col("__rt") <= lt_j + F.lit(upper_sec)))
+    drop = ["__band", "__rt"] + [f"__rk_{k}" for k in keys]
+    return joined.drop(*drop)
