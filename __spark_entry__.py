@@ -259,7 +259,17 @@ def _temporal_queries() -> dict[str, Callable[[SparkSession, str],
                          lower_sec=0, upper_sec=1800)
         return out.selectExpr("user_id", "click_id", "purchase_id")
 
-    return {"q35_asof_join": q35, "q36_range_join": q36}
+    def q37(s, d):
+        from pyspark.sql import functions as F
+        from flink_dsl_spark.temporal import sessionize
+        out = sessionize(_events(s, d), "ts", "user_id", 1800,
+                         {"n_events": F.count(F.lit(1)),
+                          "total_value": F.round(F.sum("value"), 2)})
+        return out.select("user_id", "session_start", "n_events",
+                          "total_value")
+
+    return {"q35_asof_join": q35, "q36_range_join": q36,
+            "q37_session_window": q37}
 
 
 def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -651,6 +661,25 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(p.ts) <= epoch(c.ts) + 1800
             WHERE c.event_type = 'click'
               AND p.event_type = 'purchase'""",
+        # Spark merges touching session extents: new session only when
+        # the gap is STRICTLY greater than 1800s
+        "q37_session_window": """
+            WITH o AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT *, sum(new_sess) OVER
+                     (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess_no
+              FROM o)
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM s GROUP BY user_id, sess_no""",
         "llm06_ann_topk_bruteforce": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

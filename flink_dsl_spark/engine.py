@@ -353,8 +353,10 @@ def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
     import pyarrow as pa
     for field in arrow_schema:
         if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+            # integer `div`, not `/`: float division of an ~1.7e18 nano
+            # count rounds in the 53-bit mantissa and lands a microsecond
+            # off; DuckDB (and arrow) floor-truncate, so must we
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(
-                    (F.col(field.name) / F.lit(1000)).cast("long")))
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
     return df

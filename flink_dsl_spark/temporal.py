@@ -111,6 +111,37 @@ def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
                           *pay_cols)
 
 
+def sessionize(df: DataFrame, ts_col: str, by: str | list[str],
+               gap_sec: float, aggs: dict | None = None) -> DataFrame:
+    """Group events into sessions: consecutive events of the same key
+    belong to one session while the gap between neighbors stays at or
+    under ``gap_sec``; a longer silence starts a new session.
+
+    Built on Spark's native ``session_window`` (dynamic-gap windows are
+    merged inside the aggregation operator — one keyed shuffle, state
+    bounded by open sessions), so the same call works on a streaming
+    DataFrame with a watermark.  Returns one row per session:
+    key cols, session_start, session_end, plus the requested aggregates
+    (default: n_events).
+
+    Edge semantics: Spark merges sessions whose [ts, ts+gap) extents
+    overlap OR touch, so a neighbor AT MOST ``gap_sec`` after its
+    predecessor stays in the session (closed boundary — verified by
+    test_sessionize_exact_gap_boundary).  session_end is
+    last_event_ts + gap (Spark's convention)."""
+    keys = [by] if isinstance(by, str) else list(by)
+    if aggs is None:
+        aggs = {"n_events": F.count(F.lit(1))}
+    win = F.session_window(F.col(ts_col), f"{gap_sec} seconds")
+    agg_cols = [expr.alias(name) for name, expr in aggs.items()]
+    out = (df.groupBy(win.alias("__sess"), *[F.col(k) for k in keys])
+             .agg(*agg_cols))
+    return out.select(*keys,
+                      F.col("__sess.start").alias("session_start"),
+                      F.col("__sess.end").alias("session_end"),
+                      *[F.col(n) for n in aggs])
+
+
 def range_join(left: DataFrame, right: DataFrame, by: str | list[str],
                left_on: str, right_on: str,
                lower_sec: float, upper_sec: float,

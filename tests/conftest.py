@@ -40,6 +40,9 @@ def normalize(pdf):
                 pdf[c] = pdf[c].dt.tz_localize(None)
             except TypeError:
                 pass
+            # Spark arrives as datetime64[ns], DuckDB as [us]; compare
+            # on one unit or assert_frame_equal diffs raw int64s
+            pdf[c] = pdf[c].astype("datetime64[ns]")
         # unify integer-valued numerics (int32/int64/float that are whole)
         if pd.api.types.is_integer_dtype(pdf[c]):
             pdf[c] = pdf[c].astype("int64")

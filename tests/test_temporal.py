@@ -3,7 +3,7 @@ native ASOF JOIN / inequality joins."""
 
 import pytest
 
-from flink_dsl_spark.temporal import asof_join, range_join
+from flink_dsl_spark.temporal import asof_join, range_join, sessionize
 from flink_dsl_spark.errors import PlanError
 
 from .conftest import assert_matches_oracle
@@ -101,6 +101,89 @@ def test_range_join_no_duplicate_pairs(ev):
                      lower_sec=-900, upper_sec=900)
     assert out.count() == out.select("click_id", "purchase_id") \
                              .distinct().count()
+
+
+def test_sessionize_matches_duckdb(ev, duck):
+    from pyspark.sql import functions as F
+    out = sessionize(ev, "ts", "user_id", 1800,
+                     {"n_events": F.count(F.lit(1)),
+                      "total_value": F.round(F.sum("value"), 2)})
+    out = out.select("user_id", "session_start", "n_events",
+                     "total_value")
+    # gaps-and-islands with Spark's closed boundary: a gap of exactly
+    # 1800s still merges (new session only when gap > 1800)
+    assert_matches_oracle(out, duck, """
+        WITH o AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(new_sess) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sess_no
+          FROM o)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM s GROUP BY user_id, sess_no""",
+        "sessionize")
+
+
+def test_sessionize_exact_gap_boundary(spark):
+    """Spark merges touching session extents: an event exactly gap
+    seconds after its predecessor stays in the SAME session (closed
+    boundary); one microsecond more opens a new one."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(t0, "u"), (t0 + dt.timedelta(seconds=60), "u"),
+            (t0 + dt.timedelta(seconds=120), "u"),
+            (t0 + dt.timedelta(seconds=180, microseconds=1), "u")]
+    df = spark.createDataFrame(rows, "ts timestamp, user string")
+    out = sessionize(df, "ts", "user", 60)
+    counts = sorted(r["n_events"] for r in out.collect())
+    assert counts == [1, 3]
+
+
+def test_sessionize_streaming(spark, tmp_path):
+    """The same operator runs on a stream: session aggregation with a
+    watermark, append mode.  Sessions emit once the watermark passes
+    their end, so each micro-batch (one file per trigger) closes the
+    sessions of the batch before it."""
+    import datetime as dt
+    from pyspark.sql import functions as F
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "sess_src"
+    src.mkdir()
+
+    def write(rows, fname):
+        spark.createDataFrame(
+            rows, "ts timestamp, user string, value double") \
+            .coalesce(1).write.parquet(str(src / fname))
+
+    write([(t0 + dt.timedelta(minutes=m), "u", 1.0)
+           for m in (0, 5, 10, 120, 125)], "b1")
+    # future sentinels: each advances the watermark past the previous
+    # batch's sessions
+    write([(t0 + dt.timedelta(hours=24), "z", 0.0)], "b2")
+    write([(t0 + dt.timedelta(hours=48), "z", 0.0)], "b3")
+
+    sdf = (spark.readStream
+           .schema("ts timestamp, user string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src) + "/*/")
+           .withWatermark("ts", "0 seconds"))
+    out = sessionize(sdf, "ts", "user", 1800,
+                     {"n_events": F.count(F.lit(1))})
+    q = (out.writeStream.format("memory").queryName("sess_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["user"], r["n_events"])
+           for r in spark.sql("select * from sess_sink").collect()
+           if r["user"] == "u"}
+    assert got == {("u", 3), ("u", 2)}
 
 
 def test_range_join_is_equi_join_plan(ev):
