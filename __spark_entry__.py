@@ -268,8 +268,18 @@ def _temporal_queries() -> dict[str, Callable[[SparkSession, str],
         return out.select("user_id", "session_start", "n_events",
                           "total_value")
 
+    def q38(s, d):
+        from pyspark.sql import functions as F
+        from flink_dsl_spark.temporal import rollup_timeseries
+        out = rollup_timeseries(
+            _events(s, d), "ts", "event_type",
+            [("count", "*", "n"), ("sum", "value", "v"),
+             ("max", "value", "mx")],
+            granularities_sec=[3600, 86400])
+        return out.withColumn("v", F.round("v", 2))
+
     return {"q35_asof_join": q35, "q36_range_join": q36,
-            "q37_session_window": q37}
+            "q37_session_window": q37, "q38_rollup_timeseries": q38}
 
 
 def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -680,6 +690,24 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM s GROUP BY user_id, sess_no""",
+        "q38_rollup_timeseries": """
+            WITH b AS (
+              SELECT 3600 AS granularity_sec,
+                     make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                    * 3600 * 1000000)
+                         AS bucket_start,
+                     event_type, count(*) AS n,
+                     round(sum(value), 2) AS v, max(value) AS mx
+              FROM events GROUP BY 2, 3
+              UNION ALL
+              SELECT 86400,
+                     make_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                    * 86400 * 1000000),
+                     event_type, count(*),
+                     round(sum(value), 2), max(value)
+              FROM events GROUP BY 2, 3)
+            SELECT granularity_sec, bucket_start, event_type, n, v, mx
+            FROM b""",
         "llm06_ann_topk_bruteforce": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

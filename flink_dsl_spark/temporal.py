@@ -142,6 +142,84 @@ def sessionize(df: DataFrame, ts_col: str, by: str | list[str],
                       *[F.col(n) for n in aggs])
 
 
+_ROLLUP_FNS = {"count", "sum", "min", "max"}
+
+
+def rollup_timeseries(df: DataFrame, ts_col: str, by: str | list[str],
+                      aggs: list[tuple[str, str, str]],
+                      granularities_sec: list[int]) -> DataFrame:
+    """Multi-resolution time-bucketed aggregates (hypertable-style
+    continuous-aggregate rollup): one output row per (granularity, key,
+    bucket_start), for every requested granularity.
+
+    Scale design — hierarchical re-aggregation: the raw table is scanned
+    and shuffled ONCE, at the finest granularity; every coarser level
+    re-aggregates the previous level's output, whose row count is
+    already collapsed by bucketing (a day-level pass over minute
+    aggregates touches 1/1440th of the events).  That is why ``aggs``
+    is restricted to re-aggregable functions (count/sum/min/max — count
+    re-aggregates as sum; averages should be derived as sum/count by
+    the caller).  Coarser granularities must be integer multiples of
+    the finest."""
+    keys = [by] if isinstance(by, str) else list(by)
+    for fn, _c, _a in aggs:
+        if fn not in _ROLLUP_FNS:
+            raise PlanError(
+                f"rollup_timeseries aggregate {fn!r} is not "
+                f"re-aggregable; use one of {sorted(_ROLLUP_FNS)}")
+    grans = sorted(set(int(g) for g in granularities_sec))
+    if not grans or grans[0] <= 0:
+        raise PlanError("granularities_sec must be positive")
+    base = grans[0]
+    for g in grans[1:]:
+        if g % base != 0:
+            raise PlanError(
+                f"granularity {g}s is not a multiple of the finest "
+                f"({base}s); hierarchical rollup needs aligned buckets")
+
+    def bucket(col, width):
+        return F.timestamp_seconds(
+            F.floor(col.cast("double") / F.lit(width)) * F.lit(width))
+
+    def agg_exprs(first_level: bool):
+        out = []
+        for fn, c, alias in aggs:
+            if first_level:
+                e = (F.count(F.lit(1)) if fn == "count"
+                     else getattr(F, fn)(F.col(c)))
+            else:
+                # count re-aggregates as sum of partial counts
+                e = F.sum(alias) if fn in ("count", "sum") \
+                    else getattr(F, fn)(F.col(alias))
+            out.append(e.alias(alias))
+        return out
+
+    finest = (df.groupBy(bucket(F.col(ts_col), base)
+                         .alias("bucket_start"),
+                         *[F.col(k) for k in keys])
+                .agg(*agg_exprs(True)))
+    if len(grans) > 1:
+        # the finest level feeds every coarser one: materialize it once
+        # (it is already collapsed by bucketing, so this is the small
+        # intermediate a continuous aggregate would persist anyway)
+        finest = finest.persist()
+    levels = [finest.select(F.lit(base).alias("granularity_sec"),
+                            "bucket_start", *keys,
+                            *[F.col(a) for _f, _c, a in aggs])]
+    for g in grans[1:]:
+        cur = (finest.groupBy(bucket(F.col("bucket_start"), g)
+                              .alias("bucket_start"),
+                              *[F.col(k) for k in keys])
+                     .agg(*agg_exprs(False)))
+        levels.append(cur.select(F.lit(g).alias("granularity_sec"),
+                                 "bucket_start", *keys,
+                                 *[F.col(a) for _f, _c, a in aggs]))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out
+
+
 def range_join(left: DataFrame, right: DataFrame, by: str | list[str],
                left_on: str, right_on: str,
                lower_sec: float, upper_sec: float,

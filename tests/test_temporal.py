@@ -3,7 +3,9 @@ native ASOF JOIN / inequality joins."""
 
 import pytest
 
-from flink_dsl_spark.temporal import asof_join, range_join, sessionize
+from flink_dsl_spark.temporal import (
+    asof_join, range_join, rollup_timeseries, sessionize,
+)
 from flink_dsl_spark.errors import PlanError
 
 from .conftest import assert_matches_oracle
@@ -184,6 +186,44 @@ def test_sessionize_streaming(spark, tmp_path):
            for r in spark.sql("select * from sess_sink").collect()
            if r["user"] == "u"}
     assert got == {("u", 3), ("u", 2)}
+
+
+def test_rollup_timeseries_matches_duckdb(ev, duck):
+    out = rollup_timeseries(
+        ev, "ts", "event_type",
+        [("count", "*", "n"), ("sum", "value", "v"),
+         ("max", "value", "mx")],
+        granularities_sec=[3600, 86400])
+    from pyspark.sql import functions as F
+    out = out.withColumn("v", F.round("v", 2))
+    assert_matches_oracle(out, duck, """
+        WITH b AS (
+          SELECT 3600 AS granularity_sec,
+                 make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                                    * 3600 * 1000000)
+                     AS bucket_start,
+                 event_type, count(*) AS n,
+                 round(sum(value), 2) AS v, max(value) AS mx
+          FROM events GROUP BY 2, 3
+          UNION ALL
+          SELECT 86400,
+                 make_timestamp(CAST(floor(epoch(ts) / 86400) AS BIGINT)
+                                    * 86400 * 1000000),
+                 event_type, count(*),
+                 round(sum(value), 2), max(value)
+          FROM events GROUP BY 2, 3)
+        SELECT granularity_sec, bucket_start, event_type, n, v, mx
+        FROM b""",
+        "rollup_timeseries")
+
+
+def test_rollup_rejects_non_reaggregable(ev):
+    with pytest.raises(PlanError, match="re-aggregable"):
+        rollup_timeseries(ev, "ts", "event_type",
+                          [("avg", "value", "a")], [3600])
+    with pytest.raises(PlanError, match="multiple"):
+        rollup_timeseries(ev, "ts", "event_type",
+                          [("sum", "value", "v")], [3600, 5400])
 
 
 def test_range_join_is_equi_join_plan(ev):
