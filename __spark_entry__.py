@@ -302,6 +302,9 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             planes=6, probe_bits=2),
+        "llm17_dup_clusters": lambda s, d: L.dup_clusters(
+            L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
+                                  n=8, threshold=0.8)),
         "llm15_ann_ivf": lambda s, d: L.ivf_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             nlist=8, nprobe=4),
@@ -708,6 +711,30 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 2, 3)
             SELECT granularity_sec, bucket_start, event_type, n, v, mx
             FROM b""",
+        # transitive closure of the llm02 pair set (recursive CTE):
+        # cluster_id = min doc id of the connected component
+        "llm17_dup_clusters": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id,
+                         list_distinct([substr(text, i, 8)
+                          for i in range(1, greatest(length(text)-6, 2))])
+                         AS sh
+                  FROM documents),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING round(count(*)::DOUBLE /
+                     (any_value(a.n_sh) + any_value(b.n_sh) - count(*)),
+                     6) >= 0.8),
+            ed AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a)
+            SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""",
         "llm06_ann_topk_bruteforce": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[],

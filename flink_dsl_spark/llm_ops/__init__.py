@@ -6,8 +6,9 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 """
 
 from .dedup import (
-    exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs, minhash_signatures,
-    simhash_pairs, simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
+    dup_clusters, exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs,
+    minhash_signatures, simhash_pairs, simhash_64, embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
@@ -18,7 +19,7 @@ from .multimodal import (
 )
 
 __all__ = [
-    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dup_clusters", "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "minhash_signatures", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",

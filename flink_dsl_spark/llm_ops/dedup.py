@@ -229,6 +229,61 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
 
 
 # ---------------------------------------------------------------------------
+# duplicate clustering (transitive closure of pair output)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
+                 id_b: str = "id_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over near-duplicate pairs: returns
+    (id, cluster_id) for every id appearing in ``pairs``, where
+    cluster_id is the minimum id of the component — the canonical
+    "keep one representative per duplicate cluster" step after any
+    pairwise dedup (A~B and B~C must collapse to ONE cluster even when
+    A~C was never emitted).
+
+    Implementation: iterative min-label propagation — each round is one
+    equi-join (labels onto edges) plus a min-aggregate, all JVM-side;
+    rounds needed = component diameter, which for duplicate clusters is
+    tiny.  Each round's result is persisted and the previous round
+    freed, so the lineage stays O(1) instead of growing per iteration
+    (at 100 TB this would be the difference between a stable job and a
+    stack-overflowing 25-deep plan).  Convergence is detected with a
+    monotone sum(label) fingerprint: one cheap action per round."""
+    e = pairs.select(F.col(id_a).cast("long").alias("src"),
+                     F.col(id_b).cast("long").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+                   .withColumn("label", F.col("id")).persist())
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels,
+                              edges["dst"] == labels["id"])
+                        .groupBy("src")
+                        .agg(F.min("label").alias("nbr_label")))
+        new_labels = (labels.join(nbr_min,
+                                  labels["id"] == nbr_min["src"],
+                                  "left")
+                      .select(labels["id"],
+                              F.least(labels["label"],
+                                      F.coalesce(F.col("nbr_label"),
+                                                 labels["label"]))
+                              .alias("label"))
+                      .persist())
+        cur_sum = new_labels.agg(F.sum("label")).first()[0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    edges.unpersist()
+    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -128,6 +128,50 @@ def test_embedding_lsh_vs_bruteforce(emb):
     assert len(approx) >= 0.85 * len(exact)
 
 
+def test_dup_clusters_transitive(spark):
+    """A~B and B~C collapse into one cluster even though A~C was never
+    emitted; disjoint pairs stay separate; labels are the component
+    minimum."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),          # chain -> one cluster, label 1
+         (10, 11),                        # separate cluster
+         (20, 21), (21, 20)],             # duplicate/reversed edges
+        "id_a long, id_b long")
+    got = {(r.id, r.cluster_id)
+           for r in L.dup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1),
+                   (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+def test_dup_clusters_on_real_pairs(docs, duck):
+    from .conftest import assert_matches_oracle
+    pairs = L.ngram_jaccard_pairs(docs, "text", "doc_id", 8, 0.8)
+    out = L.dup_clusters(pairs)
+    assert_matches_oracle(out, duck, """
+        WITH RECURSIVE
+        d AS (SELECT doc_id,
+                     list_distinct([substr(text, i, 8)
+                      for i in range(1, greatest(length(text)-6, 2))])
+                     AS sh
+              FROM documents),
+        e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+          HAVING round(count(*)::DOUBLE /
+                 (any_value(a.n_sh) + any_value(b.n_sh) - count(*)), 6)
+                 >= 0.8),
+        ed AS (SELECT id_a AS a, id_b AS b FROM p
+               UNION SELECT id_b, id_a FROM p),
+        reach(id, r) AS (
+          SELECT a, a FROM ed
+          UNION
+          SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a)
+        SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""",
+        "dup_clusters")
+
+
 def test_exact_dedup_idempotent(docs):
     d1 = L.exact_dedup(docs, "text", "doc_id")
     assert d1.count() == docs.count()  # sf0.001 has no exact dups
