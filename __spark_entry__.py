@@ -302,6 +302,8 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             planes=6, probe_bits=2),
+        "llm18_chunk_documents": lambda s, d: L.chunk_documents(
+            _docs(s, d), "text", "doc_id", chunk_tokens=64, overlap=8),
         "llm17_dup_clusters": lambda s, d: L.dup_clusters(
             L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
                                   n=8, threshold=0.8)),
@@ -711,6 +713,26 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 2, 3)
             SELECT granularity_sec, bucket_start, event_type, n, v, mx
             FROM b""",
+        "llm18_chunk_documents": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                        'g'),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+              FROM documents),
+            t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+            s AS (
+              SELECT id, toks,
+                     unnest(range(0, greatest(len(toks), 1), 56)) AS st
+              FROM t2)
+            SELECT id, (st / 56)::BIGINT AS chunk_no,
+                   len(toks[st + 1 : least(st + 64, len(toks))])
+                       AS n_tokens,
+                   array_to_string(toks[st + 1 :
+                                        least(st + 64, len(toks))], ' ')
+                       AS chunk_text
+            FROM s""",
         # transitive closure of the llm02 pair set (recursive CTE):
         # cluster_id = min doc id of the connected component
         "llm17_dup_clusters": """

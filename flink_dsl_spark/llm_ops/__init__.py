@@ -12,7 +12,7 @@ from .dedup import (
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
-    lang_id, quality_score, token_stats, fingerprint,
+    chunk_documents, lang_id, quality_score, token_stats, fingerprint,
 )
 from .multimodal import (
     with_binary_column, decode_metadata, sample_frames,
@@ -23,6 +23,7 @@ __all__ = [
     "minhash_signatures", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
-    "quality_score", "token_stats", "fingerprint", "with_binary_column",
+    "quality_score", "token_stats", "fingerprint", "chunk_documents",
+    "with_binary_column",
     "decode_metadata", "sample_frames",
 ]

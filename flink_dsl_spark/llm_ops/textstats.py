@@ -90,6 +90,38 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      F.round(score, 6).alias("quality"))
 
 
+def chunk_documents(df: DataFrame, text_col: str, id_col: str,
+                    chunk_tokens: int = 128,
+                    overlap: int = 16) -> DataFrame:
+    """Split each document into overlapping token-window chunks —
+    (id, chunk_no, n_tokens, chunk_text) — the standard pre-training /
+    embedding preprocessing step.
+
+    Whitespace tokens over the normalized text; windows advance by
+    ``chunk_tokens - overlap`` so consecutive chunks share ``overlap``
+    tokens; the final chunk may be short; empty documents yield no
+    rows.  Entirely JVM higher-order functions (split / sequence /
+    slice / posexplode) — no Python in the row path, and chunking a
+    document never leaves its partition (embarrassingly parallel)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    # split('') yields [''] — drop empty tokens so blank docs chunk to 0
+    tokens = F.filter(_ws_tokens(F.col(text_col)),
+                      lambda t: t != F.lit(""))
+    n = F.size(tokens)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(step))) \
+              .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.slice(tokens, s + 1, chunk_tokens))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.posexplode(chunks).alias("chunk_no", "__toks"))
+              .select("id", "chunk_no",
+                      F.size("__toks").alias("n_tokens"),
+                      F.concat_ws(" ", "__toks").alias("chunk_text")))
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 over the sorted distinct normalized token
     set (word-order-insensitive; md5 gives cross-engine reproducibility)."""

@@ -182,6 +182,52 @@ def test_exact_dedup_idempotent(docs):
     assert d2.filter("n_duplicates = 2").count() == 1
 
 
+def test_chunk_documents_windows(spark):
+    """Chunks advance by chunk-overlap; consecutive chunks share the
+    overlap; the tail chunk may be short; empty docs vanish."""
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(10))),   # 10 tokens
+         (2, "a b"), (3, "")],
+        "doc_id long, text string")
+    out = {(r.id, r.chunk_no): (r.n_tokens, r.chunk_text)
+           for r in L.chunk_documents(df, "text", "doc_id",
+                                      chunk_tokens=4, overlap=1)
+                      .collect()}
+    # doc 1: starts 0,3,6,9 -> windows of 4 tokens, last short
+    assert out[(1, 0)] == (4, "t0 t1 t2 t3")
+    assert out[(1, 1)] == (4, "t3 t4 t5 t6")
+    assert out[(1, 2)] == (4, "t6 t7 t8 t9")
+    assert out[(1, 3)] == (1, "t9")
+    assert out[(2, 0)] == (2, "a b")
+    assert {k[0] for k in out} == {1, 2}
+
+
+def test_chunk_documents_matches_duckdb(docs, duck):
+    from .conftest import assert_matches_oracle
+    out = L.chunk_documents(docs, "text", "doc_id",
+                            chunk_tokens=64, overlap=8)
+    assert_matches_oracle(out, duck, """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                    'g'),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          FROM documents),
+        t2 AS (SELECT id, toks FROM t WHERE len(toks) > 0),
+        s AS (
+          SELECT id, toks,
+                 unnest(range(0, greatest(len(toks), 1), 56)) AS st
+          FROM t2)
+        SELECT id, (st / 56)::BIGINT AS chunk_no,
+               len(toks[st + 1 : least(st + 64, len(toks))]) AS n_tokens,
+               array_to_string(toks[st + 1 :
+                                    least(st + 64, len(toks))], ' ')
+                   AS chunk_text
+        FROM s""",
+        "chunk_documents")
+
+
 def test_multimodal_plumbing(docs):
     b = L.with_binary_column(docs, "text", "doc_id")
     meta = L.decode_metadata(b)
