@@ -302,6 +302,8 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             planes=6, probe_bits=2),
+        "llm19_top_terms_tfidf": lambda s, d: L.top_terms_tfidf(
+            _docs(s, d), "text", "doc_id", k=5),
         "llm18_chunk_documents": lambda s, d: L.chunk_documents(
             _docs(s, d), "text", "doc_id", chunk_tokens=64, overlap=8),
         "llm17_dup_clusters": lambda s, d: L.dup_clusters(
@@ -713,6 +715,26 @@ def oracle_sql() -> dict[str, str]:
               FROM events GROUP BY 2, 3)
             SELECT granularity_sec, bucket_start, event_type, n, v, mx
             FROM b""",
+        "llm19_top_terms_tfidf": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     unnest(list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                        'g'),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+              FROM documents),
+            tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+            sc AS (SELECT id, term, tf,
+                          round(tf * (ln((n.n + 1) / (dfq.df + 1)) + 1),
+                                6) AS score
+                   FROM tf JOIN dfq USING (term) CROSS JOIN n),
+            r AS (SELECT *, row_number() OVER
+                      (PARTITION BY id ORDER BY score DESC, term ASC)
+                      AS rn
+                  FROM sc)
+            SELECT id, term, tf, score FROM r WHERE rn <= 5""",
         "llm18_chunk_documents": """
             WITH t AS (
               SELECT doc_id AS id,

@@ -13,6 +13,7 @@ from .dedup import (
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
     chunk_documents, lang_id, quality_score, token_stats, fingerprint,
+    top_terms_tfidf,
 )
 from .multimodal import (
     with_binary_column, decode_metadata, sample_frames,
@@ -24,6 +25,6 @@ __all__ = [
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quality_score", "token_stats", "fingerprint", "chunk_documents",
-    "with_binary_column",
+    "top_terms_tfidf", "with_binary_column",
     "decode_metadata", "sample_frames",
 ]

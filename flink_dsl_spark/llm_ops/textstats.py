@@ -122,6 +122,38 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                       F.concat_ws(" ", "__toks").alias("chunk_text")))
 
 
+def top_terms_tfidf(df: DataFrame, text_col: str, id_col: str,
+                    k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF:
+    (id, term, tf, score) with score = tf * (ln((N+1)/(df+1)) + 1).
+
+    Scale shape: explode -> per-(doc, term) count (one shuffle with
+    map-side combine), document frequency per term (aggregated on the
+    same exploded pass, second shuffle on term), then a per-doc top-k
+    window.  Ordering ties break on the ROUNDED score then term, so the
+    result is reproducible across engines whose ln() differs in the
+    last ulp."""
+    from pyspark.sql import Window
+
+    tokens = F.filter(_ws_tokens(F.col(text_col)),
+                      lambda t: t != F.lit(""))
+    terms = (df.select(F.col(id_col).alias("id"),
+                       F.explode(tokens).alias("term")))
+    tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(F.col(id_col)).distinct().count()
+    docfreq = (tf.groupBy("term")
+                 .agg(F.count(F.lit(1)).alias("df")))
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    scored = (tf.join(docfreq, "term")
+                .withColumn("score",
+                            F.round(F.col("tf") * idf, 6)))
+    w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                         F.col("term").asc())
+    return (scored.withColumn("__rn", F.row_number().over(w))
+                  .filter(F.col("__rn") <= k)
+                  .select("id", "term", "tf", "score"))
+
+
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 over the sorted distinct normalized token
     set (word-order-insensitive; md5 gives cross-engine reproducibility)."""

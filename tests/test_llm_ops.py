@@ -228,6 +228,31 @@ def test_chunk_documents_matches_duckdb(docs, duck):
         "chunk_documents")
 
 
+def test_top_terms_tfidf_matches_duckdb(docs, duck):
+    from .conftest import assert_matches_oracle
+    out = L.top_terms_tfidf(docs, "text", "doc_id", k=5)
+    assert_matches_oracle(out, duck, """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 unnest(list_filter(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                    'g'),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '')) AS term
+          FROM documents),
+        tf AS (SELECT id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        sc AS (SELECT id, term, tf,
+                      round(tf * (ln((n.n + 1) / (dfq.df + 1)) + 1), 6)
+                          AS score
+               FROM tf JOIN dfq USING (term) CROSS JOIN n),
+        r AS (SELECT *, row_number() OVER
+                  (PARTITION BY id ORDER BY score DESC, term ASC) AS rn
+              FROM sc)
+        SELECT id, term, tf, score FROM r WHERE rn <= 5""",
+        "top_terms_tfidf")
+
+
 def test_multimodal_plumbing(docs):
     b = L.with_binary_column(docs, "text", "doc_id")
     meta = L.decode_metadata(b)
