@@ -302,6 +302,15 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             planes=6, probe_bits=2),
+        # xxhash64-based: no DuckDB equivalent -> rows-only checks
+        "llm20_split_dataset": lambda s, d: L.split_dataset(
+            _docs(s, d), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1}).select(
+                "doc_id", "split"),
+        "llm21_pack_sequences": lambda s, d: L.pack_sequences(
+            L.token_stats(_docs(s, d), "text", "doc_id")
+             .selectExpr("id as doc_id", "ws_tokens"),
+            "doc_id", "ws_tokens", budget=512),
         "llm19_top_terms_tfidf": lambda s, d: L.top_terms_tfidf(
             _docs(s, d), "text", "doc_id", k=5),
         "llm18_chunk_documents": lambda s, d: L.chunk_documents(

@@ -18,6 +18,7 @@ from .textstats import (
 from .multimodal import (
     with_binary_column, decode_metadata, sample_frames,
 )
+from .assemble import pack_sequences, split_dataset
 
 __all__ = [
     "dup_clusters", "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
@@ -26,5 +27,5 @@ __all__ = [
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quality_score", "token_stats", "fingerprint", "chunk_documents",
     "top_terms_tfidf", "with_binary_column",
-    "decode_metadata", "sample_frames",
+    "decode_metadata", "sample_frames", "pack_sequences", "split_dataset",
 ]

@@ -1,0 +1,110 @@
+"""Training-set assembly operators: deterministic splits and
+token-budget sequence packing.
+
+Both are built for the 100 TB regime: splitting is a stateless per-row
+hash (no shuffle at all — it composes with any scan), and packing is
+partition-local after one hash repartition, so no global coordination
+ever happens.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def split_dataset(df: DataFrame, id_col: str,
+                  fractions: dict[str, float],
+                  seed: int = 42) -> DataFrame:
+    """Assign every row to a named split (train/val/test/...) by a
+    deterministic hash of its id: adds a ``split`` column.
+
+    Properties that matter for dataset curation, all consequences of
+    hashing the ID rather than sampling: (a) reproducible across runs,
+    clusters, and partitionings; (b) STABLE under corpus growth — adding
+    or removing other documents never moves an existing document between
+    splits (no leakage of yesterday's train rows into today's test);
+    (c) zero shuffle — it is a projection.
+
+    ``fractions`` must sum to 1 (within 1e-6)."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-6:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                    F.lit(_BUCKETS))
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < int(round(acc * _BUCKETS))
+        expr = (F.when(cond, F.lit(name)) if expr is None
+                else expr.when(cond, F.lit(name)))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn("split", expr)
+
+
+def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
+                   budget: int, partitions: int | None = None) -> DataFrame:
+    """Greedy first-fit packing of items into fixed token budgets:
+    returns (id, n_tokens, pack_id) where every pack's total stays
+    <= ``budget`` (items alone exceeding the budget get a singleton
+    pack).
+
+    Scale design: items are hash-repartitioned once, then packing runs
+    INSIDE each partition (sorted by descending size, first-fit) with no
+    cross-partition coordination — pack ids embed the partition id, so
+    they are globally unique without a sequence bottleneck.  Packing
+    quality loses at most a few percent vs a global pass; a global
+    greedy pack would serialize the entire corpus through one node,
+    which is the non-scalable formulation this operator exists to
+    avoid."""
+    spark = df.sparkSession
+    if partitions is None:
+        partitions = spark.sparkContext.defaultParallelism
+    items = (df.select(F.col(id_col).alias("id"),
+                       F.col(tokens_col).cast("long").alias("n_tokens"))
+               .repartition(partitions, F.col("id")))
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        parts = list(batches)
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        if len(pdf) == 0:
+            return
+        pdf = pdf.sort_values(["n_tokens", "id"],
+                              ascending=[False, True],
+                              kind="mergesort").reset_index(drop=True)
+        remaining: list[int] = []   # free space per open pack
+        assign = np.empty(len(pdf), dtype="int64")
+        for i, nt in enumerate(pdf["n_tokens"]):
+            placed = False
+            for p, free in enumerate(remaining):
+                if nt <= free:
+                    remaining[p] = free - int(nt)
+                    assign[i] = p
+                    placed = True
+                    break
+            if not placed:
+                remaining.append(max(int(budget) - int(nt), 0))
+                assign[i] = len(remaining) - 1
+        pdf["pack_local"] = assign
+        yield pdf
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id {id_type}, n_tokens long, pack_local long"
+    packed = items.mapInPandas(pack, schema=out_schema)
+    pid = F.spark_partition_id().cast("long")
+    return (packed.withColumn("pack_id",
+                              pid * F.lit(1_000_000_000) +
+                              F.col("pack_local"))
+                  .select("id", "n_tokens", "pack_id"))

@@ -253,6 +253,59 @@ def test_top_terms_tfidf_matches_duckdb(docs, duck):
         "top_terms_tfidf")
 
 
+def test_split_dataset_partition_and_stability(docs):
+    from pyspark.sql import functions as F
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    s1 = L.split_dataset(docs, "doc_id", fr)
+    counts = {r["split"]: r["cnt"] for r in
+              s1.groupBy("split").agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()}
+    n = docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert sum(counts.values()) == n          # total partition, no loss
+    assert counts["train"] > 0.7 * n          # fractions roughly honored
+    # stability under corpus growth: removing half the corpus does not
+    # move any surviving document's split
+    half = docs.filter("doc_id % 2 = 0")
+    s2 = dict(L.split_dataset(half, "doc_id", fr)
+              .select("doc_id", "split").collect())
+    full = dict(s1.select("doc_id", "split").collect())
+    assert all(full[k] == v for k, v in s2.items())
+    # different seed reshuffles
+    s3 = dict(L.split_dataset(docs, "doc_id", fr, seed=7)
+              .select("doc_id", "split").collect())
+    assert any(full[k] != v for k, v in s3.items())
+
+
+def test_split_dataset_rejects_bad_fractions(docs):
+    with pytest.raises(ValueError):
+        L.split_dataset(docs, "doc_id", {"a": 0.5, "b": 0.2})
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+    rows = [(i, 10 + (i * 37) % 500) for i in range(400)]
+    rows.append((999, 5000))                  # oversized singleton
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = L.pack_sequences(df, "doc_id", "n_tokens", budget=1024)
+    pdf = out.toPandas()
+    # every item exactly once
+    assert sorted(pdf["id"]) == sorted(r[0] for r in rows)
+    # no pack over budget, except oversized singletons
+    sums = pdf.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                      n=("id", "count"))
+    over = sums[sums["total"] > 1024]
+    assert (over["n"] == 1).all()
+    # packing is effective: far fewer packs than items
+    assert len(sums) < len(rows) / 2
+    # deterministic across runs
+    pdf2 = L.pack_sequences(df, "doc_id", "n_tokens",
+                            budget=1024).toPandas()
+    m1 = dict(zip(pdf["id"], pdf["pack_id"]))
+    m2 = dict(zip(pdf2["id"], pdf2["pack_id"]))
+    assert m1 == m2
+
+
 def test_multimodal_plumbing(docs):
     b = L.with_binary_column(docs, "text", "doc_id")
     meta = L.decode_metadata(b)
