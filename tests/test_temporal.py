@@ -226,6 +226,22 @@ def test_rollup_rejects_non_reaggregable(ev):
                           [("sum", "value", "v")], [3600, 5400])
 
 
+def test_asof_join_single_exchange_plan(ev):
+    """The as-of join must plan as ONE hash exchange (union + window),
+    never as a join operator — the inequality-join formulation Catalyst
+    would pick for the naive query is per-key quadratic."""
+    import io
+    from contextlib import redirect_stdout
+    out = asof_join(_purchases(ev), _views(ev), by="user_id",
+                    left_on="ts", right_on="ts")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain(mode="simple")
+    plan = buf.getvalue()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
 def test_range_join_is_equi_join_plan(ev):
     """The banding must surface as an equality join — a nested-loop here
     is the quadratic plan the operator exists to avoid."""
