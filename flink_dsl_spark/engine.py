@@ -268,6 +268,21 @@ class FsqlEngine:
 
     @staticmethod
     def _infer_format(path: str) -> str:
+        if os.path.isdir(path):
+            # a stream directory carries no extension itself: sniff the
+            # member data files (skips _spark_metadata/dotfiles).  On a
+            # remote filesystem the listing is unavailable — declare the
+            # format explicitly in the DDL there.
+            try:
+                for fname in sorted(os.listdir(path)):
+                    if fname.startswith((".", "_")):
+                        continue
+                    for ext, fmt in _EXT_FORMAT.items():
+                        if fname.endswith(ext):
+                            return fmt
+            except OSError:
+                pass
+            return "parquet"
         for ext, fmt in _EXT_FORMAT.items():
             if path.endswith(ext):
                 return fmt

@@ -97,6 +97,32 @@ def test_insert_from_file_source_partial_cols(eng, tmp_path):
     assert [(r["a"], r["b"]) for r in out.collect()] == [(9, None)]
 
 
+def test_json_file_source_batch_and_stream(spark, tmp_path):
+    """`source file('*.json')` resolves format by extension on both the
+    batch and streaming paths (line-delimited JSON)."""
+    import time
+    f = tmp_path / "rows.json"
+    f.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    eng = FsqlEngine(spark)
+    eng.sql(f"create stream js (a int, b string) source file ('{f}')")
+    got = sorted((r["a"], r["b"])
+                 for r in eng.catalog.get("js").collect())
+    assert got == [(1, "x"), (2, "y")]
+
+    # streaming: same DDL with a streaming engine yields a file stream
+    d = tmp_path / "jstream"
+    d.mkdir()
+    (d / "p1.json").write_text('{"a": 5, "b": "s"}\n')
+    es = FsqlEngine(spark, streaming=True)
+    es.sql(f"create stream js2 (a int, b string) source file ('{d}')")
+    sdf = es.catalog.get("js2")
+    assert sdf.isStreaming
+    q = es.start_sink(sdf, name="js2sink", available_now=True)
+    q.awaitTermination(60)
+    rows = [(r["a"], r["b"]) for r in spark.table("js2sink").collect()]
+    assert rows == [(5, "s")]
+
+
 def test_insert_streaming_mismatch_raises(spark, tmp_path):
     from flink_dsl_spark import PlanError
     e = FsqlEngine(spark, streaming=True)   # file sources become streams
