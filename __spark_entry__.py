@@ -336,6 +336,8 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.with_binary_column(_docs(s, d), "text", "doc_id")),
         "llm13_frame_sample": lambda s, d: L.sample_frames(
             L.with_binary_column(_docs(s, d), "text", "doc_id")),
+        "llm22_extract_features": lambda s, d: L.extract_features(
+            L.with_binary_column(_docs(s, d), "text", "doc_id"), dim=64),
         # LSH-bucketed embedding dedup: approximate recall by design ->
         # rows-only check (brute-force llm05 is the oracle'd baseline)
         "llm14_dedup_embedding_lsh": lambda s, d: L.embedding_dup_pairs_lsh(

@@ -16,7 +16,8 @@ from .textstats import (
     top_terms_tfidf,
 )
 from .multimodal import (
-    with_binary_column, decode_metadata, sample_frames,
+    with_binary_column, decode_metadata, extract_features, resize_images,
+    sample_frames,
 )
 from .assemble import pack_sequences, split_dataset
 
@@ -27,5 +28,6 @@ __all__ = [
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quality_score", "token_stats", "fingerprint", "chunk_documents",
     "top_terms_tfidf", "with_binary_column",
-    "decode_metadata", "sample_frames", "pack_sequences", "split_dataset",
+    "decode_metadata", "sample_frames", "resize_images", "extract_features",
+    "pack_sequences", "split_dataset",
 ]

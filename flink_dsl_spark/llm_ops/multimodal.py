@@ -72,6 +72,74 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload",
     return df.mapInPandas(decode_batches, schema=DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = "id long, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload",
+                  id_col: str = "id") -> DataFrame:
+    """STUB image resize: produces a payload of exactly
+    ``width * height * 3`` bytes by tiling/truncating the source bytes
+    (replace the inner loop with PIL's ``Image.resize``).  The Spark
+    shape is the production one: binary in, binary out, Arrow batches,
+    no shuffle — a resize never moves a row off its partition."""
+    import pandas as pd
+
+    target = width * height * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if REAL_CODECS_AVAILABLE:   # pragma: no cover
+            raise NotImplementedError(
+                "wire PIL here; container ships no codecs")
+        for pdf in batches:
+            out = []
+            for p in pdf[payload_col]:
+                b = bytes(p)
+                if not b:
+                    b = b"\x00"
+                reps = target // len(b) + 1
+                out.append((b * reps)[:target])
+            yield pd.DataFrame({
+                "id": pdf[id_col].values,
+                "width": width, "height": height,
+                "payload": out,
+            })
+
+    return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
+
+
+def extract_features(df: DataFrame, dim: int = 64,
+                     payload_col: str = "payload",
+                     id_col: str = "id") -> DataFrame:
+    """Feature extraction over binary payloads: an L1-normalized folded
+    byte histogram (256 bins folded to ``dim``) — unlike the codec
+    stubs this is a REAL, deterministic featurizer, vectorized with
+    numpy over Arrow batches (one bincount per row, no Python
+    byte loops).  Output (id, features array<double>) feeds directly
+    into the ANN/embedding-dedup operators."""
+    import numpy as np
+    import pandas as pd
+
+    if 256 % dim != 0:
+        raise ValueError("dim must divide 256")
+    fold = 256 // dim
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vecs = []
+            for p in pdf[payload_col]:
+                arr = np.frombuffer(bytes(p), dtype=np.uint8)
+                hist = np.bincount(arr, minlength=256).astype("float64")
+                folded = hist.reshape(dim, fold).sum(axis=1)
+                total = folded.sum()
+                vecs.append((folded / total if total else folded).tolist())
+            yield pd.DataFrame({"id": pdf[id_col].values,
+                                "features": vecs})
+
+    return df.mapInPandas(feats,
+                          schema="id long, features array<double>")
+
+
 def sample_frames(df: DataFrame, payload_col: str = "payload",
                   id_col: str = "id", every_n_bytes: int = 4096) \
         -> DataFrame:

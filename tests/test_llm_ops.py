@@ -315,3 +315,20 @@ def test_multimodal_plumbing(docs):
     assert row.channels == 3 and row.byte_len > 0
     fr = L.sample_frames(b).orderBy("id").first()
     assert fr.frame_offsets[0] == 0
+
+
+def test_multimodal_resize_and_features(docs):
+    b = L.with_binary_column(docs, "text", "doc_id")
+    rz = L.resize_images(b, 8, 6).orderBy("id").first()
+    assert (rz.width, rz.height) == (8, 6)
+    assert len(bytes(rz.payload)) == 8 * 6 * 3
+    ft = L.extract_features(b, dim=64).orderBy("id").first()
+    assert len(ft.features) == 64
+    assert abs(sum(ft.features) - 1.0) < 1e-9      # L1-normalized
+    with pytest.raises(ValueError):
+        L.extract_features(b, dim=60)
+    # features feed the embedding ops: cosine top-k over them runs
+    feats = L.extract_features(b, dim=64)
+    top = L.cosine_topk(feats, "features", "id",
+                        feats.first()["id"], k=3)
+    assert top.count() == 3
