@@ -226,6 +226,61 @@ def test_rollup_rejects_non_reaggregable(ev):
                           [("sum", "value", "v")], [3600, 5400])
 
 
+def test_asof_differential_random_sets(spark, duck):
+    """Differential property check: asof_join agrees with DuckDB's
+    native ASOF JOIN on randomized (key, time) sets, including
+    empty-right-side keys, interleaved times, and equal-timestamp
+    left/right rows (inclusive bound)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+
+    @st.composite
+    def _events(draw):
+        n_left = draw(st.integers(1, 12))
+        n_right = draw(st.integers(0, 12))
+        keys = st.integers(0, 2)
+        times = st.integers(0, 50)
+        left = [(i, draw(keys), draw(times)) for i in range(n_left)]
+        # unique (key, t) on the right: equal-ts right rows tie-break
+        # differently across engines and are out of the ASOF contract
+        seen, right = set(), []
+        for i in range(n_right):
+            k, t = draw(keys), draw(times)
+            if (k, t) not in seen:
+                seen.add((k, t))
+                right.append((100 + i, k, t))
+        return left, right
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(_events())
+    def check(ev_sets):
+        left, right = ev_sets
+        lpdf = pd.DataFrame(left, columns=["lid", "k", "t"])
+        rpdf = pd.DataFrame(right, columns=["rid", "k", "t"])
+        ldf = spark.createDataFrame(lpdf)
+        rdf = (spark.createDataFrame(rpdf) if len(rpdf)
+               else spark.createDataFrame([], "rid long, k long, t long"))
+        got = asof_join(ldf, rdf, by="k", left_on="t", right_on="t") \
+            .select("lid", "rid").toPandas() \
+            .sort_values("lid").reset_index(drop=True)
+        duck.register("__l", lpdf)
+        duck.register("__r", rpdf)
+        exp = duck.sql("""
+            SELECT l.lid AS lid, r.rid AS rid
+            FROM __l l ASOF LEFT JOIN __r r
+              ON l.k = r.k AND l.t >= r.t
+            ORDER BY lid""").df().reset_index(drop=True)
+        assert len(got) == len(exp)
+        assert got["lid"].tolist() == exp["lid"].tolist()
+        g = got["rid"].fillna(-1).astype("int64").tolist()
+        e = exp["rid"].fillna(-1).astype("int64").tolist()
+        assert g == e
+
+    check()
+
+
 def test_asof_join_single_exchange_plan(ev):
     """The as-of join must plan as ONE hash exchange (union + window),
     never as a join operator — the inequality-join formulation Catalyst
