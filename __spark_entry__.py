@@ -180,6 +180,9 @@ _FSQL: dict[str, str] = {
         select count(*) as cnt from events [size 200 every 100]""",
     "q30_snapshot_window": """
         select event_id, value from events [size 30 min on ts]""",
+    "q39_session_window_fsql": """
+        select user_id, count(*) as n_events
+        from events [session 30 min on ts] group by user_id""",
     "q31_delta_tumbling": """
         select count(*) as cnt from events [size 20 on value]""",
     "q32_partitioned_window": """
@@ -689,6 +692,26 @@ def oracle_sql() -> dict[str, str]:
              AND epoch(p.ts) <= epoch(c.ts) + 1800
             WHERE c.event_type = 'click'
               AND p.event_type = 'purchase'""",
+        # FSQL [session 30 min on ts]: window bounds are exposed as
+        # window_start/window_end (end = last event + gap); closed
+        # boundary (new session only when the gap exceeds 1800s)
+        "q39_session_window_fsql": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (
+              SELECT *, sum(new_sess) OVER
+                     (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sess_no
+              FROM o)
+            SELECT user_id, count(*) AS n_events,
+                   min(ts) AS window_start,
+                   max(ts) + INTERVAL 30 MINUTE AS window_end
+            FROM s GROUP BY user_id, sess_no""",
         # Spark merges touching session extents: new session only when
         # the gap is STRICTLY greater than 1800s
         "q37_session_window": """

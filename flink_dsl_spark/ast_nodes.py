@@ -171,11 +171,16 @@ class Policy:
 @dataclass
 class WindowSpec:
     """``[size N [unit] [on c] [every M [unit] [on c]] [partitioned on c]]``
-    (fsql/parser.scala:157-176, fsql/Ast.scala:132-136)."""
+    (fsql/parser.scala:157-176, fsql/Ast.scala:132-136).
+
+    ``kind`` extends the reference grammar with gap-based session
+    windows: ``[session N unit [on c] [partitioned on c]]`` (extension;
+    the reference has no session windows)."""
 
     size: Policy
     every: Optional[Policy] = None
     partition: Optional[Col] = None
+    kind: str = "size"
 
 
 @dataclass

@@ -585,7 +585,9 @@ class Parser:
         """[size N [unit] [on col] [every M [unit] [on col]]
         [partitioned on col]]  (fsql/parser.scala:157-176)."""
         self.expect_op("[")
-        self.expect_kw("size")
+        kind = "session" if self.eat_kw("session") else "size"
+        if kind == "size":
+            self.expect_kw("size")
         size = self.parse_policy()
         every = None
         if self.eat_kw("every"):
@@ -595,7 +597,7 @@ class Parser:
             self.expect_kw("on")
             partition = self.parse_column_ref()
         self.expect_op("]")
-        return WindowSpec(size, every, partition)
+        return WindowSpec(size, every, partition, kind)
 
     def parse_policy(self) -> Policy:
         value = int(self.number_lit())

@@ -287,12 +287,18 @@ class Planner:
         if window_leaf is not None:
             spec = window_leaf.window
             from .streaming.windows import _axis
-            if df.isStreaming and _axis(spec.size) == "count":
+            is_session = spec.kind == "session"
+            # session windows validate/compile in window_grouping (native
+            # session_window on batch AND streams) — they must not fall
+            # into the count/delta stateful routing
+            if not is_session and df.isStreaming \
+                    and _axis(spec.size) == "count":
                 # no rank-function emulation on streams: route through the
                 # stateful operator when the query shape allows
                 return self._stream_stateful_window_agg(
                     sel, df, window_leaf, axis="count")
-            if df.isStreaming and _axis(spec.size) == "delta" \
+            if not is_session and df.isStreaming \
+                    and _axis(spec.size) == "delta" \
                     and spec.every is not None:
                 # sliding delta windows use a max-over-partition filter in
                 # batch — streaming needs the stateful operator

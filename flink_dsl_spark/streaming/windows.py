@@ -125,6 +125,28 @@ def last_window_filter(df: DataFrame, spec: WindowSpec,
     axis = _axis(size)
     parts = _partition_cols(spec)
 
+    if spec.kind == "session":
+        # "the latest session" as a snapshot: rows of the most recent
+        # gap-delimited run (per partition key if given)
+        if axis != "time" or time_col is None:
+            raise PlanError("session window needs a time gap and an "
+                            "event-time column")
+        gap = F.expr(f"INTERVAL {duration_str(size)}")
+        w = (W.partitionBy(*parts) if parts else W.partitionBy()) \
+            .orderBy(time_col)
+        prev = F.lag(time_col).over(w)
+        new_sess = (prev.isNull() |
+                    (time_col > prev + gap)).cast("int")
+        run = F.sum(new_sess).over(
+            (W.partitionBy(*parts) if parts else W.partitionBy())
+            .orderBy(time_col)
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+        wmax = W.partitionBy(*parts) if parts else W.partitionBy()
+        return (df.withColumn("__run", run)
+                  .withColumn("__mxrun", F.max("__run").over(wmax))
+                  .filter(F.col("__run") == F.col("__mxrun"))
+                  .drop("__run", "__mxrun"))
+
     if axis == "count":
         order = _order_col(spec, time_col)
         w = W.partitionBy(*parts).orderBy(order.desc()) if parts else \
@@ -167,6 +189,25 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
     axis = _axis(size)
     parts = _partition_cols(spec)
     _check_every_axis(axis, every)
+
+    if spec.kind == "session":
+        # gap-based session window (extension): merges rows whose
+        # [ts, ts+gap) extents overlap or touch — Spark-native, one
+        # keyed shuffle, streaming state bounded by open sessions
+        if axis != "time":
+            raise PlanError("a session window needs a time gap "
+                            "(add a unit: sec/min/h/d)")
+        if every is not None:
+            raise PlanError("session windows take no `every` clause "
+                            "(the gap defines the boundary)")
+        if time_col is None:
+            raise PlanError("session window needs `on <col>` or stream "
+                            "event_time_col metadata")
+        win = F.session_window(time_col, duration_str(size))
+        df = df.withColumn("__win", win)
+        out = [("window_start", F.col("__win.start")),
+               ("window_end", F.col("__win.end"))]
+        return df, [F.col("__win")], out
 
     if axis == "time":
         if time_col is None:

@@ -65,6 +65,19 @@ def test_window_spec_fields():
     assert w.partition.name == "k"
 
 
+def test_session_window_spec_fields():
+    stmt = parse("select * from s [session 30 min on t "
+                 "partitioned on k]")
+    w = stmt.from_.window
+    assert w.kind == "session"
+    assert (w.size.value, w.size.unit, w.size.on_col.name) == \
+        (30, "min", "t")
+    assert w.every is None and w.partition.name == "k"
+    # plain size specs keep the default kind
+    w2 = parse("select * from s [size 5]").from_.window
+    assert w2.kind == "size"
+
+
 def test_windowed_join_shape():
     stmt = parse("select id from a [size 3] as s1 "
                  "left join b [size 3] as s2 on s1.x = s2.y")

@@ -89,6 +89,92 @@ def test_fsql_partitioned_window_streaming(spark, sdf):
     assert got == {("u0", 144.0), ("u1", 156.0)}
 
 
+def test_fsql_session_window_streaming(spark, tmp_path):
+    """[session N unit on c] on a STREAM: native session_window
+    aggregation, auto-watermarked, append mode (sessions emit as the
+    watermark passes them — one file per micro-batch, later sentinel
+    files advance it)."""
+    import datetime as dt
+    t0 = dt.datetime(2024, 1, 1)
+    src = tmp_path / "fsql_sess"
+    src.mkdir()
+
+    def write(rows, fname):
+        spark.createDataFrame(
+            rows, "ts timestamp, user string, value double") \
+            .coalesce(1).write.parquet(str(src / fname))
+
+    write([(t0 + dt.timedelta(minutes=m), "u", 1.0)
+           for m in (0, 5, 10, 120, 125)], "b1")
+    write([(t0 + dt.timedelta(hours=24), "z", 0.0)], "b2")
+    write([(t0 + dt.timedelta(hours=48), "z", 0.0)], "b3")
+
+    eng = FsqlEngine(spark)
+    sdf = (spark.readStream
+           .schema("ts timestamp, user string, value double")
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(src) + "/*/"))
+    eng.register("ev", sdf, event_time_col="ts")
+    out = eng.sql("select user, count(*) as cnt from ev "
+                  "[session 30 min on ts] group by user")
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    got = {(r["user"], r["cnt"])
+           for r in spark.sql(f"select * from {sink}").collect()
+           if r["user"] == "u"}
+    assert got == {("u", 3), ("u", 2)}
+
+
+def test_fsql_session_window_batch_oracle(engine, duck):
+    from .conftest import assert_matches_oracle
+    out = engine.sql(
+        "select user_id, count(*) as n_events from events "
+        "[session 30 min on ts] group by user_id")
+    assert_matches_oracle(out, duck, """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (
+          SELECT *, sum(new_sess) OVER
+                 (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS sess_no
+          FROM o)
+        SELECT user_id, count(*) AS n_events,
+               min(ts) AS window_start,
+               max(ts) + INTERVAL 30 MINUTE AS window_end
+        FROM s GROUP BY user_id, sess_no""",
+        "fsql_session_batch")
+
+
+def test_fsql_session_snapshot_latest_run(engine, duck):
+    """Non-aggregating session query = rows of the LATEST
+    gap-delimited run."""
+    got = sorted(r["event_id"] for r in engine.sql(
+        "select event_id from events [session 2 h on ts]").collect())
+    exp = sorted(r[0] for r in duck.sql("""
+        WITH starts AS (
+          SELECT ts FROM (
+            SELECT ts, lag(ts) OVER (ORDER BY ts) AS prev FROM events)
+          WHERE prev IS NULL OR epoch(ts) - epoch(prev) > 7200)
+        SELECT event_id FROM events
+        WHERE ts >= (SELECT max(ts) FROM starts)""").fetchall())
+    assert got == exp and len(got) > 0
+
+
+def test_fsql_session_window_rejections(spark, sdf):
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf, event_time_col="ts")
+    with pytest.raises(PlanError, match="time gap"):
+        eng.sql("select count(*) as c from ev [session 10]")
+    with pytest.raises(PlanError, match="every"):
+        eng.sql("select count(*) as c from ev "
+                "[session 10 min on ts every 5 min]")
+
+
 def test_watermark_update_mode(spark, sdf):
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts", watermark="10 minutes")
