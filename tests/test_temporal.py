@@ -281,6 +281,51 @@ def test_asof_differential_random_sets(spark, duck):
     check()
 
 
+def test_range_join_differential_random_sets(spark, duck):
+    """Differential property check: the banded range join produces
+    EXACTLY the pairs of a plain inequality join on randomized sets,
+    across negative/positive/zero-width bands and boundary-exact
+    distances."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    import pandas as pd
+
+    @st.composite
+    def _case(draw):
+        n_left = draw(st.integers(1, 10))
+        n_right = draw(st.integers(1, 10))
+        keys = st.integers(0, 2)
+        times = st.integers(0, 40)
+        left = [(i, draw(keys), draw(times)) for i in range(n_left)]
+        right = [(100 + i, draw(keys), draw(times))
+                 for i in range(n_right)]
+        lo = draw(st.integers(-10, 10))
+        hi = lo + draw(st.integers(0, 15))
+        return left, right, lo, hi
+
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(_case())
+    def check(case):
+        left, right, lo, hi = case
+        lpdf = pd.DataFrame(left, columns=["lid", "k", "t"])
+        rpdf = pd.DataFrame(right, columns=["rid", "k", "t"])
+        out = range_join(spark.createDataFrame(lpdf),
+                         spark.createDataFrame(rpdf),
+                         by="k", left_on="t", right_on="t",
+                         lower_sec=lo, upper_sec=hi)
+        got = {(r["lid"], r["rid"]) for r in out.collect()}
+        duck.register("__rl", lpdf)
+        duck.register("__rr", rpdf)
+        exp = {(a, b) for a, b in duck.sql(f"""
+            SELECT l.lid, r.rid FROM __rl l JOIN __rr r
+              ON l.k = r.k AND r.t >= l.t + ({lo})
+             AND r.t <= l.t + ({hi})""").fetchall()}
+        assert got == exp
+
+    check()
+
+
 def test_asof_join_single_exchange_plan(ev):
     """The as-of join must plan as ONE hash exchange (union + window),
     never as a join operator — the inequality-join formulation Catalyst
