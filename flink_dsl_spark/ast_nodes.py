@@ -367,7 +367,18 @@ class Delete:
     where: Optional[Expr] = None
 
 
-Statement = Union[Select, SetOp, CreateSchema, CreateStream, Insert, Update, Delete]
+@dataclass
+class Explain:
+    """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <query> — engine
+    diagnostic extension (the reference has no explain; this surfaces
+    the Catalyst physical plan the query compiles to)."""
+
+    query: object                                # Select | SetOp
+    mode: str = "simple"
+
+
+Statement = Union[Select, SetOp, CreateSchema, CreateStream, Insert,
+                  Update, Delete, Explain]
 
 
 # --------------------------------------------------------------------------

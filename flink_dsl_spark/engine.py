@@ -122,6 +122,20 @@ class FsqlEngine:
         return result
 
     def _run(self, stmt, params):
+        from .ast_nodes import Explain
+        if isinstance(stmt, Explain):
+            with self.timer.phase("resolve"):
+                self.resolver.resolve(stmt.query)
+            with self.timer.phase("plan"):
+                df = self.planner.plan(stmt.query, params)
+            import io
+            from contextlib import redirect_stdout
+            buf = io.StringIO()
+            with redirect_stdout(buf):
+                df.explain(mode=stmt.mode)
+            lines = buf.getvalue().rstrip("\n").split("\n")
+            return self.spark.createDataFrame(
+                [(ln,) for ln in lines], "plan string")
         if isinstance(stmt, CreateSchema):
             self.catalog.register_schema(stmt.name, stmt.columns,
                                          stmt.extends)

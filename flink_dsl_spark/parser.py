@@ -214,9 +214,25 @@ class Parser:
             return self.parse_update()
         if self.at_kw("delete"):
             return self.parse_delete()
+        if self.at_kw("explain"):
+            return self.parse_explain()
         if self.at_kw("select") or self.at_op("("):
             return self.parse_select_statement()
         self.error("expected a statement")
+
+    def parse_explain(self):
+        """explain [formatted|extended|codegen|cost] <select>
+        (engine diagnostic extension)."""
+        from .ast_nodes import Explain
+        self.expect_kw("explain")
+        mode = "simple"
+        t = self.cur
+        if t.kind == "ident" and t.lower in ("formatted", "extended",
+                                             "codegen", "cost"):
+            mode = t.lower
+            self.advance()
+        query = self.parse_select_statement()
+        return Explain(query, mode)
 
     def parse(self):
         stmt = self.parse_statement()

@@ -97,6 +97,23 @@ def test_insert_from_file_source_partial_cols(eng, tmp_path):
     assert [(r["a"], r["b"]) for r in out.collect()] == [(9, None)]
 
 
+def test_explain_statement(engine):
+    """EXPLAIN <query> returns the Catalyst plan as rows; formatted
+    mode surfaces scan pushdown details."""
+    out = engine.sql("explain select count(*) as c from lineitem "
+                     "where l_quantity > 10")
+    txt = "\n".join(r["plan"] for r in out.collect())
+    assert "Physical Plan" in txt
+    out2 = engine.sql("explain formatted select l_orderkey from "
+                      "lineitem where l_quantity > 10")
+    txt2 = "\n".join(r["plan"] for r in out2.collect())
+    assert "PushedFilters" in txt2
+    from flink_dsl_spark import parse
+    from flink_dsl_spark.ast_nodes import Explain
+    st = parse("explain codegen select 1 + 1 as x")
+    assert isinstance(st, Explain) and st.mode == "codegen"
+
+
 def test_json_file_source_batch_and_stream(spark, tmp_path):
     """`source file('*.json')` resolves format by extension on both the
     batch and streaming paths (line-delimited JSON)."""
