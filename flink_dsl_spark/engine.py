@@ -29,11 +29,27 @@ from .timer import Timer
 _EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
                ".txt": "text", ".text": "text"}
 
+# Runtime-settable SQL confs the engine's results depend on.  They are
+# applied to whatever SparkSession the caller hands us (callers are NOT
+# required to build their session via session.get_session):
+#  - nanosAsLong: the driver testdata is parquet TIMESTAMP(NANOS);
+#    without this, spark.read.parquet raises PARQUET_TYPE_ILLEGAL.
+#  - UTC session timezone: window bounds and make_timestamp-based
+#    oracles assume UTC.
+#  - Arrow: pandas-UDF paths (llm_ops) use Arrow batch transfer.
+_REQUIRED_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
 
 class FsqlEngine:
     def __init__(self, spark: Optional[SparkSession] = None,
                  streaming: bool = False, timer: bool = False):
         self.spark = spark or get_session()
+        for k, v in _REQUIRED_CONFS.items():
+            self.spark.conf.set(k, v)
         self.streaming = streaming          # CREATE STREAM uses readStream
         self.catalog = Catalog(self.spark)
         self.registry = FunctionRegistry()
