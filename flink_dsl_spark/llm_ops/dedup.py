@@ -102,6 +102,19 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# signatures persisted by the latest minhash_lsh_pairs call (cache-of-one
+# so repeated calls don't accumulate storage memory for the session)
+_SIG_CACHE: list[DataFrame] = []
+
+
+def release_sig_cache() -> None:
+    """Unpersist the signature cache of the most recent
+    ``minhash_lsh_pairs`` call (safe to call any time; a consumer that
+    has already materialized its result loses nothing)."""
+    while _SIG_CACHE:
+        _SIG_CACHE.pop().unpersist()
+
+
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     rng = random.Random(seed)
     return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
@@ -182,8 +195,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # shingle sets (a ~10x corpus inflation) are recomputed below for the
     # candidate rows only; at 100 TB that recompute is orders of
     # magnitude cheaper than writing the shingles through a persist.
+    # The persist must outlive this (lazy) function, so it is tracked in
+    # a cache-of-one: a repeat call evicts the previous call's cache, and
+    # release_sig_cache() frees the last one.
     sig = (minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
            .select("id", "signature").persist())
+    release_sig_cache()
+    _SIG_CACHE.append(sig)
 
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),

@@ -155,12 +155,15 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
                 "wire ffmpeg here; container ships no codecs")
         for pdf in batches:
             lens = pdf[payload_col].map(len)
-            n_frames = (lens // every_n_bytes + 1).astype("int32")
+            offsets = [list(range(0, int(ln), every_n_bytes))
+                       for ln in lens]
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
-                "n_frames": n_frames,
-                "frame_offsets": [
-                    list(range(0, int(ln), every_n_bytes)) for ln in lens],
+                # derived from the offsets so count and list always agree
+                # (exact-multiple and empty payloads included)
+                "n_frames": pd.Series([len(o) for o in offsets],
+                                      dtype="int32"),
+                "frame_offsets": offsets,
             })
 
     return df.mapInPandas(frames, schema=FRAME_SCHEMA)

@@ -65,7 +65,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*)
-  | (?P<number>\d+\.\d+([eE][+-]?\d+)?|\.\d+|\d+)
+  | (?P<number>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+([eE][+-]?\d+)?|\d+)
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"[^"]+"|`[^`]+`)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)

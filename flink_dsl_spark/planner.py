@@ -585,7 +585,7 @@ class Planner:
                 base, keys, aggs, spec.size.value,
                 every=spec.every.value if spec.every is not None else None,
                 order_col=order_cols)
-            win_col = "window_no"
+            win_col = "window_no" if spec.every is None else "trigger"
         else:
             out = delta_window_agg(
                 base, keys, aggs, float(spec.size.value),

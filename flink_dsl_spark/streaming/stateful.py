@@ -63,8 +63,12 @@ def count_window_agg(sdf: DataFrame,
         recommended: event time plus a unique tiebreaker, which makes
         window contents fully deterministic
 
-    Returns a streaming DataFrame with schema
-    ``key_cols + [window_no] + [alias...]`` (append output mode).
+    Returns a streaming DataFrame (append output mode) with schema
+    ``key_cols + [window_no] + [alias...]`` for tumbling windows, or
+    ``key_cols + [trigger] + [alias...]`` for sliding (``every`` given)
+    — ``trigger`` is the firing row count, matching the batch
+    exploded-trigger emulation's column name and values
+    (windows.py _explode_triggers).
     """
     for fn, _c, _a in aggs:
         if fn not in _SUPPORTED:
@@ -81,10 +85,12 @@ def count_window_agg(sdf: DataFrame,
         "__gk", _lit0())
     group_keys = key_cols if key_cols else ["__gk"]
 
+    sliding = every is not None
+    win_name = "trigger" if sliding else "window_no"
     key_fields = [keyed.schema[k] for k in group_keys]
     out_schema = StructType(
         list(key_fields)
-        + [StructField("window_no", LongType())]
+        + [StructField(win_name, LongType())]
         + [StructField(alias, DoubleType()) for _f, _c, alias in aggs])
 
     # state: rows seen + one bounded value-buffer per agg column, encoded
@@ -116,7 +122,8 @@ def count_window_agg(sdf: DataFrame,
                     if len(b) > size:
                         del b[0]
                 if seen % m == 0:
-                    out_rows.append(_emit(key, seen, bufs, aggs, m))
+                    win_val = seen if sliding else seen // m - 1
+                    out_rows.append(_emit(key, win_val, bufs, aggs))
         state.update(tuple([seen] + [list(b) for b in bufs]))
         if out_rows:
             yield pd.DataFrame(out_rows,
@@ -259,9 +266,9 @@ def _emit_delta(key, trigger, pos, bufs, aggs, size):
     return row
 
 
-def _emit(key, seen, bufs, aggs, m):
+def _emit(key, win_val, bufs, aggs):
     import math
-    row = list(key) + [seen // m - 1]
+    row = list(key) + [win_val]
     for (fn, _c, _a), buf in zip(aggs, bufs):
         vals = [v for v in buf if not math.isnan(v)]
         if fn == "count":

@@ -266,12 +266,19 @@ def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
     beyond the aggregation's own).  Triggers that lie beyond the last seen
     position (per partition) have not fired yet and are dropped.
     """
-    first = F.ceil(pos / F.lit(every)) * F.lit(every)
-    last = F.ceil((pos + F.lit(size)) / F.lit(every)) * F.lit(every) - F.lit(every)
-    df = df.withColumn(
-        "__trigger",
-        F.explode(F.sequence(first.cast("long"), last.cast("long"),
-                             F.lit(every).cast("long"))))
+    first = (F.ceil(pos / F.lit(every)) * F.lit(every)).cast("long")
+    last = (F.ceil((pos + F.lit(size)) / F.lit(every)) * F.lit(every)
+            - F.lit(every)).cast("long")
+    # every > size yields sampling windows: a row between two triggers'
+    # extents belongs to NO window (first > last).  Guard the sequence —
+    # an unguarded first > last raises Spark's "Illegal sequence
+    # boundaries"; exploding an empty array drops the row, which is the
+    # correct sampling semantics.
+    triggers = F.when(
+        first <= last,
+        F.sequence(first, last, F.lit(every).cast("long"))
+    ).otherwise(F.array().cast("array<long>"))
+    df = df.withColumn("__trigger", F.explode(triggers))
     w = W.partitionBy(*parts) if parts else W.partitionBy()
     df = df.withColumn("__maxpos", F.max(pos).over(w))
     df = df.filter(F.col("__trigger") <= F.col("__maxpos")).drop("__maxpos")

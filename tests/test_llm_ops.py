@@ -332,3 +332,20 @@ def test_multimodal_resize_and_features(docs):
     top = L.cosine_topk(feats, "features", "id",
                         feats.first()["id"], k=3)
     assert top.count() == 3
+
+
+def test_sample_frames_count_matches_offsets(spark):
+    """n_frames must equal len(frame_offsets) for every payload shape:
+    exact multiples of every_n_bytes and empty payloads included."""
+    df = spark.createDataFrame(
+        [(1, bytearray(b"x" * 8192)),   # exact multiple -> 2 offsets
+         (2, bytearray(b"y" * 100)),    # partial -> 1 offset
+         (3, bytearray(b""))],          # empty -> 0 offsets
+        "id long, payload binary")
+    rows = {r["id"]: r for r in
+            L.sample_frames(df, every_n_bytes=4096).collect()}
+    for r in rows.values():
+        assert r["n_frames"] == len(r["frame_offsets"]), r
+    assert rows[1]["frame_offsets"] == [0, 4096]
+    assert rows[2]["frame_offsets"] == [0]
+    assert rows[3]["frame_offsets"] == []

@@ -302,3 +302,21 @@ def test_identifier_resolution_shape(t, c):
     stmt = parse(f"select {t}.{c} from {t}")
     col = stmt.items[0].expr
     assert col.qualifier == t and col.name == c
+
+
+def test_exponent_literals():
+    """1e5 must parse as the double 100000.0, not literal 1 aliased e5
+    (the number token accepts exponents without a decimal point)."""
+    for sql, want in [("select 1e5 from s", 1e5),
+                      ("select 2E-3 from s", 2e-3),
+                      ("select 1.5e2 from s", 150.0),
+                      ("select .5e1 from s", 5.0),
+                      ("select 3e+4 from s", 3e4)]:
+        item = parse(sql).items[0]
+        assert item.alias is None, sql
+        assert item.expr.type_name == "double", sql
+        assert item.expr.value == want, sql
+    # plain integers stay long, and a real alias still works
+    item = parse("select 15 as e5 from s").items[0]
+    assert item.expr.value == 15 and item.expr.type_name == "long"
+    assert item.alias == "e5"

@@ -370,8 +370,11 @@ def test_count_sliding_stateful(spark, sdf):
         size=6, every=3, order_col="ts")
     sink = run_to_memory(out, "append")
     rows = sorted(spark.sql(f"select * from {sink}").collect(),
-                  key=lambda r: r["window_no"])
-    # triggers at rows 3,6,9,...,24 (values are 1..24 in ts order)
+                  key=lambda r: r["trigger"])
+    # triggers at rows 3,6,9,...,24 (values are 1..24 in ts order);
+    # sliding windows carry `trigger` = firing row count, same column
+    # name and values as the batch exploded-trigger emulation
+    assert [r["trigger"] for r in rows] == [3, 6, 9, 12, 15, 18, 21, 24]
     assert len(rows) == 8
     # first trigger: only 3 rows seen -> avg(1,2,3)=2, max=3
     assert (rows[0]["av"], rows[0]["mx"]) == (2.0, 3.0)
@@ -602,3 +605,27 @@ def test_windowed_join_count_axis_on_stream_raises(spark, sdf):
         eng.sql("""
             select s1.event_id from ev [size 3] as s1
             join ev [size 3] as s2 on s1.user = s2.user""")
+
+
+def test_batch_sampling_window_every_gt_size(spark):
+    """`every` > `size` is a sampling window: rows between two trigger
+    extents belong to NO window (previously raised Spark's 'Illegal
+    sequence boundaries' from an unguarded F.sequence)."""
+    import datetime as dt
+    rows = [(i, T0 + dt.timedelta(minutes=i), float(i))
+            for i in range(1, 25)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double")
+    eng = FsqlEngine(spark)
+    eng.register("ev24", df, event_time_col="ts")
+    out = eng.sql(
+        "select sum(value) as sv, count(*) as n from ev24 [size 2 every 10]")
+    got = {(r["trigger"], r["sv"], r["n"]) for r in out.collect()}
+    # trigger 10 covers rows (8,10] = {9,10}; trigger 20 covers {19,20};
+    # trigger 30 has not fired (max position is 24)
+    assert got == {(10, 19.0, 2), (20, 39.0, 2)}
+    # delta axis takes the same guard
+    out = eng.sql("select count(*) as n from ev24 "
+                  "[size 3 on value every 12 on value]")
+    got = {(r["trigger"], r["n"]) for r in out.collect()}
+    assert got == {(12.0, 3), (24.0, 3)}
