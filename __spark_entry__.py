@@ -298,8 +298,12 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "llm01_dedup_exact": lambda s, d: L.exact_dedup(
             _docs(s, d), "text", "doc_id"),
+        # max_posting_size engages the straggler guard; the candidate
+        # set still finds every oracle pair (near-dups share rare
+        # shingles far below the cap)
         "llm02_dedup_ngram_jaccard": lambda s, d: L.ngram_jaccard_pairs(
-            _docs(s, d), "text", "doc_id", n=8, threshold=0.8),
+            _docs(s, d), "text", "doc_id", n=8, threshold=0.8,
+            max_posting_size=1000),
         "llm03_dedup_minhash_lsh": lambda s, d: L.minhash_lsh_pairs(
             _docs(s, d), "text", "doc_id", num_hashes=64, bands=16,
             n=8, threshold=0.8),
@@ -327,7 +331,8 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "text", "doc_id", chunk_tokens=64, overlap=8),
         "llm17_dup_clusters": lambda s, d: L.dup_clusters(
             L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
-                                  n=8, threshold=0.8)),
+                                  n=8, threshold=0.8,
+                                  max_posting_size=1000)),
         "llm15_ann_ivf": lambda s, d: L.ivf_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             nlist=8, nprobe=4),

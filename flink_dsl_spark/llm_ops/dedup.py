@@ -74,28 +74,50 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
-                        n: int = 8, threshold: float = 0.8) -> DataFrame:
-    """All pairs with char-n-gram Jaccard >= threshold, via an
-    inverted-index self-join (share >=1 shingle -> count shared ->
-    |A∩B| / (|A|+|B|-|A∩B|)).  Exact but quadratic in posting lengths:
-    at scale, use minhash_lsh_pairs (this function is its verifier)."""
+                        n: int = 8, threshold: float = 0.8,
+                        max_posting_size: int | None = None) -> DataFrame:
+    """All pairs with char-n-gram Jaccard >= threshold: an
+    inverted-index self-join proposes candidates (pairs sharing >=1
+    shingle), then exact Jaccard on the candidates' full shingle sets
+    decides — so a posting-list cap prunes join work without
+    approximating surviving pairs' scores.
+
+    ``max_posting_size`` is the straggler guard: the self-join emits
+    len(posting)^2/2 rows per shingle, so one boilerplate shingle shared
+    by a million docs is a 10^12-row task.  Postings longer than the cap
+    are dropped before the join (same broadcast-anti-join shape as
+    minhash_lsh_pairs' max_bucket_size); a pair is missed only when it
+    shares NOTHING rarer than the cap — real near-duplicates share many
+    rare shingles.  Uncapped, results are exhaustively exact; at scale
+    prefer minhash_lsh_pairs (this function is its verifier)."""
     sh = (spread_for_compute(df)
             .select(F.col(id_col).alias("id"),
                     char_shingles(F.col(text_col), n).alias("sh"))
             .withColumn("n_sh", F.size("sh")))
-    e = sh.select("id", "n_sh", F.explode("sh").alias("s"))
+    e = sh.select("id", F.explode("sh").alias("s"))
+    if max_posting_size is not None:
+        big = (e.groupBy("s")
+                .agg(F.count(F.lit(1)).alias("__pc"))
+                .filter(F.col("__pc") > max_posting_size)
+                .select("s"))
+        e = e.join(F.broadcast(big), "s", "left_anti")
     a, b = e.alias("a"), e.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("shared"),
-                  F.first("a.n_sh").alias("na"),
-                  F.first("b.n_sh").alias("nb")))
-    jac = F.col("shared") / (F.col("na") + F.col("nb") - F.col("shared"))
-    return (pairs.withColumn("jaccard", F.round(jac, 6))
-                 .filter(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "jaccard"))
+    cand = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                   (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+             .distinct())
+    verified = (cand
+                .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+                .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+                .withColumn("shared", F.size(F.array_intersect(
+                    F.col("sa.sh"), F.col("sb.sh"))))
+                .withColumn("jaccard", F.round(
+                    F.col("shared") /
+                    (F.col("sa.n_sh") + F.col("sb.n_sh")
+                     - F.col("shared")), 6))
+                .filter(F.col("jaccard") >= threshold))
+    return verified.select("id_a", "id_b", "jaccard")
 
 
 # ---------------------------------------------------------------------------

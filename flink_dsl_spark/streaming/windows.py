@@ -28,11 +28,15 @@ our documented choices — SURVEY.md §2.9, §7.0):
   * ``partitioned on k`` -> all of the above per key (independent windows,
     fsql/Ast.scala:440-445).
 
-Count-axis note for 100 TB scale: global row-numbering is inherently
-sequential; it uses a single-partition Window only when NO partition key is
-given (documented limitation, matching the semantics of a totally-ordered
-stream).  With ``partitioned on k`` the row_number partitions by key and
-parallelizes.
+Count-axis note for 100 TB scale: a totally-ordered count window (no
+``partitioned on``) still needs a global row number, but NOT a global
+single-task sort: ``_global_index`` range-buckets rows on the order
+column (width_bucket over a one-pass min/max), numbers each bucket in
+parallel, and rebases with broadcast per-bucket offsets — the plan has
+no single-partition Exchange.  With ``partitioned on k`` the row_number
+partitions by key and parallelizes directly.  Global MAX lookups
+(snapshot windows, trigger high-water marks) use a scalar aggregate
+broadcast-joined back, not a whole-table window.
 """
 
 from __future__ import annotations
@@ -111,6 +115,70 @@ def _order_col(spec: WindowSpec, time_col: Optional[Column]) -> Column:
 
 
 # --------------------------------------------------------------------------
+# distributed total-order helpers (batch only)
+# --------------------------------------------------------------------------
+
+def _global_index(df: DataFrame, order: Column,
+                  idx_name: str = "__idx",
+                  buckets: Optional[int] = None):
+    """Total-order row numbering without a single-partition sort.
+
+    Three distributed phases:
+      1. assign each row a range bucket via ``width_bucket`` over the
+         order column's min/max (one scalar aggregate; the bucket is a
+         pure function of the value, so recomputation across jobs is
+         deterministic — no persist needed);
+      2. ``row_number`` per bucket — one task per bucket, parallel;
+      3. rebase with per-bucket offsets (bucket counts collected to the
+         driver — at most ``buckets``+2 longs — and broadcast-joined).
+
+    Ties within the order column keep row_number's usual arbitrary tie
+    order; equal values always share a bucket, so the numbering is a
+    valid total order extension exactly like the single-task variant.
+
+    Returns ``(df_with_idx_column, total_row_count)``.  Runs two extra
+    column-pruned passes over the order column (min/max + counts) —
+    eager at plan-build time, batch only.
+    """
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = spark.sparkContext.defaultParallelism
+    num = order.cast("double")
+    row = df.select(F.min(num).alias("mn"), F.max(num).alias("mx")).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mx is None or mn == mx or buckets <= 1:
+        # empty / constant order column: one bucket is all there is
+        bkt = F.lit(1)
+    else:
+        bkt = F.coalesce(
+            F.width_bucket(num, F.lit(mn), F.lit(mx), F.lit(buckets)),
+            F.lit(0))        # nulls sort first
+    df = df.withColumn("__bkt", bkt)
+    cnts = sorted(
+        (r["__bkt"], r["cnt"]) for r in
+        df.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect())
+    offsets, running = [], 0
+    for b, c in cnts:
+        offsets.append((b, running))
+        running += c
+    off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
+        if offsets else spark.createDataFrame([], "__bkt int, __off long")
+    lrn = F.row_number().over(W.partitionBy("__bkt").orderBy(order))
+    out = (df.join(F.broadcast(off_df), "__bkt")
+             .withColumn(idx_name, (F.col("__off") + lrn).cast("long"))
+             .drop("__bkt", "__off"))
+    return out, running
+
+
+def _with_global_max(df: DataFrame, col: Column, out_name: str) -> DataFrame:
+    """Attach the table-wide max of ``col`` as a column via a scalar
+    aggregate + broadcast cross join (two-phase, distributed) instead of
+    a single-partition whole-table Window."""
+    mx = df.select(F.max(col).alias(out_name))
+    return df.crossJoin(F.broadcast(mx))
+
+
+# --------------------------------------------------------------------------
 # non-aggregating: latest-window snapshot
 # --------------------------------------------------------------------------
 
@@ -149,31 +217,37 @@ def last_window_filter(df: DataFrame, spec: WindowSpec,
 
     if axis == "count":
         order = _order_col(spec, time_col)
-        w = W.partitionBy(*parts).orderBy(order.desc()) if parts else \
-            W.partitionBy().orderBy(order.desc())
-        out = (df.withColumn("__rn", F.row_number().over(w))
-                 .filter(F.col("__rn") <= size.value)
-                 .drop("__rn"))
-        return out
+        if parts:
+            w = W.partitionBy(*parts).orderBy(order.desc())
+            return (df.withColumn("__rn", F.row_number().over(w))
+                      .filter(F.col("__rn") <= size.value)
+                      .drop("__rn"))
+        # last N of a total order: ascending distributed index + count
+        df, total = _global_index(df, order, "__rn")
+        return (df.filter(F.col("__rn") > total - size.value)
+                  .drop("__rn"))
 
     if axis == "time":
         if time_col is None:
             raise PlanError("time window needs `on <col>` or stream "
                             "event_time_col metadata")
         span = F.expr(f"INTERVAL {duration_str(size)}")
-        w = W.partitionBy(*parts) if parts else W.partitionBy()
-        mx = F.max(time_col).over(w)
-        return (df.withColumn("__mx", mx)
-                  .filter(time_col > F.col("__mx") - span)
-                  .drop("__mx"))
+        if parts:
+            mx = F.max(time_col).over(W.partitionBy(*parts))
+            df = df.withColumn("__mx", mx)
+        else:
+            df = _with_global_max(df, time_col, "__mx")
+        return df.filter(time_col > F.col("__mx") - span).drop("__mx")
 
     # delta axis: numeric column, extent = last `value` units of the column
     c = size.on_col
     axis_col = F.col(f"{c.binding}.{c.name}" if c.binding else c.name)
-    w = W.partitionBy(*parts) if parts else W.partitionBy()
-    mx = F.max(axis_col).over(w)
-    return (df.withColumn("__mx", mx)
-              .filter(axis_col > F.col("__mx") - F.lit(size.value))
+    if parts:
+        mx = F.max(axis_col).over(W.partitionBy(*parts))
+        df = df.withColumn("__mx", mx)
+    else:
+        df = _with_global_max(df, axis_col, "__mx")
+    return (df.filter(axis_col > F.col("__mx") - F.lit(size.value))
               .drop("__mx"))
 
 
@@ -229,8 +303,12 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
                 "stateful operator: flink_dsl_spark.streaming.stateful."
                 "count_window_agg (row_number emulation is batch-only)")
         order = _order_col(spec, time_col)
-        w = (W.partitionBy(*parts) if parts else W.partitionBy()).orderBy(order)
-        df = df.withColumn("__idx", F.row_number().over(w))
+        total = None
+        if parts:
+            w = W.partitionBy(*parts).orderBy(order)
+            df = df.withColumn("__idx", F.row_number().over(w))
+        else:
+            df, total = _global_index(df, order, "__idx")
         n = size.value
         if every is None:
             # tumbling count window: groups of N consecutive rows
@@ -239,7 +317,7 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
             return df, [F.col("__win_no")], [("window_no", F.col("__win_no"))]
         m = every.value
         df = _explode_triggers(df, F.col("__idx"), n, m, parts,
-                               integral=True)
+                               integral=True, maxpos=total)
         return df, [F.col("__trigger")], [("trigger", F.col("__trigger"))]
 
     # delta axis
@@ -255,7 +333,8 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
 
 
 def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
-                      parts: list[Column], integral: bool) -> DataFrame:
+                      parts: list[Column], integral: bool,
+                      maxpos=None) -> DataFrame:
     """Sliding windows on a count/numeric axis without a self-join.
 
     A window fires at every trigger T (multiple of ``every``) and covers
@@ -279,7 +358,15 @@ def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
         F.sequence(first, last, F.lit(every).cast("long"))
     ).otherwise(F.array().cast("array<long>"))
     df = df.withColumn("__trigger", F.explode(triggers))
-    w = W.partitionBy(*parts) if parts else W.partitionBy()
-    df = df.withColumn("__maxpos", F.max(pos).over(w))
-    df = df.filter(F.col("__trigger") <= F.col("__maxpos")).drop("__maxpos")
-    return df
+    # drop triggers past the high-water mark (they have not fired yet):
+    # a known total (count axis) is a literal; per-key marks use a keyed
+    # window; a global mark uses a broadcast scalar — never a
+    # single-partition whole-table Window
+    if maxpos is not None:
+        return df.filter(F.col("__trigger") <= F.lit(maxpos))
+    if parts:
+        df = df.withColumn("__maxpos",
+                           F.max(pos).over(W.partitionBy(*parts)))
+    else:
+        df = _with_global_max(df, pos, "__maxpos")
+    return df.filter(F.col("__trigger") <= F.col("__maxpos")).drop("__maxpos")

@@ -349,3 +349,46 @@ def test_sample_frames_count_matches_offsets(spark):
     assert rows[1]["frame_offsets"] == [0, 4096]
     assert rows[2]["frame_offsets"] == [0]
     assert rows[3]["frame_offsets"] == []
+
+
+def test_ngram_posting_cap_guards_skew(spark, docs):
+    """max_posting_size drops boilerplate shingles from the inverted
+    index; pairs that share any rarer shingle keep their EXACT Jaccard
+    (the verify step recomputes it on full shingle sets)."""
+    from pyspark.sql import functions as F
+    uncapped = L.ngram_jaccard_pairs(docs, "text", "doc_id", 8, 0.8)
+    capped = L.ngram_jaccard_pairs(docs, "text", "doc_id", 8, 0.8,
+                                   max_posting_size=1000)
+    u = {(r.id_a, r.id_b): r.jaccard for r in uncapped.collect()}
+    c = {(r.id_a, r.id_b): r.jaccard for r in capped.collect()}
+    assert u == c and len(u) > 0     # cap unengaged on real-ish corpus
+
+    # degenerate input: every doc shares one huge boilerplate run whose
+    # shingles all exceed the cap.  Pairs sharing any RARE shingle keep
+    # their exact Jaccard; pairs sharing ONLY capped shingles (the
+    # boiler-clone pair 200/201) are the documented miss — exactly the
+    # pairs whose postings would otherwise go quadratic.
+    boiler = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, boiler + f"unique tail nr {i:06d}") for i in range(60)]
+    rows += [(100, boiler + "same same same tail"),
+             (101, boiler + "same same same tail!"),
+             (200, boiler), (201, boiler)]
+    deg = spark.createDataFrame(rows, "doc_id long, text string")
+    capped_df = L.ngram_jaccard_pairs(deg, "text", "doc_id", 8, 0.9,
+                                      max_posting_size=30)
+    got = {(r.id_a, r.id_b): r.jaccard for r in capped_df.collect()}
+    exact = {(r.id_a, r.id_b): r.jaccard for r in
+             L.ngram_jaccard_pairs(deg, "text", "doc_id", 8, 0.9)
+             .collect()}
+    assert (100, 101) in got
+    assert (200, 201) in exact and (200, 201) not in got
+    # capped is a subset of exact, and every surviving pair keeps its
+    # EXACT score (the verify step sees full shingle sets).  Missed
+    # pairs — e.g. (0,10), where every shared shingle (" nr 0000" and
+    # the boiler run) occurs in all 60 docs — are exactly those sharing
+    # nothing rarer than the cap.
+    assert set(got) < set(exact)
+    assert all(exact[p] == j for p, j in got.items())
+    # the guard is in the plan: a left-anti broadcast join on postings
+    plan = capped_df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan

@@ -119,3 +119,26 @@ def test_window_agg_single_shuffle(spark, queries):
     plan = plan_of(queries["q26_window_tumbling"](spark, SF),
                    mode="simple")
     assert plan.count("Exchange") <= 2
+
+
+def test_global_count_windows_have_no_single_partition_exchange(
+        spark, queries):
+    """Un-partitioned count/snapshot windows (q28/q29/q30) used to push
+    the whole table through one task via Window.partitionBy().orderBy();
+    the distributed _global_index / broadcast-scalar-max rewrite must
+    keep every Exchange partitioned."""
+    # count-axis windows know their total up front: no scalar agg, so no
+    # SinglePartition exchange of any kind may remain
+    for name in ["q28_count_tumbling", "q29_count_sliding"]:
+        plan = queries[name](spark, SF) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, name
+    # the time-axis snapshot replaces its whole-table Window with a
+    # broadcast scalar max: a SinglePartition exchange may exist only as
+    # the (one-row-per-partition) final step of that scalar aggregate,
+    # never under a Sort/Window over the full table
+    plan = queries["q30_snapshot_window"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, "q30 regressed to a whole-table Window"
+    for ln in plan.splitlines():
+        assert "Sort" not in ln or "SinglePartition" not in ln
