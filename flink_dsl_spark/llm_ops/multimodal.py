@@ -24,8 +24,15 @@ DECODE_SCHEMA = ("id long, byte_len long, format string, width int, "
 
 FRAME_SCHEMA = "id long, n_frames int, frame_offsets array<long>"
 
-#: set True when a real codec backend (PIL/ffmpeg) is wired in
-REAL_CODECS_AVAILABLE = False
+#: probed at import: when PIL is installed the decode/resize paths use
+#: real codecs; otherwise the deterministic stubs run (the container
+#: ships none — re-checked every round per the build plan)
+try:                                    # pragma: no cover - env dependent
+    from PIL import Image as _PILImage
+    REAL_CODECS_AVAILABLE = True
+except ImportError:
+    _PILImage = None
+    REAL_CODECS_AVAILABLE = False
 
 
 def with_binary_column(df: DataFrame, text_col: str, id_col: str,
@@ -52,14 +59,22 @@ def decode_metadata(df: DataFrame, payload_col: str = "payload",
     Catalyst can prune/push around it."""
     import pandas as pd
 
+    def decode_one(b: bytes) -> tuple:
+        if REAL_CODECS_AVAILABLE:       # pragma: no cover - env dependent
+            import io
+            try:
+                with _PILImage.open(io.BytesIO(b)) as im:
+                    return (len(b), (im.format or "raw").lower(),
+                            im.width, im.height, len(im.getbands()))
+            except Exception:
+                pass                    # non-image payload: stub metadata
+        return _fake_decode(b)
+
     def decode_batches(batches: Iterator[pd.DataFrame]) \
             -> Iterator[pd.DataFrame]:
-        if REAL_CODECS_AVAILABLE:   # pragma: no cover
-            raise NotImplementedError(
-                "wire PIL/ffmpeg here; container ships no codecs")
         for pdf in batches:
             payloads = pdf[payload_col]
-            meta = [_fake_decode(bytes(p)) for p in payloads]
+            meta = [decode_one(bytes(p)) for p in payloads]
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
                 "byte_len": [m[0] for m in meta],
@@ -78,31 +93,39 @@ RESIZE_SCHEMA = "id long, width int, height int, payload binary"
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload",
                   id_col: str = "id") -> DataFrame:
-    """STUB image resize: produces a payload of exactly
-    ``width * height * 3`` bytes by tiling/truncating the source bytes
-    (replace the inner loop with PIL's ``Image.resize``).  The Spark
-    shape is the production one: binary in, binary out, Arrow batches,
-    no shuffle — a resize never moves a row off its partition."""
+    """Image resize to ``width x height`` RGB raw bytes.  With PIL
+    present, payloads decode and resample for real (bilinear); without
+    codecs — or for undecodable payloads — a STUB tiles/truncates the
+    source bytes to exactly ``width * height * 3``.  Either way the
+    Spark shape is the production one: binary in, binary out, Arrow
+    batches, no shuffle — a resize never moves a row off its
+    partition."""
     import pandas as pd
 
     target = width * height * 3
 
+    def resize_one(b: bytes) -> bytes:
+        if REAL_CODECS_AVAILABLE:       # pragma: no cover - env dependent
+            import io
+            try:
+                with _PILImage.open(io.BytesIO(b)) as im:
+                    return im.convert("RGB") \
+                             .resize((width, height),
+                                     _PILImage.BILINEAR).tobytes()
+            except Exception:
+                pass                    # non-image payload: stub tiling
+        if not b:
+            b = b"\x00"
+        reps = target // len(b) + 1
+        return (b * reps)[:target]
+
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_CODECS_AVAILABLE:   # pragma: no cover
-            raise NotImplementedError(
-                "wire PIL here; container ships no codecs")
         for pdf in batches:
-            out = []
-            for p in pdf[payload_col]:
-                b = bytes(p)
-                if not b:
-                    b = b"\x00"
-                reps = target // len(b) + 1
-                out.append((b * reps)[:target])
             yield pd.DataFrame({
                 "id": pdf[id_col].values,
                 "width": width, "height": height,
-                "payload": out,
+                "payload": [resize_one(bytes(p))
+                            for p in pdf[payload_col]],
             })
 
     return df.mapInPandas(resize, schema=RESIZE_SCHEMA)
@@ -150,9 +173,8 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
     import pandas as pd
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if REAL_CODECS_AVAILABLE:   # pragma: no cover
-            raise NotImplementedError(
-                "wire ffmpeg here; container ships no codecs")
+        # video keyframes need ffmpeg/av (PIL is stills-only); the byte
+        # stride stands in until a video backend ships in the container
         for pdf in batches:
             lens = pdf[payload_col].map(len)
             offsets = [list(range(0, int(ln), every_n_bytes))
