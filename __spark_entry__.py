@@ -221,6 +221,17 @@ _SCRIPTS: dict[str, str] = {
         create stream sview33 as
             (select event_id as id, value as speed, ts as time from events);
         select id, speed from sview33 where speed > 100""",
+    # UPDATE + DELETE execute against the session catalog (the reference
+    # only parses them); run both on a derived copy so shared tables
+    # stay pristine for the other driver queries
+    "q40_update_delete": """
+        create stream mut40 as
+            (select event_id, event_type, value from events);
+        update mut40 set value = value * 2, event_type = upper(event_type)
+            where value > 100;
+        delete from mut40 where value <= 50;
+        select event_id, event_type, round(value, 2) as value
+        from mut40""",
 }
 
 
@@ -689,6 +700,16 @@ def oracle_sql() -> dict[str, str]:
         "q33_derived_stream": """
             SELECT event_id AS id, value AS speed FROM events
             WHERE value > 100""",
+        "q40_update_delete": """
+            WITH m1 AS (
+              SELECT event_id,
+                     CASE WHEN value > 100 THEN upper(event_type)
+                          ELSE event_type END AS event_type,
+                     CASE WHEN value > 100 THEN value * 2
+                          ELSE value END AS value
+              FROM events)
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM m1 WHERE value > 50 OR value IS NULL""",
         "q34_windowed_join": """
             WITH w AS (SELECT * FROM events
                        WHERE ts > (SELECT max(ts) FROM events)

@@ -350,7 +350,10 @@ class Assignment:
 
 @dataclass
 class Update:
-    """UPDATE — parse-only, rejected at plan time (SURVEY.md §7.0(5))."""
+    """UPDATE t SET c = e [WHERE p] — executes against the session
+    catalog (planner.plan_update re-registers the transformed
+    relation).  The reference only parses it (flinkdsl/parser.scala:
+    55-59)."""
 
     tables: list                                 # list[TableRef]
     assignments: list                            # list[Assignment]
@@ -361,7 +364,8 @@ class Update:
 
 @dataclass
 class Delete:
-    """DELETE — parse-only, rejected at plan time."""
+    """DELETE FROM t [WHERE p] — executes against the session catalog
+    (planner.plan_delete).  The reference only parses it."""
 
     tables: list                                 # list[TableRef]
     where: Optional[Expr] = None

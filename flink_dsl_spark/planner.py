@@ -98,13 +98,10 @@ class Planner:
             return self.plan_query(stmt)
         if isinstance(stmt, Insert):
             return self.plan_insert(stmt)
-        if isinstance(stmt, (Update, Delete)):
-            # parse-only parity: the reference grammar accepts these but the
-            # snapshot never executes them (SURVEY.md §7.0(5))
-            raise UnsupportedError(
-                f"{type(stmt).__name__.upper()} parses but is not executable "
-                "in this engine (reference parity; use Delta Lake for "
-                "mutable tables)")
+        if isinstance(stmt, Update):
+            return self.plan_update(stmt)
+        if isinstance(stmt, Delete):
+            return self.plan_delete(stmt)
         raise PlanError(f"cannot plan statement {type(stmt).__name__}")
 
     def plan_query(self, q) -> DataFrame:
@@ -430,6 +427,71 @@ class Planner:
         updated = target.unionByName(new.select(*target_cols))
         self.catalog.register(ins.table, updated)
         return updated
+
+    def plan_update(self, u: Update) -> DataFrame:
+        """UPDATE t SET c = e, ... [WHERE p] on a catalog relation.
+
+        The reference grammar accepts UPDATE but its snapshot never
+        executes it (flinkdsl/parser.scala:55-59); here it executes
+        against the session catalog like INSERT does (planner
+        re-registers the transformed relation).  Durable table mutation
+        at scale belongs to a transactional table format (Delta/
+        Iceberg) — the session-relation semantics are the engine's
+        documented choice (SURVEY.md §7.0(5)).
+
+        SQL semantics held: every assignment right-hand side sees
+        PRE-update values (one select over the original relation, not
+        chained withColumn), and a NULL predicate leaves the row
+        unchanged."""
+        if len(u.tables) != 1:
+            raise UnsupportedError("multi-table UPDATE is not supported")
+        if u.order_by or u.limit is not None:
+            raise UnsupportedError(
+                "UPDATE ... ORDER BY/LIMIT is not supported")
+        name = u.tables[0].name
+        target = self.catalog.get(name)
+        if target.isStreaming:
+            raise PlanError("cannot UPDATE a streaming relation")
+        cond = (self._compile(u.where, target)
+                if u.where is not None else F.lit(True))
+        dtypes = dict(target.dtypes)
+        lower = {c.lower(): c for c in target.columns}
+        assigned: dict[str, Column] = {}
+        for a in u.assignments:
+            col = lower.get(a.col.name.lower())
+            if col is None:
+                raise PlanError(
+                    f"unknown column {a.col.name!r} in UPDATE")
+            if col in assigned:
+                raise PlanError(
+                    f"column {col!r} assigned twice in UPDATE")
+            assigned[col] = self._compile(a.value, target)
+        updated = target.select(*[
+            (F.when(cond, assigned[c].cast(dtypes[c]))
+              .otherwise(F.col(c)).alias(c)) if c in assigned
+            else F.col(c)
+            for c in target.columns])
+        self.catalog.register(name, updated)
+        return updated
+
+    def plan_delete(self, d: Delete) -> DataFrame:
+        """DELETE FROM t [WHERE p] on a catalog relation (see
+        plan_update for the execution-model notes).  Rows are removed
+        only when the predicate is TRUE; NULL keeps the row, matching
+        SQL."""
+        if len(d.tables) != 1:
+            raise UnsupportedError("multi-table DELETE is not supported")
+        name = d.tables[0].name
+        target = self.catalog.get(name)
+        if target.isStreaming:
+            raise PlanError("cannot DELETE from a streaming relation")
+        if d.where is None:
+            remaining = target.filter(F.lit(False))
+        else:
+            cond = self._compile(d.where, target)
+            remaining = target.filter(~F.coalesce(cond, F.lit(False)))
+        self.catalog.register(name, remaining)
+        return remaining
 
     def _const_value(self, e):
         """Evaluate a constant expression in VALUES position."""

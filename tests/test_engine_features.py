@@ -151,17 +151,59 @@ def test_insert_streaming_mismatch_raises(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
-# UPDATE / DELETE: parse-only parity (SURVEY.md §7.0(5))
+# UPDATE / DELETE on session-catalog relations (beyond reference parity:
+# the reference only parses these, flinkdsl/parser.scala:55-66)
 # --------------------------------------------------------------------------
 
-def test_update_rejected_at_plan_time(eng):
-    with pytest.raises(UnsupportedError, match="UPDATE"):
-        eng.sql("update t set a = 1 where b = 'x'")
+def test_update_executes_on_catalog_relation(spark):
+    e = FsqlEngine(spark)
+    e.register("m", spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, None, "c")],
+        "id long, v double, tag string"))
+    out = e.sql("update m set v = v * 2, tag = upper(tag) where id < 3")
+    got = {(r.id, r.v, r.tag) for r in out.collect()}
+    assert got == {(1, 20.0, "A"), (2, 40.0, "B"), (3, None, "c")}
+    # the catalog now serves the mutated relation
+    assert e.sql("select sum(v) as s from m").first()["s"] == 60.0
 
 
-def test_delete_rejected_at_plan_time(eng):
-    with pytest.raises(UnsupportedError, match="DELETE"):
-        eng.sql("delete from t where a = 1")
+def test_update_rhs_sees_pre_update_values(spark):
+    e = FsqlEngine(spark)
+    e.register("sw", spark.createDataFrame([(1, 2)], "a long, b long"))
+    row = e.sql("update sw set a = b, b = a").first()
+    assert (row.a, row.b) == (2, 1)      # swap, not (2, 2)
+
+
+def test_update_null_predicate_keeps_row(spark):
+    e = FsqlEngine(spark)
+    e.register("nu", spark.createDataFrame(
+        [(1, 5.0), (2, None)], "id long, v double"))
+    got = {(r.id, r.v) for r in
+           e.sql("update nu set v = 0 where v > 1").collect()}
+    assert got == {(1, 0.0), (2, None)}  # NULL predicate: unchanged
+
+
+def test_delete_executes_and_null_keeps_row(spark):
+    e = FsqlEngine(spark)
+    e.register("dl", spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, None)], "id long, v double"))
+    out = e.sql("delete from dl where v > 10")
+    assert {r.id for r in out.collect()} == {1, 3}
+    assert {r.id for r in e.sql("select id from dl").collect()} == {1, 3}
+    # unconditional DELETE empties the relation but keeps the schema
+    empty = e.sql("delete from dl")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["id", "v"]
+
+
+def test_update_delete_guards(spark, eng):
+    from flink_dsl_spark import PlanError
+    e = FsqlEngine(spark)
+    e.register("g", spark.createDataFrame([(1,)], "a long"))
+    with pytest.raises(PlanError, match="unknown column"):
+        e.sql("update g set nope = 1")
+    with pytest.raises(PlanError, match="twice"):
+        e.sql("update g set a = 1, a = 2")
 
 
 # --------------------------------------------------------------------------
