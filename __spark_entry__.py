@@ -336,6 +336,12 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
             "doc_id", "ws_tokens", budget=512),
+        "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
+            _docs(s, d).select("doc_id"), "doc_id",
+            seed=7, rank=True),
+        "llm24_stratified_sample": lambda s, d: L.stratified_sample(
+            L.lang_id(_docs(s, d), "text", "doc_id"), "lang_pred", "id",
+            {"en": 0.5, "de": 0.25, "fr": 0.25}, seed=7),
         "llm19_top_terms_tfidf": lambda s, d: L.top_terms_tfidf(
             _docs(s, d), "text", "doc_id", k=5),
         "llm18_chunk_documents": lambda s, d: L.chunk_documents(

@@ -19,7 +19,8 @@ from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
 )
-from .assemble import pack_sequences, split_dataset
+from .assemble import (pack_sequences, seeded_shuffle,
+                       split_dataset, stratified_sample)
 
 __all__ = [
     "dup_clusters", "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
@@ -29,5 +30,6 @@ __all__ = [
     "quality_score", "token_stats", "fingerprint", "chunk_documents",
     "top_terms_tfidf", "with_binary_column",
     "decode_metadata", "sample_frames", "resize_images", "extract_features",
-    "pack_sequences", "split_dataset",
+    "pack_sequences", "seeded_shuffle", "split_dataset",
+    "stratified_sample",
 ]

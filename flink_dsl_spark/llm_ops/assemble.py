@@ -51,6 +51,59 @@ def split_dataset(df: DataFrame, id_col: str,
     return df.withColumn("split", expr)
 
 
+def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
+                   rank: bool = False) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: adds a
+    ``shuffle_key`` column (xxhash64 of id + seed) and returns the rows
+    range-partitioned and sorted by it — the same permutation on every
+    run, every cluster size, every input partitioning.
+
+    This is the scalable formulation of "shuffle the corpus": a random()
+    sort is irreproducible and a zipWithIndex is a serialization point,
+    while a hash key is a pure projection; downstream writers that
+    consume partitions in order see the permuted stream.  With
+    ``rank=True`` a ``shuffle_rank`` column materializes the explicit
+    0-based position via the distributed two-phase numbering
+    (streaming.windows._global_index — batch only, costs one extra
+    column-pruned pass)."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    out = df.withColumn("shuffle_key", key)
+    parts = df.sparkSession.sparkContext.defaultParallelism
+    out = (out.repartitionByRange(parts, "shuffle_key")
+              .sortWithinPartitions("shuffle_key"))
+    if rank:
+        from ..streaming.windows import _global_index
+        out, _total = _global_index(out, F.col("shuffle_key"),
+                                    "shuffle_rank")
+        out = out.withColumn("shuffle_rank", F.col("shuffle_rank") - 1)
+    return out
+
+
+def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
+                      fractions: dict, seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a hash-selected
+    ``fractions[stratum]`` of each stratum's rows (strata absent from
+    the dict are dropped).
+
+    Like split_dataset, selection hashes the ID — reproducible, stable
+    under corpus growth, zero shuffle (pure filter, composes with scan
+    pushdown).  Unlike df.sampleBy, re-running on a grown corpus keeps
+    every previously-sampled row's fate unchanged."""
+    for k, v in fractions.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0,1]")
+    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
+                    F.lit(_BUCKETS))
+    cond = None
+    for name, frac in fractions.items():
+        c = (F.col(strata_col) == F.lit(name)) & \
+            (bucket < int(round(frac * _BUCKETS)))
+        cond = c if cond is None else cond | c
+    if cond is None:
+        raise ValueError("fractions must name at least one stratum")
+    return df.filter(cond)
+
+
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    budget: int, partitions: int | None = None) -> DataFrame:
     """Greedy first-fit packing of items into fixed token budgets:

@@ -416,3 +416,53 @@ def test_resize_real_codec_when_available(spark):
     assert payload[0:3] == b"\xff\x00\x00"
     meta = M.decode_metadata(df).first()
     assert (meta.width, meta.height, meta.format) == (32, 16, "png")
+
+
+def test_seeded_shuffle_deterministic_permutation(spark, docs):
+    ids = docs.select("doc_id")
+    a = {r.doc_id: r.shuffle_rank
+         for r in L.seeded_shuffle(ids, "doc_id", seed=7,
+                                   rank=True).collect()}
+    n = len(a)
+    assert sorted(a.values()) == list(range(n))   # a true permutation
+    # identical across runs AND across input partitionings
+    b = {r.doc_id: r.shuffle_rank
+         for r in L.seeded_shuffle(ids.repartition(7), "doc_id", seed=7,
+                                   rank=True).collect()}
+    assert a == b
+    # a different seed gives a different permutation
+    c = {r.doc_id: r.shuffle_rank
+         for r in L.seeded_shuffle(ids, "doc_id", seed=8,
+                                   rank=True).collect()}
+    assert a != c and sorted(c.values()) == list(range(n))
+
+
+def test_stratified_sample_stable_and_proportional(spark):
+    from pyspark.sql import functions as F
+    n = 4000
+    df = (spark.range(n).select(
+        F.col("id"),
+        F.when(F.col("id") % 4 == 0, "en")
+         .when(F.col("id") % 4 == 1, "de")
+         .when(F.col("id") % 4 == 2, "fr")
+         .otherwise("xx").alias("lang")))
+    frac = {"en": 0.5, "de": 0.25, "fr": 1.0}
+    got = L.stratified_sample(df, "lang", "id", frac, seed=7)
+    counts = {r["lang"]: r["cnt"] for r in
+              got.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert "xx" not in counts                      # unnamed strata drop
+    assert counts["fr"] == n // 4                  # fraction 1 keeps all
+    assert abs(counts["en"] / (n / 4) - 0.5) < 0.05
+    assert abs(counts["de"] / (n / 4) - 0.25) < 0.05
+    # growth stability: sampling a superset never changes the fate of
+    # existing rows (the property sampleBy does NOT have)
+    sub = df.filter(F.col("id") < 2000)
+    s_sub = {r.id for r in
+             L.stratified_sample(sub, "lang", "id", frac, seed=7)
+             .collect()}
+    s_all = {r.id for r in got.collect() if r.id < 2000}
+    assert s_sub == s_all
+    with pytest.raises(ValueError):
+        L.stratified_sample(df, "lang", "id", {"en": 1.5})
+    with pytest.raises(ValueError):
+        L.stratified_sample(df, "lang", "id", {})
