@@ -50,6 +50,17 @@ class FsqlEngine:
         self.spark = spark or get_session()
         for k, v in _REQUIRED_CONFS.items():
             self.spark.conf.set(k, v)
+        # Size the shuffle/state-store partition count to the actual
+        # cluster parallelism when the caller's session still has
+        # Spark's out-of-the-box 200 (an explicitly-chosen value is
+        # indistinguishable from the default, so only 200 is touched):
+        # 200 state-store tasks on a 32-core local session multiplies
+        # every stateful-streaming and join stage's overhead.
+        if self.spark.conf.get("spark.sql.shuffle.partitions",
+                               "200") == "200":
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(self.spark.sparkContext.defaultParallelism))
         self.streaming = streaming          # CREATE STREAM uses readStream
         self.catalog = Catalog(self.spark)
         self.registry = FunctionRegistry()

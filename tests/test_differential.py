@@ -125,3 +125,28 @@ def test_engine_matches_duckdb(engine, duck, sql):
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_exact=False, rtol=1e-9, atol=1e-9,
                                   obj=sql)
+
+
+# --------------------------------------------------------------------------
+# distributed global row numbering (_global_index) vs single-task truth
+# --------------------------------------------------------------------------
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.integers(-10**6, 10**6), min_size=1, max_size=300,
+                unique=True),
+       st.integers(2, 17))
+def test_global_index_is_total_order(spark, vals, buckets):
+    """The bucketed two-phase numbering must produce exactly the ranks a
+    single-task row_number over the same (unique) keys would — for any
+    value distribution and bucket count, including constant-width
+    degenerate distributions."""
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.streaming.windows import _global_index
+    df = spark.createDataFrame([(v,) for v in vals], "v long") \
+              .repartition(5)
+    out, total = _global_index(df, F.col("v"), "idx", buckets=buckets)
+    got = {r["v"]: r["idx"] for r in out.collect()}
+    expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == expected
+    assert total == len(vals)
