@@ -829,8 +829,22 @@ class Planner:
             raise PlanError("* not valid in this position")
         raise PlanError(f"cannot compile expression {type(e).__name__}")
 
+    _COMPARISON_OPS = frozenset({"=", "!=", "<", ">", "<=", ">="})
+
     def _compile_binop(self, e: BinOp, df) -> Column:
         op = e.op
+        # reference-parity param typing (flinkdsl/typer.scala_:97-158):
+        # a `?` compared against a column takes that column's type, so
+        # params=["5"] against an int column compares as int, not as
+        # Spark's string-vs-int cast choice.  Without column context the
+        # param binds as its Python literal.
+        if op in self._COMPARISON_OPS and \
+                (isinstance(e.left, Param) != isinstance(e.right, Param)):
+            l = (self._param_lit(e.left, e.right, df)
+                 if isinstance(e.left, Param) else self._compile(e.left, df))
+            r = (self._param_lit(e.right, e.left, df)
+                 if isinstance(e.right, Param) else self._compile(e.right, df))
+            return _apply_binop(op, l, r)
         l = self._compile(e.left, df)
         # shift amounts must be python ints for F.shiftleft/right
         if op in ("<<", ">>"):
@@ -842,6 +856,17 @@ class Planner:
                 and isinstance(e.right.value, str):
             return l.like(e.right.value)
         return _apply_binop(op, l, self._compile(e.right, df))
+
+    def _param_lit(self, p: Param, other, df) -> Column:
+        """Bind a parameter, casting it to the compared column's type
+        when that type is resolvable from the frame in scope."""
+        lit = F.lit(self._bind_param(p))
+        if df is not None and isinstance(other, Col) \
+                and other.binding is None:
+            dt = dict(df.dtypes).get(other.name)
+            if dt is not None:
+                lit = lit.cast(dt)
+        return lit
 
     def _compile_func(self, e: FuncCall, df) -> Column:
         if self.registry.is_aggregate(e.name):

@@ -267,3 +267,21 @@ def test_unqualified_unique_column_binds(spark):
     e.sql("create stream s4 (w int, z int)")
     df = e.sql("select y, z from s3 join s4 on x = w")
     assert set(df.columns) == {"y", "z"}
+
+
+def test_param_typed_from_compared_column(spark):
+    """Reference-parity param typing (flinkdsl/typer.scala_:97-158): a
+    `?` compared to a column takes the column's type, so a string-typed
+    parameter against a numeric column compares numerically."""
+    e = FsqlEngine(spark)
+    e.register("pt", spark.createDataFrame(
+        [(1, 9.0), (2, 10.0), (3, 11.0)], "id long, v double"))
+    got = {r.id for r in
+           e.sql("select id from pt where v > ?", params=["9.5"]).collect()}
+    assert got == {2, 3}
+    got = {r.id for r in
+           e.sql("select id from pt where ? = id", params=["2"]).collect()}
+    assert got == {2}
+    # without column context the literal binds as-is
+    row = e.sql("select ? + 1 as x", params=[41]).first()
+    assert row.x == 42
