@@ -170,6 +170,56 @@ def _global_index(df: DataFrame, order: Column,
     return out, running
 
 
+def _latest_session_distributed(df: DataFrame, time_col: Column,
+                                gap: Column) -> DataFrame:
+    """Rows of the latest gap-delimited run of a total time order,
+    without a single-partition Window.
+
+    The old formulation (lag + running sum over an empty partitionBy)
+    serialized the whole table through one task.  Instead: range-bucket
+    on time, lag WITHIN each bucket (parallel), repair the one missing
+    predecessor per bucket from the broadcast per-bucket maxima, then
+    the latest session start is a scalar max over session-start rows —
+    three distributed passes, each column-pruned, none single-task."""
+    spark = df.sparkSession
+    buckets = spark.sparkContext.defaultParallelism
+    num = time_col.cast("double")
+    row = df.select(F.min(num).alias("mn"), F.max(num).alias("mx")).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mn == mx or buckets <= 1:
+        bkt = F.lit(1)
+    else:
+        bkt = F.coalesce(
+            F.width_bucket(num, F.lit(mn), F.lit(mx), F.lit(buckets)),
+            F.lit(0))
+    d = df.withColumn("__bkt", bkt)
+    # per-bucket max time, sorted by bucket: each bucket's boundary
+    # predecessor is the previous NON-EMPTY bucket's max
+    bmax = sorted((r["__bkt"], r["bm"]) for r in
+                  d.groupBy("__bkt").agg(F.max(time_col).alias("bm"))
+                   .collect())
+    boundary, prev_max = [], None
+    for b, m in bmax:
+        boundary.append((b, prev_max))
+        prev_max = m
+    ts_type = df.select(time_col.alias("__t")).schema[0].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+    bschema = StructType([StructField("__bkt", IntegerType()),
+                          StructField("__prev_bmax", ts_type)])
+    bdf = spark.createDataFrame(
+        [(int(b), p) for b, p in boundary], schema=bschema)
+    w = W.partitionBy("__bkt").orderBy(time_col)
+    d = (d.join(F.broadcast(bdf), "__bkt")
+          .withColumn("__prev", F.coalesce(F.lag(time_col).over(w),
+                                           F.col("__prev_bmax"))))
+    new_sess = F.col("__prev").isNull() | (time_col > F.col("__prev") + gap)
+    d = d.withColumn("__ns", new_sess)
+    start = d.filter("__ns").select(F.max(time_col).alias("__start"))
+    return (d.crossJoin(F.broadcast(start))
+             .filter(time_col >= F.col("__start"))
+             .drop("__bkt", "__prev_bmax", "__prev", "__ns", "__start"))
+
+
 def _with_global_max(df: DataFrame, col: Column, out_name: str) -> DataFrame:
     """Attach the table-wide max of ``col`` as a column via a scalar
     aggregate + broadcast cross join (two-phase, distributed) instead of
@@ -200,20 +250,20 @@ def last_window_filter(df: DataFrame, spec: WindowSpec,
             raise PlanError("session window needs a time gap and an "
                             "event-time column")
         gap = F.expr(f"INTERVAL {duration_str(size)}")
-        w = (W.partitionBy(*parts) if parts else W.partitionBy()) \
-            .orderBy(time_col)
-        prev = F.lag(time_col).over(w)
-        new_sess = (prev.isNull() |
-                    (time_col > prev + gap)).cast("int")
-        run = F.sum(new_sess).over(
-            (W.partitionBy(*parts) if parts else W.partitionBy())
-            .orderBy(time_col)
-            .rowsBetween(W.unboundedPreceding, W.currentRow))
-        wmax = W.partitionBy(*parts) if parts else W.partitionBy()
-        return (df.withColumn("__run", run)
-                  .withColumn("__mxrun", F.max("__run").over(wmax))
-                  .filter(F.col("__run") == F.col("__mxrun"))
-                  .drop("__run", "__mxrun"))
+        if parts:
+            w = W.partitionBy(*parts).orderBy(time_col)
+            prev = F.lag(time_col).over(w)
+            new_sess = (prev.isNull() |
+                        (time_col > prev + gap)).cast("int")
+            run = F.sum(new_sess).over(
+                W.partitionBy(*parts).orderBy(time_col)
+                .rowsBetween(W.unboundedPreceding, W.currentRow))
+            return (df.withColumn("__run", run)
+                      .withColumn("__mxrun",
+                                  F.max("__run").over(W.partitionBy(*parts)))
+                      .filter(F.col("__run") == F.col("__mxrun"))
+                      .drop("__run", "__mxrun"))
+        return _latest_session_distributed(df, time_col, gap)
 
     if axis == "count":
         order = _order_col(spec, time_col)

@@ -629,3 +629,31 @@ def test_batch_sampling_window_every_gt_size(spark):
                   "[size 3 on value every 12 on value]")
     got = {(r["trigger"], r["n"]) for r in out.collect()}
     assert got == {(12.0, 3), (24.0, 3)}
+
+
+def test_session_snapshot_distributed_plan_and_boundaries(spark):
+    """The un-partitioned latest-session snapshot must (a) survive
+    sessions that span range-bucket boundaries and (b) plan with no
+    single-partition Exchange under a Sort/Window."""
+    import datetime as dt
+    # 64 rows 1 min apart = one session (gap 2 min) spanning every
+    # bucket on local[32]; then a 1h break and a final 3-row session
+    rows = [(i, T0 + dt.timedelta(minutes=i)) for i in range(64)]
+    rows += [(100 + j, T0 + dt.timedelta(minutes=180 + j))
+             for j in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp")
+    eng = FsqlEngine(spark)
+    eng.register("sess_ev", df, event_time_col="ts")
+    q = "select event_id from sess_ev [session 2 min on ts]"
+    got = sorted(r.event_id for r in eng.sql(q).collect())
+    assert got == [100, 101, 102]
+    # one long unbroken run -> the whole table is the latest session
+    df2 = spark.createDataFrame(rows[:64], "event_id long, ts timestamp")
+    eng.register("sess_ev2", df2, event_time_col="ts")
+    got = eng.sql("select event_id from sess_ev2 "
+                  "[session 2 min on ts]").count()
+    assert got == 64
+    plan = eng.sql(q)._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        assert not ("Window" in ln and "SinglePartition" in ln)
+        assert not ("Sort" in ln and "SinglePartition" in ln)
