@@ -320,6 +320,9 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=8, threshold=0.8),
         "llm04_dedup_simhash": lambda s, d: L.simhash_pairs(
             _docs(s, d), "text", "doc_id", max_hamming=3),
+        # llm05 is the exact O(n^2) baseline/verifier by design; the
+        # production-scale path is llm14 (hyperplane-LSH buckets with
+        # exact-cosine verification)
         "llm05_dedup_embedding": lambda s, d: L.embedding_dup_pairs(
             _emb(s, d), "embedding", "vec_id", threshold=0.4),
         "llm06_ann_topk_bruteforce": lambda s, d: L.cosine_topk(
