@@ -84,37 +84,84 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 8, threshold: float = 0.8,
                         max_posting_size: int | None = None) -> DataFrame:
-    """All pairs with char-n-gram Jaccard >= threshold: an
-    inverted-index self-join proposes candidates (pairs sharing >=1
-    shingle), then exact Jaccard on the candidates' full shingle sets
-    decides — so a posting-list cap prunes join work without
-    approximating surviving pairs' scores.
+    """All pairs with char-n-gram Jaccard >= threshold via an
+    inverted-index self-join whose aggregate counts shared shingles —
+    the score comes from the count, never from per-pair array scans
+    over the full candidate set.
 
     ``max_posting_size`` is the straggler guard: the self-join emits
     len(posting)^2/2 rows per shingle, so one boilerplate shingle shared
-    by a million docs is a 10^12-row task.  Postings longer than the cap
-    are dropped before the join (same broadcast-anti-join shape as
-    minhash_lsh_pairs' max_bucket_size); a pair is missed only when it
-    shares NOTHING rarer than the cap — real near-duplicates share many
-    rare shingles.  Uncapped, results are exhaustively exact; at scale
-    prefer minhash_lsh_pairs (this function is its verifier)."""
+    by a million docs is a 10^12-row task.  With the cap, over-cap
+    postings are dropped before the join (broadcast anti-join, same
+    shape as minhash_lsh_pairs' max_bucket_size), the join counts
+    shared KEPT shingles (a lower bound), and a sound upper bound —
+    true shared <= kept shared + min(capped_a, capped_b) — prunes the
+    pair list before an exact array-intersect verification of the few
+    survivors.  No false negatives among pairs sharing >=1 under-cap
+    shingle; a pair is missed only when it shares NOTHING rarer than
+    the cap — real near-duplicates share many rare shingles.  Uncapped,
+    results are exhaustively exact; at scale prefer minhash_lsh_pairs
+    (this function is its verifier)."""
     sh = (spread_for_compute(df)
             .select(F.col(id_col).alias("id"),
                     char_shingles(F.col(text_col), n).alias("sh"))
             .withColumn("n_sh", F.size("sh")))
     e = sh.select("id", F.explode("sh").alias("s"))
-    if max_posting_size is not None:
-        big = (e.groupBy("s")
-                .agg(F.count(F.lit(1)).alias("__pc"))
-                .filter(F.col("__pc") > max_posting_size)
-                .select("s"))
-        e = e.join(F.broadcast(big), "s", "left_anti")
-    a, b = e.alias("a"), e.alias("b")
-    cand = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                   (F.col("a.id") < F.col("b.id")))
-             .select(F.col("a.id").alias("id_a"),
-                     F.col("b.id").alias("id_b"))
-             .distinct())
+    if max_posting_size is None:
+        # exhaustive: the join itself counts shared shingles exactly, so
+        # the Jaccard comes straight from the aggregate — no per-pair
+        # array work at all
+        a, b = e.alias("a"), e.alias("b")
+        pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                        (F.col("a.id") < F.col("b.id")))
+                 .groupBy(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"))
+                 .agg(F.count(F.lit(1)).alias("shared")))
+        meta = sh.select("id", "n_sh")
+        jac = F.col("shared") / (F.col("na") + F.col("nb")
+                                 - F.col("shared"))
+        return (pairs
+                .join(meta.select(F.col("id").alias("id_a"),
+                                  F.col("n_sh").alias("na")), "id_a")
+                .join(meta.select(F.col("id").alias("id_b"),
+                                  F.col("n_sh").alias("nb")), "id_b")
+                .withColumn("jaccard", F.round(jac, 6))
+                .filter(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
+
+    # capped: (1) drop over-cap postings before the join; (2) count
+    # shared KEPT shingles per pair (a lower bound of true shared);
+    # (3) prune with a sound upper bound — true shared can exceed the
+    # kept count by at most min(capped_a, capped_b); (4) exact-verify
+    # only the survivors on their full shingle arrays.  No false
+    # negatives among pairs sharing >=1 kept shingle.
+    big = (e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__pc"))
+            .filter(F.col("__pc") > max_posting_size)
+            .select("s"))
+    kept = e.join(F.broadcast(big), "s", "left_anti")
+    n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
+    meta = (sh.select("id", "n_sh")
+              .join(n_kept, "id", "left")
+              .withColumn("n_capped",
+                          F.col("n_sh") - F.coalesce("n_kept", F.lit(0)))
+              .select("id", "n_sh", "n_capped"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("shared_kept")))
+    pairs = (pairs
+             .join(meta.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("na"),
+                               F.col("n_capped").alias("ca")), "id_a")
+             .join(meta.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("nb"),
+                               F.col("n_capped").alias("cb")), "id_b"))
+    ub_shared = F.col("shared_kept") + F.least("ca", "cb")
+    ub_j = ub_shared / (F.col("na") + F.col("nb") - ub_shared)
+    cand = pairs.filter(ub_j >= threshold).select("id_a", "id_b")
     verified = (cand
                 .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
                 .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
