@@ -96,14 +96,39 @@ def main():
     phases = {k: round(v, 3) for k, v in eng.timer.phases.items()}
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "compile_phases_ms": phases,
         "sf": sf,
-    }))
+    }
+    prev = _prev_round_queries()
+    if prev:
+        out["delta_vs_prev_round"] = {
+            k: round(v - prev[k], 3) for k, v in timings.items()
+            if k in prev}
+        out["prev_round_total"] = round(sum(prev.values()), 3)
+    print(json.dumps(out))
+
+
+def _prev_round_queries() -> dict | None:
+    """Per-query seconds from the latest recorded BENCH_r*.json, so each
+    round's regressions are attributable query by query."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    for p in reversed(paths):
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            q = rec.get("parsed", rec).get("queries")
+            if q:
+                return {k: float(v) for k, v in q.items()}
+        except (OSError, ValueError, AttributeError):
+            continue
+    return None
 
 
 if __name__ == "__main__":
