@@ -95,12 +95,16 @@ def _query(draw):
             sql += f" having count(*) > {draw(st.integers(0, 3))}"
         return sql
     if shape == 2:
-        # join + projection
+        # join + projection (all four join types; optional 3-way chain)
         cols = _NATION_INTS + _REGION_INTS
-        how = draw(st.sampled_from(["join", "left join"]))
+        how = draw(st.sampled_from(["join", "left join", "right join",
+                                    "full join"]))
         e = draw(_int_expr(cols))
         sql = (f"select n_nationkey, r_regionkey, {e} as c0 "
                f"from nation {how} region on n_regionkey = r_regionkey")
+        if draw(st.booleans()):
+            sql += (f" {draw(st.sampled_from(['join', 'left join']))} "
+                    f"customer on n_nationkey = c_nationkey")
         if draw(st.booleans()):
             sql += f" where {draw(_predicate(_NATION_INTS))}"
         return sql
