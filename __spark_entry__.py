@@ -993,11 +993,13 @@ def oracle_sql() -> dict[str, str]:
                        AS frame_offsets
             FROM documents""",
         "q35_delta_sliding": """
-            WITH mx AS (SELECT user_id, max(value) AS vmax
+            WITH mx AS (SELECT user_id, min(value) AS vmin,
+                               max(value) AS vmax
                         FROM events GROUP BY user_id),
                  tr AS (SELECT user_id,
                                unnest(generate_series(
-                                   20, CAST(floor(vmax/20) AS BIGINT)*20,
+                                   CAST(ceil(vmin/20) AS BIGINT)*20,
+                                   CAST(floor(vmax/20) AS BIGINT)*20,
                                    20)) AS trig
                         FROM mx)
             SELECT t.user_id, count(*) AS cnt,
@@ -1036,11 +1038,12 @@ def oracle_sql() -> dict[str, str]:
              AND time_bucket(INTERVAL 10 MINUTE, a.ts)
                  = time_bucket(INTERVAL 10 MINUTE, b.ts)""",
         "s04_stream_delta_window": """
-            WITH mx AS (SELECT user_id, max(value) AS vmax
+            WITH mx AS (SELECT user_id, min(value) AS vmin,
+                               max(value) AS vmax
                         FROM events GROUP BY user_id),
                  tr AS (SELECT user_id,
                                unnest(generate_series(
-                                   20,
+                                   CAST(ceil(vmin/20) AS BIGINT)*20,
                                    CAST(ceil(vmax/20) AS BIGINT)*20 - 20,
                                    20)) AS trig
                         FROM mx)
