@@ -179,17 +179,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-# signatures persisted by the latest minhash_lsh_pairs call (cache-of-one
-# so repeated calls don't accumulate storage memory for the session)
-_SIG_CACHE: list[DataFrame] = []
-
-
 def release_sig_cache() -> None:
     """Unpersist the signature cache of the most recent
     ``minhash_lsh_pairs`` call (safe to call any time; a consumer that
     has already materialized its result loses nothing)."""
-    while _SIG_CACHE:
-        _SIG_CACHE.pop().unpersist()
+    from .util import release_caches
+    release_caches("minhash_sig")
 
 
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -275,10 +270,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # The persist must outlive this (lazy) function, so it is tracked in
     # a cache-of-one: a repeat call evicts the previous call's cache, and
     # release_sig_cache() frees the last one.
-    sig = (minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
-           .select("id", "signature").persist())
-    release_sig_cache()
-    _SIG_CACHE.append(sig)
+    from .util import cache_of_one
+    sig = cache_of_one(
+        "minhash_sig",
+        minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+        .select("id", "signature"))
 
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -375,7 +371,17 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
             break
         prev_sum = cur_sum
     edges.unpersist()
-    return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    # the final labels must stay cached for the caller's consumption,
+    # but not for the lifetime of the session: cache-of-one (so repeated
+    # clustering calls don't accumulate storage memory), materialized
+    # while the last round is still cached, then the round cache freed
+    from .util import cache_of_one
+    out = cache_of_one(
+        "dup_clusters",
+        labels.select(F.col("id"), F.col("label").alias("cluster_id")))
+    out.count()
+    labels.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -201,8 +201,11 @@ def rollup_timeseries(df: DataFrame, ts_col: str, by: str | list[str],
     if len(grans) > 1:
         # the finest level feeds every coarser one: materialize it once
         # (it is already collapsed by bucketing, so this is the small
-        # intermediate a continuous aggregate would persist anyway)
-        finest = finest.persist()
+        # intermediate a continuous aggregate would persist anyway).
+        # Tracked as a cache-of-one so repeated rollups in a long-lived
+        # session don't accumulate storage memory.
+        from .llm_ops.util import cache_of_one
+        finest = cache_of_one("rollup_finest", finest)
     levels = [finest.select(F.lit(base).alias("granularity_sec"),
                             "bucket_start", *keys,
                             *[F.col(a) for _f, _c, a in aggs])]
