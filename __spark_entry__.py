@@ -173,6 +173,16 @@ _FSQL: dict[str, str] = {
               from events group by event_type) as q
         where q.cnt > 100""",
     "q24_star_scoped": "select r.* from region as r",
+    # statistical aggregates incl. multi-argument (corr/covar); the
+    # approximate family (approx_count_distinct, percentile_approx)
+    # works too but estimates aren't cross-engine comparable
+    "q41_stats_aggs": """
+        select event_type,
+               round(stddev_samp(value), 4) as sd,
+               round(var_samp(value), 4) as vr,
+               round(corr(value, user_id), 6) as cr,
+               round(covar_samp(value, user_id), 4) as cv
+        from events group by event_type""",
     # --- FSQL stream windows, batch emulation (SURVEY §2.9) ---
     "q26_window_tumbling": """
         select event_type, count(*) as cnt, round(sum(value), 2) as sv
@@ -709,6 +719,13 @@ def oracle_sql() -> dict[str, str]:
         "q33_derived_stream": """
             SELECT event_id AS id, value AS speed FROM events
             WHERE value > 100""",
+        "q41_stats_aggs": """
+            SELECT event_type,
+                   round(stddev_samp(value), 4) AS sd,
+                   round(var_samp(value), 4) AS vr,
+                   round(corr(value, user_id), 6) AS cr,
+                   round(covar_samp(value, user_id), 4) AS cv
+            FROM events GROUP BY event_type""",
         "q40_update_delete": """
             WITH m1 AS (
               SELECT event_id,

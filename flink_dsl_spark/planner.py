@@ -331,17 +331,25 @@ class Planner:
         pre_cols: list[Column] = [F.col("*")]
         for i, g in enumerate(group_exprs):
             pre_cols.append(self._compile(g, df).alias(g_names[i]))
-        arg_names: dict[int, Optional[str]] = {}
+        # each aggregate argument either pre-projects as a hidden column
+        # or stays a foldable literal (percentile fractions, accuracy
+        # knobs etc. must remain literals for Catalyst to accept them)
+        arg_names: dict[int, Optional[list]] = {}
         for j, call in enumerate(agg_calls):
-            if len(call.args) > 1:
-                raise PlanError(
-                    f"aggregate {call.name} expects one argument")
             if not call.args or isinstance(call.args[0], Star):
                 arg_names[id(call)] = None          # count(*)
-            else:
-                a = f"__a{j}"
-                pre_cols.append(self._compile(call.args[0], df).alias(a))
-                arg_names[id(call)] = a
+                continue
+            specs: list[tuple[str, object]] = []
+            for k, arg in enumerate(call.args):
+                if isinstance(arg, Lit):
+                    specs.append(("lit", arg.value))
+                elif isinstance(arg, Param):
+                    specs.append(("lit", self._bind_param(arg)))
+                else:
+                    a = f"__a{j}_{k}" if k else f"__a{j}"
+                    pre_cols.append(self._compile(arg, df).alias(a))
+                    specs.append(("col", a))
+            arg_names[id(call)] = specs
 
         pre = df.select(*pre_cols)
 
@@ -947,18 +955,24 @@ class _AggContext:
             f"cannot compile {type(e).__name__} in aggregate context")
 
     def _agg(self, call: FuncCall) -> Column:
-        hidden = self.arg_names[id(call)]
+        specs = self.arg_names[id(call)]
         name = call.name.lower()
-        if hidden is None:                       # count(*)
+        if specs is None:                        # count(*)
             return F.count(F.lit(1))
         if call.distinct:
+            if len(specs) != 1 or specs[0][0] != "col":
+                raise PlanError(
+                    f"{name}(DISTINCT ...) takes one column argument")
+            hidden = specs[0][1]
             if name == "count":
                 return F.countDistinct(F.col(hidden))
             if name == "sum":
                 return F.sum_distinct(F.col(hidden))
             # general distinct aggregate over a named hidden column
             return F.expr(f"{name}(DISTINCT {hidden})")
-        return self.p.registry.build(name, [F.col(hidden)])
+        args = [F.col(v) if kind == "col" else F.lit(v)
+                for kind, v in specs]
+        return self.p.registry.build(name, args)
 
 
 def _apply_binop(op: str, l: Column, r: Column) -> Column:

@@ -285,3 +285,26 @@ def test_param_typed_from_compared_column(spark):
     # without column context the literal binds as-is
     row = e.sql("select ? + 1 as x", params=[41]).first()
     assert row.x == 42
+
+
+def test_multi_arg_and_approx_aggregates(spark, engine):
+    """Multi-argument aggregates pre-project every expression argument
+    and keep constant arguments foldable literals (percentile fractions
+    must stay literals for Catalyst)."""
+    r = engine.sql("""
+        select percentile_approx(value, 0.5) as p50,
+               approx_count_distinct(user_id) as adc,
+               corr(value, user_id) as cr,
+               covar_samp(value * 2, user_id + 1) as cv
+        from events""").first()
+    assert r.p50 > 0 and r.adc > 0
+    assert r.cr is not None and r.cv is not None
+    # exact check for the two-column aggregates vs a manual formula
+    import math
+    rows = engine.sql("select value, user_id from events").collect()
+    xs = [x.value for x in rows]; ys = [float(x.user_id) for x in rows]
+    mx, my = sum(xs)/len(xs), sum(ys)/len(ys)
+    cov = sum((a-mx)*(b-my) for a, b in zip(xs, ys)) / (len(xs)-1)
+    sx = math.sqrt(sum((a-mx)**2 for a in xs) / (len(xs)-1))
+    sy = math.sqrt(sum((b-my)**2 for b in ys) / (len(ys)-1))
+    assert abs(r.cr - cov/(sx*sy)) < 1e-9
