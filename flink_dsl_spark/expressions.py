@@ -175,8 +175,9 @@ _BIN_COL = {
     "|": lambda a, b: a.bitwiseOR(b),
     "^": lambda a, b: a.bitwiseXOR(b),
     "*": lambda a, b: a * b,
-    "/": lambda a, b: a / b,
-    "%": lambda a, b: a % b,
+    # NULL (not ANSI error) on zero divisor — reference division rule
+    "/": lambda a, b: F.try_divide(a, b),
+    "%": lambda a, b: F.try_mod(a, b),
     "+": lambda a, b: a + b,
     "-": lambda a, b: a - b,
     "===": lambda a, b: a == b,

@@ -977,14 +977,16 @@ class _AggContext:
 
 def _apply_binop(op: str, l: Column, r: Column) -> Column:
     """Operator table shared by both compile contexts.
-    ``/`` yields double (non-ANSI Spark default), matching the reference's
-    nullable-Double division rule (flinkdsl/typer.scala_:243-244)."""
+    ``/`` and ``%`` use try_divide/try_mod: nullable results with NULL
+    on a zero divisor, matching the reference's nullable-Double division
+    rule (flinkdsl/typer.scala_:243-244) even under Spark 4's
+    ANSI-by-default sessions, where plain ``/`` raises instead."""
     table = {
         "+": lambda: l + r,
         "-": lambda: l - r,
         "*": lambda: l * r,
-        "/": lambda: l / r,
-        "%": lambda: l % r,
+        "/": lambda: F.try_divide(l, r),
+        "%": lambda: F.try_mod(l, r),
         "=": lambda: l == r,
         "!=": lambda: l != r,
         "<": lambda: l < r,

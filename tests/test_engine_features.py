@@ -308,3 +308,20 @@ def test_multi_arg_and_approx_aggregates(spark, engine):
     sx = math.sqrt(sum((a-mx)**2 for a in xs) / (len(xs)-1))
     sy = math.sqrt(sum((b-my)**2 for b in ys) / (len(ys)-1))
     assert abs(r.cr - cov/(sx*sy)) < 1e-9
+
+
+def test_division_by_zero_yields_null(spark):
+    """Reference division rule (nullable Double) holds even on Spark 4
+    ANSI-default sessions: / and % give NULL on a zero divisor instead
+    of raising DIVIDE_BY_ZERO."""
+    e = FsqlEngine(spark)
+    e.register("dz", spark.createDataFrame(
+        [(1, 0), (9, 2)], "a long, b long"))
+    got = {r.a: (r.q, r.m) for r in
+           e.sql("select a, a / b as q, a % b as m from dz").collect()}
+    assert got[1] == (None, None)
+    assert got[9] == (4.5, 1)
+    # X expression surface takes the same rule
+    x = {r.a: r.q for r in
+         e.table("dz").select("a, a / b as q").to_df().collect()}
+    assert x[1] is None and x[9] == 4.5
