@@ -154,3 +154,50 @@ def test_global_index_is_total_order(spark, vals, buckets):
     expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
     assert got == expected
     assert total == len(vals)
+
+
+# --------------------------------------------------------------------------
+# FSQL count/delta window emulation vs DuckDB row_number/trigger algebra
+# --------------------------------------------------------------------------
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(2, 40), st.integers(1, 60), st.booleans())
+def test_count_window_spec_matches_duckdb(spark, duck, size, every,
+                                          sliding):
+    """Random [size N] / [size N every M] specs over events must match
+    the row_number-based DuckDB formulation — including every > size
+    sampling windows and the distributed global index path."""
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    # raw nanos-as-long ts orders identically to the restored timestamp
+    eng.register_parquet("events",
+                         "/root/testdata/sf0.001/events.parquet",
+                         event_time_col="ts")
+    if sliding:
+        fsql = (f"select count(*) as cnt from events "
+                f"[size {size} every {every}]")
+        oracle = f"""
+            WITH r AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn
+                       FROM events),
+                 t AS (SELECT rn, unnest(generate_series(
+                           CAST(ceil(rn/{every}.0)*{every} AS BIGINT),
+                           CAST(ceil((rn+{size})/{every}.0)*{every}
+                                - {every} AS BIGINT),
+                           {every})) AS trig FROM r)
+            SELECT count(*) AS cnt, trig AS trigger FROM t
+            WHERE trig <= (SELECT max(rn) FROM r) GROUP BY trig"""
+    else:
+        fsql = f"select count(*) as cnt from events [size {size}]"
+        oracle = f"""
+            WITH r AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn
+                       FROM events)
+            SELECT count(*) AS cnt,
+                   CAST(floor((rn - 1) / {size}) AS BIGINT) AS window_no
+            FROM r GROUP BY window_no"""
+    got = normalize(eng.sql(fsql).toPandas())
+    exp = normalize(duck.sql(oracle).df())
+    assert len(got) == len(exp), (size, every, sliding)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=1e-9, obj=f"[{size}/{every}]")
