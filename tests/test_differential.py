@@ -201,3 +201,36 @@ def test_count_window_spec_matches_duckdb(spark, duck, size, every,
     assert len(got) == len(exp), (size, every, sliding)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   rtol=1e-9, obj=f"[{size}/{every}]")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(5, 80), st.integers(5, 120))
+def test_delta_window_spec_matches_duckdb(spark, duck, size, every):
+    """Random sliding delta-axis specs [size N on value every M on
+    value] vs the DuckDB trigger-join formulation, triggers anchored at
+    the first multiple of `every` covering the minimum value."""
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    eng.register_parquet("events",
+                         "/root/testdata/sf0.001/events.parquet",
+                         event_time_col="ts")
+    fsql = (f"select count(*) as cnt from events "
+            f"[size {size} on value every {every} on value]")
+    oracle = f"""
+        WITH mx AS (SELECT min(value) AS vmin, max(value) AS vmax
+                    FROM events),
+             tr AS (SELECT unnest(generate_series(
+                        CAST(ceil(vmin/{every}) AS BIGINT)*{every},
+                        CAST(floor(vmax/{every}) AS BIGINT)*{every},
+                        {every})) AS trig FROM mx)
+        SELECT count(*) AS cnt, CAST(t.trig AS DOUBLE) AS trigger
+        FROM tr t JOIN events e
+          ON e.value > t.trig - {size} AND e.value <= t.trig
+        GROUP BY t.trig"""
+    got = normalize(eng.sql(fsql).toPandas())
+    exp = normalize(duck.sql(oracle).df())
+    assert len(got) == len(exp), (size, every)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=1e-9, obj=f"[{size} on v / {every}]")
