@@ -313,6 +313,30 @@ def _temporal_queries() -> dict[str, Callable[[SparkSession, str],
             "q37_session_window": q37, "q38_rollup_timeseries": q38}
 
 
+def _pipeline_e2e(s: SparkSession, d: str) -> DataFrame:
+    """Training-data curation, one lazy plan: exact dedup -> quality
+    gate -> deterministic split -> token stats -> sequence packing.
+    Every stage is one of the registered operators; the composition is
+    itself a single Catalyst plan (no intermediate materialization)."""
+    from pyspark.sql import functions as F
+    from flink_dsl_spark import llm_ops as L
+    docs = _docs(s, d)
+    survivors = L.exact_dedup(docs, "text", "doc_id") \
+        .select(F.col("doc_id"))
+    quality = L.quality_score(docs, "text", "doc_id") \
+        .filter(F.col("quality") >= 0.3).select("id")
+    keep = docs.join(survivors, "doc_id") \
+               .join(quality, docs["doc_id"] == quality["id"]) \
+               .select("doc_id", "text")
+    split = L.split_dataset(keep, "doc_id",
+                            {"train": 0.9, "val": 0.1}, seed=11)
+    toks = L.token_stats(split.filter("split = 'train'"),
+                         "text", "doc_id") \
+        .selectExpr("id as doc_id", "ws_tokens")
+    packed = L.pack_sequences(toks, "doc_id", "ws_tokens", budget=1024)
+    return packed.select("id", "n_tokens", "pack_id")
+
+
 def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from flink_dsl_spark import llm_ops as L
 
@@ -352,6 +376,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
+        # capstone: the full curation pipeline composed end-to-end —
+        # dedup survivors -> quality gate -> deterministic split ->
+        # token stats -> budget packing (rows-only: id-hash split)
+        "llm25_pipeline_e2e": lambda s, d: _pipeline_e2e(s, d),
         "llm24_stratified_sample": lambda s, d: L.stratified_sample(
             L.lang_id(_docs(s, d), "text", "doc_id"), "lang_pred", "id",
             {"en": 0.5, "de": 0.25, "fr": 0.25}, seed=7),

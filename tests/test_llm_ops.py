@@ -466,3 +466,21 @@ def test_stratified_sample_stable_and_proportional(spark):
         L.stratified_sample(df, "lang", "id", {"en": 1.5})
     with pytest.raises(ValueError):
         L.stratified_sample(df, "lang", "id", {})
+
+
+def test_pipeline_e2e_composition(spark):
+    """The capstone pipeline (dedup -> quality -> split -> tokens ->
+    packing) composes as one lazy plan and keeps every stage's
+    invariant."""
+    import __spark_entry__ as E
+    pdf = E.queries()["llm25_pipeline_e2e"](
+        spark, SF_DIR).toPandas()
+    assert len(pdf) > 0
+    assert list(pdf.columns) == ["id", "n_tokens", "pack_id"]
+    sums = pdf.groupby("pack_id").agg(total=("n_tokens", "sum"),
+                                      n=("id", "count"))
+    over = sums[sums["total"] > 1024]
+    assert (over["n"] == 1).all()     # only oversize singletons exceed
+    # deterministic: same ids, same packs on a second run
+    pdf2 = E.queries()["llm25_pipeline_e2e"](spark, SF_DIR).toPandas()
+    assert set(pdf["id"]) == set(pdf2["id"])
