@@ -234,3 +234,88 @@ def test_delta_window_spec_matches_duckdb(spark, duck, size, every):
     assert len(got) == len(exp), (size, every)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   rtol=1e-9, obj=f"[{size} on v / {every}]")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(1, 180), st.sampled_from(["min", "h"]),
+       st.booleans())
+def test_time_window_spec_matches_duckdb(spark, duck, size, unit,
+                                         sliding):
+    """Random tumbling/hopping time windows across units cross-check
+    duration parsing and the native F.window emission against an
+    epoch-bucket DuckDB formulation (slide = size/2 when hopping, so
+    every row lands in exactly two windows)."""
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    eng.register_parquet("events",
+                         "/root/testdata/sf0.001/events.parquet",
+                         event_time_col="ts")
+    secs = size * (60 if unit == "min" else 3600)
+    if sliding:
+        if size % 2:
+            size += 1
+            secs = size * (60 if unit == "min" else 3600)
+        half = secs // 2
+        fsql = (f"select count(*) as cnt from events "
+                f"[size {size} {unit} on ts every {size // 2} {unit}]")
+        oracle = f"""
+            WITH b AS (SELECT *, CAST(floor(epoch(ts)/{half}) AS BIGINT)
+                                 AS hb FROM events),
+                 u AS (SELECT *, unnest([hb - 1, hb]) AS ws FROM b)
+            SELECT count(*) AS cnt,
+                   make_timestamp(ws * {half} * 1000000) AS window_start,
+                   make_timestamp((ws + 2) * {half} * 1000000)
+                       AS window_end
+            FROM u GROUP BY ws"""
+    else:
+        fsql = f"select count(*) as cnt from events [size {size} {unit} on ts]"
+        oracle = f"""
+            SELECT count(*) AS cnt,
+                   make_timestamp(CAST(floor(epoch(ts)/{secs}) AS BIGINT)
+                                  * {secs} * 1000000) AS window_start,
+                   make_timestamp((CAST(floor(epoch(ts)/{secs}) AS BIGINT)
+                                   + 1) * {secs} * 1000000) AS window_end
+            FROM events GROUP BY window_start, window_end"""
+    got = normalize(eng.sql(fsql).toPandas())
+    exp = normalize(duck.sql(oracle).df())
+    assert len(got) == len(exp), (size, unit, sliding)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=1e-9, obj=f"[{size} {unit}]")
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(1, 90), st.sampled_from(["min", "h"]))
+def test_session_window_gap_matches_duckdb(spark, duck, gap, unit):
+    """Random session gaps cross-check the native session_window
+    aggregation (touching extents merge: strict > in the oracle)."""
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    eng.register_parquet("events",
+                         "/root/testdata/sf0.001/events.parquet",
+                         event_time_col="ts")
+    secs = gap * (60 if unit == "min" else 3600)
+    fsql = (f"select user_id, count(*) as n from events "
+            f"[session {gap} {unit} on ts] group by user_id")
+    oracle = f"""
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER w) > {secs}
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        s AS (SELECT *, sum(new_sess) OVER
+                    (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS sess_no FROM o)
+        SELECT user_id, count(*) AS n,
+               min(ts) AS window_start,
+               max(ts) + INTERVAL {secs} SECOND AS window_end
+        FROM s GROUP BY user_id, sess_no"""
+    got = normalize(eng.sql(fsql).toPandas())
+    exp = normalize(duck.sql(oracle).df())
+    assert len(got) == len(exp), (gap, unit)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False,
+                                  rtol=1e-9, obj=f"[session {gap} {unit}]")
