@@ -407,16 +407,19 @@ def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
         first <= last,
         F.sequence(first, last, F.lit(every).cast("long"))
     ).otherwise(F.array().cast("array<long>"))
-    df = df.withColumn("__trigger", F.explode(triggers))
-    # drop triggers past the high-water mark (they have not fired yet):
-    # a known total (count axis) is a literal; per-key marks use a keyed
-    # window; a global mark uses a broadcast scalar — never a
-    # single-partition whole-table Window
+    # The high-water mark must attach BEFORE the explode: in sampling
+    # mode (every > size) rows whose trigger list is empty vanish at
+    # explode, and a post-explode max would shrink to the last row that
+    # kept a trigger, wrongly dropping the final fired window.  A known
+    # total (count axis) is a literal; per-key marks use a keyed window;
+    # a global mark uses a broadcast scalar — never a single-partition
+    # whole-table Window.
     if maxpos is not None:
-        return df.filter(F.col("__trigger") <= F.lit(maxpos))
-    if parts:
+        df = df.withColumn("__maxpos", F.lit(maxpos))
+    elif parts:
         df = df.withColumn("__maxpos",
                            F.max(pos).over(W.partitionBy(*parts)))
     else:
         df = _with_global_max(df, pos, "__maxpos")
+    df = df.withColumn("__trigger", F.explode(triggers))
     return df.filter(F.col("__trigger") <= F.col("__maxpos")).drop("__maxpos")
