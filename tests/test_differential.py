@@ -203,7 +203,7 @@ def test_count_window_spec_matches_duckdb(spark, duck, size, every,
                                   rtol=1e-9, obj=f"[{size}/{every}]")
 
 
-@settings(max_examples=8, deadline=None,
+@settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(st.integers(5, 80), st.integers(5, 120))
