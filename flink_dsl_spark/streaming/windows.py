@@ -118,6 +118,44 @@ def _order_col(spec: WindowSpec, time_col: Optional[Column]) -> Column:
 # distributed total-order helpers (batch only)
 # --------------------------------------------------------------------------
 
+def _cast_to_double_is_monotone(df: DataFrame, order: Column) -> bool:
+    """True iff ``order.cast('double')`` preserves the column's sort
+    order.  Numeric / timestamp / date / boolean casts are monotone;
+    strings are NOT (lexicographic "10" < "9" but numeric 10 > 9), and
+    complex types don't cast at all — those fall back to the one-bucket
+    (single-task row_number) path, which is slow but correct for any
+    orderable type."""
+    from pyspark.sql.types import (BooleanType, DateType, NumericType,
+                                   TimestampNTZType, TimestampType)
+    dt = df.select(order.alias("__o")).schema[0].dataType
+    return isinstance(dt, (NumericType, TimestampType, TimestampNTZType,
+                           DateType, BooleanType))
+
+
+def _range_bucket(df: DataFrame, order: Column, buckets: int):
+    """Range-bucket expression for ``order`` such that bucket ids are
+    non-decreasing along the column's sort order: NULLs -> 0 (sort
+    first), NaN -> buckets+2 (sorts last in Spark), everything else via
+    ``width_bucket`` over the non-NaN min/max.  Falls back to a single
+    bucket when the cast to double is not order-preserving or the range
+    is degenerate."""
+    if buckets <= 1 or not _cast_to_double_is_monotone(df, order):
+        return F.lit(1)
+    num = order.cast("double")
+    safe = F.when(F.isnan(num), F.lit(None)).otherwise(num)
+    row = df.select(F.min(safe).alias("mn"), F.max(safe).alias("mx")).first()
+    mn, mx = row["mn"], row["mx"]
+    if mn is None or mn == mx:
+        # empty / all-NULL / constant order column: one bucket is all
+        # there is (NaN rows, if any, still go to the top bucket)
+        base = F.lit(1)
+    else:
+        base = F.coalesce(
+            F.width_bucket(num, F.lit(mn), F.lit(mx), F.lit(buckets)),
+            F.lit(0))        # nulls sort first
+    return F.when(F.isnan(num), F.lit(buckets + 2)).otherwise(base)
+
+
 def _global_index(df: DataFrame, order: Column,
                   idx_name: str = "__idx",
                   buckets: Optional[int] = None):
@@ -143,17 +181,7 @@ def _global_index(df: DataFrame, order: Column,
     spark = df.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism
-    num = order.cast("double")
-    row = df.select(F.min(num).alias("mn"), F.max(num).alias("mx")).first()
-    mn, mx = row["mn"], row["mx"]
-    if mn is None or mx is None or mn == mx or buckets <= 1:
-        # empty / constant order column: one bucket is all there is
-        bkt = F.lit(1)
-    else:
-        bkt = F.coalesce(
-            F.width_bucket(num, F.lit(mn), F.lit(mx), F.lit(buckets)),
-            F.lit(0))        # nulls sort first
-    df = df.withColumn("__bkt", bkt)
+    df = df.withColumn("__bkt", _range_bucket(df, order, buckets))
     cnts = sorted(
         (r["__bkt"], r["cnt"]) for r in
         df.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect())
@@ -183,16 +211,7 @@ def _latest_session_distributed(df: DataFrame, time_col: Column,
     three distributed passes, each column-pruned, none single-task."""
     spark = df.sparkSession
     buckets = spark.sparkContext.defaultParallelism
-    num = time_col.cast("double")
-    row = df.select(F.min(num).alias("mn"), F.max(num).alias("mx")).first()
-    mn, mx = row["mn"], row["mx"]
-    if mn is None or mn == mx or buckets <= 1:
-        bkt = F.lit(1)
-    else:
-        bkt = F.coalesce(
-            F.width_bucket(num, F.lit(mn), F.lit(mx), F.lit(buckets)),
-            F.lit(0))
-    d = df.withColumn("__bkt", bkt)
+    d = df.withColumn("__bkt", _range_bucket(df, time_col, buckets))
     # per-bucket max time, sorted by bucket: each bucket's boundary
     # predecessor is the previous NON-EMPTY bucket's max
     bmax = sorted((r["__bkt"], r["bm"]) for r in

@@ -156,6 +156,43 @@ def test_global_index_is_total_order(spark, vals, buckets):
     assert total == len(vals)
 
 
+def test_global_index_string_order_column(spark):
+    """A string order column casts to double non-monotonically ("10" <
+    "9" lexicographically but 10 > 9 numerically); _global_index must
+    detect this and still produce lexicographic ranks (ADVICE r2: the
+    bucketed path silently mis-numbered these)."""
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.streaming.windows import _global_index
+    vals = ["10", "9", "2", "100", "abc", "1e3", "0"]
+    df = spark.createDataFrame([(v,) for v in vals], "v string") \
+              .repartition(4)
+    out, total = _global_index(df, F.col("v"), "idx", buckets=8)
+    got = {r["v"]: r["idx"] for r in out.collect()}
+    expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
+    assert got == expected
+    assert total == len(vals)
+
+
+def test_global_index_nan_and_null(spark):
+    """NaN sorts LAST and NULL sorts FIRST in Spark's ascending order;
+    the range-bucket assignment must agree (NaN -> top bucket, NULL ->
+    bucket 0), or the global numbering silently inverts them."""
+    import math
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.streaming.windows import _global_index
+    vals = [3.0, float("nan"), 1.0, None, 2.0, float("nan"), -5.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double") \
+              .repartition(3)
+    out, total = _global_index(df, F.col("v"), "idx", buckets=6)
+    rows = sorted(out.collect(), key=lambda r: r["idx"])
+    assert total == len(vals)
+    assert [r["idx"] for r in rows] == list(range(1, len(vals) + 1))
+    seq = [r["v"] for r in rows]
+    assert seq[0] is None                       # NULL first
+    assert [v for v in seq[1:5]] == [-5.0, 1.0, 2.0, 3.0]
+    assert all(math.isnan(v) for v in seq[5:])  # NaN last
+
+
 # --------------------------------------------------------------------------
 # FSQL count/delta window emulation vs DuckDB row_number/trigger algebra
 # --------------------------------------------------------------------------
