@@ -45,10 +45,24 @@ _REQUIRED_CONFS = {
 
 
 class FsqlEngine:
+    """FSQL front-end over a SparkSession.
+
+    SIDE EFFECT: constructing an engine mutates the supplied session's
+    runtime SQL confs — it forces ``_REQUIRED_CONFS`` (parquet
+    nanosAsLong, UTC session timezone, Arrow) and, when
+    ``spark.sql.shuffle.partitions`` still reads Spark's out-of-the-box
+    200, rewrites it to the cluster parallelism.  Other workloads
+    sharing the session see these values (notably timezone-sensitive
+    queries).  ``close()`` restores every conf this constructor
+    changed to its prior value.
+    """
+
     def __init__(self, spark: Optional[SparkSession] = None,
                  streaming: bool = False, timer: bool = False):
         self.spark = spark or get_session()
+        self._prior_confs: dict[str, Optional[str]] = {}
         for k, v in _REQUIRED_CONFS.items():
+            self._remember_conf(k)
             self.spark.conf.set(k, v)
         # Size the shuffle/state-store partition count to the actual
         # cluster parallelism when the caller's session still has
@@ -58,6 +72,7 @@ class FsqlEngine:
         # every stateful-streaming and join stage's overhead.
         if self.spark.conf.get("spark.sql.shuffle.partitions",
                                "200") == "200":
+            self._remember_conf("spark.sql.shuffle.partitions")
             self.spark.conf.set(
                 "spark.sql.shuffle.partitions",
                 str(self.spark.sparkContext.defaultParallelism))
@@ -67,6 +82,27 @@ class FsqlEngine:
         self.resolver = Resolver(self.catalog)
         self.planner = Planner(self.catalog, self.registry, self.resolver)
         self.timer = Timer(enabled=timer)
+
+    def _remember_conf(self, key: str) -> None:
+        """Record ``key``'s pre-engine value (None = unset) once, so
+        close() can restore it.  First engine to touch a key wins."""
+        if key not in self._prior_confs:
+            try:
+                prior = self.spark.conf.get(key)
+            except Exception:
+                prior = None
+            self._prior_confs[key] = prior
+
+    def close(self) -> None:
+        """Restore every session conf the constructor changed to its
+        pre-engine value (unset keys are unset again).  Does not stop
+        the SparkSession — the caller owns it."""
+        for k, prior in self._prior_confs.items():
+            if prior is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, prior)
+        self._prior_confs = {}
 
     # ------------------------------------------------------------------
     # registration API

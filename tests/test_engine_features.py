@@ -325,3 +325,21 @@ def test_division_by_zero_yields_null(spark):
     x = {r.a: r.q for r in
          e.table("dz").select("a, a / b as q").to_df().collect()}
     assert x[1] is None and x[9] == 4.5
+
+
+def test_engine_close_restores_session_confs(spark):
+    """FsqlEngine.__init__ mutates the caller's session confs (UTC tz,
+    nanosAsLong, Arrow, shuffle partitions); close() must put back the
+    pre-engine values so co-tenant workloads aren't silently changed."""
+    tz_key = "spark.sql.session.timeZone"
+    prior_tz = spark.conf.get(tz_key)
+    spark.conf.set(tz_key, "America/New_York")
+    e = FsqlEngine(spark)
+    assert spark.conf.get(tz_key) == "UTC"
+    e.close()
+    assert spark.conf.get(tz_key) == "America/New_York"
+    spark.conf.set(tz_key, prior_tz)
+    # a fresh engine still re-applies the required confs afterwards
+    e2 = FsqlEngine(spark)
+    assert spark.conf.get(tz_key) == "UTC"
+    e2.close()
