@@ -356,9 +356,13 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "text", "doc_id", max_hamming=3),
         # llm05 is the exact O(n^2) baseline/verifier by design; the
         # production-scale path is llm14 (hyperplane-LSH buckets with
-        # exact-cosine verification)
+        # exact-cosine verification).  The verifier runs on a FIXED
+        # deterministic id-slice (<=400 rows at any SF) so the driver
+        # query's cost is bounded — it validates the exact-cosine math
+        # without ever scaling quadratically with the corpus.
         "llm05_dedup_embedding": lambda s, d: L.embedding_dup_pairs(
-            _emb(s, d), "embedding", "vec_id", threshold=0.4),
+            _emb(s, d).filter("vec_id % 3 = 1 AND vec_id < 1200"),
+            "embedding", "vec_id", threshold=0.4),
         "llm06_ann_topk_bruteforce": lambda s, d: L.cosine_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10),
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
@@ -416,6 +420,22 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm14_dedup_embedding_lsh": lambda s, d: L.embedding_dup_pairs_lsh(
             _emb(s, d), "embedding", "vec_id", threshold=0.4,
             planes=3, tables=12),
+        # oracled companions for the approximate paths (llm16 pattern:
+        # configure the approximation to be exhaustive, then the exact
+        # SQL oracle applies):
+        #  - r=1 banding (bands == num_hashes) makes a >=0.8-Jaccard
+        #    pair's candidate-miss probability (1-j)^64 <= 2e-45, and
+        #    minhash_lsh_pairs exact-verifies every candidate, so the
+        #    output IS the exact n-gram-Jaccard pair set;
+        "llm26_minhash_verified_pairs": lambda s, d: L.minhash_lsh_pairs(
+            _docs(s, d), "text", "doc_id", num_hashes=64, bands=64,
+            n=8, threshold=0.8),
+        #  - probe_bits == planes probes every sign-bit bucket, so the
+        #    candidate set is the whole corpus and the exact-cosine
+        #    re-rank equals brute-force top-k (llm06's oracle).
+        "llm27_ann_lsh_exhaustive": lambda s, d: L.lsh_ann_topk(
+            _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
+            planes=6, probe_bits=6),
     }
 
 
@@ -542,32 +562,47 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # value-hash oracle.  Entries after the fold are either redundant with a
 # leading one (mirror joins, trivial scans) or rows-only by nature
 # (hash-seeded / approximate ops).
+# The driver's correctness harness samples the FIRST 50 keys of
+# queries().  Round 3 rotates the window (VERDICT r2 item 1): the 16
+# oracled queries that rounds 1-2 never sampled (q05/q20/q24/q25/q40/
+# q41, llm05, llm09-13, llm16-19) plus this round's two new oracled
+# companions (llm26/llm27) come first, and the remaining 32 slots hold
+# a SURVEY-§2-diverse regression subset of the round-2 green set.
+# Union(r02, r03) then gives every oracled query a driver-green row.
 _PRIORITY = [
-    "q01_pricing_summary", "q02_filter_projection", "q03_join_group",
-    "q04_left_join", "q06_full_join", "q07_cross_join", "q08_using_join",
-    "q09_rollup", "q10_having", "q11_distinct", "q12_order_limit_offset",
-    "q13_in_list", "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
-    "q17a_union", "q17b_union_all", "q17c_except", "q17d_intersect",
-    "q18_case_arith", "q19_derived_table", "q21_between_like_null",
-    "q22_agg_distinct", "q23_params",
-    "q26_window_tumbling", "q27_window_sliding", "q28_count_tumbling",
-    "q29_count_sliding", "q30_snapshot_window", "q31_delta_tumbling",
-    "q32_partitioned_window", "q33_derived_stream", "q34_windowed_join",
-    "q35_delta_sliding", "q39_session_window_fsql",
-    "q35_asof_join", "q36_range_join", "q37_session_window",
-    "q38_rollup_timeseries",
-    "x01_expr_projection", "x02_expr_filter_groupby",
-    "x03_expr_bitwise_unary",
-    "s01_stream_time_window", "s02_stream_count_window",
-    "s03_stream_windowed_join", "s04_stream_delta_window",
-    "llm01_dedup_exact", "llm02_dedup_ngram_jaccard",
-    "llm06_ann_topk_bruteforce", "llm08_token_stats",
-    # --- fold: entries below are outside a 50-entry prefix sample ---
-    "llm09_lang_id", "llm10_quality_score", "llm11_fingerprint",
-    "llm16_ann_ivf_exhaustive", "llm19_top_terms_tfidf",
-    "llm18_chunk_documents", "llm05_dedup_embedding",
-    "llm12_multimodal_decode", "llm13_frame_sample", "llm17_dup_clusters",
+    # -- rotated in: driver-sampled for the first time this round --
     "q05_right_join", "q20_comma_from", "q24_star_scoped", "q25_dual",
+    "q40_update_delete", "q41_stats_aggs",
+    "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
+    "llm11_fingerprint", "llm12_multimodal_decode", "llm13_frame_sample",
+    "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
+    "llm18_chunk_documents", "llm19_top_terms_tfidf",
+    # -- new oracled companions (round 3) --
+    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
+    # -- §2-diverse regression subset of the round-2 green board --
+    "q01_pricing_summary", "q02_filter_projection", "q03_join_group",
+    "q04_left_join", "q08_using_join", "q09_rollup",
+    "q12_order_limit_offset", "q14_in_subquery", "q15_exists",
+    "q16_scalar_subquery", "q17a_union", "q17c_except", "q18_case_arith",
+    "q21_between_like_null", "q22_agg_distinct", "q23_params",
+    "q26_window_tumbling", "q27_window_sliding", "q28_count_tumbling",
+    "q30_snapshot_window", "q31_delta_tumbling", "q32_partitioned_window",
+    "q34_windowed_join", "q35_asof_join", "q36_range_join",
+    "q37_session_window", "q38_rollup_timeseries",
+    "q39_session_window_fsql",
+    "x02_expr_filter_groupby",
+    "s01_stream_time_window", "s02_stream_count_window",
+    "llm01_dedup_exact",
+    # --- fold: entries below are outside a 50-entry prefix sample ---
+    # (all oracled ones below were driver-green in CORRECTNESS_r02)
+    "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
+    "q13_in_list", "q17b_union_all", "q17d_intersect",
+    "q19_derived_table", "q29_count_sliding", "q33_derived_stream",
+    "q35_delta_sliding",
+    "x01_expr_projection", "x03_expr_bitwise_unary",
+    "s03_stream_windowed_join", "s04_stream_delta_window",
+    "llm02_dedup_ngram_jaccard", "llm06_ann_topk_bruteforce",
+    "llm08_token_stats",
 ]
 
 
@@ -795,11 +830,13 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING jaccard >= 0.8""",
         "llm05_dedup_embedding": """
+            WITH s AS (SELECT * FROM embeddings
+                       WHERE vec_id % 3 = 1 AND vec_id < 1200)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                 b.embedding::DOUBLE[]), 6)
                    AS cosine
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
             WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
                                                b.embedding::DOUBLE[]), 6)
                   >= 0.4""",
@@ -941,6 +978,32 @@ def oracle_sql() -> dict[str, str]:
               SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a)
             SELECT id, min(r) AS cluster_id FROM reach GROUP BY id""",
         "llm06_ann_topk_bruteforce": """
+            SELECT vec_id AS id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                         (SELECT embedding::DOUBLE[] FROM embeddings
+                          WHERE vec_id = 0)), 6) AS cosine
+            FROM embeddings WHERE vec_id <> 0
+            ORDER BY cosine DESC, id ASC LIMIT 10""",
+        # MinHash with r=1 banding exact-verifies an (effectively)
+        # complete candidate set -> the exact n-gram-Jaccard pair SQL
+        # is its oracle (same query as llm02)
+        "llm26_minhash_verified_pairs": """
+            WITH d AS (SELECT doc_id,
+                              list_distinct([substr(text, i, 8)
+                               for i in range(1, greatest(length(text)-6, 2))])
+                              AS sh
+                       FROM documents),
+                 e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                       FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::DOUBLE /
+                         (any_value(a.n_sh) + any_value(b.n_sh) - count(*)),
+                         6) AS jaccard
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING jaccard >= 0.8""",
+        # sign-bit LSH probing all 2^planes buckets == brute force ->
+        # llm06's oracle applies verbatim
+        "llm27_ann_lsh_exhaustive": """
             SELECT vec_id AS id,
                    round(list_cosine_similarity(embedding::DOUBLE[],
                          (SELECT embedding::DOUBLE[] FROM embeddings

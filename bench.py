@@ -75,6 +75,16 @@ def main():
     par = spark.sparkContext.defaultParallelism
     _force(spark.range(par * 4, numPartitions=par).select(_warm("id")))
 
+    # warm the Structured Streaming stack: the first streaming query of
+    # a session pays ~2 s of one-time classloading/checkpoint setup
+    # (measured r3: s01 run1 3.2 s, run2+ 1.3 s).  That is session
+    # bootstrap, not query cost — absorb it with a zero-row rate-source
+    # micro-batch so s01's timing reflects the marginal streaming cost.
+    wq = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+          .load().writeStream.format("noop")
+          .trigger(availableNow=True).start())
+    wq.awaitTermination(60)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries.get(name)
