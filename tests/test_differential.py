@@ -356,3 +356,46 @@ def test_session_window_gap_matches_duckdb(spark, duck, gap, unit):
     assert len(got) == len(exp), (gap, unit)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   rtol=1e-9, obj=f"[session {gap} {unit}]")
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(1, 180), st.sampled_from(["sec", "min"]),
+       st.booleans())
+def test_session_snapshot_matches_duckdb(spark, duck, gap, unit,
+                                         partitioned):
+    """Non-aggregating session windows snapshot the LATEST session's
+    rows — per key under `partitioned on`, globally otherwise (where
+    the distributed bucket-lag/boundary-repair path runs).  Fuzzing the
+    gap exercises boundary ties (touching extents stay merged: strict >
+    in both formulations)."""
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    eng.register_parquet("events",
+                         "/root/testdata/sf0.001/events.parquet",
+                         event_time_col="ts")
+    secs = gap * (1 if unit == "sec" else 60)
+    part = " partitioned on user_id" if partitioned else ""
+    fsql = (f"select event_id, user_id from events "
+            f"[session {gap} {unit} on ts{part}]")
+    pb = "PARTITION BY user_id " if partitioned else ""
+    over_all = f"({pb.strip()})" if partitioned else "()"
+    oracle = f"""
+        WITH o AS (SELECT event_id, user_id, ts,
+                          CASE WHEN lag(ts) OVER w IS NULL
+                                OR epoch(ts) - epoch(lag(ts) OVER w)
+                                   > {secs}
+                               THEN 1 ELSE 0 END AS ns
+                   FROM events WINDOW w AS ({pb}ORDER BY ts)),
+             s AS (SELECT *, sum(ns) OVER
+                        ({pb}ORDER BY ts ROWS UNBOUNDED PRECEDING) AS r
+                   FROM o),
+             m AS (SELECT *, max(r) OVER {over_all} AS mr FROM s)
+        SELECT event_id, user_id FROM m WHERE r = mr"""
+    got = normalize(eng.sql(fsql).toPandas())
+    exp = normalize(duck.sql(oracle).df())
+    assert len(got) == len(exp), (gap, unit, partitioned)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, rtol=1e-9,
+        obj=f"[session {gap} {unit}{part}]")
