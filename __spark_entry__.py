@@ -515,10 +515,24 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             group by user_id""")
         return _run_stream(spark, out, "append")
 
+    def s05(spark, d):
+        # streaming gap-based session windows (Spark-native
+        # session_window state merge); complete mode emits every closed
+        # AND open session after the availableNow batch, so the result
+        # equals the batch session window and oracles exactly
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "events_s5", f"{d}/events.parquet", event_time_col="ts")
+        out = eng.sql("""
+            select user_id, count(*) as n
+            from events_s5 [session 30 min on ts] group by user_id""")
+        return _run_stream(spark, out, "complete")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
-            "s04_stream_delta_window": s04}
+            "s04_stream_delta_window": s04,
+            "s05_stream_session_window": s05}
 
 
 # ---------------------------------------------------------------------------
@@ -585,20 +599,21 @@ _PRIORITY = [
     "q12_order_limit_offset", "q14_in_subquery", "q15_exists",
     "q16_scalar_subquery", "q17a_union", "q17c_except", "q18_case_arith",
     "q21_between_like_null", "q22_agg_distinct", "q23_params",
-    "q26_window_tumbling", "q27_window_sliding", "q28_count_tumbling",
+    "q26_window_tumbling", "q28_count_tumbling",
     "q30_snapshot_window", "q31_delta_tumbling", "q32_partitioned_window",
     "q34_windowed_join", "q35_asof_join", "q36_range_join",
     "q37_session_window", "q38_rollup_timeseries",
     "q39_session_window_fsql",
     "x02_expr_filter_groupby",
     "s01_stream_time_window", "s02_stream_count_window",
+    "s05_stream_session_window",
     "llm01_dedup_exact",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (all oracled ones below were driver-green in CORRECTNESS_r02)
     "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
     "q13_in_list", "q17b_union_all", "q17d_intersect",
-    "q19_derived_table", "q29_count_sliding", "q33_derived_stream",
-    "q35_delta_sliding",
+    "q19_derived_table", "q27_window_sliding", "q29_count_sliding",
+    "q33_derived_stream", "q35_delta_sliding",
     "x01_expr_projection", "x03_expr_bitwise_unary",
     "s03_stream_windowed_join", "s04_stream_delta_window",
     "llm02_dedup_ngram_jaccard", "llm06_ann_topk_bruteforce",
@@ -1162,6 +1177,20 @@ def oracle_sql() -> dict[str, str]:
               ON e.user_id = t.user_id
              AND e.value > t.trig - 50 AND e.value <= t.trig
             GROUP BY t.user_id, t.trig""",
+        "s05_stream_session_window": """
+            WITH o AS (
+              SELECT user_id, ts,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                           OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS ns
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            s AS (SELECT *, sum(ns) OVER
+                       (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess FROM o)
+            SELECT user_id, count(*) AS n,
+                   min(ts) AS window_start,
+                   max(ts) + INTERVAL 1800 SECOND AS window_end
+            FROM s GROUP BY user_id, sess""",
         # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
         "x01_expr_projection": """
             SELECT event_id, (value + 1) * 2 AS v2,
