@@ -206,33 +206,66 @@ def test_count_window_spec_matches_duckdb(spark, duck, size, every,
     """Random [size N] / [size N every M] specs over events must match
     the row_number-based DuckDB formulation — including every > size
     sampling windows and the distributed global index path."""
+    _check_count_window(spark, duck, size, every, sliding,
+                        partitioned=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(1, 40), st.integers(1, 60), st.booleans())
+def test_partitioned_count_window_matches_duckdb(spark, duck, size,
+                                                 every, sliding):
+    """`partitioned on user_id` count windows: per-key row numbering,
+    per-key trigger high-water marks — the keyed Window path, fuzzed
+    the same way as the global one."""
+    _check_count_window(spark, duck, size, every, sliding,
+                        partitioned=True)
+
+
+def _check_count_window(spark, duck, size, every, sliding, partitioned):
     from flink_dsl_spark import FsqlEngine
     eng = FsqlEngine(spark)
     # raw nanos-as-long ts orders identically to the restored timestamp
     eng.register_parquet("events",
                          "/root/testdata/sf0.001/events.parquet",
                          event_time_col="ts")
+    if partitioned:
+        part, sel, grp = (" partitioned on user_id",
+                          "user_id, count(*) as cnt",
+                          " group by user_id")
+        pb, key, tkey = "PARTITION BY user_id ", "user_id, ", "t.user_id, "
+        join_on, mgrp = "t.user_id = m.user_id", "GROUP BY user_id"
+    else:
+        part, sel, grp = "", "count(*) as cnt", ""
+        pb, key, tkey = "", "", ""
+        join_on, mgrp = "true", ""
     if sliding:
-        fsql = (f"select count(*) as cnt from events "
-                f"[size {size} every {every}]")
+        fsql = (f"select {sel} from events "
+                f"[size {size} every {every}{part}]{grp}")
         oracle = f"""
-            WITH r AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn
+            WITH r AS (SELECT *, row_number() OVER ({pb}ORDER BY ts)
+                                 AS rn
                        FROM events),
-                 t AS (SELECT rn, unnest(generate_series(
+                 m AS (SELECT {key}max(rn) AS mr FROM r {mgrp}),
+                 t AS (SELECT {key}rn, unnest(generate_series(
                            CAST(ceil(rn/{every}.0)*{every} AS BIGINT),
                            CAST(ceil((rn+{size})/{every}.0)*{every}
                                 - {every} AS BIGINT),
                            {every})) AS trig FROM r)
-            SELECT count(*) AS cnt, trig AS trigger FROM t
-            WHERE trig <= (SELECT max(rn) FROM r) GROUP BY trig"""
+            SELECT {tkey}count(*) AS cnt, trig AS trigger
+            FROM t JOIN m ON {join_on}
+            WHERE trig <= m.mr
+            GROUP BY {tkey}trig"""
     else:
-        fsql = f"select count(*) as cnt from events [size {size}]"
+        fsql = f"select {sel} from events [size {size}{part}]{grp}"
         oracle = f"""
-            WITH r AS (SELECT *, row_number() OVER (ORDER BY ts) AS rn
+            WITH r AS (SELECT *, row_number() OVER ({pb}ORDER BY ts)
+                                 AS rn
                        FROM events)
-            SELECT count(*) AS cnt,
+            SELECT {key}count(*) AS cnt,
                    CAST(floor((rn - 1) / {size}) AS BIGINT) AS window_no
-            FROM r GROUP BY window_no"""
+            FROM r GROUP BY {key}window_no"""
     got = normalize(eng.sql(fsql).toPandas())
     exp = normalize(duck.sql(oracle).df())
     assert len(got) == len(exp), (size, every, sliding)
@@ -248,27 +281,62 @@ def test_delta_window_spec_matches_duckdb(spark, duck, size, every):
     """Random sliding delta-axis specs [size N on value every M on
     value] vs the DuckDB trigger-join formulation, triggers anchored at
     the first multiple of `every` covering the minimum value."""
+    _check_delta_window(spark, duck, size, every, partitioned=False)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.integers(5, 80), st.integers(5, 120))
+def test_partitioned_delta_window_matches_duckdb(spark, duck, size,
+                                                 every):
+    """Delta sliding windows under `partitioned on user_id`: triggers
+    anchor to each key's own min/max (independent windows per key,
+    fsql/Ast.scala:440-445)."""
+    _check_delta_window(spark, duck, size, every, partitioned=True)
+
+
+def _check_delta_window(spark, duck, size, every, partitioned):
     from flink_dsl_spark import FsqlEngine
     eng = FsqlEngine(spark)
     eng.register_parquet("events",
                          "/root/testdata/sf0.001/events.parquet",
                          event_time_col="ts")
-    fsql = (f"select count(*) as cnt from events "
-            f"[size {size} on value every {every} on value]")
-    oracle = f"""
-        WITH mx AS (SELECT min(value) AS vmin, max(value) AS vmax
-                    FROM events),
-             tr AS (SELECT unnest(generate_series(
-                        CAST(ceil(vmin/{every}) AS BIGINT)*{every},
-                        CAST(floor(vmax/{every}) AS BIGINT)*{every},
-                        {every})) AS trig FROM mx)
-        SELECT count(*) AS cnt, CAST(t.trig AS DOUBLE) AS trigger
-        FROM tr t JOIN events e
-          ON e.value > t.trig - {size} AND e.value <= t.trig
-        GROUP BY t.trig"""
+    if partitioned:
+        fsql = (f"select user_id, count(*) as cnt from events "
+                f"[size {size} on value every {every} on value "
+                f"partitioned on user_id] group by user_id")
+        oracle = f"""
+            WITH mx AS (SELECT user_id, min(value) AS vmin,
+                               max(value) AS vmax
+                        FROM events GROUP BY user_id),
+                 tr AS (SELECT user_id, unnest(generate_series(
+                            CAST(ceil(vmin/{every}) AS BIGINT)*{every},
+                            CAST(floor(vmax/{every}) AS BIGINT)*{every},
+                            {every})) AS trig FROM mx)
+            SELECT t.user_id, count(*) AS cnt,
+                   CAST(t.trig AS DOUBLE) AS trigger
+            FROM tr t JOIN events e
+              ON e.user_id = t.user_id
+             AND e.value > t.trig - {size} AND e.value <= t.trig
+            GROUP BY t.user_id, t.trig"""
+    else:
+        fsql = (f"select count(*) as cnt from events "
+                f"[size {size} on value every {every} on value]")
+        oracle = f"""
+            WITH mx AS (SELECT min(value) AS vmin, max(value) AS vmax
+                        FROM events),
+                 tr AS (SELECT unnest(generate_series(
+                            CAST(ceil(vmin/{every}) AS BIGINT)*{every},
+                            CAST(floor(vmax/{every}) AS BIGINT)*{every},
+                            {every})) AS trig FROM mx)
+            SELECT count(*) AS cnt, CAST(t.trig AS DOUBLE) AS trigger
+            FROM tr t JOIN events e
+              ON e.value > t.trig - {size} AND e.value <= t.trig
+            GROUP BY t.trig"""
     got = normalize(eng.sql(fsql).toPandas())
     exp = normalize(duck.sql(oracle).df())
-    assert len(got) == len(exp), (size, every)
+    assert len(got) == len(exp), (size, every, partitioned)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   rtol=1e-9, obj=f"[{size} on v / {every}]")
 
