@@ -94,6 +94,22 @@ def main():
         _force(fn(spark, SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # steady-state pass: the SAME queries a second time.  First-run
+    # timings (above, the headline metric — methodology unchanged since
+    # r1) include per-plan codegen/JIT that amortizes to zero on a real
+    # cluster run; the second-run numbers isolate the marginal
+    # scan+shuffle+compute cost and carry ~10x less run-to-run noise
+    # (llm01 measured 3.1 s cold / 0.65 s steady with ±2 s cold
+    # variance from ambient container load).
+    steady: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        steady[name] = round(time.perf_counter() - t0, 3)
+
     # engine compile-phase timings (parity with the reference's Timer,
     # fsql/timer.scala:3-16 / BASELINE.md "engine-internal")
     from flink_dsl_spark import FsqlEngine
@@ -111,6 +127,8 @@ def main():
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_steady": steady,
+        "steady_total": round(sum(steady.values()), 3),
         "compile_phases_ms": phases,
         "sf": sf,
     }

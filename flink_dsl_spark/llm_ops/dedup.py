@@ -36,10 +36,15 @@ _MERSENNE = (1 << 31) - 1
 # ---------------------------------------------------------------------------
 
 def normalized(text: Column) -> Column:
-    """Canonical text form: lowercase, alnum-only, squeezed whitespace."""
+    """Canonical text form: lowercase, alnum-only, squeezed whitespace.
+
+    One regex pass: a run of anything non-alphanumeric (whitespace
+    included) collapses to a single space — identical output to the
+    two-pass strip-then-squeeze form, at half the regex cost over what
+    is the corpus-wide hot path (every dedup/textstats op starts here).
+    """
     c = F.lower(text)
-    c = F.regexp_replace(c, r"[^a-z0-9\s]", " ")
-    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     return F.trim(c)
 
 
@@ -285,20 +290,33 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                   .select("id", "b.band", "b.bh"))
     if max_bucket_size is not None:
         # one extra (band, bh) aggregate — partial-agg shuffle of counts,
-        # not of members — then a broadcast-able small filter join
+        # not of members — then a broadcast-able small filter join.  The
+        # guard runs BEFORE collect_list below so a degenerate bucket's
+        # members are never gathered into one task's array.
         big = (buckets.groupBy("band", "bh")
                       .agg(F.count(F.lit(1)).alias("__bc"))
                       .filter(F.col("__bc") > max_bucket_size)
                       .select("band", "bh"))
         buckets = buckets.join(F.broadcast(big), ["band", "bh"],
                                "left_anti")
-    x, y = buckets.alias("x"), buckets.alias("y")
-    cand = (x.join(y, (F.col("x.band") == F.col("y.band")) &
-                   (F.col("x.bh") == F.col("y.bh")) &
-                   (F.col("x.id") < F.col("y.id")))
-            .select(F.col("x.id").alias("id_a"),
-                    F.col("y.id").alias("id_b"))
-            .distinct())
+    # candidate pairs by gathering each bucket's members and expanding
+    # the (i < j) pairs with higher-order functions — ONE shuffle of the
+    # bucket rows, vs. the equivalent self-join's two shuffles (the join
+    # re-shuffles the same lineage once per side).  Per-bucket arrays are
+    # bounded by max_bucket_size when set; uncapped they are bounded by
+    # the largest real duplicate cluster, the same bound the self-join's
+    # output cardinality already carried.
+    members = (buckets.groupBy("band", "bh")
+                      .agg(F.collect_list("id").alias("ids"))
+                      .filter(F.size("ids") >= 2))
+    pair_arr = F.flatten(F.transform(
+        "ids",
+        lambda x: F.transform(
+            F.filter("ids", lambda y: y > x),
+            lambda y: F.struct(x.alias("id_a"), y.alias("id_b")))))
+    cand = (members.select(F.explode(pair_arr).alias("p"))
+                   .select("p.id_a", "p.id_b")
+                   .distinct())
 
     # verify candidates with exact Jaccard: join the raw text, then
     # shingle AFTER the join — the projection runs on candidate rows

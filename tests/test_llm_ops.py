@@ -182,6 +182,27 @@ def test_exact_dedup_idempotent(docs):
     assert d2.filter("n_duplicates = 2").count() == 1
 
 
+def test_normalized_single_pass_equals_two_pass(spark):
+    """normalized() runs ONE regex pass ([^a-z0-9]+ -> ' '); it must be
+    byte-identical to the original strip-then-squeeze two-pass form
+    (which the DuckDB oracles still spell out) on adversarial inputs."""
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.llm_ops.dedup import normalized
+
+    cases = [
+        "Hello, World!", "a.b", "a . b", "  lead/trail  ", "",
+        "ALL---PUNCT!!!", "tab\tand\nnewline\r\nmix", "x", "...",
+        "unicode  nbsp café naïve", "a1b2c3",
+        "double  space   triple", "9 to 5", "under_score-dash",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"])
+    two_pass = F.trim(F.regexp_replace(F.regexp_replace(
+        F.lower("t"), r"[^a-z0-9\s]", " "), r"\s+", " "))
+    bad = df.select(normalized(F.col("t")).alias("one"),
+                    two_pass.alias("two")).filter("one <> two")
+    assert bad.count() == 0
+
+
 def test_chunk_documents_windows(spark):
     """Chunks advance by chunk-overlap; consecutive chunks share the
     overlap; the tail chunk may be short; empty docs vanish."""
