@@ -528,11 +528,39 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from events_s5 [session 30 min on ts] group by user_id""")
         return _run_stream(spark, out, "complete")
 
+    def s06(spark, d):
+        # streaming SLIDING count window (stateful, partitioned): the
+        # trigger fires every 3 rows per user, aggregating the last
+        # min(6, seen) rows; unique (user_id, ts) makes window contents
+        # deterministic (order_col = registered event-time column)
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "events_s6", f"{d}/events.parquet", event_time_col="ts")
+        out = eng.sql("""
+            select user_id, count(*) as cnt, round(sum(value), 2) as sv
+            from events_s6 [size 6 every 3 partitioned on user_id]
+            group by user_id""")
+        return _run_stream(spark, out, "append")
+
+    def s07(spark, d):
+        # streaming SLIDING time window (native window() with slide);
+        # complete-mode result == batch result, oracles exactly
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "events_s7", f"{d}/events.parquet", event_time_col="ts")
+        out = eng.sql("""
+            select event_type, count(*) as cnt
+            from events_s7 [size 2 h on ts every 1 h]
+            group by event_type""")
+        return _run_stream(spark, out, "complete")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
             "s04_stream_delta_window": s04,
-            "s05_stream_session_window": s05}
+            "s05_stream_session_window": s05,
+            "s06_stream_count_sliding": s06,
+            "s07_stream_time_sliding": s07}
 
 
 # ---------------------------------------------------------------------------
@@ -597,8 +625,8 @@ _PRIORITY = [
     "q01_pricing_summary", "q02_filter_projection", "q03_join_group",
     "q04_left_join", "q08_using_join", "q09_rollup",
     "q12_order_limit_offset", "q14_in_subquery", "q15_exists",
-    "q16_scalar_subquery", "q17a_union", "q17c_except", "q18_case_arith",
-    "q21_between_like_null", "q22_agg_distinct", "q23_params",
+    "q16_scalar_subquery", "q17a_union", "q18_case_arith",
+    "q21_between_like_null", "q22_agg_distinct",
     "q26_window_tumbling", "q28_count_tumbling",
     "q30_snapshot_window", "q31_delta_tumbling", "q32_partitioned_window",
     "q34_windowed_join", "q35_asof_join", "q36_range_join",
@@ -607,11 +635,14 @@ _PRIORITY = [
     "x02_expr_filter_groupby",
     "s01_stream_time_window", "s02_stream_count_window",
     "s05_stream_session_window",
+    # -- new this round: streaming SLIDING windows (count + time) --
+    "s06_stream_count_sliding", "s07_stream_time_sliding",
     "llm01_dedup_exact",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (all oracled ones below were driver-green in CORRECTNESS_r02)
     "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
-    "q13_in_list", "q17b_union_all", "q17d_intersect",
+    "q13_in_list", "q17b_union_all", "q17c_except", "q17d_intersect",
+    "q23_params",
     "q19_derived_table", "q27_window_sliding", "q29_count_sliding",
     "q33_derived_stream", "q35_delta_sliding",
     "x01_expr_projection", "x03_expr_bitwise_unary",
@@ -1191,6 +1222,28 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS window_start,
                    max(ts) + INTERVAL 1800 SECOND AS window_end
             FROM s GROUP BY user_id, sess""",
+        "s06_stream_count_sliding": """
+            WITH r AS (SELECT user_id, value,
+                              row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY ts) AS rn
+                       FROM events),
+                 tr AS (SELECT user_id, rn AS trig FROM r
+                        WHERE rn % 3 = 0)
+            SELECT t.user_id, count(*) AS cnt,
+                   round(sum(e.value), 2) AS sv,
+                   CAST(t.trig AS BIGINT) AS trigger
+            FROM tr t JOIN r e
+              ON e.user_id = t.user_id
+             AND e.rn > t.trig - 6 AND e.rn <= t.trig
+            GROUP BY t.user_id, t.trig""",
+        "s07_stream_time_sliding": """
+            WITH b AS (SELECT *, CAST(floor(epoch(ts)/3600) AS BIGINT) AS hb
+                       FROM events),
+                 u AS (SELECT *, unnest([hb - 1, hb]) AS ws FROM b)
+            SELECT event_type, count(*) AS cnt,
+                   make_timestamp(ws * 3600 * 1000000) AS window_start,
+                   make_timestamp((ws + 2) * 3600 * 1000000) AS window_end
+            FROM u GROUP BY event_type, ws""",
         # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
         "x01_expr_projection": """
             SELECT event_id, (value + 1) * 2 AS v2,
