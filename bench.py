@@ -75,14 +75,43 @@ def main():
     par = spark.sparkContext.defaultParallelism
     _force(spark.range(par * 4, numPartitions=par).select(_warm("id")))
 
+    # warm the JVM operator codepaths the headline queries lean on:
+    # first use of Pattern/regexp_replace, xxhash64, higher-order
+    # lambdas, collect_list and explode pays classloading + C2 JIT that
+    # never recurs in a session (llm01 measured 3.1 s first run vs
+    # 0.65 s thereafter, with the gap entirely in the regex/hash scan
+    # stage).  A 2000-row range exercises them all in ~100 ms, untimed.
+    w = (spark.range(2000)
+         .select(_F.regexp_replace(
+             _F.lower(_F.concat(_F.lit("A b!"), _F.col("id"))),
+             r"[^a-z0-9]+", " ").alias("t"))
+         .select("t", _F.xxhash64("t").alias("h1"),
+                 _F.xxhash64("t", _F.lit(1)).alias("h2"),
+                 _F.transform(_F.split("t", " "),
+                              lambda s: _F.length(s)).alias("ls")))
+    _force(w.groupBy("h1").agg(_F.collect_list("h2").alias("xs"))
+            .select(_F.explode("xs")))
+
     # warm the Structured Streaming stack: the first streaming query of
     # a session pays ~2 s of one-time classloading/checkpoint setup
     # (measured r3: s01 run1 3.2 s, run2+ 1.3 s).  That is session
-    # bootstrap, not query cost — absorb it with a zero-row rate-source
-    # micro-batch so s01's timing reflects the marginal streaming cost.
-    wq = (spark.readStream.format("rate").option("rowsPerSecond", 1)
-          .load().writeStream.format("noop")
-          .trigger(availableNow=True).start())
+    # bootstrap, not query cost — absorb it with a micro-run over the
+    # sf0.001 events file through the same classes s01 uses (parquet
+    # file stream -> windowed agg -> availableNow -> memory sink).
+    import tempfile
+    tiny = SF_DIR.replace(re.search(r"sf[0-9.]+", SF_DIR).group(0),
+                          "sf0.001")
+    ev = spark.read.parquet(f"{tiny}/events.parquet")
+    wdir = tempfile.mkdtemp(prefix="bench_warm_ev_")
+    os.symlink(f"{tiny}/events.parquet",
+               os.path.join(wdir, "events.parquet"))
+    sev = spark.readStream.schema(ev.schema).parquet(wdir)
+    tcol = ("timestamp_micros(cast(ts / 1000 as long))"
+            if dict(ev.dtypes)["ts"] == "bigint" else "ts")
+    wq = (sev.selectExpr(f"{tcol} as ts", "event_type")
+          .groupBy(_F.window("ts", "1 hour"), "event_type").count()
+          .writeStream.format("memory").queryName("__bench_warm")
+          .outputMode("complete").trigger(availableNow=True).start())
     wq.awaitTermination(60)
 
     timings: dict[str, float] = {}

@@ -522,6 +522,44 @@ def test_fsql_delta_sliding_streaming_matches_batch(spark, sdf, src_dir):
     assert stream == batch
 
 
+@pytest.mark.parametrize("size,every,partitioned", [
+    (6, 3, True),     # sliding, overlap (the s06 driver-query shape)
+    (4, 9, True),     # every > size: sampling windows
+    (7, 3, False),    # global single-group sequence
+])
+def test_fsql_count_sliding_streaming_matches_batch(
+        spark, size, every, partitioned):
+    """Streaming count-sliding windows (applyInPandasWithState) emit
+    the same (key, trigger, agg) set as the batch row_number emulation
+    on the real sf0.001 events table — including every > size sampling
+    and the partial early windows below the first full extent."""
+    part = " partitioned on user_id" if partitioned else ""
+    sel = "user_id, " if partitioned else ""
+    grp = " group by user_id" if partitioned else ""
+    q = (f"select {sel}count(*) as n, round(sum(value), 2) as sv "
+         f"from ev [size {size} every {every}{part}]{grp}")
+
+    def key(r):
+        return ((r["user_id"],) if partitioned else ()) + \
+            (r["trigger"], r["n"], r["sv"])
+
+    engb = FsqlEngine(spark)
+    engb.register_parquet("ev", "/root/testdata/sf0.001/events.parquet",
+                          event_time_col="ts")
+    batch = {key(r) for r in engb.sql(q).collect()}
+
+    engs = FsqlEngine(spark)
+    engs.register_stream_parquet(
+        "ev", "/root/testdata/sf0.001/events.parquet",
+        event_time_col="ts")
+    out = engs.sql(q)
+    assert out.isStreaming
+    sink = run_to_memory(out, "append")
+    stream = {key(r) for r in spark.sql(f"select * from {sink}").collect()}
+    assert len(batch) > 0
+    assert stream == batch
+
+
 def test_fsql_count_window_bad_shape_raises(spark, sdf):
     eng = FsqlEngine(spark)
     eng.register("ev", sdf, event_time_col="ts")
