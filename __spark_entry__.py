@@ -30,6 +30,8 @@ def _engine(spark: SparkSession, sf_dir: str):
         # not depend on engine internals (round-1 postmortem: unset
         # nanosAsLong on the driver session failed every parquet load).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled",
+                       "false")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
         eng = FsqlEngine(spark)
@@ -338,6 +340,7 @@ def _pipeline_e2e(s: SparkSession, d: str) -> DataFrame:
 
 
 def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from pyspark.sql import functions as F
     from flink_dsl_spark import llm_ops as L
 
     return {
@@ -411,8 +414,14 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "text", "doc_id"),
         "llm12_multimodal_decode": lambda s, d: L.decode_metadata(
             L.with_binary_column(_docs(s, d), "text", "doc_id")),
+        # frame_offsets is array<long> in the operator; the driver's
+        # canonicalizer sorts pandas columns and can't hash ndarrays, so
+        # the driver-facing query serializes it to a CSV string (the
+        # DuckDB oracle mirrors with array_to_string)
         "llm13_frame_sample": lambda s, d: L.sample_frames(
-            L.with_binary_column(_docs(s, d), "text", "doc_id")),
+            L.with_binary_column(_docs(s, d), "text", "doc_id"))
+            .withColumn("frame_offsets",
+                        F.array_join("frame_offsets", ",")),
         "llm22_extract_features": lambda s, d: L.extract_features(
             L.with_binary_column(_docs(s, d), "text", "doc_id"), dim=64),
         # LSH-bucketed embedding dedup: approximate recall by design ->
@@ -1142,8 +1151,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id,
                    CAST(octet_length(encode(text)) // 4096 + 1 AS INTEGER)
                        AS n_frames,
-                   [CAST(i AS BIGINT) for i in
-                    range(0, octet_length(encode(text)), 4096)]
+                   array_to_string(
+                       [CAST(i AS BIGINT) for i in
+                        range(0, octet_length(encode(text)), 4096)], ',')
                        AS frame_offsets
             FROM documents""",
         "q35_delta_sliding": """

@@ -32,13 +32,20 @@ _EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
 # Runtime-settable SQL confs the engine's results depend on.  They are
 # applied to whatever SparkSession the caller hands us (callers are NOT
 # required to build their session via session.get_session):
-#  - nanosAsLong: the driver testdata is parquet TIMESTAMP(NANOS);
+#  - nanosAsLong: older driver testdata was parquet TIMESTAMP(NANOS);
 #    without this, spark.read.parquet raises PARQUET_TYPE_ILLEGAL.
+#  - inferTimestampNTZ disabled: parquet micros WITHOUT a timezone
+#    annotation (isAdjustedToUTC=false — what the driver testdata ships
+#    now) would otherwise load as TIMESTAMP_NTZ, which Structured
+#    Streaming watermarks reject and several epoch-arithmetic paths
+#    can't cast.  With the session timezone forced to UTC the LTZ
+#    reading denotes the same wall clock, so this is lossless.
 #  - UTC session timezone: window bounds and make_timestamp-based
 #    oracles assume UTC.
 #  - Arrow: pandas-UDF paths (llm_ops) use Arrow batch transfer.
 _REQUIRED_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -114,6 +121,7 @@ class FsqlEngine:
         """Register a DataFrame as a stream/table.  ``watermark`` is an
         engine extension (reference has no late-data handling,
         SURVEY.md §7.0(4))."""
+        df = _coerce_ntz(df)
         if watermark and event_time_col and df.isStreaming:
             df = df.withWatermark(event_time_col, watermark)
         self.catalog.register(
@@ -430,12 +438,18 @@ class FsqlEngine:
 
 
 def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
-    """Driver testdata stores TIMESTAMP(NANOS); with
-    ``spark.sql.legacy.parquet.nanosAsLong`` Spark reads them as long.
-    Detect nano-timestamp columns from the parquet footer (pyarrow) and
-    cast back to TimestampType (micro precision).  The cast is a
-    projection on top of the scan — column pruning & predicate pushdown
-    on other columns are unaffected."""
+    """Normalize parquet timestamp encodings to TimestampType (LTZ).
+
+    Two encodings the driver testdata has shipped:
+      * TIMESTAMP(NANOS): with ``spark.sql.legacy.parquet.nanosAsLong``
+        Spark reads them as long — detect from the parquet footer
+        (pyarrow) and cast back to micro-precision TimestampType.
+      * timestamp[us] with no timezone: loads as TIMESTAMP_NTZ unless
+        ``inferTimestampNTZ`` is disabled; _coerce_ntz (applied in
+        register()) covers sessions where the conf landed too late or a
+        caller reads the file itself.
+    The casts are projections on top of the scan — column pruning &
+    predicate pushdown on other columns are unaffected."""
     try:
         import pyarrow.dataset as ds
         arrow_schema = ds.dataset(path, format="parquet").schema
@@ -451,4 +465,22 @@ def _restore_nano_timestamps(df: DataFrame, path: str) -> DataFrame:
             df = df.withColumn(
                 field.name,
                 F.timestamp_micros(F.expr(f"`{field.name}` div 1000")))
+    return df
+
+
+def _coerce_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType (LTZ).
+
+    The engine forces the session timezone to UTC, so the NTZ wall
+    clock and the LTZ instant denote the same moment — the cast is
+    lossless.  Applied at register() so every relation the planner sees
+    (batch or streaming, parquet or caller-supplied) carries plain
+    TIMESTAMP: watermarks (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and
+    epoch arithmetic (CAST ... AS DOUBLE) both require it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, TimestampNTZType)]
+    for name in ntz:
+        df = df.withColumn(name, F.col(name).cast("timestamp"))
     return df

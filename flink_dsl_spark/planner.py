@@ -741,6 +741,13 @@ class Planner:
         if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
             if self.catalog.meta(leaf.name).watermark:
                 return df          # user already chose a lateness bound
+        from pyspark.sql.types import TimestampNTZType
+        if tname in df.columns and isinstance(df.schema[tname].dataType,
+                                              TimestampNTZType):
+            # watermarks require TIMESTAMP (EVENT_TIME_IS_NOT_ON_
+            # TIMESTAMP_TYPE); engine.register() normally coerces, this
+            # covers relations that reached the planner another way
+            df = df.withColumn(tname, F.col(tname).cast("timestamp"))
         return df.withWatermark(tname, duration_str(spec.size))
 
     @staticmethod

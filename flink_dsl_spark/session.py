@@ -28,9 +28,13 @@ def get_session(app_name: str = "flink-dsl-spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # driver testdata uses parquet TIMESTAMP(NANOS); Spark reads them
-        # as long (engine.register_parquet casts back to timestamp)
+        # driver testdata has shipped parquet TIMESTAMP(NANOS) (read as
+        # long; engine.register_parquet casts back) and timestamp[us]
+        # without a timezone (would load as TIMESTAMP_NTZ, which
+        # watermarks reject — load as LTZ instead; session TZ is UTC so
+        # the instant is identical)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -141,7 +141,12 @@ def _range_bucket(df: DataFrame, order: Column, buckets: int):
     is degenerate."""
     if buckets <= 1 or not _cast_to_double_is_monotone(df, order):
         return F.lit(1)
-    num = order.cast("double")
+    from pyspark.sql.types import TimestampNTZType
+    dt = df.select(order.alias("__o")).schema[0].dataType
+    # TIMESTAMP_NTZ has no direct double cast; hop through LTZ (session
+    # TZ is UTC under the engine, and any fixed zone preserves order)
+    num = (order.cast("timestamp").cast("double")
+           if isinstance(dt, TimestampNTZType) else order.cast("double"))
     safe = F.when(F.isnan(num), F.lit(None)).otherwise(num)
     row = df.select(F.min(safe).alias("mn"), F.max(safe).alias("mx")).first()
     mn, mx = row["mn"], row["mx"]

@@ -29,6 +29,20 @@ _T = "__asof_t"
 _PAY = "__asof_payload"
 
 
+def _as_ltz(df: DataFrame, *cols: str) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column in ``cols`` to TimestampType so the
+    epoch arithmetic below (``cast('double')`` = seconds since epoch)
+    resolves.  The engine pins the session timezone to UTC, making the
+    cast lossless; non-NTZ columns (already LTZ, or numeric time axes)
+    pass through untouched."""
+    from pyspark.sql.types import TimestampNTZType
+    for c in cols:
+        if c in df.columns and isinstance(df.schema[c].dataType,
+                                          TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
               left_on: str, right_on: str,
               direction: str = "backward",
@@ -54,6 +68,8 @@ def asof_join(left: DataFrame, right: DataFrame, by: str | list[str],
         raise PlanError("asof_join direction must be "
                         "'backward' or 'forward'")
     keys = [by] if isinstance(by, str) else list(by)
+    left = _as_ltz(left, left_on)
+    right = _as_ltz(right, right_on)
     overlap = [c for c in right.columns
                if c in left.columns and c not in keys]
     r_payload = [c for c in right.columns if c not in keys]
@@ -130,6 +146,7 @@ def sessionize(df: DataFrame, ts_col: str, by: str | list[str],
     test_sessionize_exact_gap_boundary).  session_end is
     last_event_ts + gap (Spark's convention)."""
     keys = [by] if isinstance(by, str) else list(by)
+    df = _as_ltz(df, ts_col)
     if aggs is None:
         aggs = {"n_events": F.count(F.lit(1))}
     win = F.session_window(F.col(ts_col), f"{gap_sec} seconds")
@@ -167,6 +184,7 @@ def rollup_timeseries(df: DataFrame, ts_col: str, by: str | list[str],
             raise PlanError(
                 f"rollup_timeseries aggregate {fn!r} is not "
                 f"re-aggregable; use one of {sorted(_ROLLUP_FNS)}")
+    df = _as_ltz(df, ts_col)
     grans = sorted(set(int(g) for g in granularities_sec))
     if not grans or grans[0] <= 0:
         raise PlanError("granularities_sec must be positive")
@@ -241,6 +259,8 @@ def range_join(left: DataFrame, right: DataFrame, by: str | list[str],
     if upper_sec < lower_sec:
         raise PlanError("range_join needs lower_sec <= upper_sec")
     keys = [by] if isinstance(by, str) else list(by)
+    left = _as_ltz(left, left_on)
+    right = _as_ltz(right, right_on)
     width = max(upper_sec - lower_sec, 1e-9)
 
     overlap = [c for c in right.columns
