@@ -106,8 +106,9 @@ def main():
     os.symlink(f"{tiny}/events.parquet",
                os.path.join(wdir, "events.parquet"))
     sev = spark.readStream.schema(ev.schema).parquet(wdir)
-    tcol = ("timestamp_micros(cast(ts / 1000 as long))"
-            if dict(ev.dtypes)["ts"] == "bigint" else "ts")
+    ts_dtype = dict(ev.dtypes)["ts"]
+    tcol = {"bigint": "timestamp_micros(cast(ts / 1000 as long))",
+            "timestamp_ntz": "cast(ts as timestamp)"}.get(ts_dtype, "ts")
     wq = (sev.selectExpr(f"{tcol} as ts", "event_type")
           .groupBy(_F.window("ts", "1 hour"), "event_type").count()
           .writeStream.format("memory").queryName("__bench_warm")
