@@ -614,50 +614,50 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # leading one (mirror joins, trivial scans) or rows-only by nature
 # (hash-seeded / approximate ops).
 # The driver's correctness harness samples the FIRST 50 keys of
-# queries().  Round 3 rotates the window (VERDICT r2 item 1): the 16
-# oracled queries that rounds 1-2 never sampled (q05/q20/q24/q25/q40/
-# q41, llm05, llm09-13, llm16-19) plus this round's two new oracled
-# companions (llm26/llm27) come first, and the remaining 32 slots hold
-# a SURVEY-§2-diverse regression subset of the round-2 green set.
-# Union(r02, r03) then gives every oracled query a driver-green row.
+# queries().  Round 4 rotation (VERDICT r3 item 4): (a) the 8 queries
+# the r3 NTZ regression turned red lead, so the fix re-verifies under
+# the driver; (b) the 21 oracled queries unsampled since their r2 green
+# row rotate back in; (c) the remaining 21 slots hold an NTZ-adjacent
+# (windows/temporal/streaming — the subsystems the engine-wide
+# timestamp coercion touches) plus SURVEY-§2-diverse subset of the r3
+# green board.  Union(r02, r03, r04) then gives all 71 oracled queries
+# a driver-green row with none stale-red.
 _PRIORITY = [
-    # -- rotated in: driver-sampled for the first time this round --
-    "q05_right_join", "q20_comma_from", "q24_star_scoped", "q25_dual",
-    "q40_update_delete", "q41_stats_aggs",
-    "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
-    "llm11_fingerprint", "llm12_multimodal_decode", "llm13_frame_sample",
-    "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
-    "llm18_chunk_documents", "llm19_top_terms_tfidf",
-    # -- new oracled companions (round 3) --
-    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
-    # -- §2-diverse regression subset of the round-2 green board --
-    "q01_pricing_summary", "q02_filter_projection", "q03_join_group",
-    "q04_left_join", "q08_using_join", "q09_rollup",
-    "q12_order_limit_offset", "q14_in_subquery", "q15_exists",
-    "q16_scalar_subquery", "q17a_union", "q18_case_arith",
-    "q21_between_like_null", "q22_agg_distinct",
-    "q26_window_tumbling", "q28_count_tumbling",
-    "q30_snapshot_window", "q31_delta_tumbling", "q32_partitioned_window",
-    "q34_windowed_join", "q35_asof_join", "q36_range_join",
-    "q37_session_window", "q38_rollup_timeseries",
-    "q39_session_window_fsql",
-    "x02_expr_filter_groupby",
-    "s01_stream_time_window", "s02_stream_count_window",
-    "s05_stream_session_window",
-    # -- new this round: streaming SLIDING windows (count + time) --
-    "s06_stream_count_sliding", "s07_stream_time_sliding",
-    "llm01_dedup_exact",
-    # --- fold: entries below are outside a 50-entry prefix sample ---
-    # (all oracled ones below were driver-green in CORRECTNESS_r02)
+    # -- r3 NTZ regressions: re-verify the fix first --
+    "q28_count_tumbling", "q35_asof_join", "q36_range_join",
+    "q38_rollup_timeseries", "s01_stream_time_window",
+    "s05_stream_session_window", "s07_stream_time_sliding",
+    "llm13_frame_sample",
+    # -- unsampled since their r2 green row: rotate back in --
     "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
     "q13_in_list", "q17b_union_all", "q17c_except", "q17d_intersect",
-    "q23_params",
-    "q19_derived_table", "q27_window_sliding", "q29_count_sliding",
-    "q33_derived_stream", "q35_delta_sliding",
+    "q19_derived_table", "q23_params", "q27_window_sliding",
+    "q29_count_sliding", "q33_derived_stream", "q35_delta_sliding",
     "x01_expr_projection", "x03_expr_bitwise_unary",
     "s03_stream_windowed_join", "s04_stream_delta_window",
     "llm02_dedup_ngram_jaccard", "llm06_ann_topk_bruteforce",
     "llm08_token_stats",
+    # -- NTZ-adjacent + §2-diverse regression subset of the r3 board --
+    "q26_window_tumbling", "q30_snapshot_window", "q31_delta_tumbling",
+    "q32_partitioned_window", "q34_windowed_join", "q37_session_window",
+    "q39_session_window_fsql",
+    "s02_stream_count_window", "s06_stream_count_sliding",
+    "q01_pricing_summary", "q03_join_group", "q09_rollup",
+    "q15_exists", "q16_scalar_subquery", "q18_case_arith",
+    "q40_update_delete", "q41_stats_aggs",
+    "x02_expr_filter_groupby",
+    "llm01_dedup_exact", "llm26_minhash_verified_pairs",
+    "llm27_ann_lsh_exhaustive",
+    # --- fold: entries below are outside a 50-entry prefix sample ---
+    # (all oracled ones below were driver-green in r02 or r03)
+    "q02_filter_projection", "q04_left_join", "q05_right_join",
+    "q08_using_join", "q12_order_limit_offset", "q14_in_subquery",
+    "q17a_union", "q20_comma_from", "q21_between_like_null",
+    "q22_agg_distinct", "q24_star_scoped", "q25_dual",
+    "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
+    "llm11_fingerprint", "llm12_multimodal_decode",
+    "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
+    "llm18_chunk_documents", "llm19_top_terms_tfidf",
 ]
 
 
