@@ -357,6 +357,14 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=8, threshold=0.8),
         "llm04_dedup_simhash": lambda s, d: L.simhash_pairs(
             _docs(s, d), "text", "doc_id", max_hamming=3),
+        #  - simhash_pairs is exact GIVEN the token hash (pigeonhole
+        #    candidates are complete, hamming verify is exact); the
+        #    md5-derived hash is bit-identical in DuckDB, so the FULL
+        #    production pipeline — normalize, tokenize, 64-lane sign
+        #    fold, chunk-bucket join, hamming filter — value-oracles:
+        "llm28_simhash_verified_pairs": lambda s, d: L.simhash_pairs(
+            _docs(s, d), "text", "doc_id", max_hamming=3,
+            token_hash=L.md5_token_hash),
         # llm05 is the exact O(n^2) baseline/verifier by design; the
         # production-scale path is llm14 (hyperplane-LSH buckets with
         # exact-cosine verification).  The verifier runs on a FIXED
@@ -643,13 +651,16 @@ _PRIORITY = [
     "q39_session_window_fsql",
     "s02_stream_count_window", "s06_stream_count_sliding",
     "q01_pricing_summary", "q03_join_group", "q09_rollup",
-    "q15_exists", "q16_scalar_subquery", "q18_case_arith",
+    "q15_exists", "q16_scalar_subquery",
     "q40_update_delete", "q41_stats_aggs",
     "x02_expr_filter_groupby",
     "llm01_dedup_exact", "llm26_minhash_verified_pairs",
     "llm27_ann_lsh_exhaustive",
+    # -- new oracled companion (round 4): full simhash pipeline --
+    "llm28_simhash_verified_pairs",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (all oracled ones below were driver-green in r02 or r03)
+    "q18_case_arith",
     "q02_filter_projection", "q04_left_join", "q05_right_join",
     "q08_using_join", "q12_order_limit_offset", "q14_in_subquery",
     "q17a_union", "q20_comma_from", "q21_between_like_null",
@@ -1056,6 +1067,37 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jaccard
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING jaccard >= 0.8""",
+        # the md5-derived token hash is bit-identical across engines, so
+        # the oracle recomputes the whole simhash pipeline independently:
+        # normalize -> tokenize -> 60-bit token hash -> 64-lane majority
+        # fold -> all-pairs hamming <= 3 (the Spark side's chunk-bucket
+        # candidates are pigeonhole-complete, so the sets are equal)
+        "llm28_simhash_verified_pairs": """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(string_split(trim(regexp_replace(
+                           lower(text), '[^a-z0-9]+', ' ', 'g')), ' '))
+                           AS t
+                FROM documents),
+            th AS (
+                SELECT doc_id,
+                       CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                           AS h
+                FROM tok),
+            lanes AS (
+                SELECT doc_id, lane,
+                       CASE WHEN sum(2 * ((h >> lane) & 1) - 1) > 0
+                            THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+                FROM th, (SELECT unnest(range(60)) AS lane) AS l
+                GROUP BY doc_id, lane),
+            sig AS (
+                SELECT doc_id, CAST(sum(bit << lane) AS BIGINT) AS simhash
+                FROM lanes GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                       AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
         # sign-bit LSH probing all 2^planes buckets == brute force ->
         # llm06's oracle applies verbatim
         "llm27_ann_lsh_exhaustive": """

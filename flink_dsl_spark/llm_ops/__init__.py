@@ -7,8 +7,8 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 
 from .dedup import (
     dup_clusters, exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs,
-    minhash_signatures, simhash_pairs, simhash_64, embedding_dup_pairs,
-    embedding_dup_pairs_lsh,
+    minhash_signatures, md5_token_hash, simhash_pairs, simhash_64,
+    embedding_dup_pairs, embedding_dup_pairs_lsh,
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
@@ -24,7 +24,7 @@ from .assemble import (pack_sequences, seeded_shuffle,
 
 __all__ = [
     "dup_clusters", "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
-    "minhash_signatures", "simhash_pairs", "simhash_64",
+    "minhash_signatures", "md5_token_hash", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quality_score", "token_stats", "fingerprint", "chunk_documents",

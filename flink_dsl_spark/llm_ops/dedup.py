@@ -406,15 +406,30 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def md5_token_hash(t: Column) -> Column:
+    """Cross-engine 60-bit token hash: decimal value of the first 15 hex
+    chars of md5.  Slower than xxhash64 but bit-identical to
+    ``CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)`` in DuckDB —
+    lets the full simhash pipeline be value-oracled (the llm26/llm27
+    companion pattern).  The four missing top bits only shrink the
+    hash space; every downstream lane/chunk/hamming step is unchanged."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
+def simhash_64(df: DataFrame, text_col: str, id_col: str,
+               token_hash=None) -> DataFrame:
     """64-bit SimHash per document.  Token hashes computed JVM-side
-    (xxhash64), the 64-lane sign fold runs in one Arrow-batched Pandas
-    UDF (numpy bit matrix) — the classic case where a vectorized UDF
-    beats 64 separate JVM aggregates."""
+    (xxhash64 by default; pass ``token_hash`` for a custom Column->Column
+    hash, e.g. md5_token_hash for cross-engine verification), the
+    64-lane sign fold runs in one Arrow-batched Pandas UDF (numpy bit
+    matrix) — the classic case where a vectorized UDF beats 64 separate
+    JVM aggregates."""
     from pyspark.sql.functions import pandas_udf
 
+    if token_hash is None:
+        token_hash = lambda t: F.xxhash64(t)  # noqa: E731
     tokens = F.split(normalized(F.col(text_col)), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    hashes = F.transform(tokens, token_hash)
 
     @pandas_udf("long")
     def fold(hs: pd.Series) -> pd.Series:
@@ -438,12 +453,16 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, token_hash=None) -> DataFrame:
     """Near-duplicate pairs: hamming(simhash_a, simhash_b) <= k.
     Candidate generation by exact match on one of four 16-bit chunks
     (pigeonhole: any pair with hamming <= 3 agrees on >= 1 chunk),
-    verified with JVM ``bit_count(a ^ b)``."""
-    sh = simhash_64(df, text_col, id_col)
+    verified with JVM ``bit_count(a ^ b)``.  Given the hash function,
+    the output is EXACT (pigeonhole candidates are complete, the
+    hamming filter is exact) — so with ``token_hash=md5_token_hash``
+    the whole pipeline value-oracles against an independent SQL
+    implementation."""
+    sh = simhash_64(df, text_col, id_col, token_hash=token_hash)
     chunks = F.array(*[
         F.struct(F.lit(i).alias("chunk"),
                  F.shiftrightunsigned("simhash", 16 * i)
