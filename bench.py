@@ -72,8 +72,19 @@ def main():
         import numpy as _np  # noqa: F401  (preload into worker processes)
         return s
 
+    # the FIRST array-returning pandas UDF of a session additionally
+    # pays ~2.5 s of Arrow list-serializer setup that the scalar warm
+    # above does not touch (measured: fresh array<long> UDF 3.9 s run 1,
+    # 0.6 s thereafter; scalar-warmed sessions still pay it) — absorb it
+    # here so llm03's minhash signature stage is timed, not bootstrap
+    @_F.pandas_udf("array<long>")
+    def _warm_arr(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: [v])
+
     par = spark.sparkContext.defaultParallelism
     _force(spark.range(par * 4, numPartitions=par).select(_warm("id")))
+    _force(spark.range(par * 4, numPartitions=par)
+           .select(_warm_arr("id")))
 
     # warm the JVM operator codepaths the headline queries lean on:
     # first use of Pattern/regexp_replace, xxhash64, higher-order
