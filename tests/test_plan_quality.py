@@ -142,3 +142,27 @@ def test_global_count_windows_have_no_single_partition_exchange(
     assert "Window" not in plan, "q30 regressed to a whole-table Window"
     for ln in plan.splitlines():
         assert "Sort" not in ln or "SinglePartition" not in ln
+
+
+def test_event_time_filter_pushdown_survives_ntz_normalization(spark):
+    """The engine normalizes parquet timestamp encodings at
+    registration (nanosAsLong + inferTimestampNTZ=false + NTZ->LTZ
+    coercion).  On the standard path the normalization must be a no-op
+    projection-wise: a WHERE on the event-time column still reaches the
+    parquet scan as a pushed filter, and the scan reads the column as
+    plain timestamp — a cast layer between filter and scan would make
+    every time-ranged query at 100 TB a full-table read."""
+    from flink_dsl_spark import FsqlEngine
+    eng = FsqlEngine(spark)
+    eng.register_parquet("pq_ev", f"{SF}/events.parquet",
+                         event_time_col="ts")
+    df = eng.sql("select event_id, value from pq_ev "
+                 "where ts >= '2024-06-01 00:00:00' and value > 10")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(ts," in plan, \
+        "event-time predicate did not reach the parquet scan"
+    read_schema = next(ln for ln in plan.splitlines()
+                       if "ReadSchema" in ln)
+    assert "ts:timestamp" in read_schema
+    assert "timestamp_ntz" not in read_schema
