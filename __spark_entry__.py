@@ -384,6 +384,20 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "doc_id",
             {"train": 0.8, "val": 0.1, "test": 0.1}).select(
                 "doc_id", "split"),
+        # cross-engine id-hash (md5_id_hash, the llm28 pattern) makes
+        # the split/shuffle/sample ASSIGNMENTS value-oracled — the
+        # xxhash64 production configs above/below stay rows-only
+        "llm29_split_verified": lambda s, d: L.split_dataset(
+            _docs(s, d), "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            id_hash=L.md5_id_hash).select("doc_id", "split"),
+        "llm30_shuffle_key_verified": lambda s, d: L.seeded_shuffle(
+            _docs(s, d).select("doc_id"), "doc_id", seed=7,
+            id_hash=L.md5_id_hash).select("doc_id", "shuffle_key"),
+        "llm31_stratified_verified": lambda s, d: L.stratified_sample(
+            _docs(s, d), "lang", "doc_id",
+            {"en": 0.5, "de": 0.25, "fr": 0.25}, seed=7,
+            id_hash=L.md5_id_hash).select("doc_id", "lang"),
         "llm21_pack_sequences": lambda s, d: L.pack_sequences(
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
@@ -650,16 +664,18 @@ _PRIORITY = [
     "q32_partitioned_window", "q34_windowed_join", "q37_session_window",
     "q39_session_window_fsql",
     "s02_stream_count_window", "s06_stream_count_sliding",
-    "q01_pricing_summary", "q03_join_group", "q09_rollup",
-    "q15_exists", "q16_scalar_subquery",
+    "q01_pricing_summary", "q03_join_group",
+    "q15_exists",
     "q40_update_delete", "q41_stats_aggs",
-    "x02_expr_filter_groupby",
     "llm01_dedup_exact", "llm26_minhash_verified_pairs",
     "llm27_ann_lsh_exhaustive",
-    # -- new oracled companion (round 4): full simhash pipeline --
-    "llm28_simhash_verified_pairs",
+    # -- new oracled companions (round 4): full simhash pipeline +
+    #    cross-engine split/shuffle/sample assignments --
+    "llm28_simhash_verified_pairs", "llm29_split_verified",
+    "llm30_shuffle_key_verified", "llm31_stratified_verified",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (all oracled ones below were driver-green in r02 or r03)
+    "q09_rollup", "q16_scalar_subquery", "x02_expr_filter_groupby",
     "q18_case_arith",
     "q02_filter_projection", "q04_left_join", "q05_right_join",
     "q08_using_join", "q12_order_limit_offset", "q14_in_subquery",
@@ -1067,6 +1083,36 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jaccard
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING jaccard >= 0.8""",
+        # md5-derived id hash (see assemble.md5_id_hash) — the oracle
+        # recomputes bucket = md5-60-bit(id || ':' || seed) % 1e6 and
+        # applies the same cumulative-fraction thresholds
+        "llm29_split_verified": """
+            SELECT doc_id,
+                   CASE WHEN CAST(concat('0x', substr(md5(concat(
+                             CAST(doc_id AS VARCHAR), ':', '42')), 1, 15))
+                             AS BIGINT) % 1000000 < 800000 THEN 'train'
+                        WHEN CAST(concat('0x', substr(md5(concat(
+                             CAST(doc_id AS VARCHAR), ':', '42')), 1, 15))
+                             AS BIGINT) % 1000000 < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "llm30_shuffle_key_verified": """
+            SELECT doc_id,
+                   CAST(concat('0x', substr(md5(concat(
+                        CAST(doc_id AS VARCHAR), ':', '7')), 1, 15))
+                        AS BIGINT) AS shuffle_key
+            FROM documents""",
+        "llm31_stratified_verified": """
+            WITH b AS (
+                SELECT doc_id, lang,
+                       CAST(concat('0x', substr(md5(concat(
+                            CAST(doc_id AS VARCHAR), ':', '7')), 1, 15))
+                            AS BIGINT) % 1000000 AS bucket
+                FROM documents)
+            SELECT doc_id, lang FROM b
+            WHERE (lang = 'en' AND bucket < 500000)
+               OR (lang = 'de' AND bucket < 250000)
+               OR (lang = 'fr' AND bucket < 250000)""",
         # the md5-derived token hash is bit-identical across engines, so
         # the oracle recomputes the whole simhash pipeline independently:
         # normalize -> tokenize -> 60-bit token hash -> 64-lane majority

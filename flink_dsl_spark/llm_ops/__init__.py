@@ -19,7 +19,7 @@ from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
 )
-from .assemble import (pack_sequences, seeded_shuffle,
+from .assemble import (md5_id_hash, pack_sequences, seeded_shuffle,
                        split_dataset, stratified_sample)
 
 __all__ = [
@@ -30,6 +30,6 @@ __all__ = [
     "quality_score", "token_stats", "fingerprint", "chunk_documents",
     "top_terms_tfidf", "with_binary_column",
     "decode_metadata", "sample_frames", "resize_images", "extract_features",
-    "pack_sequences", "seeded_shuffle", "split_dataset",
+    "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",
 ]

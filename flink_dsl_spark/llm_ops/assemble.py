@@ -19,9 +19,25 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
+def _xxhash_id(c, seed: int):
+    return F.xxhash64(c, F.lit(seed))
+
+
+def md5_id_hash(c, seed: int):
+    """Cross-engine deterministic id hash (same pattern as
+    dedup.md5_token_hash): 60-bit value of ``md5(id || ':' || seed)``,
+    bit-identical to DuckDB's
+    ``CAST(concat('0x', substr(md5(concat(id, ':', seed)), 1, 15)) AS
+    BIGINT)`` — lets the split / shuffle / sample assignments be
+    value-oracled.  xxhash64 stays the production default (one JVM
+    intrinsic vs an md5 + string round-trip)."""
+    s = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def split_dataset(df: DataFrame, id_col: str,
                   fractions: dict[str, float],
-                  seed: int = 42) -> DataFrame:
+                  seed: int = 42, id_hash=None) -> DataFrame:
     """Assign every row to a named split (train/val/test/...) by a
     deterministic hash of its id: adds a ``split`` column.
 
@@ -36,8 +52,9 @@ def split_dataset(df: DataFrame, id_col: str,
     total = sum(fractions.values())
     if abs(total - 1.0) > 1e-6:
         raise ValueError(f"fractions must sum to 1, got {total}")
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
-                    F.lit(_BUCKETS))
+    if id_hash is None:
+        id_hash = _xxhash_id
+    bucket = F.pmod(id_hash(F.col(id_col), seed), F.lit(_BUCKETS))
     expr = None
     acc = 0.0
     items = list(fractions.items())
@@ -52,7 +69,7 @@ def split_dataset(df: DataFrame, id_col: str,
 
 
 def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
-                   rank: bool = False) -> DataFrame:
+                   rank: bool = False, id_hash=None) -> DataFrame:
     """Deterministic global shuffle for training-data ordering: adds a
     ``shuffle_key`` column (xxhash64 of id + seed) and returns the rows
     range-partitioned and sorted by it — the same permutation on every
@@ -66,7 +83,9 @@ def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
     0-based position via the distributed two-phase numbering
     (streaming.windows._global_index — batch only, costs one extra
     column-pruned pass)."""
-    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    if id_hash is None:
+        id_hash = _xxhash_id
+    key = id_hash(F.col(id_col), seed)
     out = df.withColumn("shuffle_key", key)
     parts = df.sparkSession.sparkContext.defaultParallelism
     out = (out.repartitionByRange(parts, "shuffle_key")
@@ -80,7 +99,8 @@ def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
 
 
 def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
-                      fractions: dict, seed: int = 42) -> DataFrame:
+                      fractions: dict, seed: int = 42,
+                      id_hash=None) -> DataFrame:
     """Deterministic per-stratum sampling: keep a hash-selected
     ``fractions[stratum]`` of each stratum's rows (strata absent from
     the dict are dropped).
@@ -92,8 +112,9 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     for k, v in fractions.items():
         if not 0.0 <= v <= 1.0:
             raise ValueError(f"fraction for {k!r} must be in [0,1]")
-    bucket = F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)),
-                    F.lit(_BUCKETS))
+    if id_hash is None:
+        id_hash = _xxhash_id
+    bucket = F.pmod(id_hash(F.col(id_col), seed), F.lit(_BUCKETS))
     cond = None
     for name, frac in fractions.items():
         c = (F.col(strata_col) == F.lit(name)) & \
