@@ -398,6 +398,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "lang", "doc_id",
             {"en": 0.5, "de": 0.25, "fr": 0.25}, seed=7,
             id_hash=L.md5_id_hash).select("doc_id", "lang"),
+        # Gopher-style corpus filters (Rae et al. 2021): repetition /
+        # symbol / bullet / word-shape signals, all JVM expressions
+        "llm32_gopher_quality": lambda s, d: L.gopher_quality(
+            _docs(s, d), "text", "doc_id"),
         "llm21_pack_sequences": lambda s, d: L.pack_sequences(
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
@@ -665,7 +669,6 @@ _PRIORITY = [
     "q39_session_window_fsql",
     "s02_stream_count_window", "s06_stream_count_sliding",
     "q01_pricing_summary", "q03_join_group",
-    "q15_exists",
     "q40_update_delete", "q41_stats_aggs",
     "llm01_dedup_exact", "llm26_minhash_verified_pairs",
     "llm27_ann_lsh_exhaustive",
@@ -673,8 +676,11 @@ _PRIORITY = [
     #    cross-engine split/shuffle/sample assignments --
     "llm28_simhash_verified_pairs", "llm29_split_verified",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
+    # -- new operator (round 4): Gopher corpus-quality filters --
+    "llm32_gopher_quality",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (all oracled ones below were driver-green in r02 or r03)
+    "q15_exists",
     "q09_rollup", "q16_scalar_subquery", "x02_expr_filter_groupby",
     "q18_case_arith",
     "q02_filter_projection", "q04_left_join", "q05_right_join",
@@ -1083,6 +1089,52 @@ def oracle_sql() -> dict[str, str]:
                          6) AS jaccard
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING jaccard >= 0.8""",
+        # Gopher heuristics recomputed with DuckDB list/regexp functions
+        "llm32_gopher_quality": """
+            WITH w AS (
+                SELECT doc_id, text,
+                       list_filter(string_split_regex(text, '\\s+'),
+                                   w -> w <> '') AS words,
+                       string_split(text, chr(10)) AS lines
+                FROM documents),
+            m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       list_sum(list_transform(words,
+                                               w -> length(w)))::DOUBLE
+                           / nullif(len(words), 0) AS mean_word_len,
+                       len(list_filter(words,
+                           w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+                           / nullif(len(words), 0) AS alpha_word_frac,
+                       (length(text) - length(replace(text, '#', ''))
+                        + (length(text) -
+                           length(replace(text, '...', ''))) / 3)
+                           ::DOUBLE / nullif(len(words), 0)
+                           AS symbol_word_ratio,
+                       len(list_filter(lines, l ->
+                           regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+                           / nullif(len(lines), 0) AS bullet_line_frac,
+                       len(list_filter(lines, l ->
+                           regexp_matches(l, '\\.\\.\\.$')))::DOUBLE
+                           / nullif(len(lines), 0) AS ellipsis_line_frac,
+                       1.0 - len(list_distinct(lines))::DOUBLE
+                           / nullif(len(lines), 0) AS dup_line_frac
+                FROM w)
+            SELECT doc_id AS id, n_words,
+                   round(mean_word_len, 6) AS mean_word_len,
+                   round(alpha_word_frac, 6) AS alpha_word_frac,
+                   round(symbol_word_ratio, 6) AS symbol_word_ratio,
+                   round(bullet_line_frac, 6) AS bullet_line_frac,
+                   round(ellipsis_line_frac, 6) AS ellipsis_line_frac,
+                   round(dup_line_frac, 6) AS dup_line_frac,
+                   coalesce(n_words BETWEEN 50 AND 100000
+                            AND mean_word_len BETWEEN 3 AND 10
+                            AND symbol_word_ratio < 0.1
+                            AND bullet_line_frac < 0.9
+                            AND ellipsis_line_frac < 0.3
+                            AND alpha_word_frac >= 0.8
+                            AND dup_line_frac < 0.3, false) AS keep
+            FROM m""",
         # md5-derived id hash (see assemble.md5_id_hash) — the oracle
         # recomputes bucket = md5-60-bit(id || ':' || seed) % 1e6 and
         # applies the same cumulative-fraction thresholds

@@ -90,6 +90,64 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      F.round(score, 6).alias("quality"))
 
 
+def gopher_quality(df: DataFrame, text_col: str, id_col: str,
+                   min_words: int = 50, max_words: int = 100_000
+                   ) -> DataFrame:
+    """Gopher-style corpus-quality heuristics (Rae et al. 2021, table A1
+    — the standard large-corpus filter set): per-document repetition,
+    symbol, bullet and word-shape signals plus a composite ``keep``
+    flag applying the published thresholds.
+
+    Everything is array higher-order functions and regexp on the raw
+    text (word metrics use raw whitespace words as the paper does, not
+    the normalized token stream) — zero Python, zero shuffle; the
+    operator is a projection that composes with scan pushdown at any
+    scale."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    nw = F.nullif(n_words.cast("double"), F.lit(0.0))
+    mean_word_len = (F.aggregate(words, F.lit(0),
+                                 lambda acc, w: acc + F.length(w))
+                     .cast("double") / nw)
+    alpha_word_frac = (F.size(F.filter(
+        words, lambda w: w.rlike("[A-Za-z]"))).cast("double") / nw)
+    # symbols the paper counts: '#' and '...' occurrences per word
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = ((F.length(t) -
+                   F.length(F.replace(t, F.lit("..."), F.lit("")))) /
+                  F.lit(3))
+    symbol_word_ratio = (n_hash + n_ellipsis).cast("double") / nw
+
+    lines = F.split(t, "\n")
+    n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
+    bullet_line_frac = (F.size(F.filter(
+        lines, lambda ln: ln.rlike("^\\s*[-*•]"))).cast("double")
+        / n_lines)
+    ellipsis_line_frac = (F.size(F.filter(
+        lines, lambda ln: ln.rlike("\\.\\.\\.$"))).cast("double")
+        / n_lines)
+    dup_line_frac = (F.lit(1.0) -
+                     F.size(F.array_distinct(lines)).cast("double")
+                     / n_lines)
+
+    keep = ((n_words >= min_words) & (n_words <= max_words) &
+            (mean_word_len >= 3) & (mean_word_len <= 10) &
+            (symbol_word_ratio < 0.1) &
+            (bullet_line_frac < 0.9) & (ellipsis_line_frac < 0.3) &
+            (alpha_word_frac >= 0.8) & (dup_line_frac < 0.3))
+    return spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(alpha_word_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_line_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_line_frac, 6).alias("ellipsis_line_frac"),
+        F.round(dup_line_frac, 6).alias("dup_line_frac"),
+        F.coalesce(keep, F.lit(False)).alias("keep"))
+
+
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     chunk_tokens: int = 128,
                     overlap: int = 16) -> DataFrame:

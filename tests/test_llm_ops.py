@@ -505,3 +505,29 @@ def test_pipeline_e2e_composition(spark):
     # deterministic: same ids, same packs on a second run
     pdf2 = E.queries()["llm25_pipeline_e2e"](spark, SF_DIR).toPandas()
     assert set(pdf["id"]) == set(pdf2["id"])
+
+
+def test_gopher_quality_flags(spark):
+    """Crafted documents exercise each Gopher threshold: a clean prose
+    doc passes, while repetition-, bullet-, symbol- and shape-violating
+    docs are each rejected by the signal built to catch them."""
+    from flink_dsl_spark.llm_ops import gopher_quality
+
+    clean = ("the quick brown fox jumps over the lazy dog and keeps "
+             "running through the quiet field while morning light "
+             "settles on the hills ") * 3          # ~60 plain words
+    dup_lines = "\n".join(["same line of text here"] * 10)
+    bullets = "\n".join(f"- item number {i}" for i in range(20))
+    hashes = " ".join(["#tag"] * 60)
+    short = "tiny doc"
+    rows = [(1, clean), (2, dup_lines), (3, bullets), (4, hashes),
+            (5, short)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           gopher_quality(df, "text", "doc_id", min_words=20).collect()}
+
+    assert out[1]["keep"] is True
+    assert out[2]["dup_line_frac"] > 0.3 and out[2]["keep"] is False
+    assert out[3]["bullet_line_frac"] >= 0.9 and out[3]["keep"] is False
+    assert out[4]["symbol_word_ratio"] >= 0.1 and out[4]["keep"] is False
+    assert out[5]["n_words"] < 20 and out[5]["keep"] is False
