@@ -402,6 +402,12 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # symbol / bullet / word-shape signals, all JVM expressions
         "llm32_gopher_quality": lambda s, d: L.gopher_quality(
             _docs(s, d), "text", "doc_id"),
+        # C4 line-level cleaning (Raffel et al. 2020 §2.2)
+        "llm33_c4_line_filter": lambda s, d: L.c4_line_filter(
+            _docs(s, d), "text", "doc_id"),
+        # typed-placeholder PII scrub (emails / IPv4 / phone shapes)
+        "llm34_pii_redact": lambda s, d: L.pii_redact(
+            _docs(s, d), "text", "doc_id"),
         "llm21_pack_sequences": lambda s, d: L.pack_sequences(
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
@@ -1135,6 +1141,53 @@ def oracle_sql() -> dict[str, str]:
                             AND alpha_word_frac >= 0.8
                             AND dup_line_frac < 0.3, false) AS keep
             FROM m""",
+        # C4 rule recomputed with DuckDB list functions: keep lines
+        # ending in terminal punctuation with >= 3 words
+        "llm33_c4_line_filter": """
+            WITH l AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines
+                FROM documents),
+            k AS (
+                SELECT doc_id, lines,
+                       list_filter(lines, ln ->
+                           regexp_matches(ln, '[.!?"]\\s*$') AND
+                           len(list_filter(string_split_regex(trim(ln),
+                               '\\s+'), w -> w <> '')) >= 3) AS kept
+                FROM l)
+            SELECT doc_id AS id,
+                   coalesce(array_to_string(kept, chr(10)), '')
+                       AS clean_text,
+                   CAST(len(lines) AS INTEGER) AS n_lines,
+                   CAST(len(kept) AS INTEGER) AS n_kept
+            FROM k""",
+        # same RE2-safe patterns, same email -> ip -> phone order
+        "llm34_pii_redact": """
+            WITH s1 AS (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                            AS INTEGER) AS n_emails,
+                       regexp_replace(text,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g') AS t1
+                FROM documents),
+            s2 AS (
+                SELECT doc_id, n_emails,
+                       CAST(len(regexp_extract_all(t1,
+                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                            AS INTEGER) AS n_ips,
+                       regexp_replace(t1,
+                            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                            '<IP>', 'g') AS t2
+                FROM s1)
+            SELECT doc_id AS id,
+                   regexp_replace(t2, '\\+?\\d[\\d\\s().-]{7,}\\d',
+                                  '<PHONE>', 'g') AS redacted,
+                   n_emails, n_ips,
+                   CAST(len(regexp_extract_all(t2,
+                        '\\+?\\d[\\d\\s().-]{7,}\\d')) AS INTEGER)
+                        AS n_phones
+            FROM s2""",
         # md5-derived id hash (see assemble.md5_id_hash) — the oracle
         # recomputes bucket = md5-60-bit(id || ':' || seed) % 1e6 and
         # applies the same cumulative-fraction thresholds

@@ -12,8 +12,8 @@ from .dedup import (
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
-    chunk_documents, gopher_quality, lang_id, quality_score, token_stats,
-    fingerprint, top_terms_tfidf,
+    c4_line_filter, chunk_documents, gopher_quality, lang_id, pii_redact,
+    quality_score, token_stats, fingerprint, top_terms_tfidf,
 )
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
@@ -27,7 +27,8 @@ __all__ = [
     "minhash_signatures", "md5_token_hash", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
-    "gopher_quality", "quality_score", "token_stats", "fingerprint",
+    "c4_line_filter", "gopher_quality", "pii_redact",
+    "quality_score", "token_stats", "fingerprint",
     "chunk_documents",
     "top_terms_tfidf", "with_binary_column",
     "decode_metadata", "sample_frames", "resize_images", "extract_features",

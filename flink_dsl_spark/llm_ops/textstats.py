@@ -148,6 +148,58 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
         F.coalesce(keep, F.lit(False)).alias("keep"))
 
 
+def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
+                   min_words_per_line: int = 3) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): keep only
+    lines that end in terminal punctuation AND contain at least
+    ``min_words_per_line`` words; return the cleaned text plus
+    kept/total line counts.  Array higher-order functions only — a
+    projection, no shuffle, composes with scan pushdown."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+
+    def _keep(ln):
+        words = F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
+        return (ln.rlike("[.!?\"]\\s*$") &
+                (F.size(words) >= min_words_per_line))
+
+    kept = F.filter(lines, _keep)
+    return spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"))
+
+
+# PII patterns chosen to behave identically under Java regex (Spark)
+# and RE2 (DuckDB): no top-level alternation, greedy quantifiers only
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Redact common PII shapes (emails, IPv4 addresses, phone-like
+    digit runs) with typed placeholders, returning the scrubbed text
+    and per-category counts.  Replacement order matters (emails before
+    IPs before phones, so an address inside an email is never
+    double-counted); counts are taken before each replacement.  Pure
+    regexp projection — no shuffle, no Python."""
+    t = F.col(text_col)
+    n_email = F.regexp_count(t, F.lit(_PII_EMAIL))
+    t1 = F.regexp_replace(t, _PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(_PII_IPV4))
+    t2 = F.regexp_replace(t1, _PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(_PII_PHONE))
+    t3 = F.regexp_replace(t2, _PII_PHONE, "<PHONE>")
+    return spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        t3.alias("redacted"),
+        n_email.cast("int").alias("n_emails"),
+        n_ip.cast("int").alias("n_ips"),
+        n_phone.cast("int").alias("n_phones"))
+
+
 def chunk_documents(df: DataFrame, text_col: str, id_col: str,
                     chunk_tokens: int = 128,
                     overlap: int = 16) -> DataFrame:

@@ -531,3 +531,40 @@ def test_gopher_quality_flags(spark):
     assert out[3]["bullet_line_frac"] >= 0.9 and out[3]["keep"] is False
     assert out[4]["symbol_word_ratio"] >= 0.1 and out[4]["keep"] is False
     assert out[5]["n_words"] < 20 and out[5]["keep"] is False
+
+
+def test_c4_line_filter_semantics(spark):
+    """C4 rule on crafted lines: terminal punctuation AND >= 3 words
+    required; others dropped, order preserved."""
+    from flink_dsl_spark.llm_ops import c4_line_filter
+    text = "\n".join([
+        "This sentence is kept.",          # keep
+        "Too short.",                      # < 3 words
+        "no terminal punctuation here",    # no punct
+        "Is this kept as well?",           # keep
+        "- bullet line without end",       # no punct
+        'He said "stop".',                 # keep (quote then period)
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = c4_line_filter(df, "text", "doc_id").collect()[0]
+    assert row["n_lines"] == 6
+    assert row["n_kept"] == 3
+    assert row["clean_text"].split("\n") == [
+        "This sentence is kept.", "Is this kept as well?",
+        'He said "stop".']
+
+
+def test_pii_redact_semantics(spark):
+    """Each PII shape is replaced by its typed placeholder and counted;
+    an IP inside an already-redacted email is never double-counted."""
+    from flink_dsl_spark.llm_ops import pii_redact
+    text = ("mail me at jo.doe+x@example.co.uk or call +1 (555) 123-4567; "
+            "server 10.0.255.7 is down")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = pii_redact(df, "text", "doc_id").collect()[0]
+    assert row["n_emails"] == 1 and row["n_ips"] == 1 \
+        and row["n_phones"] == 1
+    assert "<EMAIL>" in row["redacted"] and "<IP>" in row["redacted"] \
+        and "<PHONE>" in row["redacted"]
+    assert "example.co.uk" not in row["redacted"]
+    assert "10.0.255.7" not in row["redacted"]
