@@ -408,6 +408,14 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # typed-placeholder PII scrub (emails / IPv4 / phone shapes)
         "llm34_pii_redact": lambda s, d: L.pii_redact(
             _docs(s, d), "text", "doc_id"),
+        # survivor selection: unique docs + min-id rep per dup cluster
+        # (same exact pair set as llm17, so the closure oracle extends)
+        "llm35_dedup_survivors": lambda s, d: L.dedup_survivors(
+            _docs(s, d),
+            L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
+                                  n=8, threshold=0.8,
+                                  max_posting_size=1000),
+            "doc_id").select("doc_id"),
         "llm21_pack_sequences": lambda s, d: L.pack_sequences(
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
@@ -1141,6 +1149,34 @@ def oracle_sql() -> dict[str, str]:
                             AND alpha_word_frac >= 0.8
                             AND dup_line_frac < 0.3, false) AS keep
             FROM m""",
+        # llm17's recursive closure extended by survivor selection:
+        # unpaired docs plus min(id) per cluster
+        "llm35_dedup_survivors": """
+            WITH RECURSIVE
+            d AS (SELECT doc_id,
+                         list_distinct([substr(text, i, 8)
+                          for i in range(1, greatest(length(text)-6, 2))])
+                         AS sh
+                  FROM documents),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM d),
+            p AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+              HAVING round(count(*)::DOUBLE /
+                     (any_value(a.n_sh) + any_value(b.n_sh) - count(*)),
+                     6) >= 0.8),
+            ed AS (SELECT id_a AS a, id_b AS b FROM p
+                   UNION SELECT id_b, id_a FROM p),
+            reach(id, r) AS (
+              SELECT a, a FROM ed
+              UNION
+              SELECT reach.id, ed.b FROM reach JOIN ed ON reach.r = ed.a),
+            cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT id FROM cl)
+            UNION ALL
+            SELECT min(id) AS doc_id FROM cl GROUP BY cluster_id""",
         # C4 rule recomputed with DuckDB list functions: keep lines
         # ending in terminal punctuation with >= 3 words
         "llm33_c4_line_filter": """

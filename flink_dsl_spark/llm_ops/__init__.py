@@ -6,9 +6,9 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 """
 
 from .dedup import (
-    dup_clusters, exact_dedup, ngram_jaccard_pairs, minhash_lsh_pairs,
-    minhash_signatures, md5_token_hash, simhash_pairs, simhash_64,
-    embedding_dup_pairs, embedding_dup_pairs_lsh,
+    dedup_survivors, dup_clusters, exact_dedup, ngram_jaccard_pairs,
+    minhash_lsh_pairs, minhash_signatures, md5_token_hash, simhash_pairs,
+    simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
@@ -23,7 +23,8 @@ from .assemble import (md5_id_hash, pack_sequences, seeded_shuffle,
                        split_dataset, stratified_sample)
 
 __all__ = [
-    "dup_clusters", "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "dedup_survivors", "dup_clusters", "exact_dedup",
+    "ngram_jaccard_pairs", "minhash_lsh_pairs",
     "minhash_signatures", "md5_token_hash", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",

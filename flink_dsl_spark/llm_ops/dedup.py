@@ -402,6 +402,28 @@ def dup_clusters(pairs: DataFrame, id_a: str = "id_a",
     return out
 
 
+def dedup_survivors(df: DataFrame, pairs: DataFrame, id_col: str,
+                    id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """The corpus that actually ships to training: every document that
+    appears in no near-dup pair, plus ONE deterministic representative
+    (the minimum id) per duplicate cluster.
+
+    Composes dup_clusters (min-label propagation) with two bounded
+    steps: a per-cluster min aggregate (output = one row per cluster)
+    and a broadcast-able anti-join of the cluster membership against
+    the corpus — both shuffles are keyed on the pair-participant set,
+    which is tiny relative to the corpus whenever dedup is worth
+    running."""
+    clusters = dup_clusters(pairs, id_a, id_b)           # (id, cluster_id)
+    reps = (clusters.groupBy("cluster_id")
+                    .agg(F.min("id").alias("id")).select("id"))
+    paired = clusters.select("id")
+    ids = df.select(F.col(id_col).alias("id"))
+    survivors = ids.join(paired, "id", "left_anti").unionByName(reps)
+    return df.join(survivors.withColumnRenamed("id", id_col),
+                   id_col)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

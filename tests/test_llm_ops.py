@@ -568,3 +568,17 @@ def test_pii_redact_semantics(spark):
         and "<PHONE>" in row["redacted"]
     assert "example.co.uk" not in row["redacted"]
     assert "10.0.255.7" not in row["redacted"]
+
+
+def test_dedup_survivors_semantics(spark):
+    """Crafted pairs: {1,2,3} form one cluster, {5,6} another, 4 and 7
+    are unpaired -> survivors are exactly {1, 4, 5, 7}."""
+    from flink_dsl_spark.llm_ops import dedup_survivors
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 8)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    out = dedup_survivors(docs, pairs, "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5, 7]
+    assert set(out.columns) == {"doc_id", "text"}
