@@ -705,6 +705,9 @@ _PRIORITY = [
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
+    # new oracled operators added late in round 4 — never sampled yet;
+    # rotate INTO the 50-window in round 5
+    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
 ]
 
 
