@@ -582,3 +582,86 @@ def test_dedup_survivors_semantics(spark):
     out = dedup_survivors(docs, pairs, "doc_id")
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 4, 5, 7]
     assert set(out.columns) == {"doc_id", "text"}
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.text(min_size=0, max_size=40), min_size=1,
+                max_size=50, unique=True))
+def test_md5_hashes_agree_with_duckdb_on_arbitrary_strings(spark, texts):
+    """The llm28-31 oracled companions all rest on one premise: the
+    md5-derived 60-bit hash is bit-identical between Spark
+    (conv(substr(md5, 1, 15), 16, 10)) and DuckDB (hex-string cast).
+    Fuzz that premise directly over arbitrary unicode, covering both
+    the token-hash and the seeded id-hash forms."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.llm_ops import md5_id_hash, md5_token_hash
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = {r["t"]: (r["h1"], r["h2"]) for r in
+           df.select("t", md5_token_hash(F.col("t")).alias("h1"),
+                     md5_id_hash(F.col("t"), 7).alias("h2")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?)", [(t,) for t in texts])
+    exp = {r[0]: (r[1], r[2]) for r in con.sql("""
+        SELECT t,
+               CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT),
+               CAST(concat('0x', substr(md5(concat(t, ':', '7')), 1, 15))
+                    AS BIGINT)
+        FROM s""").fetchall()}
+    assert got == exp
+
+
+_FUZZ_TEXT_ALPHABET = (
+    "abc XYZ 019 .!?\"\n-*•#()+@%_ …é"  # words, lines, punct, PII chars
+)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet=_FUZZ_TEXT_ALPHABET, min_size=0, max_size=120),
+    min_size=1, max_size=25))
+def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
+    """gopher_quality / c4_line_filter / pii_redact vs their DuckDB
+    oracle SQL over GENERATED text: the fixed corpus carries no
+    punctuation, bullets or PII shapes, so only generated inputs
+    exercise the regex/HOF equivalences the oracles claim."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as E
+    from flink_dsl_spark import llm_ops as L
+
+    docs = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    con = duckdb.connect()
+    docs_pd = pd.DataFrame(docs, columns=["doc_id", "text"])  # noqa: F841
+    con.sql("CREATE VIEW documents AS SELECT * FROM docs_pd")
+    oracles = E.oracle_sql()
+
+    checks = [
+        ("llm32_gopher_quality",
+         L.gopher_quality(sdf, "text", "doc_id")),
+        ("llm33_c4_line_filter",
+         L.c4_line_filter(sdf, "text", "doc_id")),
+        ("llm34_pii_redact",
+         L.pii_redact(sdf, "text", "doc_id")),
+    ]
+    for name, out in checks:
+        a = out.toPandas().set_index("id").sort_index()
+        b = con.sql(oracles[name]).df().set_index("id").sort_index()
+        a = a[sorted(a.columns)]
+        b = b[sorted(b.columns)]
+        for c in a.columns:
+            if a[c].dtype == float:
+                a[c] = a[c].round(6)
+                b[c] = b[c].astype(float).round(6)
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
