@@ -409,12 +409,16 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm34_pii_redact": lambda s, d: L.pii_redact(
             _docs(s, d), "text", "doc_id"),
         # survivor selection: unique docs + min-id rep per dup cluster
-        # (same exact pair set as llm17, so the closure oracle extends)
+        # (same exact pair set as llm17, so the closure oracle extends).
+        # Uncapped pair generation: the DuckDB oracle computes the
+        # exact uncapped pair set, and a capped Spark side would
+        # diverge the moment any shared shingle's posting exceeded the
+        # cap (ADVICE r4) — max_posting_size belongs to the
+        # production-scale path, not the oracled query.
         "llm35_dedup_survivors": lambda s, d: L.dedup_survivors(
             _docs(s, d),
             L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
-                                  n=8, threshold=0.8,
-                                  max_posting_size=1000),
+                                  n=8, threshold=0.8),
             "doc_id").select("doc_id"),
         "llm21_pack_sequences": lambda s, d: L.pack_sequences(
             L.token_stats(_docs(s, d), "text", "doc_id")
@@ -1110,7 +1114,8 @@ def oracle_sql() -> dict[str, str]:
         "llm32_gopher_quality": """
             WITH w AS (
                 SELECT doc_id, text,
-                       list_filter(string_split_regex(text, '\\s+'),
+                       list_filter(string_split_regex(text,
+                                       '[ \\t\\n\\x0B\\f\\r]+'),
                                    w -> w <> '') AS words,
                        string_split(text, chr(10)) AS lines
                 FROM documents),
@@ -1129,7 +1134,8 @@ def oracle_sql() -> dict[str, str]:
                            ::DOUBLE / nullif(len(words), 0)
                            AS symbol_word_ratio,
                        len(list_filter(lines, l ->
-                           regexp_matches(l, '^\\s*[-*•]')))::DOUBLE
+                           regexp_matches(l,
+                               '^[ \\t\\n\\x0B\\f\\r]*[-*•]')))::DOUBLE
                            / nullif(len(lines), 0) AS bullet_line_frac,
                        len(list_filter(lines, l ->
                            regexp_matches(l, '\\.\\.\\.$')))::DOUBLE
@@ -1189,9 +1195,11 @@ def oracle_sql() -> dict[str, str]:
             k AS (
                 SELECT doc_id, lines,
                        list_filter(lines, ln ->
-                           regexp_matches(ln, '[.!?"]\\s*$') AND
+                           regexp_matches(ln,
+                               '[.!?"][ \\t\\n\\x0B\\f\\r]*$') AND
                            len(list_filter(string_split_regex(trim(ln),
-                               '\\s+'), w -> w <> '')) >= 3) AS kept
+                               '[ \\t\\n\\x0B\\f\\r]+'),
+                               w -> w <> '')) >= 3) AS kept
                 FROM l)
             SELECT doc_id AS id,
                    coalesce(array_to_string(kept, chr(10)), '')
@@ -1220,12 +1228,13 @@ def oracle_sql() -> dict[str, str]:
                             '<IP>', 'g') AS t2
                 FROM s1)
             SELECT doc_id AS id,
-                   regexp_replace(t2, '\\+?\\d[\\d\\s().-]{7,}\\d',
-                                  '<PHONE>', 'g') AS redacted,
+                   regexp_replace(t2,
+                        '\\+?\\d[\\d \\t\\n\\x0B\\f\\r().-]{7,}\\d',
+                        '<PHONE>', 'g') AS redacted,
                    n_emails, n_ips,
                    CAST(len(regexp_extract_all(t2,
-                        '\\+?\\d[\\d\\s().-]{7,}\\d')) AS INTEGER)
-                        AS n_phones
+                        '\\+?\\d[\\d \\t\\n\\x0B\\f\\r().-]{7,}\\d'))
+                        AS INTEGER) AS n_phones
             FROM s2""",
         # md5-derived id hash (see assemble.md5_id_hash) — the oracle
         # recomputes bucket = md5-60-bit(id || ':' || seed) % 1e6 and
@@ -1313,7 +1322,8 @@ def oracle_sql() -> dict[str, str]:
                        lower(text), '[^a-z0-9\\s]', ' ', 'g'),
                        '\\s+', ' ', 'g')), ' ')) AS ws_tokens,
                    len(regexp_extract_all(text,
-                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS re_tokens,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]'))
+                       AS re_tokens,
                    length(text) AS chars
             FROM documents""",
         "llm09_lang_id": """

@@ -30,8 +30,11 @@ def md5_id_hash(c, seed: int):
     ``CAST(concat('0x', substr(md5(concat(id, ':', seed)), 1, 15)) AS
     BIGINT)`` — lets the split / shuffle / sample assignments be
     value-oracled.  xxhash64 stays the production default (one JVM
-    intrinsic vs an md5 + string round-trip)."""
-    s = F.concat_ws(":", c.cast("string"), F.lit(str(seed)))
+    intrinsic vs an md5 + string round-trip).  F.concat rather than
+    concat_ws — concat_ws silently SKIPS a NULL id (hashing just the
+    seed), while concat propagates NULL, matching the oracle's
+    concat(NULL, ':', seed) = NULL on both engines."""
+    s = F.concat(c.cast("string"), F.lit(":"), F.lit(str(seed)))
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
 
 

@@ -42,8 +42,16 @@ def normalized(text: Column) -> Column:
     included) collapses to a single space — identical output to the
     two-pass strip-then-squeeze form, at half the regex cost over what
     is the corpus-wide hot path (every dedup/textstats op starts here).
+
+    U+0130 (İ) is pre-translated to 'i': it is the ONLY codepoint in
+    Unicode whose lowercase mapping differs between the JVM's full
+    case mapping (-> i + combining dot, which the alnum squeeze then
+    splits into two tokens) and simple codepoint-wise lowering as
+    DuckDB/utf8proc does (-> i).  Verified by exhaustive BMP sweep
+    (r5); the translate keeps every normalize-keyed oracle premise
+    exact and yields the saner single-token form.
     """
-    c = F.lower(text)
+    c = F.lower(F.translate(text, "İ", "i"))
     c = F.regexp_replace(c, r"[^a-z0-9]+", " ")
     return F.trim(c)
 

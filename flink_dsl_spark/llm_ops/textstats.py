@@ -12,9 +12,15 @@ from pyspark.sql import functions as F
 from .dedup import normalized
 from .util import spread_for_compute
 
+# Explicit whitespace class shared with the DuckDB oracles.  Java \s is
+# [ \t\n\x0B\f\r] but RE2 \s is [ \t\n\f\r] — NO vertical tab — so any
+# shared pattern spelled with \s silently diverges on a \x0B document.
+# Every cross-engine pattern below uses this class instead.
+_WS_CLASS = " \\t\\n\\x0B\\f\\r"
+
 # BPE-ish word/number/punct split (same RE2-safe pattern used in the
 # DuckDB oracles — letter runs, digit runs, single non-space symbols)
-TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+TOKEN_PATTERN = f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CLASS}]"
 
 # compact stopword lists for the n-gram/stopword language heuristic
 STOPWORDS = {
@@ -104,7 +110,7 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
     operator is a projection that composes with scan pushdown at any
     scale."""
     t = F.col(text_col)
-    words = F.filter(F.split(t, r"\s+"), lambda w: w != "")
+    words = F.filter(F.split(t, f"[{_WS_CLASS}]+"), lambda w: w != "")
     n_words = F.size(words)
     nw = F.nullif(n_words.cast("double"), F.lit(0.0))
     mean_word_len = (F.aggregate(words, F.lit(0),
@@ -122,8 +128,8 @@ def gopher_quality(df: DataFrame, text_col: str, id_col: str,
     lines = F.split(t, "\n")
     n_lines = F.nullif(F.size(lines).cast("double"), F.lit(0.0))
     bullet_line_frac = (F.size(F.filter(
-        lines, lambda ln: ln.rlike("^\\s*[-*•]"))).cast("double")
-        / n_lines)
+        lines, lambda ln: ln.rlike(f"^[{_WS_CLASS}]*[-*•]")))
+        .cast("double") / n_lines)
     ellipsis_line_frac = (F.size(F.filter(
         lines, lambda ln: ln.rlike("\\.\\.\\.$"))).cast("double")
         / n_lines)
@@ -159,8 +165,9 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
     lines = F.split(t, "\n")
 
     def _keep(ln):
-        words = F.filter(F.split(F.trim(ln), r"\s+"), lambda w: w != "")
-        return (ln.rlike("[.!?\"]\\s*$") &
+        words = F.filter(F.split(F.trim(ln), f"[{_WS_CLASS}]+"),
+                         lambda w: w != "")
+        return (ln.rlike(f"[.!?\"][{_WS_CLASS}]*$") &
                 (F.size(words) >= min_words_per_line))
 
     kept = F.filter(lines, _keep)
@@ -172,10 +179,11 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
 
 
 # PII patterns chosen to behave identically under Java regex (Spark)
-# and RE2 (DuckDB): no top-level alternation, greedy quantifiers only
+# and RE2 (DuckDB): no top-level alternation, greedy quantifiers only,
+# whitespace via the explicit _WS_CLASS (Java/RE2 \s disagree on \x0B)
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
-_PII_PHONE = r"\+?\d[\d\s().-]{7,}\d"
+_PII_PHONE = rf"\+?\d[\d{_WS_CLASS}().-]{{7,}}\d"
 
 
 def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

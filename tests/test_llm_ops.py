@@ -588,7 +588,7 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(st.lists(st.text(min_size=0, max_size=40), min_size=1,
@@ -621,10 +621,12 @@ def test_md5_hashes_agree_with_duckdb_on_arbitrary_strings(spark, texts):
 
 _FUZZ_TEXT_ALPHABET = (
     "abc XYZ 019 .!?\"\n-*•#()+@%_ …é"  # words, lines, punct, PII chars
+    "\t\x0b\f\r\xa0"   # whitespace variants: Java \s has \x0B, RE2 not
+    "İß"               # non-ASCII case-mapping chars (U+0130 special)
 )
 
 
-@settings(max_examples=5, deadline=None,
+@settings(max_examples=15, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
 @given(st.lists(
@@ -665,3 +667,35 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
                 a[c] = a[c].round(6)
                 b[c] = b[c].astype(float).round(6)
         pd.testing.assert_frame_equal(a, b, check_dtype=False, obj=name)
+
+
+def test_normalize_tokenizer_premise_agrees_with_duckdb(spark):
+    """The llm28 oracle (and every normalize-keyed oracle: llm01,
+    llm08-11, llm18, llm19) rests on the premise that Spark's
+    normalized() equals DuckDB's lower+regexp pipeline.  An exhaustive
+    BMP sweep (r5) found exactly ONE divergent codepoint — U+0130,
+    whose JVM full-lowercase is 'i'+combining-dot while DuckDB's simple
+    mapping is 'i'; normalized() pre-translates it.  Pin the premise on
+    the chars where the engines are most likely to drift: Turkish
+    dotted/dotless I, sharp s, final sigma, Kelvin sign, ligatures,
+    whitespace variants, combining marks."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.llm_ops.dedup import normalized
+
+    texts = ["İstanbul is NOT ıstanbul", "STRAẞE straße", "ΣΤΟΣ ςσ",
+             "Kelvin K k", "ﬁsh ﬂow", "a\x0bb\xa0c\td",
+             "é é", "Ǆungla ǅ ǆ", "İİİ", "", "  ", "İ"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, t string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", normalized(F.col("t")).alias("n")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)",
+                    list(enumerate(texts)))
+    exp = {r[0]: r[1] for r in con.sql("""
+        SELECT id, trim(regexp_replace(regexp_replace(lower(t),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
+        FROM s""").fetchall()}
+    assert got == exp
