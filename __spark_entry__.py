@@ -315,11 +315,19 @@ def _temporal_queries() -> dict[str, Callable[[SparkSession, str],
             "q37_session_window": q37, "q38_rollup_timeseries": q38}
 
 
-def _pipeline_e2e(s: SparkSession, d: str) -> DataFrame:
+def _pipeline_e2e(s: SparkSession, d: str,
+                  verified: bool = False) -> DataFrame:
     """Training-data curation, one lazy plan: exact dedup -> quality
     gate -> deterministic split -> token stats -> sequence packing.
     Every stage is one of the registered operators; the composition is
-    itself a single Catalyst plan (no intermediate materialization)."""
+    itself a single Catalyst plan (no intermediate materialization).
+
+    ``verified=True`` (llm39) swaps the two engine-specific stages for
+    their cross-engine-exact twins — md5 id-hash split (llm29 pattern)
+    and single-partition next-fit packing (llm36 pattern) — so the
+    WHOLE composition value-oracles against one DuckDB query; the
+    default config (llm25) keeps the production xxhash64 split and
+    partition-parallel first-fit packing, rows-only."""
     from pyspark.sql import functions as F
     from flink_dsl_spark import llm_ops as L
     docs = _docs(s, d)
@@ -331,12 +339,39 @@ def _pipeline_e2e(s: SparkSession, d: str) -> DataFrame:
                .join(quality, docs["doc_id"] == quality["id"]) \
                .select("doc_id", "text")
     split = L.split_dataset(keep, "doc_id",
-                            {"train": 0.9, "val": 0.1}, seed=11)
+                            {"train": 0.9, "val": 0.1}, seed=11,
+                            id_hash=L.md5_id_hash if verified else None)
     toks = L.token_stats(split.filter("split = 'train'"),
                          "text", "doc_id") \
         .selectExpr("id as doc_id", "ws_tokens")
-    packed = L.pack_sequences(toks, "doc_id", "ws_tokens", budget=1024)
+    pack_opts = ({"partitions": 1, "strategy": "nextfit"}
+                 if verified else {})
+    packed = L.pack_sequences(toks, "doc_id", "ws_tokens", budget=1024,
+                              **pack_opts)
     return packed.select("id", "n_tokens", "pack_id")
+
+
+def _features_verified(s: SparkSession, d: str) -> DataFrame:
+    """llm38: the byte-histogram featurizer with its normalization
+    inverted back to exact integer bin COUNTS (feature * byte_len
+    rounds to the count, since counts < 2^53), serialized to a CSV
+    string the driver canonicalizer can hash — DuckDB independently
+    rebuilds the histogram from hex(encode(text))."""
+    from pyspark.sql import functions as F
+    from flink_dsl_spark import llm_ops as L
+    docs = _docs(s, d)
+    feats = L.extract_features(
+        L.with_binary_column(docs, "text", "doc_id"), dim=16)
+    blen = docs.select(
+        F.col("doc_id").alias("id"),
+        F.octet_length(F.encode(F.col("text"), "utf-8")).alias("total"))
+    counts = F.transform(
+        "features",
+        lambda x: F.round(x * F.col("total")).cast("long").cast("string"))
+    return (feats.join(blen, "id")
+                 .select("id",
+                         F.col("total").cast("long").alias("byte_len"),
+                         F.array_join(counts, ",").alias("hist")))
 
 
 def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -424,6 +459,28 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
             "doc_id", "ws_tokens", budget=512),
+        # next-fit + partitions=1 turns packing into a sequential
+        # recurrence a DuckDB recursive CTE replays exactly — the
+        # value-oracled companion to llm21's production config
+        # (partition-parallel first-fit, rows-only)
+        "llm36_pack_verified": lambda s, d: L.pack_sequences(
+            L.token_stats(_docs(s, d), "text", "doc_id")
+             .selectExpr("id as doc_id", "ws_tokens"),
+            "doc_id", "ws_tokens", budget=512, partitions=1,
+            strategy="nextfit"),
+        # planes=0 hashes every vector into the single table's one
+        # bucket: candidates = all pairs, and the exact-cosine verify
+        # makes the output identical to brute force — llm05's oracle
+        # applies verbatim on the same bounded verifier slice (the
+        # llm27 probe-all pattern applied to embedding dedup)
+        "llm37_embdup_lsh_exhaustive": lambda s, d:
+            L.embedding_dup_pairs_lsh(
+                _emb(s, d).filter("vec_id % 3 = 1 AND vec_id < 1200"),
+                "embedding", "vec_id", threshold=0.4,
+                planes=0, tables=1),
+        "llm38_features_verified": lambda s, d: _features_verified(s, d),
+        "llm39_pipeline_verified": lambda s, d: _pipeline_e2e(
+            s, d, verified=True),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -658,60 +715,60 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # leading one (mirror joins, trivial scans) or rows-only by nature
 # (hash-seeded / approximate ops).
 # The driver's correctness harness samples the FIRST 50 keys of
-# queries().  Round 4 rotation (VERDICT r3 item 4): (a) the 8 queries
-# the r3 NTZ regression turned red lead, so the fix re-verifies under
-# the driver; (b) the 21 oracled queries unsampled since their r2 green
-# row rotate back in; (c) the remaining 21 slots hold an NTZ-adjacent
-# (windows/temporal/streaming — the subsystems the engine-wide
-# timestamp coercion touches) plus SURVEY-§2-diverse subset of the r3
-# green board.  Union(r02, r03, r04) then gives all 71 oracled queries
-# a driver-green row with none stale-red.
+# queries().  Round 5 rotation (VERDICT r4 item 1 — verification
+# closure): (a) a 17-key regression core spanning every §2 family plus
+# the r4-repaired NTZ cluster stays in every window; (b) the three
+# operators shipped late in r4 with zero driver rows ever (llm33/34/35)
+# lead the rotate-ins; (c) the four NEW r5 oracled companions
+# (llm36-39) get their first rows; (d) the 26 oracled queries whose
+# last driver-green row is r2/r3 rotate back in.  Union(r02..r05) then
+# gives every one of the 83 oracled queries a driver-green row, with
+# llm33-39 green for the first time.
 _PRIORITY = [
-    # -- r3 NTZ regressions: re-verify the fix first --
-    "q28_count_tumbling", "q35_asof_join", "q36_range_join",
-    "q38_rollup_timeseries", "s01_stream_time_window",
-    "s05_stream_session_window", "s07_stream_time_sliding",
-    "llm13_frame_sample",
-    # -- unsampled since their r2 green row: rotate back in --
-    "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
-    "q13_in_list", "q17b_union_all", "q17c_except", "q17d_intersect",
-    "q19_derived_table", "q23_params", "q27_window_sliding",
-    "q29_count_sliding", "q33_derived_stream", "q35_delta_sliding",
-    "x01_expr_projection", "x03_expr_bitwise_unary",
-    "s03_stream_windowed_join", "s04_stream_delta_window",
-    "llm02_dedup_ngram_jaccard", "llm06_ann_topk_bruteforce",
-    "llm08_token_stats",
-    # -- NTZ-adjacent + §2-diverse regression subset of the r3 board --
-    "q26_window_tumbling", "q30_snapshot_window", "q31_delta_tumbling",
-    "q32_partitioned_window", "q34_windowed_join", "q37_session_window",
-    "q39_session_window_fsql",
-    "s02_stream_count_window", "s06_stream_count_sliding",
-    "q01_pricing_summary", "q03_join_group",
-    "q40_update_delete", "q41_stats_aggs",
-    "llm01_dedup_exact", "llm26_minhash_verified_pairs",
-    "llm27_ann_lsh_exhaustive",
-    # -- new oracled companions (round 4): full simhash pipeline +
-    #    cross-engine split/shuffle/sample assignments --
-    "llm28_simhash_verified_pairs", "llm29_split_verified",
-    "llm30_shuffle_key_verified", "llm31_stratified_verified",
-    # -- new operator (round 4): Gopher corpus-quality filters --
-    "llm32_gopher_quality",
-    # --- fold: entries below are outside a 50-entry prefix sample ---
-    # (all oracled ones below were driver-green in r02 or r03)
-    "q15_exists",
-    "q09_rollup", "q16_scalar_subquery", "x02_expr_filter_groupby",
-    "q18_case_arith",
+    # -- regression core: one per §2 family + the r4-repaired NTZ
+    #    cluster, kept in every round's window --
+    "q01_pricing_summary", "q03_join_group", "q13_in_list",
+    "q17b_union_all", "q23_params", "q28_count_tumbling",
+    "q33_derived_stream", "q35_asof_join", "q36_range_join",
+    "q38_rollup_timeseries", "q40_update_delete",
+    "s01_stream_time_window", "s05_stream_session_window",
+    "s07_stream_time_sliding", "x01_expr_projection",
+    "llm01_dedup_exact", "llm06_ann_topk_bruteforce",
+    # -- shipped r4, oracled, never driver-sampled: first rows --
+    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    # -- new r5 oracled companions: next-fit packing recurrence,
+    #    probe-all embedding-LSH, byte-histogram features, and the
+    #    fully-verified e2e curation pipeline --
+    "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
+    "llm38_features_verified", "llm39_pipeline_verified",
+    # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q02_filter_projection", "q04_left_join", "q05_right_join",
-    "q08_using_join", "q12_order_limit_offset", "q14_in_subquery",
-    "q17a_union", "q20_comma_from", "q21_between_like_null",
-    "q22_agg_distinct", "q24_star_scoped", "q25_dual",
+    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
+    "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
+    "q17a_union", "q18_case_arith", "q20_comma_from",
+    "q21_between_like_null", "q22_agg_distinct", "q24_star_scoped",
+    "q25_dual", "x02_expr_filter_groupby",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
-    # new oracled operators added late in round 4 — never sampled yet;
-    # rotate INTO the 50-window in round 5
-    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    # --- fold: entries below are outside a 50-entry prefix sample ---
+    # (every oracled one below is driver-green in r4's window)
+    "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
+    "q17c_except", "q17d_intersect", "q19_derived_table",
+    "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
+    "q30_snapshot_window", "q31_delta_tumbling",
+    "q32_partitioned_window", "q34_windowed_join",
+    "q35_delta_sliding", "q37_session_window",
+    "q39_session_window_fsql", "q41_stats_aggs",
+    "s02_stream_count_window", "s03_stream_windowed_join",
+    "s04_stream_delta_window", "s06_stream_count_sliding",
+    "x03_expr_bitwise_unary",
+    "llm02_dedup_ngram_jaccard", "llm08_token_stats",
+    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
+    "llm28_simhash_verified_pairs", "llm29_split_verified",
+    "llm30_shuffle_key_verified", "llm31_stratified_verified",
+    "llm32_gopher_quality", "llm13_frame_sample",
 ]
 
 
@@ -1186,6 +1243,141 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT id FROM cl)
             UNION ALL
             SELECT min(id) AS doc_id FROM cl GROUP BY cluster_id""",
+        # next-fit packing over (n_tokens DESC, id) order is a
+        # sequential recurrence: the recursive CTE replays it row by
+        # row with the same single (pack_id, free) state the Spark
+        # side's partitions=1 next-fit keeps
+        "llm36_pack_verified": """
+            WITH RECURSIVE
+            t AS (SELECT doc_id AS id,
+                         CAST(len(string_split(trim(regexp_replace(
+                             regexp_replace(lower(text),
+                             '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                             AS n_tokens
+                  FROM documents),
+            o AS (SELECT id, n_tokens,
+                         row_number() OVER (ORDER BY n_tokens DESC, id)
+                             AS rn
+                  FROM t),
+            pk(rn, id, n_tokens, pack_id, free) AS (
+              SELECT rn, id, n_tokens, CAST(0 AS BIGINT),
+                     CAST(greatest(512 - n_tokens, 0) AS BIGINT)
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.id, o.n_tokens,
+                     CASE WHEN o.n_tokens <= pk.free THEN pk.pack_id
+                          ELSE pk.pack_id + 1 END,
+                     CASE WHEN o.n_tokens <= pk.free
+                          THEN pk.free - o.n_tokens
+                          ELSE CAST(greatest(512 - o.n_tokens, 0)
+                                    AS BIGINT) END
+              FROM pk JOIN o ON o.rn = pk.rn + 1)
+            SELECT id, n_tokens, pack_id FROM pk""",
+        # planes=0/tables=1 LSH candidates = all pairs -> brute-force
+        # cosine pairs on the same slice: llm05's oracle verbatim
+        "llm37_embdup_lsh_exhaustive": """
+            WITH s AS (SELECT * FROM embeddings
+                       WHERE vec_id % 3 = 1 AND vec_id < 1200)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                   AS cosine
+            FROM s a JOIN s b ON a.vec_id < b.vec_id
+            WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                               b.embedding::DOUBLE[]), 6)
+                  >= 0.4""",
+        # the folded byte histogram rebuilt independently: hex-pair
+        # byte extraction -> bin = byte // 16 -> dense 16-bin counts
+        "llm38_features_verified": """
+            WITH b AS (
+              SELECT doc_id, hex(encode(text)) AS h,
+                     octet_length(encode(text)) AS n
+              FROM documents),
+            e AS (
+              SELECT doc_id,
+                     unnest([CAST(concat('0x', substr(h, k * 2 + 1, 2))
+                                  AS BIGINT) // 16
+                             for k in range(0, n)]) AS bin
+              FROM b),
+            c AS (SELECT doc_id, bin, count(*) AS cnt
+                  FROM e GROUP BY 1, 2),
+            dense AS (
+              SELECT b.doc_id, b.n, d.bin, coalesce(c.cnt, 0) AS cnt
+              FROM b CROSS JOIN (SELECT unnest(range(16)) AS bin) d
+              LEFT JOIN c ON c.doc_id = b.doc_id AND c.bin = d.bin)
+            SELECT doc_id AS id, CAST(any_value(n) AS BIGINT) AS byte_len,
+                   array_to_string(list(cnt ORDER BY bin), ',') AS hist
+            FROM dense GROUP BY doc_id""",
+        # the whole curation pipeline with cross-engine-exact stages:
+        # normalize-key dedup survivors -> quality >= 0.3 gate ->
+        # md5 id-hash 90/10 split (seed 11) -> ws-token counts ->
+        # next-fit packing at budget 1024 (llm36's recurrence)
+        "llm39_pipeline_verified": """
+            WITH RECURSIVE
+            k AS (SELECT doc_id, text,
+                         trim(regexp_replace(regexp_replace(lower(text),
+                              '[^a-z0-9\\s]', ' ', 'g'),
+                              '\\s+', ' ', 'g')) AS nk
+                  FROM documents),
+            surv AS (SELECT min(doc_id) AS doc_id FROM k GROUP BY nk),
+            qt AS (SELECT doc_id, text,
+                          string_split(trim(regexp_replace(
+                              regexp_replace(lower(text),
+                              '[^a-z0-9\\s]', ' ', 'g'),
+                              '\\s+', ' ', 'g')), ' ') AS toks
+                   FROM documents),
+            qm AS (SELECT doc_id,
+                          least(length(text) / 500.0, 1.0) AS len_score,
+                          length(regexp_replace(text, '[^A-Za-z]', '',
+                                                'g'))
+                            / greatest(length(text), 1)::DOUBLE
+                            AS alpha_ratio,
+                          len(list_filter(toks, x -> x IN
+                              ('the','a','and','of','to','in','is','it',
+                               'that','for')))::DOUBLE
+                            / greatest(len(toks), 1) AS stop_ratio,
+                          list_sum(list_transform(toks,
+                                                  x -> length(x)))::DOUBLE
+                            / greatest(len(toks), 1) AS mean_wlen
+                   FROM qt),
+            q AS (SELECT doc_id FROM qm
+                  WHERE round(0.3 * len_score + 0.3 * alpha_ratio
+                        + 0.2 * least(stop_ratio * 5, 1.0)
+                        + 0.2 * (CASE WHEN mean_wlen >= 3
+                                       AND mean_wlen <= 8
+                                      THEN 1.0 ELSE 0.5 END), 6) >= 0.3),
+            keep AS (SELECT d.doc_id, d.text FROM documents d
+                     JOIN surv USING (doc_id) JOIN q USING (doc_id)),
+            tr AS (SELECT doc_id, text FROM keep
+                   WHERE CAST(concat('0x', substr(md5(concat(
+                         CAST(doc_id AS VARCHAR), ':', '11')), 1, 15))
+                         AS BIGINT) % 1000000 < 900000),
+            t AS (SELECT doc_id AS id,
+                         CAST(len(string_split(trim(regexp_replace(
+                             regexp_replace(lower(text),
+                             '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                             AS n_tokens
+                  FROM tr),
+            o AS (SELECT id, n_tokens,
+                         row_number() OVER (ORDER BY n_tokens DESC, id)
+                             AS rn
+                  FROM t),
+            pk(rn, id, n_tokens, pack_id, free) AS (
+              SELECT rn, id, n_tokens, CAST(0 AS BIGINT),
+                     CAST(greatest(1024 - n_tokens, 0) AS BIGINT)
+              FROM o WHERE rn = 1
+              UNION ALL
+              SELECT o.rn, o.id, o.n_tokens,
+                     CASE WHEN o.n_tokens <= pk.free THEN pk.pack_id
+                          ELSE pk.pack_id + 1 END,
+                     CASE WHEN o.n_tokens <= pk.free
+                          THEN pk.free - o.n_tokens
+                          ELSE CAST(greatest(1024 - o.n_tokens, 0)
+                                    AS BIGINT) END
+              FROM pk JOIN o ON o.rn = pk.rn + 1)
+            SELECT id, n_tokens, pack_id FROM pk""",
         # C4 rule recomputed with DuckDB list functions: keep lines
         # ending in terminal punctuation with >= 3 words
         "llm33_c4_line_filter": """

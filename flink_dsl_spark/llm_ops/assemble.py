@@ -129,26 +129,39 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
-                   budget: int, partitions: int | None = None) -> DataFrame:
-    """Greedy first-fit packing of items into fixed token budgets:
-    returns (id, n_tokens, pack_id) where every pack's total stays
-    <= ``budget`` (items alone exceeding the budget get a singleton
-    pack).
+                   budget: int, partitions: int | None = None,
+                   strategy: str = "firstfit") -> DataFrame:
+    """Greedy packing of items into fixed token budgets: returns
+    (id, n_tokens, pack_id) where every pack's total stays <=
+    ``budget`` (items alone exceeding the budget get a singleton
+    pack).  Items are processed in (n_tokens DESC, id ASC) order.
+
+    ``strategy``: 'firstfit' (default) scans all open packs for the
+    first with room — the production choice, a few percent denser;
+    'nextfit' keeps only the CURRENT pack open and starts a new one
+    whenever the item doesn't fit.  Next-fit's single running
+    (pack, free) state makes the assignment expressible as a
+    sequential recurrence — with ``partitions=1`` it is reproducible
+    in SQL window/recursive-CTE algebra, which is what gives the
+    operator a value-level DuckDB oracle (llm36); first-fit's
+    scan-all-open-packs step has no such closed form.
 
     Scale design: items are hash-repartitioned once, then packing runs
-    INSIDE each partition (sorted by descending size, first-fit) with no
-    cross-partition coordination — pack ids embed the partition id, so
-    they are globally unique without a sequence bottleneck.  Packing
-    quality loses at most a few percent vs a global pass; a global
-    greedy pack would serialize the entire corpus through one node,
-    which is the non-scalable formulation this operator exists to
-    avoid."""
+    INSIDE each partition with no cross-partition coordination — pack
+    ids embed the partition id, so they are globally unique without a
+    sequence bottleneck.  Packing quality loses at most a few percent
+    vs a global pass; a global greedy pack would serialize the entire
+    corpus through one node, which is the non-scalable formulation
+    this operator exists to avoid."""
+    if strategy not in ("firstfit", "nextfit"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     spark = df.sparkSession
     if partitions is None:
         partitions = spark.sparkContext.defaultParallelism
     items = (df.select(F.col(id_col).alias("id"),
                        F.col(tokens_col).cast("long").alias("n_tokens"))
                .repartition(partitions, F.col("id")))
+    nextfit = strategy == "nextfit"
 
     def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -161,19 +174,29 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
         pdf = pdf.sort_values(["n_tokens", "id"],
                               ascending=[False, True],
                               kind="mergesort").reset_index(drop=True)
-        remaining: list[int] = []   # free space per open pack
         assign = np.empty(len(pdf), dtype="int64")
-        for i, nt in enumerate(pdf["n_tokens"]):
-            placed = False
-            for p, free in enumerate(remaining):
-                if nt <= free:
-                    remaining[p] = free - int(nt)
-                    assign[i] = p
-                    placed = True
-                    break
-            if not placed:
-                remaining.append(max(int(budget) - int(nt), 0))
-                assign[i] = len(remaining) - 1
+        if nextfit:
+            cur, free = -1, -1      # one open pack: (index, free space)
+            for i, nt in enumerate(pdf["n_tokens"]):
+                if cur < 0 or int(nt) > free:
+                    cur += 1
+                    free = max(int(budget) - int(nt), 0)
+                else:
+                    free -= int(nt)
+                assign[i] = cur
+        else:
+            remaining: list[int] = []   # free space per open pack
+            for i, nt in enumerate(pdf["n_tokens"]):
+                placed = False
+                for p, free in enumerate(remaining):
+                    if nt <= free:
+                        remaining[p] = free - int(nt)
+                        assign[i] = p
+                        placed = True
+                        break
+                if not placed:
+                    remaining.append(max(int(budget) - int(nt), 0))
+                    assign[i] = len(remaining) - 1
         pdf["pack_local"] = assign
         yield pdf
 

@@ -327,6 +327,30 @@ def test_pack_sequences_invariants(spark):
     assert m1 == m2
 
 
+def test_pack_sequences_nextfit_semantics(spark):
+    """Crafted case that separates next-fit from first-fit: in
+    (n_tokens DESC, id ASC) order the items are 600, 300, 300, 300,
+    200, 100 at budget 500.  Next-fit never looks back, so the 200
+    lands in the LAST opened pack (with the third 300) and the 100
+    opens a fresh pack — first-fit would backfill the 200 into the
+    first 300's pack.  This is the recurrence the llm36 DuckDB
+    recursive-CTE oracle replays."""
+    df = spark.createDataFrame(
+        [(1, 300), (2, 300), (3, 300), (4, 200), (5, 100), (6, 600)],
+        "doc_id long, n_tokens long")
+    out = L.pack_sequences(df, "doc_id", "n_tokens", budget=500,
+                           partitions=1, strategy="nextfit").toPandas()
+    got = dict(zip(out["id"], out["pack_id"]))
+    assert got == {6: 0, 1: 1, 2: 2, 3: 3, 4: 3, 5: 4}
+    ff = L.pack_sequences(df, "doc_id", "n_tokens", budget=500,
+                          partitions=1).toPandas()
+    ffm = dict(zip(ff["id"], ff["pack_id"]))
+    assert ffm[4] == ffm[1]        # first-fit backfills the 200
+    with pytest.raises(ValueError):
+        L.pack_sequences(df, "doc_id", "n_tokens", budget=500,
+                         strategy="bogus")
+
+
 def test_multimodal_plumbing(docs):
     b = L.with_binary_column(docs, "text", "doc_id")
     meta = L.decode_metadata(b)
