@@ -40,6 +40,8 @@ HEADLINE = [
     "llm01_dedup_exact",        # exact dedup (hash-shuffle)
     "llm03_dedup_minhash_lsh",  # minhash+LSH near-dedup
     "llm08_token_stats",        # text analysis
+    "llm32_gopher_quality",     # text-curation filters (r5: guard now
+                                # covers the Gopher/C4/PII family)
     "s01_stream_time_window",   # true streaming (availableNow -> memory)
 ]
 
@@ -49,6 +51,13 @@ def _force(df):
 
 
 def main():
+    # pre-flight BEFORE any JVM spins up: the driver regenerates the
+    # testdata between rounds and has silently changed parquet
+    # encodings twice — fail the bench's first second, by column name,
+    # rather than its fiftieth query
+    from flink_dsl_spark.testdata_sentinel import assert_testdata
+    assert_testdata(SF_DIR)
+
     import __spark_entry__ as entrymod
     from flink_dsl_spark import get_session
 

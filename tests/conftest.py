@@ -7,6 +7,14 @@ SF_DIR = "/root/testdata/sf0.001"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# import-time tripwire: if the driver regenerated the testdata with an
+# encoding the engine has no normalization arm for, every oracle test
+# would fail inscrutably — fail collection with the drifted column's
+# name instead (memory: events.ts has flipped twice between rounds)
+from flink_dsl_spark.testdata_sentinel import assert_testdata
+
+assert_testdata(SF_DIR)
+
 
 @pytest.fixture(scope="session")
 def spark():
