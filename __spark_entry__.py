@@ -481,6 +481,16 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm38_features_verified": lambda s, d: _features_verified(s, d),
         "llm39_pipeline_verified": lambda s, d: _pipeline_e2e(
             s, d, verified=True),
+        # GPT-3-style benchmark decontamination: every 50th doc stands
+        # in as the eval set, the rest as the training corpus; matches
+        # on normalized word-13-gram strings (broadcast semi-join)
+        "llm40_decontaminate": lambda s, d: L.decontaminate(
+            _docs(s, d).filter("doc_id % 50 <> 0"), "text", "doc_id",
+            _docs(s, d).filter("doc_id % 50 = 0"), n=13),
+        # the repetition half of Gopher's filter table: char mass of
+        # the heaviest 2-gram and of duplicated 5-grams
+        "llm41_gopher_repetition": lambda s, d: L.gopher_repetition(
+            _docs(s, d), "text", "doc_id"),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -716,19 +726,22 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (hash-seeded / approximate ops).
 # The driver's correctness harness samples the FIRST 50 keys of
 # queries().  Round 5 rotation (VERDICT r4 item 1 — verification
-# closure): (a) a 17-key regression core spanning every §2 family plus
+# closure): (a) a 15-key regression core spanning every §2 family plus
 # the r4-repaired NTZ cluster stays in every window; (b) the three
 # operators shipped late in r4 with zero driver rows ever (llm33/34/35)
-# lead the rotate-ins; (c) the four NEW r5 oracled companions
-# (llm36-39) get their first rows; (d) the 26 oracled queries whose
-# last driver-green row is r2/r3 rotate back in.  Union(r02..r05) then
-# gives every one of the 83 oracled queries a driver-green row, with
-# llm33-39 green for the first time.
+# lead the rotate-ins; (c) the six NEW r5 entries — four oracled
+# companions (llm36-39) plus two new operators (llm40 benchmark
+# decontamination, llm41 Gopher repetition) — get their first rows;
+# (d) the 26 oracled queries whose last driver-green row is r2/r3
+# rotate back in.  Union(r02..r05) then gives every one of the 85
+# oracled queries a driver-green row, with llm33-41 green for the
+# first time.
 _PRIORITY = [
-    # -- regression core: one per §2 family + the r4-repaired NTZ
-    #    cluster, kept in every round's window --
-    "q01_pricing_summary", "q03_join_group", "q13_in_list",
-    "q17b_union_all", "q23_params", "q28_count_tumbling",
+    # -- regression core (15): one per §2 family + the r4-repaired NTZ
+    #    cluster, kept in every round's window (set-op and IN coverage
+    #    comes from the q17a/q14 rotate-ins below) --
+    "q01_pricing_summary", "q03_join_group", "q23_params",
+    "q28_count_tumbling",
     "q33_derived_stream", "q35_asof_join", "q36_range_join",
     "q38_rollup_timeseries", "q40_update_delete",
     "s01_stream_time_window", "s05_stream_session_window",
@@ -741,6 +754,9 @@ _PRIORITY = [
     #    fully-verified e2e curation pipeline --
     "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
+    # -- new r5 operators: benchmark decontamination + the repetition
+    #    half of Gopher's filter table --
+    "llm40_decontaminate", "llm41_gopher_repetition",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q02_filter_projection", "q04_left_join", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
@@ -754,6 +770,7 @@ _PRIORITY = [
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window)
+    "q13_in_list", "q17b_union_all",
     "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
     "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
@@ -1309,6 +1326,78 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id, CAST(any_value(n) AS BIGINT) AS byte_len,
                    array_to_string(list(cnt ORDER BY bin), ',') AS hist
             FROM dense GROUP BY doc_id""",
+        # word-13-gram overlap vs the doc_id%50=0 eval slice; list
+        # slicing is 1-based INCLUSIVE in DuckDB, so toks[i+1:i+13]
+        # is 13 tokens for i in [0, len-13]
+        "llm40_decontaminate": """
+            WITH tok AS (
+                SELECT doc_id,
+                       string_split(trim(regexp_replace(regexp_replace(
+                           lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS toks
+                FROM documents),
+            g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(
+                           [array_to_string(toks[i+1:i+13], ' ')
+                            for i in range(0, greatest(len(toks) - 12,
+                                                       0))])) AS gram
+                FROM tok),
+            eg AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            hits AS (SELECT g.doc_id, count(*) AS n
+                     FROM g JOIN eg USING (gram)
+                     WHERE g.doc_id % 50 <> 0 GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            WHERE d.doc_id % 50 <> 0""",
+        # char mass of the heaviest 2-gram / duplicated 5-grams over
+        # the normalized token stream, as fractions of its characters
+        "llm41_gopher_repetition": """
+            WITH tok AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')) AS norm
+                FROM documents),
+            t2 AS (SELECT doc_id, length(norm) AS nchars,
+                          string_split(norm, ' ') AS toks
+                   FROM tok),
+            g2 AS (SELECT doc_id, nchars,
+                          unnest([array_to_string(toks[i+1:i+2], ' ')
+                                  for i in range(0,
+                                      greatest(len(toks) - 1, 0))])
+                              AS gram
+                   FROM t2),
+            c2 AS (SELECT doc_id, nchars, gram, count(*) AS cnt
+                   FROM g2 GROUP BY 1, 2, 3),
+            m2 AS (SELECT doc_id,
+                          round(max(cnt * length(gram))
+                                / nullif(nchars, 0)::DOUBLE, 6) AS top_f
+                   FROM c2 GROUP BY doc_id, nchars),
+            g5 AS (SELECT doc_id, nchars,
+                          unnest([array_to_string(toks[i+1:i+5], ' ')
+                                  for i in range(0,
+                                      greatest(len(toks) - 4, 0))])
+                              AS gram
+                   FROM t2),
+            c5 AS (SELECT doc_id, nchars, gram, count(*) AS cnt
+                   FROM g5 GROUP BY 1, 2, 3),
+            m5 AS (SELECT doc_id,
+                          round(sum(CASE WHEN cnt >= 2
+                                         THEN cnt * length(gram)
+                                         ELSE 0 END)
+                                / nullif(nchars, 0)::DOUBLE, 6) AS dup_f
+                   FROM c5 GROUP BY doc_id, nchars)
+            SELECT d.doc_id AS id,
+                   coalesce(m2.top_f, 0.0) AS top_ngram_char_frac,
+                   coalesce(m5.dup_f, 0.0) AS dup_ngram_char_frac,
+                   coalesce(m2.top_f, 0.0) <= 0.20
+                       AND coalesce(m5.dup_f, 0.0) <= 0.15 AS keep
+            FROM documents d
+            LEFT JOIN m2 ON d.doc_id = m2.doc_id
+            LEFT JOIN m5 ON d.doc_id = m5.doc_id""",
         # the whole curation pipeline with cross-engine-exact stages:
         # normalize-key dedup survivors -> quality >= 0.3 gate ->
         # md5 id-hash 90/10 split (seed 11) -> ws-token counts ->

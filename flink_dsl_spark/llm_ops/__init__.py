@@ -12,7 +12,8 @@ from .dedup import (
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
-    c4_line_filter, chunk_documents, gopher_quality, lang_id, pii_redact,
+    c4_line_filter, chunk_documents, decontaminate, gopher_quality,
+    gopher_repetition, lang_id, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
 )
 from .multimodal import (
@@ -28,7 +29,8 @@ __all__ = [
     "minhash_signatures", "md5_token_hash", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
-    "c4_line_filter", "gopher_quality", "pii_redact",
+    "c4_line_filter", "decontaminate", "gopher_quality",
+    "gopher_repetition", "pii_redact",
     "quality_score", "token_stats", "fingerprint",
     "chunk_documents",
     "top_terms_tfidf", "with_binary_column",

@@ -36,6 +36,22 @@ def _ws_tokens(text: Column) -> Column:
     return F.split(normalized(text), " ")
 
 
+def _word_ngrams(text: Column, n: int, distinct: bool) -> Column:
+    """Word n-grams of the normalized token stream as space-joined
+    strings, via higher-order functions (JVM-side, no explode yet so
+    callers choose their own fan-out point).  Guarded: a doc with
+    fewer than n tokens yields an EMPTY array (F.sequence(1, k) with
+    k <= 0 would count backwards)."""
+    toks = _ws_tokens(text)
+    k = F.size(toks) - F.lit(n - 1)
+    grams = F.transform(F.sequence(F.lit(1), k),
+                        lambda i: F.array_join(F.slice(toks, i, n), " "))
+    if distinct:
+        grams = F.array_distinct(grams)
+    return F.when(k > 0, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
 def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + char count."""
     t = F.col(text_col)
@@ -176,6 +192,102 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(lines).alias("n_lines"),
         F.size(kept).alias("n_kept"))
+
+
+def decontaminate(df: DataFrame, text_col: str, id_col: str,
+                  eval_df: DataFrame, eval_text_col: str | None = None,
+                  n: int = 13) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C check, Brown et
+    al. 2020): flag every training document sharing at least one word
+    ``n``-gram with an evaluation set.  Returns
+    (id, n_hits, contaminated) where n_hits counts the DISTINCT eval
+    n-grams found in the document.
+
+    Scale shape: the eval set is always tiny next to the corpus, so
+    its distinct gram set BROADCASTS — the corpus side is a projection
+    (HOF n-grams + explode) feeding a broadcast semi-join, no shuffle
+    until the per-doc count, which is keyed on the doc id.  Matching
+    is on the normalized gram STRINGS, making the operator exactly
+    reproducible in SQL (the llm40 oracle); at extreme eval-set sizes
+    hash the grams first and accept the (~2^-64) collision odds."""
+    eval_text_col = eval_text_col or text_col
+    doc_grams = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_ngrams(F.col(text_col), n, distinct=True))
+         .alias("gram"))
+    eval_grams = (eval_df
+                  .select(F.explode(_word_ngrams(F.col(eval_text_col),
+                                                 n, distinct=True))
+                          .alias("gram"))
+                  .distinct())
+    hits = (doc_grams.join(F.broadcast(eval_grams), "gram")
+                     .groupBy("id")
+                     .agg(F.count(F.lit(1)).alias("n_hits")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(hits, "id", "left")
+                .select("id",
+                        F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+                .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def gopher_repetition(df: DataFrame, text_col: str, id_col: str,
+                      top_n: int = 2, dup_n: int = 5,
+                      max_top_frac: float = 0.20,
+                      max_dup_frac: float = 0.15) -> DataFrame:
+    """The repetition half of Gopher's filter table (Rae et al. 2021,
+    A1): the character mass of the single heaviest word ``top_n``-gram
+    and of all duplicated ``dup_n``-grams, each as a fraction of the
+    normalized text's characters, plus a keep flag at the published
+    thresholds (0.20 for top-2-grams, 0.15 for dup-5-grams).
+
+    "Heaviest" = max over grams of occurrences x gram length — the
+    char-mass formulation is deterministic without a tie-break rule
+    and is what the threshold actually guards (a fraction of text
+    volume).  Overlapping occurrences are counted per occurrence, not
+    as a positional union, so a pathological doc can exceed 1.0 —
+    fine for a filter whose cut lines sit far below 1.
+
+    Scale shape: explode -> (id, gram) count -> per-id aggregate, the
+    TF-IDF shuffle pattern (two stages keyed on id, map-side
+    combined); everything else is HOF projections."""
+
+    def frac_metrics(n: int, tag: str) -> DataFrame:
+        base = spread_for_compute(df).select(
+            F.col(id_col).alias("id"),
+            F.length(normalized(F.col(text_col))).alias("nchars"),
+            F.explode(_word_ngrams(F.col(text_col), n, distinct=False))
+             .alias("gram"))
+        per_gram = (base.groupBy("id", "nchars", "gram")
+                        .agg(F.count(F.lit(1)).alias("cnt")))
+        mass = F.col("cnt") * F.length("gram")
+        return (per_gram.groupBy("id", "nchars")
+                .agg(F.max(mass).alias("top_mass"),
+                     F.sum(F.when(F.col("cnt") >= 2, mass)
+                            .otherwise(F.lit(0))).alias("dup_mass"))
+                .select("id",
+                        F.round(F.col("top_mass") /
+                                F.nullif(F.col("nchars").cast("double"),
+                                         F.lit(0.0)), 6)
+                         .alias(f"top_{tag}"),
+                        F.round(F.col("dup_mass") /
+                                F.nullif(F.col("nchars").cast("double"),
+                                         F.lit(0.0)), 6)
+                         .alias(f"dup_{tag}")))
+
+    top = frac_metrics(top_n, "a").select(
+        "id", F.col("top_a").alias("top_ngram_char_frac"))
+    dup = frac_metrics(dup_n, "b").select(
+        "id", F.col("dup_b").alias("dup_ngram_char_frac"))
+    base = df.select(F.col(id_col).alias("id"))
+    out = (base.join(top, "id", "left").join(dup, "id", "left")
+               .select("id",
+                       F.coalesce("top_ngram_char_frac", F.lit(0.0))
+                        .alias("top_ngram_char_frac"),
+                       F.coalesce("dup_ngram_char_frac", F.lit(0.0))
+                        .alias("dup_ngram_char_frac")))
+    keep = ((F.col("top_ngram_char_frac") <= max_top_frac) &
+            (F.col("dup_ngram_char_frac") <= max_dup_frac))
+    return out.withColumn("keep", keep)
 
 
 # PII patterns chosen to behave identically under Java regex (Spark)

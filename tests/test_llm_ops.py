@@ -594,6 +594,69 @@ def test_pii_redact_semantics(spark):
     assert "10.0.255.7" not in row["redacted"]
 
 
+def test_decontaminate_semantics(spark):
+    """Crafted eval overlap at n=3: matching is on normalized grams
+    (case/punctuation-insensitive), counts DISTINCT eval grams, and a
+    doc shorter than n tokens can never be contaminated."""
+    from flink_dsl_spark.llm_ops import decontaminate
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string")
+    corp = spark.createDataFrame(
+        [(1, "x y Alpha, BETA gamma! z"),       # 1 hit, via normalize
+         (2, "alpha beta delta gamma"),          # reordered: no hit
+         (3, "beta gamma delta alpha beta gamma"),  # 2 distinct hits
+         (4, "alpha beta"),                      # < n tokens
+         (5, "")],
+        "doc_id long, text string")
+    out = {r["id"]: (r["n_hits"], r["contaminated"])
+           for r in decontaminate(corp, "text", "doc_id", ev,
+                                  n=3).collect()}
+    assert out == {1: (1, True), 2: (0, False), 3: (2, True),
+                   4: (0, False), 5: (0, False)}
+
+
+def test_gopher_repetition_semantics(spark):
+    """Crafted repetition: a doc that is one sentence twice has
+    positive duplicate-5-gram mass; a spammy doc fails on top-2-gram
+    mass; a diverse doc keeps.  Expected fractions recomputed here
+    with the operator's own formula (char mass / normalized chars)."""
+    from flink_dsl_spark.llm_ops import gopher_repetition
+    diverse = "aa bb cc dd ee ff gg hh ii jj kk ll"
+    spammy = "spam spam spam spam"
+    repeated = "one two three four five six " \
+               "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, diverse), (2, spammy), (3, repeated)],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           gopher_repetition(df, "text", "doc_id").collect()}
+
+    def grams(text, n):
+        toks = text.split()
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)]
+
+    def top_frac(text, n=2):
+        from collections import Counter
+        c = Counter(grams(text, n))
+        return round(max(k * len(g) for g, k in c.items())
+                     / len(text), 6)
+
+    def dup_frac(text, n=5):
+        from collections import Counter
+        c = Counter(grams(text, n))
+        return round(sum(k * len(g) for g, k in c.items() if k >= 2)
+                     / len(text), 6)
+
+    assert out[1]["top_ngram_char_frac"] == top_frac(diverse)
+    assert out[1]["dup_ngram_char_frac"] == 0.0
+    assert out[1]["keep"] is True
+    assert out[2]["top_ngram_char_frac"] == top_frac(spammy)
+    assert out[2]["keep"] is False
+    assert out[3]["dup_ngram_char_frac"] == dup_frac(repeated) > 0.15
+    assert out[3]["keep"] is False
+
+
 def test_dedup_survivors_semantics(spark):
     """Crafted pairs: {1,2,3} form one cluster, {5,6} another, 4 and 7
     are unpaired -> survivors are exactly {1, 4, 5, 7}."""
@@ -680,6 +743,12 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
          L.c4_line_filter(sdf, "text", "doc_id")),
         ("llm34_pii_redact",
          L.pii_redact(sdf, "text", "doc_id")),
+        ("llm40_decontaminate",
+         L.decontaminate(sdf.filter("doc_id % 50 <> 0"), "text",
+                         "doc_id", sdf.filter("doc_id % 50 = 0"),
+                         n=13)),
+        ("llm41_gopher_repetition",
+         L.gopher_repetition(sdf, "text", "doc_id")),
     ]
     for name, out in checks:
         a = out.toPandas().set_index("id").sort_index()

@@ -166,3 +166,13 @@ def test_event_time_filter_pushdown_survives_ntz_normalization(spark):
                        if "ReadSchema" in ln)
     assert "ts:timestamp" in read_schema
     assert "timestamp_ntz" not in read_schema
+
+
+def test_decontaminate_eval_side_broadcasts(spark, queries):
+    """Decontamination must broadcast the (tiny) eval gram set: a
+    SortMergeJoin on grams would shuffle the full exploded corpus —
+    the non-scalable formulation the operator exists to avoid."""
+    plan = plan_of(queries["llm40_decontaminate"](spark, SF),
+                   mode="simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
