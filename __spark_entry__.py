@@ -491,6 +491,31 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the heaviest 2-gram and of duplicated 5-grams
         "llm41_gopher_repetition": lambda s, d: L.gopher_repetition(
             _docs(s, d), "text", "doc_id"),
+        # RefinedWeb/FineWeb line-level corpus dedup: first occurrence
+        # of every distinct line survives, later copies are removed
+        "llm42_line_dedup": lambda s, d: L.line_dedup(
+            _docs(s, d), "text", "doc_id"),
+        # winnowed exact-substring duplicate detection (the Lee et al.
+        # 2022 signal, content-defined anchors so shared blocks align
+        # at any offset); md5 anchor hash = the cross-engine-oracled
+        # config, xxhash64 the production default
+        "llm43_dup_spans": lambda s, d: L.duplicate_spans(
+            _docs(s, d), "text", "doc_id", span=32, anchor=8,
+            density=16, anchor_hash=L.md5_token_hash),
+        # deterministic token-budget corpus cut on the md5 permutation
+        # (distributed running sum; xxhash64 is the production default)
+        "llm44_token_budget": lambda s, d: L.token_budget_sample(
+            L.token_stats(_docs(s, d), "text", "doc_id"),
+            "id", "ws_tokens", budget=5000, id_hash=L.md5_id_hash),
+        # downsample-only mixture rebalancing toward target token
+        # shares; binding domain keeps rate 1.0
+        "llm45_domain_mixture": lambda s, d: L.domain_mixture(
+            L.token_stats(_docs(s, d), "text", "doc_id")
+             .join(_docs(s, d).selectExpr("doc_id as id", "source"),
+                   "id"),
+            "source", "id", "ws_tokens",
+            {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            id_hash=L.md5_id_hash),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -726,27 +751,31 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (hash-seeded / approximate ops).
 # The driver's correctness harness samples the FIRST 50 keys of
 # queries().  Round 5 rotation (VERDICT r4 item 1 — verification
-# closure): (a) a 15-key regression core spanning every §2 family plus
+# closure): (a) an 11-key regression core spanning every §2 family plus
 # the r4-repaired NTZ cluster stays in every window; (b) the three
 # operators shipped late in r4 with zero driver rows ever (llm33/34/35)
-# lead the rotate-ins; (c) the six NEW r5 entries — four oracled
-# companions (llm36-39) plus two new operators (llm40 benchmark
-# decontamination, llm41 Gopher repetition) — get their first rows;
-# (d) the 26 oracled queries whose last driver-green row is r2/r3
-# rotate back in.  Union(r02..r05) then gives every one of the 85
-# oracled queries a driver-green row, with llm33-41 green for the
-# first time.
+# lead the rotate-ins; (c) the ten NEW r5 entries — four oracled
+# companions (llm36-39) plus six new operators (llm40 benchmark
+# decontamination, llm41 Gopher repetition, llm42 corpus line dedup,
+# llm43 duplicate spans, llm44 token-budget cut, llm45 domain
+# mixture) — get their first rows; (d) the 26 oracled queries whose
+# last driver-green row is r2/r3 rotate back in.  Union(r02..r05)
+# then gives every one of the 89 oracled queries a driver-green row,
+# with llm33-45 green for the first time.
 _PRIORITY = [
-    # -- regression core (15): one per §2 family + the r4-repaired NTZ
+    # -- regression core (11): one per §2 family + the r4-repaired NTZ
     #    cluster, kept in every round's window (set-op and IN coverage
-    #    comes from the q17a/q14 rotate-ins below) --
-    "q01_pricing_summary", "q03_join_group", "q23_params",
+    #    comes from the q17a/q14 rotate-ins below; q23/q33/s07/llm06
+    #    are r4-green and sit just below the fold this round — four
+    #    core slots lent to the brand-new llm42-45 so no shipped
+    #    operator ever lacks a driver row, the llm33-35 lesson) --
+    "q01_pricing_summary", "q03_join_group",
     "q28_count_tumbling",
-    "q33_derived_stream", "q35_asof_join", "q36_range_join",
+    "q35_asof_join", "q36_range_join",
     "q38_rollup_timeseries", "q40_update_delete",
     "s01_stream_time_window", "s05_stream_session_window",
-    "s07_stream_time_sliding", "x01_expr_projection",
-    "llm01_dedup_exact", "llm06_ann_topk_bruteforce",
+    "x01_expr_projection",
+    "llm01_dedup_exact",
     # -- shipped r4, oracled, never driver-sampled: first rows --
     "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
     # -- new r5 oracled companions: next-fit packing recurrence,
@@ -754,9 +783,12 @@ _PRIORITY = [
     #    fully-verified e2e curation pipeline --
     "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
-    # -- new r5 operators: benchmark decontamination + the repetition
-    #    half of Gopher's filter table --
+    # -- new r5 operators: benchmark decontamination, the repetition
+    #    half of Gopher's filter table, corpus line dedup, duplicate
+    #    spans, token-budget cut, domain mixture --
     "llm40_decontaminate", "llm41_gopher_repetition",
+    "llm42_line_dedup", "llm43_dup_spans",
+    "llm44_token_budget", "llm45_domain_mixture",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q02_filter_projection", "q04_left_join", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
@@ -770,6 +802,8 @@ _PRIORITY = [
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window)
+    "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
+    "llm06_ann_topk_bruteforce",
     "q13_in_list", "q17b_union_all",
     "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
     "q17c_except", "q17d_intersect", "q19_derived_table",
@@ -1398,6 +1432,122 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN m2 ON d.doc_id = m2.doc_id
             LEFT JOIN m5 ON d.doc_id = m5.doc_id""",
+        # corpus-wide first-occurrence line dedup replayed with window
+        # algebra: winner per distinct non-empty line = min (doc, idx);
+        # empty lines are structural and always kept
+        "llm42_line_dedup": """
+            WITH l AS (
+                SELECT doc_id, string_split(text, chr(10)) AS lines
+                FROM documents),
+            e0 AS (SELECT doc_id,
+                          unnest(generate_series(1, len(lines))) AS idx,
+                          lines
+                   FROM l),
+            e AS (SELECT doc_id, idx, lines[idx] AS line FROM e0),
+            w AS (SELECT doc_id, idx, line,
+                         row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, idx) AS rn
+                  FROM e WHERE line <> ''),
+            kept AS (SELECT doc_id, idx, line FROM w WHERE rn = 1
+                     UNION ALL
+                     SELECT doc_id, idx, line FROM e WHERE line = ''),
+            agg AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY idx)
+                               AS clean_text,
+                           count(*) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT l.doc_id AS id,
+                   coalesce(agg.clean_text, '') AS clean_text,
+                   CAST(len(l.lines) AS INTEGER) AS n_lines,
+                   CAST(coalesce(agg.n_kept, 0) AS INTEGER) AS n_kept
+            FROM l LEFT JOIN agg USING (doc_id)""",
+        # winnowed duplicate spans recomputed on the raw substrings:
+        # anchors where md5-60bit(8-char prefix) % 16 = 0 (identical
+        # both engines), spans grouped on the raw string here vs their
+        # xxhash64 on the Spark side (the llm01 collision-free premise,
+        # one 64-bit key over ~1e4 distinct spans)
+        "llm43_dup_spans": """
+            WITH base AS (
+                SELECT doc_id, text, len(text) AS n FROM documents),
+            p AS (SELECT doc_id, text,
+                         unnest(generate_series(1, n - 31)) AS i
+                  FROM base WHERE n >= 32),
+            a AS (SELECT doc_id,
+                         substr(text, CAST(i AS INTEGER), 32) AS sub
+                  FROM p
+                  WHERE CAST(concat('0x', substr(md5(substr(text,
+                            CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT)
+                        % 16 = 0),
+            ns AS (SELECT doc_id, count(*) AS n_spans
+                   FROM a GROUP BY doc_id),
+            dup AS (SELECT sub FROM a GROUP BY sub
+                    HAVING count(DISTINCT doc_id) >= 2),
+            c AS (SELECT doc_id, count(*) AS n_dup_spans
+                  FROM a JOIN dup USING (sub) GROUP BY doc_id)
+            SELECT base.doc_id AS id,
+                   CAST(coalesce(ns.n_spans, 0) AS INTEGER) AS n_spans,
+                   CAST(coalesce(c.n_dup_spans, 0) AS BIGINT)
+                       AS n_dup_spans,
+                   CASE WHEN coalesce(ns.n_spans, 0) > 0
+                        THEN coalesce(c.n_dup_spans, 0) / ns.n_spans
+                        END AS dup_frac
+            FROM base
+            LEFT JOIN ns USING (doc_id)
+            LEFT JOIN c USING (doc_id)""",
+        # token-budget cut: running ws-token sum over the md5-hash
+        # permutation order, prefix <= 5000 (the Spark side distributes
+        # the cumsum via range buckets + broadcast offsets; the window
+        # here replays it sequentially)
+        "llm44_token_budget": """
+            WITH t AS (SELECT doc_id AS id,
+                              CAST(len(string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            k AS (SELECT id, n_tokens,
+                         CAST(concat('0x', substr(md5(concat(
+                              CAST(id AS VARCHAR), ':', '42')), 1, 15))
+                              AS BIGINT) AS key
+                  FROM t),
+            c AS (SELECT id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY key, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+                  FROM k)
+            SELECT id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+            FROM c WHERE cum <= 5000""",
+        # mixture rebalancing: per-domain token totals -> feasible
+        # total T = min(tok/w) -> keep-rate w*T/tok -> md5 id-hash
+        # membership (identical double arithmetic both engines)
+        "llm45_domain_mixture": """
+            WITH t AS (SELECT doc_id AS id, source,
+                              CAST(len(string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            dom AS (SELECT source AS domain,
+                           CAST(sum(n_tokens) AS DOUBLE) AS tok,
+                           CASE source WHEN 'src0' THEN 0.4
+                                       WHEN 'src1' THEN 0.3
+                                       WHEN 'src2' THEN 0.2
+                                       WHEN 'src3' THEN 0.1 END AS w
+                    FROM t
+                    WHERE source IN ('src0', 'src1', 'src2', 'src3')
+                    GROUP BY source),
+            tot AS (SELECT min(tok / w) AS total FROM dom),
+            r AS (SELECT domain,
+                         CAST(round(least(1.0, w * tot.total / tok)
+                                    * 1000000) AS BIGINT) AS thresh
+                  FROM dom, tot)
+            SELECT t.id, t.source AS domain, t.n_tokens
+            FROM t JOIN r ON t.source = r.domain
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(t.id AS VARCHAR), ':', '42')), 1, 15))
+                      AS BIGINT) % 1000000 < r.thresh""",
         # the whole curation pipeline with cross-engine-exact stages:
         # normalize-key dedup survivors -> quality >= 0.3 gate ->
         # md5 id-hash 90/10 split (seed 11) -> ws-token counts ->

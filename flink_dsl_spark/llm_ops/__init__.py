@@ -6,7 +6,8 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 """
 
 from .dedup import (
-    dedup_survivors, dup_clusters, exact_dedup, ngram_jaccard_pairs,
+    dedup_survivors, dup_clusters, duplicate_spans, exact_dedup,
+    line_dedup, ngram_jaccard_pairs,
     minhash_lsh_pairs, minhash_signatures, md5_token_hash, simhash_pairs,
     simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
 )
@@ -20,8 +21,9 @@ from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
 )
-from .assemble import (md5_id_hash, pack_sequences, seeded_shuffle,
-                       split_dataset, stratified_sample)
+from .assemble import (domain_mixture, md5_id_hash, pack_sequences,
+                       seeded_shuffle, split_dataset, stratified_sample,
+                       token_budget_sample)
 
 __all__ = [
     "dedup_survivors", "dup_clusters", "exact_dedup",
@@ -37,4 +39,6 @@ __all__ = [
     "decode_metadata", "sample_frames", "resize_images", "extract_features",
     "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",
+    "line_dedup", "duplicate_spans", "token_budget_sample",
+    "domain_mixture",
 ]

@@ -128,6 +128,114 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     return df.filter(cond)
 
 
+def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,
+                        budget: int, seed: int = 42,
+                        id_hash=None) -> DataFrame:
+    """Deterministic token-budget corpus cut: order documents by an id
+    hash (a reproducible pseudo-random permutation) and keep the prefix
+    whose running token total stays <= ``budget``.  Returns
+    (id, n_tokens, cum_tokens) for the kept prefix.
+
+    This is "sample N tokens from the corpus" done scalably: a random()
+    sort is irreproducible, and a naive running sum is a
+    single-partition window.  Here the running sum is distributed the
+    same way seeded_shuffle's rank is: range-bucket rows on the hash
+    key, collect only the per-bucket token SUBTOTALS (<= parallelism+2
+    longs), rebase each bucket with its broadcast prefix offset, and
+    cumsum inside buckets in parallel.  Buckets whose offset already
+    exceeds the budget are pruned BEFORE the window runs — cutting
+    1 B tokens out of a 100 TB corpus windows only the few buckets
+    that straddle the cut, and scan pushdown still prunes to
+    (id, tokens) columns.
+
+    Hash-ordering also makes the cut STABLE under corpus growth the
+    way split_dataset is: growing the corpus reshuffles nothing —
+    a document's position in the permutation never changes, so
+    yesterday's sample is a prefix-superset of today's only where the
+    budget boundary moved."""
+    if id_hash is None:
+        id_hash = _xxhash_id
+    from ..streaming.windows import _range_bucket
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    buckets = spark.sparkContext.defaultParallelism
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(tokens_col).cast("long").alias("n_tokens"))
+    d = d.withColumn("__key", id_hash(F.col("id"), seed))
+    d = d.withColumn("__bkt", _range_bucket(d, F.col("__key"), buckets))
+    sums = sorted(
+        (r["__bkt"], r["s"]) for r in
+        d.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect())
+    offsets, running = [], 0
+    for b, s in sums:
+        offsets.append((b, running))
+        running += int(s)
+    off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
+        if offsets else spark.createDataFrame([], "__bkt int, __off long")
+    w = (W.partitionBy("__bkt").orderBy("__key", "id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (d.join(F.broadcast(off_df), "__bkt")
+             .filter(F.col("__off") <= F.lit(int(budget)))
+             .withColumn("cum_tokens",
+                         (F.col("__off") +
+                          F.sum("n_tokens").over(w)).cast("long"))
+             .filter(F.col("cum_tokens") <= F.lit(int(budget)))
+             .select("id", "n_tokens", "cum_tokens"))
+
+
+def domain_mixture(df: DataFrame, domain_col: str, id_col: str,
+                   tokens_col: str, weights: dict[str, float],
+                   seed: int = 42, id_hash=None) -> DataFrame:
+    """Downsample-only mixture rebalancing (the Pile / DoReMi recipe
+    applied to a fixed corpus): choose per-domain keep-rates so the
+    selected corpus's expected token shares match ``weights``, without
+    ever upsampling.  The binding domain — the one whose
+    tokens/weight ratio is smallest — keeps rate 1.0 and every other
+    domain is hash-downsampled to ``w_d * T / tokens_d`` where
+    ``T = min_d tokens_d / w_d`` is the largest feasible mixture total.
+
+    Returns the kept rows as (id, domain, n_tokens).
+
+    Scale shape: one partial-aggregated groupBy computes per-domain
+    token totals (|domains| rows), the feasible total is a scalar agg
+    over that tiny frame, and the rates table broadcast-joins back —
+    the corpus itself is touched by exactly one agg pass and one
+    filter, both column-pruned.  Selection hashes document ids
+    (split_dataset's bucket trick), so membership is reproducible and
+    stable under corpus growth.  Domains missing from ``weights`` are
+    dropped; weights naming absent domains are ignored."""
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0")
+    if id_hash is None:
+        id_hash = _xxhash_id
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in (kv[0], float(kv[1]))])
+    dom = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.sum(F.col(tokens_col).cast("long"))
+                   .cast("double").alias("__tok"))
+             .withColumn("__w", wmap[F.col("domain")])
+             .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
+    total = dom.agg(F.min(F.col("__tok") / F.col("__w"))
+                     .alias("__total"))
+    rates = (dom.crossJoin(F.broadcast(total))
+                .withColumn("__rate",
+                            F.least(F.lit(1.0),
+                                    F.col("__w") * F.col("__total") /
+                                    F.col("__tok")))
+                .select("domain",
+                        F.round(F.col("__rate") * _BUCKETS)
+                         .cast("long").alias("__thresh")))
+    bucket = F.pmod(id_hash(F.col("id"), seed), F.lit(_BUCKETS))
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(domain_col).alias("domain"),
+                      F.col(tokens_col).cast("long").alias("n_tokens"))
+              .join(F.broadcast(rates), "domain")
+              .filter(bucket < F.col("__thresh"))
+              .select("id", "domain", "n_tokens"))
+
+
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                    budget: int, partitions: int | None = None,
                    strategy: str = "firstfit") -> DataFrame:

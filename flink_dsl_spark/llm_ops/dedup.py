@@ -610,3 +610,133 @@ def _table_sign_bits(vec: Column, dim: int, planes: int,
         bucket = bucket + F.when(dot > 0,
                                  F.lit(1 << p).cast("long")).otherwise(0)
     return bucket
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup (RefinedWeb / FineWeb "line dedup" stage)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str, id_col: str,
+               sep: str = "\n") -> DataFrame:
+    """Corpus-wide exact line dedup (the RefinedWeb / FineWeb line-level
+    stage, Penedo et al. 2023/2024): every distinct non-empty line
+    survives only at its FIRST occurrence — minimal (doc id, line
+    index) — across the WHOLE corpus; later copies (boilerplate,
+    navigation chrome, license blurbs) are removed.  Empty lines are
+    structural and always kept.  Returns
+    (id, clean_text, n_lines, n_kept) with surviving lines rejoined in
+    original order.
+
+    Scale shape: the winner-per-line aggregation keys on a 128-bit
+    line fingerprint (two xxhash64 passes, the exact_dedup premise) so
+    the shuffle moves 16-byte keys + one min-struct per distinct line
+    instead of a corpus of text, and min() partial-aggregates
+    map-side — a boilerplate line in a billion documents contributes
+    ONE row per map task, which is what makes the hot-key profile of
+    real web corpora survivable without salting.  Reassembly is a
+    second keyed agg on doc id (never skewed: a doc has bounded
+    lines).  Two shuffles total, both partial-agg'd."""
+    t = F.col(text_col)
+    import re as _re
+    lines = F.split(t, _re.escape(sep), -1)
+    base = df.select(F.col(id_col).alias("id"), lines.alias("__lines"))
+    ex = base.select(
+        "id", F.posexplode("__lines").alias("idx", "line"))
+    content = ex.filter(F.col("line") != "")
+    blanks = ex.filter(F.col("line") == "")
+    winners = (content
+               .groupBy(F.xxhash64("line").alias("__h1"),
+                        F.xxhash64("line", F.lit(1)).alias("__h2"))
+               .agg(F.min(F.struct("id", "idx", "line")).alias("__w"))
+               .select(F.col("__w.id").alias("id"),
+                       F.col("__w.idx").alias("idx"),
+                       F.col("__w.line").alias("line")))
+    kept = winners.unionByName(blanks)
+    joined = (kept.groupBy("id")
+                  .agg(F.array_sort(F.collect_list(F.struct("idx", "line")))
+                        .alias("__k")))
+    return (base.select("id", F.size("__lines").alias("n_lines"))
+                .join(joined, "id", "left")
+                .select("id",
+                        F.coalesce(
+                            F.array_join(F.transform(
+                                "__k", lambda s: s["line"]), sep),
+                            F.lit("")).alias("clean_text"),
+                        "n_lines",
+                        F.coalesce(F.size("__k"), F.lit(0))
+                         .alias("n_kept")))
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicate-span detection (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
+                    span: int = 64, anchor: int = 8,
+                    density: int = 16, min_docs: int = 2,
+                    anchor_hash=None) -> DataFrame:
+    """Cross-document duplicate-span detection — the detection half of
+    exact substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"), reshaped from suffix arrays
+    (inherently sequential, machine-sized) to a shuffle-friendly
+    winnowing form (Schleimer et al. 2002): a position is an ANCHOR
+    when the hash of its ``anchor``-char prefix is 0 mod ``density``
+    — a pure function of local content, so a verbatim block shared by
+    two documents anchors at the SAME interior offsets no matter
+    where the block sits in each document (a fixed-stride grid would
+    only match blocks whose offsets happen to agree mod stride).
+    Each anchored ``span``-char window is fingerprinted, and spans
+    occurring in >= ``min_docs`` distinct documents are counted.
+    Returns (id, n_spans, n_dup_spans, dup_frac); expected span
+    density is one per ``density`` chars, and a shared block of B
+    chars goes undetected with odds ~(1-1/density)^(B-span), i.e.
+    vanishing for blocks a few spans long.
+
+    Scale shape: anchor selection + span extraction is one
+    higher-order-function projection (one 8-char hash per position —
+    the inherent winnowing cost, all JVM-side, no UDF); the cross-doc
+    occurrence count groups on a 64-bit xxhash of the span so the
+    shuffle moves 8-byte keys, never substrings, with two-phase
+    count(distinct doc); flagged keys join back on the same hashed
+    key (AQE handles hot boilerplate keys).  Driver sees nothing.
+    ``anchor_hash``: Column -> integral Column for anchor selection;
+    defaults to xxhash64, with dedup.md5_token_hash as the
+    cross-engine-reproducible (oracle) alternative."""
+    if density < 1 or span < 1 or anchor < 1:
+        raise ValueError("span, anchor and density must be >= 1")
+    if anchor_hash is None:
+        anchor_hash = F.xxhash64
+    t = F.col(text_col)
+    ln = F.length(t)
+    idx = F.when(ln >= span,
+                 F.sequence(F.lit(1), ln - F.lit(span - 1))
+                 ).otherwise(F.array().cast("array<int>"))
+    offs = F.filter(
+        idx,
+        lambda i: F.pmod(anchor_hash(F.substring(t, i, anchor)),
+                         F.lit(density)) == 0)
+    base = df.select(F.col(id_col).alias("id"), t.alias("__t"),
+                     F.size(offs).alias("n_spans"), offs.alias("__offs"))
+    spans = (spread_for_compute(base)
+             .select("id", F.explode("__offs").alias("off"),
+                     F.col("__t"))
+             .select("id",
+                     F.xxhash64(F.substring(F.col("__t"),
+                                            F.col("off"), span))
+                      .alias("__k")))
+    dup_keys = (spans.groupBy("__k")
+                     .agg(F.count_distinct("id").alias("__nd"))
+                     .filter(F.col("__nd") >= min_docs)
+                     .select("__k"))
+    per_doc = (spans.join(dup_keys, "__k")
+                    .groupBy("id")
+                    .agg(F.count(F.lit(1)).alias("n_dup_spans")))
+    return (base.select("id", "n_spans")
+                .join(per_doc, "id", "left")
+                .select("id", "n_spans",
+                        F.coalesce("n_dup_spans", F.lit(0))
+                         .alias("n_dup_spans"))
+                .withColumn("dup_frac",
+                            F.when(F.col("n_spans") > 0,
+                                   F.col("n_dup_spans") /
+                                   F.col("n_spans"))))

@@ -792,3 +792,174 @@ def test_normalize_tokenizer_premise_agrees_with_duckdb(spark):
                    '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))
         FROM s""").fetchall()}
     assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# corpus line dedup (llm42)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def multiline_corpus(spark):
+    rows = [
+        (1, "alpha unique one\nSHARED BOILERPLATE\n\nalpha tail"),
+        (2, "SHARED BOILERPLATE\nbeta unique two"),
+        (3, "SHARED BOILERPLATE"),
+        (4, ""),
+        (5, "gamma only line"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_first_occurrence_wins(multiline_corpus):
+    out = {r["id"]: r for r in
+           L.line_dedup(multiline_corpus, "text", "doc_id").collect()}
+    # doc 1 is the first occurrence of the boilerplate: keeps everything
+    assert out[1]["clean_text"] == \
+        "alpha unique one\nSHARED BOILERPLATE\n\nalpha tail"
+    assert out[1]["n_lines"] == 4 and out[1]["n_kept"] == 4
+    # doc 2 loses the boilerplate copy, keeps its unique line
+    assert out[2]["clean_text"] == "beta unique two"
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+    # doc 3 was ONLY the boilerplate: survives as an empty document
+    assert out[3]["clean_text"] == "" and out[3]["n_kept"] == 0
+    # empty doc: its single empty line is structural, always kept
+    assert out[4]["clean_text"] == "" and out[4]["n_kept"] == 1
+    assert out[5]["clean_text"] == "gamma only line"
+
+
+def test_line_dedup_blank_lines_not_deduped(spark):
+    df = spark.createDataFrame(
+        [(1, "a\n\nb"), (2, "c\n\nd")], "doc_id long, text string")
+    out = {r["id"]: r["clean_text"]
+           for r in L.line_dedup(df, "text", "doc_id").collect()}
+    assert out[1] == "a\n\nb" and out[2] == "c\n\nd"
+
+
+# ---------------------------------------------------------------------------
+# duplicate spans (llm43)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_spans_shared_block_detected_at_any_offset(spark):
+    # the block sits at DIFFERENT offsets in docs 1 and 2 (11- vs
+    # 12-char prefixes): content-defined anchors must still align it
+    # — this is exactly the case a fixed-stride grid misses
+    block = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, "prefix one " + block + " suffix one"),
+        (2, "other intros " + block + " other outro"),
+        (3, "completely different text with no overlap at all " * 4),
+        (4, "tiny"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           L.duplicate_spans(df, "text", "doc_id",
+                             span=32, anchor=8, density=16).collect()}
+    # both docs sharing the block get flagged spans; the loner none
+    assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
+    assert out[3]["n_dup_spans"] == 0
+    assert out[3]["n_spans"] > 0          # anchors exist, just unshared
+    # shorter than span: zero spans, null dup_frac
+    assert out[4]["n_spans"] == 0 and out[4]["dup_frac"] is None
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross_doc(spark):
+    # a doc repeating ITSELF doesn't cross the min_docs=2 bar
+    df = spark.createDataFrame(
+        [(1, "repeat me now please and again " * 10),
+         (2, "some totally unrelated other document text here " * 5)],
+        "doc_id long, text string")
+    out = {r["id"]: r["n_dup_spans"] for r in
+           L.duplicate_spans(df, "text", "doc_id",
+                             span=32, anchor=8, density=16).collect()}
+    assert out[1] == 0 and out[2] == 0
+
+
+def test_duplicate_spans_md5_anchor_matches_xxhash_semantics(spark):
+    # the oracled md5 anchor config must detect the same shared block
+    # (different anchor SET, same detection property)
+    block = "pack my box with five dozen liquor jugs today " * 4
+    df = spark.createDataFrame(
+        [(1, "aaa " + block), (2, "bbbbbbbb " + block)],
+        "doc_id long, text string")
+    out = {r["id"]: r["n_dup_spans"] for r in
+           L.duplicate_spans(df, "text", "doc_id", span=32,
+                             anchor=8, density=16,
+                             anchor_hash=L.md5_token_hash).collect()}
+    assert out[1] > 0 and out[2] > 0
+
+
+# ---------------------------------------------------------------------------
+# token-budget sample (llm44)
+# ---------------------------------------------------------------------------
+
+def test_token_budget_prefix_semantics(docs, spark):
+    from pyspark.sql import functions as F
+    ts = L.token_stats(docs, "text", "doc_id")
+    out = L.token_budget_sample(ts, "id", "ws_tokens", budget=1500)
+    rows = out.collect()
+    assert rows, "budget should admit at least one doc"
+    assert max(r["cum_tokens"] for r in rows) <= 1500
+    # cum_tokens is consistent: total == max cumulative
+    assert sum(r["n_tokens"] for r in rows) == \
+        max(r["cum_tokens"] for r in rows)
+    # matches the single-partition reference computation exactly
+    ref = (ts.withColumn("__k", F.xxhash64(F.col("id"), F.lit(42)))
+             .orderBy("__k", "id")
+             .select("id", "ws_tokens").collect())
+    cum, keep = 0, set()
+    for r in ref:
+        cum += r["ws_tokens"]
+        if cum > 1500:
+            break
+        keep.add(r["id"])
+    assert {r["id"] for r in rows} == keep
+
+
+def test_token_budget_monotone_in_budget(docs):
+    ts = L.token_stats(docs, "text", "doc_id")
+    small = {r["id"] for r in
+             L.token_budget_sample(ts, "id", "ws_tokens", 800).collect()}
+    large = {r["id"] for r in
+             L.token_budget_sample(ts, "id", "ws_tokens", 2400).collect()}
+    assert small < large
+
+
+# ---------------------------------------------------------------------------
+# domain mixture (llm45)
+# ---------------------------------------------------------------------------
+
+def test_domain_mixture_binding_domain_kept_whole(spark):
+    # dom a: 1000 tokens, dom b: 4000 tokens; weights 50/50 ->
+    # T = min(1000/.5, 4000/.5) = 2000; a keeps rate 1.0 (binding),
+    # b downsamples to .25 of its tokens in expectation
+    rows = [(i, "a", 10) for i in range(100)] + \
+           [(1000 + i, "b", 10) for i in range(400)] + \
+           [(5000 + i, "c", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    out = L.domain_mixture(df, "dom", "id", "toks",
+                           {"a": 0.5, "b": 0.5}, seed=1)
+    got = out.groupBy("domain").count().collect()
+    by_dom = {r["domain"]: r["count"] for r in got}
+    assert by_dom.get("a") == 100          # binding domain: rate 1.0
+    assert 0 < by_dom.get("b", 0) < 400    # strictly downsampled
+    assert "c" not in by_dom               # unweighted domain dropped
+    # b's keep-rate concentrates near .25 (hash-uniform, n=400)
+    assert 40 <= by_dom["b"] <= 160
+
+
+def test_domain_mixture_stability_under_growth(spark):
+    # growing domain b cannot change which of a's docs are kept
+    # (a stays binding), only b's rate
+    base = [(i, "a", 10) for i in range(50)] + \
+           [(1000 + i, "b", 10) for i in range(200)]
+    grown = base + [(2000 + i, "b", 10) for i in range(200)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "id long, dom string, toks long")
+    w = {"a": 0.5, "b": 0.5}
+    kept_a_1 = {r["id"] for r in
+                L.domain_mixture(mk(base), "dom", "id", "toks", w)
+                 .filter("domain = 'a'").collect()}
+    kept_a_2 = {r["id"] for r in
+                L.domain_mixture(mk(grown), "dom", "id", "toks", w)
+                 .filter("domain = 'a'").collect()}
+    assert kept_a_1 == kept_a_2 == set(range(50))

@@ -176,3 +176,50 @@ def test_decontaminate_eval_side_broadcasts(spark, queries):
                    mode="simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_line_dedup_no_single_partition(spark, queries):
+    """Corpus line dedup (llm42) is two partial-agg'd keyed shuffles +
+    one broadcast join: never a single-partition exchange, never a
+    sort-merge join, and the winner agg must partial-aggregate
+    (map-side combine is what makes web-corpus hot lines survivable)."""
+    p = queries["llm42_line_dedup"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "SortMergeJoin" not in p
+    assert "partial_min" in p or "partial" in p.lower()
+
+
+def test_dup_spans_shuffles_hashes_not_substrings(spark, queries):
+    """Winnowed duplicate spans (llm43): candidate grouping and the
+    flag join-back key on the 64-bit span hash — no cartesian, no
+    single-partition exchange anywhere."""
+    p = queries["llm43_dup_spans"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_token_budget_cumsum_is_distributed(spark, queries):
+    """The token-budget running sum (llm44) must use the range-bucket +
+    broadcast-offset machinery: bucketed window partitions, offsets
+    joined by broadcast, and NO single-partition exchange (the naive
+    sum() OVER (ORDER BY ...) formulation is exactly that)."""
+    p = queries["llm44_token_budget"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
+def test_domain_mixture_rates_broadcast(spark, queries):
+    """Domain mixture (llm45): the per-domain rates table must
+    broadcast back onto the corpus — a shuffled join here would
+    repartition the whole corpus to join |domains| rows.  The only
+    single-partition step allowed is the 1-row feasible-total scalar
+    aggregate (the q30 scalar-max pattern)."""
+    p = queries["llm45_domain_mixture"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
