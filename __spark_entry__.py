@@ -516,6 +516,14 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "source", "id", "ws_tokens",
             {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
             id_hash=L.md5_id_hash),
+        # per-source dataset-card stats; exact percentiles here (the
+        # oracled config — quantile_cont algebra), percentile_approx
+        # sketches on the 100 TB path
+        "llm46_corpus_stats": lambda s, d: L.corpus_stats(
+            L.token_stats(_docs(s, d), "text", "doc_id")
+             .join(_docs(s, d).selectExpr("doc_id as id", "source"),
+                   "id"),
+            "ws_tokens", group_col="source", exact=True),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -699,13 +707,33 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             group by event_type""")
         return _run_stream(spark, out, "complete")
 
+    def s08(spark, d):
+        # streaming exact dedup: dropDuplicatesWithinWatermark keeps
+        # keyed state only inside the watermark horizon (the
+        # bounded-state formulation — plain dropDuplicates would grow
+        # state forever on an unbounded stream).  Projecting the KEY
+        # columns only makes the kept set = the distinct key set
+        # regardless of micro-batch arrival order, so it oracles
+        # exactly against SELECT DISTINCT.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "events_s8", f"{d}/events.parquet", event_time_col="ts",
+            watermark="1 hour")
+        sdf = eng.catalog.get("events_s8")
+        out = (sdf.select("user_id", "event_type", "ts")
+                  .dropDuplicatesWithinWatermark(
+                      ["user_id", "event_type"])
+                  .select("user_id", "event_type"))
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
             "s04_stream_delta_window": s04,
             "s05_stream_session_window": s05,
             "s06_stream_count_sliding": s06,
-            "s07_stream_time_sliding": s07}
+            "s07_stream_time_sliding": s07,
+            "s08_stream_dedup": s08}
 
 
 # ---------------------------------------------------------------------------
@@ -789,19 +817,24 @@ _PRIORITY = [
     "llm40_decontaminate", "llm41_gopher_repetition",
     "llm42_line_dedup", "llm43_dup_spans",
     "llm44_token_budget", "llm45_domain_mixture",
+    "llm46_corpus_stats", "s08_stream_dedup",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q02_filter_projection", "q04_left_join", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
-    "q17a_union", "q18_case_arith", "q20_comma_from",
+    "q17a_union", "q18_case_arith",
     "q21_between_like_null", "q22_agg_distinct", "q24_star_scoped",
-    "q25_dual", "x02_expr_filter_groupby",
+    "x02_expr_filter_groupby",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
-    # (every oracled one below is driver-green in r4's window)
+    # (every oracled one below is driver-green in r4's window, except
+    # q20/q25 — r3-green trivial surfaces whose slots went to the new
+    # llm46/s08 so no shipped operator waits a round for a driver row;
+    # both stay covered by the per-session pytest oracle sweep)
+    "q20_comma_from", "q25_dual",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
     "q13_in_list", "q17b_union_all",
@@ -1548,6 +1581,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(concat('0x', substr(md5(concat(
                       CAST(t.id AS VARCHAR), ':', '42')), 1, 15))
                       AS BIGINT) % 1000000 < r.thresh""",
+        # dataset-card stats: exact percentiles (quantile_cont uses the
+        # same p*(n-1) linear interpolation as Spark's percentile)
+        "llm46_corpus_stats": """
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len(string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents)
+            SELECT source AS grp,
+                   count(*) AS n_docs,
+                   sum(n_tokens) AS total_tokens,
+                   round(avg(n_tokens), 6) AS mean_tokens,
+                   round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+                   round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,
+                   round(quantile_cont(n_tokens, 0.99), 6) AS p99_tokens
+            FROM t GROUP BY source""",
         # the whole curation pipeline with cross-engine-exact stages:
         # normalize-key dedup survivors -> quality >= 0.3 gate ->
         # md5 id-hash 90/10 split (seed 11) -> ws-token counts ->
@@ -1927,6 +1978,10 @@ def oracle_sql() -> dict[str, str]:
                    make_timestamp(ws * 3600 * 1000000) AS window_start,
                    make_timestamp((ws + 2) * 3600 * 1000000) AS window_end
             FROM u GROUP BY event_type, ws""",
+        # streaming dedup emits each (user_id, event_type) key once —
+        # key-only projection makes arrival order irrelevant
+        "s08_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events""",
         # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
         "x01_expr_projection": """
             SELECT event_id, (value + 1) * 2 AS v2,

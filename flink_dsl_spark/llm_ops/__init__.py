@@ -13,8 +13,8 @@ from .dedup import (
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
-    c4_line_filter, chunk_documents, decontaminate, gopher_quality,
-    gopher_repetition, lang_id, pii_redact,
+    c4_line_filter, chunk_documents, corpus_stats, decontaminate,
+    gopher_quality, gopher_repetition, lang_id, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
 )
 from .multimodal import (
@@ -40,5 +40,5 @@ __all__ = [
     "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
-    "domain_mixture",
+    "domain_mixture", "corpus_stats",
 ]

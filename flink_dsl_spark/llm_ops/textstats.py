@@ -391,3 +391,32 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     canon = F.concat_ws(" ", F.array_sort(F.array_distinct(tokens)))
     return spread_for_compute(df).select(F.col(id_col).alias("id"),
                      F.md5(canon).alias("fingerprint"))
+
+
+def corpus_stats(df: DataFrame, tokens_col: str,
+                 group_col: str | None = None,
+                 percentiles: tuple = (0.5, 0.9, 0.99),
+                 exact: bool = False) -> DataFrame:
+    """Dataset-card summary per group (or whole-corpus with
+    ``group_col=None``): doc count, token total/mean, and token-count
+    percentiles — the numbers a curation run reports before training.
+
+    ``exact=False`` (default, the 100 TB path) uses
+    ``percentile_approx`` — a mergeable t-digest-style sketch that
+    partial-aggregates map-side like any other agg.  ``exact=True``
+    buffers each group's values (fine at verification scale, the
+    oracled configuration: interpolation matches SQL
+    ``quantile_cont``).  One keyed shuffle either way."""
+    grp = F.col(group_col) if group_col else F.lit("all")
+    toks = F.col(tokens_col).cast("long")
+    pcols = []
+    for p in percentiles:
+        tag = f"p{int(p * 100)}_tokens"
+        fn = (F.percentile(toks, F.lit(float(p))) if exact
+              else F.percentile_approx(toks, F.lit(float(p))))
+        pcols.append(F.round(fn.cast("double"), 6).alias(tag))
+    return (df.groupBy(grp.alias("grp"))
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum(toks).alias("total_tokens"),
+                   F.round(F.avg(toks), 6).alias("mean_tokens"),
+                   *pcols))

@@ -963,3 +963,30 @@ def test_domain_mixture_stability_under_growth(spark):
                 L.domain_mixture(mk(grown), "dom", "id", "toks", w)
                  .filter("domain = 'a'").collect()}
     assert kept_a_1 == kept_a_2 == set(range(50))
+
+
+# ---------------------------------------------------------------------------
+# corpus stats (llm46)
+# ---------------------------------------------------------------------------
+
+def test_corpus_stats_whole_corpus_and_sketch_agreement(docs):
+    ts = L.token_stats(docs, "text", "doc_id")
+    exact = L.corpus_stats(ts, "ws_tokens", exact=True).first()
+    approx = L.corpus_stats(ts, "ws_tokens", exact=False).first()
+    assert exact["grp"] == "all" and exact["n_docs"] == docs.count()
+    assert exact["total_tokens"] == \
+        sum(r["ws_tokens"] for r in ts.collect())
+    # ordering invariant + the sketch lands near the exact quantile
+    assert exact["p50_tokens"] <= exact["p90_tokens"] \
+        <= exact["p99_tokens"]
+    assert abs(approx["p50_tokens"] - exact["p50_tokens"]) \
+        <= max(2.0, 0.1 * exact["p50_tokens"])
+
+
+def test_corpus_stats_grouped_counts_partition_corpus(docs, spark):
+    ts = (L.token_stats(docs, "text", "doc_id")
+           .join(docs.selectExpr("doc_id as id", "lang"), "id"))
+    rows = L.corpus_stats(ts, "ws_tokens", group_col="lang",
+                          exact=True).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    assert len(rows) == docs.select("lang").distinct().count()
