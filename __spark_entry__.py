@@ -524,6 +524,16 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
              .join(_docs(s, d).selectExpr("doc_id as id", "source"),
                    "id"),
             "ws_tokens", group_col="source", exact=True),
+        # cross-corpus near-dedup: every 10th doc stands in as the
+        # existing training corpus, the rest as the new crawl
+        "llm47_cross_dedup_pairs": lambda s, d: L.cross_corpus_dup_pairs(
+            _docs(s, d).filter("doc_id % 10 <> 0"),
+            _docs(s, d).filter("doc_id % 10 = 0"),
+            "text", "doc_id", n=8, threshold=0.8),
+        "llm48_dedup_against": lambda s, d: L.dedup_against(
+            _docs(s, d).filter("doc_id % 10 <> 0"),
+            _docs(s, d).filter("doc_id % 10 = 0"),
+            "text", "doc_id", n=8, threshold=0.8).select("doc_id"),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -818,9 +828,10 @@ _PRIORITY = [
     "llm42_line_dedup", "llm43_dup_spans",
     "llm44_token_budget", "llm45_domain_mixture",
     "llm46_corpus_stats", "s08_stream_dedup",
+    "llm47_cross_dedup_pairs", "llm48_dedup_against",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
-    "q02_filter_projection", "q04_left_join", "q05_right_join",
-    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
+    "q04_left_join", "q05_right_join",
+    "q08_using_join", "q09_rollup",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
     "q17a_union", "q18_case_arith",
     "q21_between_like_null", "q22_agg_distinct", "q24_star_scoped",
@@ -831,9 +842,11 @@ _PRIORITY = [
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window, except
-    # q20/q25 — r3-green trivial surfaces whose slots went to the new
-    # llm46/s08 so no shipped operator waits a round for a driver row;
-    # both stay covered by the per-session pytest oracle sweep)
+    # q02/q12/q20/q25 — r2/r3-green simple surfaces whose slots went
+    # to the new llm46-48/s08 so no shipped operator waits a round for
+    # a driver row; all four stay covered by the per-session pytest
+    # oracle sweep)
+    "q02_filter_projection", "q12_order_limit_offset",
     "q20_comma_from", "q25_dual",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
@@ -1581,6 +1594,44 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(concat('0x', substr(md5(concat(
                       CAST(t.id AS VARCHAR), ':', '42')), 1, 15))
                       AS BIGINT) % 1000000 < r.thresh""",
+        # cross-corpus exact jaccard recomputed independently (the
+        # dup_clusters shingle-SQL pattern with the asymmetric join)
+        "llm47_cross_dedup_pairs": """
+            WITH d AS (SELECT doc_id,
+                              list_distinct([substr(text, i, 8)
+                               for i in range(1,
+                                   greatest(length(text)-6, 2))]) AS sh
+                       FROM documents),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                  FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::DOUBLE /
+                         (any_value(a.n_sh) + any_value(b.n_sh)
+                          - count(*)), 6) AS jaccard
+            FROM e a JOIN e b ON a.s = b.s
+            WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+            GROUP BY 1, 2
+            HAVING round(count(*)::DOUBLE /
+                         (any_value(a.n_sh) + any_value(b.n_sh)
+                          - count(*)), 6) >= 0.8""",
+        "llm48_dedup_against": """
+            WITH d AS (SELECT doc_id,
+                              list_distinct([substr(text, i, 8)
+                               for i in range(1,
+                                   greatest(length(text)-6, 2))]) AS sh
+                       FROM documents),
+            e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                  FROM d),
+            hit AS (SELECT a.doc_id AS id_a
+                    FROM e a JOIN e b ON a.s = b.s
+                    WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+                    GROUP BY a.doc_id, b.doc_id
+                    HAVING round(count(*)::DOUBLE /
+                                 (any_value(a.n_sh) + any_value(b.n_sh)
+                                  - count(*)), 6) >= 0.8)
+            SELECT doc_id FROM documents
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT id_a FROM hit)""",
         # dataset-card stats: exact percentiles (quantile_cont uses the
         # same p*(n-1) linear interpolation as Spark's percentile)
         "llm46_corpus_stats": """

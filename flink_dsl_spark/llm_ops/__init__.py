@@ -6,6 +6,7 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 """
 
 from .dedup import (
+    cross_corpus_dup_pairs, dedup_against,
     dedup_survivors, dup_clusters, duplicate_spans, exact_dedup,
     line_dedup, ngram_jaccard_pairs,
     minhash_lsh_pairs, minhash_signatures, md5_token_hash, simhash_pairs,
@@ -41,4 +42,5 @@ __all__ = [
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
     "domain_mixture", "corpus_stats",
+    "cross_corpus_dup_pairs", "dedup_against",
 ]

@@ -740,3 +740,113 @@ def duplicate_spans(df: DataFrame, text_col: str, id_col: str,
                             F.when(F.col("n_spans") > 0,
                                    F.col("n_dup_spans") /
                                    F.col("n_spans"))))
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dedup (new data vs an existing training corpus)
+# ---------------------------------------------------------------------------
+
+def cross_corpus_dup_pairs(df: DataFrame, ref: DataFrame,
+                           text_col: str, id_col: str,
+                           ref_text_col: str | None = None,
+                           ref_id_col: str | None = None,
+                           n: int = 8, threshold: float = 0.8,
+                           max_posting_size: int | None = None
+                           ) -> DataFrame:
+    """Near-duplicate pairs BETWEEN two corpora (id_a from ``df``, id_b
+    from ``ref``) with char-n-gram Jaccard >= threshold — the "is this
+    new crawl already in the training set" primitive.  Same
+    inverted-index + count-aggregate design as ngram_jaccard_pairs
+    (the score comes from the shared-shingle count, never per-pair
+    array scans over the candidate set), with the asymmetric join in
+    place of the self-join.
+
+    ``max_posting_size`` is the same straggler guard: postings counted
+    across BOTH sides, over-cap shingles dropped before the join, a
+    sound upper bound — true shared <= kept shared + min(capped_a,
+    capped_b) — prunes candidates, and survivors verify exactly on
+    their full shingle arrays.  Uncapped, results are exhaustively
+    exact.  At 100 TB run this with the cap on (boilerplate shared by
+    both corpora is the dominant skew source), or band the signatures
+    first (minhash_lsh_pairs' shape) and use this as the verifier."""
+    ref_text_col = ref_text_col or text_col
+    ref_id_col = ref_id_col or id_col
+
+    def shingled(frame, tcol, icol):
+        return (spread_for_compute(frame)
+                .select(F.col(icol).alias("id"),
+                        char_shingles(F.col(tcol), n).alias("sh"))
+                .withColumn("n_sh", F.size("sh")))
+
+    sa = shingled(df, text_col, id_col)
+    sb = shingled(ref, ref_text_col, ref_id_col)
+    ea = sa.select("id", F.explode("sh").alias("s"))
+    eb = sb.select("id", F.explode("sh").alias("s"))
+
+    if max_posting_size is not None:
+        big = (ea.select("s").unionAll(eb.select("s"))
+                 .groupBy("s")
+                 .agg(F.count(F.lit(1)).alias("__pc"))
+                 .filter(F.col("__pc") > max_posting_size)
+                 .select("s"))
+        ka = ea.join(F.broadcast(big), "s", "left_anti")
+        kb = eb.join(F.broadcast(big), "s", "left_anti")
+    else:
+        ka, kb = ea, eb
+
+    pairs = (ka.alias("a")
+             .join(kb.alias("b"), F.col("a.s") == F.col("b.s"))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("shared_kept")))
+    pairs = (pairs
+             .join(sa.select(F.col("id").alias("id_a"),
+                             F.col("n_sh").alias("na")), "id_a")
+             .join(sb.select(F.col("id").alias("id_b"),
+                             F.col("n_sh").alias("nb")), "id_b"))
+    if max_posting_size is None:
+        jac = F.col("shared_kept") / (F.col("na") + F.col("nb")
+                                      - F.col("shared_kept"))
+        return (pairs.withColumn("jaccard", F.round(jac, 6))
+                     .filter(F.col("jaccard") >= threshold)
+                     .select("id_a", "id_b", "jaccard"))
+    nka = ka.groupBy("id").agg(F.count(F.lit(1)).alias("nk"))
+    nkb = kb.groupBy("id").agg(F.count(F.lit(1)).alias("nk"))
+    pairs = (pairs
+             .join(nka.select(F.col("id").alias("id_a"),
+                              F.col("nk").alias("nka")), "id_a", "left")
+             .join(nkb.select(F.col("id").alias("id_b"),
+                              F.col("nk").alias("nkb")), "id_b", "left")
+             .withColumn("ca", F.col("na") - F.coalesce("nka", F.lit(0)))
+             .withColumn("cb", F.col("nb") - F.coalesce("nkb", F.lit(0))))
+    ub_shared = F.col("shared_kept") + F.least("ca", "cb")
+    ub_j = ub_shared / (F.col("na") + F.col("nb") - ub_shared)
+    cand = pairs.filter(ub_j >= threshold).select("id_a", "id_b")
+    return (cand
+            .join(sa.alias("xa"), F.col("id_a") == F.col("xa.id"))
+            .join(sb.alias("xb"), F.col("id_b") == F.col("xb.id"))
+            .withColumn("shared", F.size(F.array_intersect(
+                F.col("xa.sh"), F.col("xb.sh"))))
+            .withColumn("jaccard", F.round(
+                F.col("shared") /
+                (F.col("xa.n_sh") + F.col("xb.n_sh") - F.col("shared")),
+                6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def dedup_against(df: DataFrame, ref: DataFrame,
+                  text_col: str, id_col: str,
+                  ref_text_col: str | None = None,
+                  ref_id_col: str | None = None,
+                  n: int = 8, threshold: float = 0.8,
+                  max_posting_size: int | None = None) -> DataFrame:
+    """Rows of ``df`` with NO near-duplicate in ``ref`` — dedup the new
+    corpus against the existing one.  One anti-join over the
+    cross-corpus pair list; ``df`` itself is never internally deduped
+    (compose with exact_dedup / dedup_survivors for that)."""
+    pairs = cross_corpus_dup_pairs(
+        df, ref, text_col, id_col, ref_text_col, ref_id_col,
+        n=n, threshold=threshold, max_posting_size=max_posting_size)
+    hit = pairs.select(F.col("id_a").alias(id_col)).distinct()
+    return df.join(hit, id_col, "left_anti")

@@ -990,3 +990,50 @@ def test_corpus_stats_grouped_counts_partition_corpus(docs, spark):
                           exact=True).collect()
     assert sum(r["n_docs"] for r in rows) == docs.count()
     assert len(rows) == docs.select("lang").distinct().count()
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus dedup (llm47/llm48)
+# ---------------------------------------------------------------------------
+
+def test_cross_corpus_pairs_capped_equals_uncapped(docs):
+    """The posting cap is a pure pruning optimization here: near-dups
+    share rare shingles far below the cap, so the capped pipeline's
+    exact-verify must reproduce the uncapped pair set."""
+    new = docs.filter("doc_id % 10 <> 0")
+    ref = docs.filter("doc_id % 10 = 0")
+    unc = _pairs(L.cross_corpus_dup_pairs(new, ref, "text", "doc_id",
+                                          n=8, threshold=0.8))
+    cap = _pairs(L.cross_corpus_dup_pairs(new, ref, "text", "doc_id",
+                                          n=8, threshold=0.8,
+                                          max_posting_size=50))
+    assert unc == cap and len(unc) > 0
+
+
+def test_dedup_against_removes_only_matches(docs):
+    new = docs.filter("doc_id % 10 <> 0")
+    ref = docs.filter("doc_id % 10 = 0")
+    pairs = L.cross_corpus_dup_pairs(new, ref, "text", "doc_id",
+                                     n=8, threshold=0.8)
+    hit = {r["id_a"] for r in pairs.collect()}
+    kept = {r["doc_id"] for r in
+            L.dedup_against(new, ref, "text", "doc_id",
+                            n=8, threshold=0.8).collect()}
+    allnew = {r["doc_id"] for r in new.select("doc_id").collect()}
+    assert kept == allnew - hit and hit
+
+
+def test_cross_corpus_asymmetric_columns(spark):
+    # different column names on the two sides resolve correctly
+    a = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again")],
+        "doc_id long, text string")
+    b = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog again"),
+         (8, "entirely different reference content here")],
+        "rid long, body string")
+    got = L.cross_corpus_dup_pairs(a, b, "text", "doc_id",
+                                   ref_text_col="body",
+                                   ref_id_col="rid",
+                                   n=8, threshold=0.8).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 9)}
