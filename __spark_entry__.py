@@ -534,6 +534,13 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d).filter("doc_id % 10 <> 0"),
             _docs(s, d).filter("doc_id % 10 = 0"),
             "text", "doc_id", n=8, threshold=0.8).select("doc_id"),
+        # model-based quality filter plumbing (hashing-trick linear
+        # scorer); md5 token hash = the oracled config, and the weight
+        # stub stands in for a real exported model table
+        "llm49_classifier_score": lambda s, d: L.classifier_score(
+            _docs(s, d), "text", "doc_id",
+            num_features=1024, weights_seed=7,
+            token_hash=L.md5_token_hash),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -829,8 +836,9 @@ _PRIORITY = [
     "llm44_token_budget", "llm45_domain_mixture",
     "llm46_corpus_stats", "s08_stream_dedup",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    "llm49_classifier_score",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
-    "q04_left_join", "q05_right_join",
+    "q04_left_join",
     "q08_using_join", "q09_rollup",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
     "q17a_union", "q18_case_arith",
@@ -846,7 +854,8 @@ _PRIORITY = [
     # to the new llm46-48/s08 so no shipped operator waits a round for
     # a driver row; all four stay covered by the per-session pytest
     # oracle sweep)
-    "q02_filter_projection", "q12_order_limit_offset",
+    "q02_filter_projection", "q05_right_join",
+    "q12_order_limit_offset",
     "q20_comma_from", "q25_dual",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
@@ -1632,6 +1641,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id % 10 <> 0
               AND doc_id NOT IN (SELECT id_a FROM hit)""",
+        # hashing-trick scorer replayed independently: md5-60bit token
+        # -> feature % 1024, stub weight from md5(feature:seed), mean
+        # weight through a sigmoid (round 6 absorbs libm exp ulps)
+        "llm49_classifier_score": """
+            WITH t AS (SELECT doc_id,
+                              list_filter(string_split(trim(
+                                  regexp_replace(regexp_replace(
+                                  lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' '),
+                                  x -> x <> '') AS toks
+                       FROM documents),
+            e AS (SELECT doc_id, len(toks) AS n_tokens,
+                         unnest(toks) AS tok
+                  FROM t),
+            f AS (SELECT doc_id, n_tokens,
+                         CAST(concat('0x', substr(md5(tok), 1, 15))
+                              AS BIGINT) % 1024 AS feat
+                  FROM e),
+            w AS (SELECT doc_id, n_tokens,
+                         (CAST(concat('0x', substr(md5(concat(
+                              CAST(feat AS VARCHAR), ':', '7')), 1, 15))
+                              AS BIGINT) % 2001 - 1000) / 1000.0 AS wt
+                  FROM f),
+            agg AS (SELECT doc_id, any_value(n_tokens) AS n_tokens,
+                           sum(wt) AS sw
+                    FROM w GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(agg.n_tokens, 0) AS INTEGER)
+                       AS n_tokens,
+                   round(1.0 / (1.0 + exp(-(coalesce(agg.sw, 0.0) /
+                         greatest(coalesce(agg.n_tokens, 0), 1)))), 6)
+                       AS score
+            FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
         # dataset-card stats: exact percentiles (quantile_cont uses the
         # same p*(n-1) linear interpolation as Spark's percentile)
         "llm46_corpus_stats": """

@@ -14,7 +14,8 @@ from .dedup import (
 )
 from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
-    c4_line_filter, chunk_documents, corpus_stats, decontaminate,
+    c4_line_filter, chunk_documents, classifier_score, corpus_stats,
+    decontaminate,
     gopher_quality, gopher_repetition, lang_id, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
 )
@@ -42,5 +43,5 @@ __all__ = [
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
     "domain_mixture", "corpus_stats",
-    "cross_corpus_dup_pairs", "dedup_against",
+    "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
 ]

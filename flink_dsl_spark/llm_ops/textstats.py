@@ -420,3 +420,61 @@ def corpus_stats(df: DataFrame, tokens_col: str,
                    F.sum(toks).alias("total_tokens"),
                    F.round(F.avg(toks), 6).alias("mean_tokens"),
                    *pcols))
+
+
+def classifier_score(df: DataFrame, text_col: str, id_col: str,
+                     num_features: int = 1024,
+                     weights: "DataFrame | None" = None,
+                     weights_seed: int = 7,
+                     token_hash=None) -> DataFrame:
+    """Model-based quality scoring with the feature-hashing trick (the
+    fastText / FineWeb-edu classifier-filter stage): each normalized
+    token hashes to one of ``num_features`` buckets, the document's
+    mean bucket weight passes through a sigmoid, and the score lands
+    in (0, 1) as (id, n_tokens, score).
+
+    ``weights`` is a (feature, weight) DataFrame — a real trained
+    linear model exported as a table; it is broadcast, so scoring is
+    explode -> broadcast-join -> per-doc sum: ONE keyed shuffle
+    regardless of model or corpus size.  When omitted, a deterministic
+    hash-derived weight STUB stands in (weight = scaled hash of the
+    feature index and ``weights_seed``): the plumbing — tokenize,
+    hash, aggregate, squash — is the real operator, only the model is
+    fake, and then the broadcast join disappears entirely (the weight
+    is a pure expression of the token, zero joins).
+
+    ``token_hash``: Column -> integral Column; defaults to xxhash64,
+    with dedup.md5_token_hash the cross-engine-reproducible (oracle)
+    choice."""
+    if token_hash is None:
+        token_hash = F.xxhash64
+    toks = F.filter(_ws_tokens(F.col(text_col)), lambda t: t != "")
+    ex = (spread_for_compute(df)
+          .select(F.col(id_col).alias("id"),
+                  F.size(toks).alias("n_tokens"),
+                  F.explode_outer(toks).alias("tok")))
+    feat = F.pmod(token_hash(F.col("tok")), F.lit(num_features))
+    ex = ex.withColumn("__f", feat)
+    if weights is not None:
+        wcols = weights.columns
+        w = weights.select(F.col(wcols[0]).cast("long").alias("__f"),
+                           F.col(wcols[1]).cast("double").alias("__w"))
+        ex = (ex.join(F.broadcast(w), "__f", "left")
+                .withColumn("__w", F.coalesce("__w", F.lit(0.0))))
+    else:
+        # stub model: weight(f) = (H(f:seed) % 2001 - 1000) / 1000
+        # in [-1, 1] — deterministic, engine-reproducible
+        hsrc = F.concat(F.col("__f").cast("string"), F.lit(":"),
+                        F.lit(str(weights_seed)))
+        ex = ex.withColumn(
+            "__w",
+            (F.pmod(token_hash(hsrc), F.lit(2001)) - F.lit(1000))
+            .cast("double") / F.lit(1000.0))
+    mean_w = F.sum(F.when(F.col("tok").isNotNull(), F.col("__w"))
+                    .otherwise(F.lit(0.0))) / \
+        F.greatest(F.first("n_tokens"), F.lit(1))
+    return (ex.groupBy("id")
+              .agg(F.first("n_tokens").alias("n_tokens"),
+                   F.round(F.lit(1.0) /
+                           (F.lit(1.0) + F.exp(-mean_w)), 6)
+                    .alias("score")))

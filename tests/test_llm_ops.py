@@ -1037,3 +1037,41 @@ def test_cross_corpus_asymmetric_columns(spark):
                                    ref_id_col="rid",
                                    n=8, threshold=0.8).collect()
     assert {(r["id_a"], r["id_b"]) for r in got} == {(1, 9)}
+
+
+# ---------------------------------------------------------------------------
+# hashed classifier score (llm49)
+# ---------------------------------------------------------------------------
+
+def test_classifier_score_custom_weights_table(spark):
+    """A real exported model table drives the score: a strongly
+    positive weight on 'good' tokens' bucket pushes the sigmoid up,
+    out-of-model buckets contribute 0 (score 0.5 exactly)."""
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [(1, "good good good"), (2, "unknown mystery words")],
+        "doc_id long, text string")
+    feat_good = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit("good")), F.lit(1024))).first()[0]
+    w = spark.createDataFrame([(int(feat_good), 5.0)],
+                              "feature long, weight double")
+    out = {r["id"]: r for r in
+           L.classifier_score(df, "text", "doc_id", num_features=1024,
+                              weights=w).collect()}
+    assert out[1]["score"] > 0.99          # sigmoid(5) ~ 0.993
+    assert out[2]["score"] == 0.5          # all tokens out-of-model
+    assert out[1]["n_tokens"] == 3
+
+
+def test_classifier_score_stub_deterministic_and_bounded(docs):
+    a = {r["id"]: r["score"] for r in
+         L.classifier_score(docs, "text", "doc_id").collect()}
+    b = {r["id"]: r["score"] for r in
+         L.classifier_score(docs, "text", "doc_id").collect()}
+    assert a == b and len(a) == docs.count()
+    assert all(0.0 < v < 1.0 for v in a.values())
+    # a different seed must actually change the model
+    c = {r["id"]: r["score"] for r in
+         L.classifier_score(docs, "text", "doc_id",
+                            weights_seed=99).collect()}
+    assert a != c
