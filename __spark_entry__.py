@@ -541,6 +541,18 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(s, d), "text", "doc_id",
             num_features=1024, weights_seed=7,
             token_hash=L.md5_token_hash),
+        # full-corpus distributed Lloyd k-means; one iteration +
+        # quantized centroids = the cross-engine-oracled config
+        # (production: more iterations, full precision, xxhash init)
+        "llm50_kmeans": lambda s, d: L.kmeans(
+            _emb(s, d), "embedding", "vec_id", k=4, max_iters=1,
+            quantize=6, id_hash=L.md5_id_hash),
+        # SemDeDup (Abbas et al. 2023): cluster then drop members with
+        # a same-cluster smaller-id neighbor at cosine >= threshold
+        "llm51_semdedup": lambda s, d: L.semdedup(
+            _emb(s, d).filter("vec_id % 3 = 1 AND vec_id < 1200"),
+            "embedding", "vec_id", k=2, threshold=0.4, max_iters=1,
+            quantize=6, id_hash=L.md5_id_hash),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -836,12 +848,12 @@ _PRIORITY = [
     "llm44_token_budget", "llm45_domain_mixture",
     "llm46_corpus_stats", "s08_stream_dedup",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
-    "llm49_classifier_score",
+    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
-    "q08_using_join", "q09_rollup",
+    "q08_using_join",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
-    "q17a_union", "q18_case_arith",
+    "q18_case_arith",
     "q21_between_like_null", "q22_agg_distinct", "q24_star_scoped",
     "x02_expr_filter_groupby",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
@@ -850,13 +862,15 @@ _PRIORITY = [
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q12/q20/q25 — r2/r3-green simple surfaces whose slots went
-    # to the new llm46-48/s08 so no shipped operator waits a round for
-    # a driver row; all four stay covered by the per-session pytest
+    # q02/q05/q09/q12/q17a/q20/q25 — r2/r3-green surfaces whose slots
+    # went to the ten NEW r5 operators llm42-51/s08 so no shipped
+    # operator waits a round for a driver row; each displaced family
+    # keeps an in-window representative (q04 outer joins, q38 rollup,
+    # q17b-d set ops) and all stay covered by the per-session pytest
     # oracle sweep)
     "q02_filter_projection", "q05_right_join",
-    "q12_order_limit_offset",
-    "q20_comma_from", "q25_dual",
+    "q09_rollup", "q12_order_limit_offset",
+    "q17a_union", "q20_comma_from", "q25_dual",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
     "q13_in_list", "q17b_union_all",
@@ -1674,6 +1688,106 @@ def oracle_sql() -> dict[str, str]:
                          greatest(coalesce(agg.n_tokens, 0), 1)))), 6)
                        AS score
             FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""",
+        # one full Lloyd iteration replayed in SQL: hash-ordered init,
+        # argmin assignment (first-index ties both engines), per-dim
+        # mean update (round 6 absorbs summation-order ulps), re-assign
+        "llm50_kmeans": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            h AS (SELECT vec_id, v,
+                         CAST(concat('0x', substr(md5(concat(
+                              CAST(vec_id AS VARCHAR), ':', '42')),
+                              1, 15)) AS BIGINT) AS hk
+                  FROM e),
+            init AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1
+                                AS c,
+                            [round(x, 6) for x in v] AS cv
+                     FROM h ORDER BY hk, vec_id LIMIT 4),
+            d0 AS (SELECT h.vec_id, h.v, i.c,
+                          list_sum([(z[1]-z[2])*(z[1]-z[2])
+                                    for z in list_zip(h.v, i.cv)]) AS d
+                   FROM h CROSS JOIN init i),
+            a0 AS (SELECT vec_id, v, c FROM (
+                     SELECT vec_id, v, c,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, c) AS rn
+                     FROM d0) WHERE rn = 1),
+            u AS (SELECT c, unnest(generate_series(1, len(v))) AS p, v
+                  FROM a0),
+            m AS (SELECT c, p, round(avg(v[p]), 6) AS m
+                  FROM u GROUP BY c, p),
+            dims AS (SELECT c, unnest(generate_series(1, len(cv)))
+                                AS p, cv
+                     FROM init),
+            nc AS (SELECT d.c, d.p, coalesce(m.m, d.cv[d.p]) AS x
+                   FROM dims d
+                   LEFT JOIN m ON m.c = d.c AND m.p = d.p),
+            cent1 AS (SELECT c, list(x ORDER BY p) AS cv
+                      FROM nc GROUP BY c),
+            d1 AS (SELECT h.vec_id, i.c,
+                          list_sum([(z[1]-z[2])*(z[1]-z[2])
+                                    for z in list_zip(h.v, i.cv)]) AS d
+                   FROM h CROSS JOIN cent1 i),
+            a1 AS (SELECT vec_id, c,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY d, c) AS rn
+                   FROM d1)
+            SELECT vec_id AS id, CAST(c AS INTEGER) AS cluster
+            FROM a1 WHERE rn = 1""",
+        # the llm50 pipeline at k=2 on the bounded verifier slice, then
+        # the SemDeDup keep rule: survive unless a same-cluster smaller
+        # id sits at cosine >= 0.4 (llm05's cosine-rounding premise)
+        "llm51_semdedup": """
+            WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                       FROM embeddings
+                       WHERE vec_id % 3 = 1 AND vec_id < 1200),
+            h AS (SELECT vec_id, v,
+                         CAST(concat('0x', substr(md5(concat(
+                              CAST(vec_id AS VARCHAR), ':', '42')),
+                              1, 15)) AS BIGINT) AS hk
+                  FROM e),
+            init AS (SELECT row_number() OVER (ORDER BY hk, vec_id) - 1
+                                AS c,
+                            [round(x, 6) for x in v] AS cv
+                     FROM h ORDER BY hk, vec_id LIMIT 2),
+            d0 AS (SELECT h.vec_id, h.v, i.c,
+                          list_sum([(z[1]-z[2])*(z[1]-z[2])
+                                    for z in list_zip(h.v, i.cv)]) AS d
+                   FROM h CROSS JOIN init i),
+            a0 AS (SELECT vec_id, v, c FROM (
+                     SELECT vec_id, v, c,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, c) AS rn
+                     FROM d0) WHERE rn = 1),
+            u AS (SELECT c, unnest(generate_series(1, len(v))) AS p, v
+                  FROM a0),
+            m AS (SELECT c, p, round(avg(v[p]), 6) AS m
+                  FROM u GROUP BY c, p),
+            dims AS (SELECT c, unnest(generate_series(1, len(cv)))
+                                AS p, cv
+                     FROM init),
+            nc AS (SELECT d.c, d.p, coalesce(m.m, d.cv[d.p]) AS x
+                   FROM dims d
+                   LEFT JOIN m ON m.c = d.c AND m.p = d.p),
+            cent1 AS (SELECT c, list(x ORDER BY p) AS cv
+                      FROM nc GROUP BY c),
+            d1 AS (SELECT h.vec_id, h.v, i.c,
+                          list_sum([(z[1]-z[2])*(z[1]-z[2])
+                                    for z in list_zip(h.v, i.cv)]) AS d
+                   FROM h CROSS JOIN cent1 i),
+            a1 AS (SELECT vec_id, v, c FROM (
+                     SELECT vec_id, v, c,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY d, c) AS rn
+                     FROM d1) WHERE rn = 1),
+            near AS (SELECT DISTINCT a.vec_id
+                     FROM a1 a JOIN a1 b
+                       ON a.c = b.c AND b.vec_id < a.vec_id
+                     WHERE round(list_cosine_similarity(a.v, b.v), 6)
+                           >= 0.4)
+            SELECT a1.vec_id AS id, CAST(a1.c AS INTEGER) AS cluster
+            FROM a1
+            WHERE a1.vec_id NOT IN (SELECT vec_id FROM near)""",
         # dataset-card stats: exact percentiles (quantile_cont uses the
         # same p*(n-1) linear interpolation as Spark's percentile)
         "llm46_corpus_stats": """

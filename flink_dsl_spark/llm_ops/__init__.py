@@ -26,6 +26,7 @@ from .multimodal import (
 from .assemble import (domain_mixture, md5_id_hash, pack_sequences,
                        seeded_shuffle, split_dataset, stratified_sample,
                        token_budget_sample)
+from .cluster import kmeans, kmeans_assign, kmeans_fit, semdedup
 
 __all__ = [
     "dedup_survivors", "dup_clusters", "exact_dedup",
@@ -44,4 +45,5 @@ __all__ = [
     "line_dedup", "duplicate_spans", "token_budget_sample",
     "domain_mixture", "corpus_stats",
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
+    "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",
 ]

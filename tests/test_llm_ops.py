@@ -1075,3 +1075,55 @@ def test_classifier_score_stub_deterministic_and_bounded(docs):
          L.classifier_score(docs, "text", "doc_id",
                             weights_seed=99).collect()}
     assert a != c
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + SemDeDup (llm50/llm51)
+# ---------------------------------------------------------------------------
+
+def _inertia(df, centroids):
+    from pyspark.sql import functions as F
+    from flink_dsl_spark.llm_ops.cluster import _dist_cols
+    dists = F.array(*_dist_cols(F.col("embedding"), centroids))
+    return df.select(F.array_min(dists).alias("d")) \
+             .agg(F.sum("d")).first()[0]
+
+
+def test_kmeans_inertia_non_increasing(emb):
+    prev = None
+    for iters in (0, 1, 3, 6):
+        c = L.kmeans_fit(emb, "embedding", "vec_id", k=4,
+                         max_iters=iters)
+        cur = _inertia(emb, c)
+        if prev is not None:
+            assert cur <= prev + 1e-9, iters
+        prev = cur
+
+
+def test_kmeans_assignment_is_nearest_and_total(emb):
+    c = L.kmeans_fit(emb, "embedding", "vec_id", k=4, max_iters=3)
+    out = L.kmeans_assign(emb, "embedding", "vec_id", c)
+    assert out.count() == emb.count()
+    clusters = {r["cluster"] for r in out.collect()}
+    assert clusters <= set(range(4)) and len(clusters) > 1
+    # determinism across runs
+    again = L.kmeans(emb, "embedding", "vec_id", k=4, max_iters=3)
+    a = {r["id"]: r["cluster"] for r in out.collect()}
+    b = {r["id"]: r["cluster"] for r in again.collect()}
+    assert a == b
+
+
+def test_semdedup_drops_planted_twin(emb, spark):
+    from pyspark.sql import functions as F
+    # plant an exact twin of one vector under a fresh id: SemDeDup at
+    # threshold ~1 must drop exactly the twin (larger id), nothing else
+    base = emb.select("vec_id", "embedding")
+    twin = (base.filter("vec_id = 1")
+                .select((F.col("vec_id") + 1000000).alias("vec_id"),
+                        "embedding"))
+    corpus = base.unionByName(twin)
+    kept = {r["id"] for r in
+            L.semdedup(corpus, "embedding", "vec_id", k=4,
+                       threshold=0.999999, max_iters=2).collect()}
+    assert 1 in kept and 1000001 not in kept
+    assert len(kept) == base.count()   # only the twin was dropped
