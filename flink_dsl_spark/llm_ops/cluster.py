@@ -130,20 +130,22 @@ def semdedup(df: DataFrame, vec_col: str, id_col: str, k: int,
     formulation's per-cluster greedy scan."""
     from .dedup import cosine_sim
 
-    assigned = kmeans(df, vec_col, id_col, k, max_iters, seed,
-                      quantize, id_hash)
-    vecs = df.select(F.col(id_col).alias("id"),
-                     F.col(vec_col).alias("v"))
-    a = assigned.join(vecs, "id").select(
-        F.col("id").alias("id_a"), F.col("cluster"),
-        F.col("v").alias("va"))
-    b = assigned.join(vecs, "id").select(
-        F.col("id").alias("id_b"), F.col("cluster").alias("cb"),
-        F.col("v").alias("vb"))
+    c = kmeans_fit(df, vec_col, id_col, k, max_iters, seed,
+                   quantize, id_hash)
+    # assignment carries the vector along — no corpus-sized join back
+    assigned = spread_for_compute(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        _assign_expr(F.col(vec_col), c).alias("cluster"))
+    a = assigned.select(F.col("id").alias("id_a"), F.col("cluster"),
+                        F.col("v").alias("va"))
+    b = assigned.select(F.col("id").alias("id_b"),
+                        F.col("cluster").alias("cb"),
+                        F.col("v").alias("vb"))
     near = (a.join(b, (F.col("cluster") == F.col("cb")) &
                    (F.col("id_b") < F.col("id_a")))
              .filter(F.round(cosine_sim(F.col("va"), F.col("vb")), 6)
                      >= threshold)
              .select(F.col("id_a").alias("id"))
              .distinct())
-    return assigned.join(near, "id", "left_anti")
+    return (assigned.select("id", "cluster")
+                    .join(near, "id", "left_anti"))

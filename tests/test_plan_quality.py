@@ -223,3 +223,26 @@ def test_domain_mixture_rates_broadcast(spark, queries):
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_kmeans_assignment_is_pure_projection(spark, queries):
+    """k-means assignment (llm50) evaluates against broadcast centroid
+    LITERALS: exactly one exchange (the spread repartition), no joins
+    of any kind, no single-partition step."""
+    p = queries["llm50_kmeans"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "Join" not in p
+    assert p.count("Exchange") <= 1
+
+
+def test_semdedup_joins_only_within_clusters(spark, queries):
+    """SemDeDup (llm51): the only corpus-sized join is the
+    within-cluster pairing (one sort-merge join on the cluster key —
+    inherent to the recipe); assignment must NOT re-join vectors onto
+    cluster ids, and nothing may degenerate to a cartesian."""
+    p = queries["llm51_semdedup"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "SinglePartition" not in p
+    assert p.count("SortMergeJoin") <= 1
