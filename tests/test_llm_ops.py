@@ -729,30 +729,57 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
     import __spark_entry__ as E
     from flink_dsl_spark import llm_ops as L
 
-    docs = [(i, t) for i, t in enumerate(texts)]
-    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    docs = [(i, t, f"src{i % 4}") for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string, "
+                                      "source string")
     con = duckdb.connect()
-    docs_pd = pd.DataFrame(docs, columns=["doc_id", "text"])  # noqa: F841
+    docs_pd = pd.DataFrame(docs,                          # noqa: F841
+                           columns=["doc_id", "text", "source"])
     con.sql("CREATE VIEW documents AS SELECT * FROM docs_pd")
     oracles = E.oracle_sql()
 
+    ts = (L.token_stats(sdf, "text", "doc_id")
+           .join(sdf.selectExpr("doc_id as id", "source"), "id"))
     checks = [
         ("llm32_gopher_quality",
-         L.gopher_quality(sdf, "text", "doc_id")),
+         L.gopher_quality(sdf, "text", "doc_id"), "id"),
         ("llm33_c4_line_filter",
-         L.c4_line_filter(sdf, "text", "doc_id")),
+         L.c4_line_filter(sdf, "text", "doc_id"), "id"),
         ("llm34_pii_redact",
-         L.pii_redact(sdf, "text", "doc_id")),
+         L.pii_redact(sdf, "text", "doc_id"), "id"),
         ("llm40_decontaminate",
          L.decontaminate(sdf.filter("doc_id % 50 <> 0"), "text",
                          "doc_id", sdf.filter("doc_id % 50 = 0"),
-                         n=13)),
+                         n=13), "id"),
         ("llm41_gopher_repetition",
-         L.gopher_repetition(sdf, "text", "doc_id")),
+         L.gopher_repetition(sdf, "text", "doc_id"), "id"),
+        # r5 operators: split/winnowing/cumsum/mixture/percentile/
+        # sigmoid premises, all at the exact driver configurations
+        ("llm42_line_dedup",
+         L.line_dedup(sdf, "text", "doc_id"), "id"),
+        ("llm43_dup_spans",
+         L.duplicate_spans(sdf, "text", "doc_id", span=32, anchor=8,
+                           density=16, anchor_hash=L.md5_token_hash),
+         "id"),
+        ("llm44_token_budget",
+         L.token_budget_sample(L.token_stats(sdf, "text", "doc_id"),
+                               "id", "ws_tokens", budget=5000,
+                               id_hash=L.md5_id_hash), "id"),
+        ("llm45_domain_mixture",
+         L.domain_mixture(ts, "source", "id", "ws_tokens",
+                          {"src0": 0.4, "src1": 0.3, "src2": 0.2,
+                           "src3": 0.1}, id_hash=L.md5_id_hash), "id"),
+        ("llm46_corpus_stats",
+         L.corpus_stats(ts, "ws_tokens", group_col="source",
+                        exact=True), "grp"),
+        ("llm49_classifier_score",
+         L.classifier_score(sdf, "text", "doc_id", num_features=1024,
+                            weights_seed=7,
+                            token_hash=L.md5_token_hash), "id"),
     ]
-    for name, out in checks:
-        a = out.toPandas().set_index("id").sort_index()
-        b = con.sql(oracles[name]).df().set_index("id").sort_index()
+    for name, out, idx in checks:
+        a = out.toPandas().set_index(idx).sort_index()
+        b = con.sql(oracles[name]).df().set_index(idx).sort_index()
         a = a[sorted(a.columns)]
         b = b[sorted(b.columns)]
         for c in a.columns:
