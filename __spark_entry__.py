@@ -553,6 +553,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _emb(s, d).filter("vec_id % 3 = 1 AND vec_id < 1200"),
             "embedding", "vec_id", k=2, threshold=0.4, max_iters=1,
             quantize=6, id_hash=L.md5_id_hash),
+        # CCNet-style char-trigram LM perplexity (self-model config:
+        # the corpus scores against its own bounded 37^3 statistics)
+        "llm52_lm_perplexity": lambda s, d: L.ngram_lm_perplexity(
+            _docs(s, d), "text", "doc_id"),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -849,12 +853,13 @@ _PRIORITY = [
     "llm46_corpus_stats", "s08_stream_dedup",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
+    "llm52_lm_perplexity",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q08_using_join",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
     "q18_case_arith",
-    "q21_between_like_null", "q22_agg_distinct", "q24_star_scoped",
+    "q21_between_like_null", "q22_agg_distinct",
     "x02_expr_filter_groupby",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
@@ -862,15 +867,15 @@ _PRIORITY = [
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q09/q12/q17a/q20/q25 — r2/r3-green surfaces whose slots
-    # went to the ten NEW r5 operators llm42-51/s08 so no shipped
-    # operator waits a round for a driver row; each displaced family
-    # keeps an in-window representative (q04 outer joins, q38 rollup,
-    # q17b-d set ops) and all stay covered by the per-session pytest
-    # oracle sweep)
+    # q02/q05/q09/q12/q17a/q20/q24/q25 — r2/r3-green surfaces whose
+    # slots went to the eleven NEW r5 operators llm42-52/s08 so no
+    # shipped operator waits a round for a driver row; each displaced
+    # family keeps an in-window representative (q04 outer joins, q38
+    # rollup, q17b-d set ops, q01 star/projection) and all stay
+    # covered by the per-session pytest oracle sweep)
     "q02_filter_projection", "q05_right_join",
     "q09_rollup", "q12_order_limit_offset",
-    "q17a_union", "q20_comma_from", "q25_dual",
+    "q17a_union", "q20_comma_from", "q24_star_scoped", "q25_dual",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
     "q13_in_list", "q17b_union_all",
@@ -1788,6 +1793,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT a1.vec_id AS id, CAST(a1.c AS INTEGER) AS cluster
             FROM a1
             WHERE a1.vec_id NOT IN (SELECT vec_id FROM near)""",
+        # char-trigram Laplace LM replayed in SQL: same normalized
+        # stream, same (c3+1)/(c2+37) smoothing; unseen trigrams and
+        # prefixes fall out of the left joins' NULL->0 identically
+        "llm52_lm_perplexity": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(regexp_replace(
+                                  lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')) AS norm
+                       FROM documents),
+            g AS (SELECT doc_id,
+                         [substr(norm, i, 3)
+                          for i in range(1, greatest(len(norm)-1, 1))]
+                             AS gs
+                  FROM n),
+            e AS (SELECT doc_id, unnest(gs) AS gram FROM g),
+            m AS (SELECT gram, count(*) AS cnt FROM e GROUP BY gram),
+            p AS (SELECT substr(gram, 1, 2) AS pre, sum(cnt) AS c2
+                  FROM m GROUP BY 1),
+            s AS (SELECT e.doc_id,
+                         ln((coalesce(m.cnt, 0) + 1.0) /
+                            (coalesce(p.c2, 0) + 37.0)) AS lp
+                  FROM e
+                  LEFT JOIN m USING (gram)
+                  LEFT JOIN p ON substr(e.gram, 1, 2) = p.pre),
+            a AS (SELECT doc_id, count(*) AS n_grams,
+                         round(avg(lp), 6) AS avg_logp
+                  FROM s GROUP BY doc_id)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(a.n_grams, 0) AS BIGINT) AS n_grams,
+                   a.avg_logp,
+                   round(exp(-a.avg_logp), 6) AS ppl
+            FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""",
         # dataset-card stats: exact percentiles (quantile_cont uses the
         # same p*(n-1) linear interpolation as Spark's percentile)
         "llm46_corpus_stats": """

@@ -478,3 +478,84 @@ def classifier_score(df: DataFrame, text_col: str, id_col: str,
                    F.round(F.lit(1.0) /
                            (F.lit(1.0) + F.exp(-mean_w)), 6)
                     .alias("score")))
+
+
+_LM_V = 37            # normalized alphabet: a-z, 0-9, space
+_LM_K = 1.0           # Laplace smoothing mass
+
+
+def ngram_lm_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Character-trigram language model from a corpus: (gram, cnt)
+    occurrence counts over normalized text.  The normalized alphabet
+    has 37 symbols, so the model is bounded at 37^3 ≈ 50k rows no
+    matter the corpus size — it BROADCASTS, which is what makes
+    perplexity scoring a map-side operation at any scale.  One
+    partial-aggregated shuffle."""
+    from .dedup import normalized
+    norm = normalized(F.col(text_col))
+    ln = F.length(norm)
+    grams = F.when(
+        ln >= 3,
+        F.transform(F.sequence(F.lit(1), ln - F.lit(2)),
+                    lambda i: F.substring(norm, i, 3))
+    ).otherwise(F.array().cast("array<string>"))
+    return (spread_for_compute(df)
+            .select(F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def ngram_lm_perplexity(df: DataFrame, text_col: str, id_col: str,
+                        model: "DataFrame | None" = None) -> DataFrame:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020): score
+    each document by a character-trigram LM — low-perplexity text is
+    fluent in the reference distribution, high-perplexity is noise.
+    Returns (id, n_grams, avg_logp, ppl); a document shorter than one
+    trigram scores NULL.
+
+    ``model`` is an ngram_lm_fit result (score against a clean
+    reference corpus, the CCNet formulation); omitted, the corpus
+    scores against its own statistics (self-perplexity — outliers are
+    still outliers).  Per-occurrence log-probability is Laplace
+    add-k over the bounded 37-symbol alphabet:
+    ln((c3+k)/(c2+k*37)), where both count tables derive from the
+    broadcast model — unseen trigrams and unseen prefixes fall out of
+    the same formula via the left joins' NULL->0.  Scoring is two
+    broadcast joins + one keyed agg; the corpus is scanned once."""
+    from .dedup import normalized
+    from .util import cache_of_one
+    if model is None:
+        # self-model: persist the 37^3-bounded fit so the corpus-wide
+        # trigram aggregation runs once, not once per downstream join
+        model = cache_of_one("ngram_lm_self",
+                             ngram_lm_fit(df, text_col))
+    prefix = (model.groupBy(F.substring("gram", 1, 2).alias("pre"))
+                   .agg(F.sum("cnt").alias("c2")))
+    norm = normalized(F.col(text_col))
+    ln = F.length(norm)
+    grams = F.when(
+        ln >= 3,
+        F.transform(F.sequence(F.lit(1), ln - F.lit(2)),
+                    lambda i: F.substring(norm, i, 3))
+    ).otherwise(F.array().cast("array<string>"))
+    ex = (spread_for_compute(df)
+          .select(F.col(id_col).alias("id"),
+                  F.explode(grams).alias("gram")))
+    logp = F.log((F.coalesce(F.col("cnt"), F.lit(0)).cast("double")
+                  + F.lit(_LM_K)) /
+                 (F.coalesce(F.col("c2"), F.lit(0)).cast("double")
+                  + F.lit(_LM_K * _LM_V)))
+    scored = (ex.join(F.broadcast(model), "gram", "left")
+                .join(F.broadcast(prefix),
+                      F.substring("gram", 1, 2) == F.col("pre"), "left")
+                .select("id", logp.alias("__lp")))
+    agg = (scored.groupBy("id")
+                 .agg(F.count(F.lit(1)).alias("n_grams"),
+                      F.round(F.avg("__lp"), 6).alias("avg_logp")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(agg, "id", "left")
+                .select("id",
+                        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                        "avg_logp",
+                        F.round(F.exp(-F.col("avg_logp")), 6)
+                         .alias("ppl")))

@@ -776,6 +776,8 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
          L.classifier_score(sdf, "text", "doc_id", num_features=1024,
                             weights_seed=7,
                             token_hash=L.md5_token_hash), "id"),
+        ("llm52_lm_perplexity",
+         L.ngram_lm_perplexity(sdf, "text", "doc_id"), "id"),
     ]
     for name, out, idx in checks:
         a = out.toPandas().set_index(idx).sort_index()
@@ -1154,3 +1156,34 @@ def test_semdedup_drops_planted_twin(emb, spark):
                        threshold=0.999999, max_iters=2).collect()}
     assert 1 in kept and 1000001 not in kept
     assert len(kept) == base.count()   # only the twin was dropped
+
+
+# ---------------------------------------------------------------------------
+# trigram LM perplexity (llm52)
+# ---------------------------------------------------------------------------
+
+def test_lm_perplexity_reference_model_separates_noise(spark):
+    """CCNet configuration: fit on a clean reference corpus, score a
+    mixed corpus — in-distribution text must score lower perplexity
+    than keyboard-mash noise."""
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in
+         range(20)], "doc_id long, text string")
+    model = L.ngram_lm_fit(ref, "text")
+    mixed = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zxqj vwkp qjxz wvkq")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           L.ngram_lm_perplexity(mixed, "text", "doc_id",
+                                 model=model).collect()}
+    assert out[1]["ppl"] < out[2]["ppl"]
+    assert out[1]["n_grams"] == len("the quick brown fox") - 2
+
+
+def test_lm_perplexity_short_doc_scores_null(spark):
+    df = spark.createDataFrame([(1, "ab"), (2, "")],
+                               "doc_id long, text string")
+    out = {r["id"]: r for r in
+           L.ngram_lm_perplexity(df, "text", "doc_id").collect()}
+    assert out[1]["n_grams"] == 0 and out[1]["ppl"] is None
+    assert out[2]["n_grams"] == 0 and out[2]["ppl"] is None
