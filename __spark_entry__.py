@@ -557,6 +557,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the corpus scores against its own bounded 37^3 statistics)
         "llm52_lm_perplexity": lambda s, d: L.ngram_lm_perplexity(
             _docs(s, d), "text", "doc_id"),
+        # web-corpus boilerplate removal (script/style payloads, tags,
+        # entities) — RE2-safe patterns shared with the oracle
+        "llm53_html_strip": lambda s, d: L.html_strip(
+            _docs(s, d), "text", "doc_id"),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -759,6 +763,20 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   .select("user_id", "event_type"))
         return _run_stream(spark, out, "append")
 
+    def s09(spark, d):
+        # curation-on-a-stream: the llm text-quality operator applied
+        # unchanged to a STREAMING relation (stateless projection,
+        # append mode) — incoming crawl data scores as it lands, and
+        # the result equals the batch operator so llm10's oracle
+        # applies verbatim
+        from flink_dsl_spark import llm_ops as L
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "docs_s9", f"{d}/documents.parquet")
+        out = L.quality_score(eng.catalog.get("docs_s9"),
+                              "text", "doc_id")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -766,7 +784,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s05_stream_session_window": s05,
             "s06_stream_count_sliding": s06,
             "s07_stream_time_sliding": s07,
-            "s08_stream_dedup": s08}
+            "s08_stream_dedup": s08,
+            "s09_stream_quality": s09}
 
 
 # ---------------------------------------------------------------------------
@@ -853,13 +872,12 @@ _PRIORITY = [
     "llm46_corpus_stats", "s08_stream_dedup",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
-    "llm52_lm_perplexity",
+    "llm52_lm_perplexity", "llm53_html_strip", "s09_stream_quality",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q08_using_join",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
     "q18_case_arith",
-    "q21_between_like_null", "q22_agg_distinct",
     "x02_expr_filter_groupby",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
@@ -867,15 +885,17 @@ _PRIORITY = [
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q09/q12/q17a/q20/q24/q25 — r2/r3-green surfaces whose
-    # slots went to the eleven NEW r5 operators llm42-52/s08 so no
-    # shipped operator waits a round for a driver row; each displaced
-    # family keeps an in-window representative (q04 outer joins, q38
-    # rollup, q17b-d set ops, q01 star/projection) and all stay
-    # covered by the per-session pytest oracle sweep)
+    # q02/q05/q09/q12/q17a/q20/q21/q22/q24/q25 — r2/r3-green surfaces
+    # whose slots went to the thirteen NEW r5 operators llm42-53/
+    # s08/s09 so no shipped operator waits a round for a driver row;
+    # each displaced family keeps an in-window representative (q04
+    # outer joins, q38 rollup, q17b-d set ops, q13+q14 predicate
+    # surfaces) and all stay covered by the per-session pytest oracle
+    # sweep)
     "q02_filter_projection", "q05_right_join",
     "q09_rollup", "q12_order_limit_offset",
-    "q17a_union", "q20_comma_from", "q24_star_scoped", "q25_dual",
+    "q17a_union", "q20_comma_from", "q21_between_like_null",
+    "q22_agg_distinct", "q24_star_scoped", "q25_dual",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
     "q13_in_list", "q17b_union_all",
@@ -1793,6 +1813,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT a1.vec_id AS id, CAST(a1.c AS INTEGER) AS cluster
             FROM a1
             WHERE a1.vec_id NOT IN (SELECT vec_id FROM near)""",
+        # identical RE2-safe regex chain + literal entity replaces,
+        # &amp; decoded last on both engines
+        "llm53_html_strip": """
+            WITH s1 AS (SELECT doc_id,
+                               regexp_matches(text, '<[A-Za-z!/]')
+                                   AS had_html,
+                               regexp_replace(text,
+                                   '(?is)<script\\b[^>]*>.*?</script[ \\t]*>',
+                                   ' ', 'g') AS t FROM documents),
+            s2 AS (SELECT doc_id, had_html,
+                          regexp_replace(t,
+                              '(?is)<style\\b[^>]*>.*?</style[ \\t]*>',
+                              ' ', 'g') AS t FROM s1),
+            s3 AS (SELECT doc_id, had_html,
+                          regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g')
+                              AS t FROM s2),
+            s4 AS (SELECT doc_id, had_html,
+                          regexp_replace(t, '</?[A-Za-z][^>]*>', ' ',
+                                         'g') AS t FROM s3),
+            s5 AS (SELECT doc_id, had_html,
+                          replace(replace(replace(replace(replace(
+                              replace(t,
+                              '&lt;', '<'), '&gt;', '>'),
+                              '&quot;', '"'), '&#39;', chr(39)),
+                              '&nbsp;', ' '), '&amp;', '&') AS t
+                   FROM s4)
+            SELECT doc_id AS id,
+                   trim(regexp_replace(t,
+                        '[ \\t\\n\\x0B\\f\\r\\x{00A0}]+', ' ',
+                        'g')) AS clean_text,
+                   had_html
+            FROM s5""",
         # char-trigram Laplace LM replayed in SQL: same normalized
         # stream, same (c3+1)/(c2+37) smoothing; unseen trigrams and
         # prefixes fall out of the left joins' NULL->0 identically
@@ -2226,6 +2278,30 @@ def oracle_sql() -> dict[str, str]:
         # key-only projection makes arrival order irrelevant
         "s08_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events""",
+        # stateless streaming projection == batch result: the llm10
+        # quality oracle verbatim
+        "s09_stream_quality": """
+            WITH t AS (SELECT doc_id, text,
+                              string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ') AS toks
+                       FROM documents),
+                 m AS (SELECT doc_id,
+                              least(length(text) / 500.0, 1.0) AS len_score,
+                              length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                                / greatest(length(text), 1)::DOUBLE AS alpha_ratio,
+                              len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','that','for')))::DOUBLE
+                                / greatest(len(toks), 1) AS stop_ratio,
+                              list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                                / greatest(len(toks), 1) AS mean_wlen
+                       FROM t)
+            SELECT doc_id AS id,
+                   round(0.3 * len_score + 0.3 * alpha_ratio
+                         + 0.2 * least(stop_ratio * 5, 1.0)
+                         + 0.2 * (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 8
+                                       THEN 1.0 ELSE 0.5 END), 6) AS quality
+            FROM m""",
         # --- X surface (expression-string Table API, SURVEY §2.8-X) ---
         "x01_expr_projection": """
             SELECT event_id, (value + 1) * 2 AS v2,

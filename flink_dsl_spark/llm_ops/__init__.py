@@ -16,8 +16,8 @@ from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
 from .textstats import (
     c4_line_filter, chunk_documents, classifier_score, corpus_stats,
     decontaminate,
-    gopher_quality, gopher_repetition, lang_id, ngram_lm_fit,
-    ngram_lm_perplexity, pii_redact,
+    gopher_quality, gopher_repetition, html_strip, lang_id,
+    ngram_lm_fit, ngram_lm_perplexity, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
 )
 from .multimodal import (
@@ -47,5 +47,5 @@ __all__ = [
     "domain_mixture", "corpus_stats",
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
     "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",
-    "ngram_lm_fit", "ngram_lm_perplexity",
+    "ngram_lm_fit", "ngram_lm_perplexity", "html_strip",
 ]

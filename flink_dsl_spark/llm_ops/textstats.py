@@ -559,3 +559,39 @@ def ngram_lm_perplexity(df: DataFrame, text_col: str, id_col: str,
                         "avg_logp",
                         F.round(F.exp(-F.col("avg_logp")), 6)
                          .alias("ppl")))
+
+
+_HTML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&")]
+
+
+def html_strip(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Web-corpus boilerplate removal: drop <script>/<style> blocks
+    with their payloads, strip remaining tags, decode the common HTML
+    entities, and squeeze the leftover whitespace.  Returns
+    (id, clean_text, had_html).  Entity order matters: &amp; decodes
+    LAST so '&amp;lt;' yields the literal '&lt;' rather than
+    double-decoding (the same rule both engines, keeping the operator
+    SQL-reproducible).  Pure regexp chain — a projection, zero
+    shuffle, composes with scan pushdown."""
+    t = F.col(text_col)
+    had = t.rlike("<[A-Za-z!/]")
+    # two explicit patterns, not one with a backreference: RE2 (the
+    # oracle engine) has no backreferences, and non-greedy + inline
+    # flags behave identically in both engines
+    c = F.regexp_replace(
+        t, r"(?is)<script\b[^>]*>.*?</script[ \t]*>", " ")
+    c = F.regexp_replace(
+        c, r"(?is)<style\b[^>]*>.*?</style[ \t]*>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"</?[A-Za-z][^>]*>", " ")
+    for ent, ch in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    # NBSP joins the squeeze class (it IS web whitespace) — and must,
+    # for the oracle: DuckDB's trim strips U+00A0, Java's does not, so
+    # collapsing it to a plain space first keeps both engines equal
+    c = F.trim(F.regexp_replace(c, f"[{_WS_CLASS}\u00a0]+", " "))
+    return spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        c.alias("clean_text"),
+        had.alias("had_html"))

@@ -46,6 +46,10 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
     Inputs that are already as parallel as the cluster pass through
     untouched, so at 100 TB (thousands of splits) this is a no-op.
     """
+    if df.isStreaming:
+        # partition count is the source's business on a stream (and
+        # .rdd is illegal there); micro-batches already fan out
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

@@ -710,6 +710,7 @@ _FUZZ_TEXT_ALPHABET = (
     "abc XYZ 019 .!?\"\n-*•#()+@%_ …é"  # words, lines, punct, PII chars
     "\t\x0b\f\r\xa0"   # whitespace variants: Java \s has \x0B, RE2 not
     "İß"               # non-ASCII case-mapping chars (U+0130 special)
+    "<>&;/='"          # markup/entity chars (llm53 html premises)
 )
 
 
@@ -778,6 +779,8 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
                             token_hash=L.md5_token_hash), "id"),
         ("llm52_lm_perplexity",
          L.ngram_lm_perplexity(sdf, "text", "doc_id"), "id"),
+        ("llm53_html_strip",
+         L.html_strip(sdf, "text", "doc_id"), "id"),
     ]
     for name, out, idx in checks:
         a = out.toPandas().set_index(idx).sort_index()
@@ -1187,3 +1190,28 @@ def test_lm_perplexity_short_doc_scores_null(spark):
            L.ngram_lm_perplexity(df, "text", "doc_id").collect()}
     assert out[1]["n_grams"] == 0 and out[1]["ppl"] is None
     assert out[2]["n_grams"] == 0 and out[2]["ppl"] is None
+
+
+# ---------------------------------------------------------------------------
+# html strip (llm53)
+# ---------------------------------------------------------------------------
+
+def test_html_strip_removes_boilerplate(spark):
+    rows = [
+        (1, "<html><head><style>p{color:red}</style></head>"
+            "<body><p>Hello <b>world</b></p>"
+            "<script>var x = '<p>not text</p>';</script>"
+            "<!-- comment -->Bye</body></html>"),
+        (2, "plain text, no markup"),
+        (3, "entities: &lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;"
+            "&nbsp;end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in
+           L.html_strip(df, "text", "doc_id").collect()}
+    assert out[1]["clean_text"] == "Hello world Bye"
+    assert out[1]["had_html"] is True
+    assert out[2]["clean_text"] == "plain text, no markup"
+    assert out[2]["had_html"] is False
+    # &amp; decodes LAST: '&amp;amp;' -> '&amp;' literally, not '&'
+    assert out[3]["clean_text"] == "entities: <tag> &amp; \"q\" 's' end"
