@@ -181,7 +181,11 @@ def c4_line_filter(df: DataFrame, text_col: str, id_col: str,
     lines = F.split(t, "\n")
 
     def _keep(ln):
-        words = F.filter(F.split(F.trim(ln), f"[{_WS_CLASS}]+"),
+        # no trim before the split: empty words are filtered anyway,
+        # and DuckDB's trim strips U+00A0 while the JVM's does not —
+        # with trim, an NBSP-only "word" at a line edge would count
+        # on one engine and not the other (found by fuzzing, r5)
+        words = F.filter(F.split(ln, f"[{_WS_CLASS}]+"),
                          lambda w: w != "")
         return (ln.rlike(f"[.!?\"][{_WS_CLASS}]*$") &
                 (F.size(words) >= min_words_per_line))
