@@ -246,3 +246,30 @@ def test_semdedup_joins_only_within_clusters(spark, queries):
     assert "CartesianProduct" not in p
     assert "SinglePartition" not in p
     assert p.count("SortMergeJoin") <= 1
+
+
+# Window queries whose plans legitimately contain a SinglePartition
+# exchange: the oracled next-fit packing configs run partitions=1 BY
+# DESIGN (the sequential recurrence is what gives them a SQL oracle;
+# production packing is partition-parallel), and scalar
+# subqueries/aggregates produce one broadcast row (the q30 pattern).
+_SINGLE_PARTITION_BY_DESIGN = {
+    "llm36_pack_verified", "llm39_pipeline_verified",
+    "llm45_domain_mixture", "q16_scalar_subquery",
+}
+
+
+def test_driver_window_free_of_scale_killers(spark, queries):
+    """Global sweep: every batch query in the driver's 50-key sample
+    window must compile to a plan with NO cartesian product and no
+    single-partition exchange outside the documented allowlist.  This
+    is the catch-all behind the per-operator gates — a new query can't
+    enter the window with a degenerate plan unnoticed."""
+    for name in list(queries)[:50]:
+        if name.startswith("s0"):     # streaming queries execute on build
+            continue
+        p = queries[name](spark, SF) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in p, name
+        if name not in _SINGLE_PARTITION_BY_DESIGN:
+            assert "SinglePartition" not in p, name
