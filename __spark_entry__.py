@@ -561,6 +561,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # entities) — RE2-safe patterns shared with the oracle
         "llm53_html_strip": lambda s, d: L.html_strip(
             _docs(s, d), "text", "doc_id"),
+        # per-source vocabulary statistics (tokenizer-vocab sizing /
+        # corpus-diversity numbers)
+        "llm54_vocab_stats": lambda s, d: L.vocab_stats(
+            _docs(s, d), "text", group_col="source"),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -877,30 +881,31 @@ _PRIORITY = [
     "llm46_corpus_stats", "s08_stream_dedup",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
-    "llm52_lm_perplexity", "llm53_html_strip", "s09_stream_quality",
+    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
+    "s09_stream_quality",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q08_using_join",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
     "q18_case_arith",
-    "x02_expr_filter_groupby",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q09/q12/q17a/q20/q21/q22/q24/q25 — r2/r3-green surfaces
-    # whose slots went to the thirteen NEW r5 operators llm42-53/
-    # s08/s09 so no shipped operator waits a round for a driver row;
-    # each displaced family keeps an in-window representative (q04
-    # outer joins, q38 rollup, q17b-d set ops, q13+q14 predicate
-    # surfaces) and all stay covered by the per-session pytest oracle
-    # sweep)
+    # q02/q05/q09/q12/q17a/q20/q21/q22/q24/q25/x02 — r2/r3-green
+    # surfaces whose slots went to the fourteen NEW r5 operators
+    # llm42-54/s08/s09 so no shipped operator waits a round for a
+    # driver row; each displaced family keeps an in-window
+    # representative (q04 outer joins, q38 rollup, q17b-d set ops,
+    # q13+q14 predicate surfaces, x01 for the X expression DSL) and
+    # all stay covered by the per-session pytest oracle sweep)
     "q02_filter_projection", "q05_right_join",
     "q09_rollup", "q12_order_limit_offset",
     "q17a_union", "q20_comma_from", "q21_between_like_null",
     "q22_agg_distinct", "q24_star_scoped", "q25_dual",
+    "x02_expr_filter_groupby",
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
     "q13_in_list", "q17b_union_all",
@@ -1818,6 +1823,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT a1.vec_id AS id, CAST(a1.c AS INTEGER) AS cluster
             FROM a1
             WHERE a1.vec_id NOT IN (SELECT vec_id FROM near)""",
+        # vocabulary rollup recomputed from the same normalized token
+        # stream: distinct tokens, occurrences, hapaxes per source
+        "llm54_vocab_stats": """
+            WITH t AS (SELECT source,
+                              list_filter(string_split(trim(
+                                  regexp_replace(regexp_replace(
+                                  lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' '),
+                                  x -> x <> '') AS toks
+                       FROM documents),
+            e AS (SELECT source AS grp, unnest(toks) AS tok FROM t),
+            c AS (SELECT grp, tok, count(*) AS cnt
+                  FROM e GROUP BY grp, tok)
+            SELECT grp,
+                   sum(cnt) AS total_tokens,
+                   count(*) AS vocab_size,
+                   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                       AS hapax_count,
+                   round(count(*) / CAST(sum(cnt) AS DOUBLE), 6)
+                       AS type_token_ratio
+            FROM c GROUP BY grp""",
         # identical RE2-safe regex chain + literal entity replaces,
         # &amp; decoded last on both engines
         "llm53_html_strip": """

@@ -19,6 +19,7 @@ from .textstats import (
     gopher_quality, gopher_repetition, html_strip, lang_id,
     ngram_lm_fit, ngram_lm_perplexity, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
+    vocab_stats,
 )
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
@@ -47,5 +48,5 @@ __all__ = [
     "domain_mixture", "corpus_stats",
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
     "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",
-    "ngram_lm_fit", "ngram_lm_perplexity", "html_strip",
+    "ngram_lm_fit", "ngram_lm_perplexity", "html_strip", "vocab_stats",
 ]

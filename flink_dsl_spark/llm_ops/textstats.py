@@ -599,3 +599,32 @@ def html_strip(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         c.alias("clean_text"),
         had.alias("had_html"))
+
+
+def vocab_stats(df: DataFrame, text_col: str,
+                group_col: str | None = None) -> DataFrame:
+    """Corpus vocabulary statistics per group (or one whole-corpus
+    row): total token occurrences, vocabulary size (distinct
+    normalized tokens), hapax count (tokens seen exactly once) and
+    type-token ratio — the numbers that drive tokenizer-vocab sizing
+    and corpus-diversity tracking.
+
+    Two partial-aggregated shuffles: token explode -> per-(group,
+    token) counts (map-side combine collapses each task's repeats of
+    a token to one row), then the per-group rollup over the count
+    table.  No distinct-explosion: vocabulary size falls out of the
+    second aggregate's row count."""
+    grp = F.col(group_col) if group_col else F.lit("all")
+    toks = F.filter(_ws_tokens(F.col(text_col)), lambda t: t != "")
+    ex = (spread_for_compute(df)
+          .select(grp.alias("grp"), F.explode(toks).alias("tok")))
+    counts = (ex.groupBy("grp", "tok")
+                .agg(F.count(F.lit(1)).alias("cnt")))
+    return (counts.groupBy("grp")
+                  .agg(F.sum("cnt").alias("total_tokens"),
+                       F.count(F.lit(1)).alias("vocab_size"),
+                       F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                        .alias("hapax_count"))
+                  .withColumn("type_token_ratio",
+                              F.round(F.col("vocab_size") /
+                                      F.col("total_tokens"), 6)))

@@ -781,6 +781,8 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
          L.ngram_lm_perplexity(sdf, "text", "doc_id"), "id"),
         ("llm53_html_strip",
          L.html_strip(sdf, "text", "doc_id"), "id"),
+        ("llm54_vocab_stats",
+         L.vocab_stats(sdf, "text", group_col="source"), "grp"),
     ]
     for name, out, idx in checks:
         a = out.toPandas().set_index(idx).sort_index()
@@ -1215,3 +1217,25 @@ def test_html_strip_removes_boilerplate(spark):
     assert out[2]["had_html"] is False
     # &amp; decodes LAST: '&amp;amp;' -> '&amp;' literally, not '&'
     assert out[3]["clean_text"] == "entities: <tag> &amp; \"q\" 's' end"
+
+
+# ---------------------------------------------------------------------------
+# vocabulary stats (llm54)
+# ---------------------------------------------------------------------------
+
+def test_vocab_stats_crafted_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta alpha", "a"), (2, "beta GAMMA!", "a"),
+         (3, "delta", "b")],
+        "doc_id long, text string, source string")
+    out = {r["grp"]: r for r in
+           L.vocab_stats(df, "text", group_col="source").collect()}
+    # group a: tokens alpha x2, beta x2, gamma x1
+    assert out["a"]["total_tokens"] == 5
+    assert out["a"]["vocab_size"] == 3
+    assert out["a"]["hapax_count"] == 1
+    assert abs(out["a"]["type_token_ratio"] - 0.6) < 1e-9
+    assert out["b"]["total_tokens"] == 1 and out["b"]["hapax_count"] == 1
+    # whole-corpus variant
+    allrow = L.vocab_stats(df, "text").first()
+    assert allrow["grp"] == "all" and allrow["total_tokens"] == 6
