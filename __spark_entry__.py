@@ -565,6 +565,22 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus-diversity numbers)
         "llm54_vocab_stats": lambda s, d: L.vocab_stats(
             _docs(s, d), "text", group_col="source"),
+        # mixture rebalancing WITH upsampling (multi-epoch DoReMi
+        # recipe): per-domain repeat factors <= max_epochs, fractional
+        # copies id-hash-selected; md5 = the oracled config
+        "llm55_mixture_epochs": lambda s, d: L.domain_mixture_epochs(
+            L.token_stats(_docs(s, d), "text", "doc_id")
+             .join(_docs(s, d).selectExpr("doc_id as id", "source"),
+                   "id"),
+            "source", "id", "ws_tokens",
+            {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+            max_epochs=3, id_hash=L.md5_id_hash),
+        # deterministic fixed-token output shards over the md5
+        # permutation (write-side companion of llm44's budget cut)
+        "llm56_shard_assign": lambda s, d: L.shard_corpus(
+            L.token_stats(_docs(s, d), "text", "doc_id"),
+            "id", "ws_tokens", shard_tokens=5000,
+            id_hash=L.md5_id_hash),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -883,6 +899,10 @@ _PRIORITY = [
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "s09_stream_quality",
+    # -- late r5: multi-epoch mixture + fixed-token output shards
+    #    (first rows; two r3-green rotate-ins llm18/llm19 lent their
+    #    slots — both stay pytest-oracle-swept every session) --
+    "llm55_mixture_epochs", "llm56_shard_assign",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q08_using_join",
@@ -891,8 +911,8 @@ _PRIORITY = [
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
-    "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # --- fold: entries below are outside a 50-entry prefix sample ---
+    "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
     # q02/q05/q09/q12/q17a/q20/q21/q22/q24/q25/x02 — r2/r3-green
     # surfaces whose slots went to the fourteen NEW r5 operators
@@ -1844,6 +1864,67 @@ def oracle_sql() -> dict[str, str]:
                    round(count(*) / CAST(sum(cnt) AS DOUBLE), 6)
                        AS type_token_ratio
             FROM c GROUP BY grp""",
+        # multi-epoch mixture: identical double-op order (max_epochs *
+        # tok / w for T, then w * T / tok) so floor()/round() agree
+        # bit-for-bit; copies expand via unnest(range) = Spark's
+        # explode(sequence)
+        "llm55_mixture_epochs": """
+            WITH t AS (SELECT doc_id AS id, source,
+                              CAST(len(string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            dom AS (SELECT source AS domain,
+                           CAST(sum(n_tokens) AS DOUBLE) AS tok,
+                           CASE source WHEN 'src0' THEN 0.4
+                                       WHEN 'src1' THEN 0.3
+                                       WHEN 'src2' THEN 0.2
+                                       WHEN 'src3' THEN 0.1 END AS w
+                    FROM t
+                    WHERE source IN ('src0', 'src1', 'src2', 'src3')
+                    GROUP BY source),
+            tot AS (SELECT min(3.0 * tok / w) AS total FROM dom),
+            r AS (SELECT domain, w * tot.total / tok AS f
+                  FROM dom, tot),
+            r2 AS (SELECT domain, CAST(floor(f) AS BIGINT) AS nfull,
+                          CAST(round((f - floor(f)) * 1000000)
+                               AS BIGINT) AS thresh
+                   FROM r),
+            base AS (SELECT t.id, t.source AS domain, t.n_tokens,
+                            nfull + CASE WHEN
+                                CAST(concat('0x', substr(md5(concat(
+                                    CAST(t.id AS VARCHAR), ':', '42')),
+                                    1, 15)) AS BIGINT) % 1000000
+                                < thresh THEN 1 ELSE 0 END AS n
+                     FROM t JOIN r2 ON t.source = r2.domain)
+            SELECT id, domain, n_tokens,
+                   CAST(unnest(range(1, n + 1)) AS INT) AS epoch
+            FROM base WHERE n > 0""",
+        # fixed-token shard assignment: sequential window replay of the
+        # distributed per-bucket running sum; exact BIGINT division
+        "llm56_shard_assign": """
+            WITH t AS (SELECT doc_id AS id,
+                              CAST(len(string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            k AS (SELECT id, n_tokens,
+                         CAST(concat('0x', substr(md5(concat(
+                              CAST(id AS VARCHAR), ':', '42')), 1, 15))
+                              AS BIGINT) AS key
+                  FROM t),
+            c AS (SELECT id, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY key, id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+                  FROM k)
+            SELECT id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+                   (CAST(cum AS BIGINT) - n_tokens) // 5000 AS shard_id
+            FROM c""",
         # identical RE2-safe regex chain + literal entity replaces,
         # &amp; decoded last on both engines
         "llm53_html_strip": """

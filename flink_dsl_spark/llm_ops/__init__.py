@@ -25,9 +25,10 @@ from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
 )
-from .assemble import (domain_mixture, md5_id_hash, pack_sequences,
-                       seeded_shuffle, split_dataset, stratified_sample,
-                       token_budget_sample)
+from .assemble import (domain_mixture, domain_mixture_epochs,
+                       md5_id_hash, pack_sequences,
+                       seeded_shuffle, shard_corpus, split_dataset,
+                       stratified_sample, token_budget_sample)
 from .cluster import kmeans, kmeans_assign, kmeans_fit, semdedup
 
 __all__ = [
@@ -45,7 +46,8 @@ __all__ = [
     "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
-    "domain_mixture", "corpus_stats",
+    "domain_mixture", "domain_mixture_epochs", "shard_corpus",
+    "corpus_stats",
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
     "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",
     "ngram_lm_fit", "ngram_lm_perplexity", "html_strip", "vocab_stats",

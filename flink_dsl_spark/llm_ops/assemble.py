@@ -316,3 +316,127 @@ def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,
                               pid * F.lit(1_000_000_000) +
                               F.col("pack_local"))
                   .select("id", "n_tokens", "pack_id"))
+
+
+def domain_mixture_epochs(df: DataFrame, domain_col: str, id_col: str,
+                          tokens_col: str, weights: dict[str, float],
+                          max_epochs: int = 1, seed: int = 42,
+                          id_hash=None) -> DataFrame:
+    """Mixture rebalancing WITH upsampling (the multi-epoch half of the
+    Pile / DoReMi recipe that ``domain_mixture`` leaves out): choose a
+    per-domain repeat factor ``f_d = w_d * T / tokens_d`` so the
+    assembled corpus's expected token shares match ``weights``, where
+    ``T = min_d (max_epochs * tokens_d / w_d)`` is the largest mixture
+    total that repeats no domain more than ``max_epochs`` times.  A
+    document contributes ``floor(f_d)`` full copies plus one extra copy
+    iff its id-hash bucket falls under the fractional part — so a
+    domain with f_d = 2.3 emits every doc twice and a deterministic 30%
+    of docs a third time.  Returns (id, domain, n_tokens, epoch) with
+    epoch = 1..copies; ``max_epochs=1`` degenerates to exactly
+    ``domain_mixture``'s downsample-only selection (f_d <= 1 by
+    construction of T, and epoch is constant 1).
+
+    Scale shape: identical to domain_mixture — one partial-aggregated
+    groupBy for per-domain totals (|domains| rows), a scalar agg for T,
+    repeat factors broadcast-joined back; the replication itself is
+    ``explode(sequence(1, copies))``, a zero-shuffle projection (rows
+    multiply inside their partitions — no exchange grows with the
+    epoch count).  Selection of fractional copies hashes document ids,
+    so the assembled mixture is reproducible and stable under corpus
+    growth.  Domains missing from ``weights`` are dropped; weights
+    naming absent domains are ignored."""
+    if max_epochs < 1:
+        raise ValueError("max_epochs must be >= 1")
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0")
+    if id_hash is None:
+        id_hash = _xxhash_id
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in (kv[0], float(kv[1]))])
+    dom = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.sum(F.col(tokens_col).cast("long"))
+                   .cast("double").alias("__tok"))
+             .withColumn("__w", wmap[F.col("domain")])
+             .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
+    # double-op order (max_epochs * tok / w, then w * T / tok) is
+    # mirrored verbatim in the DuckDB oracle so floor() boundaries
+    # agree bit-for-bit across engines
+    total = dom.agg(F.min(F.lit(float(max_epochs)) * F.col("__tok") /
+                          F.col("__w")).alias("__total"))
+    rates = (dom.crossJoin(F.broadcast(total))
+                .withColumn("__f", F.col("__w") * F.col("__total") /
+                                   F.col("__tok"))
+                .select("domain",
+                        F.floor("__f").cast("long").alias("__full"),
+                        F.round((F.col("__f") - F.floor("__f")) *
+                                _BUCKETS).cast("long").alias("__thresh")))
+    bucket = F.pmod(id_hash(F.col("id"), seed), F.lit(_BUCKETS))
+    copies = (F.col("__full") +
+              F.when(bucket < F.col("__thresh"), F.lit(1))
+               .otherwise(F.lit(0))).cast("int")
+    return (df.select(F.col(id_col).alias("id"),
+                      F.col(domain_col).alias("domain"),
+                      F.col(tokens_col).cast("long").alias("n_tokens"))
+              .join(F.broadcast(rates), "domain")
+              .withColumn("__n", copies)
+              .filter(F.col("__n") > 0)
+              .withColumn("epoch",
+                          F.explode(F.sequence(F.lit(1), F.col("__n"))))
+              .select("id", "domain", "n_tokens", "epoch"))
+
+
+def shard_corpus(df: DataFrame, id_col: str, tokens_col: str,
+                 shard_tokens: int, seed: int = 42,
+                 id_hash=None) -> DataFrame:
+    """Deterministic output sharding: assign every document a
+    ``shard_id`` so that, reading documents in the seeded hash-
+    permutation order, each shard holds a contiguous run of documents
+    whose starting token offset lies in [k*shard_tokens,
+    (k+1)*shard_tokens) — i.e. fixed-token-size training shards (a
+    shard exceeds the target only by its final straddling document).
+    Returns (id, n_tokens, cum_tokens, shard_id); writers then emit
+    real files with ``out.write.partitionBy("shard_id")`` (tested) or
+    repartition on it.
+
+    This is the write-side companion of token_budget_sample and reuses
+    its distributed running sum: rows range-bucket on the hash key,
+    per-bucket token subtotals (<= parallelism+2 longs) come back to
+    the driver once and broadcast as prefix offsets, and the cumsum
+    window runs per-bucket in parallel — no single-partition window,
+    no global sequencer.  shard_id derives from the starting offset by
+    exact BIGINT division (no doubles — still exact past 2^53 tokens).
+    The permutation is the id-hash order, so shard contents are
+    reproducible across runs, cluster sizes, and input partitionings."""
+    if shard_tokens <= 0:
+        raise ValueError("shard_tokens must be positive")
+    if id_hash is None:
+        id_hash = _xxhash_id
+    from ..streaming.windows import _range_bucket
+    from pyspark.sql.window import Window as W
+
+    spark = df.sparkSession
+    buckets = spark.sparkContext.defaultParallelism
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(tokens_col).cast("long").alias("n_tokens"))
+    d = d.withColumn("__key", id_hash(F.col("id"), seed))
+    d = d.withColumn("__bkt", _range_bucket(d, F.col("__key"), buckets))
+    sums = sorted(
+        (r["__bkt"], r["s"]) for r in
+        d.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect())
+    offsets, running = [], 0
+    for b, s in sums:
+        offsets.append((b, running))
+        running += int(s)
+    off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
+        if offsets else spark.createDataFrame([], "__bkt int, __off long")
+    w = (W.partitionBy("__bkt").orderBy("__key", "id")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (d.join(F.broadcast(off_df), "__bkt")
+             .withColumn("cum_tokens",
+                         (F.col("__off") +
+                          F.sum("n_tokens").over(w)).cast("long"))
+             .withColumn("shard_id",
+                         F.expr(f"(cum_tokens - n_tokens) div "
+                                f"{int(shard_tokens)}"))
+             .select("id", "n_tokens", "cum_tokens", "shard_id"))

@@ -1000,6 +1000,119 @@ def test_domain_mixture_stability_under_growth(spark):
 
 
 # ---------------------------------------------------------------------------
+# multi-epoch mixture (llm55)
+# ---------------------------------------------------------------------------
+
+def test_mixture_epochs_integer_repeat_factors(spark):
+    # a: 1000 toks, b: 1000 toks; weights 2/3 vs 1/3, max_epochs=2 ->
+    # T = min(2*1000/(2/3), 2*1000/(1/3)) = 3000 -> f_a = 2.0, f_b = 1.0
+    # (exact-integer factors are floor-boundary-safe either way the
+    # doubles round: frac ~= 0 with full n, or frac ~= 1 selecting all)
+    rows = [(i, "a", 10) for i in range(100)] + \
+           [(1000 + i, "b", 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    out = L.domain_mixture_epochs(df, "dom", "id", "toks",
+                                  {"a": 2 / 3, "b": 1 / 3},
+                                  max_epochs=2, seed=1).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["domain"], []).append((r["id"], r["epoch"]))
+    assert len(by_dom["a"]) == 200          # every a doc exactly twice
+    assert len(by_dom["b"]) == 100          # every b doc exactly once
+    assert len(set(by_dom["a"])) == 200     # (id, epoch) unique
+    a_epochs = {}
+    for i, ep in by_dom["a"]:
+        a_epochs.setdefault(i, set()).add(ep)
+    assert all(eps == {1, 2} for eps in a_epochs.values())
+
+
+def test_mixture_epochs_fractional_upsample(spark):
+    # a: 1000 toks, b: 4000 toks; weights 50/50, max_epochs=3 ->
+    # T = 6000 -> f_a = 3.0 (binding: every doc thrice), f_b = 0.75
+    # (hash-selected three quarters, single epoch)
+    rows = [(i, "a", 10) for i in range(100)] + \
+           [(1000 + i, "b", 10) for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    out = L.domain_mixture_epochs(df, "dom", "id", "toks",
+                                  {"a": 0.5, "b": 0.5},
+                                  max_epochs=3, seed=1).collect()
+    a = [r for r in out if r["domain"] == "a"]
+    b = [r for r in out if r["domain"] == "b"]
+    assert len(a) == 300
+    assert all(r["epoch"] == 1 for r in b)
+    assert 240 <= len(b) <= 360             # hash-uniform around 300
+    assert len({(r["id"], r["epoch"]) for r in out}) == len(out)
+
+
+def test_mixture_epochs_1_degenerates_to_domain_mixture(spark):
+    rows = [(i, "a", 10) for i in range(100)] + \
+           [(1000 + i, "b", 10) for i in range(400)] + \
+           [(5000 + i, "c", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    w = {"a": 0.5, "b": 0.5}
+    plain = {(r["id"], r["domain"]) for r in
+             L.domain_mixture(df, "dom", "id", "toks", w, seed=1)
+              .collect()}
+    ep = L.domain_mixture_epochs(df, "dom", "id", "toks", w,
+                                 max_epochs=1, seed=1).collect()
+    assert {(r["id"], r["domain"]) for r in ep} == plain
+    assert all(r["epoch"] == 1 for r in ep)
+
+
+# ---------------------------------------------------------------------------
+# corpus sharding (llm56)
+# ---------------------------------------------------------------------------
+
+def test_shard_corpus_matches_single_partition_reference(docs, spark):
+    from pyspark.sql import functions as F
+    ts = L.token_stats(docs, "text", "doc_id")
+    out = {r["id"]: (r["cum_tokens"], r["shard_id"]) for r in
+           L.shard_corpus(ts, "id", "ws_tokens", 1000).collect()}
+    ref = (ts.withColumn("__k", F.xxhash64(F.col("id"), F.lit(42)))
+             .orderBy("__k", "id")
+             .select("id", "ws_tokens").collect())
+    cum = 0
+    for r in ref:
+        start = cum
+        cum += r["ws_tokens"]
+        assert out[r["id"]] == (cum, start // 1000)
+    assert len(out) == len(ref)
+
+
+def test_shard_corpus_contiguous_runs(docs):
+    rows = sorted(L.shard_corpus(
+        L.token_stats(docs, "text", "doc_id"),
+        "id", "ws_tokens", 1000).collect(),
+        key=lambda r: r["cum_tokens"])
+    shards = [r["shard_id"] for r in rows]
+    assert shards[0] == 0
+    assert set(shards) == set(range(max(shards) + 1))   # no gaps
+    # shard ids are non-decreasing along the permutation: each shard
+    # is one contiguous run of documents
+    assert all(a <= b for a, b in zip(shards, shards[1:]))
+    # a new shard starts exactly when the running start offset crosses
+    # the next multiple of the budget
+    for prev, cur in zip(rows, rows[1:]):
+        if cur["shard_id"] != prev["shard_id"]:
+            assert (cur["cum_tokens"] - cur["n_tokens"]) >= \
+                cur["shard_id"] * 1000
+            assert (prev["cum_tokens"] - prev["n_tokens"]) < \
+                cur["shard_id"] * 1000
+
+
+def test_shard_corpus_partitioned_write(docs, tmp_path):
+    out = L.shard_corpus(L.token_stats(docs, "text", "doc_id"),
+                         "id", "ws_tokens", 1000)
+    path = str(tmp_path / "shards")
+    out.write.partitionBy("shard_id").parquet(path)
+    back = docs.sparkSession.read.parquet(path)
+    assert back.count() == out.count()
+    import os as _os
+    dirs = [d for d in _os.listdir(path) if d.startswith("shard_id=")]
+    assert len(dirs) == out.select("shard_id").distinct().count() > 1
+
+
+# ---------------------------------------------------------------------------
 # corpus stats (llm46)
 # ---------------------------------------------------------------------------
 

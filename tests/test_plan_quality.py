@@ -225,6 +225,32 @@ def test_domain_mixture_rates_broadcast(spark, queries):
     assert "BroadcastHashJoin" in p
 
 
+def test_mixture_epochs_replication_is_shuffle_free(spark, queries):
+    """Multi-epoch mixture (llm55): repeat factors broadcast back like
+    llm45's rates, and the epoch replication (explode over sequence)
+    adds NO exchange — rows multiply inside their partitions, so the
+    plan's only single-partition step is the 1-row feasible-total
+    scalar aggregate."""
+    p = queries["llm55_mixture_epochs"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "Generate explode" in p
+    assert p.count("SinglePartition") <= 1      # the scalar T agg only
+
+
+def test_shard_assignment_cumsum_is_distributed(spark, queries):
+    """Corpus sharding (llm56) reuses llm44's distributed running sum:
+    per-bucket window partitions with broadcast prefix offsets — no
+    single-partition exchange, no shuffled join."""
+    p = queries["llm56_shard_assign"](spark, SF) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in p
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+
+
 def test_kmeans_assignment_is_pure_projection(spark, queries):
     """k-means assignment (llm50) evaluates against broadcast centroid
     LITERALS: exactly one exchange (the spread repartition), no joins
@@ -255,7 +281,8 @@ def test_semdedup_joins_only_within_clusters(spark, queries):
 # subqueries/aggregates produce one broadcast row (the q30 pattern).
 _SINGLE_PARTITION_BY_DESIGN = {
     "llm36_pack_verified", "llm39_pipeline_verified",
-    "llm45_domain_mixture", "q16_scalar_subquery",
+    "llm45_domain_mixture", "llm55_mixture_epochs",
+    "q16_scalar_subquery",
 }
 
 
