@@ -783,6 +783,17 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
          L.html_strip(sdf, "text", "doc_id"), "id"),
         ("llm54_vocab_stats",
          L.vocab_stats(sdf, "text", group_col="source"), "grp"),
+        # (id, epoch) is the unique key once rows replicate
+        ("llm55_mixture_epochs",
+         L.domain_mixture_epochs(ts, "source", "id", "ws_tokens",
+                                 {"src0": 0.4, "src1": 0.3,
+                                  "src2": 0.2, "src3": 0.1},
+                                 max_epochs=3, id_hash=L.md5_id_hash),
+         ["id", "epoch"]),
+        ("llm56_shard_assign",
+         L.shard_corpus(L.token_stats(sdf, "text", "doc_id"),
+                        "id", "ws_tokens", shard_tokens=5000,
+                        id_hash=L.md5_id_hash), "id"),
     ]
     for name, out, idx in checks:
         a = out.toPandas().set_index(idx).sort_index()
