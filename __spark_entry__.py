@@ -854,19 +854,20 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # closure): (a) an 11-key regression core spanning every §2 family plus
 # the r4-repaired NTZ cluster stays in every window; (b) the three
 # operators shipped late in r4 with zero driver rows ever (llm33/34/35)
-# lead the rotate-ins; (c) the twenty-three NEW r5 entries — four
-# oracled companions (llm36-39) and nineteen new operators/queries
+# lead the rotate-ins; (c) the twenty-five NEW r5 entries — four
+# oracled companions (llm36-39) and twenty-one new operators/queries
 # (llm40 decontamination, llm41 Gopher repetition, llm42 corpus line
 # dedup, llm43 winnowed duplicate spans, llm44 token-budget cut,
 # llm45 domain mixture, llm46 corpus stats, llm47/48 cross-corpus
 # dedup, llm49 classifier score, llm50 k-means, llm51 SemDeDup,
-# llm52 LM perplexity, llm53 html strip, s08 streaming dedup, s09
-# streaming curation) — get their first rows; (d) 16 oracled queries
-# whose last driver-green row is r2/r3 rotate back in (the remaining
-# ten r2/r3-green simple surfaces sit just below the fold, see the
-# fold note).  Union(r02..r05) then gives all but those ten of the 99
-# oracled queries a driver-green row, with llm33-53/s08/s09 green for
-# the first time.
+# llm52 LM perplexity, llm53 html strip, llm54 vocab stats, llm55
+# multi-epoch mixture, llm56 output sharding, s08 streaming dedup,
+# s09 streaming curation) — get their first rows; (d) 14 oracled
+# queries whose last driver-green row is r2/r3 rotate back in (the
+# remaining twelve r2/r3-green queries sit just below the fold, see
+# the fold note).  Union(r02..r05) then gives all but those twelve of
+# the 102 oracled queries a driver-green row, with llm33-56/s08/s09
+# green for the first time.
 _PRIORITY = [
     # -- regression core (11): one per §2 family + the r4-repaired NTZ
     #    cluster, kept in every round's window (set-op and IN coverage
