@@ -1858,10 +1858,10 @@ def oracle_sql() -> dict[str, str]:
             c AS (SELECT grp, tok, count(*) AS cnt
                   FROM e GROUP BY grp, tok)
             SELECT grp,
-                   sum(cnt) AS total_tokens,
+                   CAST(sum(cnt) AS BIGINT) AS total_tokens,
                    count(*) AS vocab_size,
-                   sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
-                       AS hapax_count,
+                   CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS hapax_count,
                    round(count(*) / CAST(sum(cnt) AS DOUBLE), 6)
                        AS type_token_ratio
             FROM c GROUP BY grp""",
@@ -2002,7 +2002,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT source AS grp,
                    count(*) AS n_docs,
-                   sum(n_tokens) AS total_tokens,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
                    round(avg(n_tokens), 6) AS mean_tokens,
                    round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
                    round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens,

@@ -74,6 +74,16 @@ def assert_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?"):
     assert list(got.columns) == list(exp.columns), \
         f"{name}: columns {list(got.columns)} != {list(exp.columns)}"
     assert len(got) == len(exp), f"{name}: {len(got)} rows != {len(exp)}"
+    # int-vs-float divergence is a real gate risk even when values are
+    # numerically equal: DuckDB's sum(BIGINT) returns HUGEINT, which
+    # lands in pandas as float64 while Spark's long sum stays int64 — a
+    # value-hash over stringified cells then mismatches (1435 vs
+    # 1435.0).  Oracles must CAST such sums to BIGINT.
+    for c in got.columns:
+        ka, kb = got[c].dtype.kind, exp[c].dtype.kind
+        assert not (ka != kb and {ka, kb} <= {"i", "u", "f"}), \
+            f"{name}.{c}: numeric dtype diverges " \
+            f"({got[c].dtype} vs {exp[c].dtype}) — cast the oracle"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False,
                                   check_exact=False, rtol=1e-9, atol=1e-9,
                                   obj=name)
