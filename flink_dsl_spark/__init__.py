@@ -7,6 +7,7 @@ See SURVEY.md at the repo root for the full blueprint and reference
 citations.
 """
 
+from .bucketing import bucket_spec, write_bucketed
 from .engine import FsqlEngine
 from .errors import (FsqlError, Failure, Ok, ParseError, PlanError,
                      ResolutionError, UnsupportedError)
@@ -18,6 +19,7 @@ __all__ = [
     "FsqlEngine", "FsqlError", "Failure", "Ok", "ParseError", "PlanError",
     "ResolutionError", "UnsupportedError", "parse", "parse_many",
     "get_session", "XTable", "parse_expression", "parse_expression_list",
+    "write_bucketed", "bucket_spec",
 ]
 
 __version__ = "0.1.0"

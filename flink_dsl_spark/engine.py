@@ -135,6 +135,15 @@ class FsqlEngine:
         df = _restore_nano_timestamps(df, path)
         self.register(name, df, event_time_col=event_time_col)
 
+    def register_bucketed(self, name: str,
+                          table: Optional[str] = None) -> None:
+        """Register a bucketed catalog table (written with
+        ``bucketing.write_bucketed``) as an engine relation.  The scan
+        keeps the table's bucket partitioning, so FSQL joins and
+        aggregations on the bucket key run without an exchange — the
+        shuffle was paid once at write time (see bucketing.py)."""
+        self.register(name, self.spark.table(table or name))
+
     def register_stream_parquet(self, name: str, path: str,
                                 event_time_col: Optional[str] = None,
                                 watermark: Optional[str] = None,
