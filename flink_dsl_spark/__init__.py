@@ -14,12 +14,13 @@ from .errors import (FsqlError, Failure, Ok, ParseError, PlanError,
 from .expressions import XTable, parse_expression, parse_expression_list
 from .parser import parse, parse_many
 from .session import get_session
+from .skew import salted_join
 
 __all__ = [
     "FsqlEngine", "FsqlError", "Failure", "Ok", "ParseError", "PlanError",
     "ResolutionError", "UnsupportedError", "parse", "parse_many",
     "get_session", "XTable", "parse_expression", "parse_expression_list",
-    "write_bucketed", "bucket_spec",
+    "write_bucketed", "bucket_spec", "salted_join",
 ]
 
 __version__ = "0.1.0"
