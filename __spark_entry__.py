@@ -581,6 +581,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.token_stats(_docs(s, d), "text", "doc_id"),
             "id", "ws_tokens", shard_tokens=5000,
             id_hash=L.md5_id_hash),
+        # int8-quantized brute-force ANN: 4x smaller scan than llm06;
+        # int dot products are exact in doubles, so fully oracled
+        "llm57_ann_quantized": lambda s, d: L.cosine_topk_quantized(
+            _emb(s, d), "embedding", "vec_id", query_id=0, k=10),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -900,20 +904,20 @@ _PRIORITY = [
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "s09_stream_quality",
-    # -- late r5: multi-epoch mixture + fixed-token output shards
-    #    (first rows; two r3-green rotate-ins llm18/llm19 lent their
-    #    slots — both stay pytest-oracle-swept every session) --
-    "llm55_mixture_epochs", "llm56_shard_assign",
+    # -- late r5: multi-epoch mixture + fixed-token output shards +
+    #    int8-quantized ANN (first rows; three r3-green rotate-ins
+    #    llm18/llm19/q08 lent their slots — all stay pytest-oracle-
+    #    swept every session) --
+    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
-    "q08_using_join",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
     "q18_case_arith",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     # --- fold: entries below are outside a 50-entry prefix sample ---
-    "llm18_chunk_documents", "llm19_top_terms_tfidf",
+    "q08_using_join", "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
     # q02/q05/q09/q12/q17a/q20/q21/q22/q24/q25/x02 — r2/r3-green
     # surfaces whose slots went to the fourteen NEW r5 operators
@@ -1926,6 +1930,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
                    (CAST(cum AS BIGINT) - n_tokens) // 5000 AS shard_id
             FROM c""",
+        # int8 quantization replayed exactly (identical double ops:
+        # scale = 127/max|x|, round half-away ints), then cosine over
+        # the quantized vectors — int dot products are exact in
+        # doubles, so the scores agree bit-for-bit across engines
+        "llm57_ann_quantized": """
+            WITH q AS (SELECT vec_id AS id,
+                              CASE WHEN list_max(list_transform(
+                                       embedding::DOUBLE[],
+                                       x -> abs(x))) > 0
+                                   THEN 127.0 / list_max(list_transform(
+                                       embedding::DOUBLE[],
+                                       x -> abs(x)))
+                                   ELSE 0.0 END AS scale,
+                              embedding::DOUBLE[] AS v
+                       FROM embeddings),
+            qq AS (SELECT id, list_transform(
+                       v, x -> CAST(round(x * scale) AS INT)) AS qvec
+                   FROM q)
+            SELECT a.id,
+                   round(list_cosine_similarity(a.qvec::DOUBLE[],
+                         (SELECT qvec::DOUBLE[] FROM qq WHERE id = 0)),
+                         6) AS cosine
+            FROM qq a WHERE a.id <> 0
+            ORDER BY cosine DESC, id ASC LIMIT 10""",
         # identical RE2-safe regex chain + literal entity replaces,
         # &amp; decoded last on both engines
         "llm53_html_strip": """

@@ -12,7 +12,9 @@ from .dedup import (
     minhash_lsh_pairs, minhash_signatures, md5_token_hash, simhash_pairs,
     simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
 )
-from .simsearch import cosine_topk, ivf_ann_topk, lsh_ann_topk
+from .simsearch import (cosine_topk, cosine_topk_quantized,
+                        ivf_ann_topk, lsh_ann_topk,
+                        quantize_embeddings)
 from .textstats import (
     c4_line_filter, chunk_documents, classifier_score, corpus_stats,
     decontaminate,
@@ -37,6 +39,7 @@ __all__ = [
     "minhash_signatures", "md5_token_hash", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
+    "quantize_embeddings", "cosine_topk_quantized",
     "c4_line_filter", "decontaminate", "gopher_quality",
     "gopher_repetition", "pii_redact",
     "quality_score", "token_stats", "fingerprint",

@@ -98,6 +98,41 @@ def test_ann_lsh_recall(emb):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_quantize_embeddings_range_and_edges(spark, emb):
+    """int8 quantization: every component in [-127, 127], the max-|x|
+    component hits exactly +/-127, and an all-zero vector quantizes to
+    zeros with scale 0 instead of dividing by zero."""
+    qt = {r.id: (list(r.qvec), r.scale) for r in
+          L.quantize_embeddings(emb, "embedding", "vec_id").collect()}
+    assert len(qt) == emb.count()
+    assert all(-127 <= c <= 127 for v, _s in qt.values() for c in v)
+    assert all(max(abs(c) for c in v) == 127 for v, _s in qt.values())
+    zdf = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [2.0, -4.0, 1.0])],
+        "id long, v array<float>")
+    zq = {r.id: (list(r.qvec), r.scale) for r in
+          L.quantize_embeddings(zdf, "v", "id").collect()}
+    assert zq[1] == ([0, 0, 0], 0.0)
+    assert zq[2][0] == [64, -127, 32]
+
+
+def test_ann_quantized_recall(emb):
+    """Quantized brute-force ranking must track the exact ranking
+    closely (int8 error ~1e-3 on these embeddings: full top-10
+    agreement on this data) and its scores stay within quantization
+    error of the exact scores."""
+    exact = [(r.id, r.cosine) for r in
+             L.cosine_topk(emb, "embedding", "vec_id", 0, 10).collect()]
+    quant = [(r.id, r.cosine) for r in
+             L.cosine_topk_quantized(emb, "embedding", "vec_id",
+                                     0, 10).collect()]
+    assert len({i for i, _ in exact} & {i for i, _ in quant}) >= 9
+    qmap = dict(quant)
+    for i, c in exact:
+        if i in qmap:
+            assert abs(qmap[i] - c) < 5e-3
+
+
 def test_ann_ivf_recall(emb):
     """IVF with nprobe=4/nlist=8 must recover most of the exact top-k
     (deterministic centroids from a seeded sample)."""

@@ -106,11 +106,13 @@ def test_lsh_bucket_join_is_equi_join(spark, queries):
 
 def test_ann_query_vector_broadcast(spark, queries):
     """Brute-force ANN joins the 1-row query vector by broadcast; the
-    corpus side must never shuffle."""
-    plan = plan_of(queries["llm06_ann_topk_bruteforce"](spark, SF),
-                   mode="simple")
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert "TakeOrderedAndProject" in plan
+    corpus side must never shuffle.  Same gate for the int8-quantized
+    variant — quantization must not change the plan shape."""
+    for name in ("llm06_ann_topk_bruteforce", "llm57_ann_quantized"):
+        plan = plan_of(queries[name](spark, SF), mode="simple")
+        assert "BroadcastNestedLoopJoin" in plan \
+            or "BroadcastHashJoin" in plan, name
+        assert "TakeOrderedAndProject" in plan, name
 
 
 def test_window_agg_single_shuffle(spark, queries):
