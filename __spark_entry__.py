@@ -919,10 +919,10 @@ _PRIORITY = [
     # --- fold: entries below are outside a 50-entry prefix sample ---
     "q08_using_join", "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q09/q12/q17a/q20/q21/q22/q24/q25/x02 — r2/r3-green
-    # surfaces whose slots went to the fourteen NEW r5 operators
-    # llm42-54/s08/s09 so no shipped operator waits a round for a
-    # driver row; each displaced family keeps an in-window
+    # q02/q05/q08/q09/q12/q17a/q20/q21/q22/q24/q25/x02/llm18/llm19 —
+    # r2/r3-green surfaces whose slots went to the seventeen NEW r5
+    # operators llm42-57/s08/s09 so no shipped operator waits a round
+    # for a driver row; each displaced family keeps an in-window
     # representative (q04 outer joins, q38 rollup, q17b-d set ops,
     # q13+q14 predicate surfaces, x01 for the X expression DSL) and
     # all stay covered by the per-session pytest oracle sweep)
