@@ -585,6 +585,10 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # int dot products are exact in doubles, so fully oracled
         "llm57_ann_quantized": lambda s, d: L.cosine_topk_quantized(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10),
+        # one-row curation funnel (dataset-card numbers): per-filter
+        # keep rates aggregated from the oracled filter frames
+        "llm58_curation_report": lambda s, d: L.curation_report(
+            _docs(s, d), "text", "doc_id"),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -909,19 +913,20 @@ _PRIORITY = [
     #    llm18/llm19/q08 lent their slots — all stay pytest-oracle-
     #    swept every session) --
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
+    "llm58_curation_report",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
-    "q18_case_arith",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     # --- fold: entries below are outside a 50-entry prefix sample ---
-    "q08_using_join", "llm18_chunk_documents", "llm19_top_terms_tfidf",
+    "q08_using_join", "q18_case_arith",
+    "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q08/q09/q12/q17a/q20/q21/q22/q24/q25/x02/llm18/llm19 —
-    # r2/r3-green surfaces whose slots went to the seventeen NEW r5
-    # operators llm42-57/s08/s09 so no shipped operator waits a round
+    # q02/q05/q08/q09/q12/q17a/q18/q20/q21/q22/q24/q25/x02/llm18/
+    # llm19 — r2/r3-green surfaces whose slots went to the eighteen
+    # NEW r5 operators llm42-58/s08/s09 so no shipped operator waits a round
     # for a driver row; each displaced family keeps an in-window
     # representative (q04 outer joins, q38 rollup, q17b-d set ops,
     # q13+q14 predicate surfaces, x01 for the X expression DSL) and
@@ -972,6 +977,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    o = _oracle_sql_base()
+    # llm58 composes the ALREADY-VERIFIED per-filter oracles as CTEs:
+    # one row of funnel numbers aggregated from exactly the frames the
+    # llm32/33/34 + llm09/llm10 gates check per-doc (so a divergence in
+    # any fragment would surface twice — per-doc and in the report)
+    o["llm58_curation_report"] = f"""
+        WITH g AS ({o['llm32_gopher_quality']}),
+        c AS ({o['llm33_c4_line_filter']}),
+        p AS ({o['llm34_pii_redact']}),
+        q AS ({o['llm10_quality_score']}),
+        l AS ({o['llm09_lang_id']})
+        SELECT
+          (SELECT count(*) FROM g) AS n_docs,
+          (SELECT round(avg(CAST(keep AS INT)), 6) FROM g)
+              AS gopher_keep_rate,
+          (SELECT CASE WHEN sum(n_lines) = 0 THEN NULL
+                  ELSE round(CAST(sum(n_kept) AS DOUBLE) /
+                             CAST(sum(n_lines) AS DOUBLE), 6) END
+           FROM c) AS c4_line_keep_rate,
+          (SELECT round(avg(CASE WHEN n_emails + n_ips + n_phones > 0
+                                 THEN 1 ELSE 0 END), 6) FROM p)
+              AS pii_doc_rate,
+          (SELECT CAST(sum(n_emails + n_ips + n_phones) AS BIGINT)
+           FROM p) AS pii_hits,
+          (SELECT round(avg(quality), 6) FROM q) AS mean_quality,
+          (SELECT count(DISTINCT lang_pred) FROM l) AS n_langs"""
+    return o
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "q01_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -17,7 +17,7 @@ from .simsearch import (cosine_topk, cosine_topk_quantized,
                         quantize_embeddings)
 from .textstats import (
     c4_line_filter, chunk_documents, classifier_score, corpus_stats,
-    decontaminate,
+    curation_report, decontaminate,
     gopher_quality, gopher_repetition, html_strip, lang_id,
     ngram_lm_fit, ngram_lm_perplexity, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
@@ -54,4 +54,5 @@ __all__ = [
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
     "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",
     "ngram_lm_fit", "ngram_lm_perplexity", "html_strip", "vocab_stats",
+    "curation_report",
 ]

@@ -628,3 +628,43 @@ def vocab_stats(df: DataFrame, text_col: str,
                   .withColumn("type_token_ratio",
                               F.round(F.col("vocab_size") /
                                       F.col("total_tokens"), 6)))
+
+
+def curation_report(df: DataFrame, text_col: str,
+                    id_col: str) -> DataFrame:
+    """One-row curation funnel report — the dataset-card numbers a
+    corpus builder reads before shipping: document count, Gopher
+    keep-rate, C4 line survival, PII incidence, mean quality score,
+    and language diversity, all from the existing filter operators at
+    their default configurations.
+
+    Scale shape: each signal aggregates its own zero-shuffle filter
+    projection straight to ONE row (partial agg -> scalar), and the
+    1-row results cross-join — so the corpus is scanned per signal but
+    never shuffled and never self-joined on id (joining the five
+    per-doc frames would be four corpus-sized shuffles; five scans are
+    strictly cheaper at any scale where the shuffle doesn't fit in
+    memory).  The only single-partition exchanges are the documented
+    1-row scalar aggregates."""
+    g = gopher_quality(df, text_col, id_col)
+    c = c4_line_filter(df, text_col, id_col)
+    p = pii_redact(df, text_col, id_col)
+    q = quality_score(df, text_col, id_col)
+    lang = lang_id(df, text_col, id_col)
+
+    g1 = g.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(F.col("keep").cast("int")), 6)
+         .alias("gopher_keep_rate"))
+    c1 = c.agg(
+        F.when(F.sum("n_lines") == 0, F.lit(None).cast("double"))
+         .otherwise(F.round(F.sum("n_kept").cast("double") /
+                            F.sum("n_lines").cast("double"), 6))
+         .alias("c4_line_keep_rate"))
+    hits = F.col("n_emails") + F.col("n_ips") + F.col("n_phones")
+    p1 = p.agg(
+        F.round(F.avg((hits > 0).cast("int")), 6).alias("pii_doc_rate"),
+        F.sum(hits).cast("long").alias("pii_hits"))
+    q1 = q.agg(F.round(F.avg("quality"), 6).alias("mean_quality"))
+    l1 = lang.agg(F.countDistinct("lang_pred").alias("n_langs"))
+    return (g1.crossJoin(c1).crossJoin(p1).crossJoin(q1).crossJoin(l1))

@@ -1159,6 +1159,50 @@ def test_shard_corpus_partitioned_write(docs, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# curation funnel report (llm58)
+# ---------------------------------------------------------------------------
+
+def test_curation_report_crafted_corpus(spark):
+    """Hand-computable funnel: 2 docs with PII (3 hits total), the
+    whole corpus one row, rates from the per-doc filter frames."""
+    docs = spark.createDataFrame(
+        [(1, "Contact a@b.com or c@d.org for details today."),
+         (2, "Server at 10.0.0.1 responded quickly and cleanly."),
+         (3, "A perfectly ordinary clean sentence, long enough to "
+             "carry several words of meaning.")],
+        "doc_id long, text string")
+    r = L.curation_report(docs, "text", "doc_id").collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n_docs"] == 3
+    assert abs(row["pii_doc_rate"] - round(2 / 3, 6)) < 1e-9
+    assert row["pii_hits"] == 3              # 2 emails + 1 ip
+    assert row["n_langs"] >= 1
+    assert 0.0 <= row["gopher_keep_rate"] <= 1.0
+    assert row["c4_line_keep_rate"] is None or \
+        0.0 <= row["c4_line_keep_rate"] <= 1.0
+    # rates agree with aggregating the per-doc frames directly
+    from pyspark.sql import functions as F
+    g = L.gopher_quality(docs, "text", "doc_id")
+    expect = g.agg(F.round(F.avg(F.col("keep").cast("int")), 6)) \
+              .first()[0]
+    assert row["gopher_keep_rate"] == expect
+
+
+def test_curation_report_empty_lines_guard(spark):
+    """A corpus whose C4 pass keeps zero lines must yield a NULL line
+    keep-rate, not a division error."""
+    docs = spark.createDataFrame(
+        [(1, "no terminal punctuation here"),
+         (2, "short line")],
+        "doc_id long, text string")
+    row = L.curation_report(docs, "text", "doc_id").first()
+    assert row["n_docs"] == 2
+    assert row["c4_line_keep_rate"] is None or \
+        row["c4_line_keep_rate"] == 0.0
+
+
+# ---------------------------------------------------------------------------
 # corpus stats (llm46)
 # ---------------------------------------------------------------------------
 

@@ -284,6 +284,7 @@ def test_semdedup_joins_only_within_clusters(spark, queries):
 _SINGLE_PARTITION_BY_DESIGN = {
     "llm36_pack_verified", "llm39_pipeline_verified",
     "llm45_domain_mixture", "llm55_mixture_epochs",
+    "llm58_curation_report",     # five 1-row funnel scalar aggregates
     "q16_scalar_subquery",
 }
 
