@@ -829,6 +829,9 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
          L.shard_corpus(L.token_stats(sdf, "text", "doc_id"),
                         "id", "ws_tokens", shard_tokens=5000,
                         id_hash=L.md5_id_hash), "id"),
+        # 1-row funnel: any column works as the index
+        ("llm58_curation_report",
+         L.curation_report(sdf, "text", "doc_id"), "n_docs"),
     ]
     for name, out, idx in checks:
         a = out.toPandas().set_index(idx).sort_index()
