@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Pre-driver dress rehearsal: run the driver's 50-key sample window
+against the DuckDB oracles with a driver-style compare (row count +
+sorted-column schema + stringified-cell values, which is dtype-strict:
+an int64-vs-float64 divergence fails here before it can fail the gate).
+
+Usage:  python tools/rehearse.py [sf_dir]       (default sf0.01)
+Prints one OK/FAIL line per query and a JSON summary; exit code 1 on
+any failure.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import duckdb
+
+    import __spark_entry__ as entry
+    from flink_dsl_spark import get_session
+
+    spark = get_session("rehearse")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, oracles = entry.queries(), entry.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"create view {t} as select * from '{sf}/{t}.parquet'")
+
+    results = {}
+    for name in list(qs)[:50]:
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, sf).toPandas()
+            o = oracles.get(name)
+            if o is None:
+                results[name] = {"rows": len(sdf), "oracle": None,
+                                 "ok": len(sdf) >= 0}
+                continue
+            odf = con.sql(o).df()
+            cols_s, cols_o = sorted(sdf.columns), sorted(odf.columns)
+            schema_ok = cols_s == cols_o
+            a = (sdf[cols_s].sort_values(cols_s).reset_index(drop=True)
+                 if schema_ok else sdf)
+            b = (odf[cols_o].sort_values(cols_o).reset_index(drop=True)
+                 if schema_ok else odf)
+            vals_ok = bool(
+                schema_ok and len(a) == len(b) and all(
+                    (a[c].astype(str).values ==
+                     b[c].astype(str).values).all() for c in a.columns))
+            results[name] = {"rows": len(sdf), "oracle": len(odf),
+                             "schema": schema_ok, "values": vals_ok,
+                             "ok": vals_ok,
+                             "sec": round(time.time() - t0, 2)}
+        except Exception as ex:            # noqa: BLE001 — report, don't die
+            results[name] = {"ok": False, "err": str(ex)[:300]}
+        print(name, "OK" if results[name]["ok"] else "FAIL", flush=True)
+
+    bad = [k for k, v in results.items() if not v["ok"]]
+    print(json.dumps({"total": len(results), "failed": bad}))
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
