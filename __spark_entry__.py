@@ -589,6 +589,22 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # keep rates aggregated from the oracled filter frames
         "llm58_curation_report": lambda s, d: L.curation_report(
             _docs(s, d), "text", "doc_id"),
+        # BPE first-merge statistics: adjacent symbol-pair counts over
+        # the normalized token stream, deterministic (cnt desc, pair)
+        # top-50 cut
+        "llm59_bpe_pairs": lambda s, d: L.bpe_pair_stats(
+            _docs(s, d), "text", k=50),
+        # Unicode NFC canonicalization: Arrow pandas UDF over CPython
+        # unicodedata; DuckDB's utf8proc nfc_normalize is the oracle
+        # (normalization-stability policy makes the premise exact)
+        "llm60_nfc_normalize": lambda s, d: L.nfc_normalize(
+            _docs(s, d), "text", "doc_id"),
+        # Misra-Gries heavy hitters; capacity >= corpus vocabulary is
+        # the exact, oracled config — production uses a small capacity
+        # to bound the shuffle at partitions*capacity rows when the
+        # key universe (URLs, n-grams) dwarfs memory
+        "llm61_heavy_hitters": lambda s, d: L.heavy_hitters(
+            _docs(s, d), "text", capacity=1_000_000, k=25),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -870,12 +886,14 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dedup, llm49 classifier score, llm50 k-means, llm51 SemDeDup,
 # llm52 LM perplexity, llm53 html strip, llm54 vocab stats, llm55
 # multi-epoch mixture, llm56 output sharding, s08 streaming dedup,
-# s09 streaming curation) — get their first rows; (d) 14 oracled
-# queries whose last driver-green row is r2/r3 rotate back in (the
-# remaining twelve r2/r3-green queries sit just below the fold, see
-# the fold note).  Union(r02..r05) then gives all but those twelve of
-# the 102 oracled queries a driver-green row, with llm33-56/s08/s09
-# green for the first time.
+# s09 streaming curation, and the final three: llm59 BPE pair stats,
+# llm60 NFC normalization, llm61 Misra-Gries heavy hitters) — get
+# their first rows; (d) 11 oracled queries whose last driver-green
+# row is r2/r3 rotate back in (the remaining fifteen r2/r3-green
+# queries sit just below the fold, see the fold note).
+# Union(r02..r05) then gives all but those fifteen of the 105 oracled
+# queries a driver-green row, with llm33-61/s08/s09 green for the
+# first time.
 _PRIORITY = [
     # -- regression core (11): one per §2 family + the r4-repaired NTZ
     #    cluster, kept in every round's window (set-op and IN coverage
@@ -914,23 +932,31 @@ _PRIORITY = [
     #    swept every session) --
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
     "llm58_curation_report",
+    # -- final r5: BPE pair stats, NFC normalization, Misra-Gries
+    #    heavy hitters (first rows; r3-green q16/llm16/llm17 lent
+    #    their rotate-back slots — subquery family keeps q14/q15
+    #    in-window, ANN keeps llm57, clustering keeps llm35 which
+    #    composes dup_clusters; all three stay pytest-swept) --
+    "llm59_bpe_pairs", "llm60_nfc_normalize", "llm61_heavy_hitters",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
-    "q14_in_subquery", "q15_exists", "q16_scalar_subquery",
+    "q14_in_subquery", "q15_exists",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
     "llm11_fingerprint", "llm12_multimodal_decode",
-    "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     # --- fold: entries below are outside a 50-entry prefix sample ---
+    "q16_scalar_subquery", "llm16_ann_ivf_exhaustive",
+    "llm17_dup_clusters",
     "q08_using_join", "q18_case_arith",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q08/q09/q12/q17a/q18/q20/q21/q22/q24/q25/x02/llm18/
-    # llm19 — r2/r3-green surfaces whose slots went to the eighteen
-    # NEW r5 operators llm42-58/s08/s09 so no shipped operator waits a round
-    # for a driver row; each displaced family keeps an in-window
-    # representative (q04 outer joins, q38 rollup, q17b-d set ops,
-    # q13+q14 predicate surfaces, x01 for the X expression DSL) and
-    # all stay covered by the per-session pytest oracle sweep)
+    # q02/q05/q08/q09/q12/q16/q17a/q18/q20/q21/q22/q24/q25/x02/llm16/
+    # llm17/llm18/llm19 — r2/r3-green surfaces whose slots went to the
+    # twenty-one NEW r5 operators llm42-61/s08/s09 so no shipped
+    # operator waits a round for a driver row; each displaced family
+    # keeps an in-window representative (q04 outer joins, q38 rollup,
+    # q17b-d set ops, q13+q14+q15 predicate/subquery surfaces, x01 for
+    # the X expression DSL, llm57 ANN, llm35 for clustering) and all
+    # stay covered by the per-session pytest oracle sweep)
     "q02_filter_projection", "q05_right_join",
     "q09_rollup", "q12_order_limit_offset",
     "q17a_union", "q20_comma_from", "q21_between_like_null",
@@ -1969,6 +1995,43 @@ def _oracle_sql_base() -> dict[str, str]:
         # scale = 127/max|x|, round half-away ints), then cosine over
         # the quantized vectors — int dot products are exact in
         # doubles, so the scores agree bit-for-bit across engines
+        # same normalized token stream, pairs via the identical
+        # substr sweep (DuckDB range(1, len) ≡ Spark sequence(1,
+        # len-1)); (cnt desc, pair) is a total order so LIMIT is
+        # deterministic on both engines
+        "llm59_bpe_pairs": """
+            WITH t AS (SELECT list_filter(string_split(trim(
+                           regexp_replace(regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' '),
+                           x -> len(x) >= 2) AS toks
+                       FROM documents),
+            w AS (SELECT unnest(toks) AS w FROM t),
+            p AS (SELECT unnest(list_transform(range(1, len(w)),
+                      i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+                  FROM w),
+            c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair)
+            SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 50""",
+        # utf8proc NFC vs CPython unicodedata NFC: identical by the
+        # Unicode normalization-stability policy (fuzzed over
+        # composed/decomposed/combining inputs in tests)
+        "llm60_nfc_normalize": """
+            SELECT doc_id AS id, nfc_normalize(text) AS text_nfc,
+                   nfc_normalize(text) <> text AS changed
+            FROM documents""",
+        # exact-config Misra-Gries ≡ the plain frequency table; same
+        # deterministic (est_cnt desc, tok) cut
+        "llm61_heavy_hitters": """
+            WITH t AS (SELECT string_split(trim(regexp_replace(
+                           regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS toks
+                       FROM documents),
+            e AS (SELECT unnest(toks) AS tok FROM t),
+            c AS (SELECT tok, count(*) AS est_cnt FROM e
+                  WHERE tok <> '' GROUP BY tok)
+            SELECT tok, est_cnt FROM c
+            ORDER BY est_cnt DESC, tok LIMIT 25""",
         "llm57_ann_quantized": """
             WITH q AS (SELECT vec_id AS id,
                               CASE WHEN list_max(list_transform(

@@ -16,13 +16,15 @@ from .simsearch import (cosine_topk, cosine_topk_quantized,
                         ivf_ann_topk, lsh_ann_topk,
                         quantize_embeddings)
 from .textstats import (
-    c4_line_filter, chunk_documents, classifier_score, corpus_stats,
-    curation_report, decontaminate,
+    bpe_pair_stats, c4_line_filter, chunk_documents, classifier_score,
+    corpus_stats, curation_report, decontaminate,
     gopher_quality, gopher_repetition, html_strip, lang_id,
     ngram_lm_fit, ngram_lm_perplexity, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
     vocab_stats,
 )
+from .unicode_norm import nfc_normalize
+from .sketch import heavy_hitters
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
@@ -55,4 +57,5 @@ __all__ = [
     "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",
     "ngram_lm_fit", "ngram_lm_perplexity", "html_strip", "vocab_stats",
     "curation_report",
+    "bpe_pair_stats", "nfc_normalize", "heavy_hitters",
 ]

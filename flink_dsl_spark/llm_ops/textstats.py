@@ -397,6 +397,34 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                      F.md5(canon).alias("fingerprint"))
 
 
+def bpe_pair_stats(df: DataFrame, text_col: str,
+                   k: int | None = None) -> DataFrame:
+    """Adjacent symbol-pair frequencies over the normalized token
+    stream — the statistic a BPE tokenizer trainer computes to pick
+    its first merge (Sennrich et al. 2016).  Returns (pair, cnt),
+    optionally the deterministic top ``k`` (count desc, pair asc — a
+    total order, so the cut is reproducible).
+
+    Scale shape: words explode narrowly (no shuffle), pairs come from
+    a JVM higher-order substr sweep inside codegen, and the only
+    shuffle is the pair-count hash aggregate, which map-side combine
+    collapses to one row per distinct pair per task — the pair
+    universe (~vocab of 2-grams) is tiny next to the corpus.  A
+    ``k``-cut lands as TakeOrderedAndProject, never a global sort.
+    Each BPE training iteration is one pass of this shape over the
+    re-segmented corpus."""
+    toks = F.filter(_ws_tokens(F.col(text_col)),
+                    lambda t: F.length(t) >= 2)
+    words = spread_for_compute(df).select(F.explode(toks).alias("w"))
+    pairs = words.select(F.explode(F.transform(
+        F.sequence(F.lit(1), F.length("w") - 1),
+        lambda i: F.col("w").substr(i, F.lit(2)))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    if k is not None:
+        counts = counts.orderBy(F.col("cnt").desc(), "pair").limit(k)
+    return counts
+
+
 def corpus_stats(df: DataFrame, tokens_col: str,
                  group_col: str | None = None,
                  percentiles: tuple = (0.5, 0.9, 0.99),

@@ -1445,3 +1445,126 @@ def test_vocab_stats_crafted_counts(spark):
     # whole-corpus variant
     allrow = L.vocab_stats(df, "text").first()
     assert allrow["grp"] == "all" and allrow["total_tokens"] == 6
+
+
+# ---------------------------------------------------------------------------
+# BPE pair stats (llm59), NFC normalization (llm60), heavy hitters (llm61)
+# ---------------------------------------------------------------------------
+
+def test_bpe_pair_stats_crafted_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "Abab x")],  # 1-char words contribute nothing
+        "doc_id long, text string")
+    out = {r["pair"]: r["cnt"] for r in
+           L.bpe_pair_stats(df, "text").collect()}
+    # 'abab' x2 -> ab:2, ba:1 each; 'cd' -> cd:1; 'x' too short
+    assert out == {"ab": 4, "ba": 2, "cd": 1}
+
+
+def test_bpe_pair_stats_topk_cut_is_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, "aa bb cc dd")], "doc_id long, text string")
+    # all four pairs tie at cnt=1 -> the k-cut must take pair-order
+    out = [r["pair"] for r in
+           L.bpe_pair_stats(df, "text", k=2).collect()]
+    assert out == ["aa", "bb"]
+
+
+def test_nfc_normalize_composes_and_flags(spark):
+    decomposed = "café"          # e + combining acute
+    composed = "café"
+    angstrom = "Å"                # ANGSTROM SIGN -> U+00C5 under NFC
+    df = spark.createDataFrame(
+        [(1, decomposed), (2, composed), (3, angstrom), (4, "plain")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           L.nfc_normalize(df, "text", "doc_id").collect()}
+    assert out[1]["text_nfc"] == composed and out[1]["changed"] is True
+    assert out[2]["text_nfc"] == composed and out[2]["changed"] is False
+    assert out[3]["text_nfc"] == "Å" and out[3]["changed"] is True
+    assert out[4]["changed"] is False
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet=_FUZZ_TEXT_ALPHABET + "́̊̃Å"
+                     "éÅñ",
+            min_size=0, max_size=80),
+    min_size=1, max_size=20))
+def test_nfc_premise_agrees_with_duckdb(spark, texts):
+    """llm60's premise: CPython unicodedata NFC == DuckDB utf8proc
+    nfc_normalize.  Fuzz over text mixing combining marks with their
+    precomposed forms (the cases where engines could disagree)."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["id"]: (r["text_nfc"], r["changed"]) for r in
+           L.nfc_normalize(df, "text", "doc_id").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (id BIGINT, t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?, ?)", list(enumerate(texts)))
+    exp = {r[0]: (r[1], r[2]) for r in con.sql(
+        "SELECT id, nfc_normalize(t), nfc_normalize(t) <> t FROM s"
+    ).fetchall()}
+    assert got == exp
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet=_FUZZ_TEXT_ALPHABET, min_size=0, max_size=80),
+    min_size=1, max_size=20))
+def test_bpe_pairs_premise_agrees_with_duckdb(spark, texts):
+    """llm59's premise: Spark's sequence/substr pair sweep over the
+    normalized stream == DuckDB's range/substr list_transform."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got = {r["pair"]: r["cnt"] for r in
+           L.bpe_pair_stats(df, "text").collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE s (t VARCHAR)")
+    con.executemany("INSERT INTO s VALUES (?)", [(t,) for t in texts])
+    exp = {r[0]: r[1] for r in con.sql("""
+        WITH t AS (SELECT list_filter(string_split(trim(
+                       regexp_replace(regexp_replace(lower(t),
+                       '[^a-z0-9\\s]', ' ', 'g'),
+                       '\\s+', ' ', 'g')), ' '),
+                       x -> len(x) >= 2) AS toks FROM s),
+        w AS (SELECT unnest(toks) AS w FROM t),
+        p AS (SELECT unnest(list_transform(range(1, len(w)),
+                  i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+              FROM w)
+        SELECT pair, count(*) FROM p GROUP BY pair""").fetchall()}
+    assert got == exp
+
+
+def test_heavy_hitters_exact_capacity_matches_true_counts(spark):
+    rows = [(i, "alpha " * (10 - i % 3) + "beta gamma " + f"tok{i}")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["tok"]: r["est_cnt"] for r in
+           L.heavy_hitters(df, "text", capacity=10_000, k=5).collect()}
+    from collections import Counter
+    true = Counter()
+    for _, t in rows:
+        true.update(tok for tok in t.lower().split() if tok)
+    topk = dict(sorted(true.items(),
+                       key=lambda kv: (-kv[1], kv[0]))[:5])
+    assert got == topk
+
+
+def test_heavy_hitters_small_capacity_guarantees(spark):
+    # one dominant token + noise: with tiny capacity the dominant
+    # token must survive with est <= true (MG lower-bound property)
+    rows = [(i, ("hot " * 50) + f"n{i}a n{i}b n{i}c") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["tok"]: r["est_cnt"] for r in
+           L.heavy_hitters(df, "text", capacity=4, k=3).collect()}
+    assert "hot" in out
+    assert out["hot"] <= 20 * 50
