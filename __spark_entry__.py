@@ -605,6 +605,12 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # key universe (URLs, n-grams) dwarfs memory
         "llm61_heavy_hitters": lambda s, d: L.heavy_hitters(
             _docs(s, d), "text", capacity=1_000_000, k=25),
+        # distributed BPE tokenizer: train 3 merges on the corpus
+        # word-frequency table (1-row collect per merge, documented),
+        # then encode every document with the learned tokenizer
+        "llm62_bpe_encode": lambda s, d: L.bpe_encode(
+            _docs(s, d), "text", "doc_id",
+            L.bpe_train(_docs(s, d), "text", 3)),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -886,14 +892,14 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dedup, llm49 classifier score, llm50 k-means, llm51 SemDeDup,
 # llm52 LM perplexity, llm53 html strip, llm54 vocab stats, llm55
 # multi-epoch mixture, llm56 output sharding, s08 streaming dedup,
-# s09 streaming curation, and the final three: llm59 BPE pair stats,
-# llm60 NFC normalization, llm61 Misra-Gries heavy hitters) — get
-# their first rows; (d) 11 oracled queries whose last driver-green
-# row is r2/r3 rotate back in (the remaining fifteen r2/r3-green
-# queries sit just below the fold, see the fold note).
-# Union(r02..r05) then gives all but those fifteen of the 105 oracled
-# queries a driver-green row, with llm33-61/s08/s09 green for the
-# first time.
+# s09 streaming curation, and the final four: llm59 BPE pair stats,
+# llm60 NFC normalization, llm61 Misra-Gries heavy hitters, llm62
+# distributed BPE tokenizer train+encode) — get their first rows;
+# (d) 10 oracled queries whose last driver-green row is r2/r3 rotate
+# back in (the remaining sixteen r2/r3-green queries sit just below
+# the fold, see the fold note).  Union(r02..r05) then gives all but
+# those sixteen of the 108 oracled queries a driver-green row, with
+# llm33-62/s08/s09 green for the first time.
 _PRIORITY = [
     # -- regression core (11): one per §2 family + the r4-repaired NTZ
     #    cluster, kept in every round's window (set-op and IN coverage
@@ -938,20 +944,25 @@ _PRIORITY = [
     #    in-window, ANN keeps llm57, clustering keeps llm35 which
     #    composes dup_clusters; all three stay pytest-swept) --
     "llm59_bpe_pairs", "llm60_nfc_normalize", "llm61_heavy_hitters",
+    # -- distributed BPE tokenizer train+encode (first row; r3-green
+    #    llm11 lent its slot — textstats keeps llm33/34/41/59/61
+    #    in-window) --
+    "llm62_bpe_encode",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q14_in_subquery", "q15_exists",
     "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
-    "llm11_fingerprint", "llm12_multimodal_decode",
+    "llm12_multimodal_decode",
     # --- fold: entries below are outside a 50-entry prefix sample ---
+    "llm11_fingerprint",
     "q16_scalar_subquery", "llm16_ann_ivf_exhaustive",
     "llm17_dup_clusters",
     "q08_using_join", "q18_case_arith",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q08/q09/q12/q16/q17a/q18/q20/q21/q22/q24/q25/x02/llm16/
-    # llm17/llm18/llm19 — r2/r3-green surfaces whose slots went to the
-    # twenty-one NEW r5 operators llm42-61/s08/s09 so no shipped
+    # q02/q05/q08/q09/q12/q16/q17a/q18/q20/q21/q22/q24/q25/x02/llm11/
+    # llm16/llm17/llm18/llm19 — r2/r3-green surfaces whose slots went
+    # to the twenty-two NEW r5 operators llm42-62/s08/s09 so no shipped
     # operator waits a round for a driver row; each displaced family
     # keeps an in-window representative (q04 outer joins, q38 rollup,
     # q17b-d set ops, q13+q14+q15 predicate/subquery surfaces, x01 for
@@ -1002,8 +1013,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles (ANSI SQL on the same parquet views)
 # ---------------------------------------------------------------------------
 
+def _bpe_oracle(num_merges: int) -> str:
+    """DuckDB replay of bpe_train + bpe_encode (llm62): the same
+    weighted pair counts over the word-frequency table, the same
+    (cnt desc, pair asc) arg-max tie-break, and merge application as
+    a recursive leftmost-single replace — whose fixpoint equals the
+    Spark side's greedy aggregate fold (' a a a a a a ' converges to
+    'aa aa aa' under both).  Generated per merge iteration because
+    each iteration's top pair depends on the previous segmentation."""
+    norm = ("list_filter(string_split(trim(regexp_replace("
+            "regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), "
+            "'\\s+', ' ', 'g')), ' '), x -> x <> '')")
+    ctes = [
+        f"dtoks AS (SELECT doc_id, {norm} AS toks FROM documents)",
+        "s0 AS (SELECT w AS word, count(*) AS wc, "
+        "' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' ' AS s "
+        "FROM (SELECT unnest(toks) AS w FROM dtoks) GROUP BY w)",
+    ]
+    for i in range(1, num_merges + 1):
+        prev = i - 1
+        ctes.append(f"""p{i} AS (
+            SELECT pr, sum(wc) AS cnt FROM (
+                SELECT wc, unnest(list_transform(range(1, len(l)),
+                       j -> l[j] || ' ' || l[j+1])) AS pr
+                FROM (SELECT wc, string_split(trim(s), ' ') AS l
+                      FROM s{prev})) GROUP BY pr)""")
+        ctes.append(f"""t{i} AS (
+            SELECT ' ' || pr || ' ' AS pat,
+                   ' ' || replace(pr, ' ', '') || ' ' AS rep
+            FROM p{i} ORDER BY cnt DESC, pr LIMIT 1)""")
+        # coalesce to a never-matching pattern ('!' can't appear in a
+        # normalized word) so an exhausted pair table passes rows
+        # through instead of NULLing the recursion
+        pat = f"coalesce((SELECT pat FROM t{i}), ' !none! ')"
+        rep = f"coalesce((SELECT rep FROM t{i}), ' !none! ')"
+        ctes.append(f"""a{i} AS (
+            SELECT word, wc, s FROM s{prev}
+            UNION ALL
+            SELECT word, wc,
+                   substr(s, 1, instr(s, {pat}) - 1) || {rep} ||
+                   substr(s, instr(s, {pat}) + len({pat}))
+            FROM a{i} WHERE instr(s, {pat}) > 0)""")
+        ctes.append(f"s{i} AS (SELECT word, wc, s FROM a{i} "
+                    f"WHERE instr(s, {pat}) = 0)")
+    ctes.append(
+        "pos AS (SELECT doc_id, unnest(range(1, len(toks)+1)) AS pos, "
+        "unnest(toks) AS w FROM dtoks)")
+    ctes.append(f"""enc AS (
+        SELECT p.doc_id,
+               string_agg(trim(v.s), ' ' ORDER BY p.pos) AS bpe_tokens,
+               CAST(sum(len(string_split(trim(v.s), ' '))) AS BIGINT)
+                   AS n_bpe_tokens
+        FROM pos p JOIN s{num_merges} v ON p.w = v.word
+        GROUP BY p.doc_id)""")
+    return ("WITH RECURSIVE " + ",\n".join(ctes) + """
+        SELECT d.doc_id AS id,
+               coalesce(e.bpe_tokens, '') AS bpe_tokens,
+               coalesce(e.n_bpe_tokens, 0) AS n_bpe_tokens
+        FROM documents d LEFT JOIN enc e ON d.doc_id = e.doc_id""")
+
+
 def oracle_sql() -> dict[str, str]:
     o = _oracle_sql_base()
+    # llm62: full tokenizer-train + encode replay (see _bpe_oracle)
+    o["llm62_bpe_encode"] = _bpe_oracle(3)
     # llm58 composes the ALREADY-VERIFIED per-filter oracles as CTEs:
     # one row of funnel numbers aggregated from exactly the frames the
     # llm32/33/34 + llm09/llm10 gates check per-doc (so a divergence in

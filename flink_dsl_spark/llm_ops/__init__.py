@@ -25,6 +25,7 @@ from .textstats import (
 )
 from .unicode_norm import nfc_normalize
 from .sketch import heavy_hitters
+from .bpe import bpe_encode, bpe_train
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
@@ -58,4 +59,5 @@ __all__ = [
     "ngram_lm_fit", "ngram_lm_perplexity", "html_strip", "vocab_stats",
     "curation_report",
     "bpe_pair_stats", "nfc_normalize", "heavy_hitters",
+    "bpe_train", "bpe_encode",
 ]

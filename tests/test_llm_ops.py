@@ -1568,3 +1568,106 @@ def test_heavy_hitters_small_capacity_guarantees(spark):
            L.heavy_hitters(df, "text", capacity=4, k=3).collect()}
     assert "hot" in out
     assert out["hot"] <= 20 * 50
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE tokenizer train + encode (llm62)
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(texts, k):
+    """Pure-Python reference BPE: same normalization, same weighted
+    word-frequency pair counts, same (cnt desc, pair asc) tie-break,
+    textbook greedy-leftmost merge application."""
+    import re
+    from collections import Counter
+
+    def norm(t):
+        t = t.translate({0x130: "i"}).lower()
+        return re.sub(r"[^a-z0-9]+", " ", t).strip()
+
+    def apply(s, x, y):
+        out, i = [], 0
+        while i < len(s):
+            if i + 1 < len(s) and s[i] == x and s[i + 1] == y:
+                out.append(x + y)
+                i += 2
+            else:
+                out.append(s[i])
+                i += 1
+        return out
+
+    words = Counter()
+    for t in texts:
+        for w in norm(t).split():
+            words[w] += 1
+    segs = {w: list(w) for w in words}
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, c in words.items():
+            s = segs[w]
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        top = min(pc.items(),
+                  key=lambda kv: (-kv[1], f"{kv[0][0]} {kv[0][1]}"))[0]
+        merges.append(top)
+        segs = {w: apply(s, *top) for w, s in segs.items()}
+    docs = []
+    for t in texts:
+        syms = [sym for w in norm(t).split() for sym in segs.get(w, [])]
+        docs.append((" ".join(syms), len(syms)))
+    return merges, docs
+
+
+def test_bpe_train_learns_textbook_merges(spark):
+    df = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low newer new"), (3, "")],
+        "doc_id long, text string")
+    merges = L.bpe_train(df, "text", 4)
+    # hand-derived: l+o (tie with o+w broken by pair order), lo+w,
+    # e+r (4-way tie at 2), e+w
+    assert merges == [("l", "o"), ("lo", "w"), ("e", "r"), ("e", "w")]
+    out = {r["id"]: r for r in
+           L.bpe_encode(df, "text", "doc_id", merges).collect()}
+    assert out[1]["bpe_tokens"] == "low low er low e s t"
+    assert out[1]["n_bpe_tokens"] == 7
+    assert out[3]["bpe_tokens"] == "" and out[3]["n_bpe_tokens"] == 0
+
+
+def test_bpe_train_stops_early_without_pairs(spark):
+    df = spark.createDataFrame([(1, "a b c a")],
+                               "doc_id long, text string")
+    # only single-char words -> no pairs at all
+    assert L.bpe_train(df, "text", 5) == []
+    out = {r["id"]: r for r in
+           L.bpe_encode(df, "text", "doc_id", []).collect()}
+    assert out[1]["bpe_tokens"] == "a b c a"
+
+
+def test_bpe_greedy_run_semantics(spark):
+    # 'aaaaaa' + merge (a,a) must give [aa aa aa], not [aa a aa a]
+    df = spark.createDataFrame([(1, "aaaaaa")], "doc_id long, text string")
+    merges = L.bpe_train(df, "text", 1)
+    assert merges == [("a", "a")]
+    row = L.bpe_encode(df, "text", "doc_id", merges).first()
+    assert row["bpe_tokens"] == "aa aa aa" and row["n_bpe_tokens"] == 3
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet="ab1 xyİß.", min_size=0, max_size=40),
+    min_size=1, max_size=10),
+    st.integers(min_value=0, max_value=4))
+def test_bpe_matches_python_reference(spark, texts, k):
+    merges, docs = _ref_bpe(texts, k)
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got_merges = L.bpe_train(df, "text", k)
+    assert got_merges == merges
+    got = {r["id"]: (r["bpe_tokens"], r["n_bpe_tokens"]) for r in
+           L.bpe_encode(df, "text", "doc_id", got_merges).collect()}
+    assert got == {i: d for i, d in enumerate(docs)}
