@@ -13,7 +13,9 @@ DuckDB's utf8proc both implement Unicode normalization, and the
 standard's normalization-stability policy guarantees the NFC of any
 assigned codepoint never changes across Unicode versions, so the two
 engines agree on any text either can represent (fuzzed over composed/
-decomposed/combining-mark inputs in tests/test_llm_ops.py).
+decomposed/combining-mark inputs, and pinned by an exhaustive BMP
+sweep — every non-surrogate codepoint in a composing context, zero
+divergences — in tests/test_llm_ops.py).
 """
 
 from __future__ import annotations

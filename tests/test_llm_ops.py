@@ -1671,3 +1671,32 @@ def test_bpe_matches_python_reference(spark, texts, k):
     got = {r["id"]: (r["bpe_tokens"], r["n_bpe_tokens"]) for r in
            L.bpe_encode(df, "text", "doc_id", got_merges).collect()}
     assert got == {i: d for i, d in enumerate(docs)}
+
+
+def test_nfc_premise_exhaustive_bmp_sweep():
+    """Pin llm60's premise the hard way: CPython unicodedata NFC ==
+    DuckDB utf8proc nfc_normalize for EVERY non-surrogate BMP
+    codepoint, each in a composing context ('a' + c + c covers
+    base+mark composition and self-pairs).  The Unicode
+    normalization-stability policy says engine version skew cannot
+    diverge on assigned codepoints; this verifies it empirically
+    (r5: zero divergences, Python tables at Unicode 14.0)."""
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    diffs = []
+    chars = [chr(cp) for cp in range(0x20, 0x10000)
+             if not 0xD800 <= cp <= 0xDFFF]
+    for start in range(0, len(chars), 8192):
+        batch = chars[start:start + 8192]
+        con.execute("CREATE OR REPLACE TABLE s (cp INT, t VARCHAR)")
+        con.executemany("INSERT INTO s VALUES (?, ?)",
+                        [(ord(c), "a" + c + c) for c in batch])
+        for cp, duck in con.sql(
+                "SELECT cp, nfc_normalize(t) FROM s").fetchall():
+            py = unicodedata.normalize("NFC", "a" + chr(cp) + chr(cp))
+            if py != duck:
+                diffs.append(hex(cp))
+    assert diffs == []
