@@ -611,6 +611,16 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm62_bpe_encode": lambda s, d: L.bpe_encode(
             _docs(s, d), "text", "doc_id",
             L.bpe_train(_docs(s, d), "text", 3)),
+        # temperature-scaled mixture (targets ∝ tokens^(1/T));
+        # T=2 -> w = sqrt(tokens), correctly rounded by IEEE-754 on
+        # both engines, so the whole rate algebra is oracled
+        "llm63_mixture_temperature": lambda s, d:
+            L.domain_mixture_temperature(
+                L.token_stats(_docs(s, d), "text", "doc_id")
+                 .join(_docs(s, d).selectExpr("doc_id as id", "source"),
+                       "id"),
+                "source", "id", "ws_tokens", temperature=2.0,
+                id_hash=L.md5_id_hash),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -892,14 +902,15 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # dedup, llm49 classifier score, llm50 k-means, llm51 SemDeDup,
 # llm52 LM perplexity, llm53 html strip, llm54 vocab stats, llm55
 # multi-epoch mixture, llm56 output sharding, s08 streaming dedup,
-# s09 streaming curation, and the final four: llm59 BPE pair stats,
+# s09 streaming curation, and the final five: llm59 BPE pair stats,
 # llm60 NFC normalization, llm61 Misra-Gries heavy hitters, llm62
-# distributed BPE tokenizer train+encode) — get their first rows;
-# (d) 10 oracled queries whose last driver-green row is r2/r3 rotate
-# back in (the remaining sixteen r2/r3-green queries sit just below
-# the fold, see the fold note).  Union(r02..r05) then gives all but
-# those sixteen of the 108 oracled queries a driver-green row, with
-# llm33-62/s08/s09 green for the first time.
+# distributed BPE tokenizer train+encode, llm63 temperature mixture)
+# — get their first rows; (d) 9 oracled queries whose last
+# driver-green row is r2/r3 rotate back in (the remaining seventeen
+# r2/r3-green queries sit just below the fold, see the fold note).
+# Union(r02..r05) then gives all but those seventeen of the 109
+# oracled queries a driver-green row, with llm33-63/s08/s09 green for
+# the first time.
 _PRIORITY = [
     # -- regression core (11): one per §2 family + the r4-repaired NTZ
     #    cluster, kept in every round's window (set-op and IN coverage
@@ -944,26 +955,27 @@ _PRIORITY = [
     #    in-window, ANN keeps llm57, clustering keeps llm35 which
     #    composes dup_clusters; all three stay pytest-swept) --
     "llm59_bpe_pairs", "llm60_nfc_normalize", "llm61_heavy_hitters",
-    # -- distributed BPE tokenizer train+encode (first row; r3-green
-    #    llm11 lent its slot — textstats keeps llm33/34/41/59/61
-    #    in-window) --
-    "llm62_bpe_encode",
+    # -- distributed BPE tokenizer train+encode and the temperature
+    #    mixture (first rows; r3-green llm11/llm05 lent their slots —
+    #    textstats keeps llm33/34/41/59/61 in-window, embedding dedup
+    #    keeps its exhaustive companion llm37) --
+    "llm62_bpe_encode", "llm63_mixture_temperature",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q14_in_subquery", "q15_exists",
-    "llm05_dedup_embedding", "llm09_lang_id", "llm10_quality_score",
+    "llm09_lang_id", "llm10_quality_score",
     "llm12_multimodal_decode",
     # --- fold: entries below are outside a 50-entry prefix sample ---
-    "llm11_fingerprint",
+    "llm11_fingerprint", "llm05_dedup_embedding",
     "q16_scalar_subquery", "llm16_ann_ivf_exhaustive",
     "llm17_dup_clusters",
     "q08_using_join", "q18_case_arith",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q08/q09/q12/q16/q17a/q18/q20/q21/q22/q24/q25/x02/llm11/
-    # llm16/llm17/llm18/llm19 — r2/r3-green surfaces whose slots went
-    # to the twenty-two NEW r5 operators llm42-62/s08/s09 so no shipped
-    # operator waits a round for a driver row; each displaced family
+    # q02/q05/q08/q09/q12/q16/q17a/q18/q20/q21/q22/q24/q25/x02/llm05/
+    # llm11/llm16/llm17/llm18/llm19 — r2/r3-green surfaces whose slots
+    # went to the twenty-three NEW r5 operators llm42-63/s08/s09 so no
+    # shipped operator waits a round for a driver row; each displaced family
     # keeps an in-window representative (q04 outer joins, q38 rollup,
     # q17b-d set ops, q13+q14+q15 predicate/subquery surfaces, x01 for
     # the X expression DSL, llm57 ANN, llm35 for clustering) and all
@@ -1801,6 +1813,32 @@ def _oracle_sql_base() -> dict[str, str]:
                     FROM t
                     WHERE source IN ('src0', 'src1', 'src2', 'src3')
                     GROUP BY source),
+            tot AS (SELECT min(tok / w) AS total FROM dom),
+            r AS (SELECT domain,
+                         CAST(round(least(1.0, w * tot.total / tok)
+                                    * 1000000) AS BIGINT) AS thresh
+                  FROM dom, tot)
+            SELECT t.id, t.source AS domain, t.n_tokens
+            FROM t JOIN r ON t.source = r.domain
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(t.id AS VARCHAR), ':', '42')), 1, 15))
+                      AS BIGINT) % 1000000 < r.thresh""",
+        # temperature mixture: same rate algebra as llm45 but weights
+        # derived in-SQL as sqrt(domain tokens) — IEEE-correctly-
+        # rounded on both engines, no weight dict premise
+        "llm63_mixture_temperature": """
+            WITH t AS (SELECT doc_id AS id, source,
+                              CAST(len(string_split(trim(regexp_replace(
+                                  regexp_replace(lower(text),
+                                  '[^a-z0-9\\s]', ' ', 'g'),
+                                  '\\s+', ' ', 'g')), ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents),
+            dom AS (SELECT source AS domain,
+                           CAST(sum(n_tokens) AS DOUBLE) AS tok,
+                           sqrt(CAST(sum(n_tokens) AS DOUBLE)) AS w
+                    FROM t GROUP BY source
+                    HAVING sum(n_tokens) > 0),
             tot AS (SELECT min(tok / w) AS total FROM dom),
             r AS (SELECT domain,
                          CAST(round(least(1.0, w * tot.total / tok)

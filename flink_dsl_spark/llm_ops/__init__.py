@@ -31,6 +31,7 @@ from .multimodal import (
     sample_frames,
 )
 from .assemble import (domain_mixture, domain_mixture_epochs,
+                       domain_mixture_temperature,
                        md5_id_hash, pack_sequences,
                        seeded_shuffle, shard_corpus, split_dataset,
                        stratified_sample, token_budget_sample)
@@ -59,5 +60,5 @@ __all__ = [
     "ngram_lm_fit", "ngram_lm_perplexity", "html_strip", "vocab_stats",
     "curation_report",
     "bpe_pair_stats", "nfc_normalize", "heavy_hitters",
-    "bpe_train", "bpe_encode",
+    "bpe_train", "bpe_encode", "domain_mixture_temperature",
 ]

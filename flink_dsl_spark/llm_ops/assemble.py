@@ -208,8 +208,6 @@ def domain_mixture(df: DataFrame, domain_col: str, id_col: str,
     for k, v in weights.items():
         if v < 0:
             raise ValueError(f"weight for {k!r} must be >= 0")
-    if id_hash is None:
-        id_hash = _xxhash_id
     wmap = F.create_map(*[F.lit(x) for kv in weights.items()
                           for x in (kv[0], float(kv[1]))])
     dom = (df.groupBy(F.col(domain_col).alias("domain"))
@@ -217,6 +215,56 @@ def domain_mixture(df: DataFrame, domain_col: str, id_col: str,
                    .cast("double").alias("__tok"))
              .withColumn("__w", wmap[F.col("domain")])
              .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
+    return _mixture_select(df, dom, domain_col, id_col, tokens_col,
+                           seed, id_hash)
+
+
+def domain_mixture_temperature(df: DataFrame, domain_col: str,
+                               id_col: str, tokens_col: str,
+                               temperature: float, seed: int = 42,
+                               id_hash=None) -> DataFrame:
+    """Downsample-only mixture rebalancing toward TEMPERATURE-scaled
+    token shares (the multilingual / DoReMi-init recipe: target share
+    of domain d is proportional to ``tokens_d^(1/temperature)``, so
+    T=1 keeps natural proportions and T→∞ approaches uniform) —
+    ``domain_mixture`` with the weights derived in-plan from the
+    corpus itself instead of passed in.
+
+    The weights stay UNNORMALIZED: the mixture algebra (feasible total
+    T = min(tok/w), keep-rate w*T/tok) is invariant under scaling all
+    weights by a constant, so dividing by the share normalizer would
+    only add a float op to the oracle premise.  ``temperature=2`` is
+    the cross-engine-oracled configuration (llm63): w = sqrt(tokens),
+    and IEEE-754 requires sqrt to be correctly rounded, so the JVM and
+    DuckDB agree bit-for-bit.  Other temperatures go through
+    ``pow`` — same libm on one platform, but only 1-ulp-accurate
+    across platforms, so they are production configs, not oracle
+    configs.
+
+    Same scale shape as domain_mixture: one column-pruned agg pass
+    over the corpus, a |domains|-row rates table broadcast back, one
+    hash filter."""
+    if not float(temperature) > 0:
+        raise ValueError("temperature must be > 0")
+    inv = 1.0 / float(temperature)
+    dom = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.sum(F.col(tokens_col).cast("long"))
+                   .cast("double").alias("__tok"))
+             .withColumn("__w",
+                         F.sqrt(F.col("__tok")) if inv == 0.5
+                         else F.pow(F.col("__tok"), F.lit(inv)))
+             .filter(F.col("__tok") > 0))
+    return _mixture_select(df, dom, domain_col, id_col, tokens_col,
+                           seed, id_hash)
+
+
+def _mixture_select(df: DataFrame, dom: DataFrame, domain_col: str,
+                    id_col: str, tokens_col: str, seed: int,
+                    id_hash) -> DataFrame:
+    """Shared mixture tail: feasible total from the (domain, __tok,
+    __w) frame, keep-rates broadcast back, id-hash membership."""
+    if id_hash is None:
+        id_hash = _xxhash_id
     total = dom.agg(F.min(F.col("__tok") / F.col("__w"))
                      .alias("__total"))
     rates = (dom.crossJoin(F.broadcast(total))

@@ -808,6 +808,10 @@ def test_text_curation_ops_match_oracles_on_generated_text(spark, texts):
         ("llm46_corpus_stats",
          L.corpus_stats(ts, "ws_tokens", group_col="source",
                         exact=True), "grp"),
+        ("llm63_mixture_temperature",
+         L.domain_mixture_temperature(ts, "source", "id", "ws_tokens",
+                                      temperature=2.0,
+                                      id_hash=L.md5_id_hash), "id"),
         ("llm49_classifier_score",
          L.classifier_score(sdf, "text", "doc_id", num_features=1024,
                             weights_seed=7,
@@ -1700,3 +1704,32 @@ def test_nfc_premise_exhaustive_bmp_sweep():
             if py != duck:
                 diffs.append(hex(cp))
     assert diffs == []
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture (llm63)
+# ---------------------------------------------------------------------------
+
+def test_mixture_temperature_flattens_toward_uniform(spark):
+    # dom a: 100 tokens, dom b: 400.  T=2 -> w=sqrt(tok): w_a=10,
+    # w_b=20; total = min(100/10, 400/20) = 10; a keeps rate 1.0
+    # (binding), b keeps exactly rate 0.5 in expectation.
+    rows = [(i, "a", 10) for i in range(10)] + \
+           [(1000 + i, "b", 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    out = L.domain_mixture_temperature(df, "dom", "id", "toks",
+                                       temperature=2.0, seed=1)
+    by_dom = {r["domain"]: r["count"] for r in
+              out.groupBy("domain").count().collect()}
+    assert by_dom.get("a") == 10            # binding domain intact
+    assert 10 <= by_dom.get("b", 0) < 40    # strictly downsampled
+
+
+def test_mixture_temperature_one_is_identity(spark):
+    # T=1 -> w = tok -> every tok/w ratio is 1 -> all rates 1.0
+    rows = [(i, "a", 5) for i in range(10)] + \
+           [(100 + i, "b", 50) for i in range(10)]
+    df = spark.createDataFrame(rows, "id long, dom string, toks long")
+    out = L.domain_mixture_temperature(df, "dom", "id", "toks",
+                                       temperature=1.0)
+    assert out.count() == 20
