@@ -621,6 +621,36 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                        "id"),
                 "source", "id", "ws_tokens", temperature=2.0,
                 id_hash=L.md5_id_hash),
+        # HyperLogLog registers (p=9): the mergeable cardinality
+        # sketch — no distinct pass, shuffle bounded at 2^p rows; the
+        # emitted register table is all-integer and exactly oracled
+        # (rho via bit-length, never floating log2)
+        "llm64_hll_registers": lambda s, d: L.hll_registers(
+            _docs(s, d), "text", p=9),
+        # count-min sketch (4x1024): frequency estimation with the
+        # shuffle bounded by the GRID, not the vocabulary; point
+        # estimates = min over rows, always >= truth
+        "llm65_cms_counts": lambda s, d: L.cms_counts(
+            _docs(s, d), "text", depth=4, width=1024),
+        # Bloom-filter decontamination: llm40's check through a
+        # fixed-size broadcast bitmap (2^20 bits / k=4) — both engines
+        # compute the SAME bloom, so the approximate check is exactly
+        # oracled; every-50th-doc eval split mirrors llm40
+        "llm66_bloom_decontaminate": lambda s, d: L.bloom_decontaminate(
+            _docs(s, d).filter("doc_id % 50 <> 0"), "text", "doc_id",
+            _docs(s, d).filter("doc_id % 50 = 0"), n=13),
+        # per-document n-gram novelty: fraction of a doc's distinct
+        # word-8-grams found in no other document (templated-mass
+        # score, two keyed aggs, no doc-pair joins)
+        "llm67_ngram_novelty": lambda s, d: L.ngram_novelty(
+            _docs(s, d), "text", "doc_id", n=8),
+        # frequency-proportional downsampling ("soft dedup"): each
+        # exact-dup group survives ~once in expectation, decision
+        # independent per doc (growth-stable, no winner election);
+        # md5 id hash + decimal compare = the oracled config
+        "llm68_soft_dedup": lambda s, d: L.soft_dedup(
+            _docs(s, d), "text", "doc_id", seed=7,
+            id_hash=L.md5_id_hash),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -921,9 +951,8 @@ _PRIORITY = [
     "q01_pricing_summary", "q03_join_group",
     "q28_count_tumbling",
     "q35_asof_join", "q36_range_join",
-    "q38_rollup_timeseries", "q40_update_delete",
+    "q38_rollup_timeseries",
     "s01_stream_time_window", "s05_stream_session_window",
-    "x01_expr_projection",
     "llm01_dedup_exact",
     # -- shipped r4, oracled, never driver-sampled: first rows --
     "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
@@ -960,12 +989,21 @@ _PRIORITY = [
     #    textstats keeps llm33/34/41/59/61 in-window, embedding dedup
     #    keeps its exhaustive companion llm37) --
     "llm62_bpe_encode", "llm63_mixture_temperature",
+    # -- fifth batch: probabilistic-sketch + curation ops, all first
+    #    rows (slots lent by r4-green q40/x01 and r3-green llm09/
+    #    llm10/llm12 — DML keeps its q40 r4 row, the X DSL keeps x02/
+    #    x03 prior rows, textstats keeps llm33/34/41/58/61 in-window,
+    #    multimodal keeps llm38; all five stay pytest-oracle-swept) --
+    "llm64_hll_registers", "llm65_cms_counts",
+    "llm66_bloom_decontaminate", "llm67_ngram_novelty",
+    "llm68_soft_dedup",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q14_in_subquery", "q15_exists",
+    # --- fold: entries below are outside a 50-entry prefix sample ---
+    "q40_update_delete", "x01_expr_projection",
     "llm09_lang_id", "llm10_quality_score",
     "llm12_multimodal_decode",
-    # --- fold: entries below are outside a 50-entry prefix sample ---
     "llm11_fingerprint", "llm05_dedup_embedding",
     "q16_scalar_subquery", "llm16_ann_ivf_exhaustive",
     "llm17_dup_clusters",
@@ -1849,6 +1887,151 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE CAST(concat('0x', substr(md5(concat(
                       CAST(t.id AS VARCHAR), ':', '42')), 1, 15))
                       AS BIGINT) % 1000000 < r.thresh""",
+        # HyperLogLog registers replayed independently: same 60-bit
+        # md5 hash, bucket = low 9 bits, rho from integer bit-length
+        # (bin() in both engines — never floating log2)
+        "llm64_hll_registers": """
+            WITH t AS (SELECT string_split(trim(regexp_replace(
+                           regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS toks
+                       FROM documents),
+            e AS (SELECT unnest(toks) AS tok FROM t),
+            h AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 15))
+                             AS BIGINT) AS h1
+                  FROM e WHERE tok <> ''),
+            r AS (SELECT h1 & 511 AS bucket, h1 >> 9 AS w FROM h),
+            rho AS (SELECT bucket,
+                           CASE WHEN w = 0 THEN 52
+                                ELSE 52 - length(bin(w)) END AS rho
+                    FROM r)
+            SELECT bucket, CAST(max(rho) AS INT) AS max_rho
+            FROM rho GROUP BY bucket ORDER BY bucket""",
+        # count-min sketch cells replayed via the same double hashing
+        # (h1 + r*h2 mod width, salted md5 h2)
+        "llm65_cms_counts": """
+            WITH t AS (SELECT string_split(trim(regexp_replace(
+                           regexp_replace(lower(text),
+                           '[^a-z0-9\\s]', ' ', 'g'),
+                           '\\s+', ' ', 'g')), ' ') AS toks
+                       FROM documents),
+            e AS (SELECT unnest(toks) AS tok FROM t),
+            h AS (SELECT CAST(concat('0x', substr(md5(tok), 1, 15))
+                             AS BIGINT) AS h1,
+                         CAST(concat('0x', substr(md5(concat('cms:',
+                             tok)), 1, 15)) AS BIGINT) AS h2
+                  FROM e WHERE tok <> ''),
+            cell AS (SELECT i.r AS row, (h1 + i.r * h2) % 1024 AS col
+                     FROM h CROSS JOIN
+                          (SELECT unnest([0, 1, 2, 3]) AS r) i)
+            SELECT CAST(row AS INT) AS row, CAST(col AS INT) AS col,
+                   count(*) AS cnt
+            FROM cell GROUP BY 1, 2 ORDER BY row, col""",
+        # the bloom bitmap and all k probes replayed bit-for-bit
+        # (BIGINT masks capped at 1<<31: DuckDB's shift is
+        # overflow-checked where Java's wraps)
+        "llm66_bloom_decontaminate": """
+            WITH tokd AS (SELECT doc_id, string_split(trim(
+                              regexp_replace(regexp_replace(lower(text),
+                              '[^a-z0-9\\s]', ' ', 'g'),
+                              '\\s+', ' ', 'g')), ' ') AS toks
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(
+                             [array_to_string(toks[i+1:i+13], ' ')
+                              for i in range(0,
+                                  greatest(len(toks) - 12, 0))]))
+                             AS gram
+                  FROM tokd),
+            refh AS (SELECT CAST(concat('0x', substr(md5(gram), 1, 15))
+                                AS BIGINT) AS h1,
+                            CAST(concat('0x', substr(md5(concat(
+                                'bloom:', gram)), 1, 15)) AS BIGINT)
+                                AS h2
+                     FROM (SELECT DISTINCT gram FROM g
+                           WHERE doc_id % 50 = 0)),
+            pos AS (SELECT (h1 + i.i * h2) % 1048576 AS pos
+                    FROM refh CROSS JOIN
+                         (SELECT unnest([0, 1, 2, 3]) AS i) i),
+            bm AS (SELECT pos >> 5 AS word,
+                          bit_or(1::BIGINT << CAST(pos & 31 AS INT))
+                              AS bits
+                   FROM pos GROUP BY 1),
+            dh AS (SELECT doc_id, gram,
+                          CAST(concat('0x', substr(md5(gram), 1, 15))
+                              AS BIGINT) AS h1,
+                          CAST(concat('0x', substr(md5(concat('bloom:',
+                              gram)), 1, 15)) AS BIGINT) AS h2
+                   FROM g WHERE doc_id % 50 <> 0),
+            probe AS (SELECT doc_id, gram,
+                             (h1 + i.i * h2) % 1048576 AS pos
+                      FROM dh CROSS JOIN
+                           (SELECT unnest([0, 1, 2, 3]) AS i) i),
+            chk AS (SELECT p.doc_id, p.gram,
+                           CASE WHEN (coalesce(b.bits, 0)
+                                 & (1::BIGINT << CAST(p.pos & 31 AS INT)))
+                                = (1::BIGINT << CAST(p.pos & 31 AS INT))
+                                THEN 1 ELSE 0 END AS hit
+                    FROM probe p
+                    LEFT JOIN bm b ON (p.pos >> 5) = b.word),
+            gh AS (SELECT doc_id, gram,
+                          CASE WHEN sum(hit) = 4 THEN 1 ELSE 0 END
+                              AS all_set
+                   FROM chk GROUP BY 1, 2),
+            hits AS (SELECT doc_id, sum(all_set) AS n
+                     FROM gh GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(hh.n, 0) AS BIGINT) AS n_hits,
+                   coalesce(hh.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits hh ON d.doc_id = hh.doc_id
+            WHERE d.doc_id % 50 <> 0""",
+        # novelty = distinct 8-grams with corpus doc-frequency 1, as
+        # an int/int -> double division (IEEE-exact both engines)
+        "llm67_ngram_novelty": """
+            WITH tokd AS (SELECT doc_id, string_split(trim(
+                              regexp_replace(regexp_replace(lower(text),
+                              '[^a-z0-9\\s]', ' ', 'g'),
+                              '\\s+', ' ', 'g')), ' ') AS toks
+                          FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_distinct(
+                             [array_to_string(toks[i+1:i+8], ' ')
+                              for i in range(0,
+                                  greatest(len(toks) - 7, 0))])) AS gram
+                  FROM tokd),
+            dfq AS (SELECT gram, count(*) AS doc_freq
+                    FROM g GROUP BY 1),
+            per AS (SELECT doc_id, count(*) AS n_grams,
+                           sum(CASE WHEN doc_freq = 1 THEN 1 ELSE 0 END)
+                               AS novel
+                    FROM g JOIN dfq USING (gram) GROUP BY 1)
+            SELECT d.doc_id AS id,
+                   CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(p.novel, 0) AS BIGINT) AS novel_grams,
+                   CASE WHEN coalesce(p.n_grams, 0) > 0
+                        THEN CAST(p.novel AS DOUBLE) / p.n_grams END
+                       AS novelty
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
+        # u*c compared in HUGEINT (decimal(38,0) on the Spark side):
+        # the product overflows int64 for dup groups > 8
+        "llm68_soft_dedup": """
+            WITH n AS (SELECT doc_id,
+                              trim(regexp_replace(lower(translate(text,
+                                  'İ', 'i')), '[^a-z0-9]+', ' ', 'g'))
+                                  AS norm
+                       FROM documents),
+            c AS (SELECT doc_id,
+                         count(*) OVER (PARTITION BY norm) AS dup_count
+                  FROM n),
+            u AS (SELECT doc_id, dup_count,
+                         CAST(concat('0x', substr(md5(concat(
+                             CAST(doc_id AS VARCHAR), ':', '7')),
+                             1, 15)) AS BIGINT) AS u
+                  FROM c)
+            SELECT doc_id AS id, dup_count,
+                   (u::HUGEINT * dup_count::HUGEINT)
+                       < 1152921504606846976::HUGEINT AS kept
+            FROM u ORDER BY id""",
         # cross-corpus exact jaccard recomputed independently (the
         # dup_clusters shingle-SQL pattern with the asymmetric join)
         "llm47_cross_dedup_pairs": """

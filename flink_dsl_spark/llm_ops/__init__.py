@@ -11,6 +11,7 @@ from .dedup import (
     line_dedup, ngram_jaccard_pairs,
     minhash_lsh_pairs, minhash_signatures, md5_token_hash, simhash_pairs,
     simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
+    soft_dedup,
 )
 from .simsearch import (cosine_topk, cosine_topk_quantized,
                         ivf_ann_topk, lsh_ann_topk,
@@ -19,12 +20,13 @@ from .textstats import (
     bpe_pair_stats, c4_line_filter, chunk_documents, classifier_score,
     corpus_stats, curation_report, decontaminate,
     gopher_quality, gopher_repetition, html_strip, lang_id,
-    ngram_lm_fit, ngram_lm_perplexity, pii_redact,
+    ngram_lm_fit, ngram_lm_perplexity, ngram_novelty, pii_redact,
     quality_score, token_stats, fingerprint, top_terms_tfidf,
     vocab_stats,
 )
 from .unicode_norm import nfc_normalize
-from .sketch import heavy_hitters
+from .sketch import (bloom_bitmap, bloom_decontaminate, cms_counts,
+                     heavy_hitters, hll_estimate, hll_registers)
 from .bpe import bpe_encode, bpe_train
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
@@ -61,4 +63,7 @@ __all__ = [
     "curation_report",
     "bpe_pair_stats", "nfc_normalize", "heavy_hitters",
     "bpe_train", "bpe_encode", "domain_mixture_temperature",
+    "hll_registers", "hll_estimate", "cms_counts",
+    "bloom_bitmap", "bloom_decontaminate",
+    "soft_dedup", "ngram_novelty",
 ]

@@ -667,6 +667,48 @@ def line_dedup(df: DataFrame, text_col: str, id_col: str,
                          .alias("n_kept")))
 
 
+def soft_dedup(df: DataFrame, text_col: str, id_col: str,
+               seed: int = 42, id_hash=None) -> DataFrame:
+    """Frequency-proportional downsampling ("soft dedup", the CCNet /
+    C4 head-tail idea applied at document granularity): a document in
+    an exact-duplicate group of size c survives with probability
+    ~1/c, so each group contributes ~1 expected copy while the choice
+    stays independent per document — no winner-election aggregation,
+    no group materialization: the decision is a pure function of
+    (id hash, group size), so a group's survivors never depend on
+    WHICH other ids share the group (unlike min-id survivor picks,
+    where inserting a smaller id flips the previous winner).
+
+    Keep rule: ``u * c < 2^60`` where u is the document's 60-bit
+    seeded id hash (uniform on [0, 2^60)) and c the group size — i.e.
+    exactly ``u/2^60 < 1/c``.  The product is computed in
+    decimal(38,0) (HUGEINT on the DuckDB side) because it overflows
+    int64 for c > 8; decimal integer math is exact in both engines,
+    so with the md5 id hash every comparison is bit-identical in
+    DuckDB (llm68 oracle).
+
+    Returns (id, dup_count, kept) for every document.  Scale: one
+    window count keyed on the normalized-text fingerprint (hot groups
+    partial-aggregate if rewritten as groupBy-join; window keeps the
+    row count intact which the keep-decision needs anyway), then a
+    stateless per-row compare.  Cites reference scope: the reference
+    (kduy/Flink-DSL) has no curation surface; this extends the dedup
+    family (exact_dedup, `dedup.py:72`)."""
+    from pyspark.sql import Window
+
+    if id_hash is None:
+        id_hash = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
+    norm = normalized(F.col(text_col))
+    w = Window.partitionBy(F.xxhash64(norm), F.xxhash64(norm, F.lit(1)))
+    cnt = F.count(F.lit(1)).over(w)
+    u = id_hash(F.col(id_col), seed)
+    keep = (u.cast("decimal(38,0)") * cnt) < F.lit(1 << 60)
+    return (df.select(F.col(id_col).alias("id"),
+                      cnt.alias("dup_count"),
+                      keep.alias("kept"))
+              .orderBy("id"))
+
+
 # ---------------------------------------------------------------------------
 # cross-document duplicate-span detection (exact-substring dedup signal)
 # ---------------------------------------------------------------------------

@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .textstats import _ws_tokens
+from .textstats import _word_ngrams, _ws_tokens
 from .util import spread_for_compute
 
 
@@ -77,3 +77,193 @@ def heavy_hitters(df: DataFrame, text_col: str, capacity: int = 4096,
     summ = ex.mapInPandas(_mg_summarize(capacity), "tok string, cnt long")
     merged = summ.groupBy("tok").agg(F.sum("cnt").alias("est_cnt"))
     return merged.orderBy(F.col("est_cnt").desc(), "tok").limit(k)
+
+
+def _md5_hash60(c):
+    """Cross-engine 60-bit hash (dedup.md5_token_hash premise): decimal
+    value of the first 15 hex chars of md5 — bit-identical to DuckDB's
+    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, text_col: str, p: int = 9) -> DataFrame:
+    """HyperLogLog registers (Flajolet et al. 2007) over the normalized
+    token stream: ``(bucket, max_rho)`` where bucket is the low ``p``
+    bits of the 60-bit token hash and rho the 1-based position of the
+    leftmost set bit in the remaining ``60-p``-bit field (``60-p+1``
+    when the field is zero).  Returns at most ``2^p`` integer rows in
+    bucket order; the cardinality estimate is the standard
+    ``alpha_m * m^2 / sum(2^-rho)`` fold over them (driver-side or in
+    the pytest harness — kept OUT of this frame so every emitted value
+    is an integer and the whole sketch is exactly DuckDB-oracled).
+
+    Why this is the 100 TB cardinality path: counting distinct tokens
+    exactly shuffles one row per distinct (task, token) — for n-gram /
+    URL universes that IS the bottleneck.  HLL needs no distinct: rho
+    is duplicate-insensitive, so each partition folds its whole stream
+    map-side into <= 2^p (bucket, max) rows and only those shuffle.
+    Registers merge by plain max, so sketches of shards/days union for
+    free.  rho uses ``length(bin(w))`` — integer bit-length, identical
+    in Spark (Long.toBinaryString) and DuckDB (bin(BIGINT)) — never
+    floating log2, whose boundary rounding could diverge."""
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    field = 60 - p
+    toks = F.filter(_ws_tokens(F.col(text_col)), lambda t: t != "")
+    ex = spread_for_compute(df).select(F.explode(toks).alias("tok"))
+    h = _md5_hash60(F.col("tok"))
+    w = F.shiftright(h, p)
+    rho = F.when(w == 0, F.lit(field + 1)).otherwise(
+        F.lit(field + 1) - F.length(F.bin(w)))
+    hashed = ex.select(
+        h.bitwiseAND(F.lit((1 << p) - 1)).alias("bucket"),
+        rho.cast("int").alias("rho"))
+    return (hashed.groupBy("bucket")
+                  .agg(F.max("rho").alias("max_rho"))
+                  .orderBy("bucket"))
+
+
+def hll_estimate(registers, p: int) -> float:
+    """Driver-side HLL fold of ``hll_registers`` output (list of
+    (bucket, max_rho) rows): the classic raw estimate with the
+    small-range linear-counting correction.  Lives outside the
+    DataFrame on purpose — the oracled artifact is the integer
+    register table; this fold is O(2^p) trivia."""
+    m = 1 << p
+    filled = {int(b): int(r) for b, r in registers}
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else \
+        {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    s = sum(2.0 ** -filled.get(j, 0) for j in range(m))
+    raw = alpha * m * m / s
+    zeros = m - len(filled)
+    if raw <= 2.5 * m and zeros:
+        import math
+        return m * math.log(m / zeros)
+    return raw
+
+
+def cms_counts(df: DataFrame, text_col: str, depth: int = 4,
+               width: int = 1024) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of the
+    normalized token stream: a ``depth x width`` integer count matrix
+    as (row, col, cnt) rows, cells in (row, col) order, zero cells
+    absent.  Row r's column for token t is ``(h1 + r*h2) mod width``
+    (double hashing — h2 from a salted md5, so the rows are
+    independent without per-row string salts on the hot path).
+    Point estimate for t = min over rows of its cell, always >= the
+    true count; with the default 4x1024 the expected overestimate is
+    eps*N with eps = e/width.
+
+    Scale shape: the token stream maps to (row, col) pairs and
+    partial-aggregates map-side into <= depth*width cells per
+    partition — the shuffle is bounded by the GRID, not the
+    vocabulary, and sketches of different shards merge by cell-sum.
+    Every value is an integer; h1, h2 < 2^60 and r < depth <= 8 keep
+    ``h1 + r*h2 < 2^63``, so the arithmetic is overflow-free and
+    bit-identical in DuckDB (the llm65 oracle)."""
+    if not 1 <= depth <= 8:
+        raise ValueError("depth must be in [1, 8]")
+    toks = F.filter(_ws_tokens(F.col(text_col)), lambda t: t != "")
+    ex = spread_for_compute(df).select(F.explode(toks).alias("tok"))
+    h1 = _md5_hash60(F.col("tok"))
+    h2 = _md5_hash60(F.concat(F.lit("cms:"), F.col("tok")))
+    cells = F.array(*[
+        F.struct(F.lit(r).alias("row"),
+                 ((h1 + F.lit(r) * h2) % width).cast("int").alias("col"))
+        for r in range(depth)])
+    return (ex.select(F.explode(cells).alias("c"))
+              .groupBy(F.col("c.row").alias("row"),
+                       F.col("c.col").alias("col"))
+              .agg(F.count(F.lit(1)).alias("cnt"))
+              .orderBy("row", "col"))
+
+
+def bloom_bitmap(ref: DataFrame, text_col: str, n: int = 13,
+                 m_bits: int = 1 << 20, k: int = 4) -> DataFrame:
+    """Bloom filter over a reference set's distinct word ``n``-grams as
+    a bitmap of 32-bit words: (word, bits) with word = bit_index >> 5
+    and bits the OR of ``1 << (bit_index & 31)`` masks.  Gram g sets
+    bits ``(h1 + i*h2) mod m_bits`` for i in 0..k-1 (standard double
+    hashing, Kirsch & Mitzenmacher 2008).
+
+    32-bit words, not 64: DuckDB's ``<<`` on BIGINT is
+    overflow-checked, so ``1 << 63`` errors there while Java wraps —
+    masks up to ``1 << 31`` are the widest cross-engine-safe choice,
+    and the bitmap is the same m_bits either way.  No distinct pass:
+    bit_or is idempotent, so duplicate grams cost nothing and the
+    aggregation partial-combines map-side to <= m_bits/32 rows — the
+    full m_bits=2^20 bitmap is 32K rows / ~128 KB, a broadcast."""
+    grams = ref.select(
+        F.explode(_word_ngrams(F.col(text_col), n, distinct=True))
+         .alias("gram"))
+    h1 = _md5_hash60(F.col("gram"))
+    h2 = _md5_hash60(F.concat(F.lit("bloom:"), F.col("gram")))
+    pos = F.explode(F.array(*[
+        ((h1 + F.lit(i) * h2) % m_bits).alias(f"p{i}")
+        for i in range(k)])).alias("pos")
+    # the shifted 1 MUST be a long: shiftleft on a 32-bit 1 wraps
+    # 1<<31 to -2^31 (Java int shift) while DuckDB's BIGINT shift
+    # gives +2^31 (expr form: F.shiftleft only takes literal amounts)
+    return (grams.select(pos)
+                 .select(F.shiftright(F.col("pos"), 5).alias("word"),
+                         F.expr("shiftleft(1L, CAST(pos & 31 AS INT))")
+                          .alias("mask"))
+                 .groupBy("word")
+                 .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_decontaminate(df: DataFrame, text_col: str, id_col: str,
+                        ref: DataFrame, ref_text_col: str | None = None,
+                        n: int = 13, m_bits: int = 1 << 20,
+                        k: int = 4) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter: flag every
+    document with at least one word ``n``-gram whose ``k`` bloom bits
+    are ALL set by the reference set.  Returns
+    (id, n_hits, contaminated) — same shape as ``decontaminate``
+    (llm40), which is the exact-set companion.
+
+    Where llm40 broadcasts the eval set's distinct GRAM STRINGS, this
+    broadcasts a fixed-size BITMAP (m_bits/32 rows, ~128 KB at 2^20)
+    — the right trade once the reference is itself large (e.g.
+    screening a new crawl against every benchmark suite at once): the
+    broadcast no longer grows with the reference, at the price of a
+    known false-positive rate (~(1-e^(-kN/m))^k).  Both engines
+    compute the SAME bloom, so despite being approximate vs ground
+    truth the output is exactly DuckDB-oracled (llm66).
+
+    Plan: each of the k probes is its own BROADCAST left join against
+    the bitmap (word-equi-join, in-partition, no shuffle) — NOT an
+    exploded probe stream, which would need a (doc, gram) re-aggregation
+    shuffle just to AND the probes back together.  The gram hits when
+    every probe's bit is set; the only shuffle in the whole check is
+    the final per-doc count, keyed on the doc id."""
+    ref_text_col = ref_text_col or text_col
+    bitmap = bloom_bitmap(ref, ref_text_col, n=n, m_bits=m_bits, k=k)
+    doc_grams = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_ngrams(F.col(text_col), n, distinct=True))
+         .alias("gram"))
+    h1 = _md5_hash60(F.col("gram"))
+    h2 = _md5_hash60(F.concat(F.lit("bloom:"), F.col("gram")))
+    probed = doc_grams.select(
+        "id", "gram",
+        *[((h1 + F.lit(i) * h2) % m_bits).alias(f"pos{i}")
+          for i in range(k)])
+    hit_all = F.lit(True)
+    for i in range(k):
+        bm = bitmap.select(F.col("word").alias(f"word{i}"),
+                           F.col("bits").alias(f"bits{i}"))
+        probed = probed.withColumn(
+            f"word{i}", F.shiftright(F.col(f"pos{i}"), 5)).join(
+            F.broadcast(bm), f"word{i}", "left")
+        mask = F.expr(f"shiftleft(1L, CAST(pos{i} & 31 AS INT))")
+        hit_all = hit_all & (F.coalesce(F.col(f"bits{i}"), F.lit(0))
+                              .bitwiseAND(mask) == mask)
+    per_doc = (probed.select("id", hit_all.cast("int").alias("all_set"))
+                     .groupBy("id")
+                     .agg(F.sum("all_set").alias("n_hits")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(per_doc, "id", "left")
+                .select("id",
+                        F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
+                .withColumn("contaminated", F.col("n_hits") > 0))

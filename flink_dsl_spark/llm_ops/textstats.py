@@ -234,6 +234,47 @@ def decontaminate(df: DataFrame, text_col: str, id_col: str,
                 .withColumn("contaminated", F.col("n_hits") > 0))
 
 
+def ngram_novelty(df: DataFrame, text_col: str, id_col: str,
+                  n: int = 8) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's
+    DISTINCT word ``n``-grams that occur in NO other document.  High
+    novelty = fresh text; low novelty = templated / boilerplate /
+    near-copy mass that the pairwise dedup family prices per-pair —
+    this scores it per-document in two aggregations, no joins between
+    documents.  Returns (id, n_grams, novel_grams, novelty) for every
+    document; novelty is NULL when the document is shorter than n
+    words (0/0).
+
+    Scale shape: (gram -> distinct-doc count) is one partial-agg'd
+    shuffle keyed on the gram — distinct (id, gram) pairs were already
+    made distinct per-document ARRAY-side (F.array_distinct inside
+    ``_word_ngrams``), so no count(DISTINCT) expansion is needed —
+    and the per-doc fold is a second shuffle keyed on the doc id.
+    The novelty division is int/int -> double, IEEE-exact, so the
+    whole frame oracles against DuckDB (llm67)."""
+    doc_grams = spread_for_compute(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(_word_ngrams(F.col(text_col), n, distinct=True))
+         .alias("gram"))
+    gram_df = (doc_grams.groupBy("gram")
+                        .agg(F.count(F.lit(1)).alias("doc_freq")))
+    per_doc = (doc_grams.join(gram_df, "gram")
+                        .groupBy("id")
+                        .agg(F.count(F.lit(1)).alias("n_grams"),
+                             F.sum((F.col("doc_freq") == 1).cast("int"))
+                              .alias("novel_grams")))
+    base = df.select(F.col(id_col).alias("id"))
+    return (base.join(per_doc, "id", "left")
+                .select("id",
+                        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+                        F.coalesce("novel_grams", F.lit(0))
+                         .alias("novel_grams"))
+                .withColumn("novelty",
+                            F.when(F.col("n_grams") > 0,
+                                   F.col("novel_grams")
+                                   / F.col("n_grams"))))
+
+
 def gopher_repetition(df: DataFrame, text_col: str, id_col: str,
                       top_n: int = 2, dup_n: int = 5,
                       max_top_frac: float = 0.20,

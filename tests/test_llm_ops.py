@@ -1733,3 +1733,113 @@ def test_mixture_temperature_one_is_identity(spark):
     out = L.domain_mixture_temperature(df, "dom", "id", "toks",
                                        temperature=1.0)
     assert out.count() == 20
+
+
+# ---------------------------------------------------------------------------
+# probabilistic sketches: HLL (llm64), CMS (llm65), Bloom (llm66),
+# novelty (llm67), soft dedup (llm68)
+# ---------------------------------------------------------------------------
+
+def test_hll_registers_duplicate_insensitive(spark):
+    # HLL's whole point: registers depend on the SET of tokens, not
+    # their multiplicities — a 10x-duplicated corpus sketches the same
+    rows = [(i, f"alpha beta tok{i} gamma") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df10 = spark.createDataFrame(rows * 10, "doc_id long, text string")
+    one = sorted(map(tuple, L.hll_registers(df, "text", p=6).collect()))
+    ten = sorted(map(tuple, L.hll_registers(df10, "text", p=6).collect()))
+    assert one == ten
+
+
+def test_hll_estimate_tracks_cardinality(spark):
+    n = 3000
+    df = spark.createDataFrame([(i, f"u{i}a u{i}b") for i in range(n)],
+                               "doc_id long, text string")
+    regs = [(r["bucket"], r["max_rho"]) for r in
+            L.hll_registers(df, "text", p=9).collect()]
+    est = L.hll_estimate(regs, p=9)
+    # p=9 gives sigma ~ 1.04/sqrt(512) ~ 4.6%; allow 3 sigma
+    assert abs(est - 2 * n) / (2 * n) < 0.14
+
+
+def test_cms_never_underestimates(spark):
+    rows = [(i, "hot " * (i % 5 + 1) + f"cold{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cells = {(r["row"], r["col"]): r["cnt"] for r in
+             L.cms_counts(df, "text", depth=4, width=64).collect()}
+    from collections import Counter
+    true = Counter()
+    for _, t in rows:
+        true.update(tok for tok in t.split() if tok)
+    total = sum(true.values())
+    # each row of the grid partitions the full stream
+    for r in range(4):
+        assert sum(c for (row, _), c in cells.items() if row == r) == total
+    # point estimate (min over rows) >= true count, per token
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for tok, cnt in true.items():
+        h1, h2 = h60(tok), h60("cms:" + tok)
+        est = min(cells.get((r, (h1 + r * h2) % 64), 0) for r in range(4))
+        assert est >= cnt
+
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    # every doc the exact-set check flags must also be bloom-flagged,
+    # with at least as many gram hits (bloom only ever adds)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated text about distributed systems x y"),
+         (3, "the quick brown fox jumps over the lazy dog today too")],
+        "doc_id long, text string")
+    ref = docs.filter("doc_id = 1")
+    corpus = docs.filter("doc_id <> 1")
+    exact = {r["id"]: r["n_hits"] for r in L.decontaminate(
+        corpus, "text", "doc_id", ref, n=5).collect()}
+    bloom = {r["id"]: r["n_hits"] for r in L.bloom_decontaminate(
+        corpus, "text", "doc_id", ref, n=5).collect()}
+    assert set(exact) == set(bloom)
+    for i, n_exact in exact.items():
+        assert bloom[i] >= n_exact
+    assert bloom[3] > 0 and exact[2] == 0
+
+
+def test_ngram_novelty_extremes(spark):
+    base = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "alpha beta gamma delta epsilon zeta eta theta iota")],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in
+           L.ngram_novelty(docs, "text", "doc_id", n=8).collect()}
+    assert out[1]["novelty"] == 0.0 and out[2]["novelty"] == 0.0
+    assert out[3]["novelty"] == 1.0
+    # shorter than n words -> 0 grams, NULL novelty
+    short = spark.createDataFrame([(9, "just three words")],
+                                  "doc_id long, text string")
+    srow = L.ngram_novelty(short, "text", "doc_id", n=8).collect()[0]
+    assert srow["n_grams"] == 0 and srow["novelty"] is None
+
+
+def test_soft_dedup_unique_docs_always_kept(spark):
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(40)],
+        "doc_id long, text string")
+    out = L.soft_dedup(docs, "text", "doc_id", seed=7,
+                       id_hash=L.md5_id_hash).collect()
+    assert all(r["dup_count"] == 1 and r["kept"] for r in out)
+
+
+def test_soft_dedup_expected_one_survivor_per_group(spark):
+    # 40 groups x 25 copies: survivor count concentrates around 40
+    rows = [(g * 100 + c, f"group {g} payload") for g in range(40)
+            for c in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = L.soft_dedup(df, "text", "doc_id", seed=7,
+                       id_hash=L.md5_id_hash).collect()
+    assert all(r["dup_count"] == 25 for r in out)
+    kept = sum(r["kept"] for r in out)
+    assert 20 <= kept <= 65   # mean 40, sd ~6.2; generous 4-sigma band
