@@ -1843,3 +1843,81 @@ def test_soft_dedup_expected_one_survivor_per_group(spark):
     assert all(r["dup_count"] == 25 for r in out)
     kept = sum(r["kept"] for r in out)
     assert 20 <= kept <= 65   # mean 40, sd ~6.2; generous 4-sigma band
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 60) - 1),
+                min_size=1, max_size=200, unique=True))
+def test_bit_length_premise_agrees_with_duckdb(spark, vals):
+    """The HLL rho derivation rests on length(bin(x)) being the same
+    integer bit-length in Spark (Long.toBinaryString) and DuckDB
+    (bin(BIGINT)) for every non-negative 60-bit value, including 0
+    (both render '0', length 1).  Fuzz it, plus the powers of two
+    where a floating log2 would have rounded either way."""
+    import duckdb
+    from pyspark.sql import functions as F
+    edge = [0, 1] + [1 << k for k in range(1, 60)] \
+        + [(1 << k) - 1 for k in range(2, 61)]
+    allv = sorted(set(vals) | set(edge))
+    df = spark.createDataFrame([(v,) for v in allv], "v long")
+    got = {r["v"]: r["bl"] for r in
+           df.select("v", F.length(F.bin("v")).alias("bl")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE v (v BIGINT)")
+    con.executemany("INSERT INTO v VALUES (?)", [(v,) for v in allv])
+    exp = {r[0]: r[1] for r in con.sql(
+        "SELECT v, length(bin(v)) FROM v").fetchall()}
+    assert got == exp
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.text(alphabet=_FUZZ_TEXT_ALPHABET, min_size=0, max_size=120),
+    min_size=1, max_size=25))
+def test_sketch_ops_match_driver_oracles_on_generated_text(spark, texts):
+    """llm64-68 vs the EXACT oracle SQL strings the driver will run,
+    over generated corpora (duplicates injected so soft_dedup sees
+    multi-member groups): the fixed corpus carries no adversarial
+    whitespace/case/markup, this does."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as entrymod
+
+    # duplicate every third text so dup groups exist
+    rows = [(i, t) for i, t in enumerate(texts)]
+    rows += [(1000 + i, t) for i, t in enumerate(texts) if i % 3 == 0]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    oracles = entrymod.oracle_sql()
+
+    runs = {
+        "llm64_hll_registers":
+            L.hll_registers(df, "text", p=9),
+        "llm65_cms_counts":
+            L.cms_counts(df, "text", depth=4, width=1024),
+        "llm66_bloom_decontaminate":
+            L.bloom_decontaminate(
+                df.filter("doc_id % 50 <> 0"), "text", "doc_id",
+                df.filter("doc_id % 50 = 0"), n=13),
+        "llm67_ngram_novelty":
+            L.ngram_novelty(df, "text", "doc_id", n=8),
+        "llm68_soft_dedup":
+            L.soft_dedup(df, "text", "doc_id", seed=7,
+                         id_hash=L.md5_id_hash),
+    }
+    for name, sdf in runs.items():
+        got = sdf.toPandas()
+        exp = con.execute(oracles[name]).df()
+        exp.columns = got.columns
+        cols = sorted(got.columns)
+        g = (got[cols].astype(str).sort_values(cols)
+             .reset_index(drop=True))
+        x = (exp[cols].astype(str).sort_values(cols)
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(g, x), name

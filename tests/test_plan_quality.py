@@ -285,6 +285,8 @@ _SINGLE_PARTITION_BY_DESIGN = {
     "llm36_pack_verified", "llm39_pipeline_verified",
     "llm45_domain_mixture", "llm55_mixture_epochs",
     "llm58_curation_report",     # five 1-row funnel scalar aggregates
+    "llm63_mixture_temperature",  # global scalar min(tok/w) over the
+                                  # per-domain frame (q30 pattern)
     "q16_scalar_subquery",
 }
 
