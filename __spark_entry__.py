@@ -651,6 +651,13 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm68_soft_dedup": lambda s, d: L.soft_dedup(
             _docs(s, d), "text", "doc_id", seed=7,
             id_hash=L.md5_id_hash),
+        # exact distributed quantiles (percentile_disc) of document
+        # lengths: corpus-size work is one partial-agg'd count keyed
+        # on the value; only the distinct-value table enters the
+        # prefix sum.  approx_quantile could never be value-oracled
+        "llm69_length_quantiles": lambda s, d: L.exact_quantiles(
+            _docs(s, d), "n_chars",
+            probs=(0.25, 0.5, 0.75, 0.9, 0.99)),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -867,6 +874,20 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                               "text", "doc_id")
         return _run_stream(spark, out, "append")
 
+    def s10(spark, d):
+        # sketching-on-a-stream: the HLL register table is a pure
+        # streaming aggregation (groupBy bucket, max rho — mergeable
+        # by construction), so complete mode equals the batch sketch
+        # and llm64's oracle applies verbatim.  This is the continuous
+        # vocabulary-cardinality monitor for an ingest pipeline:
+        # bounded state (2^p rows), no distinct, no watermark needed.
+        from flink_dsl_spark import llm_ops as L
+        eng = _engine(spark, d)
+        eng.register_stream_parquet(
+            "docs_s10", f"{d}/documents.parquet")
+        out = L.hll_registers(eng.catalog.get("docs_s10"), "text", p=9)
+        return _run_stream(spark, out, "complete")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -875,7 +896,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s06_stream_count_sliding": s06,
             "s07_stream_time_sliding": s07,
             "s08_stream_dedup": s08,
-            "s09_stream_quality": s09}
+            "s09_stream_quality": s09,
+            "s10_stream_hll": s10}
 
 
 # ---------------------------------------------------------------------------
@@ -949,8 +971,7 @@ _PRIORITY = [
     #    core slots lent to the brand-new llm42-45 so no shipped
     #    operator ever lacks a driver row, the llm33-35 lesson) --
     "q01_pricing_summary", "q03_join_group",
-    "q28_count_tumbling",
-    "q35_asof_join", "q36_range_join",
+    "q35_asof_join",
     "q38_rollup_timeseries",
     "s01_stream_time_window", "s05_stream_session_window",
     "llm01_dedup_exact",
@@ -990,17 +1011,20 @@ _PRIORITY = [
     #    keeps its exhaustive companion llm37) --
     "llm62_bpe_encode", "llm63_mixture_temperature",
     # -- fifth batch: probabilistic-sketch + curation ops, all first
-    #    rows (slots lent by r4-green q40/x01 and r3-green llm09/
-    #    llm10/llm12 — DML keeps its q40 r4 row, the X DSL keeps x02/
-    #    x03 prior rows, textstats keeps llm33/34/41/58/61 in-window,
-    #    multimodal keeps llm38; all five stay pytest-oracle-swept) --
+    #    rows (slots lent by r4-green q28/q36/q40/x01 and r3-green
+    #    llm09/llm10/llm12 — each lender keeps its r3/r4 driver row,
+    #    q35 keeps the temporal-join family in-window, the X DSL
+    #    keeps x02/x03 prior rows, textstats keeps llm33/34/41/58/61,
+    #    multimodal keeps llm38; all lenders stay pytest-swept) --
     "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm67_ngram_novelty",
-    "llm68_soft_dedup",
+    "llm68_soft_dedup", "llm69_length_quantiles",
+    "s10_stream_hll",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
     "q14_in_subquery", "q15_exists",
     # --- fold: entries below are outside a 50-entry prefix sample ---
+    "q28_count_tumbling", "q36_range_join",
     "q40_update_delete", "x01_expr_projection",
     "llm09_lang_id", "llm10_quality_score",
     "llm12_multimodal_decode",
@@ -1127,6 +1151,9 @@ def oracle_sql() -> dict[str, str]:
     o = _oracle_sql_base()
     # llm62: full tokenizer-train + encode replay (see _bpe_oracle)
     o["llm62_bpe_encode"] = _bpe_oracle(3)
+    # the streaming HLL is a pure streaming aggregation in complete
+    # mode, so the batch register oracle applies verbatim
+    o["s10_stream_hll"] = o["llm64_hll_registers"]
     # llm58 composes the ALREADY-VERIFIED per-filter oracles as CTEs:
     # one row of funnel numbers aggregated from exactly the frames the
     # llm32/33/34 + llm09/llm10 gates check per-doc (so a divergence in
@@ -2032,6 +2059,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    (u::HUGEINT * dup_count::HUGEINT)
                        < 1152921504606846976::HUGEINT AS kept
             FROM u ORDER BY id""",
+        # percentile_disc replayed as the explicit cut-index algebra
+        # (smallest v with cumulative count >= ceil(p*N)) so both
+        # engines compute the identical definition; ceil(p*N) is the
+        # same IEEE double math on both sides
+        "llm69_length_quantiles": """
+            WITH dist AS (SELECT n_chars AS v, count(*) AS cnt
+                          FROM documents GROUP BY 1),
+            cum AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum
+                    FROM dist),
+            tot AS (SELECT sum(cnt) AS n FROM dist),
+            p AS (SELECT unnest([0.25, 0.5, 0.75, 0.9,
+                                 0.99])::DOUBLE AS prob)
+            SELECT prob, min(v) AS value
+            FROM cum, tot, p
+            WHERE cum >= ceil(prob * n)
+            GROUP BY prob ORDER BY prob""",
         # cross-corpus exact jaccard recomputed independently (the
         # dup_clusters shingle-SQL pattern with the asymmetric join)
         "llm47_cross_dedup_pairs": """

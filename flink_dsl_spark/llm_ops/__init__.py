@@ -26,7 +26,8 @@ from .textstats import (
 )
 from .unicode_norm import nfc_normalize
 from .sketch import (bloom_bitmap, bloom_decontaminate, cms_counts,
-                     heavy_hitters, hll_estimate, hll_registers)
+                     exact_quantiles, heavy_hitters, hll_estimate,
+                     hll_registers)
 from .bpe import bpe_encode, bpe_train
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
@@ -65,5 +66,5 @@ __all__ = [
     "bpe_train", "bpe_encode", "domain_mixture_temperature",
     "hll_registers", "hll_estimate", "cms_counts",
     "bloom_bitmap", "bloom_decontaminate",
-    "soft_dedup", "ngram_novelty",
+    "soft_dedup", "ngram_novelty", "exact_quantiles",
 ]

@@ -267,3 +267,42 @@ def bloom_decontaminate(df: DataFrame, text_col: str, id_col: str,
                 .select("id",
                         F.coalesce("n_hits", F.lit(0)).alias("n_hits"))
                 .withColumn("contaminated", F.col("n_hits") > 0))
+
+
+def exact_quantiles(df: DataFrame, value_col: str,
+                    probs=(0.25, 0.5, 0.75, 0.9, 0.99)) -> DataFrame:
+    """Exact distributed quantiles (percentile_disc semantics: the
+    smallest value whose cumulative count reaches ceil(p*N)) over a
+    numeric column with a BOUNDED distinct-value domain — document
+    lengths, token counts, scores-in-buckets.  Returns (prob, value)
+    in prob order.
+
+    Why not approx_quantile: Spark's Greenwald-Khanna sketch is
+    approximate AND implementation-specific, so it can never be
+    value-oracled; for the corpus-stats columns that matter here the
+    distinct-value table after groupBy(value) is tiny (lengths max
+    out in the low millions), making EXACT quantiles cheap: the
+    corpus-size work is one partial-agg'd count shuffle keyed on the
+    value, and only the distinct-value table enters the prefix-sum
+    window — its SinglePartition is over thousands of rows, not the
+    corpus (documented in the plan-sweep allowlist).  The quantile
+    probe is a broadcast of the 1-row total onto the cumulative
+    table.  ceil(p*N) is double math, but the same IEEE double math
+    in both engines (N < 2^53 exact), so the cut indices — and with
+    them the whole frame — oracle exactly (llm69)."""
+    from pyspark.sql import Window
+
+    dist = (df.groupBy(F.col(value_col).alias("v"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.orderBy("v")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = dist.select("v", F.sum("cnt").over(w).alias("cum"))
+    tot = dist.agg(F.sum("cnt").alias("n"))
+    pr = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("prob")
+    probed = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "cum", "n", pr)
+    return (probed.filter(F.col("cum") >=
+                          F.ceil(F.col("prob") * F.col("n")))
+                  .groupBy("prob")
+                  .agg(F.min("v").alias("value"))
+                  .orderBy("prob"))

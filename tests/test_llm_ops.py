@@ -1921,3 +1921,16 @@ def test_sketch_ops_match_driver_oracles_on_generated_text(spark, texts):
         x = (exp[cols].astype(str).sort_values(cols)
              .reset_index(drop=True))
         pd.testing.assert_frame_equal(g, x), name
+
+
+def test_exact_quantiles_textbook_percentile_disc(spark):
+    df = spark.createDataFrame([(v,) for v in range(1, 101)], "x long")
+    out = {r["prob"]: r["value"] for r in
+           L.exact_quantiles(df, "x", probs=(0.01, 0.5, 0.9, 1.0))
+            .collect()}
+    assert out == {0.01: 1, 0.5: 50, 0.9: 90, 1.0: 100}
+    # duplicates shift mass, not positions: 50x1 then 50x9
+    df2 = spark.createDataFrame([(1,)] * 50 + [(9,)] * 50, "x long")
+    out2 = {r["prob"]: r["value"] for r in
+            L.exact_quantiles(df2, "x", probs=(0.5, 0.51)).collect()}
+    assert out2 == {0.5: 1, 0.51: 9}

@@ -287,6 +287,9 @@ _SINGLE_PARTITION_BY_DESIGN = {
     "llm58_curation_report",     # five 1-row funnel scalar aggregates
     "llm63_mixture_temperature",  # global scalar min(tok/w) over the
                                   # per-domain frame (q30 pattern)
+    "llm69_length_quantiles",     # prefix-sum window over the
+                                  # DISTINCT-VALUE table (bounded
+                                  # domain), never the corpus
     "q16_scalar_subquery",
 }
 
