@@ -658,6 +658,19 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm69_length_quantiles": lambda s, d: L.exact_quantiles(
             _docs(s, d), "n_chars",
             probs=(0.25, 0.5, 0.75, 0.9, 0.99)),
+        # best-k-per-domain curation cut: one group-keyed shuffle,
+        # WindowGroupLimit keeps k rows per group during the sort
+        # (plan-gated) — no global sort, skew-safe
+        "llm70_topk_quality": lambda s, d: L.topk_per_group(
+            L.quality_score(_docs(s, d), "text", "doc_id")
+             .join(_docs(s, d).selectExpr("doc_id as id", "source"),
+                   "id"),
+            "source", "quality", "id", k=5),
+        # per-source length outliers via EXACT integer z-score algebra
+        # ((n-1)(nx-S)^2 > k^2 n (nQ-S^2) in decimal(38,0)/HUGEINT) —
+        # no floating mean/stddev, no summation-order sensitivity
+        "llm71_length_outliers": lambda s, d: L.robust_outliers(
+            _docs(s, d), "source", "n_chars", "doc_id", k=2),
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
             seed=7, rank=True),
@@ -973,7 +986,7 @@ _PRIORITY = [
     "q01_pricing_summary", "q03_join_group",
     "q35_asof_join",
     "q38_rollup_timeseries",
-    "s01_stream_time_window", "s05_stream_session_window",
+    "s01_stream_time_window",
     "llm01_dedup_exact",
     # -- shipped r4, oracled, never driver-sampled: first rows --
     "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
@@ -1019,12 +1032,13 @@ _PRIORITY = [
     "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm67_ngram_novelty",
     "llm68_soft_dedup", "llm69_length_quantiles",
-    "s10_stream_hll",
+    "s10_stream_hll", "llm70_topk_quality", "llm71_length_outliers",
     # -- oracled queries last driver-green in r2/r3: rotate back in --
     "q04_left_join",
-    "q14_in_subquery", "q15_exists",
+    "q14_in_subquery",
     # --- fold: entries below are outside a 50-entry prefix sample ---
-    "q28_count_tumbling", "q36_range_join",
+    "q15_exists", "q28_count_tumbling", "q36_range_join",
+    "s05_stream_session_window",
     "q40_update_delete", "x01_expr_projection",
     "llm09_lang_id", "llm10_quality_score",
     "llm12_multimodal_decode",
@@ -1154,6 +1168,19 @@ def oracle_sql() -> dict[str, str]:
     # the streaming HLL is a pure streaming aggregation in complete
     # mode, so the batch register oracle applies verbatim
     o["s10_stream_hll"] = o["llm64_hll_registers"]
+    # best-k-per-source composes the ALREADY-oracled llm10 quality
+    # frame (the llm58 CTE pattern) under an explicit deterministic
+    # (quality desc, id) row_number cut
+    o["llm70_topk_quality"] = f"""
+        WITH q AS ({o['llm10_quality_score']}),
+        j AS (SELECT d.source, q.id, q.quality
+              FROM q JOIN documents d ON q.id = d.doc_id),
+        r AS (SELECT source, id, quality,
+                     row_number() OVER (PARTITION BY source
+                         ORDER BY quality DESC, id) AS rank
+              FROM j)
+        SELECT source, id, quality, CAST(rank AS INT) AS rank
+        FROM r WHERE rank <= 5 ORDER BY source, rank"""
     # llm58 composes the ALREADY-VERIFIED per-filter oracles as CTEs:
     # one row of funnel numbers aggregated from exactly the frames the
     # llm32/33/34 + llm09/llm10 gates check per-doc (so a divergence in
@@ -2075,6 +2102,22 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM cum, tot, p
             WHERE cum >= ceil(prob * n)
             GROUP BY prob ORDER BY prob""",
+        # the z-score compare replayed in HUGEINT — the Spark side
+        # sums in decimal(38,0), so both engines do EXACT integer
+        # algebra and the flag has no float boundary at all
+        "llm71_length_outliers": """
+            WITH s AS (SELECT source, count(*)::HUGEINT AS n,
+                              sum(n_chars::HUGEINT) AS s,
+                              sum((n_chars::HUGEINT)
+                                  * (n_chars::HUGEINT)) AS q
+                       FROM documents GROUP BY source)
+            SELECT d.doc_id AS id, d.source, d.n_chars AS value,
+                   ((s.n - 1) * (s.n * d.n_chars - s.s)
+                              * (s.n * d.n_chars - s.s))
+                       > (4 * s.n * (s.n * s.q - s.s * s.s))
+                       AS is_outlier
+            FROM documents d JOIN s ON d.source = s.source
+            ORDER BY id""",
         # cross-corpus exact jaccard recomputed independently (the
         # dup_clusters shingle-SQL pattern with the asymmetric join)
         "llm47_cross_dedup_pairs": """

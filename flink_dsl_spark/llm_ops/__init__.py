@@ -27,7 +27,7 @@ from .textstats import (
 from .unicode_norm import nfc_normalize
 from .sketch import (bloom_bitmap, bloom_decontaminate, cms_counts,
                      exact_quantiles, heavy_hitters, hll_estimate,
-                     hll_registers)
+                     hll_registers, robust_outliers, topk_per_group)
 from .bpe import bpe_encode, bpe_train
 from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
@@ -67,4 +67,5 @@ __all__ = [
     "hll_registers", "hll_estimate", "cms_counts",
     "bloom_bitmap", "bloom_decontaminate",
     "soft_dedup", "ngram_novelty", "exact_quantiles",
+    "topk_per_group", "robust_outliers",
 ]

@@ -306,3 +306,65 @@ def exact_quantiles(df: DataFrame, value_col: str,
                   .groupBy("prob")
                   .agg(F.min("v").alias("value"))
                   .orderBy("prob"))
+
+
+def topk_per_group(df: DataFrame, group_col: str, order_col: str,
+                   id_col: str, k: int = 5,
+                   descending: bool = True) -> DataFrame:
+    """Top-``k`` rows of every group by (order value, id) — "best k
+    documents per source", the standard per-domain curation cut.
+    Returns (group, id, order value, rank) with rank 1-based and ties
+    broken by ascending id, so the cut is total and deterministic.
+
+    Scale shape: ONE hash shuffle on the group key; within a
+    partition Spark's WindowGroupLimit optimization (plan-gated in
+    the tests) keeps only k rows per group DURING the sort — a group
+    with a billion rows never materializes a billion-row sort buffer,
+    which is what makes windowed top-k survive skewed groups.  No
+    global sort anywhere; the final orderBy is display-only on <=
+    k * |groups| rows."""
+    from pyspark.sql import Window
+
+    ordv = F.col(order_col).desc() if descending else F.col(order_col)
+    w = Window.partitionBy(group_col).orderBy(ordv, F.col(id_col))
+    return (df.select(group_col, id_col, order_col)
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .orderBy(group_col, "rank"))
+
+
+def robust_outliers(df: DataFrame, group_col: str, value_col: str,
+                    id_col: str, k: int = 2) -> DataFrame:
+    """Per-group z-score outlier flag computed in EXACT integer
+    algebra: flags x where ``(x - mean)^2 > k^2 * sample_var``,
+    i.e. ``(n-1)*(n*x - S)^2 > k^2 * n * (n*Q - S^2)`` with S = sum x
+    and Q = sum x^2 — no floating mean/stddev anywhere, so there is
+    no summation-order sensitivity and the flag is bit-identical in
+    DuckDB (llm71; Spark sums in decimal(38,0) ≙ DuckDB HUGEINT).
+    Returns (id, group, value, is_outlier); singleton groups are
+    never outliers (both sides 0).
+
+    Exactness bound: all products stay inside 38 digits for group
+    sizes up to ~1e8 at value <= ~5e4 ((n*x-S)^2*(n-1) is the
+    widest term); past that scale, switch the comparison to doubles
+    and accept boundary fuzz.  Scale shape: one partial-agg'd
+    group-stats shuffle (3 numbers per group), stats broadcast back,
+    then a stateless per-row compare — the corpus itself never
+    reshuffles."""
+    g = F.col(group_col)
+    x = F.col(value_col).cast("decimal(38,0)")
+    stats = (df.groupBy(group_col)
+               .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("__n"),
+                    F.sum(x).alias("__s"),
+                    F.sum(x * x).alias("__q")))
+    j = df.select(F.col(id_col).alias("id"), g.alias("grp"),
+                  F.col(value_col).alias("value")) \
+          .join(F.broadcast(stats.withColumnRenamed(group_col, "grp")),
+                "grp")
+    n, s, q = F.col("__n"), F.col("__s"), F.col("__q")
+    xv = F.col("value").cast("decimal(38,0)")
+    lhs = (n - 1) * (n * xv - s) * (n * xv - s)
+    rhs = F.lit(k * k) * n * (n * q - s * s)
+    return (j.select("id", F.col("grp").alias(group_col), "value",
+                     (lhs > rhs).alias("is_outlier"))
+             .orderBy("id"))

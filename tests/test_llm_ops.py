@@ -1934,3 +1934,51 @@ def test_exact_quantiles_textbook_percentile_disc(spark):
     out2 = {r["prob"]: r["value"] for r in
             L.exact_quantiles(df2, "x", probs=(0.5, 0.51)).collect()}
     assert out2 == {0.5: 1, 0.51: 9}
+
+
+def test_topk_per_group_deterministic_cut(spark):
+    rows = [(1, "a", 10), (2, "a", 30), (3, "a", 30), (4, "a", 5),
+            (5, "b", 7)]
+    df = spark.createDataFrame(rows, "id long, grp string, score long")
+    out = [(r["grp"], r["id"], r["rank"]) for r in
+           L.topk_per_group(df, "grp", "score", "id", k=2).collect()]
+    # tie on 30 broken by ascending id: 2 before 3; 4 is cut
+    assert out == [("a", 2, 1), ("a", 3, 2), ("b", 5, 1)]
+
+
+def test_topk_per_group_plan_uses_window_group_limit(spark):
+    df = spark.createDataFrame([(i, f"g{i%3}", i * 7 % 11)
+                                for i in range(100)],
+                               "id long, grp string, score long")
+    out = L.topk_per_group(df, "grp", "score", "id", k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the k-cut must run DURING the per-group sort, not after it
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_robust_outliers_flags_known_outlier(spark):
+    # group a: 10 values of 100 and one 1000 -> 1000 is >2 sigma out;
+    # group b is a singleton -> never an outlier
+    rows = [(i, "a", 100) for i in range(10)] + \
+           [(99, "a", 1000), (100, "b", 7)]
+    df = spark.createDataFrame(rows, "id long, grp string, v long")
+    out = {r["id"]: r["is_outlier"] for r in
+           L.robust_outliers(df, "grp", "v", "id", k=2).collect()}
+    assert out[99] is True
+    assert out[100] is False
+    assert not any(out[i] for i in range(10))
+
+
+def test_robust_outliers_matches_float_zscore(spark):
+    # integer algebra == naive float z-score away from boundaries
+    import statistics
+    vals = [3, 14, 15, 92, 65, 35, 89, 79, 32, 38, 460]
+    df = spark.createDataFrame([(i, "g", v) for i, v in enumerate(vals)],
+                               "id long, grp string, v long")
+    out = {r["id"]: r["is_outlier"] for r in
+           L.robust_outliers(df, "grp", "v", "id", k=2).collect()}
+    mu = statistics.mean(vals)
+    sd = statistics.stdev(vals)
+    for i, v in enumerate(vals):
+        assert out[i] == (abs(v - mu) > 2 * sd), (i, v)
