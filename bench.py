@@ -42,6 +42,8 @@ HEADLINE = [
     "llm08_token_stats",        # text analysis
     "llm32_gopher_quality",     # text-curation filters (r5: guard now
                                 # covers the Gopher/C4/PII family)
+    "llm64_hll_registers",      # probabilistic-sketch family (r5:
+                                # grid-bounded shuffle, no distinct)
     "s01_stream_time_window",   # true streaming (availableNow -> memory)
 ]
 
