@@ -4,7 +4,10 @@ against the DuckDB oracles with a driver-style compare (row count +
 sorted-column schema + stringified-cell values, which is dtype-strict:
 an int64-vs-float64 divergence fails here before it can fail the gate).
 
-Usage:  python tools/rehearse.py [sf_dir]       (default sf0.01)
+Usage:  python tools/rehearse.py [sf_dir] [--all]   (default sf0.01)
+``--all`` sweeps EVERY registered query, not just the 50-key window —
+the below-fold queries only ever run at sf0.001 in the pytest sweep,
+so this is the one check that exercises them on the gate corpus.
 Prints one OK/FAIL line per query and a JSON summary; exit code 1 on
 any failure.
 """
@@ -22,7 +25,9 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> int:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = [a for a in sys.argv[1:] if a != "--all"]
+    sweep_all = "--all" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
 
     import __spark_entry__ as entry
@@ -36,7 +41,7 @@ def main() -> int:
         con.sql(f"create view {t} as select * from '{sf}/{t}.parquet'")
 
     results = {}
-    for name in list(qs)[:50]:
+    for name in (list(qs) if sweep_all else list(qs)[:50]):
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf).toPandas()
