@@ -1982,3 +1982,54 @@ def test_robust_outliers_matches_float_zscore(spark):
     sd = statistics.stdev(vals)
     for i, v in enumerate(vals):
         assert out[i] == (abs(v - mu) > 2 * sd), (i, v)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.text(alphabet=_FUZZ_TEXT_ALPHABET, min_size=0,
+                      max_size=80),
+              st.sampled_from(["s0", "s1", "s2"]),
+              st.integers(min_value=0, max_value=50_000)),
+    min_size=2, max_size=25))
+def test_stats_ops_match_driver_oracles_on_generated_corpora(spark, rows):
+    """llm69/llm70/llm71 vs the exact driver oracle SQL over generated
+    (text, source, n_chars) corpora — exercises quantile cut
+    boundaries, quality-score ties in the top-k ordering, and the
+    integer z-score algebra on adversarial group shapes (constant
+    groups, singletons, extreme values)."""
+    import duckdb
+    import pandas as pd
+    import __spark_entry__ as entrymod
+
+    data = [(i, t, s, n) for i, (t, s, n) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "doc_id long, text string, source string, n_chars long")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR,"
+                " source VARCHAR, n_chars BIGINT)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?, ?)", data)
+    oracles = entrymod.oracle_sql()
+    runs = {
+        "llm69_length_quantiles":
+            L.exact_quantiles(df, "n_chars",
+                              probs=(0.25, 0.5, 0.75, 0.9, 0.99)),
+        "llm70_topk_quality":
+            L.topk_per_group(
+                L.quality_score(df, "text", "doc_id")
+                 .join(df.selectExpr("doc_id as id", "source"), "id"),
+                "source", "quality", "id", k=5),
+        "llm71_length_outliers":
+            L.robust_outliers(df, "source", "n_chars", "doc_id", k=2),
+    }
+    for name, sdf in runs.items():
+        got = sdf.toPandas()
+        exp = con.execute(oracles[name]).df()
+        exp.columns = got.columns
+        cols = sorted(got.columns)
+        g = (got[cols].astype(str).sort_values(cols)
+             .reset_index(drop=True))
+        x = (exp[cols].astype(str).sort_values(cols)
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(g, x)
