@@ -193,6 +193,9 @@ def bloom_bitmap(ref: DataFrame, text_col: str, n: int = 13,
     bit_or is idempotent, so duplicate grams cost nothing and the
     aggregation partial-combines map-side to <= m_bits/32 rows — the
     full m_bits=2^20 bitmap is 32K rows / ~128 KB, a broadcast."""
+    if not 1 <= k <= 8:
+        # i*h2 with h2 < 2^60 stays under 2^63 only for i <= 7
+        raise ValueError("k must be in [1, 8]")
     grams = ref.select(
         F.explode(_word_ngrams(F.col(text_col), n, distinct=True))
          .alias("gram"))
@@ -292,6 +295,8 @@ def exact_quantiles(df: DataFrame, value_col: str,
     them the whole frame — oracle exactly (llm69)."""
     from pyspark.sql import Window
 
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError("probs must be in (0, 1]")
     dist = (df.groupBy(F.col(value_col).alias("v"))
               .agg(F.count(F.lit(1)).alias("cnt")))
     w = (Window.orderBy("v")
