@@ -753,7 +753,13 @@ def _run_stream(spark, df, output_mode):
     name = f"entry_sink{_SINK_SEQ[0]}"
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination(300)
+    finished = q.awaitTermination(300)
+    if not finished:
+        # fail LOUDLY: a timed-out stream would otherwise return a
+        # silently-partial sink table and read as an oracle mismatch
+        q.stop()
+        raise RuntimeError(f"streaming query {name} did not finish "
+                           "within 300s")
     return spark.table(name)
 
 
