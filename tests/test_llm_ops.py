@@ -2033,3 +2033,29 @@ def test_stats_ops_match_driver_oracles_on_generated_corpora(spark, rows):
         x = (exp[cols].astype(str).sort_values(cols)
              .reset_index(drop=True))
         pd.testing.assert_frame_equal(g, x)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.integers(min_value=-10_000, max_value=10_000),
+                min_size=1, max_size=150),
+       st.lists(st.sampled_from([0.01, 0.1, 0.25, 0.5, 0.75, 0.9,
+                                 0.99, 1.0]),
+                min_size=1, max_size=5, unique=True))
+def test_exact_quantiles_equals_duckdb_quantile_disc(spark, vals, probs):
+    """The cut algebra (smallest v with cum >= ceil(p*N)) must equal
+    the TEXTBOOK discrete quantile, not merely its own oracle replay —
+    pin it to DuckDB's native quantile_disc over generated
+    multiset-heavy data."""
+    import duckdb
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    got = {r["prob"]: r["value"] for r in
+           L.exact_quantiles(df, "x", probs=tuple(probs)).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in vals])
+    for p in probs:
+        exp = con.execute(
+            f"SELECT quantile_disc(x, {p}) FROM t").fetchone()[0]
+        assert got[p] == exp, (p, got[p], exp)
