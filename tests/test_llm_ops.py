@@ -2059,3 +2059,15 @@ def test_exact_quantiles_equals_duckdb_quantile_disc(spark, vals, probs):
         exp = con.execute(
             f"SELECT quantile_disc(x, {p}) FROM t").fetchone()[0]
         assert got[p] == exp, (p, got[p], exp)
+
+
+def test_hll_estimate_small_range_linear_counting(spark):
+    # tiny cardinality at p=9 exercises the linear-counting branch
+    # (raw <= 2.5m with empty registers) — the branch the large-n
+    # accuracy test never reaches
+    df = spark.createDataFrame([(i, f"w{i}") for i in range(40)],
+                               "doc_id long, text string")
+    regs = [(r["bucket"], r["max_rho"]) for r in
+            L.hll_registers(df, "text", p=9).collect()]
+    est = L.hll_estimate(regs, p=9)
+    assert abs(est - 40) / 40 < 0.15
