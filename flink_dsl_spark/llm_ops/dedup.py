@@ -697,7 +697,12 @@ def soft_dedup(df: DataFrame, text_col: str, id_col: str,
     from pyspark.sql import Window
 
     if id_hash is None:
-        id_hash = lambda c, s: F.xxhash64(c, F.lit(s))  # noqa: E731
+        # xxhash64 is SIGNED 64-bit; the keep rule needs u uniform on
+        # [0, 2^60), so mask to the low 60 bits (a raw signed default
+        # would keep every negative-hash doc unconditionally and
+        # positive-hash docs only ~2^-3/c of the time).
+        id_hash = lambda c, s: (  # noqa: E731
+            F.xxhash64(c, F.lit(s)).bitwiseAND(F.lit((1 << 60) - 1)))
     norm = normalized(F.col(text_col))
     w = Window.partitionBy(F.xxhash64(norm), F.xxhash64(norm, F.lit(1)))
     cnt = F.count(F.lit(1)).over(w)

@@ -21,6 +21,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import md5_token_hash
 from .textstats import _word_ngrams, _ws_tokens
 from .util import spread_for_compute
 
@@ -79,11 +80,10 @@ def heavy_hitters(df: DataFrame, text_col: str, capacity: int = 4096,
     return merged.orderBy(F.col("est_cnt").desc(), "tok").limit(k)
 
 
-def _md5_hash60(c):
-    """Cross-engine 60-bit hash (dedup.md5_token_hash premise): decimal
-    value of the first 15 hex chars of md5 — bit-identical to DuckDB's
-    ``CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT)``."""
-    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+# Cross-engine 60-bit hash: one definition, one documented premise
+# (see dedup.md5_token_hash) — keep the sketch family on the same
+# helper so the Spark≡DuckDB hash contract can't drift between files.
+_md5_hash60 = md5_token_hash
 
 
 def hll_registers(df: DataFrame, text_col: str, p: int = 9) -> DataFrame:
@@ -163,6 +163,9 @@ def cms_counts(df: DataFrame, text_col: str, depth: int = 4,
     bit-identical in DuckDB (the llm65 oracle)."""
     if not 1 <= depth <= 8:
         raise ValueError("depth must be in [1, 8]")
+    if not 1 <= width <= (1 << 31):
+        # lower bound: mod-0 is undefined; upper: cols are cast to int
+        raise ValueError("width must be in [1, 2^31]")
     toks = F.filter(_ws_tokens(F.col(text_col)), lambda t: t != "")
     ex = spread_for_compute(df).select(F.explode(toks).alias("tok"))
     h1 = _md5_hash60(F.col("tok"))
@@ -196,6 +199,10 @@ def bloom_bitmap(ref: DataFrame, text_col: str, n: int = 13,
     if not 1 <= k <= 8:
         # i*h2 with h2 < 2^60 stays under 2^63 only for i <= 7
         raise ValueError("k must be in [1, 8]")
+    if m_bits < 32:
+        # bitmap words are 32-bit; fewer bits than one word is a
+        # misconfiguration, not a smaller filter
+        raise ValueError("m_bits must be >= 32")
     grams = ref.select(
         F.explode(_word_ngrams(F.col(text_col), n, distinct=True))
          .alias("gram"))

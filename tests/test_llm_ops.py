@@ -1845,6 +1845,40 @@ def test_soft_dedup_expected_one_survivor_per_group(spark):
     assert 20 <= kept <= 65   # mean 40, sd ~6.2; generous 4-sigma band
 
 
+def test_soft_dedup_default_hash_is_uniform_on_60_bits(spark):
+    """The DEFAULT id_hash path (xxhash64) must behave like the md5
+    path: masked to [0, 2^60) so the keep rule u*c < 2^60 gives ~1/c
+    survival.  The pre-fix default left xxhash64 signed, which kept
+    every negative-hash doc (~half) unconditionally — with 25 copies
+    per group the survivor count would then be ~500, far outside the
+    ~40-mean band asserted here."""
+    docs = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(40)],
+        "doc_id long, text string")
+    out = L.soft_dedup(docs, "text", "doc_id", seed=7).collect()
+    assert all(r["dup_count"] == 1 and r["kept"] for r in out)
+
+    rows = [(g * 100 + c, f"group {g} payload") for g in range(40)
+            for c in range(25)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = L.soft_dedup(df, "text", "doc_id", seed=7).collect()
+    assert all(r["dup_count"] == 25 for r in out)
+    kept = sum(r["kept"] for r in out)
+    assert 20 <= kept <= 65
+
+
+def test_sketch_parameter_guards(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="width"):
+        L.cms_counts(df, "text", depth=4, width=0)
+    with pytest.raises(ValueError, match="width"):
+        L.cms_counts(df, "text", depth=4, width=(1 << 31) + 1)
+    with pytest.raises(ValueError, match="m_bits"):
+        L.bloom_bitmap(df, "text", n=2, m_bits=16)
+    with pytest.raises(ValueError, match="m_bits"):
+        L.bloom_decontaminate(df, "text", "doc_id", df, n=2, m_bits=8)
+
+
 @settings(max_examples=20, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture,
                                  HealthCheck.too_slow])
