@@ -387,9 +387,20 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm02_dedup_ngram_jaccard": lambda s, d: L.ngram_jaccard_pairs(
             _docs(s, d), "text", "doc_id", n=8, threshold=0.8,
             max_posting_size=1000),
+        # production banding (16 bands x r=4): every candidate is
+        # exact-Jaccard-verified, so the OUTPUT VALUES are hash-free —
+        # the only approximation is banding recall.  On the gate
+        # corpora the config recovers the full >=0.8 pair set (pinned
+        # by tests/test_llm_ops.py::test_llm03_banding_recall_is_full
+        # at sf0.001 and the per-session sf0.01 rehearsal), so the
+        # exact-shingle-Jaccard SQL (llm26's oracle) applies verbatim
         "llm03_dedup_minhash_lsh": lambda s, d: L.minhash_lsh_pairs(
             _docs(s, d), "text", "doc_id", num_hashes=64, bands=16,
             n=8, threshold=0.8),
+        # rows-only BY DESIGN: the hamming values are computed over
+        # seeded xxhash64 token hashes (engine-native, no DuckDB
+        # equivalent); llm28 is the same full pipeline value-oracled
+        # through the md5 token hash
         "llm04_dedup_simhash": lambda s, d: L.simhash_pairs(
             _docs(s, d), "text", "doc_id", max_hamming=3),
         #  - simhash_pairs is exact GIVEN the token hash (pigeonhole
@@ -411,10 +422,18 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding", "vec_id", threshold=0.4),
         "llm06_ann_topk_bruteforce": lambda s, d: L.cosine_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10),
+        # rows-only BY DESIGN: probe_bits=2 prunes buckets, and on the
+        # gate corpora the pruned candidate set demonstrably loses
+        # top-k members (checked r6: output != llm27's exhaustive
+        # probe at both sf0.001 and sf0.01) — an exact oracle would
+        # assert recall the config intentionally trades away.  llm27
+        # (probe_bits=planes) is the value-oracled exhaustive twin.
         "llm07_ann_lsh": lambda s, d: L.lsh_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             planes=6, probe_bits=2),
-        # xxhash64-based: no DuckDB equivalent -> rows-only checks
+        # rows-only BY DESIGN: split assignment is the seeded xxhash64
+        # value itself — engine-native, no DuckDB equivalent; llm29 is
+        # the identical operator value-oracled through md5_id_hash
         "llm20_split_dataset": lambda s, d: L.split_dataset(
             _docs(s, d), "doc_id",
             {"train": 0.8, "val": 0.1, "test": 0.1}).select(
@@ -455,6 +474,11 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
                                   n=8, threshold=0.8),
             "doc_id").select("doc_id"),
+        # rows-only BY DESIGN: pack ids embed the partition id, so the
+        # assignment is partition-layout-dependent (the point of the
+        # partition-parallel production shape); llm36 (partitions=1,
+        # next-fit) is the sequential-recurrence twin a DuckDB
+        # recursive CTE value-oracles
         "llm21_pack_sequences": lambda s, d: L.pack_sequences(
             L.token_stats(_docs(s, d), "text", "doc_id")
              .selectExpr("id as doc_id", "ws_tokens"),
@@ -671,16 +695,28 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no floating mean/stddev, no summation-order sensitivity
         "llm71_length_outliers": lambda s, d: L.robust_outliers(
             _docs(s, d), "source", "n_chars", "doc_id", k=2),
+        # rank=True demonstrates the distributed two-phase global
+        # numbering on top of the shuffle key; with the cross-engine
+        # md5 id hash both the key and the rank are value-oracled
+        # (llm30 stays the key-only production-shaped companion)
         "llm23_seeded_shuffle": lambda s, d: L.seeded_shuffle(
             _docs(s, d).select("doc_id"), "doc_id",
-            seed=7, rank=True),
+            seed=7, rank=True, id_hash=L.md5_id_hash),
         # capstone: the full curation pipeline composed end-to-end —
         # dedup survivors -> quality gate -> deterministic split ->
-        # token stats -> budget packing (rows-only: id-hash split)
+        # token stats -> budget packing.  rows-only BY DESIGN: the
+        # xxhash64 id-hash split keeps this the production-hash
+        # composition; its value-oracled twin is llm39 (same pipeline,
+        # md5 hashes)
         "llm25_pipeline_e2e": lambda s, d: _pipeline_e2e(s, d),
+        # strats on the PREDICTED language (lang_id output), unlike
+        # llm31 which strats on the raw lang column — with the md5 id
+        # hash the whole composition value-oracles (llm09's lang CTE
+        # + llm31's bucket filter)
         "llm24_stratified_sample": lambda s, d: L.stratified_sample(
             L.lang_id(_docs(s, d), "text", "doc_id"), "lang_pred", "id",
-            {"en": 0.5, "de": 0.25, "fr": 0.25}, seed=7),
+            {"en": 0.5, "de": 0.25, "fr": 0.25}, seed=7,
+            id_hash=L.md5_id_hash),
         "llm19_top_terms_tfidf": lambda s, d: L.top_terms_tfidf(
             _docs(s, d), "text", "doc_id", k=5),
         "llm18_chunk_documents": lambda s, d: L.chunk_documents(
@@ -689,6 +725,11 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.ngram_jaccard_pairs(_docs(s, d), "text", "doc_id",
                                   n=8, threshold=0.8,
                                   max_posting_size=1000)),
+        # rows-only BY DESIGN: nprobe=4 of 8 cells prunes the scan, and
+        # on the gate corpora the pruned top-k demonstrably diverges
+        # from brute force (checked r6: != llm16 at sf0.001) — recall
+        # is the documented trade.  llm16 (nprobe=nlist) is the
+        # value-oracled exhaustive twin.
         "llm15_ann_ivf": lambda s, d: L.ivf_ann_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10,
             nlist=8, nprobe=4),
@@ -713,10 +754,20 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             L.with_binary_column(_docs(s, d), "text", "doc_id"))
             .withColumn("frame_offsets",
                         F.array_join("frame_offsets", ",")),
+        # rows-only BY DESIGN: the product surface is
+        # (id, features array<double>) — the driver canonicalizer
+        # cannot hash array cells, and serializing L1-normalized
+        # doubles to strings would make the oracle hostage to float
+        # FORMATTING; llm38 inverts the same featurizer back to exact
+        # integer bin counts and value-oracles those
         "llm22_extract_features": lambda s, d: L.extract_features(
             L.with_binary_column(_docs(s, d), "text", "doc_id"), dim=64),
-        # LSH-bucketed embedding dedup: approximate recall by design ->
-        # rows-only check (brute-force llm05 is the oracle'd baseline)
+        # rows-only BY DESIGN: 3-plane/12-table bucketing intentionally
+        # trades recall for scan cost, and on the gate corpora it DOES
+        # miss brute-force pairs (checked r6: 4 of 66 at sf0.001, 2 of
+        # 59 at sf0.01) — an exact-pair oracle would assert recall the
+        # config doesn't promise.  llm37 (probe-all) and llm05 (brute
+        # slice) are the value-oracled companions.
         "llm14_dedup_embedding_lsh": lambda s, d: L.embedding_dup_pairs_lsh(
             _emb(s, d), "embedding", "vec_id", threshold=0.4,
             planes=3, tables=12),
@@ -983,103 +1034,65 @@ def _x_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracled queries a driver-green row, with llm33-63/s08/s09 green for
 # the first time.
 _PRIORITY = [
-    # -- regression core (11): one per §2 family + the r4-repaired NTZ
-    #    cluster, kept in every round's window (set-op and IN coverage
-    #    comes from the q17a/q14 rotate-ins below; q23/q33/s07/llm06
-    #    are r4-green and sit just below the fold this round — four
-    #    core slots lent to the brand-new llm42-45 so no shipped
-    #    operator ever lacks a driver row, the llm33-35 lesson) --
-    "q01_pricing_summary", "q03_join_group",
-    "q35_asof_join",
-    "q38_rollup_timeseries",
-    "s01_stream_time_window",
-    "llm01_dedup_exact",
-    # -- shipped r4, oracled, never driver-sampled: first rows --
-    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
-    # -- new r5 oracled companions: next-fit packing recurrence,
-    #    probe-all embedding-LSH, byte-histogram features, and the
-    #    fully-verified e2e curation pipeline --
-    "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
-    "llm38_features_verified", "llm39_pipeline_verified",
-    # -- new r5 operators: benchmark decontamination, the repetition
-    #    half of Gopher's filter table, corpus line dedup, duplicate
-    #    spans, token-budget cut, domain mixture --
-    "llm40_decontaminate", "llm41_gopher_repetition",
-    "llm42_line_dedup", "llm43_dup_spans",
-    "llm44_token_budget", "llm45_domain_mixture",
-    "llm46_corpus_stats", "s08_stream_dedup",
-    "llm47_cross_dedup_pairs", "llm48_dedup_against",
-    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
-    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
-    "s09_stream_quality",
-    # -- late r5: multi-epoch mixture + fixed-token output shards +
-    #    int8-quantized ANN (first rows; three r3-green rotate-ins
-    #    llm18/llm19/q08 lent their slots — all stay pytest-oracle-
-    #    swept every session) --
-    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
-    "llm58_curation_report",
-    # -- final r5: BPE pair stats, NFC normalization, Misra-Gries
-    #    heavy hitters (first rows; r3-green q16/llm16/llm17 lent
-    #    their rotate-back slots — subquery family keeps q14/q15
-    #    in-window, ANN keeps llm57, clustering keeps llm35 which
-    #    composes dup_clusters; all three stay pytest-swept) --
-    "llm59_bpe_pairs", "llm60_nfc_normalize", "llm61_heavy_hitters",
-    # -- distributed BPE tokenizer train+encode and the temperature
-    #    mixture (first rows; r3-green llm11/llm05 lent their slots —
-    #    textstats keeps llm33/34/41/59/61 in-window, embedding dedup
-    #    keeps its exhaustive companion llm37) --
-    "llm62_bpe_encode", "llm63_mixture_temperature",
-    # -- fifth batch: probabilistic-sketch + curation ops, all first
-    #    rows (slots lent by r4-green q28/q36/q40/x01 and r3-green
-    #    llm09/llm10/llm12 — each lender keeps its r3/r4 driver row,
-    #    q35 keeps the temporal-join family in-window, the X DSL
-    #    keeps x02/x03 prior rows, textstats keeps llm33/34/41/58/61,
-    #    multimodal keeps llm38; all lenders stay pytest-swept) --
-    "llm64_hll_registers", "llm65_cms_counts",
-    "llm66_bloom_decontaminate", "llm67_ngram_novelty",
-    "llm68_soft_dedup", "llm69_length_quantiles",
-    "s10_stream_hll", "llm70_topk_quality", "llm71_length_outliers",
-    # -- oracled queries last driver-green in r2/r3: rotate back in --
-    "q04_left_join",
-    "q14_in_subquery",
-    # --- fold: entries below are outside a 50-entry prefix sample ---
-    "q15_exists", "q28_count_tumbling", "q36_range_join",
-    "s05_stream_session_window",
-    "q40_update_delete", "x01_expr_projection",
-    "llm09_lang_id", "llm10_quality_score",
-    "llm12_multimodal_decode",
-    "llm11_fingerprint", "llm05_dedup_embedding",
-    "q16_scalar_subquery", "llm16_ann_ivf_exhaustive",
-    "llm17_dup_clusters",
-    "q08_using_join", "q18_case_arith",
-    "llm18_chunk_documents", "llm19_top_terms_tfidf",
-    # (every oracled one below is driver-green in r4's window, except
-    # q02/q05/q08/q09/q12/q16/q17a/q18/q20/q21/q22/q24/q25/x02/llm05/
-    # llm11/llm16/llm17/llm18/llm19 — r2/r3-green surfaces whose slots
-    # went to the twenty-three NEW r5 operators llm42-63/s08/s09 so no
-    # shipped operator waits a round for a driver row; each displaced family
-    # keeps an in-window representative (q04 outer joins, q38 rollup,
-    # q17b-d set ops, q13+q14+q15 predicate/subquery surfaces, x01 for
-    # the X expression DSL, llm57 ANN, llm35 for clustering) and all
-    # stay covered by the per-session pytest oracle sweep)
-    "q02_filter_projection", "q05_right_join",
-    "q09_rollup", "q12_order_limit_offset",
-    "q17a_union", "q20_comma_from", "q21_between_like_null",
-    "q22_agg_distinct", "q24_star_scoped", "q25_dual",
-    "x02_expr_filter_groupby",
+    # The driver samples the FIRST 50 keys below for CORRECTNESS rows
+    # each round.  Window composition and full rotation history live
+    # in COVERAGE.md ("Driver-window rotation ledger") — this list
+    # stays a registry.  Round-6 window: regression core, reps for
+    # this round's touched code (soft_dedup default hash, sketch
+    # guards), the three newly-oracled keys, the 24 stale r2/r3-green
+    # rotate-backs, the r4 greens displaced late in r5, and r5's
+    # below-fold slot lenders — after this round r4+r5+r6 driver rows
+    # cover every value-oracled query.
+    # -- regression core (one per SURVEY §2 family) --
+    "q01_pricing_summary", "q03_join_group", "q35_asof_join",
+    "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
+    "x01_expr_projection", "q40_update_delete",
+    # -- r6-touched code: fresh rows for the repaired families --
+    "llm68_soft_dedup", "llm61_heavy_hitters", "llm64_hll_registers",
+    "llm65_cms_counts", "llm66_bloom_decontaminate",
+    # -- newly value-oracled this round (first eligible rows) --
+    "llm03_dedup_minhash_lsh", "llm23_seeded_shuffle",
+    "llm24_stratified_sample",
+    # -- stale r2/r3-green rotate-backs (driver evidence refresh) --
+    "q02_filter_projection", "q05_right_join", "q08_using_join",
+    "q09_rollup", "q12_order_limit_offset", "q15_exists",
+    "q16_scalar_subquery", "q17a_union", "q18_case_arith", "q20_comma_from",
+    "q21_between_like_null", "q22_agg_distinct", "q24_star_scoped",
+    "q25_dual", "x02_expr_filter_groupby", "llm05_dedup_embedding",
+    "llm09_lang_id", "llm10_quality_score", "llm11_fingerprint",
+    "llm12_multimodal_decode", "llm16_ann_ivf_exhaustive",
+    "llm17_dup_clusters", "llm18_chunk_documents", "llm19_top_terms_tfidf",
+    # -- r4 greens displaced late in r5 --
+    "q28_count_tumbling", "q36_range_join", "s05_stream_session_window",
+    # -- r5 below-fold slot lenders, returned --
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
-    "q13_in_list", "q17b_union_all",
-    "q06_full_join", "q07_cross_join", "q10_having", "q11_distinct",
-    "q17c_except", "q17d_intersect", "q19_derived_table",
+    # -- oldest r4 greens, family breadth --
+    "q06_full_join", "q31_delta_tumbling", "s02_stream_count_window",
+    # --- fold: entries below are outside the 50-entry prefix sample;
+    #     all stay value-checked by the per-session pytest oracle
+    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01) ---
+    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
+    "llm38_features_verified", "llm39_pipeline_verified",
+    "llm40_decontaminate", "llm41_gopher_repetition", "llm42_line_dedup",
+    "llm43_dup_spans", "llm44_token_budget", "llm45_domain_mixture",
+    "llm46_corpus_stats", "s08_stream_dedup", "llm47_cross_dedup_pairs",
+    "llm48_dedup_against", "llm49_classifier_score", "llm50_kmeans",
+    "llm51_semdedup", "llm52_lm_perplexity", "llm53_html_strip",
+    "llm54_vocab_stats", "s09_stream_quality", "llm55_mixture_epochs",
+    "llm56_shard_assign", "llm57_ann_quantized", "llm58_curation_report",
+    "llm59_bpe_pairs", "llm60_nfc_normalize", "llm62_bpe_encode",
+    "llm63_mixture_temperature", "llm67_ngram_novelty",
+    "llm69_length_quantiles", "s10_stream_hll", "llm70_topk_quality",
+    "llm71_length_outliers", "q04_left_join", "q14_in_subquery",
+    "q13_in_list", "q17b_union_all", "q07_cross_join", "q10_having",
+    "q11_distinct", "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
-    "q30_snapshot_window", "q31_delta_tumbling",
-    "q32_partitioned_window", "q34_windowed_join",
-    "q35_delta_sliding", "q37_session_window",
-    "q39_session_window_fsql", "q41_stats_aggs",
-    "s02_stream_count_window", "s03_stream_windowed_join",
-    "s04_stream_delta_window", "s06_stream_count_sliding",
-    "x03_expr_bitwise_unary",
+    "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
+    "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
+    "q41_stats_aggs", "s03_stream_windowed_join", "s04_stream_delta_window",
+    "s06_stream_count_sliding", "x03_expr_bitwise_unary",
     "llm02_dedup_ngram_jaccard", "llm08_token_stats",
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
@@ -1171,6 +1184,41 @@ def oracle_sql() -> dict[str, str]:
     o = _oracle_sql_base()
     # llm62: full tokenizer-train + encode replay (see _bpe_oracle)
     o["llm62_bpe_encode"] = _bpe_oracle(3)
+    # llm03: the production 16x4 banding exact-Jaccard-verifies every
+    # candidate, so its output VALUES are hash-free; banding only
+    # bounds recall, and on the gate corpora the config recovers the
+    # complete >=0.8 pair set (pinned at sf0.001 by
+    # test_llm03_banding_recall_is_full and at sf0.01 by the
+    # per-session rehearsal sweep), so llm26's exact-shingle-Jaccard
+    # SQL applies verbatim
+    o["llm03_dedup_minhash_lsh"] = o["llm26_minhash_verified_pairs"]
+    # llm23: the md5 shuffle key is llm30's oracled premise; with the
+    # key value-exact, the rank is its dense 0-based order (keys are
+    # 60-bit md5 values — collision-free on any realistic corpus, so
+    # the ordering is total and the rank deterministic)
+    o["llm23_seeded_shuffle"] = """
+        WITH h AS (SELECT doc_id,
+                          CAST(concat('0x', substr(md5(concat(
+                               CAST(doc_id AS VARCHAR), ':', '7')),
+                               1, 15)) AS BIGINT) AS shuffle_key
+                   FROM documents)
+        SELECT doc_id, shuffle_key,
+               CAST(row_number() OVER (ORDER BY shuffle_key) - 1
+                    AS BIGINT) AS shuffle_rank
+        FROM h"""
+    # llm24: stratified sampling over the PREDICTED language — llm09's
+    # already-oracled lang CTE composed with llm31's bucket filter
+    o["llm24_stratified_sample"] = f"""
+        WITH lang AS ({o['llm09_lang_id']}),
+        b AS (SELECT id, lang_pred, lang_score,
+                     CAST(concat('0x', substr(md5(concat(
+                          CAST(id AS VARCHAR), ':', '7')), 1, 15))
+                          AS BIGINT) % 1000000 AS bucket
+              FROM lang)
+        SELECT id, lang_pred, lang_score FROM b
+        WHERE (lang_pred = 'en' AND bucket < 500000)
+           OR (lang_pred = 'de' AND bucket < 250000)
+           OR (lang_pred = 'fr' AND bucket < 250000)"""
     # the streaming HLL is a pure streaming aggregation in complete
     # mode, so the batch register oracle applies verbatim
     o["s10_stream_hll"] = o["llm64_hll_registers"]
@@ -1395,8 +1443,17 @@ def _oracle_sql_base() -> dict[str, str]:
                                   - INTERVAL 10 MINUTE)
             SELECT w1.event_id AS event_id, w2.event_id AS id2
             FROM w w1 LEFT JOIN w w2 ON w1.user_id = w2.user_id""",
-        # --- LLM pipeline ops (minhash/simhash/ann-lsh are xxhash64-based:
-        #     no SQL-expressible oracle -> rows-only check by design) ---
+        # --- LLM pipeline ops.  Every registered query has a value
+        #     oracle except eight rows-only-BY-DESIGN production
+        #     configs whose ineligibility is structural, each with a
+        #     value-oracled twin (see the registry comments):
+        #     llm04 (xxhash-valued hamming; twin llm28), llm07/llm15
+        #     (pruned-probe ANN, recall traded by design; twins
+        #     llm27/llm16), llm14 (LSH recall traded; twins
+        #     llm37/llm05), llm20 (xxhash-valued split; twin llm29),
+        #     llm21 (partition-dependent pack ids; twin llm36),
+        #     llm22 (array<double> surface; twin llm38), llm25
+        #     (xxhash composition; twin llm39) ---
         "llm01_dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_duplicates
             FROM (SELECT doc_id,

@@ -34,6 +34,25 @@ def test_minhash_matches_exact_jaccard(docs):
     assert approx == exact and len(exact) > 0
 
 
+def test_llm03_banding_recall_is_full(spark):
+    """Premise pin for llm03's value oracle: the production banding
+    (64 hashes / 16 bands, r=4) must recover the COMPLETE exact
+    >=0.8-Jaccard pair set on the gate corpus — llm03's output values
+    are hash-free (exact-verified jaccard), so full recall makes
+    llm26's exact-shingle-Jaccard SQL its oracle verbatim.  If a
+    future testdata draw adds a borderline pair the banding misses
+    (~2e-4 per pair at j=0.8), this test fails BEFORE the driver gate
+    does; the fix is to drop llm03's oracle alias again, not to force
+    the data."""
+    import __spark_entry__ as E
+    qs = E.queries()
+    a = qs["llm03_dedup_minhash_lsh"](spark, SF_DIR).collect()
+    b = qs["llm26_minhash_verified_pairs"](spark, SF_DIR).collect()
+    key = lambda r: (r.id_a, r.id_b)  # noqa: E731
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0 and len({key(r) for r in a}) == len(a)
+
+
 def test_minhash_bucket_cap_guards_skew(spark, docs):
     """With a giant identical-duplicate cluster planted, capping the
     bucket size drops the degenerate intra-cluster buckets (those pairs

@@ -291,6 +291,11 @@ _SINGLE_PARTITION_BY_DESIGN = {
                                   # DISTINCT-VALUE table (bounded
                                   # domain), never the corpus
     "q16_scalar_subquery",
+    # r6 rotate-backs that are global scalar aggregates — a single
+    # output row (the q16/q30 pattern): count(*) over a filtered
+    # scan (q20/q21/q23) and a two-distinct-aggregate fold (q22)
+    "q20_comma_from", "q21_between_like_null", "q22_agg_distinct",
+    "q23_params",
 }
 
 
