@@ -113,6 +113,16 @@ _FSQL: dict[str, str] = {
     "q07_cross_join": """
         select r_name, n_name from region cross join nation
         where r_regionkey = 0 and n_nationkey < 5""",
+    # the /*+ salt(key, n) */ hint (r6 dialect extension): the join
+    # runs on (key, salt) — hot keys scatter over n tasks — with a
+    # result set provably identical to the unsalted join, which is
+    # exactly what the plain-SQL oracle asserts
+    "q42_salt_hint": """
+        select /*+ salt(c_nationkey, 4) */
+               n_name, count(*) as num_customers,
+               round(sum(c_acctbal), 2) as balance
+        from customer join nation on c_nationkey = n_nationkey
+        group by n_name""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1067,12 +1077,12 @@ _PRIORITY = [
     # -- r5 below-fold slot lenders, returned --
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
-    # -- oldest r4 greens, family breadth --
-    "q06_full_join", "q31_delta_tumbling", "s02_stream_count_window",
+    # -- oldest r4 greens / new r6 dialect surface --
+    "q42_salt_hint", "q31_delta_tumbling", "s02_stream_count_window",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01) ---
-    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    "q06_full_join", "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
     "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
     "llm40_decontaminate", "llm41_gopher_repetition", "llm42_line_dedup",
@@ -1283,6 +1293,13 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        # q42: salting changes only physical distribution — the oracle
+        # is the plain unsalted join
+        "q42_salt_hint": """
+            SELECT n_name, count(*) AS num_customers,
+                   round(sum(c_acctbal), 2) AS balance
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
         "q04_left_join": """
             SELECT c_custkey, count(o_orderkey) AS cnt

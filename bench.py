@@ -47,6 +47,11 @@ HEADLINE = [
     "s01_stream_time_window",   # true streaming (availableNow -> memory)
 ]
 
+# the two queries deliberately ADDED to the headline set in r5; the
+# like-for-like subtotal below excludes them so the round-over-round
+# ≤2x guard always compares the same 17 queries it was recorded on
+_ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers"}
+
 
 def _force(df):
     df.write.format("noop").mode("overwrite").save()
@@ -181,6 +186,11 @@ def main():
         "queries": timings,
         "queries_steady": steady,
         "steady_total": round(sum(steady.values()), 3),
+        # like-for-like vs rounds <= r4 (pre-widening headline set)
+        "shared17_total": round(sum(
+            v for k, v in timings.items() if k not in _ADDED_R5), 3),
+        "shared17_steady_total": round(sum(
+            v for k, v in steady.items() if k not in _ADDED_R5), 3),
         "compile_phases_ms": phases,
         "sf": sf,
     }

@@ -246,6 +246,17 @@ class OrderItem:
 
 
 @dataclass
+class Hint:
+    """Optimizer hint from a ``/*+ name(arg, ...) */`` block after
+    SELECT (engine extension beyond the reference grammar — the
+    scale-tuning surface for the skew/bucketing helpers).  Args are
+    plain strings/numbers; semantics are the planner's concern."""
+
+    name: str
+    args: list
+
+
+@dataclass
 class Select:
     """SELECT core (both dialects).  ``rollup`` per flinkdsl/ast.scala:218-220;
     streaming dialect has no order/limit (fsql/parser.scala:67-68)."""
@@ -260,6 +271,7 @@ class Select:
     limit: Optional[Expr] = None                 # Lit or Param
     offset: Optional[Expr] = None
     distinct: bool = False
+    hints: list = field(default_factory=list)    # list[Hint]
 
 
 @dataclass
@@ -326,6 +338,20 @@ class CreateStream:
     name: str
     schema: Union[str, list, None]   # named schema ref | list[ColumnDef] | None (derived)
     source: Union[HostSource, FileSource, RateSource, DerivedSource, None] = None
+
+
+@dataclass
+class CreateBucketedTable:
+    """CREATE TABLE name BUCKETED BY (cols) INTO n BUCKETS
+    [SORTED BY (cols)] AS select — engine extension (the reference has
+    no table DDL); executes bucketing.write_bucketed so the dialect can
+    pre-pay a join/agg shuffle at write time."""
+
+    name: str
+    bucket_cols: list                            # list[str]
+    num_buckets: int
+    query: object                                # Select | SetOp
+    sort_cols: Optional[list] = None             # list[str]
 
 
 @dataclass

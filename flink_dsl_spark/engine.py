@@ -222,7 +222,9 @@ class FsqlEngine:
             return None
         if isinstance(stmt, CreateStream):
             return self._create_stream(stmt, params)
-        from .ast_nodes import Insert
+        from .ast_nodes import CreateBucketedTable, Insert
+        if isinstance(stmt, CreateBucketedTable):
+            return self._create_bucketed_table(stmt, params)
         if isinstance(stmt, Insert) and stmt.source is not None:
             return self._insert_from_source(stmt)
         with self.timer.phase("resolve"):
@@ -234,6 +236,28 @@ class FsqlEngine:
     # ------------------------------------------------------------------
     # CREATE STREAM (fsql/Ast.scala:70-87)
     # ------------------------------------------------------------------
+
+    def _create_bucketed_table(self, stmt, params):
+        """CREATE TABLE ... BUCKETED BY ... AS select: plan the query,
+        write it through bucketing.write_bucketed (the write-once
+        shuffle), and register the re-read handle so every subsequent
+        FSQL join/agg on the bucket key scans pre-partitioned data."""
+        from .bucketing import write_bucketed
+        with self.timer.phase("resolve"):
+            self.resolver.resolve(stmt.query)
+        with self.timer.phase("plan"):
+            df = self.planner.plan(stmt.query, params)
+        missing = [c for c in stmt.bucket_cols + (stmt.sort_cols or [])
+                   if c not in df.columns]
+        if missing:
+            raise PlanError(
+                f"bucket/sort column(s) {', '.join(missing)} not in "
+                f"query output ({', '.join(df.columns)})")
+        handle = write_bucketed(df, stmt.name, stmt.bucket_cols,
+                                stmt.num_buckets,
+                                sort_cols=stmt.sort_cols)
+        self.register(stmt.name, handle)
+        return None
 
     def _create_stream(self, stmt: CreateStream, params):
         schema = None

@@ -65,6 +65,8 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*)
+  | (?P<hint>/\*\+(?:[^*]|\*(?!/))*\*/)
+  | (?P<blockcomment>/\*(?:[^*]|\*(?!/))*\*/)
   | (?P<number>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+([eE][+-]?\d+)?|\d+)
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"[^"]+"|`[^`]+`)
@@ -100,8 +102,8 @@ def tokenize(sql: str) -> list[Token]:
         kind = m.lastgroup
         text = m.group(0)
         # dotted-number lastgroup fix: named groups inside number
-        if kind not in ("ws", "comment"):
-            for k in ("number", "string", "qident", "ident", "op"):
+        if kind not in ("ws", "comment", "blockcomment"):
+            for k in ("hint", "number", "string", "qident", "ident", "op"):
                 if m.group(k) is not None:
                     kind = k
                     break
@@ -207,7 +209,10 @@ class Parser:
                 return self.parse_create_schema()
             if self.peek().lower == "stream":
                 return self.parse_create_stream()
-            self.error("expected SCHEMA or STREAM after CREATE", self.peek())
+            if self.peek().lower == "table":
+                return self.parse_create_table()
+            self.error("expected SCHEMA, STREAM or TABLE after CREATE",
+                       self.peek())
         if self.at_kw("insert"):
             return self.parse_insert()
         if self.at_kw("update"):
@@ -332,6 +337,41 @@ class Parser:
 
     # --- DML ---
 
+    def parse_create_table(self):
+        """create table <id> bucketed by (<col>,...) into <n> buckets
+        [sorted by (<col>,...)] as <select> — engine extension: the
+        write-once shuffle surface (bucketing.write_bucketed) reachable
+        from the dialect."""
+        from .ast_nodes import CreateBucketedTable
+        self.expect_kw("create")
+        self.expect_kw("table")
+        name = self.ident("table name")
+        self.expect_kw("bucketed")
+        self.expect_kw("by")
+        bucket_cols = self._parse_paren_name_list("bucket column")
+        self.expect_kw("into")
+        t = self.cur
+        if t.kind != "number" or "." in t.text:
+            self.error("expected integer bucket count")
+        num_buckets = int(self.advance().text)
+        self.expect_kw("buckets")
+        sort_cols = None
+        if self.eat_kw("sorted"):
+            self.expect_kw("by")
+            sort_cols = self._parse_paren_name_list("sort column")
+        self.expect_kw("as")
+        query = self.parse_select_statement()
+        return CreateBucketedTable(name, bucket_cols, num_buckets,
+                                   query, sort_cols)
+
+    def _parse_paren_name_list(self, what: str) -> list[str]:
+        self.expect_op("(")
+        names = [self.ident(what)]
+        while self.eat_op(","):
+            names.append(self.ident(what))
+        self.expect_op(")")
+        return names
+
     def parse_insert(self) -> Insert:
         """insert into t [(cols)] values (...),... | select ...
         (flinkdsl/parser.scala:44-51)."""
@@ -437,6 +477,9 @@ class Parser:
                 sel._parened = True
             return sel
         self.expect_kw("select")
+        hints = []
+        while self.cur.kind == "hint":
+            hints.extend(self._parse_hint_block(self.advance()))
         distinct = bool(self.eat_kw("distinct"))
         items = [self.parse_select_item()]
         while self.eat_op(","):
@@ -465,7 +508,53 @@ class Parser:
             if self.eat_kw("offset"):
                 offset = self.parse_limit_term()
         return Select(items, from_, where, group_by, rollup, having,
-                      order_by, limit, offset, distinct)
+                      order_by, limit, offset, distinct, hints=hints)
+
+    def _parse_hint_block(self, tok: Token) -> list:
+        """``/*+ name(arg, ...) [, name(...)] */`` — args are
+        identifiers, numbers, or strings; semantics are the planner's
+        (engine extension; e.g. ``salt(key, n)`` routes the matching
+        equi-join through skew.salted_join)."""
+        from .ast_nodes import Hint
+        inner = tok.text[3:-2]
+        toks = tokenize(inner)
+        hints: list = []
+        j = 0
+
+        def err(msg, t):
+            raise ParseError(f"{msg} in hint (got {t.text!r})",
+                             tok.line, tok.col)
+
+        while toks[j].kind != "eof":
+            t = toks[j]
+            if t.kind != "ident":
+                err("expected hint name", t)
+            name = t.lower
+            j += 1
+            args: list = []
+            if toks[j].kind == "op" and toks[j].text == "(":
+                j += 1
+                while not (toks[j].kind == "op" and toks[j].text == ")"):
+                    a = toks[j]
+                    if a.kind == "ident" or a.kind == "qident":
+                        args.append(a.text.strip('"`'))
+                    elif a.kind == "number":
+                        args.append(float(a.text) if "." in a.text
+                                    else int(a.text))
+                    elif a.kind == "string":
+                        args.append(a.text[1:-1].replace("''", "'"))
+                    else:
+                        err("expected hint argument", a)
+                    j += 1
+                    if toks[j].kind == "op" and toks[j].text == ",":
+                        j += 1
+                if toks[j].kind == "eof":
+                    err("unclosed hint argument list", toks[j])
+                j += 1
+            hints.append(Hint(name, args))
+            if toks[j].kind == "op" and toks[j].text == ",":
+                j += 1
+        return hints
 
     def parse_select_item(self) -> SelectItem:
         if self.at_op("*"):

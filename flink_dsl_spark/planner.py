@@ -87,6 +87,10 @@ class Planner:
         self.registry = registry
         self.resolver = resolver
         self._params: list = []
+        # salt(key, n) specs for the Select currently being planned;
+        # keys are POPPED as their join consumes them (plan_select
+        # errors on leftovers so a typo'd key can't silently no-op)
+        self._salt_specs: dict = {}
 
     # ------------------------------------------------------------------
     # statement dispatch
@@ -117,6 +121,10 @@ class Planner:
 
     def _plan_via_sql(self, q) -> DataFrame:
         from .sqlgen import to_sql
+        if getattr(q, "hints", None):
+            raise PlanError(
+                "optimizer hints are not supported in queries with "
+                "subqueries (the SQL-compilation path)")
         return self.catalog.spark.sql(to_sql(q, self._params))
 
     def plan_setop(self, s: SetOp) -> DataFrame:
@@ -177,11 +185,36 @@ class Planner:
         group_window_leaf = windowed[0] if (agg_ctx and len(windowed) == 1) \
             else None
 
+        # hints: salt(key, n) routes the matching equi-join through a
+        # salted physical plan (skew.py's shape) — the scale escape
+        # hatch for hot keys AQE's skew split can't break up
+        salt_specs = {}
+        for h in sel.hints:
+            if h.name != "salt":
+                raise PlanError(f"unknown hint {h.name!r} "
+                                "(supported: salt(key, n))")
+            if len(h.args) != 2 or not isinstance(h.args[0], str) \
+                    or not isinstance(h.args[1], int) or h.args[1] < 1:
+                raise PlanError(
+                    "salt hint takes (key_column, positive_int_factor)")
+            salt_specs[h.args[0].lower()] = h.args[1]
+
         # FROM
-        if sel.from_ is None:
-            df = self.catalog.spark.range(1).select()   # dual
-        else:
-            df = self._plan_relation(sel.from_, snapshot=snapshot_mode)
+        prev_salt = self._salt_specs
+        self._salt_specs = salt_specs
+        try:
+            if sel.from_ is None:
+                df = self.catalog.spark.range(1).select()   # dual
+            else:
+                df = self._plan_relation(sel.from_, snapshot=snapshot_mode)
+            if self._salt_specs:
+                missing = ", ".join(sorted(self._salt_specs))
+                raise PlanError(
+                    f"salt hint key(s) {missing} matched no equi-join "
+                    "in FROM (the key must appear in a JOIN's ON or "
+                    "USING clause)")
+        finally:
+            self._salt_specs = prev_salt
 
         # WHERE
         if sel.where is not None:
@@ -542,14 +575,31 @@ class Planner:
                 return left.crossJoin(right)
             how = {"inner": "inner", "left": "left", "right": "right",
                    "full": "full", "cross": "inner"}[rel.kind]
+            salt = self._match_salt_hint(rel)
+            if salt is not None and co_cond is not None:
+                raise PlanError(
+                    "salt hint is not supported on windowed stream joins")
+            if salt is not None and how not in ("inner", "left"):
+                raise PlanError(
+                    "salt hint preserves only inner/left join semantics "
+                    "(a right/full outer would emit each unmatched "
+                    "right row once per salt)")
             if rel.using is not None:
                 if co_cond is not None:
                     raise PlanError(
                         "windowed stream joins need an ON predicate "
                         "(USING would drop the window columns)")
+                if salt is not None:
+                    _key, n = salt
+                    from .skew import salted_join
+                    return salted_join(left, right, list(rel.using),
+                                       salt=n, how=how)
                 return left.join(right, on=list(rel.using), how=how)
             if rel.on is None:
                 raise PlanError(f"{rel.kind} JOIN requires ON or USING")
+            if salt is not None:
+                return self._salted_on_join(rel, left, right, how,
+                                            salt[1])
             cond = self._compile_join_cond(rel.on, left, right)
             if co_cond is not None:
                 cond = cond & co_cond
@@ -784,6 +834,45 @@ class Planner:
         else:
             win = F.window(tcol, duration_str(spec.size))
         return df.withColumn(self._cowin_name(rel), win)
+
+    def _match_salt_hint(self, rel):
+        """Consume the salt(key, n) spec whose key appears in this
+        join's USING list or ON predicate.  Popping marks the hint as
+        applied; plan_select errors on leftovers so a typo'd key can't
+        silently no-op."""
+        if not self._salt_specs:
+            return None
+        names: set = set()
+        if rel.using is not None:
+            names.update(u.lower() for u in rel.using)
+        elif rel.on is not None:
+            names.update(x.name.lower() for x in walk_expr(rel.on)
+                         if isinstance(x, Col))
+        for key in list(self._salt_specs):
+            if key in names:
+                return key, self._salt_specs.pop(key)
+        return None
+
+    def _salted_on_join(self, rel, left: DataFrame, right: DataFrame,
+                        how: str, n: int) -> DataFrame:
+        """ON-form of the salted join (skew.salted_join covers USING):
+        the left (fact) side scatters over n salts, the right side
+        replicates n ways via explode (a projection, no shuffle), and
+        the shuffle runs on (cond, salt) — a hot key's rows land on n
+        tasks instead of one.  Result set provably equals the unsalted
+        join; which salt a fact row draws is irrelevant because every
+        salt matches the same replicated right rows."""
+        sl, sr = "__salt_l", "__salt_r"
+        if sl in left.columns or sr in right.columns:
+            raise PlanError(
+                f"salt hint: column {sl!r}/{sr!r} already exists")
+        left2 = left.withColumn(
+            sl, F.floor(F.rand(42) * n).cast("int"))
+        right2 = right.withColumn(
+            sr, F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        cond = self._compile_join_cond(rel.on, left2, right2) & \
+            (F.col(sl) == F.col(sr))
+        return left2.join(right2, on=cond, how=how).drop(sl, sr)
 
     def _compile_join_cond(self, e, left: DataFrame,
                            right: DataFrame) -> Column:

@@ -1,0 +1,207 @@
+"""The dialect-level scale surfaces (engine extensions beyond the
+reference grammar): the ``/*+ salt(key, n) */`` join hint that routes
+an equi-join through the salted physical plan (skew.py), and the
+``CREATE TABLE ... BUCKETED BY ... AS select`` DDL that pre-pays a
+join/agg shuffle at write time (bucketing.py).
+
+Result-equality is the contract for both: salting and bucketing change
+ONLY the physical distribution, never the row set.
+"""
+
+import pytest
+
+from flink_dsl_spark import FsqlEngine, ParseError, parse
+from flink_dsl_spark.ast_nodes import CreateBucketedTable, Hint, Select
+from flink_dsl_spark.errors import PlanError
+
+from .conftest import SF_DIR
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+def test_hint_parses_onto_select():
+    sel = parse("select /*+ salt(n_nationkey, 8) */ n_name "
+                "from nation join region on n_regionkey = r_regionkey")
+    assert isinstance(sel, Select)
+    assert sel.hints == [Hint("salt", ["n_nationkey", 8])]
+
+
+def test_multiple_hints_and_comma_separation():
+    sel = parse("select /*+ salt(a, 4), salt(b, 2) */ x from t")
+    assert sel.hints == [Hint("salt", ["a", 4]), Hint("salt", ["b", 2])]
+    sel = parse("select /*+ salt(a, 4) */ /*+ salt(b, 2) */ x from t")
+    assert [h.name for h in sel.hints] == ["salt", "salt"]
+
+
+def test_plain_block_comment_is_skipped():
+    sel = parse("select /* just a note */ n_name from nation")
+    assert sel.hints == []
+    # mid-expression and multi-line block comments are whitespace
+    sel = parse("select n_name /* a\n b */ from nation /* tail */")
+    assert isinstance(sel, Select)
+
+
+def test_malformed_hint_errors_with_position():
+    with pytest.raises(ParseError):
+        parse("select /*+ salt(a, */ x from t")
+    with pytest.raises(ParseError):
+        parse("select /*+ 42(a) */ x from t")
+
+
+def test_create_table_parses():
+    stmt = parse("create table fat_orders bucketed by (o_custkey) "
+                 "into 8 buckets sorted by (o_orderkey) as "
+                 "select * from orders")
+    assert isinstance(stmt, CreateBucketedTable)
+    assert stmt.name == "fat_orders"
+    assert stmt.bucket_cols == ["o_custkey"]
+    assert stmt.num_buckets == 8
+    assert stmt.sort_cols == ["o_orderkey"]
+
+
+def test_create_table_rejects_fractional_bucket_count():
+    with pytest.raises(ParseError):
+        parse("create table t bucketed by (k) into 2.5 buckets "
+              "as select * from orders")
+
+
+# ---------------------------------------------------------------------------
+# salt hint planning
+# ---------------------------------------------------------------------------
+
+def test_salted_on_join_matches_unsalted(engine):
+    base = ("select n_name, count(*) as cnt "
+            "from nation join customer on n_nationkey = c_nationkey "
+            "group by n_name")
+    hinted = base.replace("select ",
+                          "select /*+ salt(c_nationkey, 4) */ ", 1)
+    assert _rows(engine.sql(hinted)) == _rows(engine.sql(base))
+
+
+def test_salted_using_join_matches_unsalted(engine, spark):
+    # same-named key both sides: project customer's nationkey to match
+    engine.register(
+        "cust_n",
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+             .selectExpr("c_custkey", "c_nationkey as n_nationkey"))
+    base = ("select n_name, count(*) as cnt "
+            "from nation join cust_n using (n_nationkey) group by n_name")
+    hinted = base.replace("select ",
+                          "select /*+ salt(n_nationkey, 4) */ ", 1)
+    assert _rows(engine.sql(hinted)) == _rows(engine.sql(base))
+
+
+def test_salt_hint_changes_the_physical_plan(engine):
+    hinted = engine.sql(
+        "select /*+ salt(c_nationkey, 4) */ n_name, c_custkey "
+        "from nation join customer on n_nationkey = c_nationkey")
+    assert "__salt" in _plan(hinted)
+    unhinted = engine.sql(
+        "select n_name, c_custkey "
+        "from nation join customer on n_nationkey = c_nationkey")
+    assert "__salt" not in _plan(unhinted)
+
+
+def test_salt_left_join_preserves_unmatched_left(engine):
+    base = ("select n_name, c_custkey from nation "
+            "left join customer on n_nationkey = c_nationkey "
+            "and c_acctbal > 9999998")
+    hinted = base.replace("select ",
+                          "select /*+ salt(c_nationkey, 4) */ ", 1)
+    b, h = _rows(engine.sql(base)), _rows(engine.sql(hinted))
+    assert h == b and any(c is None for _n, c in b)
+
+
+def test_salt_rejects_outer_semantics(engine):
+    with pytest.raises(PlanError, match="inner/left"):
+        engine.sql("select /*+ salt(c_nationkey, 4) */ n_name "
+                   "from nation right join customer "
+                   "on n_nationkey = c_nationkey")
+
+
+def test_salt_unmatched_key_errors(engine):
+    with pytest.raises(PlanError, match="matched no equi-join"):
+        engine.sql("select /*+ salt(no_such_col, 4) */ n_name "
+                   "from nation join region on n_regionkey = r_regionkey")
+
+
+def test_unknown_hint_name_errors(engine):
+    with pytest.raises(PlanError, match="unknown hint"):
+        engine.sql("select /*+ broadcast(nation) */ n_name from nation")
+
+
+def test_bad_salt_args_error(engine):
+    with pytest.raises(PlanError, match="salt hint takes"):
+        engine.sql("select /*+ salt(c_nationkey) */ n_name "
+                   "from nation join customer "
+                   "on n_nationkey = c_nationkey")
+    with pytest.raises(PlanError, match="salt hint takes"):
+        engine.sql("select /*+ salt(c_nationkey, 0) */ n_name "
+                   "from nation join customer "
+                   "on n_nationkey = c_nationkey")
+
+
+def test_salt_hint_rejected_on_sqlgen_path(engine):
+    with pytest.raises(PlanError, match="subqueries"):
+        engine.sql(
+            "select /*+ salt(c_nationkey, 4) */ n_name from nation "
+            "join customer on n_nationkey = c_nationkey "
+            "where c_acctbal > (select avg(c_acctbal) from customer)")
+
+
+# ---------------------------------------------------------------------------
+# CREATE TABLE ... BUCKETED BY ... AS
+# ---------------------------------------------------------------------------
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+
+def test_create_bucketed_table_roundtrip(engine, spark, no_broadcast):
+    try:
+        engine.sql("create table orders_by_cust bucketed by (o_custkey) "
+                   "into 8 buckets sorted by (o_custkey) as "
+                   "select o_orderkey, o_custkey, o_totalprice "
+                   "from orders")
+        # catalog table carries the bucket spec (qualified name: the
+        # FSQL registration also creates a temp view that would shadow
+        # the catalog table in an unqualified DESCRIBE)
+        from flink_dsl_spark.bucketing import bucket_spec
+        spec = bucket_spec(spark, "default.orders_by_cust")
+        assert spec["num_buckets"] == 8
+        assert spec["bucket_cols"] == ["o_custkey"]
+        # an aggregation on the bucket key scans pre-partitioned data:
+        # no exchange before the final agg
+        agg = engine.sql("select o_custkey, count(*) as cnt "
+                         "from orders_by_cust group by o_custkey")
+        assert "Exchange hashpartitioning" not in _plan(agg)
+        # and the rows equal the unbucketed computation
+        base = engine.sql("select o_custkey, count(*) as cnt "
+                          "from orders group by o_custkey")
+        assert _rows(agg) == _rows(base)
+    finally:
+        # the FSQL registration ALSO made a temp view with this name;
+        # an unqualified DROP would hit the view and leave the managed
+        # table's location behind (LOCATION_ALREADY_EXISTS on rerun)
+        spark.catalog.dropTempView("orders_by_cust")
+        spark.sql("DROP TABLE IF EXISTS default.orders_by_cust")
+
+
+def test_create_bucketed_table_validates_columns(engine, spark):
+    with pytest.raises(PlanError, match="not in"):
+        engine.sql("create table t_bad bucketed by (nope) into 4 "
+                   "buckets as select o_orderkey from orders")
