@@ -9,6 +9,8 @@ ONLY the physical distribution, never the row set.
 """
 
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 
 from flink_dsl_spark import FsqlEngine, ParseError, parse
 from flink_dsl_spark.ast_nodes import CreateBucketedTable, Hint, Select
@@ -157,6 +159,24 @@ def test_salt_hint_rejected_on_sqlgen_path(engine):
             "select /*+ salt(c_nationkey, 4) */ n_name from nation "
             "join customer on n_nationkey = c_nationkey "
             "where c_acctbal > (select avg(c_acctbal) from customer)")
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.sampled_from(["join", "left join"]),
+       st.integers(1, 9),
+       st.sampled_from(["", " where n_nationkey % 3 = 0",
+                        " where c_acctbal > 0 and n_regionkey < 3",
+                        " where c_mktsegment like 'B%'"]))
+def test_salted_join_always_equals_unsalted(engine, how, n, where):
+    """Property: for any join kind the hint supports, any salt factor,
+    and any predicate, the salted plan's row set equals the unsalted
+    one — salting is physical-only (the q42 oracle's premise)."""
+    base = (f"select n_name, c_custkey from nation {how} customer "
+            f"on n_nationkey = c_nationkey{where}")
+    hinted = base.replace(
+        "select ", f"select /*+ salt(c_nationkey, {n}) */ ", 1)
+    assert _rows(engine.sql(hinted)) == _rows(engine.sql(base))
 
 
 # ---------------------------------------------------------------------------
