@@ -705,6 +705,13 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no floating mean/stddev, no summation-order sensitivity
         "llm71_length_outliers": lambda s, d: L.robust_outliers(
             _docs(s, d), "source", "n_chars", "doc_id", k=2),
+        # uniform k-per-group cap (r6): the anti-domination cut — at
+        # most k docs per source, selected by seeded id-hash order so
+        # the pick is unbiased and deterministic; md5 id hash makes
+        # the whole cut value-oracled (rank = hash-order row_number)
+        "llm72_domain_cap": lambda s, d: L.cap_per_group(
+            _docs(s, d), "source", "doc_id", k=10, seed=7,
+            id_hash=L.md5_id_hash),
         # rank=True demonstrates the distributed two-phase global
         # numbering on top of the shuffle key; with the cross-engine
         # md5 id hash both the key and the rank are value-oracled
@@ -1078,11 +1085,11 @@ _PRIORITY = [
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
     # -- oldest r4 greens / new r6 dialect surface --
-    "q42_salt_hint", "q31_delta_tumbling", "s02_stream_count_window",
+    "q42_salt_hint", "q31_delta_tumbling", "llm72_domain_cap",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01) ---
-    "q06_full_join", "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    "q06_full_join", "s02_stream_count_window", "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
     "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
     "llm40_decontaminate", "llm41_gopher_repetition", "llm42_line_dedup",
@@ -2185,6 +2192,19 @@ def _oracle_sql_base() -> dict[str, str]:
         # the z-score compare replayed in HUGEINT — the Spark side
         # sums in decimal(38,0), so both engines do EXACT integer
         # algebra and the flag has no float boundary at all
+        "llm72_domain_cap": """
+            WITH h AS (
+                SELECT source, doc_id,
+                       CAST(concat('0x', substr(md5(concat(
+                            CAST(doc_id AS VARCHAR), ':', '7')), 1, 15))
+                            AS BIGINT) AS hh
+                FROM documents),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY hh, doc_id) AS rank
+                  FROM h)
+            SELECT source, doc_id, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10 ORDER BY source, rank""",
         "llm71_length_outliers": """
             WITH s AS (SELECT source, count(*)::HUGEINT AS n,
                               sum(n_chars::HUGEINT) AS s,

@@ -33,7 +33,8 @@ from .multimodal import (
     with_binary_column, decode_metadata, extract_features, resize_images,
     sample_frames,
 )
-from .assemble import (domain_mixture, domain_mixture_epochs,
+from .assemble import (cap_per_group, domain_mixture,
+                       domain_mixture_epochs,
                        domain_mixture_temperature,
                        md5_id_hash, pack_sequences,
                        seeded_shuffle, shard_corpus, split_dataset,
@@ -56,6 +57,7 @@ __all__ = [
     "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
+    "cap_per_group",
     "domain_mixture", "domain_mixture_epochs", "shard_corpus",
     "corpus_stats",
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",

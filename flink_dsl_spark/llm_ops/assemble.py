@@ -128,6 +128,39 @@ def stratified_sample(df: DataFrame, strata_col: str, id_col: str,
     return df.filter(cond)
 
 
+def cap_per_group(df: DataFrame, group_col: str, id_col: str,
+                  k: int, seed: int = 42, id_hash=None) -> DataFrame:
+    """Uniform ``k``-per-group cap: keep the ``k`` documents of every
+    group whose seeded id hash is smallest — the anti-domination cut
+    ("at most k docs per domain") that stops a handful of giant web
+    domains from owning the corpus.  Unlike ``stratified_sample``
+    (FRACTION per stratum) this bounds the absolute COUNT, and unlike
+    ``topk_per_group`` (quality-ranked) the selection is an unbiased
+    uniform sample: the hash order is independent of any document
+    property.  Deterministic, and growth-stable in the bottom-k sense:
+    a new document displaces at most the current k-th pick.
+
+    Returns (group, id, rank) with rank 1-based in hash order, ties
+    broken by ascending id.  Scale shape: ONE hash shuffle on the
+    group key; Spark's WindowGroupLimit keeps only k rows per group
+    DURING the sort (plan-gated like topk_per_group), so a
+    billion-row domain never materializes a billion-row sort buffer.
+    ``id_hash``: md5_id_hash is the cross-engine (oracle) choice
+    (llm72); xxhash64 the production default."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if id_hash is None:
+        id_hash = _xxhash_id
+    h = id_hash(F.col(id_col), seed)
+    w = Window.partitionBy(group_col).orderBy(h, F.col(id_col))
+    return (df.select(group_col, id_col)
+              .withColumn("rank", F.row_number().over(w))
+              .filter(F.col("rank") <= k)
+              .orderBy(group_col, "rank"))
+
+
 def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,
                         budget: int, seed: int = 42,
                         id_hash=None) -> DataFrame:

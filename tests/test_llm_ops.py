@@ -2010,6 +2010,46 @@ def test_topk_per_group_plan_uses_window_group_limit(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cap_per_group_bounds_and_keeps_small_groups(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000, "small"),
+                                               (1001, "small")]
+    df = spark.createDataFrame(rows, "id long, grp string")
+    out = L.cap_per_group(df, "grp", "id", k=10, seed=7,
+                          id_hash=L.md5_id_hash).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["id"])
+    assert len(by_grp["big"]) == 10          # capped exactly
+    assert sorted(by_grp["small"]) == [1000, 1001]   # under-k kept whole
+    # deterministic: same seed, same pick
+    again = {r["id"] for r in
+             L.cap_per_group(df, "grp", "id", k=10, seed=7,
+                             id_hash=L.md5_id_hash).collect()}
+    assert again == {r["id"] for r in out}
+    # growth-stability: adding one doc displaces at most one survivor
+    grown = df.union(spark.createDataFrame([(555, "big")],
+                                           "id long, grp string"))
+    after = {r["id"] for r in
+             L.cap_per_group(grown, "grp", "id", k=10, seed=7,
+                             id_hash=L.md5_id_hash).collect()
+             if r["grp"] == "big"}
+    assert len(after) == 10
+    assert len(set(by_grp["big"]) - after) <= 1
+    with pytest.raises(ValueError, match="k must be"):
+        L.cap_per_group(df, "grp", "id", k=0)
+
+
+def test_cap_per_group_plan_uses_window_group_limit(spark):
+    df = spark.createDataFrame([(i, f"g{i % 3}") for i in range(100)],
+                               "id long, grp string")
+    out = L.cap_per_group(df, "grp", "id", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the k-cut must run DURING the per-group sort, not after it
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_robust_outliers_flags_known_outlier(spark):
     # group a: 10 values of 100 and one 1000 -> 1000 is >2 sigma out;
     # group b is a singleton -> never an outlier
