@@ -26,8 +26,14 @@ from .resolver import Resolver
 from .session import get_session
 from .timer import Timer
 
-_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".json": "json",
+# Extension -> reader format.  "tsv" is resolved to csv + tab separator
+# at reader construction.  .gz/.zst/.bz2 suffixes are transparent to
+# Spark's text-based readers, so the map strips one compression suffix
+# before matching (corpus dumps ship as .jsonl.gz more often than not).
+_EXT_FORMAT = {".parquet": "parquet", ".csv": "csv", ".tsv": "tsv",
+               ".json": "json", ".jsonl": "json", ".ndjson": "json",
                ".txt": "text", ".text": "text"}
+_COMPRESSION_EXTS = (".gz", ".zst", ".bz2", ".deflate", ".snappy")
 
 # Runtime-settable SQL confs the engine's results depend on.  They are
 # applied to whatever SparkSession the caller hands us (callers are NOT
@@ -280,17 +286,17 @@ class FsqlEngine:
         if isinstance(src, FileSource):
             fmt = src.format or self._infer_format(src.path)
             if self.streaming:
-                reader = self.spark.readStream.format(fmt)
+                reader = self.spark.readStream.format(
+                    self._reader_format(fmt))
                 if schema is None:
                     raise PlanError(
                         "streaming file source requires an explicit schema")
                 reader = reader.schema(schema)
             else:
-                reader = self.spark.read.format(fmt)
+                reader = self.spark.read.format(self._reader_format(fmt))
                 if schema is not None:
                     reader = reader.schema(schema)
-            if fmt == "csv":
-                reader = reader.option("header", "false")
+            reader = self._delimited_options(reader, fmt)
             df = reader.load(src.path)
             self.register(stmt.name, df)
             return None
@@ -340,11 +346,12 @@ class FsqlEngine:
         if isinstance(src, FileSource):
             fmt = src.format or self._infer_format(src.path)
             if self.streaming or target.isStreaming:
-                reader = self.spark.readStream.format(fmt).schema(ins_schema)
+                reader = self.spark.readStream.format(
+                    self._reader_format(fmt)).schema(ins_schema)
             else:
-                reader = self.spark.read.format(fmt).schema(ins_schema)
-            if fmt == "csv":
-                reader = reader.option("header", "false")
+                reader = self.spark.read.format(
+                    self._reader_format(fmt)).schema(ins_schema)
+            reader = self._delimited_options(reader, fmt)
             new = reader.load(src.path)
         elif isinstance(src, HostSource):
             lines = (self.spark.readStream.format("socket")
@@ -385,7 +392,33 @@ class FsqlEngine:
             F.from_csv(F.col("value"), csv_schema).alias("r")).select("r.*")
 
     @staticmethod
+    @staticmethod
+    def _reader_format(fmt: str) -> str:
+        """Map engine format names to Spark reader formats ("tsv" is
+        csv with a tab separator, set in _delimited_options)."""
+        return "csv" if fmt == "tsv" else fmt
+
+    @staticmethod
+    def _delimited_options(reader, fmt: str):
+        if fmt in ("csv", "tsv"):
+            reader = reader.option("header", "false")
+        if fmt == "tsv":
+            reader = reader.option("sep", "\t")
+        return reader
+
+    @staticmethod
     def _infer_format(path: str) -> str:
+        def match(name: str) -> str | None:
+            base = name
+            for c in _COMPRESSION_EXTS:
+                if base.endswith(c):
+                    base = base[:-len(c)]
+                    break
+            for ext, fmt in _EXT_FORMAT.items():
+                if base.endswith(ext):
+                    return fmt
+            return None
+
         if os.path.isdir(path):
             # a stream directory carries no extension itself: sniff the
             # member data files (skips _spark_metadata/dotfiles).  On a
@@ -395,16 +428,13 @@ class FsqlEngine:
                 for fname in sorted(os.listdir(path)):
                     if fname.startswith((".", "_")):
                         continue
-                    for ext, fmt in _EXT_FORMAT.items():
-                        if fname.endswith(ext):
-                            return fmt
+                    fmt = match(fname)
+                    if fmt is not None:
+                        return fmt
             except OSError:
                 pass
             return "parquet"
-        for ext, fmt in _EXT_FORMAT.items():
-            if path.endswith(ext):
-                return fmt
-        return "parquet"
+        return match(path) or "parquet"
 
     # ------------------------------------------------------------------
     # sinks (engine extension: the reference defines no sink syntax —

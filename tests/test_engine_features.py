@@ -140,6 +140,49 @@ def test_json_file_source_batch_and_stream(spark, tmp_path):
     assert rows == [(5, "s")]
 
 
+def test_jsonl_tsv_and_compressed_file_sources(spark, tmp_path):
+    """Corpus-dump formats resolve by extension: .jsonl/.ndjson are
+    line-delimited JSON, .tsv is tab-separated, and a single
+    compression suffix (.gz et al.) is stripped before matching —
+    Spark's text-based readers decompress transparently."""
+    import gzip
+    eng = FsqlEngine(spark)
+
+    f = tmp_path / "docs.jsonl"
+    f.write_text('{"a": 1, "b": "x"}\n{"a": 2, "b": "y"}\n')
+    eng.sql(f"create stream jl (a int, b string) source file ('{f}')")
+    assert sorted((r["a"], r["b"]) for r in
+                  eng.catalog.get("jl").collect()) == [(1, "x"), (2, "y")]
+
+    g = tmp_path / "docs2.ndjson"
+    g.write_text('{"a": 7, "b": "n"}\n')
+    eng.sql(f"create stream nd (a int, b string) source file ('{g}')")
+    assert [(r["a"], r["b"]) for r in
+            eng.catalog.get("nd").collect()] == [(7, "n")]
+
+    t = tmp_path / "docs.tsv"
+    t.write_text("1\tal\n2\tbee\n")
+    eng.sql(f"create stream tv (a int, b string) source file ('{t}')")
+    assert sorted((r["a"], r["b"]) for r in
+                  eng.catalog.get("tv").collect()) == [(1, "al"),
+                                                       (2, "bee")]
+
+    z = tmp_path / "docs3.jsonl.gz"
+    with gzip.open(z, "wt") as fh:
+        fh.write('{"a": 9, "b": "z"}\n')
+    eng.sql(f"create stream gz (a int, b string) source file ('{z}')")
+    assert [(r["a"], r["b"]) for r in
+            eng.catalog.get("gz").collect()] == [(9, "z")]
+
+    # directory sniffing picks the member extension up too
+    d = tmp_path / "jldir"
+    d.mkdir()
+    (d / "part-0.jsonl").write_text('{"a": 3, "b": "d"}\n')
+    eng.sql(f"create stream jd (a int, b string) source file ('{d}')")
+    assert [(r["a"], r["b"]) for r in
+            eng.catalog.get("jd").collect()] == [(3, "d")]
+
+
 def test_insert_streaming_mismatch_raises(spark, tmp_path):
     from flink_dsl_spark import PlanError
     e = FsqlEngine(spark, streaming=True)   # file sources become streams
