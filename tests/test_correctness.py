@@ -27,3 +27,23 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert len(df.schema.fields) == 8
+
+
+def test_priority_window_integrity():
+    """The driver samples the FIRST 50 keys of queries(); a typo'd
+    _PRIORITY key silently drops out of the ordered dict and SHIFTS
+    the window — a below-fold query would be sampled unrehearsed.
+    Pin: every priority key exists, no duplicates, the 50-key window
+    is exactly the intended prefix, and every in-window batch query
+    has a value oracle (streaming s* keys are checked too — their
+    oracles exist; only the 8 documented rows-only-by-design keys may
+    lack one, and none of those may sit in the window)."""
+    pri = entrymod._PRIORITY
+    assert len(pri) == len(set(pri)), "duplicate _PRIORITY keys"
+    missing = [k for k in pri if k not in _QUERIES]
+    assert not missing, f"_PRIORITY keys not in queries(): {missing}"
+    window = list(_QUERIES)[:50]
+    assert window == pri[:50], "window is not the _PRIORITY prefix"
+    unoracled = [k for k in window if k not in _ORACLES]
+    assert not unoracled, \
+        f"in-window keys without a value oracle: {unoracled}"
