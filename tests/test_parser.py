@@ -272,6 +272,23 @@ def test_generated_selects_parse(sql):
     assert isinstance(parse(sql), Select)
 
 
+@settings(max_examples=100, deadline=None)
+@given(_select_sql(), st.data())
+def test_block_comments_are_whitespace(sql, data):
+    """Inserting /* ... */ block comments (r6 tokenizer addition) at
+    whitespace positions never changes the parse: the commented query
+    must render to the same SQL as the original.  Also covers comment
+    bodies containing newlines, dashes, and stray stars."""
+    body = data.draw(st.sampled_from(
+        ["note", "multi\nline", "-- inner dash", "a * b", "x**y", ""]))
+    parts = sql.split(" ")
+    if len(parts) > 1:
+        pos = data.draw(st.integers(1, len(parts) - 1))
+        parts.insert(pos, f"/* {body} */")
+    commented = " ".join(parts)
+    assert to_sql(parse(commented)) == to_sql(parse(sql))
+
+
 @settings(max_examples=200, deadline=None)
 @given(_select_sql())
 def test_sqlgen_fixed_point(sql):
