@@ -254,6 +254,20 @@ _SCRIPTS: dict[str, str] = {
         delete from mut40 where value <= 50;
         select event_id, event_type, round(value, 2) as value
         from mut40""",
+    # bucketed-table DDL (r6 dialect extension): write the join key's
+    # shuffle ONCE at table-creation time, then aggregate on the
+    # bucket key — the scan arrives pre-partitioned (the write-once
+    # shuffle; plan-gated exchange-free in t:hints_ddl / t:bucketing).
+    # The engine self-heals a stale warehouse dir from a previous
+    # session, so the script is rerun-safe under the driver's fresh
+    # in-memory catalog.
+    "q43_bucketed_agg": """
+        create table bkt43 bucketed by (o_custkey) into 8 buckets as
+            (select o_custkey, o_totalprice from orders
+             where o_totalprice > 1000);
+        select o_custkey, count(*) as cnt,
+               round(sum(o_totalprice), 2) as total
+        from bkt43 group by o_custkey""",
 }
 
 
@@ -1080,7 +1094,7 @@ _PRIORITY = [
     "llm12_multimodal_decode", "llm16_ann_ivf_exhaustive",
     "llm17_dup_clusters", "llm18_chunk_documents", "llm19_top_terms_tfidf",
     # -- r4 greens displaced late in r5 --
-    "q28_count_tumbling", "q36_range_join", "s05_stream_session_window",
+    "q28_count_tumbling", "q43_bucketed_agg", "s05_stream_session_window",
     # -- r5 below-fold slot lenders, returned --
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",
     "llm06_ann_topk_bruteforce",
@@ -1089,7 +1103,8 @@ _PRIORITY = [
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01) ---
-    "q06_full_join", "s02_stream_count_window", "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    "q06_full_join", "s02_stream_count_window", "q36_range_join",
+    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
     "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
     "llm40_decontaminate", "llm41_gopher_repetition", "llm42_line_dedup",
@@ -1461,6 +1476,13 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events)
             SELECT event_id, event_type, round(value, 2) AS value
             FROM m1 WHERE value > 50 OR value IS NULL""",
+        # q43: bucketing changes WHERE rows live, never which rows —
+        # the oracle is the plain aggregation
+        "q43_bucketed_agg": """
+            SELECT o_custkey, count(*) AS cnt,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders WHERE o_totalprice > 1000
+            GROUP BY o_custkey""",
         "q34_windowed_join": """
             WITH w AS (SELECT * FROM events
                        WHERE ts > (SELECT max(ts) FROM events)

@@ -67,6 +67,11 @@ def write_bucketed(df: DataFrame, table: str,
     if path is not None:
         w = w.option("path", path)
     w.saveAsTable(table)
+    # an overwrite leaves Spark's cached relation (file listing) for
+    # the table identifier pointing at the DELETED previous files —
+    # any reader planned after a second write would fail with
+    # FAILED_READ_FILE.FILE_NOT_EXIST; refresh drops the stale entry
+    spark.catalog.refreshTable(table)
     return spark.table(table)
 
 

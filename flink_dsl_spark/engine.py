@@ -259,6 +259,19 @@ class FsqlEngine:
             raise PlanError(
                 f"bucket/sort column(s) {', '.join(missing)} not in "
                 f"query output ({', '.join(df.columns)})")
+        # self-heal a stale managed-table location: the default catalog
+        # is in-memory, so a NEW session forgets the table while its
+        # warehouse directory persists — saveAsTable would then fail
+        # with LOCATION_ALREADY_EXISTS on a perfectly reasonable rerun.
+        # Only ever removes a directory the catalog does NOT own.
+        if not self.spark.catalog.tableExists(f"default.{stmt.name}"):
+            import shutil
+            from urllib.parse import urlparse
+            wh = urlparse(
+                self.spark.conf.get("spark.sql.warehouse.dir")).path
+            leftover = os.path.join(wh, stmt.name.lower())
+            if wh and os.path.isdir(leftover):
+                shutil.rmtree(leftover)
         handle = write_bucketed(df, stmt.name, stmt.bucket_cols,
                                 stmt.num_buckets,
                                 sort_cols=stmt.sort_cols)
