@@ -221,6 +221,49 @@ def test_create_bucketed_table_roundtrip(engine, spark, no_broadcast):
         spark.sql("DROP TABLE IF EXISTS default.orders_by_cust")
 
 
+def test_create_bucketed_table_overwrites_cleanly(engine, spark):
+    """Re-running the same CREATE must overwrite and stay readable —
+    without the post-overwrite refreshTable, Spark's cached file
+    listing points at the DELETED previous files and the second read
+    fails with FAILED_READ_FILE.FILE_NOT_EXIST."""
+    ddl = ("create table t_rerun_b bucketed by (r_regionkey) into 2 "
+           "buckets as select r_regionkey, r_name from region")
+    try:
+        engine.sql(ddl)
+        first = _rows(engine.sql("select r_regionkey from t_rerun_b"))
+        engine.sql(ddl)
+        assert _rows(engine.sql(
+            "select r_regionkey from t_rerun_b")) == first
+    finally:
+        spark.catalog.dropTempView("t_rerun_b")
+        spark.sql("DROP TABLE IF EXISTS default.t_rerun_b")
+
+
+def test_create_bucketed_table_self_heals_stale_location(engine, spark):
+    """A leftover warehouse directory with NO catalog entry (the
+    fresh-session case: the in-memory catalog forgets, the filesystem
+    doesn't) must not fail the CREATE with LOCATION_ALREADY_EXISTS —
+    the engine removes the orphaned location first."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, "t_selfheal_b")
+    spark.sql("DROP TABLE IF EXISTS default.t_selfheal_b")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "junk"), "w") as f:
+        f.write("stale")
+    try:
+        engine.sql("create table t_selfheal_b bucketed by (r_regionkey) "
+                   "into 2 buckets as select r_regionkey from region")
+        assert len(_rows(engine.sql(
+            "select r_regionkey from t_selfheal_b"))) == 5
+    finally:
+        spark.catalog.dropTempView("t_selfheal_b")
+        spark.sql("DROP TABLE IF EXISTS default.t_selfheal_b")
+        shutil.rmtree(stale, ignore_errors=True)
+
+
 def test_create_bucketed_table_validates_columns(engine, spark):
     with pytest.raises(PlanError, match="not in"):
         engine.sql("create table t_bad bucketed by (nope) into 4 "
