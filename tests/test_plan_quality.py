@@ -311,16 +311,16 @@ def test_driver_window_free_of_scale_killers(spark, queries):
     below-fold queries were never plan-swept, and the first full pass
     surfaced three undocumented scalar-aggregate exchanges): every
     registered batch query must compile to a plan with NO cartesian
-    product (q07 is the intentional CROSS JOIN demo) and no
-    single-partition exchange outside the documented allowlist.  This
-    is the catch-all behind the per-operator gates — no query can be
-    registered with a degenerate plan unnoticed."""
+    product (even q07's intentional CROSS JOIN broadcasts the 1-row
+    side as a BroadcastNestedLoopJoin — checked, no exemption needed)
+    and no single-partition exchange outside the documented
+    allowlist.  This is the catch-all behind the per-operator gates —
+    no query can be registered with a degenerate plan unnoticed."""
     for name in list(queries):
         if name.startswith("s0"):     # streaming queries execute on build
             continue
         p = queries[name](spark, SF) \
             ._jdf.queryExecution().executedPlan().toString()
-        if name != "q07_cross_join":
-            assert "CartesianProduct" not in p, name
+        assert "CartesianProduct" not in p, name
         if name not in _SINGLE_PARTITION_BY_DESIGN:
             assert "SinglePartition" not in p, name
