@@ -140,6 +140,24 @@ def test_json_file_source_batch_and_stream(spark, tmp_path):
     assert rows == [(5, "s")]
 
 
+def test_infer_format_extension_table():
+    f = FsqlEngine._infer_format
+    assert f("a/b/corpus.jsonl") == "json"
+    assert f("dump.ndjson") == "json"
+    assert f("dump.jsonl.gz") == "json"
+    assert f("dump.json.zst") == "json"
+    assert f("t.tsv") == "tsv"
+    assert f("t.tsv.bz2") == "tsv"
+    assert f("t.csv.gz") == "csv"
+    assert f("plain.txt.gz") == "text"
+    assert f("x.parquet") == "parquet"
+    # unknown/extension-free paths keep the historical parquet default
+    assert f("mystery.bin") == "parquet"
+    assert f("no_extension") == "parquet"
+    # only ONE compression suffix is stripped (x.gz.gz stays unknown)
+    assert f("x.jsonl.gz.gz") == "parquet"
+
+
 def test_jsonl_tsv_and_compressed_file_sources(spark, tmp_path):
     """Corpus-dump formats resolve by extension: .jsonl/.ndjson are
     line-delimited JSON, .tsv is tab-separated, and a single
