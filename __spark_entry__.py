@@ -1093,7 +1093,9 @@ _PRIORITY = [
     "llm09_lang_id", "llm10_quality_score", "llm11_fingerprint",
     "llm12_multimodal_decode", "llm16_ann_ivf_exhaustive",
     "llm17_dup_clusters", "llm18_chunk_documents", "llm19_top_terms_tfidf",
-    # -- r4 greens displaced late in r5 --
+    # -- r4 greens displaced late in r5 (q36 lent its slot to the
+    #    NEW r6 bucketed-DDL script q43 — a first-row this round,
+    #    not a rotate-back; q36 refreshes per COVERAGE.md's r7 plan) --
     "q28_count_tumbling", "q43_bucketed_agg", "s05_stream_session_window",
     # -- r5 below-fold slot lenders, returned --
     "q23_params", "q33_derived_stream", "s07_stream_time_sliding",

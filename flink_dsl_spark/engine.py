@@ -405,11 +405,14 @@ class FsqlEngine:
             F.from_csv(F.col("value"), csv_schema).alias("r")).select("r.*")
 
     @staticmethod
-    @staticmethod
     def _reader_format(fmt: str) -> str:
-        """Map engine format names to Spark reader formats ("tsv" is
-        csv with a tab separator, set in _delimited_options)."""
-        return "csv" if fmt == "tsv" else fmt
+        """Map engine format names to Spark reader formats: "tsv" is
+        csv with a tab separator (set in _delimited_options), and the
+        jsonl/ndjson names the docs advertise resolve to Spark's json
+        reader whether they arrive by extension OR as an explicit
+        ``file('path', 'jsonl')`` format argument."""
+        return {"tsv": "csv", "jsonl": "json", "ndjson": "json"} \
+            .get(fmt, fmt)
 
     @staticmethod
     def _delimited_options(reader, fmt: str):

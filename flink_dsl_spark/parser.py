@@ -351,9 +351,13 @@ class Parser:
         bucket_cols = self._parse_paren_name_list("bucket column")
         self.expect_kw("into")
         t = self.cur
-        if t.kind != "number" or "." in t.text:
+        # digits only: rejects 2.5 AND exponent forms like 2e1, which
+        # tokenize as 'number' but would crash int() past this check
+        if t.kind != "number" or not t.text.isdigit():
             self.error("expected integer bucket count")
         num_buckets = int(self.advance().text)
+        if num_buckets < 1:
+            self.error("bucket count must be >= 1", t)
         self.expect_kw("buckets")
         sort_cols = None
         if self.eat_kw("sorted"):
@@ -536,6 +540,8 @@ class Parser:
                 j += 1
                 while not (toks[j].kind == "op" and toks[j].text == ")"):
                     a = toks[j]
+                    if a.kind == "eof":
+                        err("unclosed hint argument list", a)
                     if a.kind == "ident" or a.kind == "qident":
                         args.append(a.text.strip('"`'))
                     elif a.kind == "number":
@@ -548,8 +554,6 @@ class Parser:
                     j += 1
                     if toks[j].kind == "op" and toks[j].text == ",":
                         j += 1
-                if toks[j].kind == "eof":
-                    err("unclosed hint argument list", toks[j])
                 j += 1
             hints.append(Hint(name, args))
             if toks[j].kind == "op" and toks[j].text == ",":

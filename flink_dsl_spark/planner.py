@@ -72,6 +72,23 @@ def _select_has_subquery(sel) -> bool:
     return False
 
 
+def _query_has_hints(q) -> bool:
+    """True if ANY Select in the tree carries optimizer hints — SetOp
+    branches and derived-table subqueries included.  The SQL-compilation
+    path can't honor hints (sqlgen never renders them), so it must
+    reject rather than silently drop one buried in a branch."""
+    if isinstance(q, SetOp):
+        return _query_has_hints(q.left) or _query_has_hints(q.right)
+    if getattr(q, "hints", None):
+        return True
+    if getattr(q, "from_", None) is not None:
+        for leaf in relation_leaves(q.from_):
+            if isinstance(leaf, DerivedTable) and \
+                    _query_has_hints(leaf.query):
+                return True
+    return False
+
+
 def _has_window(sel) -> bool:
     if isinstance(sel, SetOp):
         return _has_window(sel.left) or _has_window(sel.right)
@@ -121,7 +138,7 @@ class Planner:
 
     def _plan_via_sql(self, q) -> DataFrame:
         from .sqlgen import to_sql
-        if getattr(q, "hints", None):
+        if _query_has_hints(q):
             raise PlanError(
                 "optimizer hints are not supported in queries with "
                 "subqueries (the SQL-compilation path)")
@@ -863,7 +880,12 @@ class Planner:
         join; which salt a fact row draws is irrelevant because every
         salt matches the same replicated right rows."""
         sl, sr = "__salt_l", "__salt_r"
-        if sl in left.columns or sr in right.columns:
+        # check BOTH frames for BOTH names: the final drop(sl, sr)
+        # removes every column with those names from the joined frame,
+        # so a user column named __salt_l on the right side would be
+        # silently dropped if only left were checked
+        taken = set(left.columns) | set(right.columns)
+        if sl in taken or sr in taken:
             raise PlanError(
                 f"salt hint: column {sl!r}/{sr!r} already exists")
         left2 = left.withColumn(

@@ -140,6 +140,26 @@ def test_json_file_source_batch_and_stream(spark, tmp_path):
     assert rows == [(5, "s")]
 
 
+def test_explicit_format_names_match_advertised(spark, tmp_path):
+    """The documented format NAMES work as the explicit second file()
+    argument too, not just as extensions: 'jsonl'/'ndjson' resolve to
+    the json reader and 'tsv' to tab-separated csv, even when the
+    file's extension says nothing."""
+    eng = FsqlEngine(spark)
+    f = tmp_path / "extensionless_dump"
+    f.write_text('{"a": 4, "b": "q"}\n')
+    eng.sql(f"create stream xf (a int, b string) "
+            f"source file ('{f}', 'jsonl')")
+    assert [(r["a"], r["b"]) for r in
+            eng.catalog.get("xf").collect()] == [(4, "q")]
+    t = tmp_path / "dump2"
+    t.write_text("3\tzed\n")
+    eng.sql(f"create stream xt (a int, b string) "
+            f"source file ('{t}', 'tsv')")
+    assert [(r["a"], r["b"]) for r in
+            eng.catalog.get("xt").collect()] == [(3, "zed")]
+
+
 def test_infer_format_extension_table():
     f = FsqlEngine._infer_format
     assert f("a/b/corpus.jsonl") == "json"

@@ -75,6 +75,18 @@ def test_create_table_rejects_fractional_bucket_count():
     with pytest.raises(ParseError):
         parse("create table t bucketed by (k) into 2.5 buckets "
               "as select * from orders")
+    # exponent forms tokenize as 'number' but aren't integers either
+    with pytest.raises(ParseError):
+        parse("create table t bucketed by (k) into 2e1 buckets "
+              "as select * from orders")
+    with pytest.raises(ParseError, match=">= 1"):
+        parse("create table t bucketed by (k) into 0 buckets "
+              "as select * from orders")
+
+
+def test_unclosed_hint_reports_unclosed():
+    with pytest.raises(ParseError, match="unclosed hint"):
+        parse("select /*+ salt(a, 4 */ x from t")
 
 
 # ---------------------------------------------------------------------------
@@ -159,6 +171,35 @@ def test_salt_hint_rejected_on_sqlgen_path(engine):
             "select /*+ salt(c_nationkey, 4) */ n_name from nation "
             "join customer on n_nationkey = c_nationkey "
             "where c_acctbal > (select avg(c_acctbal) from customer)")
+
+
+def test_salt_hint_rejected_on_sqlgen_path_in_setop_branch(engine):
+    """A hint buried in ONE branch of a set operation whose OTHER
+    branch forces the SQL-compilation path must still be rejected —
+    sqlgen never renders hints, so dropping it would be the silent
+    no-op the hint contract forbids."""
+    with pytest.raises(PlanError, match="subqueries"):
+        engine.sql(
+            "select /*+ salt(c_nationkey, 4) */ n_name as v "
+            "from nation join customer on n_nationkey = c_nationkey "
+            "union all "
+            "select n_name as v from nation where n_nationkey in "
+            "(select c_nationkey from customer)")
+
+
+def test_salt_hint_collision_guard_is_two_sided(engine, spark):
+    """drop(sl, sr) after the salted join removes EVERY column with
+    those names, so a user column named __salt_l on the RIGHT side
+    must be rejected, not silently dropped from the result."""
+    engine.register(
+        "cust_saltcol",
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+             .selectExpr("c_custkey", "c_nationkey",
+                         "c_acctbal as __salt_l"))
+    with pytest.raises(PlanError, match="__salt"):
+        engine.sql("select /*+ salt(c_nationkey, 4) */ n_name "
+                   "from nation join cust_saltcol "
+                   "on n_nationkey = c_nationkey")
 
 
 @settings(max_examples=15, deadline=None,

@@ -316,8 +316,11 @@ def test_driver_window_free_of_scale_killers(spark, queries):
     and no single-partition exchange outside the documented
     allowlist.  This is the catch-all behind the per-operator gates —
     no query can be registered with a degenerate plan unnoticed."""
+    import re
     for name in list(queries):
-        if name.startswith("s0"):     # streaming queries execute on build
+        # streaming queries (s01..s10, s11+, …) execute on build —
+        # a prefix test on "s0" silently stopped matching at s10
+        if re.match(r"s\d", name):
             continue
         p = queries[name](spark, SF) \
             ._jdf.queryExecution().executedPlan().toString()
