@@ -355,6 +355,18 @@ class CreateBucketedTable:
 
 
 @dataclass
+class DropRelation:
+    """DROP STREAM|TABLE [IF EXISTS] name — engine extension closing
+    the CREATE lifecycle (the reference has no DROP): unregisters the
+    relation from the FSQL catalog, drops the temp view, and for
+    bucketed tables removes the catalog table + its data."""
+
+    name: str
+    kind: str                                    # "stream" | "table"
+    if_exists: bool = False
+
+
+@dataclass
 class Insert:
     """INSERT INTO t [(cols)] VALUES (...)|select
     (flinkdsl/ast.scala:154-161; fsql/parser.scala:268-277)."""

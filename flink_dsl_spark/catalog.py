@@ -107,6 +107,19 @@ class Catalog:
         # also expose to spark.sql for the SQL-compilation path
         df.createOrReplaceTempView(name)
 
+    def unregister(self, name: str) -> bool:
+        """Remove a relation (and its temp view) from the catalog;
+        returns whether it was registered."""
+        key = name.lower()
+        existed = key in self._relations
+        self._relations.pop(key, None)
+        self._meta.pop(key, None)
+        try:
+            self.spark.catalog.dropTempView(name)
+        except Exception:    # noqa: BLE001 — view may not exist
+            pass
+        return existed
+
     def get(self, name: str) -> DataFrame:
         try:
             return self._relations[name.lower()]

@@ -228,9 +228,11 @@ class FsqlEngine:
             return None
         if isinstance(stmt, CreateStream):
             return self._create_stream(stmt, params)
-        from .ast_nodes import CreateBucketedTable, Insert
+        from .ast_nodes import CreateBucketedTable, DropRelation, Insert
         if isinstance(stmt, CreateBucketedTable):
             return self._create_bucketed_table(stmt, params)
+        if isinstance(stmt, DropRelation):
+            return self._drop_relation(stmt)
         if isinstance(stmt, Insert) and stmt.source is not None:
             return self._insert_from_source(stmt)
         with self.timer.phase("resolve"):
@@ -242,6 +244,29 @@ class FsqlEngine:
     # ------------------------------------------------------------------
     # CREATE STREAM (fsql/Ast.scala:70-87)
     # ------------------------------------------------------------------
+
+    def _drop_relation(self, stmt):
+        """DROP STREAM|TABLE [IF EXISTS]: both forms unregister the
+        relation and its temp view; DROP TABLE additionally removes
+        the Spark catalog table (and so its DATA — the bucketed-DDL
+        case).  DROP STREAM refuses to touch a catalog table so a
+        typo'd kind can never silently delete data."""
+        is_cat_table = self.spark.catalog.tableExists(
+            f"default.{stmt.name}")
+        known = self.catalog.has(stmt.name)
+        if not known and not is_cat_table:
+            if stmt.if_exists:
+                return None
+            raise PlanError(f"unknown {stmt.kind} {stmt.name!r}")
+        if stmt.kind == "stream" and is_cat_table:
+            raise PlanError(
+                f"{stmt.name!r} is a table (its data lives in the "
+                "session catalog) — use DROP TABLE")
+        self.catalog.unregister(stmt.name)
+        if stmt.kind == "table" and is_cat_table:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS default.`{stmt.name}`")
+        return None
 
     def _create_bucketed_table(self, stmt, params):
         """CREATE TABLE ... BUCKETED BY ... AS select: plan the query,

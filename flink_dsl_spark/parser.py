@@ -213,6 +213,8 @@ class Parser:
                 return self.parse_create_table()
             self.error("expected SCHEMA, STREAM or TABLE after CREATE",
                        self.peek())
+        if self.at_kw("drop"):
+            return self.parse_drop()
         if self.at_kw("insert"):
             return self.parse_insert()
         if self.at_kw("update"):
@@ -336,6 +338,24 @@ class Parser:
         return t.text
 
     # --- DML ---
+
+    def parse_drop(self):
+        """drop (stream | table) [if exists] <id> — engine extension
+        (the reference's grammar has no DROP; pairs with CREATE
+        STREAM / CREATE TABLE)."""
+        from .ast_nodes import DropRelation
+        self.expect_kw("drop")
+        if self.eat_kw("stream"):
+            kind = "stream"
+        elif self.eat_kw("table"):
+            kind = "table"
+        else:
+            self.error("expected STREAM or TABLE after DROP")
+        if_exists = False
+        if self.eat_kw("if"):
+            self.expect_kw("exists")
+            if_exists = True
+        return DropRelation(self.ident("relation name"), kind, if_exists)
 
     def parse_create_table(self):
         """create table <id> bucketed by (<col>,...) into <n> buckets

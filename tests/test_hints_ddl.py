@@ -305,6 +305,39 @@ def test_create_bucketed_table_self_heals_stale_location(engine, spark):
         shutil.rmtree(stale, ignore_errors=True)
 
 
+def test_drop_stream_and_table_lifecycle(spark):
+    """DROP closes the CREATE lifecycle: DROP STREAM unregisters a
+    derived/file relation; DROP TABLE removes a bucketed table AND its
+    data; a typo'd kind can never silently delete data."""
+    import os
+    from urllib.parse import urlparse
+    from flink_dsl_spark.ast_nodes import DropRelation
+    stmt = parse("drop table if exists t0")
+    assert stmt == DropRelation("t0", "table", True)
+    assert parse("drop stream s1") == DropRelation("s1", "stream", False)
+
+    eng = FsqlEngine(spark)
+    eng.load_dir(SF_DIR)
+    eng.sql("create stream tmp_drop as (select r_regionkey from region)")
+    assert eng.catalog.has("tmp_drop")
+    eng.sql("drop stream tmp_drop")
+    assert not eng.catalog.has("tmp_drop")
+    with pytest.raises(PlanError, match="unknown stream"):
+        eng.sql("drop stream tmp_drop")
+    eng.sql("drop stream if exists tmp_drop")          # no error
+
+    eng.sql("create table tmp_drop_b bucketed by (r_regionkey) into 2 "
+            "buckets as select r_regionkey from region")
+    with pytest.raises(PlanError, match="use DROP TABLE"):
+        eng.sql("drop stream tmp_drop_b")              # kind guard
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    assert os.path.isdir(os.path.join(wh, "tmp_drop_b"))
+    eng.sql("drop table tmp_drop_b")
+    assert not eng.catalog.has("tmp_drop_b")
+    assert not spark.catalog.tableExists("default.tmp_drop_b")
+    assert not os.path.isdir(os.path.join(wh, "tmp_drop_b"))
+
+
 def test_create_bucketed_table_validates_columns(engine, spark):
     with pytest.raises(PlanError, match="not in"):
         engine.sql("create table t_bad bucketed by (nope) into 4 "
