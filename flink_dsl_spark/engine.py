@@ -248,13 +248,25 @@ class FsqlEngine:
     def _drop_relation(self, stmt):
         """DROP STREAM|TABLE [IF EXISTS]: both forms unregister the
         relation and its temp view; DROP TABLE additionally removes
-        the Spark catalog table (and so its DATA — the bucketed-DDL
-        case).  DROP STREAM refuses to touch a catalog table so a
-        typo'd kind can never silently delete data."""
+        the Spark catalog table and its DATA — including a stale
+        warehouse directory a NEW session's in-memory catalog no
+        longer owns (mirror of _create_bucketed_table's self-heal).
+        Kind guards both ways: DROP STREAM refuses a catalog table,
+        DROP TABLE refuses a genuinely streaming relation — a typo'd
+        kind can never silently delete the wrong thing."""
+        import shutil
+        from urllib.parse import urlparse
+        # backtick-quote: quoted identifiers may contain dots/dashes
+        # that tableExists would otherwise parse as name parts
         is_cat_table = self.spark.catalog.tableExists(
-            f"default.{stmt.name}")
+            f"default.`{stmt.name}`")
         known = self.catalog.has(stmt.name)
-        if not known and not is_cat_table:
+        wh = urlparse(
+            self.spark.conf.get("spark.sql.warehouse.dir")).path
+        leftover = os.path.join(wh, stmt.name.lower()) if wh else None
+        orphan_dir = (stmt.kind == "table" and not is_cat_table
+                      and leftover and os.path.isdir(leftover))
+        if not known and not is_cat_table and not orphan_dir:
             if stmt.if_exists:
                 return None
             raise PlanError(f"unknown {stmt.kind} {stmt.name!r}")
@@ -262,10 +274,18 @@ class FsqlEngine:
             raise PlanError(
                 f"{stmt.name!r} is a table (its data lives in the "
                 "session catalog) — use DROP TABLE")
+        if stmt.kind == "table" and known and \
+                self.catalog.get(stmt.name).isStreaming:
+            raise PlanError(
+                f"{stmt.name!r} is a stream — use DROP STREAM")
         self.catalog.unregister(stmt.name)
-        if stmt.kind == "table" and is_cat_table:
-            self.spark.sql(
-                f"DROP TABLE IF EXISTS default.`{stmt.name}`")
+        if stmt.kind == "table":
+            if is_cat_table:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS default.`{stmt.name}`")
+            if leftover and os.path.isdir(leftover):
+                # cross-session orphan: catalog forgot it, disk didn't
+                shutil.rmtree(leftover)
         return None
 
     def _create_bucketed_table(self, stmt, params):

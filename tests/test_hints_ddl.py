@@ -305,7 +305,7 @@ def test_create_bucketed_table_self_heals_stale_location(engine, spark):
         shutil.rmtree(stale, ignore_errors=True)
 
 
-def test_drop_stream_and_table_lifecycle(spark):
+def test_drop_stream_and_table_lifecycle(engine, spark):
     """DROP closes the CREATE lifecycle: DROP STREAM unregisters a
     derived/file relation; DROP TABLE removes a bucketed table AND its
     data; a typo'd kind can never silently delete data."""
@@ -316,8 +316,7 @@ def test_drop_stream_and_table_lifecycle(spark):
     assert stmt == DropRelation("t0", "table", True)
     assert parse("drop stream s1") == DropRelation("s1", "stream", False)
 
-    eng = FsqlEngine(spark)
-    eng.load_dir(SF_DIR)
+    eng = engine
     eng.sql("create stream tmp_drop as (select r_regionkey from region)")
     assert eng.catalog.has("tmp_drop")
     eng.sql("drop stream tmp_drop")
@@ -336,6 +335,49 @@ def test_drop_stream_and_table_lifecycle(spark):
     assert not eng.catalog.has("tmp_drop_b")
     assert not spark.catalog.tableExists("default.tmp_drop_b")
     assert not os.path.isdir(os.path.join(wh, "tmp_drop_b"))
+
+
+def test_drop_table_guards_and_cross_session_orphan(engine, spark):
+    import os
+    from urllib.parse import urlparse
+    eng = engine
+    # reverse kind guard: DROP TABLE must refuse a streaming relation
+    stream_eng = FsqlEngine(spark, streaming=True)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    import tempfile
+    d = tempfile.mkdtemp(prefix="drop_guard_")
+    os.symlink(f"{SF_DIR}/events.parquet",
+               os.path.join(d, "events.parquet"))
+    stream_eng.sql(
+        "create stream live_ev ("
+        + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                    for f in ev.schema.fields)
+        + f") source file ('{d}', 'parquet')")
+    assert stream_eng.catalog.get("live_ev").isStreaming
+    with pytest.raises(PlanError, match="use DROP STREAM"):
+        stream_eng.sql("drop table live_ev")
+    stream_eng.sql("drop stream live_ev")
+
+    # quoted name with a dash must not crash the existence check
+    eng.sql('drop table if exists "no-such-table"')
+
+    # cross-session orphan: a leftover warehouse dir the (in-memory)
+    # catalog no longer owns is removed by DROP TABLE
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(wh, "tmp_orphan_b")
+    os.makedirs(orphan, exist_ok=True)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("stale")
+    eng.sql("drop table if exists tmp_orphan_b")
+    assert not os.path.isdir(orphan)
+
+
+def _ddl_type(dt):
+    from pyspark.sql import types as T
+    return {T.LongType(): "long", T.IntegerType(): "int",
+            T.DoubleType(): "double", T.StringType(): "string",
+            T.TimestampType(): "timestamp",
+            T.TimestampNTZType(): "timestamp"}.get(dt, "string")
 
 
 def test_create_bucketed_table_validates_columns(engine, spark):
