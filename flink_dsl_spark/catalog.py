@@ -10,7 +10,7 @@ per-stream engine options (watermark — an extension, SURVEY.md §7.0(4)).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -58,6 +58,12 @@ class StreamMeta:
     event_time_col: Optional[str] = None     # default time column for windows
     watermark: Optional[str] = None          # e.g. "10 seconds" (extension)
     source_desc: str = "registered"
+    # the DDL kind that created the relation ('stream' | 'table' | None
+    # for API registrations).  DROP's kind guard checks this rather than
+    # DataFrame.isStreaming: a file/derived CREATE STREAM registers a
+    # non-streaming DataFrame in batch mode, so isStreaming alone would
+    # let `DROP TABLE <stream>` through (round-7 ADVICE).
+    kind: Optional[str] = None
 
 
 class Catalog:
@@ -102,8 +108,17 @@ class Catalog:
     def register(self, name: str, df: DataFrame,
                  meta: Optional[StreamMeta] = None) -> None:
         key = name.lower()
+        if meta is None:
+            # Re-registration without explicit meta (INSERT/UPDATE/DELETE
+            # rewrite the relation in place): keep the prior declared
+            # kind / event-time column instead of wiping them.
+            prior = self._meta.get(key)
+            if prior is not None:
+                meta = replace(prior, is_stream=df.isStreaming)
+            else:
+                meta = StreamMeta(name, is_stream=df.isStreaming)
         self._relations[key] = df
-        self._meta[key] = meta or StreamMeta(name, is_stream=df.isStreaming)
+        self._meta[key] = meta
         # also expose to spark.sql for the SQL-compilation path
         df.createOrReplaceTempView(name)
 

@@ -57,6 +57,26 @@ _REQUIRED_CONFS = {
 }
 
 
+def _warehouse_leftover(wh: str, name: str) -> Optional[str]:
+    """``<warehouse>/<name.lower()>`` IFF that path is a direct child of
+    the warehouse root — else None.  Quoted identifiers reach the engine
+    verbatim, so ``name`` may contain ``/`` or ``..``; without this
+    containment check, ``drop table "../../victim"`` would rmtree an
+    arbitrary directory (round-7 ADVICE, high).  Resolves symlinks via
+    realpath so a crafted link inside the warehouse can't escape either."""
+    if not wh:
+        return None
+    cand = os.path.join(wh, name.lower())
+    try:
+        real_wh = os.path.realpath(wh)
+        real_cand = os.path.realpath(cand)
+    except OSError:
+        return None
+    if os.path.dirname(real_cand) != real_wh:
+        return None
+    return cand
+
+
 class FsqlEngine:
     """FSQL front-end over a SparkSession.
 
@@ -123,17 +143,21 @@ class FsqlEngine:
 
     def register(self, name: str, df: DataFrame,
                  event_time_col: Optional[str] = None,
-                 watermark: Optional[str] = None) -> None:
+                 watermark: Optional[str] = None,
+                 kind: Optional[str] = None) -> None:
         """Register a DataFrame as a stream/table.  ``watermark`` is an
         engine extension (reference has no late-data handling,
-        SURVEY.md §7.0(4))."""
+        SURVEY.md §7.0(4)).  ``kind`` records the creating DDL form
+        ('stream' | 'table') so DROP's kind guard works even when a
+        batch-mode CREATE STREAM registers a non-streaming DataFrame."""
         df = _coerce_ntz(df)
         if watermark and event_time_col and df.isStreaming:
             df = df.withWatermark(event_time_col, watermark)
         self.catalog.register(
             name, df,
             StreamMeta(name, is_stream=df.isStreaming,
-                       event_time_col=event_time_col, watermark=watermark))
+                       event_time_col=event_time_col, watermark=watermark,
+                       kind=kind))
 
     def register_parquet(self, name: str, path: str,
                          event_time_col: Optional[str] = None) -> None:
@@ -148,7 +172,7 @@ class FsqlEngine:
         keeps the table's bucket partitioning, so FSQL joins and
         aggregations on the bucket key run without an exchange — the
         shuffle was paid once at write time (see bucketing.py)."""
-        self.register(name, self.spark.table(table or name))
+        self.register(name, self.spark.table(table or name), kind="table")
 
     def register_stream_parquet(self, name: str, path: str,
                                 event_time_col: Optional[str] = None,
@@ -252,8 +276,10 @@ class FsqlEngine:
         warehouse directory a NEW session's in-memory catalog no
         longer owns (mirror of _create_bucketed_table's self-heal).
         Kind guards both ways: DROP STREAM refuses a catalog table,
-        DROP TABLE refuses a genuinely streaming relation — a typo'd
-        kind can never silently delete the wrong thing."""
+        DROP TABLE refuses a relation DECLARED as a stream (catalog
+        metadata kind, not DataFrame.isStreaming — file/derived streams
+        register bounded DataFrames in batch mode) — a typo'd kind can
+        never silently delete the wrong thing."""
         import shutil
         from urllib.parse import urlparse
         # backtick-quote: quoted identifiers may contain dots/dashes
@@ -263,19 +289,23 @@ class FsqlEngine:
         known = self.catalog.has(stmt.name)
         wh = urlparse(
             self.spark.conf.get("spark.sql.warehouse.dir")).path
-        leftover = os.path.join(wh, stmt.name.lower()) if wh else None
+        # containment-checked: a quoted name with '/' or '..' must not
+        # map to a directory outside the warehouse
+        leftover = _warehouse_leftover(wh, stmt.name)
         orphan_dir = (stmt.kind == "table" and not is_cat_table
                       and leftover and os.path.isdir(leftover))
         if not known and not is_cat_table and not orphan_dir:
             if stmt.if_exists:
                 return None
             raise PlanError(f"unknown {stmt.kind} {stmt.name!r}")
-        if stmt.kind == "stream" and is_cat_table:
+        declared = self.catalog.meta(stmt.name).kind if known else None
+        if stmt.kind == "stream" and (is_cat_table or declared == "table"):
             raise PlanError(
                 f"{stmt.name!r} is a table (its data lives in the "
                 "session catalog) — use DROP TABLE")
-        if stmt.kind == "table" and known and \
-                self.catalog.get(stmt.name).isStreaming:
+        if stmt.kind == "table" and known and (
+                declared == "stream"
+                or self.catalog.get(stmt.name).isStreaming):
             raise PlanError(
                 f"{stmt.name!r} is a stream — use DROP STREAM")
         self.catalog.unregister(stmt.name)
@@ -308,19 +338,21 @@ class FsqlEngine:
         # is in-memory, so a NEW session forgets the table while its
         # warehouse directory persists — saveAsTable would then fail
         # with LOCATION_ALREADY_EXISTS on a perfectly reasonable rerun.
-        # Only ever removes a directory the catalog does NOT own.
-        if not self.spark.catalog.tableExists(f"default.{stmt.name}"):
+        # Only ever removes a directory the catalog does NOT own, and
+        # only a containment-checked direct child of the warehouse
+        # (same guard as DROP — quoted names may contain '/' or '..').
+        if not self.spark.catalog.tableExists(f"default.`{stmt.name}`"):
             import shutil
             from urllib.parse import urlparse
             wh = urlparse(
                 self.spark.conf.get("spark.sql.warehouse.dir")).path
-            leftover = os.path.join(wh, stmt.name.lower())
-            if wh and os.path.isdir(leftover):
+            leftover = _warehouse_leftover(wh, stmt.name)
+            if leftover and os.path.isdir(leftover):
                 shutil.rmtree(leftover)
         handle = write_bucketed(df, stmt.name, stmt.bucket_cols,
                                 stmt.num_buckets,
                                 sort_cols=stmt.sort_cols)
-        self.register(stmt.name, handle)
+        self.register(stmt.name, handle, kind="table")
         return None
 
     def _create_stream(self, stmt: CreateStream, params):
@@ -338,7 +370,7 @@ class FsqlEngine:
                 df = self.planner.plan(src.query, params)
             if schema is not None:
                 df = df.toDF(*[f.name for f in schema.fields])
-            self.register(stmt.name, df)
+            self.register(stmt.name, df, kind="stream")
             return None
 
         if isinstance(src, FileSource):
@@ -356,7 +388,7 @@ class FsqlEngine:
                     reader = reader.schema(schema)
             reader = self._delimited_options(reader, fmt)
             df = reader.load(src.path)
-            self.register(stmt.name, df)
+            self.register(stmt.name, df, kind="stream")
             return None
 
         if isinstance(src, HostSource):
@@ -364,13 +396,14 @@ class FsqlEngine:
             df = (self.spark.readStream.format("socket")
                   .option("host", src.host).option("port", src.port).load())
             df = self._parse_text_lines(df, schema)
-            self.register(stmt.name, df)
+            self.register(stmt.name, df, kind="stream")
             return None
 
         if isinstance(src, RateSource):
             df = (self.spark.readStream.format("rate")
                   .option("rowsPerSecond", src.rows_per_second).load())
-            self.register(stmt.name, df, event_time_col="timestamp")
+            self.register(stmt.name, df, event_time_col="timestamp",
+                          kind="stream")
             return None
 
         if src is None:
@@ -379,7 +412,7 @@ class FsqlEngine:
                 raise PlanError(
                     f"stream {stmt.name!r} needs a schema or a source")
             df = self.spark.createDataFrame([], schema)
-            self.register(stmt.name, df)
+            self.register(stmt.name, df, kind="stream")
             return None
         raise UnsupportedError(f"unknown source {type(src).__name__}")
 

@@ -72,14 +72,42 @@ def _select_has_subquery(sel) -> bool:
     return False
 
 
+def _expr_subqueries(sel):
+    """Yield the Select of every expression-position subquery in this
+    Select — WHERE/HAVING, select items, GROUP/ORDER keys, and join
+    conditions (the same positions _select_has_subquery scans)."""
+    exprs = [i.expr for i in sel.items] + list(sel.group_by) \
+        + [o.expr for o in sel.order_by]
+    for opt in (sel.where, sel.having):
+        if opt is not None:
+            exprs.append(opt)
+    if sel.from_ is not None:
+        def join_conds(rel):
+            if isinstance(rel, Join):
+                yield from join_conds(rel.left)
+                yield from join_conds(rel.right)
+                if rel.on is not None:
+                    yield rel.on
+        exprs.extend(join_conds(sel.from_))
+    for e in exprs:
+        if isinstance(e, Star):
+            continue
+        for x in walk_expr(e):
+            if isinstance(x, (InSubquery, Exists, ScalarSubquery)):
+                yield x.query
+
+
 def _query_has_hints(q) -> bool:
     """True if ANY Select in the tree carries optimizer hints — SetOp
-    branches and derived-table subqueries included.  The SQL-compilation
+    branches, derived-table subqueries, AND expression-position
+    subqueries (EXISTS / IN / scalar) included.  The SQL-compilation
     path can't honor hints (sqlgen never renders them), so it must
     reject rather than silently drop one buried in a branch."""
     if isinstance(q, SetOp):
         return _query_has_hints(q.left) or _query_has_hints(q.right)
     if getattr(q, "hints", None):
+        return True
+    if any(_query_has_hints(sub) for sub in _expr_subqueries(q)):
         return True
     if getattr(q, "from_", None) is not None:
         for leaf in relation_leaves(q.from_):

@@ -384,3 +384,110 @@ def test_create_bucketed_table_validates_columns(engine, spark):
     with pytest.raises(PlanError, match="not in"):
         engine.sql("create table t_bad bucketed by (nope) into 4 "
                    "buckets as select o_orderkey from orders")
+
+
+# ---------------------------------------------------------------------------
+# round-7 ADVICE hardening: path containment, kind metadata, hint guard
+# ---------------------------------------------------------------------------
+
+
+def test_drop_quoted_name_cannot_escape_warehouse(engine, spark):
+    """A quoted identifier containing '/' or '..' reaches the engine
+    verbatim; the orphan-cleanup rmtree must refuse any path that is
+    not a DIRECT child of the warehouse root."""
+    import os
+    import tempfile
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    victim = tempfile.mkdtemp(prefix="victim_outside_wh_")
+    marker = os.path.join(victim, "keep.txt")
+    with open(marker, "w") as f:
+        f.write("do not delete")
+    rel = os.path.relpath(victim, wh)          # e.g. ../../tmp/victim...
+    # traversal name: resolves outside the warehouse -> not an orphan,
+    # not known, not a catalog table => "unknown table", nothing deleted
+    with pytest.raises(PlanError, match="unknown table"):
+        engine.sql(f'drop table "{rel}"')
+    assert os.path.isfile(marker)
+    engine.sql(f'drop table if exists "{rel}"')   # silent no-op
+    assert os.path.isfile(marker)
+    # a nested name (contains '/') inside the warehouse is ALSO refused:
+    # only direct children are candidate orphans
+    nested = os.path.join(wh, "nest_a", "nest_b")
+    os.makedirs(nested, exist_ok=True)
+    try:
+        engine.sql('drop table if exists "nest_a/nest_b"')
+        assert os.path.isdir(nested)
+    finally:
+        import shutil
+        shutil.rmtree(os.path.join(wh, "nest_a"), ignore_errors=True)
+
+
+def test_create_bucketed_self_heal_is_contained(engine, spark):
+    """_create_bucketed_table's stale-location rmtree gets the same
+    containment guard as DROP: a traversal name must never delete a
+    directory outside the warehouse, whatever else fails."""
+    import os
+    import tempfile
+    from urllib.parse import urlparse
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    victim = tempfile.mkdtemp(prefix="victim_bkt_")
+    marker = os.path.join(victim, "keep.txt")
+    with open(marker, "w") as f:
+        f.write("do not delete")
+    rel = os.path.relpath(victim, wh)
+    try:
+        engine.sql(f'create table "{rel}" bucketed by (r_regionkey) '
+                   "into 2 buckets as select r_regionkey from region")
+    except Exception:
+        pass            # the weird name may fail later in saveAsTable
+    assert os.path.isfile(marker)
+
+
+def test_drop_table_refuses_batch_mode_stream(engine, spark):
+    """Kind guard on DECLARED kind: in batch mode a file/derived CREATE
+    STREAM registers a non-streaming DataFrame, so isStreaming alone
+    would let DROP TABLE silently unregister (and potentially delete a
+    same-named stale dir for) a stream."""
+    import os
+    from urllib.parse import urlparse
+    eng = engine
+    eng.sql("create stream tmp_kindguard as "
+            "(select r_regionkey from region)")
+    assert not eng.catalog.get("tmp_kindguard").isStreaming  # batch mode
+    # plant a same-named stale warehouse dir: the old guard would have
+    # deleted it via the orphan path
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    stale = os.path.join(wh, "tmp_kindguard")
+    os.makedirs(stale, exist_ok=True)
+    try:
+        with pytest.raises(PlanError, match="use DROP STREAM"):
+            eng.sql("drop table tmp_kindguard")
+        assert eng.catalog.has("tmp_kindguard")
+        assert os.path.isdir(stale)
+        # INSERT re-registers the relation; declared kind must survive
+        eng.sql("insert into tmp_kindguard values (99)")
+        with pytest.raises(PlanError, match="use DROP STREAM"):
+            eng.sql("drop table tmp_kindguard")
+        eng.sql("drop stream tmp_kindguard")
+        assert not eng.catalog.has("tmp_kindguard")
+    finally:
+        import shutil
+        shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_hint_in_expression_subquery_is_rejected(engine):
+    """A hint buried in an EXISTS / IN / scalar subquery routes the
+    query to the SQL-compilation path, which cannot render hints — it
+    must reject, not silently drop (round-7 ADVICE, low)."""
+    for q in [
+        "select r_name from region where exists "
+        "(select /*+ salt(n_regionkey, 4) */ 1 from nation "
+        "where n_regionkey = r_regionkey)",
+        "select r_name from region where r_regionkey in "
+        "(select /*+ salt(n_regionkey, 4) */ n_regionkey from nation)",
+        "select r_name, (select /*+ salt(n_regionkey, 4) */ count(*) "
+        "from nation) as c from region",
+    ]:
+        with pytest.raises(PlanError, match="hints are not supported"):
+            engine.sql(q)
