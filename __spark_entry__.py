@@ -47,8 +47,12 @@ def _q(sql: str, params: list | None = None):
 
 
 def _script(sql: str):
+    # $SF_DIR expands to the driver's testdata directory so a script can
+    # name a file source (F-dialect INSERT in q44) without hard-coding
+    # one scale factor
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return _engine(spark, sf_dir).sql_script(sql)
+        return _engine(spark, sf_dir).sql_script(
+            sql.replace("$SF_DIR", sf_dir))
     return run
 
 
@@ -268,6 +272,26 @@ _SCRIPTS: dict[str, str] = {
         select o_custkey, count(*) as cnt,
                round(sum(o_totalprice), 2) as total
         from bkt43 group by o_custkey""",
+    # INSERT executes in all three dialect forms (the reference only
+    # parses them, flinkdsl/parser.scala:44-51, fsql/parser.scala:
+    # 268-277): B-dialect INSERT..SELECT, B-dialect INSERT..VALUES
+    # (explicit column list), and F-dialect INSERT from a file source
+    # ($SF_DIR expands to the driver's testdata dir).  Derived copy so
+    # shared tables stay pristine for the other driver queries.
+    "q44_insert_forms": """
+        create stream ins44 as
+            (select n_nationkey, n_name, n_regionkey from nation
+             where n_nationkey < 3);
+        insert into ins44
+            select n_nationkey + 100, upper(n_name), n_regionkey
+            from nation where n_regionkey = 1;
+        insert into ins44 (n_nationkey, n_name, n_regionkey) values
+            (200, 'atlantis', 0), (201, 'lemuria', 1);
+        insert into ins44 source file ('$SF_DIR/nation.parquet',
+                                       'parquet');
+        select n_regionkey, count(*) as cnt, min(n_name) as first_name,
+               sum(n_nationkey) as key_sum
+        from ins44 group by n_regionkey""",
 }
 
 
@@ -1478,6 +1502,31 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events)
             SELECT event_id, event_type, round(value, 2) AS value
             FROM m1 WHERE value > 50 OR value IS NULL""",
+        # q44: replay the three INSERT forms as a UNION ALL of their
+        # row sources over the same parquet; sum cast to BIGINT (DuckDB
+        # auto-promotes sum(BIGINT) to HUGEINT)
+        "q44_insert_forms": """
+            WITH base AS (
+              SELECT n_nationkey, n_name, n_regionkey FROM nation
+              WHERE n_nationkey < 3),
+            ins_sel AS (
+              SELECT n_nationkey + 100 AS n_nationkey,
+                     upper(n_name) AS n_name, n_regionkey
+              FROM nation WHERE n_regionkey = 1),
+            ins_vals AS (
+              SELECT * FROM (VALUES (200, 'atlantis', 0),
+                                    (201, 'lemuria', 1))
+                       AS t(n_nationkey, n_name, n_regionkey)),
+            ins_file AS (
+              SELECT n_nationkey, n_name, n_regionkey FROM nation),
+            unioned AS (
+              SELECT * FROM base UNION ALL SELECT * FROM ins_sel
+              UNION ALL SELECT * FROM ins_vals
+              UNION ALL SELECT * FROM ins_file)
+            SELECT n_regionkey, count(*) AS cnt,
+                   min(n_name) AS first_name,
+                   CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+            FROM unioned GROUP BY n_regionkey""",
         # q43: bucketing changes WHERE rows live, never which rows —
         # the oracle is the plain aggregation
         "q43_bucketed_agg": """
