@@ -78,24 +78,87 @@ def _apply_merge(seg: Column, x: str, y: str) -> Column:
     return F.aggregate(seg, init, step, fin)
 
 
-def bpe_train(df: DataFrame, text_col: str,
-              num_merges: int) -> list[tuple[str, str]]:
+def _merge_local(seg: list[str], x: str, y: str) -> list[str]:
+    """Driver-side twin of :func:`_apply_merge`: leftmost
+    non-overlapping greedy join of (x, y).  Equality with the fold is
+    pinned by ``test_bpe_local_equals_distributed``."""
+    out: list[str] = []
+    i, n, merged = 0, len(seg), x + y
+    while i < n:
+        if seg[i] == x and i + 1 < n and seg[i + 1] == y:
+            out.append(merged)
+            i += 2
+        else:
+            out.append(seg[i])
+            i += 1
+    return out
+
+
+def _train_local(word_counts: list[tuple[str, int]],
+                 num_merges: int) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a collected (word, count) table.
+    Byte-identical to the distributed loop: the arg-max tie-break
+    compares the SAME space-joined pair string (Python str comparison
+    is code-point order, which equals Spark's UTF-8 byte order), and
+    merge application is the same leftmost non-overlapping greedy
+    join."""
+    segs: list[tuple[list[str], int]] = [
+        (list(w), wc) for w, wc in word_counts]
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for seg, wc in segs:
+            for i in range(len(seg) - 1):
+                p = (seg[i], seg[i + 1])
+                counts[p] = counts.get(p, 0) + wc
+        if not counts:
+            break
+        (x, y), _ = min(counts.items(),
+                        key=lambda kv: (-kv[1], kv[0][0] + " " + kv[0][1]))
+        merges.append((x, y))
+        segs = [(_merge_local(seg, x, y), wc) for seg, wc in segs]
+    return merges
+
+
+def bpe_train(df: DataFrame, text_col: str, num_merges: int,
+              local_threshold: int = 200_000) -> list[tuple[str, str]]:
     """Learn ``num_merges`` BPE merges from the corpus.  Returns the
     ordered merge list [(x, y), ...]; stops early if the corpus runs
     out of pairs.
 
-    Driver-side state is one (pair, count) row per iteration — a
-    documented bounded collect, like the window machinery's per-bucket
-    offsets.  The word-frequency table is re-cached per iteration
-    (cache-of-one evicts the predecessor) so each pair count reads a
-    materialized segmentation, not a ``num_merges``-deep lineage."""
+    **Local fast path**: after the one corpus-wide shuffle collapses
+    the text to its (word, count) vocabulary, the problem is
+    vocabulary-sized — almost always driver-sized.  If the vocab has
+    at most ``local_threshold`` words (probed with a CollectLimit scan
+    that stops early when it is larger), it is collected ONCE and the
+    merge loop runs locally: one Spark job total instead of
+    ``num_merges`` sequential job pairs — the difference between 3
+    jobs and 32k jobs for a production vocab build.  Merges are
+    byte-identical to the distributed loop (same tie-break string,
+    same greedy fold; pinned by ``test_bpe_local_equals_distributed``
+    and the llm62 oracle).  ``local_threshold=0`` forces the
+    distributed path (vocabularies beyond driver memory).
+
+    Distributed fallback: driver-side state is one (pair, count) row
+    per iteration — a documented bounded collect, like the window
+    machinery's per-bucket offsets.  The word-frequency table is
+    re-cached per iteration (cache-of-one evicts the predecessor) so
+    each pair count reads a materialized segmentation, not a
+    ``num_merges``-deep lineage."""
     if num_merges < 0:
         raise ValueError("num_merges must be >= 0")
+    if num_merges == 0:
+        return []
     words = (spread_for_compute(df)
              .select(F.explode(F.filter(_ws_tokens(F.col(text_col)),
                                         lambda t: t != "")).alias("w")))
     wf = (words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
                .withColumn("seg", F.split("w", "")))
+    if local_threshold > 0:
+        sample = wf.select("w", "wc").limit(local_threshold + 1).collect()
+        if len(sample) <= local_threshold:
+            return _train_local([(r["w"], r["wc"]) for r in sample],
+                                num_merges)
     wf = cache_of_one("bpe_train", wf)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):

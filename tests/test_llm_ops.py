@@ -1696,6 +1696,32 @@ def test_bpe_matches_python_reference(spark, texts, k):
     assert got == {i: d for i, d in enumerate(docs)}
 
 
+def test_bpe_local_equals_distributed(spark, docs):
+    """The driver-side fast path (vocab collected once, merge loop
+    local) must produce byte-identical merges to the distributed loop
+    — on the gate corpus at the llm62 config AND on a tie-heavy
+    unicode corpus (tie-break compares the space-joined pair string
+    in both paths)."""
+    fast = L.bpe_train(docs, "text", 3)
+    dist = L.bpe_train(docs, "text", 3, local_threshold=0)
+    assert fast == dist and len(fast) == 3
+    tie = spark.createDataFrame(
+        [(1, "ab ab aİ aİ ßßx"), (2, "xy xy z")],
+        "doc_id long, text string")
+    assert (L.bpe_train(tie, "text", 4)
+            == L.bpe_train(tie, "text", 4, local_threshold=0))
+
+
+def test_bpe_local_threshold_fallback(spark):
+    """A vocab larger than local_threshold falls back to the
+    distributed loop and still learns the same merges."""
+    df = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new")],
+        "doc_id long, text string")
+    assert (L.bpe_train(df, "text", 2, local_threshold=2)
+            == L.bpe_train(df, "text", 2))
+
+
 def test_nfc_premise_exhaustive_bmp_sweep():
     """Pin llm60's premise the hard way: CPython unicodedata NFC ==
     DuckDB utf8proc nfc_normalize for EVERY non-surrogate BMP
