@@ -232,12 +232,25 @@ class Planner:
 
         # hints: salt(key, n) routes the matching equi-join through a
         # salted physical plan (skew.py's shape) — the scale escape
-        # hatch for hot keys AQE's skew split can't break up
+        # hatch for hot keys AQE's skew split can't break up;
+        # cap(group, id, k) applies llm_ops.assemble's anti-domination
+        # cut (at most k rows per group, picked by seeded id-hash
+        # order) to the filtered FROM rows, so the curation layer is
+        # reachable from the dialect without the Python API
         salt_specs = {}
+        cap_specs: list[tuple[str, str, int]] = []
         for h in sel.hints:
+            if h.name == "cap":
+                if len(h.args) != 3 or not isinstance(h.args[0], str) \
+                        or not isinstance(h.args[1], str) \
+                        or not isinstance(h.args[2], int) or h.args[2] < 1:
+                    raise PlanError("cap hint takes (group_column, "
+                                    "id_column, positive_int_k)")
+                cap_specs.append((h.args[0], h.args[1], h.args[2]))
+                continue
             if h.name != "salt":
-                raise PlanError(f"unknown hint {h.name!r} "
-                                "(supported: salt(key, n))")
+                raise PlanError(f"unknown hint {h.name!r} (supported: "
+                                "salt(key, n), cap(group, id, k))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -264,6 +277,12 @@ class Planner:
         # WHERE
         if sel.where is not None:
             df = df.filter(self._compile(sel.where, df))
+
+        # cap(group, id, k): applied AFTER the row filter and BEFORE
+        # aggregation/projection, so aggregates summarize the capped
+        # corpus ("stats over at most k docs per domain")
+        for gcol, idcol, k in cap_specs:
+            df = self._apply_cap_hint(df, gcol, idcol, k)
 
         if agg_ctx:
             df = self._plan_aggregate(sel, df, group_window_leaf)
@@ -879,6 +898,49 @@ class Planner:
         else:
             win = F.window(tcol, duration_str(spec.size))
         return df.withColumn(self._cowin_name(rel), win)
+
+    def _apply_cap_hint(self, df: DataFrame, gcol: str, idcol: str,
+                        k: int) -> DataFrame:
+        """cap(group, id, k): keep the ``k`` rows of every group whose
+        seeded id hash is smallest — the declarative form of
+        llm_ops.assemble.cap_per_group's anti-domination cut, keeping
+        ALL columns of the select's input rows.
+
+        The dialect surface fixes hash and seed (md5_id_hash, seed 42)
+        so a capped query is reproducible across engines and runs —
+        the cross-engine hash is what makes the hint value-oracle-able;
+        the Python API keeps xxhash64 as its production default.
+
+        Scale shape: ONE hash shuffle on the group key; the
+        rank<=k filter compiles to WindowGroupLimit (plan-gated in
+        test_hints_ddl), so a billion-row domain keeps a k-row heap
+        per task instead of sorting a billion-row buffer."""
+        from pyspark.sql import Window
+
+        if df.isStreaming:
+            raise PlanError("cap hint is batch-only (row_number over "
+                            "an unbounded stream is not supported)")
+        resolve = {}
+        for c in df.columns:
+            resolve.setdefault(c.lower(), []).append(c)
+        cols = []
+        for want in (gcol, idcol):
+            got = resolve.get(want.lower())
+            if not got:
+                raise PlanError(
+                    f"cap hint column {want!r} not in select input "
+                    f"({', '.join(df.columns)})")
+            if len(got) > 1:
+                raise PlanError(f"cap hint column {want!r} is ambiguous "
+                                "in the join result")
+            cols.append(got[0])
+        g, i = cols
+        from .llm_ops.assemble import md5_id_hash
+        w = Window.partitionBy(g).orderBy(md5_id_hash(F.col(i), 42),
+                                          F.col(i))
+        rank = "__cap_rank__"
+        return (df.withColumn(rank, F.row_number().over(w))
+                  .filter(F.col(rank) <= k).drop(rank))
 
     def _match_salt_hint(self, rel):
         """Consume the salt(key, n) spec whose key appears in this
