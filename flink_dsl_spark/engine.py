@@ -153,6 +153,11 @@ class FsqlEngine:
         df = _coerce_ntz(df)
         if watermark and event_time_col and df.isStreaming:
             df = df.withWatermark(event_time_col, watermark)
+        if kind is None and self.catalog.has(name):
+            # API re-registration of a DDL-created relation: inherit the
+            # prior declared kind (mirrors Catalog.register's meta=None
+            # preservation) so DROP's kind guard keeps working
+            kind = self.catalog.meta(name).kind
         self.catalog.register(
             name, df,
             StreamMeta(name, is_stream=df.isStreaming,
@@ -299,7 +304,13 @@ class FsqlEngine:
                 return None
             raise PlanError(f"unknown {stmt.kind} {stmt.name!r}")
         declared = self.catalog.meta(stmt.name).kind if known else None
-        if stmt.kind == "stream" and (is_cat_table or declared == "table"):
+        # honor the DECLARED kind when it matches the DROP form: a
+        # CREATE STREAM that shadows a same-named catalog table must
+        # stay droppable (DROP STREAM unregisters the stream, then the
+        # re-exposed catalog table drops with DROP TABLE)
+        if stmt.kind == "stream" and (
+                declared == "table"
+                or (declared is None and is_cat_table)):
             raise PlanError(
                 f"{stmt.name!r} is a table (its data lives in the "
                 "session catalog) — use DROP TABLE")

@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .textstats import _ws_tokens
-from .util import cache_of_one, spread_for_compute
+from .util import cache_of_one, release_caches, spread_for_compute
 
 
 def _adjacent_pairs(seg: Column) -> Column:
@@ -154,12 +154,16 @@ def bpe_train(df: DataFrame, text_col: str, num_merges: int,
                                         lambda t: t != "")).alias("w")))
     wf = (words.groupBy("w").agg(F.count(F.lit(1)).alias("wc"))
                .withColumn("seg", F.split("w", "")))
+    # cache BEFORE the probe: when the vocab exceeds the threshold,
+    # the distributed fallback's first pair count then reuses the
+    # materialized aggregate instead of re-shuffling the whole corpus
+    wf = cache_of_one("bpe_train", wf)
     if local_threshold > 0:
         sample = wf.select("w", "wc").limit(local_threshold + 1).collect()
         if len(sample) <= local_threshold:
+            release_caches("bpe_train")
             return _train_local([(r["w"], r["wc"]) for r in sample],
                                 num_merges)
-    wf = cache_of_one("bpe_train", wf)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         top = (wf.select(F.explode(_adjacent_pairs(F.col("seg")))

@@ -41,34 +41,17 @@ from .functions import FunctionRegistry
 from .streaming.windows import last_window_filter, window_grouping
 
 
-def _contains_subquery(e) -> bool:
-    return any(isinstance(x, (InSubquery, Exists, ScalarSubquery))
-               for x in walk_expr(e))
-
-
 def _select_has_subquery(sel) -> bool:
+    """True if any expression position (per _expr_subqueries — the one
+    shared position list) or nested derived table contains a subquery."""
     if isinstance(sel, SetOp):
         return _select_has_subquery(sel.left) or _select_has_subquery(sel.right)
-    exprs = [i.expr for i in sel.items] + sel.group_by \
-        + [o.expr for o in sel.order_by]
-    for opt in (sel.where, sel.having):
-        if opt is not None:
-            exprs.append(opt)
-    if any(_contains_subquery(e) for e in exprs if not isinstance(e, Star)):
+    if any(True for _ in _expr_subqueries(sel)):
         return True
     if sel.from_ is not None:
         for leaf in relation_leaves(sel.from_):
             if isinstance(leaf, DerivedTable) and _select_has_subquery(leaf.query):
                 return True
-        # join conditions
-        def join_conds(rel):
-            if isinstance(rel, Join):
-                yield from join_conds(rel.left)
-                yield from join_conds(rel.right)
-                if rel.on is not None:
-                    yield rel.on
-        if any(_contains_subquery(c) for c in join_conds(sel.from_)):
-            return True
     return False
 
 

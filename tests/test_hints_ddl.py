@@ -491,3 +491,47 @@ def test_hint_in_expression_subquery_is_rejected(engine):
     ]:
         with pytest.raises(PlanError, match="hints are not supported"):
             engine.sql(q)
+
+
+def test_shadowing_stream_stays_droppable(engine, spark):
+    """Round-7 ADVICE (medium): a CREATE STREAM that shadows a
+    same-named session-catalog table must not deadlock DROP.  DROP
+    STREAM honors the DECLARED kind (unregisters the stream, re-exposes
+    the catalog table); DROP TABLE then removes the table and its
+    data."""
+    import os
+    from urllib.parse import urlparse
+    eng = engine
+    eng.sql("create table tmp_shadow bucketed by (r_regionkey) into 2 "
+            "buckets as select r_regionkey from region")
+    # shadow it with a same-named declared stream
+    eng.sql("create stream tmp_shadow as "
+            "(select n_nationkey from nation)")
+    assert eng.catalog.meta("tmp_shadow").kind == "stream"
+    # pre-fix both forms raised; now the declared kind wins
+    eng.sql("drop stream tmp_shadow")
+    assert not eng.catalog.has("tmp_shadow")
+    assert spark.catalog.tableExists("default.tmp_shadow")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    eng.sql("drop table tmp_shadow")
+    assert not spark.catalog.tableExists("default.tmp_shadow")
+    assert not os.path.isdir(os.path.join(wh, "tmp_shadow"))
+
+
+def test_api_reregister_inherits_declared_kind(engine, spark):
+    """Round-7 ADVICE (low): FsqlEngine.register with kind=None on an
+    already-registered relation inherits the prior declared kind
+    instead of wiping it, so DROP's kind guard keeps working after an
+    API-level re-registration."""
+    eng = engine
+    eng.sql("create stream tmp_api_kind as "
+            "(select r_regionkey from region)")
+    assert eng.catalog.meta("tmp_api_kind").kind == "stream"
+    # API re-registration (e.g. a user swapping the backing frame)
+    eng.register("tmp_api_kind",
+                 spark.createDataFrame([(1,)], "r_regionkey long"))
+    assert eng.catalog.meta("tmp_api_kind").kind == "stream"
+    with pytest.raises(PlanError, match="use DROP STREAM"):
+        eng.sql("drop table tmp_api_kind")
+    eng.sql("drop stream tmp_api_kind")
+    assert not eng.catalog.has("tmp_api_kind")
