@@ -127,6 +127,17 @@ _FSQL: dict[str, str] = {
                round(sum(c_acctbal), 2) as balance
         from customer join nation on c_nationkey = n_nationkey
         group by n_name""",
+    # the /*+ cap(group, id, k) */ hint (r8 dialect extension): the
+    # anti-domination cut — aggregate over at most k docs per source,
+    # picked by seeded md5-id-hash order (dialect fixes seed 42), so
+    # the oracle replays the exact same rank-and-filter in SQL
+    "q45_cap_hint": """
+        select /*+ cap(source, doc_id, 10) */
+               source, count(*) as num_docs,
+               sum(n_chars) as total_chars
+        from documents
+        where n_chars > 100
+        group by source""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1352,6 +1363,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    round(sum(c_acctbal), 2) AS balance
             FROM customer JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name""",
+        # q45: replay the cap's seeded rank-and-filter (md5 id hash,
+        # seed 42 — the llm72 pattern) over the WHERE-filtered rows,
+        # then the same aggregate; sum cast to BIGINT (DuckDB sums
+        # BIGINT into HUGEINT)
+        "q45_cap_hint": """
+            WITH f AS (SELECT source, doc_id, n_chars FROM documents
+                       WHERE n_chars > 100),
+            h AS (SELECT source, doc_id, n_chars,
+                         CAST(concat('0x', substr(md5(concat(
+                              CAST(doc_id AS VARCHAR), ':', '42')),
+                              1, 15)) AS BIGINT) AS hh
+                  FROM f),
+            r AS (SELECT source, n_chars,
+                         row_number() OVER (PARTITION BY source
+                             ORDER BY hh, doc_id) AS rk
+                  FROM h)
+            SELECT source, count(*) AS num_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM r WHERE rk <= 10 GROUP BY source""",
         "q04_left_join": """
             SELECT c_custkey, count(o_orderkey) AS cnt
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -535,3 +535,110 @@ def test_api_reregister_inherits_declared_kind(engine, spark):
         eng.sql("drop table tmp_api_kind")
     eng.sql("drop stream tmp_api_kind")
     assert not eng.catalog.has("tmp_api_kind")
+
+
+# ---------------------------------------------------------------------------
+# cap(group, id, k) hint — the curation layer reachable from the dialect
+# ---------------------------------------------------------------------------
+
+
+def test_cap_hint_equals_python_api(engine, spark):
+    """/*+ cap(g, id, k) */ is the declarative form of
+    llm_ops.assemble.cap_per_group with the cross-engine md5 id hash
+    and the dialect's fixed seed 42 — identical row sets."""
+    from flink_dsl_spark.llm_ops.assemble import cap_per_group, \
+        md5_id_hash
+    got = engine.sql(
+        "select /*+ cap(source, doc_id, 5) */ doc_id, source "
+        "from documents")
+    want = cap_per_group(
+        engine.catalog.get("documents"), "source", "doc_id", k=5,
+        seed=42, id_hash=md5_id_hash).select("doc_id", "source")
+    assert _rows(got) == _rows(want)
+    assert len(_rows(got)) > 0
+
+
+def test_cap_hint_applies_after_where(engine):
+    """The cap operates on the FILTERED rows: a doc excluded by WHERE
+    never occupies one of the k slots."""
+    capped = engine.sql(
+        "select /*+ cap(source, doc_id, 3) */ source, "
+        "count(*) as cnt from documents where n_chars > 100 "
+        "group by source")
+    for _, cnt in _rows(capped):
+        assert cnt <= 3
+    # every kept doc satisfies the filter
+    rows = _rows(engine.sql(
+        "select /*+ cap(source, doc_id, 3) */ n_chars from documents "
+        "where n_chars > 100"))
+    assert rows and all(n > 100 for (n,) in rows)
+
+
+def test_cap_hint_plan_is_window_group_limit(engine):
+    """Scale gate: the rank<=k filter must compile to WindowGroupLimit
+    (per-task k-row heap), not a full per-group sort buffer."""
+    df = engine.sql(
+        "select /*+ cap(source, doc_id, 5) */ doc_id, source "
+        "from documents")
+    assert "WindowGroupLimit" in _plan(df)
+
+
+def test_cap_hint_on_join_result(engine):
+    """Columns resolve in the JOINed frame; an ambiguous name errors
+    instead of silently picking a side."""
+    got = engine.sql(
+        "select /*+ cap(r_name, n_nationkey, 2) */ r_name, n_name "
+        "from nation join region on n_regionkey = r_regionkey")
+    counts = {}
+    for r_name, _ in _rows(got):
+        counts[r_name] = counts.get(r_name, 0) + 1
+    assert counts and all(c <= 2 for c in counts.values())
+    with pytest.raises(PlanError, match="ambiguous"):
+        engine.sql(
+            "select /*+ cap(rk, rk, 2) */ a.n_name "
+            "from (select n_name, n_regionkey as rk from nation) as a "
+            "join (select r_regionkey as rk from region) as b "
+            "on a.rk = b.rk")
+
+
+def test_cap_hint_bad_args_error(engine):
+    for bad in ["cap(source, doc_id)",          # missing k
+                "cap(source, doc_id, 0)",       # k < 1
+                "cap(source, 3, 5)",            # id not a column
+                "cap(source, doc_id, k)"]:      # k not an int
+        with pytest.raises(PlanError, match="cap hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ cap(nope, doc_id, 5) */ doc_id "
+                   "from documents")
+
+
+def test_cap_hint_rejected_on_sqlgen_path(engine):
+    """Subqueries route to the SQL-compilation path, which cannot
+    render hints — reject, never silently drop the cap."""
+    with pytest.raises(PlanError, match="subqueries"):
+        engine.sql(
+            "select /*+ cap(source, doc_id, 5) */ doc_id from documents "
+            "where n_chars > (select avg(n_chars) from documents)")
+
+
+def test_cap_hint_is_batch_only(engine, spark):
+    """row_number over an unbounded stream is unsupported — the hint
+    must reject a streaming input, not fail deep in planning."""
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = tempfile.mkdtemp(prefix="cap_stream_")
+    os.symlink(f"{SF_DIR}/events.parquet",
+               os.path.join(d, "events.parquet"))
+    eng.sql("create stream cap_ev ("
+            + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                        for f in ev.schema.fields)
+            + f") source file ('{d}', 'parquet')")
+    try:
+        with pytest.raises(PlanError, match="batch-only"):
+            eng.sql("select /*+ cap(user_id, event_id, 3) */ user_id "
+                    "from cap_ev")
+    finally:
+        eng.sql("drop stream cap_ev")
