@@ -138,6 +138,33 @@ _FSQL: dict[str, str] = {
         from documents
         where n_chars > 100
         group by source""",
+    # analytic OVER windows (r8 dialect extension — SURVEY §2.5 records
+    # the reference has none): the top-k-per-group idiom, rank in a
+    # derived table + filter outside; the executed plan collapses to
+    # WindowGroupLimit (per-task k-row heap — the 100 TB-safe shape,
+    # plan-gated in tests/test_over_windows.py)
+    "q46_over_rank": """
+        select o_custkey, o_orderkey, rn
+        from (select o_custkey, o_orderkey,
+                     row_number() over (partition by o_custkey
+                         order by o_totalprice desc, o_orderkey) as rn
+              from orders) as t
+        where rn <= 3""",
+    # running/offset/frame analytics over the event stream's batch twin:
+    # cumulative count, previous event type (lag with default), and a
+    # bounded ROWS frame minimum — all cell-exact in both engines
+    # (counts, strings, and min over doubles are order-independent)
+    "q47_over_running": """
+        select event_id, user_id,
+               count(*) over (partition by user_id
+                   order by ts, event_id) as nth_event,
+               lag(event_type, 1, 'none') over (partition by user_id
+                   order by ts, event_id) as prev_type,
+               min(value) over (partition by user_id
+                   order by ts, event_id
+                   rows between 2 preceding and current row) as min3
+        from events
+        where event_type in ('click', 'view')""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1382,6 +1409,26 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT source, count(*) AS num_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM r WHERE rk <= 10 GROUP BY source""",
+        # q46/q47: same analytic SQL; DuckDB ranks/counts are BIGINT
+        # where Spark's are INT, so the rank column casts
+        "q46_over_rank": """
+            SELECT o_custkey, o_orderkey, CAST(rn AS INT) AS rn
+            FROM (SELECT o_custkey, o_orderkey,
+                         row_number() OVER (PARTITION BY o_custkey
+                             ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                  FROM orders) t
+            WHERE rn <= 3""",
+        "q47_over_running": """
+            SELECT event_id, user_id,
+                   count(*) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS nth_event,
+                   lag(event_type, 1, 'none') OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS prev_type,
+                   min(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3
+            FROM events
+            WHERE event_type IN ('click', 'view')""",
         "q04_left_join": """
             SELECT c_custkey, count(o_orderkey) AS cnt
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey

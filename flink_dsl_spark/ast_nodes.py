@@ -73,6 +73,31 @@ class FuncCall(Expr):
 
 
 @dataclass
+class WindowFrame:
+    """``ROWS|RANGE [BETWEEN] bound [AND bound]`` of an OVER clause.
+    Bounds are tuples: ("unbounded_preceding",) | ("preceding", n) |
+    ("current",) | ("following", n) | ("unbounded_following",)."""
+
+    mode: str                       # "rows" | "range"
+    start: tuple
+    end: tuple
+
+
+@dataclass
+class WindowFunc(Expr):
+    """``func(args) OVER (PARTITION BY ... ORDER BY ... [frame])`` —
+    engine extension (SURVEY.md §2.5: the reference has NO analytic
+    OVER clause; its windows are stream policies).  ``func`` carries
+    the call; ranking/value functions are compiled directly, aggregate
+    names go through the registry and ``.over(...)``."""
+
+    func: FuncCall
+    partition_by: list = field(default_factory=list)   # list[Expr]
+    order_by: list = field(default_factory=list)       # list[OrderItem]
+    frame: Optional[WindowFrame] = None
+
+
+@dataclass
 class Case(Expr):
     """Searched CASE (fsql/parser.scala:247-255)."""
 
@@ -435,6 +460,12 @@ def expr_children(e: Expr) -> list:
         return [e.operand]
     if isinstance(e, FuncCall):
         return list(e.args)
+    if isinstance(e, WindowFunc):
+        # deliberately yields the inner call's ARGS, not the FuncCall
+        # node itself: `sum(x) over (...)` is an analytic computation,
+        # and must not trip aggregate-context detection (_expr_has_agg)
+        return list(e.func.args) + list(e.partition_by) \
+            + [o.expr for o in e.order_by]
     if isinstance(e, Case):
         out = []
         for c, v in e.whens:

@@ -27,7 +27,8 @@ from .ast_nodes import (
     CreateStream, Delete, DerivedSource, DerivedTable, Exists, FileSource,
     FuncCall, HostSource, InList, InSubquery, Insert, IsNull, Join, Lit,
     OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
-    SetOp, Star, TableRef, UnOp, Update, WindowSpec,
+    SetOp, Star, TableRef, UnOp, Update, WindowFrame, WindowFunc,
+    WindowSpec,
 )
 from .errors import ParseError
 
@@ -933,7 +934,15 @@ class Parser:
                 while self.eat_op(","):
                     args.append(self.parse_expr())
             self.expect_op(")")
-            return FuncCall(name.lower(), args, distinct)
+            call = FuncCall(name.lower(), args, distinct)
+            # engine extension (§2.5): analytic OVER clause.  `over` is
+            # contextual — only consumed when followed by `(`, so a
+            # column aliased "over" still parses.
+            if self.at_kw("over") and self.peek().kind == "op" \
+                    and self.peek().text == "(":
+                self.advance()
+                return self.parse_over_clause(call)
+            return call
         if self.at_op(".") and self.peek().kind in ("ident", "qident") \
                 and self.peek().lower not in RESERVED:
             self.advance()
@@ -941,6 +950,60 @@ class Parser:
             return Col(col, qualifier=name)
         _ = t
         return Col(name)
+
+    def parse_over_clause(self, call: FuncCall) -> WindowFunc:
+        """``OVER ( [PARTITION BY e,...] [ORDER BY o,...] [frame] )``
+        (engine extension; the reference grammar has no analytic
+        windows — SURVEY.md §2.5)."""
+        self.expect_op("(")
+        partition: list = []
+        order: list = []
+        frame = None
+        if self.eat_kw("partition"):
+            self.expect_kw("by")
+            partition = [self.parse_expr()]
+            while self.eat_op(","):
+                partition.append(self.parse_expr())
+        if self.at_kw("order"):
+            order = self.parse_order_by()
+        if self.at_kw("rows", "range"):
+            frame = self.parse_window_frame()
+        self.expect_op(")")
+        return WindowFunc(call, partition, order, frame)
+
+    def parse_window_frame(self) -> WindowFrame:
+        mode = self.cur.lower
+        self.advance()
+        if self.eat_kw("between"):
+            start = self.parse_frame_bound()
+            self.expect_kw("and")
+            end = self.parse_frame_bound()
+        else:
+            # ANSI shorthand: a lone start bound implies CURRENT ROW end
+            start = self.parse_frame_bound()
+            end = ("current",)
+        return WindowFrame(mode, start, end)
+
+    def parse_frame_bound(self) -> tuple:
+        if self.eat_kw("unbounded"):
+            if self.eat_kw("preceding"):
+                return ("unbounded_preceding",)
+            self.expect_kw("following")
+            return ("unbounded_following",)
+        if self.eat_kw("current"):
+            self.expect_kw("row")
+            return ("current",)
+        t = self.cur
+        txt = self.number_lit()
+        try:
+            n = int(txt)
+        except ValueError:
+            raise ParseError("frame bound must be an integer",
+                             t.line, t.col)
+        if self.eat_kw("preceding"):
+            return ("preceding", n)
+        self.expect_kw("following")
+        return ("following", n)
 
 
 def parse(sql: str):

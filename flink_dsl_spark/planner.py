@@ -34,7 +34,8 @@ from .ast_nodes import (
     Between, BinOp, Case, Col, CreateSchema, CreateStream, Delete,
     DerivedTable, Exists, FuncCall, InList, InSubquery, Insert, IsNull,
     Join, Lit, OrderItem, Param, ScalarSubquery, Select, SelectItem, SetOp,
-    Star, TableRef, UnOp, Update, WindowSpec, relation_leaves, walk_expr,
+    Star, TableRef, UnOp, Update, WindowFunc, WindowSpec,
+    relation_leaves, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 from .functions import FunctionRegistry
@@ -200,6 +201,7 @@ class Planner:
 
     def plan_select(self, sel: Select) -> DataFrame:
         agg_ctx = self._needs_aggregation(sel)
+        self._check_window_func_positions(sel, agg_ctx)
         windowed = [l for l in (relation_leaves(sel.from_)
                                 if sel.from_ is not None else [])
                     if getattr(l, "window", None) is not None]
@@ -277,6 +279,34 @@ class Planner:
         df = _apply_limit_offset(df, self._lit_int(sel.limit),
                                  self._lit_int(sel.offset))
         return df
+
+    def _check_window_func_positions(self, sel: Select,
+                                     agg_ctx: bool) -> None:
+        """ANSI position rules for analytic functions: SELECT items of
+        a non-aggregating query only.  WHERE/GROUP BY/HAVING evaluate
+        before windows exist; combining with aggregation needs a
+        derived table (explicit is better than a silently-reordered
+        plan)."""
+        def has_win(exprs):
+            return any(isinstance(x, WindowFunc)
+                       for e in exprs if not isinstance(e, Star)
+                       for x in walk_expr(e))
+
+        for pos, exprs in (("WHERE", [sel.where] if sel.where is not None
+                            else []),
+                           ("GROUP BY", sel.group_by),
+                           ("HAVING", [sel.having] if sel.having is not None
+                            else []),
+                           ("ORDER BY", [o.expr for o in sel.order_by])):
+            if has_win(exprs):
+                raise PlanError(
+                    f"window functions are not allowed in {pos} "
+                    "(project them in a derived table first)")
+        if agg_ctx and has_win([i.expr for i in sel.items]):
+            raise PlanError(
+                "window functions cannot be combined with GROUP BY/"
+                "aggregation in one SELECT — aggregate in a derived "
+                "table, then apply the window over its result")
 
     def _leaf_time_col(self, leaf) -> Optional[Column]:
         """Default event-time column for a windowed stream: the policy's
@@ -1021,6 +1051,8 @@ class Planner:
             return c
         if isinstance(e, FuncCall):
             return self._compile_func(e, df)
+        if isinstance(e, WindowFunc):
+            return self._compile_window_func(e, df)
         if isinstance(e, (InSubquery, Exists, ScalarSubquery)):
             raise PlanError(
                 "internal: subquery expressions go through the SQL path")
@@ -1076,6 +1108,121 @@ class Planner:
                 f"aggregate function {e.name}() used outside aggregation")
         args = [self._compile(a, df) for a in e.args]
         return self.registry.build(e.name, args)
+
+    _RANKING_FUNCS = frozenset({"row_number", "rank", "dense_rank",
+                                "percent_rank", "cume_dist", "ntile"})
+    _OFFSET_FUNCS = frozenset({"lag", "lead"})
+    _VALUE_FUNCS = frozenset({"first_value", "last_value"})
+
+    def _compile_window_func(self, e: WindowFunc, df) -> Column:
+        """Analytic OVER clause (engine extension, SURVEY.md §2.5 —
+        the reference has none).  Maps 1:1 onto pyspark.sql.Window:
+        ranking/offset/value functions compile directly, aggregate
+        names go through the registry and ``.over(w)``.
+
+        Scale shape: ONE hash shuffle on the partition keys; an empty
+        PARTITION BY is a deliberate single-partition global window
+        (allowed, but the scale sweep flags it in driver queries).
+        Frames map to rowsBetween/rangeBetween — a running frame keeps
+        incremental state per task, never a per-group sort buffer
+        beyond the partition sort itself."""
+        from pyspark.sql import Window as SW
+
+        name = e.func.name
+        if df is None:
+            raise PlanError("window functions require a FROM clause")
+        if df.isStreaming:
+            raise PlanError(
+                "window functions are batch-only (analytic OVER needs "
+                "a finite partition order)")
+        if e.func.distinct:
+            raise PlanError(
+                f"DISTINCT is not supported in window function {name}()")
+
+        w = SW.partitionBy(
+            *[self._compile(p, df) for p in e.partition_by])
+        if e.order_by:
+            w = w.orderBy(*[
+                self._compile(o.expr, df) if o.ascending
+                else self._compile(o.expr, df).desc()
+                for o in e.order_by])
+        elif name in self._RANKING_FUNCS or name in self._OFFSET_FUNCS:
+            raise PlanError(
+                f"{name}() requires ORDER BY in its OVER clause")
+
+        if e.frame is not None:
+            if name in self._RANKING_FUNCS or name in self._OFFSET_FUNCS:
+                raise PlanError(
+                    f"{name}() does not accept a frame specification")
+            lo = self._frame_bound(e.frame.start, SW)
+            hi = self._frame_bound(e.frame.end, SW)
+            w = (w.rowsBetween(lo, hi) if e.frame.mode == "rows"
+                 else w.rangeBetween(lo, hi))
+
+        args = e.func.args
+        if name in ("row_number", "rank", "dense_rank", "percent_rank",
+                    "cume_dist"):
+            if args:
+                raise PlanError(f"{name}() takes no arguments")
+            col = getattr(F, name)()
+        elif name == "ntile":
+            if len(args) != 1 or not isinstance(args[0], Lit) \
+                    or not isinstance(args[0].value, int) \
+                    or args[0].value < 1:
+                raise PlanError(
+                    "ntile() takes one positive integer literal")
+            col = F.ntile(args[0].value)
+        elif name in self._OFFSET_FUNCS:
+            if not 1 <= len(args) <= 3:
+                raise PlanError(
+                    f"{name}(col [, offset [, default]]) takes 1-3 "
+                    "arguments")
+            off = 1
+            if len(args) >= 2:
+                v = _plain_literal(args[1])
+                if not isinstance(v, int) or isinstance(v, bool):
+                    raise PlanError(
+                        f"{name}() offset must be an integer literal")
+                off = v
+            dflt = None
+            if len(args) == 3:
+                # F.lag/lead take a PLAIN literal default (py4j
+                # converts it; a Column is rejected as non-iterable)
+                dflt = _plain_literal(args[2])
+                if dflt is _NOT_LITERAL:
+                    raise PlanError(
+                        f"{name}() default must be a literal")
+            fn = F.lag if name == "lag" else F.lead
+            col = fn(self._compile(args[0], df), off, dflt)
+        elif name in self._VALUE_FUNCS:
+            if len(args) != 1:
+                raise PlanError(f"{name}() takes exactly one argument")
+            fn = F.first if name == "first_value" else F.last
+            col = fn(self._compile(args[0], df))
+        elif self.registry.is_aggregate(name):
+            if args and isinstance(args[0], Star):
+                if name != "count":
+                    raise PlanError(f"{name}(*) is not valid")
+                col = F.count(F.lit(1))
+            else:
+                col = self.registry.build(
+                    name, [self._compile(a, df) for a in args])
+        else:
+            raise PlanError(
+                f"{name}() is not a supported window function "
+                "(ranking, lag/lead, first_value/last_value, or any "
+                "registered aggregate)")
+        return col.over(w)
+
+    @staticmethod
+    def _frame_bound(b: tuple, SW) -> int:
+        if b[0] == "unbounded_preceding":
+            return SW.unboundedPreceding
+        if b[0] == "unbounded_following":
+            return SW.unboundedFollowing
+        if b[0] == "current":
+            return SW.currentRow
+        return -b[1] if b[0] == "preceding" else b[1]
 
 
 class _AggContext:
@@ -1197,6 +1344,21 @@ def _apply_binop(op: str, l: Column, r: Column) -> Column:
         raise PlanError(f"unknown operator {op}")
 
 
+_NOT_LITERAL = object()
+
+
+def _plain_literal(e):
+    """The Python value of a literal expression, unwrapping a unary
+    minus (``-1`` parses as UnOp('-', Lit(1))); _NOT_LITERAL if the
+    expression is anything else."""
+    if isinstance(e, Lit):
+        return e.value
+    if isinstance(e, UnOp) and e.op == "-" and isinstance(e.operand, Lit) \
+            and isinstance(e.operand.value, (int, float)):
+        return -e.operand.value
+    return _NOT_LITERAL
+
+
 def _item_name(item: SelectItem, i: int) -> str:
     if item.alias:
         return item.alias
@@ -1204,6 +1366,8 @@ def _item_name(item: SelectItem, i: int) -> str:
         return item.expr.name
     if isinstance(item.expr, FuncCall):
         return item.expr.name
+    if isinstance(item.expr, WindowFunc):
+        return item.expr.func.name
     return f"_c{i}"
 
 

@@ -21,8 +21,8 @@ from typing import Optional
 from .ast_nodes import (
     Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
     InSubquery, Insert, IsNull, Join, Lit, Param, Policy, ScalarSubquery,
-    Select, SelectItem, SetOp, Star, TableRef, UnOp, WindowSpec,
-    relation_leaves,
+    Select, SelectItem, SetOp, Star, TableRef, UnOp, WindowFunc,
+    WindowSpec, relation_leaves,
 )
 from .catalog import Catalog
 from .errors import ResolutionError
@@ -255,6 +255,13 @@ class Resolver:
                 if not isinstance(a, Star):
                     self._resolve_expr(a, scope)
             return
+        if isinstance(e, WindowFunc):
+            self._resolve_expr(e.func, scope)
+            for x in e.partition_by:
+                self._resolve_expr(x, scope)
+            for o in e.order_by:
+                self._resolve_expr(o.expr, scope)
+            return
         if isinstance(e, Case):
             for c, v in e.whens:
                 self._resolve_expr(c, scope)
@@ -303,6 +310,8 @@ class Resolver:
                 names.append(item.expr.name)
             elif isinstance(item.expr, FuncCall):
                 names.append(item.expr.name)
+            elif isinstance(item.expr, WindowFunc):
+                names.append(item.expr.func.name)
             else:
                 names.append(f"_c{i}")
         return names

@@ -16,7 +16,7 @@ from __future__ import annotations
 from .ast_nodes import (
     Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
     InSubquery, IsNull, Join, Lit, Param, ScalarSubquery, Select, SetOp,
-    Star, TableRef, UnOp,
+    Star, TableRef, UnOp, WindowFunc,
 )
 from .errors import PlanError, UnsupportedError
 
@@ -29,6 +29,14 @@ class SqlGen:
         self.dialect = dialect
 
     # --- identifiers / literals ---
+
+    @staticmethod
+    def _frame_bound(b: tuple) -> str:
+        return {"unbounded_preceding": "UNBOUNDED PRECEDING",
+                "unbounded_following": "UNBOUNDED FOLLOWING",
+                "current": "CURRENT ROW"}.get(
+            b[0], f"{b[1] if len(b) > 1 else 0} "
+                  f"{'PRECEDING' if b[0] == 'preceding' else 'FOLLOWING'}")
 
     def ident(self, name: str) -> str:
         if name and all(ch in _IDENT_SAFE for ch in name.lower()):
@@ -161,6 +169,21 @@ class SqlGen:
                 inner = ", ".join(self.expr(a) for a in e.args)
             d = "DISTINCT " if e.distinct else ""
             return f"{e.name}({d}{inner})"
+        if isinstance(e, WindowFunc):
+            parts = []
+            if e.partition_by:
+                parts.append("PARTITION BY " + ", ".join(
+                    self.expr(p) for p in e.partition_by))
+            if e.order_by:
+                parts.append("ORDER BY " + ", ".join(
+                    self.expr(o.expr) + ("" if o.ascending else " DESC")
+                    for o in e.order_by))
+            if e.frame is not None:
+                parts.append(
+                    f"{e.frame.mode.upper()} BETWEEN "
+                    f"{self._frame_bound(e.frame.start)} AND "
+                    f"{self._frame_bound(e.frame.end)}")
+            return (f"{self.expr(e.func)} OVER ({' '.join(parts)})")
         if isinstance(e, Case):
             s = "CASE"
             for c, v in e.whens:
