@@ -1130,61 +1130,48 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-7 window (COVERAGE.md's r7 plan):
-    # regression core, first row for the NEW q44 INSERT script, fresh
-    # rows for the three families whose code changed this round
-    # (q42 hint detection + q43 DDL path hardening in fd7bb5d, llm62
-    # bpe_train local fast path), then ALL 35 queries whose newest
-    # driver row was r4 (q36 first — it lent its slot to q43 in r6),
-    # and the three oldest r5 rows.  After this round every
-    # value-oracled query's newest driver row is ≤2 rounds old.
+    # stays a registry.  Round-8 window (COVERAGE.md's r8 plan):
+    # regression core; first rows for the THREE new r8 dialect
+    # surfaces (q45 cap hint, q46/q47 analytic OVER windows); fresh
+    # rows for the four families whose code changed this round (q43
+    # DDL/engine register+DROP kind guards, q44 INSERT re-register
+    # kind inheritance, llm62 bpe_train probe-cache fix, q15 the
+    # subquery-traversal dedup); then ALL 35 queries whose newest
+    # driver row was r5.  After this round every value-oracled
+    # query's newest driver row is ≤2 rounds old (r7∪r8).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- first row: NEW r7 INSERT-forms script --
-    "q44_insert_forms",
-    # -- r7-touched code: fresh rows for the changed families --
-    "q42_salt_hint", "q43_bucketed_agg", "llm62_bpe_encode",
-    # -- rotation: the 35 r4-newest rows, refreshed (q36 first) --
-    "q36_range_join", "q06_full_join", "q07_cross_join", "q10_having",
-    "q11_distinct", "q13_in_list", "q17b_union_all", "q17c_except",
-    "q17d_intersect", "q19_derived_table", "q26_window_tumbling",
-    "q27_window_sliding", "q29_count_sliding", "q30_snapshot_window",
-    "q32_partitioned_window", "q34_windowed_join", "q35_delta_sliding",
-    "q37_session_window", "q39_session_window_fsql", "q41_stats_aggs",
-    "s02_stream_count_window", "s03_stream_windowed_join",
-    "s04_stream_delta_window", "s06_stream_count_sliding",
-    "x03_expr_bitwise_unary", "llm02_dedup_ngram_jaccard",
-    "llm08_token_stats", "llm13_frame_sample",
-    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
-    "llm28_simhash_verified_pairs", "llm29_split_verified",
-    "llm30_shuffle_key_verified", "llm31_stratified_verified",
-    "llm32_gopher_quality",
-    # -- remainder: the three oldest r5-newest rows --
-    "llm33_c4_line_filter", "llm34_pii_redact", "llm35_dedup_survivors",
+    # -- first rows: NEW r8 dialect surfaces --
+    "q45_cap_hint", "q46_over_rank", "q47_over_running",
+    # -- r8-touched code: fresh rows for the changed families --
+    "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
+    "q15_exists",
+    # -- rotation: the 35 r5-newest rows, refreshed --
+    "q04_left_join", "q14_in_subquery", "s08_stream_dedup",
+    "s09_stream_quality", "s10_stream_hll", "llm36_pack_verified",
+    "llm37_embdup_lsh_exhaustive", "llm38_features_verified",
+    "llm39_pipeline_verified", "llm40_decontaminate",
+    "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
+    "llm44_token_budget", "llm45_domain_mixture", "llm46_corpus_stats",
+    "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
+    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
+    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
+    "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
+    "llm63_mixture_temperature", "llm67_ngram_novelty",
+    "llm69_length_quantiles", "llm70_topk_quality",
+    "llm71_length_outliers",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: r5-newest rows first, then the
-    #     r6 greens displaced by this rotation. ---
-    "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
-    "llm38_features_verified", "llm39_pipeline_verified",
-    "llm40_decontaminate", "llm41_gopher_repetition", "llm42_line_dedup",
-    "llm43_dup_spans", "llm44_token_budget", "llm45_domain_mixture",
-    "llm46_corpus_stats", "s08_stream_dedup", "llm47_cross_dedup_pairs",
-    "llm48_dedup_against", "llm49_classifier_score", "llm50_kmeans",
-    "llm51_semdedup", "llm52_lm_perplexity", "llm53_html_strip",
-    "llm54_vocab_stats", "s09_stream_quality", "llm55_mixture_epochs",
-    "llm56_shard_assign", "llm57_ann_quantized", "llm58_curation_report",
-    "llm59_bpe_pairs", "llm60_nfc_normalize",
-    "llm63_mixture_temperature", "llm67_ngram_novelty",
-    "llm69_length_quantiles", "s10_stream_hll", "llm70_topk_quality",
-    "llm71_length_outliers", "q04_left_join", "q14_in_subquery",
-    # r6 greens displaced by the r7 rotation
+    #     Ordered by next-staleness: the r6-newest rows first (they
+    #     lead the r9 rotation), then the r7 greens displaced by this
+    #     rotation. ---
     "q02_filter_projection", "q05_right_join", "q08_using_join",
-    "q09_rollup", "q12_order_limit_offset", "q15_exists",
-    "q16_scalar_subquery", "q17a_union", "q18_case_arith", "q20_comma_from",
+    "q09_rollup", "q12_order_limit_offset", "q16_scalar_subquery",
+    "q17a_union", "q18_case_arith", "q20_comma_from",
     "q21_between_like_null", "q22_agg_distinct", "q23_params",
     "q24_star_scoped", "q25_dual", "q28_count_tumbling",
     "q31_delta_tumbling", "q33_derived_stream", "x02_expr_filter_groupby",
@@ -1197,6 +1184,22 @@ _PRIORITY = [
     "llm23_seeded_shuffle", "llm24_stratified_sample",
     "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
+    # r7 greens displaced by the r8 rotation
+    "q42_salt_hint", "q36_range_join", "q06_full_join", "q07_cross_join",
+    "q10_having", "q11_distinct", "q13_in_list", "q17b_union_all",
+    "q17c_except", "q17d_intersect", "q19_derived_table",
+    "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
+    "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
+    "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
+    "q41_stats_aggs", "s02_stream_count_window",
+    "s03_stream_windowed_join", "s04_stream_delta_window",
+    "s06_stream_count_sliding", "x03_expr_bitwise_unary",
+    "llm02_dedup_ngram_jaccard", "llm08_token_stats", "llm13_frame_sample",
+    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
+    "llm28_simhash_verified_pairs", "llm29_split_verified",
+    "llm30_shuffle_key_verified", "llm31_stratified_verified",
+    "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
+    "llm35_dedup_survivors",
 ]
 
 
