@@ -45,12 +45,17 @@ HEADLINE = [
     "llm64_hll_registers",      # probabilistic-sketch family (r5:
                                 # grid-bounded shuffle, no distinct)
     "s01_stream_time_window",   # true streaming (availableNow -> memory)
+    "q46_over_rank",            # analytic OVER: top-k per group
+                                # (WindowGroupLimit) — added r8
+    "q47_over_running",         # analytic OVER: running frames +
+                                # lag over events — added r8
 ]
 
-# the two queries deliberately ADDED to the headline set in r5; the
+# queries deliberately ADDED to the headline set after r4; the
 # like-for-like subtotal below excludes them so the round-over-round
 # ≤2x guard always compares the same 17 queries it was recorded on
-_ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers"}
+_ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers",
+             "q46_over_rank", "q47_over_running"}
 
 
 def _force(df):
