@@ -268,6 +268,8 @@ class OrderItem:
     expr: Expr
     ascending: bool = True
     collate: Optional[str] = None      # parsed, no-op (flinkdsl/parser.scala:250-256)
+    nulls: Optional[str] = None        # "first" | "last" | None (engine
+                                       # default: Spark's asc=NULLS FIRST)
 
 
 @dataclass

@@ -615,7 +615,18 @@ class Parser:
             asc = False
         else:
             self.eat_kw("asc")
-        return OrderItem(expr, asc, collate)
+        nulls = None
+        if self.eat_kw("nulls"):
+            # explicit null placement (engine extension): the portable
+            # escape hatch — Spark defaults asc=NULLS FIRST where most
+            # warehouses default NULLS LAST
+            if self.eat_kw("first"):
+                nulls = "first"
+            elif self.eat_kw("last"):
+                nulls = "last"
+            else:
+                self.error("expected FIRST or LAST after NULLS")
+        return OrderItem(expr, asc, collate, nulls)
 
     def parse_limit_term(self):
         if self.at_op("?"):

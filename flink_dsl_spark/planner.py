@@ -171,9 +171,8 @@ class Planner:
             raise PlanError(f"unknown set op {s.op}")
         if s.order_by:
             df = df.orderBy(*[
-                F.col(df.columns[_setop_order_index(s, o, df)]).asc()
-                if o.ascending else
-                F.col(df.columns[_setop_order_index(s, o, df)]).desc()
+                _sorted_col(F.col(df.columns[_setop_order_index(s, o, df)]),
+                            o)
                 for o in s.order_by])
         df = _apply_limit_offset(df, self._lit_int(s.limit),
                                  self._lit_int(s.offset))
@@ -361,7 +360,7 @@ class Planner:
                 h = f"__o{k}"
                 hidden.append(self._compile(o.expr, df).alias(h))
                 oc = F.col(h)
-            order_cols.append(oc.asc() if o.ascending else oc.desc())
+            order_cols.append(_sorted_col(oc, o))
         df = df.select(*cols, *hidden).orderBy(*order_cols)
         return df.drop(*[f"__o{k}" for k in range(len(sel.order_by))
                          if f"__o{k}" in df.columns])
@@ -490,17 +489,17 @@ class Planner:
             having_name = "__having"
             agg_exprs.append(ctx.compile(sel.having).alias(having_name))
 
-        order_specs: list[tuple[Column, bool]] = []
+        order_specs: list[tuple[Column, OrderItem]] = []
         lower_names = {n.lower(): n for n, _ in out_specs}
         for k, o in enumerate(sel.order_by):
             if isinstance(o.expr, Col) and o.expr.qualifier is None and \
                     o.expr.name.lower() in lower_names:
                 order_specs.append(
-                    (F.col(lower_names[o.expr.name.lower()]), o.ascending))
+                    (F.col(lower_names[o.expr.name.lower()]), o))
             else:
                 h = f"__ord{k}"
                 agg_exprs.append(ctx.compile(o.expr).alias(h))
-                order_specs.append((F.col(h), o.ascending))
+                order_specs.append((F.col(h), o))
 
         if not agg_exprs:
             agg_exprs = [F.count(F.lit(1)).alias("__cnt")]
@@ -514,8 +513,8 @@ class Planner:
         if having_name:
             res = res.filter(F.col(having_name))
         if order_specs:
-            res = res.orderBy(*[c.asc() if asc else c.desc()
-                                for c, asc in order_specs])
+            res = res.orderBy(*[_sorted_col(c, o)
+                                for c, o in order_specs])
         keep = [n for n, _ in out_specs]
         return res.select(*keep)
 
@@ -1143,8 +1142,7 @@ class Planner:
             *[self._compile(p, df) for p in e.partition_by])
         if e.order_by:
             w = w.orderBy(*[
-                self._compile(o.expr, df) if o.ascending
-                else self._compile(o.expr, df).desc()
+                _sorted_col(self._compile(o.expr, df), o)
                 for o in e.order_by])
         elif name in self._RANKING_FUNCS or name in self._OFFSET_FUNCS:
             raise PlanError(
@@ -1342,6 +1340,17 @@ def _apply_binop(op: str, l: Column, r: Column) -> Column:
         return table[op]()
     except KeyError:
         raise PlanError(f"unknown operator {op}")
+
+
+def _sorted_col(c: Column, o: OrderItem) -> Column:
+    """Apply an OrderItem's direction + explicit null placement to a
+    column (None keeps Spark's defaults: asc=NULLS FIRST,
+    desc=NULLS LAST)."""
+    if o.nulls == "first":
+        return c.asc_nulls_first() if o.ascending else c.desc_nulls_first()
+    if o.nulls == "last":
+        return c.asc_nulls_last() if o.ascending else c.desc_nulls_last()
+    return c.asc() if o.ascending else c.desc()
 
 
 _NOT_LITERAL = object()

@@ -107,7 +107,10 @@ class SqlGen:
         return " ".join(parts)
 
     def order_item(self, o) -> str:
-        return f"{self.expr(o.expr)} {'ASC' if o.ascending else 'DESC'}"
+        s = f"{self.expr(o.expr)} {'ASC' if o.ascending else 'DESC'}"
+        if o.nulls is not None:
+            s += f" NULLS {o.nulls.upper()}"
+        return s
 
     def relation(self, rel) -> str:
         if isinstance(rel, TableRef):
@@ -177,6 +180,7 @@ class SqlGen:
             if e.order_by:
                 parts.append("ORDER BY " + ", ".join(
                     self.expr(o.expr) + ("" if o.ascending else " DESC")
+                    + (f" NULLS {o.nulls.upper()}" if o.nulls else "")
                     for o in e.order_by))
             if e.frame is not None:
                 parts.append(

@@ -424,3 +424,53 @@ def test_engine_close_restores_session_confs(spark):
     e2 = FsqlEngine(spark)
     assert spark.conf.get(tz_key) == "UTC"
     e2.close()
+
+
+def test_order_by_nulls_first_last(engine):
+    """Explicit NULLS FIRST/LAST (engine extension): the portable
+    escape hatch for Spark's asc=NULLS FIRST vs warehouse NULLS LAST
+    defaults.  Verified on row ORDER (the compare harness sorts rows,
+    so this asserts positions directly)."""
+    base = ("select case when r_regionkey < 2 then null "
+            "else r_regionkey end as k from region order by k")
+    keys = lambda q: [r["k"] for r in engine.sql(q).collect()]
+    assert keys(base + " nulls last") == [2, 3, 4, None, None]
+    assert keys(base + " nulls first") == [None, None, 2, 3, 4]
+    assert keys(base + " desc nulls first") == [None, None, 4, 3, 2]
+    assert keys(base + " desc nulls last") == [4, 3, 2, None, None]
+    # default keeps Spark semantics (asc => nulls first)
+    assert keys(base) == [None, None, 2, 3, 4]
+    # aggregation path (group key expression repeated — alias-in-GROUP
+    # BY is not a dialect form)
+    case = ("case when r_regionkey < 2 then null "
+            "else r_regionkey end")
+    agg = (f"select {case} as k, count(*) as c from region "
+           f"group by {case} order by {case} nulls last")
+    assert [r["k"] for r in engine.sql(agg).collect()] == [2, 3, 4, None]
+    # OVER-window ordering honors the placement too
+    win = ("select r_regionkey, row_number() over (order by "
+           "case when r_regionkey < 2 then null else r_regionkey end "
+           "nulls last) as rn from region")
+    rows = {r["r_regionkey"]: r["rn"] for r in engine.sql(win).collect()}
+    assert rows[0] in (4, 5) and rows[1] in (4, 5) and rows[2] == 1
+    # set-operation ORDER BY goes through its own index-resolved path
+    setop = ("select case when r_regionkey < 2 then null "
+             "else r_regionkey end as k from region "
+             "union all select n_nationkey as k from nation "
+             "where n_nationkey < 2 order by k desc nulls last")
+    assert [r["k"] for r in engine.sql(setop).collect()] == \
+        [4, 3, 2, 1, 0, None, None]
+    # parse error on a typo
+    with pytest.raises(ParseError, match="FIRST or LAST"):
+        parse("select a from t order by a nulls sometimes")
+
+
+def test_nulls_placement_on_sqlgen_path(engine):
+    """A subquery routes through sqlgen — NULLS FIRST/LAST must render
+    into the generated SQL, not be dropped."""
+    q = ("select case when r_regionkey < 2 then null "
+         "else r_regionkey end as k from region "
+         "where r_regionkey < (select count(*) from region) "
+         "order by k nulls last")
+    assert [r["k"] for r in engine.sql(q).collect()] == \
+        [2, 3, 4, None, None]
