@@ -165,6 +165,18 @@ _FSQL: dict[str, str] = {
                    rows between 2 preceding and current row) as min3
         from events
         where event_type in ('click', 'view')""",
+    # window functions BESIDE GROUP BY (ANSI evaluation order: the
+    # window sees the aggregated rows): within-status priority rank +
+    # share-of-status percentage — the one-SELECT form of the
+    # aggregate-then-window idiom
+    "q48_over_groupagg": """
+        select o_orderstatus, o_orderpriority, count(*) as n,
+               rank() over (partition by o_orderstatus
+                   order by count(*) desc, o_orderpriority) as rk,
+               round(count(*) * 100.0 / sum(count(*))
+                   over (partition by o_orderstatus), 3) as pct
+        from orders
+        group by o_orderstatus, o_orderpriority""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1143,11 +1155,12 @@ _PRIORITY = [
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- first rows: NEW r8 dialect surfaces --
+    # -- first rows: NEW r8 dialect surfaces (q48 took the q15 slot:
+    #    the subquery-traversal change is repped by q14 in-window) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
+    "q48_over_groupagg",
     # -- r8-touched code: fresh rows for the changed families --
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
-    "q15_exists",
     # -- rotation: the 35 r5-newest rows, refreshed --
     "q04_left_join", "q14_in_subquery", "s08_stream_dedup",
     "s09_stream_quality", "s10_stream_hll", "llm36_pack_verified",
@@ -1170,7 +1183,8 @@ _PRIORITY = [
     #     lead the r9 rotation), then the r7 greens displaced by this
     #     rotation. ---
     "q02_filter_projection", "q05_right_join", "q08_using_join",
-    "q09_rollup", "q12_order_limit_offset", "q16_scalar_subquery",
+    "q09_rollup", "q12_order_limit_offset", "q15_exists",
+    "q16_scalar_subquery",
     "q17a_union", "q18_case_arith", "q20_comma_from",
     "q21_between_like_null", "q22_agg_distinct", "q23_params",
     "q24_star_scoped", "q25_dual", "q28_count_tumbling",
@@ -1432,6 +1446,18 @@ def _oracle_sql_base() -> dict[str, str]:
                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3
             FROM events
             WHERE event_type IN ('click', 'view')""",
+        # q48: DuckDB rank -> INT cast, windowed sum-of-count ->
+        # HUGEINT -> BIGINT cast
+        "q48_over_groupagg": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                   CAST(rank() OVER (PARTITION BY o_orderstatus
+                       ORDER BY count(*) DESC, o_orderpriority)
+                       AS INT) AS rk,
+                   round(count(*) * 100.0 / CAST(sum(count(*))
+                       OVER (PARTITION BY o_orderstatus) AS BIGINT),
+                       3) AS pct
+            FROM orders
+            GROUP BY o_orderstatus, o_orderpriority""",
         "q04_left_join": """
             SELECT c_custkey, count(o_orderkey) AS cnt
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey

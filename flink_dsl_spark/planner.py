@@ -281,11 +281,11 @@ class Planner:
 
     def _check_window_func_positions(self, sel: Select,
                                      agg_ctx: bool) -> None:
-        """ANSI position rules for analytic functions: SELECT items of
-        a non-aggregating query only.  WHERE/GROUP BY/HAVING evaluate
-        before windows exist; combining with aggregation needs a
-        derived table (explicit is better than a silently-reordered
-        plan)."""
+        """ANSI position rules for analytic functions: SELECT items
+        only (in an aggregating query they evaluate AFTER
+        grouping/HAVING over the aggregated rows — _plan_aggregate's
+        deferred win_specs).  WHERE/GROUP BY/HAVING evaluate before
+        windows exist; ORDER BY can reference a window item's alias."""
         def has_win(exprs):
             return any(isinstance(x, WindowFunc)
                        for e in exprs if not isinstance(e, Star)
@@ -301,11 +301,6 @@ class Planner:
                 raise PlanError(
                     f"window functions are not allowed in {pos} "
                     "(project them in a derived table first)")
-        if agg_ctx and has_win([i.expr for i in sel.items]):
-            raise PlanError(
-                "window functions cannot be combined with GROUP BY/"
-                "aggregation in one SELECT — aggregate in a derived "
-                "table, then apply the window over its result")
 
     def _leaf_time_col(self, leaf) -> Optional[Column]:
         """Default event-time column for a windowed stream: the policy's
@@ -475,12 +470,33 @@ class Planner:
         out_specs: list[tuple[str, str]] = []   # (hidden_name, out_name)
         ctx = _AggContext(self, group_exprs, g_names, agg_calls, arg_names)
 
+        win_specs: list[tuple[str, object]] = []   # (out_name, item expr)
         for i, item in enumerate(sel.items):
             if isinstance(item.expr, Star):
                 raise PlanError("SELECT * cannot be combined with GROUP BY")
             name = _item_name(item, i)
+            if _expr_contains_winfunc(item.expr):
+                # analytic item in an aggregating query: evaluated
+                # AFTER grouping/HAVING (ANSI order) over the
+                # aggregated frame — deferred below
+                win_specs.append((name, item.expr))
+                out_specs.append((name, name))
+                continue
             agg_exprs.append(ctx.compile(item.expr).alias(name))
             out_specs.append((name, name))
+        # materialize every aggregate call a deferred window item uses
+        # (walk_expr skips the window's OWN function, so `sum(x) over`
+        # never lands here — only true group aggregates like the
+        # sum(x) in `rank() over (order by sum(x))`)
+        win_agg_cols: list[tuple[FuncCall, str]] = []
+        for _, wexpr in win_specs:
+            for x in walk_expr(wexpr):
+                if isinstance(x, FuncCall) \
+                        and self.registry.is_aggregate(x.name) \
+                        and not any(x == c for c, _ in win_agg_cols):
+                    h = f"__w{len(win_agg_cols)}"
+                    agg_exprs.append(ctx.compile(x).alias(h))
+                    win_agg_cols.append((x, h))
         for wname, wcol in win_out:
             out_specs.append((wname, wname))
 
@@ -512,6 +528,11 @@ class Planner:
 
         if having_name:
             res = res.filter(F.col(having_name))
+        if win_specs:
+            post = _PostAggContext(self, group_exprs, g_names,
+                                   win_agg_cols, res)
+            for name, wexpr in win_specs:
+                res = res.withColumn(name, post.compile(wexpr))
         if order_specs:
             res = res.orderBy(*[_sorted_col(c, o)
                                 for c, o in order_specs])
@@ -1113,7 +1134,8 @@ class Planner:
     _OFFSET_FUNCS = frozenset({"lag", "lead"})
     _VALUE_FUNCS = frozenset({"first_value", "last_value"})
 
-    def _compile_window_func(self, e: WindowFunc, df) -> Column:
+    def _compile_window_func(self, e: WindowFunc, df,
+                             compile=None) -> Column:
         """Analytic OVER clause (engine extension, SURVEY.md §2.5 —
         the reference has none).  Maps 1:1 onto pyspark.sql.Window:
         ranking/offset/value functions compile directly, aggregate
@@ -1127,6 +1149,8 @@ class Planner:
         beyond the partition sort itself."""
         from pyspark.sql import Window as SW
 
+        comp = compile if compile is not None \
+            else (lambda x: self._compile(x, df))
         name = e.func.name
         if df is None:
             raise PlanError("window functions require a FROM clause")
@@ -1138,11 +1162,10 @@ class Planner:
             raise PlanError(
                 f"DISTINCT is not supported in window function {name}()")
 
-        w = SW.partitionBy(
-            *[self._compile(p, df) for p in e.partition_by])
+        w = SW.partitionBy(*[comp(p) for p in e.partition_by])
         if e.order_by:
             w = w.orderBy(*[
-                _sorted_col(self._compile(o.expr, df), o)
+                _sorted_col(comp(o.expr), o)
                 for o in e.order_by])
         elif name in self._RANKING_FUNCS or name in self._OFFSET_FUNCS:
             raise PlanError(
@@ -1191,12 +1214,12 @@ class Planner:
                     raise PlanError(
                         f"{name}() default must be a literal")
             fn = F.lag if name == "lag" else F.lead
-            col = fn(self._compile(args[0], df), off, dflt)
+            col = fn(comp(args[0]), off, dflt)
         elif name in self._VALUE_FUNCS:
             if len(args) != 1:
                 raise PlanError(f"{name}() takes exactly one argument")
             fn = F.first if name == "first_value" else F.last
-            col = fn(self._compile(args[0], df))
+            col = fn(comp(args[0]))
         elif self.registry.is_aggregate(name):
             if args and isinstance(args[0], Star):
                 if name != "count":
@@ -1204,7 +1227,7 @@ class Planner:
                 col = F.count(F.lit(1))
             else:
                 col = self.registry.build(
-                    name, [self._compile(a, df) for a in args])
+                    name, [comp(a) for a in args])
         else:
             raise PlanError(
                 f"{name}() is not a supported window function "
@@ -1309,6 +1332,37 @@ class _AggContext:
         args = [F.col(v) if kind == "col" else F.lit(v)
                 for kind, v in specs]
         return self.p.registry.build(name, args)
+
+
+class _PostAggContext(_AggContext):
+    """Compile expressions AFTER aggregation: grouping expressions and
+    aggregate calls resolve to the aggregated frame's columns (the
+    ``__g{i}`` keys and ``__w{n}`` hidden aggregate outputs), and
+    window functions compile over that frame — the ANSI evaluation
+    order for `rank() over (order by sum(x)) … group by g`."""
+
+    def __init__(self, planner, group_exprs, g_names, agg_cols, res):
+        super().__init__(planner, group_exprs, g_names, [], {})
+        self.agg_cols = agg_cols        # list[(FuncCall, hidden_name)]
+        self.res = res
+
+    def compile(self, e) -> Column:
+        if isinstance(e, WindowFunc):
+            return self.p._compile_window_func(
+                e, self.res, compile=self.compile)
+        return super().compile(e)
+
+    def _agg(self, call: FuncCall) -> Column:
+        for c, h in self.agg_cols:
+            if call == c:
+                return F.col(h)
+        raise PlanError(
+            f"internal: aggregate {call.name}() inside a window item "
+            "was not materialized")
+
+
+def _expr_contains_winfunc(e) -> bool:
+    return any(isinstance(x, WindowFunc) for x in walk_expr(e))
 
 
 def _apply_binop(op: str, l: Column, r: Column) -> Column:

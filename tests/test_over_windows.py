@@ -198,10 +198,12 @@ def test_window_func_position_errors(engine):
     with pytest.raises(PlanError, match="not allowed in ORDER BY"):
         engine.sql("select o_custkey from orders "
                    "order by row_number() over (order by o_orderkey)")
-    with pytest.raises(PlanError, match="cannot be combined"):
-        engine.sql("select o_custkey, count(*) as c, "
-                   "row_number() over (order by o_custkey) as rn "
-                   "from orders group by o_custkey")
+    # GROUP BY + window in one SELECT is SUPPORTED (ANSI order; see
+    # test_window_over_group_by_matches_duckdb) — sanity-check here
+    df = engine.sql("select o_custkey, count(*) as c, "
+                    "row_number() over (order by o_custkey) as rn "
+                    "from orders group by o_custkey")
+    assert set(df.columns) == {"o_custkey", "c", "rn"}
 
 
 def test_window_func_argument_errors(engine):
@@ -250,3 +252,66 @@ def test_window_func_is_batch_only(spark):
                     "from over_ev")
     finally:
         eng.sql("drop stream over_ev")
+
+
+# ---------------------------------------------------------------------------
+# window functions over GROUP BY (ANSI evaluation order)
+# ---------------------------------------------------------------------------
+
+def test_window_over_group_by_matches_duckdb(engine, duck):
+    """`rank() over (order by sum(x))` beside GROUP BY: aggregates
+    materialize first, the window evaluates over the aggregated rows
+    (ANSI order) — including the share-of-total idiom."""
+    q = """select o_custkey, count(*) as n, sum(o_orderkey) as s,
+                  rank() over (order by sum(o_orderkey) desc,
+                               o_custkey) as rk,
+                  round(sum(o_orderkey) * 100.0
+                        / sum(sum(o_orderkey)) over (), 3) as share
+           from orders where o_custkey < 30 group by o_custkey"""
+    oracle = """select o_custkey, count(*) as n,
+                  CAST(sum(o_orderkey) AS BIGINT) as s,
+                  CAST(rank() over (order by sum(o_orderkey) desc,
+                               o_custkey) AS INT) as rk,
+                  round(sum(o_orderkey) * 100.0
+                        / CAST(sum(sum(o_orderkey)) over ()
+                               AS BIGINT), 3) as share
+           from orders where o_custkey < 30 group by o_custkey"""
+    assert_matches_oracle(engine.sql(q), duck, oracle, "group-window")
+
+
+def test_window_evaluates_after_having(engine, duck):
+    q = """select o_custkey, count(*) as n,
+                  row_number() over (order by count(*) desc,
+                                     o_custkey) as rn
+           from orders group by o_custkey having count(*) >= 12"""
+    oracle = q.replace(
+        "row_number() over (order by count(*) desc,\n"
+        "                                     o_custkey)",
+        "CAST(row_number() over (order by count(*) desc,\n"
+        "                                     o_custkey) AS INT)")
+    assert_matches_oracle(engine.sql(q), duck, oracle, "having-window")
+
+
+def test_order_by_window_alias_in_agg_query(engine):
+    q = """select o_custkey,
+                  rank() over (order by sum(o_totalprice) desc) as rk
+           from orders where o_custkey < 20 group by o_custkey
+           order by rk"""
+    assert [r["rk"] for r in engine.sql(q).collect()][:5] == \
+        [1, 2, 3, 4, 5]
+
+
+def test_window_over_rollup(engine):
+    q = """select o_orderstatus, count(*) as n,
+                  rank() over (order by count(*) desc) as rk
+           from orders group by o_orderstatus with rollup"""
+    rows = {r["o_orderstatus"]: r for r in engine.sql(q).collect()}
+    # the rollup total row (NULL status) counts everything -> rank 1
+    assert rows[None]["rk"] == 1
+
+
+def test_non_grouped_column_in_window_errors(engine):
+    with pytest.raises(PlanError, match="must appear in GROUP BY"):
+        engine.sql("select o_custkey, "
+                   "rank() over (order by o_totalprice) as r "
+                   "from orders group by o_custkey")
