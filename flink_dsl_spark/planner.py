@@ -291,12 +291,22 @@ class Planner:
                        for e in exprs if not isinstance(e, Star)
                        for x in walk_expr(e))
 
+        def join_conds(rel):
+            if isinstance(rel, Join):
+                yield from join_conds(rel.left)
+                yield from join_conds(rel.right)
+                if rel.on is not None:
+                    yield rel.on
+
         for pos, exprs in (("WHERE", [sel.where] if sel.where is not None
                             else []),
                            ("GROUP BY", sel.group_by),
                            ("HAVING", [sel.having] if sel.having is not None
                             else []),
-                           ("ORDER BY", [o.expr for o in sel.order_by])):
+                           ("ORDER BY", [o.expr for o in sel.order_by]),
+                           ("a JOIN condition",
+                            list(join_conds(sel.from_))
+                            if sel.from_ is not None else [])):
             if has_win(exprs):
                 raise PlanError(
                     f"window functions are not allowed in {pos} "

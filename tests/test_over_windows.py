@@ -315,3 +315,10 @@ def test_non_grouped_column_in_window_errors(engine):
         engine.sql("select o_custkey, "
                    "rank() over (order by o_totalprice) as r "
                    "from orders group by o_custkey")
+
+
+def test_window_func_in_join_condition_errors(engine):
+    with pytest.raises(PlanError, match="JOIN condition"):
+        engine.sql(
+            "select n_name from nation join region "
+            "on row_number() over (order by r_regionkey) = n_regionkey")
