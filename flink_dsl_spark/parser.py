@@ -990,8 +990,14 @@ class Parser:
             self.expect_kw("and")
             end = self.parse_frame_bound()
         else:
-            # ANSI shorthand: a lone start bound implies CURRENT ROW end
+            # ANSI shorthand: a lone start bound implies CURRENT ROW
+            # end — so only UNBOUNDED PRECEDING / n PRECEDING /
+            # CURRENT ROW may stand alone (a lone FOLLOWING would be
+            # an inverted, always-empty frame)
             start = self.parse_frame_bound()
+            if start[0] in ("following", "unbounded_following"):
+                self.error("a lone frame bound cannot be FOLLOWING "
+                           "(use BETWEEN ... AND ...)")
             end = ("current",)
         return WindowFrame(mode, start, end)
 

@@ -200,7 +200,7 @@ class Planner:
 
     def plan_select(self, sel: Select) -> DataFrame:
         agg_ctx = self._needs_aggregation(sel)
-        self._check_window_func_positions(sel, agg_ctx)
+        self._check_window_func_positions(sel)
         windowed = [l for l in (relation_leaves(sel.from_)
                                 if sel.from_ is not None else [])
                     if getattr(l, "window", None) is not None]
@@ -279,8 +279,7 @@ class Planner:
                                  self._lit_int(sel.offset))
         return df
 
-    def _check_window_func_positions(self, sel: Select,
-                                     agg_ctx: bool) -> None:
+    def _check_window_func_positions(self, sel: Select) -> None:
         """ANSI position rules for analytic functions: SELECT items
         only (in an aggregating query they evaluate AFTER
         grouping/HAVING over the aggregated rows — _plan_aggregate's
@@ -480,7 +479,7 @@ class Planner:
         out_specs: list[tuple[str, str]] = []   # (hidden_name, out_name)
         ctx = _AggContext(self, group_exprs, g_names, agg_calls, arg_names)
 
-        win_specs: list[tuple[str, object]] = []   # (out_name, item expr)
+        win_specs: list[tuple[str, object]] = []   # (hidden_name, expr)
         for i, item in enumerate(sel.items):
             if isinstance(item.expr, Star):
                 raise PlanError("SELECT * cannot be combined with GROUP BY")
@@ -488,9 +487,12 @@ class Planner:
             if _expr_contains_winfunc(item.expr):
                 # analytic item in an aggregating query: evaluated
                 # AFTER grouping/HAVING (ANSI order) over the
-                # aggregated frame — deferred below
-                win_specs.append((name, item.expr))
-                out_specs.append((name, name))
+                # aggregated frame — deferred below.  Hidden unique
+                # name: two unaliased same-function items must not
+                # overwrite each other's withColumn
+                h = f"__win{i}"
+                win_specs.append((h, item.expr))
+                out_specs.append((h, name))
                 continue
             agg_exprs.append(ctx.compile(item.expr).alias(name))
             out_specs.append((name, name))
@@ -516,7 +518,10 @@ class Planner:
             agg_exprs.append(ctx.compile(sel.having).alias(having_name))
 
         order_specs: list[tuple[Column, OrderItem]] = []
-        lower_names = {n.lower(): n for n, _ in out_specs}
+        # ORDER BY aliases resolve to the HIDDEN column holding each
+        # output (hidden == out for plain items, __win{i} for deferred
+        # window items)
+        lower_names = {out.lower(): hid for hid, out in out_specs}
         for k, o in enumerate(sel.order_by):
             if isinstance(o.expr, Col) and o.expr.qualifier is None and \
                     o.expr.name.lower() in lower_names:
@@ -541,13 +546,13 @@ class Planner:
         if win_specs:
             post = _PostAggContext(self, group_exprs, g_names,
                                    win_agg_cols, res)
-            for name, wexpr in win_specs:
-                res = res.withColumn(name, post.compile(wexpr))
+            for h, wexpr in win_specs:
+                res = res.withColumn(h, post.compile(wexpr))
         if order_specs:
             res = res.orderBy(*[_sorted_col(c, o)
                                 for c, o in order_specs])
-        keep = [n for n, _ in out_specs]
-        return res.select(*keep)
+        return res.select(*[F.col(hid).alias(out)
+                            for hid, out in out_specs])
 
     # ------------------------------------------------------------------
     # INSERT (append semantics; flinkdsl/ast.scala:154-161,
@@ -1187,6 +1192,14 @@ class Planner:
                     f"{name}() does not accept a frame specification")
             lo = self._frame_bound(e.frame.start, SW)
             hi = self._frame_bound(e.frame.end, SW)
+            if lo > hi:
+                # e.g. BETWEEN 2 FOLLOWING AND 1 PRECEDING — Spark
+                # would silently evaluate the empty frame to NULLs;
+                # DuckDB rejects it, so the oracle premise demands an
+                # error here too
+                raise PlanError(
+                    "inverted window frame (start bound is after the "
+                    "end bound)")
             w = (w.rowsBetween(lo, hi) if e.frame.mode == "rows"
                  else w.rangeBetween(lo, hi))
 
@@ -1199,6 +1212,7 @@ class Planner:
         elif name == "ntile":
             if len(args) != 1 or not isinstance(args[0], Lit) \
                     or not isinstance(args[0].value, int) \
+                    or isinstance(args[0].value, bool) \
                     or args[0].value < 1:
                 raise PlanError(
                     "ntile() takes one positive integer literal")

@@ -179,9 +179,7 @@ class SqlGen:
                     self.expr(p) for p in e.partition_by))
             if e.order_by:
                 parts.append("ORDER BY " + ", ".join(
-                    self.expr(o.expr) + ("" if o.ascending else " DESC")
-                    + (f" NULLS {o.nulls.upper()}" if o.nulls else "")
-                    for o in e.order_by))
+                    self.order_item(o) for o in e.order_by))
             if e.frame is not None:
                 parts.append(
                     f"{e.frame.mode.upper()} BETWEEN "

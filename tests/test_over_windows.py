@@ -6,7 +6,7 @@ verified cell-exact against DuckDB."""
 
 import pytest
 
-from flink_dsl_spark import parse
+from flink_dsl_spark import ParseError, parse
 from flink_dsl_spark.ast_nodes import (
     Col, FuncCall, Lit, OrderItem, WindowFrame, WindowFunc,
 )
@@ -322,3 +322,62 @@ def test_window_func_in_join_condition_errors(engine):
         engine.sql(
             "select n_name from nation join region "
             "on row_number() over (order by r_regionkey) = n_regionkey")
+
+
+# ---------------------------------------------------------------------------
+# round-8 review findings (each was a confirmed live repro)
+# ---------------------------------------------------------------------------
+
+def test_duplicate_unaliased_window_items_in_agg_query(engine):
+    """Two unaliased same-named window items beside GROUP BY must keep
+    DISTINCT values (pre-fix the second withColumn overwrote the
+    first, silently duplicating the DESC rank into both columns)."""
+    df = engine.sql(
+        "select o_orderstatus, "
+        "rank() over (order by count(*), o_orderstatus) as r_asc, "
+        "rank() over (order by count(*) desc, o_orderstatus desc) "
+        "as r_desc "
+        "from orders group by o_orderstatus")
+    rows = df.collect()
+    asc = {r["o_orderstatus"]: r["r_asc"] for r in rows}
+    desc = {r["o_orderstatus"]: r["r_desc"] for r in rows}
+    assert asc != desc          # opposite orders -> different ranks
+    n = len(rows)
+    assert all(asc[k] + desc[k] == n + 1 for k in asc)
+    # truly unaliased duplicates keep both distinct value sets too
+    df2 = engine.sql(
+        "select o_orderstatus, "
+        "rank() over (order by count(*)), "
+        "rank() over (order by count(*) desc) "
+        "from orders group by o_orderstatus")
+    vals = [tuple(r) for r in df2.collect()]
+    assert any(r[1] != r[2] for r in vals)
+
+
+def test_lone_following_frame_bound_rejected(engine):
+    """ANSI: only UNBOUNDED PRECEDING / n PRECEDING / CURRENT ROW may
+    stand alone (a lone FOLLOWING implies an empty inverted frame that
+    Spark would evaluate to all NULLs while DuckDB errors)."""
+    with pytest.raises(ParseError, match="lone frame bound"):
+        parse("select sum(x) over (order by y rows 2 following) as s "
+              "from t")
+    with pytest.raises(ParseError, match="lone frame bound"):
+        parse("select sum(x) over (order by y rows unbounded following)"
+              " as s from t")
+
+
+def test_inverted_frame_rejected(engine):
+    with pytest.raises(PlanError, match="inverted window frame"):
+        engine.sql("select sum(o_orderkey) over (order by o_orderkey "
+                   "rows between 2 following and 1 preceding) as s "
+                   "from orders")
+    with pytest.raises(PlanError, match="inverted window frame"):
+        engine.sql("select sum(o_orderkey) over (order by o_orderkey "
+                   "rows between current row and 1 preceding) as s "
+                   "from orders")
+
+
+def test_ntile_rejects_boolean_literal(engine):
+    with pytest.raises(PlanError, match="positive integer"):
+        engine.sql("select ntile(true) over (order by o_orderkey) as n "
+                   "from orders")
