@@ -177,6 +177,21 @@ _FSQL: dict[str, str] = {
                    over (partition by o_orderstatus), 3) as pct
         from orders
         group by o_orderstatus, o_orderpriority""",
+    # QUALIFY (late-r8 dialect extension, DuckDB/Snowflake-style):
+    # filter on window results without a derived table.  Aggregating
+    # form — the predicate mixes a window alias (rk, evaluated after
+    # grouping per ANSI order) with a plain aggregate alias (n); the
+    # partitioned rank keeps the window exchange keyed (no
+    # SinglePartition), and ties break on the second order key so both
+    # engines rank identically
+    "q49_qualify": """
+        select o_orderstatus, o_orderpriority, count(*) as n,
+               round(sum(o_totalprice), 2) as total,
+               rank() over (partition by o_orderstatus
+                   order by sum(o_totalprice) desc, o_orderpriority) as rk
+        from orders
+        group by o_orderstatus, o_orderpriority
+        qualify rk <= 3 and n > 10""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1143,22 +1158,24 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-8 window (COVERAGE.md's r8 plan):
-    # regression core; first rows for the THREE new r8 dialect
-    # surfaces (q45 cap hint, q46/q47 analytic OVER windows); fresh
-    # rows for the four families whose code changed this round (q43
-    # DDL/engine register+DROP kind guards, q44 INSERT re-register
-    # kind inheritance, llm62 bpe_train probe-cache fix, q15 the
-    # subquery-traversal dedup); then ALL 35 queries whose newest
-    # driver row was r5.  After this round every value-oracled
-    # query's newest driver row is ≤2 rounds old (r7∪r8).
+    # regression core; first rows for the FIVE new r8 dialect
+    # surfaces (q45 cap hint, q46/q47 analytic OVER windows, q48
+    # window-beside-GROUP-BY, q49 QUALIFY); fresh rows for the
+    # families whose code changed this round (q43 DDL/engine
+    # register+DROP kind guards, q44 INSERT re-register kind
+    # inheritance, llm62 bpe_train probe-cache fix, q15 the
+    # subquery-traversal dedup); then the r5-newest queries (35 of
+    # 36 — llm71 lent its slot to q49 and leads the r9 rotation).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
     # -- first rows: NEW r8 dialect surfaces (q48 took the q15 slot:
-    #    the subquery-traversal change is repped by q14 in-window) --
+    #    the subquery-traversal change is repped by q14 in-window;
+    #    q49 QUALIFY took llm71's slot — the sketch family stays
+    #    repped in-window by llm69/llm70) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
-    "q48_over_groupagg",
+    "q48_over_groupagg", "q49_qualify",
     # -- r8-touched code: fresh rows for the changed families --
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
     # -- rotation: the 35 r5-newest rows, refreshed --
@@ -1175,13 +1192,14 @@ _PRIORITY = [
     "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
     "llm63_mixture_temperature", "llm67_ngram_novelty",
     "llm69_length_quantiles", "llm70_topk_quality",
-    "llm71_length_outliers",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: the r6-newest rows first (they
-    #     lead the r9 rotation), then the r7 greens displaced by this
-    #     rotation. ---
+    #     Ordered by next-staleness: llm71 first (r5-newest — it lent
+    #     its r8 slot to q49 QUALIFY, so it leads the r9 rotation),
+    #     then the r6-newest rows, then the r7 greens displaced by
+    #     this rotation. ---
+    "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
     "q09_rollup", "q12_order_limit_offset", "q15_exists",
     "q16_scalar_subquery",
@@ -1458,6 +1476,21 @@ def _oracle_sql_base() -> dict[str, str]:
                        3) AS pct
             FROM orders
             GROUP BY o_orderstatus, o_orderpriority""",
+        # q49: QUALIFY replayed as the desugared derived table (the
+        # same rewrite the engine's subquery path uses); DuckDB rank
+        # -> INT cast
+        "q49_qualify": """
+            SELECT o_orderstatus, o_orderpriority, n, total,
+                   CAST(rk AS INT) AS rk
+            FROM (SELECT o_orderstatus, o_orderpriority,
+                         count(*) AS n,
+                         round(sum(o_totalprice), 2) AS total,
+                         rank() OVER (PARTITION BY o_orderstatus
+                             ORDER BY sum(o_totalprice) DESC,
+                                      o_orderpriority) AS rk
+                  FROM orders
+                  GROUP BY o_orderstatus, o_orderpriority) t
+            WHERE rk <= 3 AND n > 10""",
         "q04_left_join": """
             SELECT c_custkey, count(o_orderkey) AS cnt
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey

@@ -49,13 +49,15 @@ HEADLINE = [
                                 # (WindowGroupLimit) — added r8
     "q47_over_running",         # analytic OVER: running frames +
                                 # lag over events — added r8
+    "q49_qualify",              # QUALIFY over GROUP BY (window +
+                                # aggregate aliases) — added late r8
 ]
 
 # queries deliberately ADDED to the headline set after r4; the
 # like-for-like subtotal below excludes them so the round-over-round
 # ≤2x guard always compares the same 17 queries it was recorded on
 _ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers",
-             "q46_over_rank", "q47_over_running"}
+             "q46_over_rank", "q47_over_running", "q49_qualify"}
 
 
 def _force(df):

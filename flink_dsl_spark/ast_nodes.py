@@ -299,6 +299,8 @@ class Select:
     offset: Optional[Expr] = None
     distinct: bool = False
     hints: list = field(default_factory=list)    # list[Hint]
+    qualify: Optional[Expr] = None               # engine extension:
+                                                 # filter on window results
 
 
 @dataclass

@@ -190,12 +190,20 @@ class Parser:
             return t.text
         self.error(f"expected {what}")
 
+    # contextual keywords that must not be swallowed as an IMPLICIT
+    # alias (a bare ``from t qualify rank() ...`` starts a QUALIFY
+    # clause, not an alias).  ``AS qualify`` and ``"qualify"`` still
+    # work as explicit aliases.
+    _NON_ALIAS = {"qualify"}
+
     def alias_ident(self) -> str | None:
         """Optional [AS] alias."""
         if self.eat_kw("as"):
             return self.ident("alias")
         t = self.cur
-        if t.kind == "qident" or (t.kind == "ident" and t.lower not in RESERVED):
+        if t.kind == "qident" or (t.kind == "ident"
+                                  and t.lower not in RESERVED
+                                  and t.lower not in self._NON_ALIAS):
             self.advance()
             return t.text[1:-1] if t.kind == "qident" else t.text
         return None
@@ -526,6 +534,9 @@ class Parser:
                 rollup = True
             if self.eat_kw("having"):
                 having = self.parse_expr()
+        # QUALIFY (engine extension, DuckDB/Snowflake-style): filter on
+        # window-function results without a derived table
+        qualify = self.parse_expr() if self.eat_kw("qualify") else None
         order_by = self.parse_order_by() if self.at_kw("order") else []
         limit = offset = None
         if self.eat_kw("limit"):
@@ -533,7 +544,8 @@ class Parser:
             if self.eat_kw("offset"):
                 offset = self.parse_limit_term()
         return Select(items, from_, where, group_by, rollup, having,
-                      order_by, limit, offset, distinct, hints=hints)
+                      order_by, limit, offset, distinct, hints=hints,
+                      qualify=qualify)
 
     def _parse_hint_block(self, tok: Token) -> list:
         """``/*+ name(arg, ...) [, name(...)] */`` — args are

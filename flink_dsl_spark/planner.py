@@ -62,7 +62,7 @@ def _expr_subqueries(sel):
     conditions (the same positions _select_has_subquery scans)."""
     exprs = [i.expr for i in sel.items] + list(sel.group_by) \
         + [o.expr for o in sel.order_by]
-    for opt in (sel.where, sel.having):
+    for opt in (sel.where, sel.having, sel.qualify):
         if opt is not None:
             exprs.append(opt)
     if sel.from_ is not None:
@@ -120,6 +120,10 @@ class Planner:
         # keys are POPPED as their join consumes them (plan_select
         # errors on leftovers so a typo'd key can't silently no-op)
         self._salt_specs: dict = {}
+        # QUALIFY alias substitution: lowercase projection alias ->
+        # hidden column holding the computed item, active only while
+        # the QUALIFY predicate compiles (empty otherwise)
+        self._qualify_aliases: dict = {}
 
     # ------------------------------------------------------------------
     # statement dispatch
@@ -268,6 +272,9 @@ class Planner:
         for gcol, idcol, k in cap_specs:
             df = self._apply_cap_hint(df, gcol, idcol, k)
 
+        if sel.qualify is not None:
+            self._check_qualify(sel, df)
+
         if agg_ctx:
             df = self._plan_aggregate(sel, df, group_window_leaf)
         else:
@@ -311,6 +318,32 @@ class Planner:
                     f"window functions are not allowed in {pos} "
                     "(project them in a derived table first)")
 
+    def _check_qualify(self, sel: Select, df) -> None:
+        """QUALIFY (engine extension, DuckDB/Snowflake-style) filters on
+        window-function results.  It must involve a window — either a
+        window function in the predicate itself or a reference to a
+        window-function select item's alias; anything else belongs in
+        WHERE/HAVING.  Batch-only, like every analytic OVER clause."""
+        if df.isStreaming:
+            raise PlanError(
+                "QUALIFY is batch-only (window functions need a finite "
+                "partition order)")
+        win_aliases = {
+            _item_name(item, i).lower()
+            for i, item in enumerate(sel.items)
+            if not isinstance(item.expr, Star)
+            and _expr_contains_winfunc(item.expr)}
+        for x in walk_expr(sel.qualify):
+            if isinstance(x, WindowFunc):
+                return
+            if isinstance(x, Col) and x.binding is None \
+                    and x.name.lower() in win_aliases:
+                return
+        raise PlanError(
+            "QUALIFY requires a window function in its predicate or a "
+            "reference to a window-function select item (use WHERE or "
+            "HAVING to filter non-window results)")
+
     def _leaf_time_col(self, leaf) -> Optional[Column]:
         """Default event-time column for a windowed stream: the policy's
         ``on`` column, else catalog metadata event_time_col."""
@@ -337,6 +370,8 @@ class Planner:
     # --- non-aggregate projection ---
 
     def _plan_projection(self, sel: Select, df: DataFrame) -> DataFrame:
+        if sel.qualify is not None:
+            return self._plan_projection_qualify(sel, df)
         cols: list[Column] = []
         out_names: list[str] = []
         for i, item in enumerate(sel.items):
@@ -348,11 +383,64 @@ class Planner:
                 name = _item_name(item, i)
                 cols.append(self._compile(item.expr, df).alias(name))
                 out_names.append(name)
+        return self._project_ordered(sel, df, cols, out_names)
 
+    def _plan_projection_qualify(self, sel: Select,
+                                 df: DataFrame) -> DataFrame:
+        """QUALIFY on a non-aggregating query.  ANSI/DuckDB evaluation
+        order: every select item (and so every window function) is
+        computed over the FULL WHERE output first, THEN the predicate
+        filters, THEN DISTINCT/ORDER BY/LIMIT — a surviving row keeps
+        the rank it had in the pre-filter partition.  Items materialize
+        as hidden ``__s{i}`` columns (withColumn keeps the input frame's
+        columns and binding qualifiers available to the predicate);
+        alias references in the predicate resolve to those hidden
+        columns via _qualify_aliases, so the window is computed once.
+
+        Scale shape: identical to the same query through a derived
+        table — the window's hash shuffle on its partition keys, then a
+        filter; no extra exchange for the QUALIFY itself."""
+        qdf = df
+        specs: list[tuple] = []          # ("star", Star) | ("col", (hid, out))
+        alias_map: dict[str, str] = {}
+        for i, item in enumerate(sel.items):
+            if isinstance(item.expr, Star):
+                specs.append(("star", item.expr))
+                continue
+            name = _item_name(item, i)
+            h = f"__s{i}"
+            qdf = qdf.withColumn(h, self._compile(item.expr, df))
+            specs.append(("col", (h, name)))
+            alias_map.setdefault(name.lower(), h)
+        prev = self._qualify_aliases
+        self._qualify_aliases = alias_map
+        try:
+            pred = self._compile(sel.qualify, qdf)
+        finally:
+            self._qualify_aliases = prev
+        qdf = qdf.withColumn("__qual", pred).filter(F.col("__qual"))
+
+        cols: list[Column] = []
+        out_names: list[str] = []
+        for kind, payload in specs:
+            if kind == "star":
+                star_cols, star_names = self._expand_star(sel, payload)
+                cols.extend(star_cols)
+                out_names.extend(star_names)
+            else:
+                h, name = payload
+                cols.append(F.col(h).alias(name))
+                out_names.append(name)
+        return self._project_ordered(sel, qdf, cols, out_names)
+
+    def _project_ordered(self, sel: Select, df: DataFrame,
+                         cols: list, out_names: list) -> DataFrame:
+        """Final projection + ORDER BY shared by the plain and QUALIFY
+        projection paths.  ORDER BY may reference projection aliases or
+        any column of the incoming frame."""
         if not sel.order_by:
             return df.select(*cols)
 
-        # ORDER BY may reference projection aliases or input columns
         hidden: list[Column] = []
         order_cols: list[Column] = []
         lower_names = {n.lower(): n for n in out_names}
@@ -437,6 +525,8 @@ class Planner:
                 collect(item.expr)
         if sel.having is not None:
             collect(sel.having)
+        if sel.qualify is not None:
+            collect(sel.qualify)
         for o in sel.order_by:
             collect(o.expr)
 
@@ -496,12 +586,16 @@ class Planner:
                 continue
             agg_exprs.append(ctx.compile(item.expr).alias(name))
             out_specs.append((name, name))
-        # materialize every aggregate call a deferred window item uses
-        # (walk_expr skips the window's OWN function, so `sum(x) over`
-        # never lands here — only true group aggregates like the
-        # sum(x) in `rank() over (order by sum(x))`)
+        # materialize every aggregate call a deferred window item — or
+        # the QUALIFY predicate — uses (walk_expr skips the window's
+        # OWN function, so `sum(x) over` never lands here — only true
+        # group aggregates like the sum(x) in
+        # `rank() over (order by sum(x))`)
         win_agg_cols: list[tuple[FuncCall, str]] = []
-        for _, wexpr in win_specs:
+        post_exprs = [wexpr for _, wexpr in win_specs]
+        if sel.qualify is not None:
+            post_exprs.append(sel.qualify)
+        for wexpr in post_exprs:
             for x in walk_expr(wexpr):
                 if isinstance(x, FuncCall) \
                         and self.registry.is_aggregate(x.name) \
@@ -543,11 +637,24 @@ class Planner:
 
         if having_name:
             res = res.filter(F.col(having_name))
-        if win_specs:
+        if win_specs or sel.qualify is not None:
             post = _PostAggContext(self, group_exprs, g_names,
                                    win_agg_cols, res)
             for h, wexpr in win_specs:
                 res = res.withColumn(h, post.compile(wexpr))
+            if sel.qualify is not None:
+                # QUALIFY over an aggregating query: evaluated after
+                # grouping/HAVING and the deferred window items, before
+                # ORDER BY/LIMIT (ANSI order).  Alias references
+                # resolve to the hidden column holding each output.
+                post.alias_map = {out.lower(): hid
+                                  for hid, out in out_specs}
+                try:
+                    res = res.withColumn(
+                        "__qual", post.compile(sel.qualify))
+                finally:
+                    post.alias_map = None
+                res = res.filter(F.col("__qual"))
         if order_specs:
             res = res.orderBy(*[_sorted_col(c, o)
                                 for c, o in order_specs])
@@ -1051,6 +1158,10 @@ class Planner:
         if isinstance(e, Col):
             if e.binding is not None:
                 return F.col(f"{e.binding}.{e.name}")
+            if self._qualify_aliases:
+                hid = self._qualify_aliases.get(e.name.lower())
+                if hid is not None:
+                    return F.col(hid)
             return F.col(e.name)
         if isinstance(e, BinOp):
             return self._compile_binop(e, df)
@@ -1369,8 +1480,17 @@ class _PostAggContext(_AggContext):
         super().__init__(planner, group_exprs, g_names, [], {})
         self.agg_cols = agg_cols        # list[(FuncCall, hidden_name)]
         self.res = res
+        # QUALIFY alias substitution (lowercase output alias -> hidden
+        # column of the aggregated frame); set only while the QUALIFY
+        # predicate compiles
+        self.alias_map: Optional[dict] = None
 
     def compile(self, e) -> Column:
+        if self.alias_map is not None and isinstance(e, Col) \
+                and e.binding is None:
+            hid = self.alias_map.get(e.name.lower())
+            if hid is not None:
+                return F.col(hid)
         if isinstance(e, WindowFunc):
             return self.p._compile_window_func(
                 e, self.res, compile=self.compile)

@@ -22,7 +22,7 @@ from .ast_nodes import (
     Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
     InSubquery, Insert, IsNull, Join, Lit, Param, Policy, ScalarSubquery,
     Select, SelectItem, SetOp, Star, TableRef, UnOp, WindowFunc,
-    WindowSpec, relation_leaves,
+    WindowSpec, relation_leaves, walk_expr,
 )
 from .catalog import Catalog
 from .errors import ResolutionError
@@ -156,6 +156,18 @@ class Resolver:
                     o.expr.name.lower() in out_aliases:
                 continue
             self._resolve_expr(o.expr, scope)
+        # QUALIFY may reference projection aliases anywhere in the
+        # predicate (the planner substitutes them with the aliased
+        # expression before compiling) — resolve every OTHER column
+        if sel.qualify is not None:
+            for x in walk_expr(sel.qualify):
+                if isinstance(x, Col):
+                    if x.qualifier is None and \
+                            x.name.lower() in out_aliases:
+                        continue
+                    self._resolve_expr(x, scope)
+                elif isinstance(x, (InSubquery, Exists, ScalarSubquery)):
+                    self.resolve_query(x.query, scope)
         if sel.from_ is not None:
             self._resolve_windows(sel.from_, scope)
         return scope

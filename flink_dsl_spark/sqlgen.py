@@ -16,7 +16,7 @@ from __future__ import annotations
 from .ast_nodes import (
     Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
     InSubquery, IsNull, Join, Lit, Param, ScalarSubquery, Select, SetOp,
-    Star, TableRef, UnOp, WindowFunc,
+    Star, TableRef, UnOp, WindowFunc, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 
@@ -27,6 +27,10 @@ class SqlGen:
     def __init__(self, params: list | None = None, dialect: str = "spark"):
         self.params = params or []
         self.dialect = dialect
+        # QUALIFY alias substitution: lowercase projection alias ->
+        # item expression AST, consulted in expr()'s Col branch while
+        # the QUALIFY predicate renders (None otherwise)
+        self._alias_subst: dict | None = None
 
     # --- identifiers / literals ---
 
@@ -71,6 +75,8 @@ class SqlGen:
         return self.select(q)
 
     def select(self, s: Select) -> str:
+        if s.qualify is not None:
+            return self._select_qualify(s)
         parts = ["SELECT"]
         if s.distinct:
             parts.append("DISTINCT")
@@ -105,6 +111,103 @@ class SqlGen:
         if s.offset is not None:
             parts.append(f"OFFSET {self.expr(s.offset)}")
         return " ".join(parts)
+
+    def _select_qualify(self, s: Select) -> str:
+        """QUALIFY desugared to a nested select — Spark SQL has no
+        QUALIFY keyword, so the predicate materializes as a hidden
+        ``__qual`` item of an inner query and the outer query filters
+        on it (windows still evaluate over the full pre-filter input,
+        which is exactly QUALIFY's semantics).  Alias references in
+        the predicate are inlined with the item's expression; ORDER BY
+        expressions that are not select-list outputs ride along as
+        hidden ``__ord{k}`` items."""
+        win_aliases: set[str] = set()
+        out_names: list[str] = []
+        for i, it in enumerate(s.items):
+            if isinstance(it.expr, Star):
+                raise UnsupportedError(
+                    "QUALIFY with * in the select list is not supported "
+                    "on the subquery-compilation path (project explicit "
+                    "columns)")
+            out_names.append(self._item_name(it, i))
+            if any(isinstance(x, WindowFunc) for x in walk_expr(it.expr)):
+                win_aliases.add(out_names[-1].lower())
+        if not (any(isinstance(x, WindowFunc)
+                    for x in walk_expr(s.qualify))
+                or any(isinstance(x, Col) and x.binding is None
+                       and x.name.lower() in win_aliases
+                       for x in walk_expr(s.qualify))):
+            raise PlanError(
+                "QUALIFY requires a window function in its predicate or "
+                "a reference to a window-function select item (use WHERE "
+                "or HAVING to filter non-window results)")
+
+        items_sql = [f"{self.expr(it.expr)} AS {self.ident(out_names[i])}"
+                     for i, it in enumerate(s.items)]
+        subst = {}
+        for i, it in enumerate(s.items):
+            subst.setdefault(out_names[i].lower(), it.expr)
+        prev = self._alias_subst
+        self._alias_subst = subst
+        try:
+            items_sql.append(f"{self.expr(s.qualify)} AS __qual")
+        finally:
+            self._alias_subst = prev
+
+        # ORDER BY: select-list outputs order in the outer query by
+        # name; anything else becomes a hidden inner item
+        order_sql: list[str] = []
+        lower_names = {n.lower() for n in out_names}
+        for k, o in enumerate(s.order_by):
+            if isinstance(o.expr, Col) and o.expr.qualifier is None \
+                    and o.expr.name.lower() in lower_names:
+                key = self.ident(o.expr.name)
+            else:
+                key = f"__ord{k}"
+                items_sql.append(f"{self.expr(o.expr)} AS {key}")
+            d = f"{key} {'ASC' if o.ascending else 'DESC'}"
+            if o.nulls is not None:
+                d += f" NULLS {o.nulls.upper()}"
+            order_sql.append(d)
+
+        inner = ["SELECT", ", ".join(items_sql)]
+        if s.from_ is not None:
+            inner.append("FROM " + self.relation(s.from_))
+        if s.where is not None:
+            inner.append("WHERE " + self.expr(s.where))
+        if s.group_by:
+            g = ", ".join(self.expr(e) for e in s.group_by)
+            inner.append(f"GROUP BY ROLLUP({g})" if s.rollup
+                         else "GROUP BY " + g)
+        if s.having is not None:
+            inner.append("HAVING " + self.expr(s.having))
+
+        parts = ["SELECT"]
+        if s.distinct:
+            parts.append("DISTINCT")
+        parts.append(", ".join(self.ident(n) for n in out_names))
+        parts.append(f"FROM ({' '.join(inner)}) __qualify_sub")
+        parts.append("WHERE __qual")
+        if order_sql:
+            parts.append("ORDER BY " + ", ".join(order_sql))
+        if s.limit is not None:
+            parts.append(f"LIMIT {self.expr(s.limit)}")
+        if s.offset is not None:
+            parts.append(f"OFFSET {self.expr(s.offset)}")
+        return " ".join(parts)
+
+    @staticmethod
+    def _item_name(it, i: int) -> str:
+        """Output name of a select item (planner._item_name parity)."""
+        if it.alias:
+            return it.alias
+        if isinstance(it.expr, Col):
+            return it.expr.name
+        if isinstance(it.expr, FuncCall):
+            return it.expr.name
+        if isinstance(it.expr, WindowFunc):
+            return it.expr.func.name
+        return f"_c{i}"
 
     def order_item(self, o) -> str:
         s = f"{self.expr(o.expr)} {'ASC' if o.ascending else 'DESC'}"
@@ -153,6 +256,19 @@ class SqlGen:
                     f"parameter ?#{e.index + 1} not supplied")
             return self.lit(self.params[e.index])
         if isinstance(e, Col):
+            if self._alias_subst is not None and e.binding is None:
+                sub = self._alias_subst.get(e.name.lower())
+                if sub is not None:
+                    # inline the aliased item's expression; cleared
+                    # during the nested render (items cannot reference
+                    # sibling aliases, so one level suffices — and an
+                    # unresolved self-named column can't recurse)
+                    saved = self._alias_subst
+                    self._alias_subst = None
+                    try:
+                        return f"({self.expr(sub)})"
+                    finally:
+                        self._alias_subst = saved
             q = e.binding or e.qualifier
             return (f"{self.ident(q)}.{self.ident(e.name)}"
                     if q else self.ident(e.name))
