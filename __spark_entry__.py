@@ -192,6 +192,23 @@ _FSQL: dict[str, str] = {
         from orders
         group by o_orderstatus, o_orderpriority
         qualify rk <= 3 and n > 10""",
+    # WITH CTEs (late-r8 dialect extension): chained CTEs (the second
+    # reads the first), then a join back to a base table — desugared
+    # at parse time to derived tables, so the plan is the same
+    # pushed-filter + partial-agg + broadcast-join shape the inline
+    # form gets
+    "q50_cte": """
+        with big as (
+            select o_custkey, o_totalprice from orders
+            where o_totalprice > 150000),
+        agg as (
+            select o_custkey, count(*) as n,
+                   round(sum(o_totalprice), 2) as spend
+            from big group by o_custkey)
+        select c_nationkey, count(*) as customers, sum(n) as orders_cnt,
+               round(sum(spend), 2) as total_spend
+        from agg join customer on o_custkey = c_custkey
+        group by c_nationkey""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1158,24 +1175,25 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-8 window (COVERAGE.md's r8 plan):
-    # regression core; first rows for the FIVE new r8 dialect
+    # regression core; first rows for the SIX new r8 dialect
     # surfaces (q45 cap hint, q46/q47 analytic OVER windows, q48
-    # window-beside-GROUP-BY, q49 QUALIFY); fresh rows for the
-    # families whose code changed this round (q43 DDL/engine
-    # register+DROP kind guards, q44 INSERT re-register kind
-    # inheritance, llm62 bpe_train probe-cache fix, q15 the
-    # subquery-traversal dedup); then the r5-newest queries (35 of
-    # 36 — llm71 lent its slot to q49 and leads the r9 rotation).
+    # window-beside-GROUP-BY, q49 QUALIFY, q50 WITH CTEs); fresh
+    # rows for the families whose code changed this round (q43
+    # DDL/engine register+DROP kind guards, q44 INSERT re-register
+    # kind inheritance, llm62 bpe_train probe-cache fix, q15 the
+    # subquery-traversal dedup); then the r5-newest queries (33 of
+    # 35 — llm70/llm71 lent their slots to q49/q50 and lead the r9
+    # rotation).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
     # -- first rows: NEW r8 dialect surfaces (q48 took the q15 slot:
     #    the subquery-traversal change is repped by q14 in-window;
-    #    q49 QUALIFY took llm71's slot — the sketch family stays
-    #    repped in-window by llm69/llm70) --
+    #    q49 QUALIFY took llm71's slot and q50 CTE took llm70's —
+    #    the sketch family stays repped in-window by llm69) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
-    "q48_over_groupagg", "q49_qualify",
+    "q48_over_groupagg", "q49_qualify", "q50_cte",
     # -- r8-touched code: fresh rows for the changed families --
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
     # -- rotation: the 35 r5-newest rows, refreshed --
@@ -1191,15 +1209,15 @@ _PRIORITY = [
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
     "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
     "llm63_mixture_temperature", "llm67_ngram_novelty",
-    "llm69_length_quantiles", "llm70_topk_quality",
+    "llm69_length_quantiles",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm71 first (r5-newest — it lent
-    #     its r8 slot to q49 QUALIFY, so it leads the r9 rotation),
-    #     then the r6-newest rows, then the r7 greens displaced by
-    #     this rotation. ---
-    "llm71_length_outliers",
+    #     Ordered by next-staleness: llm70/llm71 first (r5-newest —
+    #     they lent their r8 slots to the q49 QUALIFY / q50 CTE first
+    #     rows, so they lead the r9 rotation), then the r6-newest
+    #     rows, then the r7 greens displaced by this rotation. ---
+    "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
     "q09_rollup", "q12_order_limit_offset", "q15_exists",
     "q16_scalar_subquery",
@@ -1476,6 +1494,20 @@ def _oracle_sql_base() -> dict[str, str]:
                        3) AS pct
             FROM orders
             GROUP BY o_orderstatus, o_orderpriority""",
+        # q50: same WITH in DuckDB; sum-of-BIGINT casts back to BIGINT
+        "q50_cte": """
+            WITH big AS (
+                SELECT o_custkey, o_totalprice FROM orders
+                WHERE o_totalprice > 150000),
+            agg AS (
+                SELECT o_custkey, count(*) AS n,
+                       round(sum(o_totalprice), 2) AS spend
+                FROM big GROUP BY o_custkey)
+            SELECT c_nationkey, count(*) AS customers,
+                   CAST(sum(n) AS BIGINT) AS orders_cnt,
+                   round(sum(spend), 2) AS total_spend
+            FROM agg JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey""",
         # q49: QUALIFY replayed as the desugared derived table (the
         # same rewrite the engine's subquery path uses); DuckDB rank
         # -> INT cast

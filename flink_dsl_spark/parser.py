@@ -19,6 +19,7 @@ Deliberate divergences (recorded in SURVEY.md §7.0):
 
 from __future__ import annotations
 
+import copy
 import re
 from dataclasses import dataclass
 
@@ -28,7 +29,7 @@ from .ast_nodes import (
     FuncCall, HostSource, InList, InSubquery, Insert, IsNull, Join, Lit,
     OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
     SetOp, Star, TableRef, UnOp, Update, WindowFrame, WindowFunc,
-    WindowSpec,
+    WindowSpec, relation_leaves, walk_expr,
 )
 from .errors import ParseError
 
@@ -232,7 +233,7 @@ class Parser:
             return self.parse_delete()
         if self.at_kw("explain"):
             return self.parse_explain()
-        if self.at_kw("select") or self.at_op("("):
+        if self.at_kw("select") or self.at_kw("with") or self.at_op("("):
             return self.parse_select_statement()
         self.error("expected a statement")
 
@@ -476,7 +477,10 @@ class Parser:
 
     def parse_select_statement(self):
         """select (UNION [ALL]|EXCEPT|INTERSECT select)* [order] [limit]
-        (flinkdsl/parser.scala:32-40)."""
+        (flinkdsl/parser.scala:32-40).  A leading WITH (engine
+        extension — the reference has no CTEs) is desugared here."""
+        if self.at_kw("with"):
+            return self.parse_with_query()
         left = self.parse_select_core()
         while self.at_kw("union", "except", "intersect"):
             op = self.advance().lower
@@ -501,6 +505,45 @@ class Parser:
                 if self.eat_kw("offset"):
                     left.offset = self.parse_limit_term()
         return left
+
+    def parse_with_query(self):
+        """``WITH name AS (query) [, name2 AS (query2)]* query`` —
+        non-recursive CTEs (engine extension; no reference grammar).
+
+        Desugared AT PARSE TIME: every reference to a CTE name becomes
+        a derived-table COPY of its query (later CTEs see earlier
+        ones), so the resolver, both planner paths, and sqlgen all see
+        plain relational ASTs they already handle.  A CTE referenced
+        twice inlines twice — Catalyst's ReuseExchange dedups identical
+        shuffle subplans at the physical layer, the same treatment
+        Spark SQL's own default CTE inlining gets."""
+        self.expect_kw("with")
+        if self.cur.kind == "ident" and self.cur.lower == "recursive":
+            self.error("recursive CTEs are not supported")
+        cmap: dict[str, object] = {}
+        while True:
+            tok = self.cur
+            name = self.ident("CTE name")
+            if name.lower() in cmap:
+                self.error(f"duplicate CTE name {name!r}", tok)
+            if self.at_op("("):
+                self.error(
+                    "CTE column alias lists are not supported — alias "
+                    "the columns in the CTE's select list", self.cur)
+            self.expect_kw("as")
+            self.expect_op("(")
+            q = self.parse_select_statement()
+            self.expect_op(")")
+            if _query_references(q, {name.lower()}):
+                self.error(f"recursive CTEs are not supported (CTE "
+                           f"{name!r} references itself)", tok)
+            _inline_ctes(q, cmap)
+            cmap[name.lower()] = q
+            if not self.eat_op(","):
+                break
+        body = self.parse_select_statement()
+        _inline_ctes(body, cmap)
+        return body
 
     def parse_select_core(self) -> Select:
         if self.eat_op("("):
@@ -1033,6 +1076,91 @@ class Parser:
             return ("preceding", n)
         self.expect_kw("following")
         return ("following", n)
+
+
+# --------------------------------------------------------------------------
+# CTE inlining (WITH desugar — see Parser.parse_with_query)
+# --------------------------------------------------------------------------
+
+def _query_exprs(q):
+    """Every expression position of a Select that can hold a subquery
+    (select items, WHERE/HAVING/QUALIFY, GROUP/ORDER keys, join
+    conditions) — mirrors planner._expr_subqueries' position list."""
+    exprs = [i.expr for i in q.items if not isinstance(i.expr, Star)] \
+        + list(q.group_by) + [o.expr for o in q.order_by]
+    for opt in (q.where, q.having, q.qualify):
+        if opt is not None:
+            exprs.append(opt)
+    if q.from_ is not None:
+        def join_conds(rel):
+            if isinstance(rel, Join):
+                yield from join_conds(rel.left)
+                yield from join_conds(rel.right)
+                if rel.on is not None:
+                    yield rel.on
+        exprs.extend(join_conds(q.from_))
+    return exprs
+
+
+def _inline_ctes(q, cmap: dict) -> None:
+    """Replace every reference to a CTE name with a derived-table COPY
+    of its query, in place — set-op branches, FROM trees, and
+    expression-position subqueries included.  The inlined copy is NOT
+    re-scanned: a CTE body's own table references were already
+    resolved against the names visible when IT was parsed (standard
+    non-recursive scoping)."""
+    if not cmap:
+        return
+    if isinstance(q, SetOp):
+        _inline_ctes(q.left, cmap)
+        _inline_ctes(q.right, cmap)
+        return
+    if q.from_ is not None:
+        q.from_ = _inline_rel(q.from_, cmap)
+    for e in _query_exprs(q):
+        for x in walk_expr(e):
+            if isinstance(x, (InSubquery, Exists, ScalarSubquery)):
+                _inline_ctes(x.query, cmap)
+
+
+def _inline_rel(rel, cmap: dict):
+    if isinstance(rel, Join):
+        rel.left = _inline_rel(rel.left, cmap)
+        rel.right = _inline_rel(rel.right, cmap)
+        return rel
+    if isinstance(rel, DerivedTable):
+        _inline_ctes(rel.query, cmap)
+        return rel
+    if isinstance(rel, TableRef):
+        hit = cmap.get(rel.name.lower())
+        if hit is None:
+            return rel
+        # window specs ride through: DerivedTable carries them (the
+        # derived-continuous-view path, q33's shape)
+        return DerivedTable(copy.deepcopy(hit), rel.alias or rel.name,
+                            rel.window)
+    return rel
+
+
+def _query_references(q, names: set) -> bool:
+    """True if any TableRef anywhere in the query tree names one of
+    ``names`` (case-insensitive) — the recursive-CTE detector."""
+    if isinstance(q, SetOp):
+        return _query_references(q.left, names) \
+            or _query_references(q.right, names)
+    if q.from_ is not None:
+        for leaf in relation_leaves(q.from_):
+            if isinstance(leaf, TableRef) and leaf.name.lower() in names:
+                return True
+            if isinstance(leaf, DerivedTable) \
+                    and _query_references(leaf.query, names):
+                return True
+    for e in _query_exprs(q):
+        for x in walk_expr(e):
+            if isinstance(x, (InSubquery, Exists, ScalarSubquery)) \
+                    and _query_references(x.query, names):
+                return True
+    return False
 
 
 def parse(sql: str):
