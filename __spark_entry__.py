@@ -209,6 +209,17 @@ _FSQL: dict[str, str] = {
                round(sum(spend), 2) as total_spend
         from agg join customer on o_custkey = c_custkey
         group by c_nationkey""",
+    # CUBE + grouping() indicator (late-r8 dialect extension beyond
+    # the reference's WITH ROLLUP): all four grouping combinations in
+    # one Expand pass — rows multiply map-side, the exchange count
+    # stays one
+    "q51_cube": """
+        select o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) as g_st,
+               grouping(o_orderpriority) as g_pr,
+               count(*) as n, round(sum(o_totalprice), 2) as total
+        from orders
+        group by cube(o_orderstatus, o_orderpriority)""",
     "q08_using_join": """
         select a.n_name, b.r_name
         from (select n_name, n_regionkey as rk from nation) as a
@@ -1175,25 +1186,27 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-8 window (COVERAGE.md's r8 plan):
-    # regression core; first rows for the SIX new r8 dialect
+    # regression core; first rows for the SEVEN new r8 dialect
     # surfaces (q45 cap hint, q46/q47 analytic OVER windows, q48
-    # window-beside-GROUP-BY, q49 QUALIFY, q50 WITH CTEs); fresh
-    # rows for the families whose code changed this round (q43
-    # DDL/engine register+DROP kind guards, q44 INSERT re-register
-    # kind inheritance, llm62 bpe_train probe-cache fix, q15 the
-    # subquery-traversal dedup); then the r5-newest queries (33 of
-    # 35 — llm70/llm71 lent their slots to q49/q50 and lead the r9
-    # rotation).
+    # window-beside-GROUP-BY, q49 QUALIFY, q50 WITH CTEs, q51 CUBE/
+    # GROUPING SETS); fresh rows for the families whose code changed
+    # this round (q43 DDL/engine register+DROP kind guards, q44
+    # INSERT re-register kind inheritance, llm62 bpe_train
+    # probe-cache fix, q15 the subquery-traversal dedup); then the
+    # r5-newest queries (32 of 35 — llm69–llm71 lent their slots to
+    # q49–q51 and lead the r9 rotation).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
     # -- first rows: NEW r8 dialect surfaces (q48 took the q15 slot:
     #    the subquery-traversal change is repped by q14 in-window;
-    #    q49 QUALIFY took llm71's slot and q50 CTE took llm70's —
-    #    the sketch family stays repped in-window by llm69) --
+    #    q49 QUALIFY took llm71's slot, q50 CTE took llm70's, and
+    #    q51 CUBE took llm69's — the displaced sketch trio leads the
+    #    r9 rotation; the family stays oracled by the per-session
+    #    pytest sweep and rehearse --all) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
-    "q48_over_groupagg", "q49_qualify", "q50_cte",
+    "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube",
     # -- r8-touched code: fresh rows for the changed families --
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
     # -- rotation: the 35 r5-newest rows, refreshed --
@@ -1209,15 +1222,16 @@ _PRIORITY = [
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
     "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
     "llm63_mixture_temperature", "llm67_ngram_novelty",
-    "llm69_length_quantiles",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm70/llm71 first (r5-newest —
-    #     they lent their r8 slots to the q49 QUALIFY / q50 CTE first
-    #     rows, so they lead the r9 rotation), then the r6-newest
-    #     rows, then the r7 greens displaced by this rotation. ---
-    "llm70_topk_quality", "llm71_length_outliers",
+    #     Ordered by next-staleness: llm69-llm71 first (r5-newest —
+    #     they lent their r8 slots to the q49 QUALIFY / q50 CTE /
+    #     q51 CUBE first rows, so they lead the r9 rotation), then
+    #     the r6-newest rows, then the r7 greens displaced by this
+    #     rotation. ---
+    "llm69_length_quantiles", "llm70_topk_quality",
+    "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
     "q09_rollup", "q12_order_limit_offset", "q15_exists",
     "q16_scalar_subquery",
@@ -1494,6 +1508,16 @@ def _oracle_sql_base() -> dict[str, str]:
                        3) AS pct
             FROM orders
             GROUP BY o_orderstatus, o_orderpriority""",
+        # q51: same CUBE in DuckDB; grouping() -> TINYINT cast (DuckDB
+        # returns BIGINT, Spark tinyint)
+        "q51_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   CAST(grouping(o_orderstatus) AS TINYINT) AS g_st,
+                   CAST(grouping(o_orderpriority) AS TINYINT) AS g_pr,
+                   count(*) AS n,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
         # q50: same WITH in DuckDB; sum-of-BIGINT casts back to BIGINT
         "q50_cte": """
             WITH big AS (

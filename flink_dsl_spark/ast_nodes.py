@@ -301,6 +301,12 @@ class Select:
     hints: list = field(default_factory=list)    # list[Hint]
     qualify: Optional[Expr] = None               # engine extension:
                                                  # filter on window results
+    cube: bool = False                           # engine extension:
+                                                 # GROUP BY CUBE(...)
+    grouping_sets: Optional[list] = None         # engine extension:
+                                                 # list[list[int]] — index
+                                                 # lists into group_by (the
+                                                 # union of all sets' exprs)
 
 
 @dataclass

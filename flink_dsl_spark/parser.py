@@ -565,16 +565,33 @@ class Parser:
             from_ = self.parse_from()
         where = self.parse_expr() if self.eat_kw("where") else None
         group_by, rollup, having = [], False, None
+        cube, grouping_sets = False, None
         if self.eat_kw("group"):
             self.expect_kw("by")
-            group_by = [self.parse_expr()]
-            while self.eat_op(","):
-                group_by.append(self.parse_expr())
-            if self.eat_kw("collate"):
-                self.ident("collation")          # parsed, no-op
-            if self.eat_kw("with"):
-                self.expect_kw("rollup")
-                rollup = True
+            # engine extensions beyond the reference's `WITH ROLLUP`:
+            # function-style ROLLUP(...)/CUBE(...) and GROUPING SETS.
+            # All contextual — only consumed in this exact position
+            # with the right following tokens, so columns named cube/
+            # rollup/grouping still group normally.
+            if self.at_kw("rollup", "cube") and \
+                    self.peek().kind == "op" and self.peek().text == "(":
+                which = self.advance().lower
+                group_by = self._parse_paren_expr_list()
+                rollup, cube = which == "rollup", which == "cube"
+            elif self.at_kw("grouping") and self.peek().kind == "ident" \
+                    and self.peek().lower == "sets":
+                self.advance()
+                self.advance()
+                group_by, grouping_sets = self._parse_grouping_sets()
+            else:
+                group_by = [self.parse_expr()]
+                while self.eat_op(","):
+                    group_by.append(self.parse_expr())
+                if self.eat_kw("collate"):
+                    self.ident("collation")          # parsed, no-op
+                if self.eat_kw("with"):
+                    self.expect_kw("rollup")
+                    rollup = True
             if self.eat_kw("having"):
                 having = self.parse_expr()
         # QUALIFY (engine extension, DuckDB/Snowflake-style): filter on
@@ -588,7 +605,55 @@ class Parser:
                 offset = self.parse_limit_term()
         return Select(items, from_, where, group_by, rollup, having,
                       order_by, limit, offset, distinct, hints=hints,
-                      qualify=qualify)
+                      qualify=qualify, cube=cube,
+                      grouping_sets=grouping_sets)
+
+    def _parse_paren_expr_list(self) -> list:
+        """``( expr [, expr]* )`` — ROLLUP/CUBE key lists."""
+        self.expect_op("(")
+        out = [self.parse_expr()]
+        while self.eat_op(","):
+            out.append(self.parse_expr())
+        self.expect_op(")")
+        return out
+
+    def _parse_grouping_sets(self):
+        """``GROUPING SETS ( set [, set]* )`` where a set is
+        ``( [expr [, expr]*] )`` or a bare expression (standard SQL
+        shorthand for a singleton set; ``()`` is the grand total).
+        Returns (union_of_exprs_in_first_appearance_order,
+        list_of_index_lists_into_that_union) — the planner feeds both
+        straight to DataFrame.groupingSets."""
+        self.expect_op("(")
+        sets: list[list] = []
+        while True:
+            if self.eat_op("("):
+                exprs = []
+                if not self.at_op(")"):
+                    exprs.append(self.parse_expr())
+                    while self.eat_op(","):
+                        exprs.append(self.parse_expr())
+                self.expect_op(")")
+                sets.append(exprs)
+            else:
+                sets.append([self.parse_expr()])
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        group_by: list = []
+        set_idx: list[list[int]] = []
+        for s in sets:
+            idxs = []
+            for e in s:
+                for i, g in enumerate(group_by):
+                    if g == e:
+                        idxs.append(i)
+                        break
+                else:
+                    group_by.append(e)
+                    idxs.append(len(group_by) - 1)
+            set_idx.append(idxs)
+        return group_by, set_idx
 
     def _parse_hint_block(self, tok: Token) -> list:
         """``/*+ name(arg, ...) [, name(...)] */`` — args are

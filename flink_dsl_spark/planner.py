@@ -358,7 +358,8 @@ class Planner:
         return None
 
     def _needs_aggregation(self, sel: Select) -> bool:
-        if sel.group_by or sel.having is not None:
+        if sel.group_by or sel.having is not None \
+                or sel.grouping_sets is not None:
             return True
         return any(self._expr_has_agg(i.expr) for i in sel.items
                    if not isinstance(i.expr, Star))
@@ -475,6 +476,11 @@ class Planner:
 
     def _plan_aggregate(self, sel: Select, df: DataFrame,
                         window_leaf) -> DataFrame:
+        if (sel.cube or sel.grouping_sets is not None) \
+                and window_leaf is not None:
+            raise PlanError(
+                "CUBE/GROUPING SETS cannot combine with stream window "
+                "specs (every grouping set would need the window key)")
         group_exprs = list(sel.group_by)
         g_names = [f"__g{i}" for i in range(len(group_exprs))]
 
@@ -559,6 +565,16 @@ class Planner:
         group_cols = [F.col(n) for n in g_names] + win_group
         if sel.rollup:
             gdf = pre.rollup(*group_cols)
+        elif sel.cube:
+            gdf = pre.cube(*group_cols)
+        elif sel.grouping_sets is not None:
+            # DataFrame.groupingSets (Spark 4): sets are index lists
+            # into the parsed union of grouping keys — same partial→
+            # final hash-agg shape as ROLLUP/CUBE, one Expand node
+            gdf = pre.groupingSets(
+                [[F.col(g_names[i]) for i in idxs]
+                 for idxs in sel.grouping_sets],
+                *group_cols)
         elif group_cols:
             gdf = pre.groupBy(*group_cols)
         else:

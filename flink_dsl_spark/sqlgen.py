@@ -95,12 +95,9 @@ class SqlGen:
             parts.append("FROM " + self.relation(s.from_))
         if s.where is not None:
             parts.append("WHERE " + self.expr(s.where))
-        if s.group_by:
-            g = ", ".join(self.expr(e) for e in s.group_by)
-            if s.rollup:
-                parts.append(f"GROUP BY ROLLUP({g})")
-            else:
-                parts.append("GROUP BY " + g)
+        gb = self._group_by_sql(s)
+        if gb:
+            parts.append(gb)
         if s.having is not None:
             parts.append("HAVING " + self.expr(s.having))
         if s.order_by:
@@ -175,10 +172,9 @@ class SqlGen:
             inner.append("FROM " + self.relation(s.from_))
         if s.where is not None:
             inner.append("WHERE " + self.expr(s.where))
-        if s.group_by:
-            g = ", ".join(self.expr(e) for e in s.group_by)
-            inner.append(f"GROUP BY ROLLUP({g})" if s.rollup
-                         else "GROUP BY " + g)
+        gb = self._group_by_sql(s)
+        if gb:
+            inner.append(gb)
         if s.having is not None:
             inner.append("HAVING " + self.expr(s.having))
 
@@ -208,6 +204,24 @@ class SqlGen:
         if isinstance(it.expr, WindowFunc):
             return it.expr.func.name
         return f"_c{i}"
+
+    def _group_by_sql(self, s: Select) -> str | None:
+        """GROUP BY clause incl. ROLLUP/CUBE/GROUPING SETS (both Spark
+        SQL and DuckDB accept all three forms verbatim)."""
+        if s.grouping_sets is not None:
+            sets = ", ".join(
+                "(" + ", ".join(self.expr(s.group_by[i]) for i in idxs)
+                + ")"
+                for idxs in s.grouping_sets)
+            return f"GROUP BY GROUPING SETS ({sets})"
+        if not s.group_by:
+            return None
+        g = ", ".join(self.expr(e) for e in s.group_by)
+        if s.rollup:
+            return f"GROUP BY ROLLUP({g})"
+        if s.cube:
+            return f"GROUP BY CUBE({g})"
+        return "GROUP BY " + g
 
     def order_item(self, o) -> str:
         s = f"{self.expr(o.expr)} {'ASC' if o.ascending else 'DESC'}"
