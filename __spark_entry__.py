@@ -209,6 +209,17 @@ _FSQL: dict[str, str] = {
                round(sum(spend), 2) as total_spend
         from agg join customer on o_custkey = c_custkey
         group by c_nationkey""",
+    # CAST (late-r8 dialect extension): long-bucketed price histogram
+    # — the cast feeds the GROUP BY key AND wraps min/max aggregates
+    # (exact, no accumulation, so truncation is deterministic across
+    # engines)
+    "q52_cast": """
+        select cast(o_totalprice / 100000 as long) as bucket,
+               count(*) as n,
+               cast(min(o_totalprice) as long) as min_p,
+               cast(max(o_totalprice) as long) as max_p
+        from orders
+        group by cast(o_totalprice / 100000 as long)""",
     # CUBE + grouping() indicator (late-r8 dialect extension beyond
     # the reference's WITH ROLLUP): all four grouping combinations in
     # one Expand pass — rows multiply map-side, the exchange count
@@ -1186,15 +1197,15 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-8 window (COVERAGE.md's r8 plan):
-    # regression core; first rows for the SEVEN new r8 dialect
+    # regression core; first rows for the EIGHT new r8 dialect
     # surfaces (q45 cap hint, q46/q47 analytic OVER windows, q48
     # window-beside-GROUP-BY, q49 QUALIFY, q50 WITH CTEs, q51 CUBE/
-    # GROUPING SETS); fresh rows for the families whose code changed
-    # this round (q43 DDL/engine register+DROP kind guards, q44
-    # INSERT re-register kind inheritance, llm62 bpe_train
-    # probe-cache fix, q15 the subquery-traversal dedup); then the
-    # r5-newest queries (32 of 35 — llm69–llm71 lent their slots to
-    # q49–q51 and lead the r9 rotation).
+    # GROUPING SETS, q52 CAST); fresh rows for the families whose
+    # code changed this round (q43 DDL/engine register+DROP kind
+    # guards, q44 INSERT re-register kind inheritance, llm62
+    # bpe_train probe-cache fix, q15 the subquery-traversal dedup);
+    # then the r5-newest queries (31 of 35 — llm67 and llm69–llm71
+    # lent their slots to q49–q52 and lead the r9 rotation).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1207,6 +1218,7 @@ _PRIORITY = [
     #    pytest sweep and rehearse --all) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube",
+    "q52_cast",
     # -- r8-touched code: fresh rows for the changed families --
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
     # -- rotation: the 35 r5-newest rows, refreshed --
@@ -1221,17 +1233,17 @@ _PRIORITY = [
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
     "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
-    "llm63_mixture_temperature", "llm67_ngram_novelty",
+    "llm63_mixture_temperature",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm69-llm71 first (r5-newest —
-    #     they lent their r8 slots to the q49 QUALIFY / q50 CTE /
-    #     q51 CUBE first rows, so they lead the r9 rotation), then
-    #     the r6-newest rows, then the r7 greens displaced by this
-    #     rotation. ---
-    "llm69_length_quantiles", "llm70_topk_quality",
-    "llm71_length_outliers",
+    #     Ordered by next-staleness: llm67, llm69-llm71 first
+    #     (r5-newest — they lent their r8 slots to the q49 QUALIFY /
+    #     q50 CTE / q51 CUBE / q52 CAST first rows, so they lead the
+    #     r9 rotation), then the r6-newest rows, then the r7 greens
+    #     displaced by this rotation. ---
+    "llm67_ngram_novelty", "llm69_length_quantiles",
+    "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
     "q09_rollup", "q12_order_limit_offset", "q15_exists",
     "q16_scalar_subquery",
@@ -1508,6 +1520,18 @@ def _oracle_sql_base() -> dict[str, str]:
                        3) AS pct
             FROM orders
             GROUP BY o_orderstatus, o_orderpriority""",
+        # q52: Spark double->long casts TRUNCATE toward zero where
+        # DuckDB ROUNDS — the oracle replays with trunc() (DIALECT.md
+        # CAST section; min/max are accumulation-free so the premise
+        # is exact)
+        "q52_cast": """
+            SELECT CAST(trunc(o_totalprice / 100000) AS BIGINT)
+                       AS bucket,
+                   count(*) AS n,
+                   CAST(trunc(min(o_totalprice)) AS BIGINT) AS min_p,
+                   CAST(trunc(max(o_totalprice)) AS BIGINT) AS max_p
+            FROM orders
+            GROUP BY CAST(trunc(o_totalprice / 100000) AS BIGINT)""",
         # q51: same CUBE in DuckDB; grouping() -> TINYINT cast (DuckDB
         # returns BIGINT, Spark tinyint)
         "q51_cube": """

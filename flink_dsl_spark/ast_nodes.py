@@ -55,6 +55,19 @@ class Col(Expr):
 
 
 @dataclass
+class Cast(Expr):
+    """``CAST(expr AS type)`` — engine extension (the reference's only
+    typing is the DDL palette, fsql/parser.scala:355; it has no cast
+    expression).  ``type_name`` is a DDL palette name; decimal takes
+    optional (precision, scale)."""
+
+    expr: Expr
+    type_name: str
+    precision: Optional[int] = None
+    scale: Optional[int] = None
+
+
+@dataclass
 class Star(Expr):
     """``*`` or ``t.*`` (fsql/parser.scala:131-132)."""
 
@@ -476,6 +489,8 @@ def expr_children(e: Expr) -> list:
         # and must not trip aggregate-context detection (_expr_has_agg)
         return list(e.func.args) + list(e.partition_by) \
             + [o.expr for o in e.order_by]
+    if isinstance(e, Cast):
+        return [e.expr]
     if isinstance(e, Case):
         out = []
         for c, v in e.whens:

@@ -24,7 +24,7 @@ import re
 from dataclasses import dataclass
 
 from .ast_nodes import (
-    Assignment, Between, BinOp, Case, Col, ColumnDef, CreateSchema,
+    Assignment, Between, BinOp, Case, Cast, Col, ColumnDef, CreateSchema,
     CreateStream, Delete, DerivedSource, DerivedTable, Exists, FileSource,
     FuncCall, HostSource, InList, InSubquery, Insert, IsNull, Join, Lit,
     OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
@@ -1055,6 +1055,8 @@ class Parser:
         name = self.ident("identifier")
         if self.at_op("("):
             self.advance()
+            if name.lower() == "cast":
+                return self.parse_cast_tail()
             distinct = bool(self.eat_kw("distinct"))
             args: list = []
             if self.at_op("*"):
@@ -1081,6 +1083,33 @@ class Parser:
             return Col(col, qualifier=name)
         _ = t
         return Col(name)
+
+    def parse_cast_tail(self) -> Cast:
+        """``CAST( expr AS type )`` with the opening paren already
+        consumed (engine extension — the reference has no cast
+        expression; the type palette is the DDL one,
+        fsql/parser.scala:355, plus ``decimal(p, s)``)."""
+        expr = self.parse_expr()
+        self.expect_kw("as")
+        t = self.cur
+        if t.kind != "ident" or t.lower not in TYPE_NAMES:
+            self.error("expected a type name")
+        self.advance()
+        precision = scale = None
+        if t.lower == "decimal" and self.eat_op("("):
+            precision = self.parse_int("decimal precision")
+            scale = self.parse_int("decimal scale") if self.eat_op(",") \
+                else 0
+            self.expect_op(")")
+        self.expect_op(")")
+        return Cast(expr, t.lower, precision, scale)
+
+    def parse_int(self, what: str) -> int:
+        t = self.cur
+        if t.kind == "number" and "." not in t.text:
+            self.advance()
+            return int(t.text)
+        self.error(f"expected integer {what}")
 
     def parse_over_clause(self, call: FuncCall) -> WindowFunc:
         """``OVER ( [PARTITION BY e,...] [ORDER BY o,...] [frame] )``

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .ast_nodes import (
-    Between, BinOp, Case, Col, CreateSchema, CreateStream, Delete,
+    Between, BinOp, Case, Cast, Col, CreateSchema, CreateStream, Delete,
     DerivedTable, Exists, FuncCall, InList, InSubquery, Insert, IsNull,
     Join, Lit, OrderItem, Param, ScalarSubquery, Select, SelectItem, SetOp,
     Star, TableRef, UnOp, Update, WindowFunc, WindowSpec,
@@ -1211,6 +1211,8 @@ class Planner:
             if e.else_ is not None:
                 c = c.otherwise(self._compile(e.else_, df))
             return c
+        if isinstance(e, Cast):
+            return self._compile(e.expr, df).cast(_cast_type(e))
         if isinstance(e, FuncCall):
             return self._compile_func(e, df)
         if isinstance(e, WindowFunc):
@@ -1446,6 +1448,8 @@ class _AggContext:
             if e.else_ is not None:
                 c = c.otherwise(self.compile(e.else_))
             return c
+        if isinstance(e, Cast):
+            return self.compile(e.expr).cast(_cast_type(e))
         if isinstance(e, Between):
             c = self.compile(e.expr).between(
                 self.compile(e.lo), self.compile(e.hi))
@@ -1519,6 +1523,22 @@ class _PostAggContext(_AggContext):
         raise PlanError(
             f"internal: aggregate {call.name}() inside a window item "
             "was not materialized")
+
+
+def _cast_type(e: Cast):
+    """CAST target: the DDL palette (catalog._TYPE_MAP) plus
+    parameterized decimal(p, s)."""
+    from pyspark.sql import types as T
+
+    from .catalog import _TYPE_MAP
+    if e.type_name == "decimal" and e.precision is not None:
+        if not (1 <= e.precision <= 38) or \
+                not (0 <= (e.scale or 0) <= e.precision):
+            raise PlanError(
+                f"invalid decimal({e.precision}, {e.scale}) — precision "
+                "1..38, scale 0..precision")
+        return T.DecimalType(e.precision, e.scale or 0)
+    return _TYPE_MAP[e.type_name]
 
 
 def _expr_contains_winfunc(e) -> bool:

@@ -19,10 +19,10 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 from .ast_nodes import (
-    Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
-    InSubquery, Insert, IsNull, Join, Lit, Param, Policy, ScalarSubquery,
-    Select, SelectItem, SetOp, Star, TableRef, UnOp, WindowFunc,
-    WindowSpec, relation_leaves, walk_expr,
+    Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
+    InList, InSubquery, Insert, IsNull, Join, Lit, Param, Policy,
+    ScalarSubquery, Select, SelectItem, SetOp, Star, TableRef, UnOp,
+    WindowFunc, WindowSpec, relation_leaves, walk_expr,
 )
 from .catalog import Catalog
 from .errors import ResolutionError
@@ -261,6 +261,9 @@ class Resolver:
             return
         if isinstance(e, UnOp):
             self._resolve_expr(e.operand, scope)
+            return
+        if isinstance(e, Cast):
+            self._resolve_expr(e.expr, scope)
             return
         if isinstance(e, FuncCall):
             for a in e.args:

@@ -14,13 +14,25 @@ same AST that the engine executes.
 from __future__ import annotations
 
 from .ast_nodes import (
-    Between, BinOp, Case, Col, DerivedTable, Exists, FuncCall, InList,
-    InSubquery, IsNull, Join, Lit, Param, ScalarSubquery, Select, SetOp,
-    Star, TableRef, UnOp, WindowFunc, walk_expr,
+    Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
+    InList, InSubquery, IsNull, Join, Lit, Param, ScalarSubquery, Select,
+    SetOp, Star, TableRef, UnOp, WindowFunc, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 
 _IDENT_SAFE = set("abcdefghijklmnopqrstuvwxyz0123456789_")
+
+# CAST target spellings accepted by BOTH Spark SQL and DuckDB (STRING,
+# TINYINT, and BINARY are DuckDB aliases of VARCHAR/INT1/BLOB).
+# Parameterless decimal renders its (38, 18) default explicitly so the
+# SQL path matches the native path's DecimalType(38, 18).
+_CAST_SQL_TYPES = {
+    "int": "INT", "string": "STRING", "character": "STRING",
+    "double": "DOUBLE", "date": "DATE", "byte": "TINYINT",
+    "short": "SMALLINT", "long": "BIGINT", "float": "FLOAT",
+    "boolean": "BOOLEAN", "timestamp": "TIMESTAMP",
+    "decimal": "DECIMAL(38, 18)", "binary": "BINARY",
+}
 
 
 class SqlGen:
@@ -316,6 +328,12 @@ class SqlGen:
                     f"{self._frame_bound(e.frame.start)} AND "
                     f"{self._frame_bound(e.frame.end)}")
             return (f"{self.expr(e.func)} OVER ({' '.join(parts)})")
+        if isinstance(e, Cast):
+            if e.type_name == "decimal" and e.precision is not None:
+                t = f"DECIMAL({e.precision}, {e.scale or 0})"
+            else:
+                t = _CAST_SQL_TYPES[e.type_name]
+            return f"CAST({self.expr(e.expr)} AS {t})"
         if isinstance(e, Case):
             s = "CASE"
             for c, v in e.whens:
