@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 3))
+    shape = draw(st.integers(0, 6))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -108,13 +108,43 @@ def _query(draw):
         if draw(st.booleans()):
             sql += f" where {draw(_predicate(_NATION_INTS))}"
         return sql
-    # set operation
-    op = draw(st.sampled_from(["union", "union all", "except",
-                               "intersect"]))
-    e1 = draw(_int_expr(_NATION_INTS))
-    e2 = draw(_int_expr(_NATION_INTS))
-    return (f"select {e1} as v from nation {op} "
-            f"select {e2} as v from nation")
+    if shape == 3:
+        # set operation
+        op = draw(st.sampled_from(["union", "union all", "except",
+                                   "intersect"]))
+        e1 = draw(_int_expr(_NATION_INTS))
+        e2 = draw(_int_expr(_NATION_INTS))
+        return (f"select {e1} as v from nation {op} "
+                f"select {e2} as v from nation")
+    if shape == 4:
+        # CTE (late-r8): filtered projection in a WITH, aggregated
+        # outside — exercises the parse-time inlining end-to-end on
+        # both executors
+        e = draw(_int_expr(_NATION_INTS))
+        p = draw(_predicate(_NATION_INTS))
+        return (f"with t as (select n_regionkey, {e} as v from nation "
+                f"where {p}) "
+                f"select n_regionkey, count(*) as cnt, sum(v) as s "
+                f"from t group by n_regionkey")
+    if shape == 5:
+        # grouping combinations (late-r8): CUBE / function-style
+        # ROLLUP / GROUPING SETS over an int expr key
+        form = draw(st.sampled_from([
+            "cube(n_regionkey, n_nationkey % 3)",
+            "rollup(n_regionkey, n_nationkey % 3)",
+            "grouping sets ((n_regionkey), (n_nationkey % 3), ())",
+            "grouping sets ((n_regionkey, n_nationkey % 3), ())",
+        ]))
+        return (f"select n_regionkey, n_nationkey % 3 as m, "
+                f"count(*) as cnt from nation group by {form}")
+    # CAST + QUALIFY top-k (late-r8): int->long casts stay exact on
+    # both engines; row_number is deterministic (unique order key)
+    k = draw(st.integers(1, 5))
+    e = draw(_int_expr(_NATION_INTS))
+    return (f"select n_nationkey, cast({e} as long) as v, "
+            f"row_number() over (partition by n_regionkey "
+            f"order by n_nationkey) as rn "
+            f"from nation qualify rn <= {k}")
 
 
 @settings(max_examples=60, deadline=None,
