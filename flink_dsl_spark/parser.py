@@ -1031,6 +1031,19 @@ class Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return e
+        if t.kind == "ident" and t.lower in ("date", "timestamp") \
+                and self.peek().kind == "string":
+            # typed literal (engine extension): `date '1995-01-01'` /
+            # `timestamp '1995-01-01 12:00:00'` — sugar for
+            # CAST('...' AS date|timestamp), so both planner paths and
+            # both executors get it for free.  Contextual: only an
+            # immediately-following string literal triggers it, so a
+            # column named date still parses.
+            self.advance()
+            s = self.cur
+            self.advance()
+            return Cast(Lit(s.text[1:-1].replace("''", "'"), "string"),
+                        t.lower)
         if t.kind in ("ident", "qident"):
             return self.parse_name_or_call()
         self.error("expected an expression term")

@@ -109,6 +109,36 @@ def test_cast_string_to_int_and_back(engine, duck):
 
 
 # ---------------------------------------------------------------------------
+# typed date/timestamp literals (sugar for CAST)
+# ---------------------------------------------------------------------------
+
+def test_typed_literal_parses_to_cast():
+    sel = parse("select 1 as x from t where d >= date '1995-01-01'")
+    c = sel.where.right
+    assert isinstance(c, Cast) and c.type_name == "date"
+    assert c.expr.value == "1995-01-01"
+    # contextual: a column named date still parses as a column
+    sel = parse("select date from t")
+    assert isinstance(sel.items[0].expr, Col)
+
+
+def test_date_literal_filter(engine, duck):
+    """DATE vs TIMESTAMP comparison coerces identically on both
+    engines under the UTC session premise."""
+    q = ("select count(*) as n from orders "
+         "where o_orderdate >= date '1995-01-01' "
+         "and o_orderdate < date '1996-01-01'")
+    assert_matches_oracle(engine.sql(q), duck, q, "date_lit")
+
+
+def test_timestamp_literal_between(engine, duck):
+    q = ("select count(*) as n from orders where o_orderdate between "
+         "timestamp '1994-01-01 00:00:00' and "
+         "timestamp '1996-12-31 23:59:59'")
+    assert_matches_oracle(engine.sql(q), duck, q, "ts_lit")
+
+
+# ---------------------------------------------------------------------------
 # decimal semantics pinned directly (HALF_UP — diverges from DuckDB)
 # ---------------------------------------------------------------------------
 
