@@ -68,6 +68,17 @@ class Cast(Expr):
 
 
 @dataclass
+class IntervalLit(Expr):
+    """``INTERVAL n unit`` literal — engine extension for date/time
+    arithmetic (``ts - interval 90 day``).  ``unit`` is stored
+    singular-uppercase; the spelling is accepted verbatim by both
+    Spark SQL and DuckDB."""
+
+    value: int
+    unit: str                # YEAR|MONTH|WEEK|DAY|HOUR|MINUTE|SECOND
+
+
+@dataclass
 class Star(Expr):
     """``*`` or ``t.*`` (fsql/parser.scala:131-132)."""
 

@@ -26,7 +26,8 @@ from dataclasses import dataclass
 from .ast_nodes import (
     Assignment, Between, BinOp, Case, Cast, Col, ColumnDef, CreateSchema,
     CreateStream, Delete, DerivedSource, DerivedTable, Exists, FileSource,
-    FuncCall, HostSource, InList, InSubquery, Insert, IsNull, Join, Lit,
+    FuncCall, HostSource, InList, InSubquery, Insert, IntervalLit,
+    IsNull, Join, Lit,
     OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
     SetOp, Star, TableRef, UnOp, Update, WindowFrame, WindowFunc,
     WindowSpec, relation_leaves, walk_expr,
@@ -1031,6 +1032,26 @@ class Parser:
             e = self.parse_expr()
             self.expect_op(")")
             return e
+        if t.kind == "ident" and t.lower == "interval" \
+                and self.peek().kind in ("number", "string"):
+            # `interval 90 day` / `interval '90' day` (engine
+            # extension) — contextual like the typed literals
+            self.advance()
+            v = self.cur
+            self.advance()
+            txt = v.text[1:-1] if v.kind == "string" else v.text
+            try:
+                n = int(txt)
+            except ValueError:
+                self.error("interval value must be an integer", v)
+            u = self.cur
+            if u.kind != "ident" or u.lower.rstrip("s") not in (
+                    "year", "month", "week", "day", "hour", "minute",
+                    "second"):
+                self.error("expected an interval unit "
+                           "(year/month/week/day/hour/minute/second)")
+            self.advance()
+            return IntervalLit(n, u.lower.rstrip("s").upper())
         if t.kind == "ident" and t.lower in ("date", "timestamp") \
                 and self.peek().kind == "string":
             # typed literal (engine extension): `date '1995-01-01'` /
@@ -1070,6 +1091,8 @@ class Parser:
             self.advance()
             if name.lower() == "cast":
                 return self.parse_cast_tail()
+            if name.lower() == "extract":
+                return self.parse_extract_tail()
             distinct = bool(self.eat_kw("distinct"))
             args: list = []
             if self.at_op("*"):
@@ -1116,6 +1139,25 @@ class Parser:
             self.expect_op(")")
         self.expect_op(")")
         return Cast(expr, t.lower, precision, scale)
+
+    # fields whose extraction function exists under the SAME name in
+    # both Spark and DuckDB, so EXTRACT desugars to a plain FuncCall
+    # that each executor resolves natively
+    _EXTRACT_FIELDS = {"year", "month", "day", "hour", "minute",
+                       "second", "quarter"}
+
+    def parse_extract_tail(self) -> FuncCall:
+        """``EXTRACT( field FROM expr )`` with the opening paren
+        consumed — sugar for ``field(expr)`` (engine extension)."""
+        f = self.cur
+        if f.kind != "ident" or f.lower not in self._EXTRACT_FIELDS:
+            self.error("expected an extract field "
+                       "(year/month/day/hour/minute/second/quarter)")
+        self.advance()
+        self.expect_kw("from")
+        e = self.parse_expr()
+        self.expect_op(")")
+        return FuncCall(f.lower, [e])
 
     def parse_int(self, what: str) -> int:
         t = self.cur

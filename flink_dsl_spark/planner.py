@@ -32,10 +32,10 @@ from pyspark.sql import functions as F
 
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, CreateSchema, CreateStream, Delete,
-    DerivedTable, Exists, FuncCall, InList, InSubquery, Insert, IsNull,
-    Join, Lit, OrderItem, Param, ScalarSubquery, Select, SelectItem, SetOp,
-    Star, TableRef, UnOp, Update, WindowFunc, WindowSpec,
-    relation_leaves, walk_expr,
+    DerivedTable, Exists, FuncCall, InList, InSubquery, Insert,
+    IntervalLit, IsNull, Join, Lit, OrderItem, Param, ScalarSubquery,
+    Select, SelectItem, SetOp, Star, TableRef, UnOp, Update, WindowFunc,
+    WindowSpec, relation_leaves, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 from .functions import FunctionRegistry
@@ -1213,6 +1213,8 @@ class Planner:
             return c
         if isinstance(e, Cast):
             return self._compile(e.expr, df).cast(_cast_type(e))
+        if isinstance(e, IntervalLit):
+            return F.expr(f"INTERVAL {e.value} {e.unit}")
         if isinstance(e, FuncCall):
             return self._compile_func(e, df)
         if isinstance(e, WindowFunc):
@@ -1450,6 +1452,8 @@ class _AggContext:
             return c
         if isinstance(e, Cast):
             return self.compile(e.expr).cast(_cast_type(e))
+        if isinstance(e, IntervalLit):
+            return F.expr(f"INTERVAL {e.value} {e.unit}")
         if isinstance(e, Between):
             c = self.compile(e.expr).between(
                 self.compile(e.lo), self.compile(e.hi))

@@ -20,9 +20,9 @@ from typing import Optional
 
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
-    InList, InSubquery, Insert, IsNull, Join, Lit, Param, Policy,
-    ScalarSubquery, Select, SelectItem, SetOp, Star, TableRef, UnOp,
-    WindowFunc, WindowSpec, relation_leaves, walk_expr,
+    InList, InSubquery, Insert, IntervalLit, IsNull, Join, Lit, Param,
+    Policy, ScalarSubquery, Select, SelectItem, SetOp, Star, TableRef,
+    UnOp, WindowFunc, WindowSpec, relation_leaves, walk_expr,
 )
 from .catalog import Catalog
 from .errors import ResolutionError
@@ -253,7 +253,7 @@ class Resolver:
                 raise ResolutionError(
                     f"unknown relation {e.qualifier!r} for {e.qualifier}.*")
             return
-        if isinstance(e, (Lit, Param)):
+        if isinstance(e, (Lit, Param, IntervalLit)):
             return
         if isinstance(e, BinOp):
             self._resolve_expr(e.left, scope)

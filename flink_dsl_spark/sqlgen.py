@@ -15,8 +15,9 @@ from __future__ import annotations
 
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
-    InList, InSubquery, IsNull, Join, Lit, Param, ScalarSubquery, Select,
-    SetOp, Star, TableRef, UnOp, WindowFunc, walk_expr,
+    InList, InSubquery, IntervalLit, IsNull, Join, Lit, Param,
+    ScalarSubquery, Select, SetOp, Star, TableRef, UnOp, WindowFunc,
+    walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 
@@ -328,6 +329,8 @@ class SqlGen:
                     f"{self._frame_bound(e.frame.start)} AND "
                     f"{self._frame_bound(e.frame.end)}")
             return (f"{self.expr(e.func)} OVER ({' '.join(parts)})")
+        if isinstance(e, IntervalLit):
+            return f"INTERVAL {e.value} {e.unit}"
         if isinstance(e, Cast):
             if e.type_name == "decimal" and e.precision is not None:
                 t = f"DECIMAL({e.precision}, {e.scale or 0})"

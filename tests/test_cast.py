@@ -139,6 +139,56 @@ def test_timestamp_literal_between(engine, duck):
 
 
 # ---------------------------------------------------------------------------
+# interval literals + EXTRACT
+# ---------------------------------------------------------------------------
+
+def test_interval_parses():
+    from flink_dsl_spark.ast_nodes import IntervalLit
+    sel = parse("select 1 as x from t where d > e - interval 90 day")
+    assert sel.where.right.right == IntervalLit(90, "DAY")
+    # plural + quoted-value forms normalize
+    sel = parse("select 1 as x from t where d > e - interval '3' months")
+    assert sel.where.right.right == IntervalLit(3, "MONTH")
+    with pytest.raises(ParseError, match="integer"):
+        parse("select interval 1.5 day from dual")
+    with pytest.raises(ParseError, match="interval unit"):
+        parse("select interval 3 fortnights from dual")
+
+
+def test_extract_desugars_to_funccall():
+    from flink_dsl_spark.ast_nodes import FuncCall
+    sel = parse("select extract(year from d) as y from t")
+    e = sel.items[0].expr
+    assert isinstance(e, FuncCall) and e.name == "year"
+    with pytest.raises(ParseError, match="extract field"):
+        parse("select extract(dow from d) from t")
+
+
+def test_interval_date_arithmetic(engine, duck):
+    """TPC-H Q1's shipdate cutoff idiom."""
+    q = ("select count(*) as n from lineitem "
+         "where l_shipdate <= date '1998-12-01' - interval 90 day")
+    assert_matches_oracle(engine.sql(q), duck, q, "interval_arith")
+
+
+def test_interval_month_year_units(engine, duck):
+    q = ("select count(*) as n from orders "
+         "where o_orderdate >= timestamp '1995-06-01 00:00:00' "
+         "- interval '3' months "
+         "and o_orderdate < date '1994-01-01' + interval 2 years")
+    assert_matches_oracle(engine.sql(q), duck, q, "interval_units")
+
+
+def test_extract_group_by(engine, duck):
+    q = ("select extract(year from o_orderdate) as y, count(*) as n "
+         "from orders group by extract(year from o_orderdate)")
+    oracle = ("select CAST(extract(year from o_orderdate) AS INT) as y, "
+              "count(*) as n from orders "
+              "group by extract(year from o_orderdate)")
+    assert_matches_oracle(engine.sql(q), duck, oracle, "extract_group")
+
+
+# ---------------------------------------------------------------------------
 # decimal semantics pinned directly (HALF_UP — diverges from DuckDB)
 # ---------------------------------------------------------------------------
 
