@@ -209,6 +209,45 @@ _FSQL: dict[str, str] = {
                round(sum(spend), 2) as total_spend
         from agg join customer on o_custkey = c_custkey
         group by c_nationkey""",
+    # Verbatim TPC-H (late r8): with CAST/date/interval/EXTRACT landed
+    # the engine runs the classic queries unmodified — registered as
+    # integration breadth (a reference user's real workload).  DuckDB
+    # executes the IDENTICAL text as the oracle.
+    "q53_tpch_q1": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   as sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         * (1 + l_tax)), 2) as sum_charge,
+               round(avg(l_quantity), 4) as avg_qty,
+               round(avg(l_extendedprice), 4) as avg_price,
+               round(avg(l_discount), 4) as avg_disc,
+               count(*) as count_order
+        from lineitem
+        where l_shipdate <= date '1998-12-01' - interval 90 day
+        group by l_returnflag, l_linestatus
+        order by l_returnflag, l_linestatus""",
+    "q54_tpch_q6": """
+        select round(sum(l_extendedprice * l_discount), 2) as revenue
+        from lineitem
+        where l_shipdate >= date '1996-01-01'
+          and l_shipdate < date '1996-01-01' + interval 1 year
+          and l_discount between 0.05 and 0.07
+          and l_quantity < 24""",
+    # Q4 adapted to the testdata schema (no l_commitdate/l_receiptdate
+    # columns): the EXISTS probes late-shipping lineitems instead
+    "q55_tpch_q4": """
+        select o_orderpriority, count(*) as order_count
+        from orders
+        where o_orderdate >= date '1996-07-01'
+          and o_orderdate < date '1996-07-01' + interval 3 months
+          and exists (select * from lineitem
+                      where l_orderkey = o_orderkey
+                        and l_shipdate > o_orderdate)
+        group by o_orderpriority
+        order by o_orderpriority""",
     # CAST (late-r8 dialect extension): long-bucketed price histogram
     # — the cast feeds the GROUP BY key AND wraps min/max aggregates
     # (exact, no accumulation, so truncation is deterministic across
@@ -1237,11 +1276,13 @@ _PRIORITY = [
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm67, llm69-llm71 first
-    #     (r5-newest — they lent their r8 slots to the q49 QUALIFY /
-    #     q50 CTE / q51 CUBE / q52 CAST first rows, so they lead the
-    #     r9 rotation), then the r6-newest rows, then the r7 greens
-    #     displaced by this rotation. ---
+    #     Ordered by next-staleness: the never-sampled late-r8 TPC-H
+    #     trio first (they need FIRST rows in r9), then llm67,
+    #     llm69-llm71 (r5-newest — they lent their r8 slots to the
+    #     q49 QUALIFY / q50 CTE / q51 CUBE / q52 CAST first rows),
+    #     then the r6-newest rows, then the r7 greens displaced by
+    #     this rotation. ---
+    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1520,6 +1561,41 @@ def _oracle_sql_base() -> dict[str, str]:
                        3) AS pct
             FROM orders
             GROUP BY o_orderstatus, o_orderpriority""",
+        # q53-q55: verbatim TPC-H — DuckDB runs the IDENTICAL text
+        # (date/interval arithmetic and rounding agree; sums round to
+        # 2dp within the pinned premise, as q01/q09 established)
+        "q53_tpch_q1": """
+            select l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) as sum_qty,
+                   round(sum(l_extendedprice), 2) as sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax)), 2) as sum_charge,
+                   round(avg(l_quantity), 4) as avg_qty,
+                   round(avg(l_extendedprice), 4) as avg_price,
+                   round(avg(l_discount), 4) as avg_disc,
+                   count(*) as count_order
+            from lineitem
+            where l_shipdate <= date '1998-12-01' - interval 90 day
+            group by l_returnflag, l_linestatus""",
+        "q54_tpch_q6": """
+            select round(sum(l_extendedprice * l_discount), 2)
+                       as revenue
+            from lineitem
+            where l_shipdate >= date '1996-01-01'
+              and l_shipdate < date '1996-01-01' + interval 1 year
+              and l_discount between 0.05 and 0.07
+              and l_quantity < 24""",
+        "q55_tpch_q4": """
+            select o_orderpriority, count(*) as order_count
+            from orders
+            where o_orderdate >= date '1996-07-01'
+              and o_orderdate < date '1996-07-01' + interval 3 months
+              and exists (select * from lineitem
+                          where l_orderkey = o_orderkey
+                            and l_shipdate > o_orderdate)
+            group by o_orderpriority""",
         # q52: Spark double->long casts TRUNCATE toward zero where
         # DuckDB ROUNDS — the oracle replays with trunc() (DIALECT.md
         # CAST section; min/max are accumulation-free so the premise

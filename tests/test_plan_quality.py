@@ -303,6 +303,11 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # (the "broadcast scalar maxima" design, README scale notes) —
     # the exchange moves one row per partition, never data
     "q13_in_list", "q30_snapshot_window", "q34_windowed_join",
+    # TPC-H Q6 (late r8) is the canonical global scalar aggregate —
+    # sum(price*discount) over a filtered scan folds partial 1-row
+    # aggregates through one SinglePartition exchange (q16/q30
+    # pattern); Q1/Q4 group on keys and need no exemption
+    "q54_tpch_q6",
 }
 
 
