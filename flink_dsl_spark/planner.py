@@ -446,8 +446,15 @@ class Planner:
         order_cols: list[Column] = []
         lower_names = {n.lower(): n for n in out_names}
         for k, o in enumerate(sel.order_by):
-            if isinstance(o.expr, Col) and o.expr.qualifier is None and \
-                    o.expr.name.lower() in lower_names:
+            pos = _ordinal(o.expr)
+            if pos is not None:
+                if not 1 <= pos <= len(out_names):
+                    raise PlanError(
+                        f"ORDER BY position {pos} is not in the select "
+                        f"list (1..{len(out_names)})")
+                oc = F.col(out_names[pos - 1])
+            elif isinstance(o.expr, Col) and o.expr.qualifier is None \
+                    and o.expr.name.lower() in lower_names:
                 oc = F.col(lower_names[o.expr.name.lower()])
             else:
                 h = f"__o{k}"
@@ -482,6 +489,22 @@ class Planner:
                 "CUBE/GROUPING SETS cannot combine with stream window "
                 "specs (every grouping set would need the window key)")
         group_exprs = list(sel.group_by)
+        # ANSI ordinals: GROUP BY 1 groups on the first select item
+        for i, g in enumerate(group_exprs):
+            pos = _ordinal(g)
+            if pos is None:
+                continue
+            if not 1 <= pos <= len(sel.items) \
+                    or isinstance(sel.items[pos - 1].expr, Star):
+                raise PlanError(
+                    f"GROUP BY position {pos} is not a groupable "
+                    f"select-list item (1..{len(sel.items)})")
+            it = sel.items[pos - 1].expr
+            if _expr_contains_winfunc(it) or self._expr_has_agg(it):
+                raise PlanError(
+                    f"GROUP BY position {pos} refers to an aggregate "
+                    "or window item — group on plain expressions")
+            group_exprs[i] = it
         g_names = [f"__g{i}" for i in range(len(group_exprs))]
 
         # stream-window grouping: transform df (adds __win/__idx/__trigger
@@ -633,8 +656,17 @@ class Planner:
         # window items)
         lower_names = {out.lower(): hid for hid, out in out_specs}
         for k, o in enumerate(sel.order_by):
-            if isinstance(o.expr, Col) and o.expr.qualifier is None and \
-                    o.expr.name.lower() in lower_names:
+            pos = _ordinal(o.expr)
+            if pos is not None:
+                # items were appended to out_specs first, so position
+                # k maps to out_specs[k-1] even after win_out entries
+                if not 1 <= pos <= len(sel.items):
+                    raise PlanError(
+                        f"ORDER BY position {pos} is not in the select "
+                        f"list (1..{len(sel.items)})")
+                order_specs.append((F.col(out_specs[pos - 1][0]), o))
+            elif isinstance(o.expr, Col) and o.expr.qualifier is None \
+                    and o.expr.name.lower() in lower_names:
                 order_specs.append(
                     (F.col(lower_names[o.expr.name.lower()]), o))
             else:
@@ -1529,6 +1561,17 @@ class _PostAggContext(_AggContext):
             "was not materialized")
 
 
+def _ordinal(e) -> Optional[int]:
+    """ANSI ordinal reference: a bare integer literal in ORDER BY /
+    GROUP BY names the 1-based select-list position (engine extension
+    matching Spark SQL's and DuckDB's own defaults, so both planner
+    paths agree)."""
+    if isinstance(e, Lit) and isinstance(e.value, int) \
+            and not isinstance(e.value, bool):
+        return int(e.value)
+    return None
+
+
 def _cast_type(e: Cast):
     """CAST target: the DDL palette (catalog._TYPE_MAP) plus
     parameterized decimal(p, s)."""
@@ -1628,9 +1671,17 @@ def _apply_limit_offset(df: DataFrame, limit: Optional[int],
 
 
 def _setop_order_index(s: SetOp, o: OrderItem, df: DataFrame) -> int:
+    pos = _ordinal(o.expr)
+    if pos is not None:
+        if 1 <= pos <= len(df.columns):
+            return pos - 1
+        raise PlanError(
+            f"ORDER BY position {pos} is not in the select list "
+            f"(1..{len(df.columns)})")
     if isinstance(o.expr, Col) and o.expr.qualifier is None:
         try:
             return [c.lower() for c in df.columns].index(o.expr.name.lower())
         except ValueError:
             pass
-    raise PlanError("set-operation ORDER BY must reference output columns")
+    raise PlanError("set-operation ORDER BY must reference output columns "
+                    "by name or 1-based position")
