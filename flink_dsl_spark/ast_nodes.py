@@ -119,6 +119,9 @@ class WindowFunc(Expr):
     partition_by: list = field(default_factory=list)   # list[Expr]
     order_by: list = field(default_factory=list)       # list[OrderItem]
     frame: Optional[WindowFrame] = None
+    ref: Optional[str] = None    # `over w` named-window reference —
+                                 # resolved (and cleared) at parse time
+                                 # from the WINDOW clause
 
 
 @dataclass

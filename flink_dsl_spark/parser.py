@@ -194,9 +194,9 @@ class Parser:
 
     # contextual keywords that must not be swallowed as an IMPLICIT
     # alias (a bare ``from t qualify rank() ...`` starts a QUALIFY
-    # clause, not an alias).  ``AS qualify`` and ``"qualify"`` still
-    # work as explicit aliases.
-    _NON_ALIAS = {"qualify"}
+    # clause and ``from t window w as (...)`` a WINDOW clause, not an
+    # alias).  ``AS qualify`` / quoted forms still work as aliases.
+    _NON_ALIAS = {"qualify", "window"}
 
     def alias_ident(self) -> str | None:
         """Optional [AS] alias."""
@@ -595,19 +595,67 @@ class Parser:
                     rollup = True
             if self.eat_kw("having"):
                 having = self.parse_expr()
-        # QUALIFY (engine extension, DuckDB/Snowflake-style): filter on
-        # window-function results without a derived table
-        qualify = self.parse_expr() if self.eat_kw("qualify") else None
+        # QUALIFY (engine extension, DuckDB/Snowflake-style filter on
+        # window results) and the named WINDOW clause — accepted in
+        # either order (PG puts WINDOW after HAVING; Snowflake puts
+        # QUALIFY there too)
+        qualify = None
+        named_windows: dict[str, tuple] = {}
+        while True:
+            if qualify is None and self.eat_kw("qualify"):
+                qualify = self.parse_expr()
+                continue
+            if not named_windows and self.at_kw("window") \
+                    and self.peek().kind in ("ident", "qident"):
+                self.advance()
+                while True:
+                    wtok = self.cur
+                    wname = self.ident("window name")
+                    if wname.lower() in named_windows:
+                        self.error(f"duplicate window name {wname!r}",
+                                   wtok)
+                    self.expect_kw("as")
+                    self.expect_op("(")
+                    named_windows[wname.lower()] = \
+                        self.parse_window_body()
+                    self.expect_op(")")
+                    if not self.eat_op(","):
+                        break
+                continue
+            break
         order_by = self.parse_order_by() if self.at_kw("order") else []
         limit = offset = None
         if self.eat_kw("limit"):
             limit = self.parse_limit_term()
             if self.eat_kw("offset"):
                 offset = self.parse_limit_term()
-        return Select(items, from_, where, group_by, rollup, having,
-                      order_by, limit, offset, distinct, hints=hints,
-                      qualify=qualify, cube=cube,
-                      grouping_sets=grouping_sets)
+        sel = Select(items, from_, where, group_by, rollup, having,
+                     order_by, limit, offset, distinct, hints=hints,
+                     qualify=qualify, cube=cube,
+                     grouping_sets=grouping_sets)
+        self._resolve_named_windows(sel, named_windows)
+        return sel
+
+    def _resolve_named_windows(self, sel: Select, named: dict) -> None:
+        """Fill `over w` references from the WINDOW clause, in place —
+        after this, downstream stages only ever see inline OVER specs.
+        Each reference gets its own COPY of the spec so the resolver's
+        per-node binding writes can't alias across uses."""
+        exprs = [i.expr for i in sel.items
+                 if not isinstance(i.expr, Star)]
+        if sel.qualify is not None:
+            exprs.append(sel.qualify)
+        for e in exprs:
+            for x in walk_expr(e):
+                if isinstance(x, WindowFunc) and x.ref is not None:
+                    spec = named.get(x.ref.lower())
+                    if spec is None:
+                        self.error(
+                            f"undefined window name {x.ref!r} "
+                            "(declare it in a WINDOW clause)")
+                    p, o, f = copy.deepcopy(spec)
+                    x.partition_by, x.order_by, x.frame = p, o, f
+                    x.ref = None
 
     def _parse_paren_expr_list(self) -> list:
         """``( expr [, expr]* )`` — ROLLUP/CUBE key lists."""
@@ -1105,12 +1153,19 @@ class Parser:
             self.expect_op(")")
             call = FuncCall(name.lower(), args, distinct)
             # engine extension (§2.5): analytic OVER clause.  `over` is
-            # contextual — only consumed when followed by `(`, so a
-            # column aliased "over" still parses.
-            if self.at_kw("over") and self.peek().kind == "op" \
-                    and self.peek().text == "(":
-                self.advance()
-                return self.parse_over_clause(call)
+            # contextual — only consumed when followed by `(` or a
+            # window NAME (a bare non-reserved ident), so a column
+            # aliased "over" still parses.
+            if self.at_kw("over"):
+                nxt = self.peek()
+                if nxt.kind == "op" and nxt.text == "(":
+                    self.advance()
+                    return self.parse_over_clause(call)
+                if nxt.kind in ("ident", "qident") \
+                        and nxt.lower not in RESERVED:
+                    self.advance()
+                    return WindowFunc(call,
+                                      ref=self.ident("window name"))
             return call
         if self.at_op(".") and self.peek().kind in ("ident", "qident") \
                 and self.peek().lower not in RESERVED:
@@ -1171,6 +1226,12 @@ class Parser:
         (engine extension; the reference grammar has no analytic
         windows — SURVEY.md §2.5)."""
         self.expect_op("(")
+        partition, order, frame = self.parse_window_body()
+        self.expect_op(")")
+        return WindowFunc(call, partition, order, frame)
+
+    def parse_window_body(self):
+        """The inside of an OVER ( ... ) or WINDOW w AS ( ... ) spec."""
         partition: list = []
         order: list = []
         frame = None
@@ -1183,8 +1244,7 @@ class Parser:
             order = self.parse_order_by()
         if self.at_kw("rows", "range"):
             frame = self.parse_window_frame()
-        self.expect_op(")")
-        return WindowFunc(call, partition, order, frame)
+        return partition, order, frame
 
     def parse_window_frame(self) -> WindowFrame:
         mode = self.cur.lower

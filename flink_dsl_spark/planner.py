@@ -1330,6 +1330,13 @@ class Planner:
         comp = compile if compile is not None \
             else (lambda x: self._compile(x, df))
         name = e.func.name
+        if e.ref is not None:
+            # parser resolves WINDOW-clause refs in select items and
+            # QUALIFY; one surviving here sits in a position named
+            # windows don't reach
+            raise PlanError(
+                f"window reference {e.ref!r} is not valid in this "
+                "position (use an inline OVER (...) spec)")
         if df is None:
             raise PlanError("window functions require a FROM clause")
         if df.isStreaming:

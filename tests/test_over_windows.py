@@ -381,3 +381,60 @@ def test_ntile_rejects_boolean_literal(engine):
     with pytest.raises(PlanError, match="positive integer"):
         engine.sql("select ntile(true) over (order by o_orderkey) as n "
                    "from orders")
+
+
+# ---------------------------------------------------------------------------
+# named WINDOW clause (late-r8 engine extension)
+# ---------------------------------------------------------------------------
+
+def test_named_window_shared_by_two_functions(engine, duck):
+    """One declared window, two analytic functions over it — the spec
+    is copied per reference at parse time, so downstream stages only
+    ever see inline OVER specs."""
+    q = ("select o_orderkey, row_number() over w as rn, "
+         "sum(o_totalprice) over w as s from orders "
+         "where o_orderkey < 100 "
+         "window w as (partition by o_custkey order by o_orderkey)")
+    oracle = q.replace("row_number() over w",
+                       "CAST(row_number() over w AS INT)")
+    assert_matches_oracle(engine.sql(q), duck, oracle, "named_window")
+
+
+def test_named_window_with_qualify_either_order(engine, duck):
+    oracle = ("select o_custkey, o_totalprice, "
+              "CAST(row_number() over w AS INT) as rn from orders "
+              "window w as (partition by o_custkey "
+              "order by o_totalprice desc, o_orderkey) qualify rn = 1")
+    for q in [
+        ("select o_custkey, o_totalprice, row_number() over w as rn "
+         "from orders window w as (partition by o_custkey "
+         "order by o_totalprice desc, o_orderkey) qualify rn = 1"),
+        ("select o_custkey, o_totalprice, row_number() over w as rn "
+         "from orders qualify rn = 1 window w as (partition by "
+         "o_custkey order by o_totalprice desc, o_orderkey)"),
+    ]:
+        assert_matches_oracle(engine.sql(q), duck, oracle,
+                              "named_window_qualify")
+
+
+def test_multiple_named_windows_with_frame(engine, duck):
+    q = ("select o_orderkey, min(o_totalprice) over w3 as m3, "
+         "count(*) over wc as c from orders where o_orderkey < 60 "
+         "window w3 as (partition by o_custkey order by o_orderkey "
+         "rows between 2 preceding and current row), "
+         "wc as (partition by o_custkey)")
+    assert_matches_oracle(engine.sql(q), duck, q, "named_windows_multi")
+
+
+def test_named_window_errors_and_alias_compat():
+    from flink_dsl_spark import parse
+    with pytest.raises(ParseError, match="undefined window"):
+        parse("select row_number() over w as r from orders")
+    with pytest.raises(ParseError, match="duplicate window"):
+        parse("select row_number() over w as r from orders "
+              "window w as (order by a), w as (order by b)")
+    # `over` alone is still an implicit alias; `window` works quoted
+    assert parse("select o_orderkey over from orders").items[0] \
+        .alias == "over"
+    assert parse('select 1 as x from orders as "window"') \
+        .from_.alias == "window"
