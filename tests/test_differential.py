@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 6))
+    shape = draw(st.integers(0, 9))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -137,14 +137,37 @@ def _query(draw):
         ]))
         return (f"select n_regionkey, n_nationkey % 3 as m, "
                 f"count(*) as cnt from nation group by {form}")
-    # CAST + QUALIFY top-k (late-r8): int->long casts stay exact on
-    # both engines; row_number is deterministic (unique order key)
-    k = draw(st.integers(1, 5))
-    e = draw(_int_expr(_NATION_INTS))
-    return (f"select n_nationkey, cast({e} as long) as v, "
-            f"row_number() over (partition by n_regionkey "
-            f"order by n_nationkey) as rn "
-            f"from nation qualify rn <= {k}")
+    if shape == 6:
+        # CAST + QUALIFY top-k (late-r8): int->long casts stay exact
+        # on both engines; row_number is deterministic (unique key)
+        k = draw(st.integers(1, 5))
+        e = draw(_int_expr(_NATION_INTS))
+        return (f"select n_nationkey, cast({e} as long) as v, "
+                f"row_number() over (partition by n_regionkey "
+                f"order by n_nationkey) as rn "
+                f"from nation qualify rn <= {k}")
+    if shape == 7:
+        # ordinal references (late-r8): fully-keyed ORDER BY keeps
+        # the row order deterministic on both engines
+        mod = draw(st.integers(2, 5))
+        return (f"select n_regionkey, n_nationkey % {mod} as m, "
+                f"count(*) as cnt from nation "
+                f"group by 1, 2 order by 3 desc, 1, 2")
+    if shape == 8:
+        # named WINDOW clause (late-r8): one declared window shared
+        # by two functions; parse-time resolution means DuckDB gets
+        # the same inline spec
+        k = draw(st.integers(1, 4))
+        return (f"select n_nationkey, row_number() over w as rn, "
+                f"count(*) over w as c from nation "
+                f"window w as (partition by n_regionkey "
+                f"order by n_nationkey) qualify rn <= {k}")
+    # interval arithmetic over the events timeline (late-r8): counts
+    # are exact whatever the literal lands on (2024-01 data range)
+    h = draw(st.integers(0, 900))
+    cmp_op = draw(st.sampled_from(["<", ">="]))
+    return (f"select count(*) as n from events where ts {cmp_op} "
+            f"timestamp '2024-01-01 00:00:00' + interval {h} hours")
 
 
 @settings(max_examples=60, deadline=None,
