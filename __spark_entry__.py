@@ -248,6 +248,17 @@ _FSQL: dict[str, str] = {
                         and l_shipdate > o_orderdate)
         group by o_orderpriority
         order by o_orderpriority""",
+    # array subscript (late r8): the embeddings table becomes
+    # dialect-reachable — per-label stats of first-dimension values
+    # (min/max are accumulation-free and float32 widens to double
+    # exactly, so the oracle premise is exact)
+    "q56_array": """
+        select label, count(*) as n,
+               round(cast(min(embedding[1]) as double), 6) as mn,
+               round(cast(max(embedding[1]) as double), 6) as mx
+        from embeddings
+        where embedding[1] > 0.25
+        group by label""",
     # CAST (late-r8 dialect extension): long-bucketed price histogram
     # — the cast feeds the GROUP BY key AND wraps min/max aggregates
     # (exact, no accumulation, so truncation is deterministic across
@@ -1282,7 +1293,7 @@ _PRIORITY = [
     #     q49 QUALIFY / q50 CTE / q51 CUBE / q52 CAST first rows),
     #     then the r6-newest rows, then the r7 greens displaced by
     #     this rotation. ---
-    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4",
+    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1596,6 +1607,15 @@ def _oracle_sql_base() -> dict[str, str]:
                           where l_orderkey = o_orderkey
                             and l_shipdate > o_orderdate)
             group by o_orderpriority""",
+        # q56: DuckDB's native 1-based list indexing matches the
+        # engine's try_element_at semantics (NULL out of range)
+        "q56_array": """
+            select label, count(*) as n,
+                   round(cast(min(embedding[1]) as double), 6) as mn,
+                   round(cast(max(embedding[1]) as double), 6) as mx
+            from embeddings
+            where embedding[1] > 0.25
+            group by label""",
         # q52: Spark double->long casts TRUNCATE toward zero where
         # DuckDB ROUNDS — the oracle replays with trunc() (DIALECT.md
         # CAST section; min/max are accumulation-free so the premise

@@ -68,6 +68,17 @@ class Cast(Expr):
 
 
 @dataclass
+class Subscript(Expr):
+    """``expr[index]`` — 1-based array element access (engine
+    extension for the array<float> embedding columns).  NULL out of
+    range on both engines: Spark via try_element_at, DuckDB via its
+    native list indexing."""
+
+    expr: Expr
+    index: Expr
+
+
+@dataclass
 class IntervalLit(Expr):
     """``INTERVAL n unit`` literal — engine extension for date/time
     arithmetic (``ts - interval 90 day``).  ``unit`` is stored
@@ -505,6 +516,8 @@ def expr_children(e: Expr) -> list:
             + [o.expr for o in e.order_by]
     if isinstance(e, Cast):
         return [e.expr]
+    if isinstance(e, Subscript):
+        return [e.expr, e.index]
     if isinstance(e, Case):
         out = []
         for c, v in e.whens:

@@ -29,7 +29,8 @@ from .ast_nodes import (
     FuncCall, HostSource, InList, InSubquery, Insert, IntervalLit,
     IsNull, Join, Lit,
     OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
-    SetOp, Star, TableRef, UnOp, Update, WindowFrame, WindowFunc,
+    SetOp, Star, Subscript, TableRef, UnOp, Update, WindowFrame,
+    WindowFunc,
     WindowSpec, relation_leaves, walk_expr,
 )
 from .errors import ParseError
@@ -593,8 +594,10 @@ class Parser:
                 if self.eat_kw("with"):
                     self.expect_kw("rollup")
                     rollup = True
-            if self.eat_kw("having"):
-                having = self.parse_expr()
+        # ANSI: HAVING may stand alone — the query becomes a single
+        # global group (`select count(*) … having count(*) > 5`)
+        if self.eat_kw("having"):
+            having = self.parse_expr()
         # QUALIFY (engine extension, DuckDB/Snowflake-style filter on
         # window results) and the named WINDOW clause — accepted in
         # either order (PG puts WINDOW after HAVING; Snowflake puts
@@ -1047,6 +1050,19 @@ class Parser:
         return self.parse_term()
 
     def parse_term(self):
+        e = self._parse_term_core()
+        # postfix subscript (engine extension): 1-based array element
+        # access — `embedding[3]`, chainable.  Unambiguous here:
+        # stream-window `[size …]` brackets attach to RELATIONS in
+        # FROM, never to expressions.
+        while self.at_op("["):
+            self.advance()
+            idx = self.parse_expr()
+            self.expect_op("]")
+            e = Subscript(e, idx)
+        return e
+
+    def _parse_term_core(self):
         t = self.cur
         if t.kind == "number":
             self.advance()

@@ -34,6 +34,7 @@ from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, CreateSchema, CreateStream, Delete,
     DerivedTable, Exists, FuncCall, InList, InSubquery, Insert,
     IntervalLit, IsNull, Join, Lit, OrderItem, Param, ScalarSubquery,
+    Subscript,
     Select, SelectItem, SetOp, Star, TableRef, UnOp, Update, WindowFunc,
     WindowSpec, relation_leaves, walk_expr,
 )
@@ -1247,6 +1248,11 @@ class Planner:
             return self._compile(e.expr, df).cast(_cast_type(e))
         if isinstance(e, IntervalLit):
             return F.expr(f"INTERVAL {e.value} {e.unit}")
+        if isinstance(e, Subscript):
+            # 1-based, NULL out of range (try_element_at) — the DuckDB
+            # list-indexing semantics, so both executors agree
+            return F.try_element_at(self._compile(e.expr, df),
+                                    self._compile(e.index, df))
         if isinstance(e, FuncCall):
             return self._compile_func(e, df)
         if isinstance(e, WindowFunc):
@@ -1493,6 +1499,9 @@ class _AggContext:
             return self.compile(e.expr).cast(_cast_type(e))
         if isinstance(e, IntervalLit):
             return F.expr(f"INTERVAL {e.value} {e.unit}")
+        if isinstance(e, Subscript):
+            return F.try_element_at(self.compile(e.expr),
+                                    self.compile(e.index))
         if isinstance(e, Between):
             c = self.compile(e.expr).between(
                 self.compile(e.lo), self.compile(e.hi))

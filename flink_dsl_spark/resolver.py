@@ -21,7 +21,8 @@ from typing import Optional
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, Insert, IntervalLit, IsNull, Join, Lit, Param,
-    Policy, ScalarSubquery, Select, SelectItem, SetOp, Star, TableRef,
+    Policy, ScalarSubquery, Select, SelectItem, SetOp, Star, Subscript,
+    TableRef,
     UnOp, WindowFunc, WindowSpec, relation_leaves, walk_expr,
 )
 from .catalog import Catalog
@@ -264,6 +265,10 @@ class Resolver:
             return
         if isinstance(e, Cast):
             self._resolve_expr(e.expr, scope)
+            return
+        if isinstance(e, Subscript):
+            self._resolve_expr(e.expr, scope)
+            self._resolve_expr(e.index, scope)
             return
         if isinstance(e, FuncCall):
             for a in e.args:

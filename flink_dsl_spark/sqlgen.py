@@ -16,8 +16,8 @@ from __future__ import annotations
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, IntervalLit, IsNull, Join, Lit, Param,
-    ScalarSubquery, Select, SetOp, Star, TableRef, UnOp, WindowFunc,
-    walk_expr,
+    ScalarSubquery, Select, SetOp, Star, Subscript, TableRef, UnOp,
+    WindowFunc, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 
@@ -169,7 +169,17 @@ class SqlGen:
         order_sql: list[str] = []
         lower_names = {n.lower() for n in out_names}
         for k, o in enumerate(s.order_by):
-            if isinstance(o.expr, Col) and o.expr.qualifier is None \
+            if isinstance(o.expr, Lit) and isinstance(o.expr.value, int) \
+                    and not isinstance(o.expr.value, bool):
+                # ordinal: position into the OUTER projection, where
+                # both engines apply their ordinal defaults
+                pos = int(o.expr.value)
+                if not 1 <= pos <= len(out_names):
+                    raise PlanError(
+                        f"ORDER BY position {pos} is not in the select "
+                        f"list (1..{len(out_names)})")
+                key = str(pos)
+            elif isinstance(o.expr, Col) and o.expr.qualifier is None \
                     and o.expr.name.lower() in lower_names:
                 key = self.ident(o.expr.name)
             else:
@@ -331,6 +341,14 @@ class SqlGen:
             return (f"{self.expr(e.func)} OVER ({' '.join(parts)})")
         if isinstance(e, IntervalLit):
             return f"INTERVAL {e.value} {e.unit}"
+        if isinstance(e, Subscript):
+            # 1-based, NULL out of range on both targets: Spark SQL
+            # via try_element_at (its bare subscript is 0-based and
+            # ANSI-throws), DuckDB via native list indexing
+            if self.dialect == "spark":
+                return (f"try_element_at({self.expr(e.expr)}, "
+                        f"{self.expr(e.index)})")
+            return f"({self.expr(e.expr)})[{self.expr(e.index)}]"
         if isinstance(e, Cast):
             if e.type_name == "decimal" and e.precision is not None:
                 t = f"DECIMAL({e.precision}, {e.scale or 0})"
