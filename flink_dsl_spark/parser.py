@@ -486,8 +486,8 @@ class Parser:
         left = self.parse_select_core()
         while self.at_kw("union", "except", "intersect"):
             op = self.advance().lower
-            if op == "union" and self.eat_kw("all"):
-                op = "union_all"
+            if self.eat_kw("all"):
+                op += "_all"
             right = self.parse_select_core()
             left = SetOp(op, left, right)
             # standard compound-select scoping: a trailing ORDER BY/LIMIT
@@ -1006,6 +1006,16 @@ class Parser:
                 return left
             if self.eat_kw("is"):
                 neg = bool(self.eat_kw("not"))
+                # IS [NOT] DISTINCT FROM — null-safe comparison
+                # (engine extension; `distinct` is reserved so this
+                # cannot collide with IS NULL)
+                if self.eat_kw("distinct"):
+                    self.expect_kw("from")
+                    right = self.parse_bitwise()
+                    left = BinOp("<=>", left, right)
+                    if not neg:
+                        left = UnOp("not", left)
+                    continue
                 self.expect_kw("null")
                 left = IsNull(left, neg)
                 continue

@@ -170,8 +170,12 @@ class Planner:
             df = left.union(right).distinct()
         elif s.op == "except":
             df = left.subtract(right)
+        elif s.op == "except_all":
+            df = left.exceptAll(right)
         elif s.op == "intersect":
             df = left.intersect(right)
+        elif s.op == "intersect_all":
+            df = left.intersectAll(right)
         else:
             raise PlanError(f"unknown set op {s.op}")
         if s.order_by:
@@ -1632,6 +1636,7 @@ def _apply_binop(op: str, l: Column, r: Column) -> Column:
         "&": lambda: l.bitwiseAND(r),
         "^": lambda: l.bitwiseXOR(r),
         "like": lambda: F.like(l, r),
+        "<=>": lambda: l.eqNullSafe(r),      # IS NOT DISTINCT FROM
     }
     try:
         return table[op]()

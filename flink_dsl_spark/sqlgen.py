@@ -75,7 +75,9 @@ class SqlGen:
     def query(self, q) -> str:
         if isinstance(q, SetOp):
             op = {"union": "UNION", "union_all": "UNION ALL",
-                  "except": "EXCEPT", "intersect": "INTERSECT"}[q.op]
+                  "except": "EXCEPT", "except_all": "EXCEPT ALL",
+                  "intersect": "INTERSECT",
+                  "intersect_all": "INTERSECT ALL"}[q.op]
             s = f"{self.query(q.left)} {op} {self.query(q.right)}"
             if q.order_by:
                 s += " ORDER BY " + ", ".join(self.order_item(o)
@@ -312,6 +314,14 @@ class SqlGen:
         if isinstance(e, Star):
             return "*"
         if isinstance(e, BinOp):
+            if e.op == "<=>":
+                # null-safe equality: Spark SQL's operator vs the
+                # ANSI/DuckDB spelling
+                if self.dialect == "spark":
+                    return (f"({self.expr(e.left)} <=> "
+                            f"{self.expr(e.right)})")
+                return (f"({self.expr(e.left)} IS NOT DISTINCT FROM "
+                        f"{self.expr(e.right)})")
             op = {"and": "AND", "or": "OR", "like": "LIKE",
                   "=": "=", "!=": "<>"}.get(e.op, e.op)
             return f"({self.expr(e.left)} {op} {self.expr(e.right)})"

@@ -69,3 +69,43 @@ def test_bare_having_filters_out(engine, duck):
     q = ("select count(*) as n, round(sum(o_totalprice), 2) as s "
          "from orders having count(*) > 99999999")
     assert_matches_oracle(engine.sql(q), duck, q, "bare_having_empty")
+
+
+# ---------------------------------------------------------------------------
+# IS [NOT] DISTINCT FROM + multiset set operations
+# ---------------------------------------------------------------------------
+
+def test_is_distinct_from_nullsafe(engine, duck):
+    """Null-safe comparison over outer-join nulls: IS DISTINCT FROM
+    keeps NULL rows that plain <> drops."""
+    q = ("select count(*) as n from customer left join orders "
+         "on c_custkey = o_custkey "
+         "where o_orderstatus is distinct from 'F'")
+    assert_matches_oracle(engine.sql(q), duck, q, "is_distinct")
+
+
+def test_is_not_distinct_from_null(engine, duck):
+    q = ("select count(*) as n from customer left join orders "
+         "on c_custkey = o_custkey "
+         "where o_orderstatus is not distinct from null")
+    assert_matches_oracle(engine.sql(q), duck, q, "is_not_distinct")
+
+
+def test_is_distinct_sqlgen_dialects():
+    sel = parse("select 1 as x from t where a is not distinct from b")
+    assert "<=>" in to_sql(sel)
+    assert "IS NOT DISTINCT FROM" in to_sql(sel, dialect="ansi")
+
+
+def test_intersect_all(engine, duck):
+    q = ("select n_regionkey as k from nation intersect all "
+         "select n_regionkey as k from nation where n_nationkey < 10")
+    assert_matches_oracle(engine.sql(q), duck, q, "intersect_all")
+
+
+def test_except_all(engine, duck):
+    """Multiset difference keeps surplus duplicates (5 regions × 5
+    nations each minus one copy per early nation)."""
+    q = ("select n_regionkey as k from nation except all "
+         "select n_regionkey as k from nation where n_nationkey < 5")
+    assert_matches_oracle(engine.sql(q), duck, q, "except_all")
