@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 9))
+    shape = draw(st.integers(0, 10))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -162,12 +162,30 @@ def _query(draw):
                 f"count(*) over w as c from nation "
                 f"window w as (partition by n_regionkey "
                 f"order by n_nationkey) qualify rn <= {k}")
-    # interval arithmetic over the events timeline (late-r8): counts
-    # are exact whatever the literal lands on (2024-01 data range)
-    h = draw(st.integers(0, 900))
-    cmp_op = draw(st.sampled_from(["<", ">="]))
-    return (f"select count(*) as n from events where ts {cmp_op} "
-            f"timestamp '2024-01-01 00:00:00' + interval {h} hours")
+    if shape == 9:
+        # interval arithmetic over the events timeline (late-r8):
+        # counts are exact whatever the literal lands on (2024-01
+        # data range)
+        h = draw(st.integers(0, 900))
+        cmp_op = draw(st.sampled_from(["<", ">="]))
+        return (f"select count(*) as n from events where ts {cmp_op} "
+                f"timestamp '2024-01-01 00:00:00' + interval {h} hours")
+    # null-safe comparison over outer-join nulls + multiset set ops
+    # (late-r8)
+    if draw(st.booleans()):
+        form = draw(st.sampled_from(["is distinct from",
+                                     "is not distinct from"]))
+        lit = draw(st.one_of(st.integers(0, 30).map(str),
+                             st.just("null")))
+        return (f"select count(*) as n from nation left join customer "
+                f"on n_nationkey = c_nationkey and c_custkey < "
+                f"{draw(st.integers(0, 40))} "
+                f"where c_custkey {form} {lit}")
+    op = draw(st.sampled_from(["except all", "intersect all"]))
+    cut = draw(st.integers(0, 24))
+    return (f"select n_regionkey as k from nation {op} "
+            f"select n_regionkey as k from nation "
+            f"where n_nationkey < {cut}")
 
 
 @settings(max_examples=60, deadline=None,
