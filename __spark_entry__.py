@@ -248,6 +248,16 @@ _FSQL: dict[str, str] = {
                         and l_shipdate > o_orderdate)
         group by o_orderpriority
         order by o_orderpriority""",
+    # null-safe comparison (late r8): IS DISTINCT FROM as both a
+    # grouping key and the filter semantics it exists for — NULL rows
+    # from the outer join land in the not_f=true group instead of
+    # vanishing (plain <> would drop them); identical text runs on
+    # DuckDB
+    "q57_nullsafe": """
+        select o_orderstatus is distinct from 'F' as not_f,
+               count(*) as n
+        from customer left join orders on c_custkey = o_custkey
+        group by o_orderstatus is distinct from 'F'""",
     # array subscript (late r8): the embeddings table becomes
     # dialect-reachable — per-label stats of first-dimension values
     # (min/max are accumulation-free and float32 widens to double
@@ -1294,6 +1304,7 @@ _PRIORITY = [
     #     then the r6-newest rows, then the r7 greens displaced by
     #     this rotation. ---
     "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
+    "q57_nullsafe",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1607,6 +1618,13 @@ def _oracle_sql_base() -> dict[str, str]:
                           where l_orderkey = o_orderkey
                             and l_shipdate > o_orderdate)
             group by o_orderpriority""",
+        # q57: IS DISTINCT FROM is the ANSI spelling — DuckDB runs
+        # the identical text
+        "q57_nullsafe": """
+            select o_orderstatus is distinct from 'F' as not_f,
+                   count(*) as n
+            from customer left join orders on c_custkey = o_custkey
+            group by o_orderstatus is distinct from 'F'""",
         # q56: DuckDB's native 1-based list indexing matches the
         # engine's try_element_at semantics (NULL out of range)
         "q56_array": """

@@ -859,9 +859,12 @@ class Parser:
 
     def parse_relation_primary(self):
         if self.at_op("("):
-            # lookahead: derived table vs parenthesized join
+            # lookahead: derived table (select/with/values) vs
+            # parenthesized join
             if self._paren_starts_select():
                 self.expect_op("(")
+                if self.at_kw("values"):
+                    return self._parse_values_table()
                 q = self.parse_select_statement()
                 self.expect_op(")")
                 window = self.parse_window_spec() if self.at_op("[") else None
@@ -890,9 +893,54 @@ class Parser:
                 j += 1
                 continue
             if depth >= 1:
-                return t.kind == "ident" and t.lower == "select"
+                return t.kind == "ident" and t.lower in (
+                    "select", "with", "values")
             j += 1
         return False
+
+    def _parse_values_table(self) -> DerivedTable:
+        """``( VALUES (r1c1, …) [, …] ) [AS] alias [(col, …)]`` —
+        inline literal relation (engine extension).  Desugared to a
+        UNION ALL chain of FROM-less selects, so the resolver, both
+        planner paths, and sqlgen reuse existing machinery (the same
+        treatment WITH gets)."""
+        self.expect_kw("values")
+        rows: list[list] = []
+        while True:
+            self.expect_op("(")
+            row = [self.parse_expr()]
+            while self.eat_op(","):
+                row.append(self.parse_expr())
+            self.expect_op(")")
+            rows.append(row)
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        alias = self.alias_ident()
+        if alias is None:
+            self.error("VALUES table requires an alias")
+        cols = None
+        if self.at_op("("):
+            self.advance()
+            cols = [self.ident("column alias")]
+            while self.eat_op(","):
+                cols.append(self.ident("column alias"))
+            self.expect_op(")")
+        n = len(rows[0])
+        names = cols or [f"col{i + 1}" for i in range(n)]
+        if len(names) != n:
+            self.error(f"VALUES table has {n} columns but "
+                       f"{len(names)} aliases")
+        for r in rows:
+            if len(r) != n:
+                self.error(
+                    f"VALUES rows must all have {n} expressions")
+        q = None
+        for r in rows:
+            s = Select([SelectItem(e, names[i])
+                        for i, e in enumerate(r)])
+            q = s if q is None else SetOp("union_all", q, s)
+        return DerivedTable(q, alias)
 
     def parse_window_spec(self) -> WindowSpec:
         """[size N [unit] [on col] [every M [unit] [on col]]
