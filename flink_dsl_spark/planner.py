@@ -280,16 +280,49 @@ class Planner:
         if sel.qualify is not None:
             self._check_qualify(sel, df)
 
+        # DISTINCT evaluates BEFORE ORDER BY (ANSI): sorting first and
+        # de-duplicating after would shuffle the order away — and with
+        # LIMIT would return arbitrary rows.  Ordering defers until
+        # after .distinct(), where the keys must be select-list
+        # outputs (the DuckDB/ANSI restriction).
+        defer_order = sel.distinct and bool(sel.order_by)
         if agg_ctx:
-            df = self._plan_aggregate(sel, df, group_window_leaf)
+            df = self._plan_aggregate(sel, df, group_window_leaf,
+                                      order=not defer_order)
         else:
-            df = self._plan_projection(sel, df)
+            df = self._plan_projection(sel, df, order=not defer_order)
 
         if sel.distinct:
             df = df.distinct()
+            if defer_order:
+                df = self._order_outputs(sel, df)
         df = _apply_limit_offset(df, self._lit_int(sel.limit),
                                  self._lit_int(sel.offset))
         return df
+
+    def _order_outputs(self, sel: Select, df: DataFrame) -> DataFrame:
+        """ORDER BY over the finished output frame (the DISTINCT
+        path): keys must be select-list outputs — an alias, a bare
+        output column name, or an ordinal."""
+        lower = {c.lower(): c for c in df.columns}
+        order_cols = []
+        for o in sel.order_by:
+            pos = _ordinal(o.expr)
+            if pos is not None:
+                if not 1 <= pos <= len(df.columns):
+                    raise PlanError(
+                        f"ORDER BY position {pos} is not in the select "
+                        f"list (1..{len(df.columns)})")
+                oc = F.col(df.columns[pos - 1])
+            elif isinstance(o.expr, Col) and o.expr.qualifier is None \
+                    and o.expr.name.lower() in lower:
+                oc = F.col(lower[o.expr.name.lower()])
+            else:
+                raise PlanError(
+                    "ORDER BY with SELECT DISTINCT must reference "
+                    "select-list outputs (a name or 1-based position)")
+            order_cols.append(_sorted_col(oc, o))
+        return df.orderBy(*order_cols)
 
     def _check_window_func_positions(self, sel: Select) -> None:
         """ANSI position rules for analytic functions: SELECT items
@@ -375,9 +408,10 @@ class Planner:
 
     # --- non-aggregate projection ---
 
-    def _plan_projection(self, sel: Select, df: DataFrame) -> DataFrame:
+    def _plan_projection(self, sel: Select, df: DataFrame,
+                         order: bool = True) -> DataFrame:
         if sel.qualify is not None:
-            return self._plan_projection_qualify(sel, df)
+            return self._plan_projection_qualify(sel, df, order=order)
         cols: list[Column] = []
         out_names: list[str] = []
         for i, item in enumerate(sel.items):
@@ -389,10 +423,10 @@ class Planner:
                 name = _item_name(item, i)
                 cols.append(self._compile(item.expr, df).alias(name))
                 out_names.append(name)
-        return self._project_ordered(sel, df, cols, out_names)
+        return self._project_ordered(sel, df, cols, out_names, order)
 
-    def _plan_projection_qualify(self, sel: Select,
-                                 df: DataFrame) -> DataFrame:
+    def _plan_projection_qualify(self, sel: Select, df: DataFrame,
+                                 order: bool = True) -> DataFrame:
         """QUALIFY on a non-aggregating query.  ANSI/DuckDB evaluation
         order: every select item (and so every window function) is
         computed over the FULL WHERE output first, THEN the predicate
@@ -437,14 +471,16 @@ class Planner:
                 h, name = payload
                 cols.append(F.col(h).alias(name))
                 out_names.append(name)
-        return self._project_ordered(sel, qdf, cols, out_names)
+        return self._project_ordered(sel, qdf, cols, out_names, order)
 
     def _project_ordered(self, sel: Select, df: DataFrame,
-                         cols: list, out_names: list) -> DataFrame:
+                         cols: list, out_names: list,
+                         order: bool = True) -> DataFrame:
         """Final projection + ORDER BY shared by the plain and QUALIFY
         projection paths.  ORDER BY may reference projection aliases or
-        any column of the incoming frame."""
-        if not sel.order_by:
+        any column of the incoming frame.  ``order=False`` skips the
+        sort (the DISTINCT path orders after de-duplication)."""
+        if not sel.order_by or not order:
             return df.select(*cols)
 
         hidden: list[Column] = []
@@ -487,7 +523,7 @@ class Planner:
     # --- aggregate path ---
 
     def _plan_aggregate(self, sel: Select, df: DataFrame,
-                        window_leaf) -> DataFrame:
+                        window_leaf, order: bool = True) -> DataFrame:
         if (sel.cube or sel.grouping_sets is not None) \
                 and window_leaf is not None:
             raise PlanError(
@@ -660,7 +696,7 @@ class Planner:
         # output (hidden == out for plain items, __win{i} for deferred
         # window items)
         lower_names = {out.lower(): hid for hid, out in out_specs}
-        for k, o in enumerate(sel.order_by):
+        for k, o in enumerate(sel.order_by if order else []):
             pos = _ordinal(o.expr)
             if pos is not None:
                 # items were appended to out_specs first, so position

@@ -474,3 +474,42 @@ def test_nulls_placement_on_sqlgen_path(engine):
          "order by k nulls last")
     assert [r["k"] for r in engine.sql(q).collect()] == \
         [2, 3, 4, None, None]
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT evaluates before ORDER BY (late-r8 fix)
+# ---------------------------------------------------------------------------
+
+def test_distinct_order_by_row_order(engine):
+    """Pre-fix, .distinct() ran AFTER the sort and shuffled it away —
+    and with LIMIT returned arbitrary rows.  Row ORDER asserted."""
+    vals = [r[0] for r in engine.sql(
+        "select distinct o_orderpriority from orders "
+        "order by o_orderpriority").collect()]
+    assert vals == sorted(vals) and len(vals) == 5
+
+    top = [r[0] for r in engine.sql(
+        "select distinct o_custkey from orders "
+        "order by o_custkey desc limit 5").collect()]
+    assert top == sorted(top, reverse=True)
+    # the LIMIT must take the 5 LARGEST keys, not arbitrary ones
+    all_keys = {r[0] for r in engine.sql(
+        "select distinct o_custkey from orders").collect()}
+    assert top == sorted(all_keys, reverse=True)[:5]
+
+
+def test_distinct_order_by_ordinal_and_agg_paths(engine):
+    rows = engine.sql("select distinct o_orderstatus, o_orderpriority "
+                      "from orders order by 1, 2").collect()
+    assert [tuple(r) for r in rows] == sorted(tuple(r) for r in rows)
+    ns = [r[0] for r in engine.sql(
+        "select distinct count(*) as n from orders "
+        "group by o_orderstatus order by n").collect()]
+    assert ns == sorted(ns)
+
+
+def test_distinct_order_by_requires_output_key(engine):
+    from flink_dsl_spark.errors import PlanError
+    with pytest.raises(PlanError, match="select-list outputs"):
+        engine.sql("select distinct o_orderstatus from orders "
+                   "order by o_custkey")
