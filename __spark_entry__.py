@@ -248,6 +248,141 @@ _FSQL: dict[str, str] = {
                         and l_shipdate > o_orderdate)
         group by o_orderpriority
         order by o_orderpriority""",
+    # TPC-H wave 2 (late r8): the remaining classic queries the
+    # testdata schema can express.  q59/q60/q63/q65 run VERBATIM
+    # TPC-H text; q58/q61/q62/q64/q66/q67 adapt only around missing
+    # columns (no o_shippriority / partsupp / l_shipmode /
+    # p_container / c_phone / o_comment in the synthetic schema).
+    # LIMIT queries order on the ROUNDED measure with a unique key
+    # tiebreak so the cut line is cross-engine deterministic.
+    "q58_tpch_q3": """
+        select l_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   as revenue,
+               o_orderdate
+        from customer, orders, lineitem
+        where c_mktsegment = 'BUILDING'
+          and c_custkey = o_custkey and l_orderkey = o_orderkey
+          and o_orderdate < date '1997-03-15'
+          and l_shipdate > date '1997-03-15'
+        group by l_orderkey, o_orderdate
+        order by revenue desc, l_orderkey
+        limit 10""",
+    "q59_tpch_q5": """
+        select n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   as revenue
+        from customer, orders, lineitem, supplier, nation, region
+        where c_custkey = o_custkey and l_orderkey = o_orderkey
+          and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+          and s_nationkey = n_nationkey and n_regionkey = r_regionkey
+          and r_name = 'AMERICA'
+          and o_orderdate >= date '1996-01-01'
+          and o_orderdate < date '1996-01-01' + interval 1 year
+        group by n_name
+        order by revenue desc""",
+    "q60_tpch_q7": """
+        select supp_nation, cust_nation, l_year,
+               round(sum(volume), 2) as revenue
+        from (select n1.n_name as supp_nation, n2.n_name as cust_nation,
+                     extract(year from l_shipdate) as l_year,
+                     l_extendedprice * (1 - l_discount) as volume
+              from supplier, lineitem, orders, customer,
+                   nation n1, nation n2
+              where s_suppkey = l_suppkey and o_orderkey = l_orderkey
+                and c_custkey = o_custkey
+                and s_nationkey = n1.n_nationkey
+                and c_nationkey = n2.n_nationkey
+                and ((n1.n_name = 'NATION_18' and n2.n_name = 'NATION_19')
+                  or (n1.n_name = 'NATION_19' and n2.n_name = 'NATION_18'))
+                and l_shipdate between date '1996-01-01'
+                                   and date '1997-12-31'
+             ) as shipping
+        group by supp_nation, cust_nation, l_year
+        order by supp_nation, cust_nation, l_year""",
+    "q61_tpch_q8": """
+        select o_year,
+               round(sum(case when nation = 'NATION_3' then volume
+                              else 0 end) / sum(volume), 6) as mkt_share
+        from (select extract(year from o_orderdate) as o_year,
+                     l_extendedprice * (1 - l_discount) as volume,
+                     n2.n_name as nation
+              from part, supplier, lineitem, orders, customer,
+                   nation n1, nation n2, region
+              where p_partkey = l_partkey and s_suppkey = l_suppkey
+                and l_orderkey = o_orderkey and o_custkey = c_custkey
+                and c_nationkey = n1.n_nationkey
+                and n1.n_regionkey = r_regionkey and r_name = 'ASIA'
+                and s_nationkey = n2.n_nationkey
+                and o_orderdate between date '1996-01-01'
+                                    and date '1997-12-31'
+                and p_type = 'ECONOMY'
+             ) as all_nations
+        group by o_year
+        order by o_year""",
+    "q62_tpch_q10": """
+        select c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   as revenue,
+               c_acctbal, n_name
+        from customer, orders, lineitem, nation
+        where c_custkey = o_custkey and l_orderkey = o_orderkey
+          and o_orderdate >= date '1996-10-01'
+          and o_orderdate < date '1996-10-01' + interval 3 months
+          and l_returnflag = 'R' and c_nationkey = n_nationkey
+        group by c_custkey, c_name, c_acctbal, n_name
+        order by revenue desc, c_custkey
+        limit 20""",
+    "q63_tpch_q14": """
+        select round(100.00 * sum(case when p_type like 'PROMO%'
+                                       then l_extendedprice
+                                            * (1 - l_discount)
+                                       else 0 end)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   as promo_revenue
+        from lineitem, part
+        where l_partkey = p_partkey
+          and l_shipdate >= date '1996-09-01'
+          and l_shipdate < date '1996-09-01' + interval 1 month""",
+    "q64_tpch_q17": """
+        select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly
+        from lineitem, part
+        where p_partkey = l_partkey and p_brand = 'Brand#12'
+          and l_quantity < (select 0.2 * avg(l_quantity) from lineitem
+                            where l_partkey = p_partkey)""",
+    "q65_tpch_q18": """
+        select c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, sum(l_quantity) as total_qty
+        from customer, orders, lineitem
+        where o_orderkey in (select l_orderkey from lineitem
+                             group by l_orderkey
+                             having sum(l_quantity) > 180)
+          and c_custkey = o_custkey and o_orderkey = l_orderkey
+        group by c_name, c_custkey, o_orderkey, o_orderdate,
+                 o_totalprice
+        order by o_totalprice desc, o_orderkey
+        limit 20""",
+    "q66_tpch_q13": """
+        select c_count, count(*) as custdist
+        from (select c_custkey, count(o_orderkey) as c_count
+              from customer left join orders on c_custkey = o_custkey
+              group by c_custkey) as c_orders
+        group by c_count
+        order by custdist desc, c_count desc""",
+    "q67_tpch_q15": """
+        with revenue as (
+            select l_suppkey as supplier_no,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as total_revenue
+            from lineitem
+            where l_shipdate >= date '1996-01-01'
+              and l_shipdate < date '1996-01-01' + interval 3 months
+            group by l_suppkey)
+        select s_suppkey, s_name, total_revenue
+        from supplier, revenue
+        where s_suppkey = supplier_no
+          and total_revenue = (select max(total_revenue) from revenue)
+        order by s_suppkey""",
     # null-safe comparison (late r8): IS DISTINCT FROM as both a
     # grouping key and the filter semantics it exists for — NULL rows
     # from the outer join land in the not_f=true group instead of
@@ -1305,6 +1440,11 @@ _PRIORITY = [
     #     this rotation. ---
     "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
     "q57_nullsafe",
+    # TPC-H wave 2 (late r8, never sampled — first rows due in r9):
+    # Q3/Q5/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18 over the testdata schema
+    "q58_tpch_q3", "q59_tpch_q5", "q60_tpch_q7", "q61_tpch_q8",
+    "q62_tpch_q10", "q63_tpch_q14", "q64_tpch_q17", "q65_tpch_q18",
+    "q66_tpch_q13", "q67_tpch_q15",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1618,6 +1758,149 @@ def _oracle_sql_base() -> dict[str, str]:
                           where l_orderkey = o_orderkey
                             and l_shipdate > o_orderdate)
             group by o_orderpriority""",
+        # q58-q67 (TPC-H wave 2): q59/q63/q65/q58/q62/q64/q66/q67 run
+        # the IDENTICAL text; q60/q61 differ ONLY in casting
+        # extract(year ...) to INT (DuckDB returns BIGINT, Spark INT).
+        # Sums of whole-valued l_quantity are exact; money sums round
+        # to 2dp within the pinned premise; LIMIT cuts order on the
+        # rounded measure + a unique key.
+        "q58_tpch_q3": """
+            select l_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as revenue,
+                   o_orderdate
+            from customer, orders, lineitem
+            where c_mktsegment = 'BUILDING'
+              and c_custkey = o_custkey and l_orderkey = o_orderkey
+              and o_orderdate < date '1997-03-15'
+              and l_shipdate > date '1997-03-15'
+            group by l_orderkey, o_orderdate
+            order by revenue desc, l_orderkey
+            limit 10""",
+        "q59_tpch_q5": """
+            select n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as revenue
+            from customer, orders, lineitem, supplier, nation, region
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and l_suppkey = s_suppkey and c_nationkey = s_nationkey
+              and s_nationkey = n_nationkey
+              and n_regionkey = r_regionkey
+              and r_name = 'AMERICA'
+              and o_orderdate >= date '1996-01-01'
+              and o_orderdate < date '1996-01-01' + interval 1 year
+            group by n_name""",
+        "q60_tpch_q7": """
+            select supp_nation, cust_nation, l_year,
+                   round(sum(volume), 2) as revenue
+            from (select n1.n_name as supp_nation,
+                         n2.n_name as cust_nation,
+                         cast(extract(year from l_shipdate) as int)
+                             as l_year,
+                         l_extendedprice * (1 - l_discount) as volume
+                  from supplier, lineitem, orders, customer,
+                       nation n1, nation n2
+                  where s_suppkey = l_suppkey
+                    and o_orderkey = l_orderkey
+                    and c_custkey = o_custkey
+                    and s_nationkey = n1.n_nationkey
+                    and c_nationkey = n2.n_nationkey
+                    and ((n1.n_name = 'NATION_18'
+                          and n2.n_name = 'NATION_19')
+                      or (n1.n_name = 'NATION_19'
+                          and n2.n_name = 'NATION_18'))
+                    and l_shipdate between date '1996-01-01'
+                                       and date '1997-12-31'
+                 ) as shipping
+            group by supp_nation, cust_nation, l_year""",
+        "q61_tpch_q8": """
+            select o_year,
+                   round(sum(case when nation = 'NATION_3' then volume
+                                  else 0 end) / sum(volume), 6)
+                       as mkt_share
+            from (select cast(extract(year from o_orderdate) as int)
+                             as o_year,
+                         l_extendedprice * (1 - l_discount) as volume,
+                         n2.n_name as nation
+                  from part, supplier, lineitem, orders, customer,
+                       nation n1, nation n2, region
+                  where p_partkey = l_partkey and s_suppkey = l_suppkey
+                    and l_orderkey = o_orderkey
+                    and o_custkey = c_custkey
+                    and c_nationkey = n1.n_nationkey
+                    and n1.n_regionkey = r_regionkey
+                    and r_name = 'ASIA'
+                    and s_nationkey = n2.n_nationkey
+                    and o_orderdate between date '1996-01-01'
+                                        and date '1997-12-31'
+                    and p_type = 'ECONOMY'
+                 ) as all_nations
+            group by o_year""",
+        "q62_tpch_q10": """
+            select c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       as revenue,
+                   c_acctbal, n_name
+            from customer, orders, lineitem, nation
+            where c_custkey = o_custkey and l_orderkey = o_orderkey
+              and o_orderdate >= date '1996-10-01'
+              and o_orderdate < date '1996-10-01' + interval 3 months
+              and l_returnflag = 'R' and c_nationkey = n_nationkey
+            group by c_custkey, c_name, c_acctbal, n_name
+            order by revenue desc, c_custkey
+            limit 20""",
+        "q63_tpch_q14": """
+            select round(100.00 * sum(case when p_type like 'PROMO%'
+                                           then l_extendedprice
+                                                * (1 - l_discount)
+                                           else 0 end)
+                         / sum(l_extendedprice * (1 - l_discount)), 4)
+                       as promo_revenue
+            from lineitem, part
+            where l_partkey = p_partkey
+              and l_shipdate >= date '1996-09-01'
+              and l_shipdate < date '1996-09-01' + interval 1 month""",
+        "q64_tpch_q17": """
+            select round(sum(l_extendedprice) / 7.0, 2) as avg_yearly
+            from lineitem, part
+            where p_partkey = l_partkey and p_brand = 'Brand#12'
+              and l_quantity < (select 0.2 * avg(l_quantity)
+                                from lineitem
+                                where l_partkey = p_partkey)""",
+        "q65_tpch_q18": """
+            select c_name, c_custkey, o_orderkey, o_orderdate,
+                   o_totalprice, sum(l_quantity) as total_qty
+            from customer, orders, lineitem
+            where o_orderkey in (select l_orderkey from lineitem
+                                 group by l_orderkey
+                                 having sum(l_quantity) > 180)
+              and c_custkey = o_custkey and o_orderkey = l_orderkey
+            group by c_name, c_custkey, o_orderkey, o_orderdate,
+                     o_totalprice
+            order by o_totalprice desc, o_orderkey
+            limit 20""",
+        "q66_tpch_q13": """
+            select c_count, count(*) as custdist
+            from (select c_custkey, count(o_orderkey) as c_count
+                  from customer left join orders
+                       on c_custkey = o_custkey
+                  group by c_custkey) as c_orders
+            group by c_count""",
+        "q67_tpch_q15": """
+            with revenue as (
+                select l_suppkey as supplier_no,
+                       round(sum(l_extendedprice * (1 - l_discount)),
+                             2) as total_revenue
+                from lineitem
+                where l_shipdate >= date '1996-01-01'
+                  and l_shipdate < date '1996-01-01'
+                                   + interval 3 months
+                group by l_suppkey)
+            select s_suppkey, s_name, total_revenue
+            from supplier, revenue
+            where s_suppkey = supplier_no
+              and total_revenue = (select max(total_revenue)
+                                   from revenue)""",
         # q57: IS DISTINCT FROM is the ANSI spelling — DuckDB runs
         # the identical text
         "q57_nullsafe": """

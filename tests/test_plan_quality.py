@@ -308,6 +308,11 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # aggregates through one SinglePartition exchange (q16/q30
     # pattern); Q1/Q4 group on keys and need no exemption
     "q54_tpch_q6",
+    # TPC-H wave 2 global scalar aggregates (same class as Q6):
+    # Q14's promo ratio and Q17's avg_yearly fold to one row; Q15's
+    # scalar max(total_revenue) subquery is the q16 pattern (the
+    # grouped revenue CTE itself shuffles on l_suppkey)
+    "q63_tpch_q14", "q64_tpch_q17", "q67_tpch_q15",
 }
 
 
