@@ -383,6 +383,36 @@ _FSQL: dict[str, str] = {
         where s_suppkey = supplier_no
           and total_revenue = (select max(total_revenue) from revenue)
         order by s_suppkey""",
+    # quantified comparison (late r8): ALL rewrites to NOT EXISTS
+    # with an explicit null arm, ANY to EXISTS (sqlgen._quantified);
+    # DuckDB runs the IDENTICAL text natively, so the driver row
+    # pins the whole 3VL rewrite including the NOT duality
+    "q68_quantified": """
+        select o_orderpriority, count(*) as n_all,
+               count(*) filter (where not (o_totalprice > all (
+                   select l_extendedprice * 10 from lineitem
+                   where l_orderkey = o_orderkey))) as n_not_all
+        from orders
+        where o_totalprice > all (select l_extendedprice * 8
+                                  from lineitem
+                                  where l_orderkey = o_orderkey)
+           or o_totalprice < any (select l_extendedprice
+                                  from lineitem
+                                  where l_orderkey = o_orderkey)
+        group by o_orderpriority""",
+    # aggregate FILTER (late r8): desugared to CASE at parse time so
+    # both planner paths reuse existing machinery; DuckDB runs the
+    # identical text (empty filtered groups agree as NULL)
+    "q69_agg_filter": """
+        select o_orderstatus, count(*) as n,
+               count(*) filter (where o_totalprice > 200000) as big,
+               count(distinct o_custkey)
+                   filter (where o_orderpriority = '1-URGENT') as cu,
+               round(sum(o_totalprice)
+                     filter (where o_orderpriority = '1-URGENT'), 2)
+                   as urgent_total
+        from orders
+        group by o_orderstatus""",
     # null-safe comparison (late r8): IS DISTINCT FROM as both a
     # grouping key and the filter semantics it exists for — NULL rows
     # from the outer join land in the not_f=true group instead of
@@ -1445,6 +1475,9 @@ _PRIORITY = [
     "q58_tpch_q3", "q59_tpch_q5", "q60_tpch_q7", "q61_tpch_q8",
     "q62_tpch_q10", "q63_tpch_q14", "q64_tpch_q17", "q65_tpch_q18",
     "q66_tpch_q13", "q67_tpch_q15",
+    # quantified comparisons + aggregate FILTER (late r8, never
+    # sampled — first rows due in r9)
+    "q68_quantified", "q69_agg_filter",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1901,6 +1934,34 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        # q68/q69: quantified comparisons and aggregate FILTER are
+        # native DuckDB — identical text pins the engine's EXISTS
+        # rewrite (incl. the NOT duality) and the CASE desugar
+        "q68_quantified": """
+            select o_orderpriority, count(*) as n_all,
+                   count(*) filter (where not (o_totalprice > all (
+                       select l_extendedprice * 10 from lineitem
+                       where l_orderkey = o_orderkey))) as n_not_all
+            from orders
+            where o_totalprice > all (select l_extendedprice * 8
+                                      from lineitem
+                                      where l_orderkey = o_orderkey)
+               or o_totalprice < any (select l_extendedprice
+                                      from lineitem
+                                      where l_orderkey = o_orderkey)
+            group by o_orderpriority""",
+        "q69_agg_filter": """
+            select o_orderstatus, count(*) as n,
+                   count(*) filter (where o_totalprice > 200000)
+                       as big,
+                   count(distinct o_custkey)
+                       filter (where o_orderpriority = '1-URGENT')
+                       as cu,
+                   round(sum(o_totalprice)
+                         filter (where o_orderpriority = '1-URGENT'),
+                         2) as urgent_total
+            from orders
+            group by o_orderstatus""",
         # q57: IS DISTINCT FROM is the ANSI spelling — DuckDB runs
         # the identical text
         "q57_nullsafe": """

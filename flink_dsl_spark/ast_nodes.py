@@ -209,6 +209,21 @@ class Exists(Expr):
 
 
 @dataclass
+class QuantifiedCmp(Expr):
+    """``expr cmp ALL|ANY|SOME (select ...)`` — quantified comparison
+    (engine extension; ANSI SQL:1999 <quantified comparison predicate>).
+    ``quant`` is normalized to "all" | "any" (SOME ≡ ANY).  Spark SQL
+    has no native form, so SqlGen rewrites to EXISTS / NOT EXISTS —
+    exact in truth-demanding contexts; NOT over it flips via the 3VL
+    quantifier duality (¬∀ ≡ ∃¬), which is exact at any depth."""
+
+    op: str                      # =  !=  <  <=  >  >=
+    expr: Expr
+    quant: str                   # "all" | "any"
+    query: "Select"
+
+
+@dataclass
 class ScalarSubquery(Expr):
     """(select ...) in expression position; forced nullable in the
     reference's typer (flinkdsl/typer.scala_:259-260)."""
@@ -533,6 +548,8 @@ def expr_children(e: Expr) -> list:
         return [e.expr] + list(e.items)
     if isinstance(e, InSubquery):
         return [e.expr]
+    if isinstance(e, QuantifiedCmp):
+        return [e.expr]          # subquery body skipped, like InSubquery
     return []
 
 

@@ -28,7 +28,8 @@ from .ast_nodes import (
     CreateStream, Delete, DerivedSource, DerivedTable, Exists, FileSource,
     FuncCall, HostSource, InList, InSubquery, Insert, IntervalLit,
     IsNull, Join, Lit,
-    OrderItem, Param, Policy, RateSource, ScalarSubquery, Select, SelectItem,
+    OrderItem, Param, Policy, QuantifiedCmp, RateSource, ScalarSubquery,
+    Select, SelectItem,
     SetOp, Star, Subscript, TableRef, UnOp, Update, WindowFrame,
     WindowFunc,
     WindowSpec, relation_leaves, walk_expr,
@@ -1019,6 +1020,20 @@ class Parser:
             if self.at_op("=", "!=", "<>", "<", ">", "<=", ">=", "===", "!=="):
                 op = self.advance().text
                 op = {"<>": "!=", "===": "=", "!==": "!="}.get(op, op)
+                # quantified comparison: cmp ALL|ANY|SOME (select ...)
+                # — contextual keywords, only taken when a subquery
+                # follows (so a column/function named "any" still
+                # parses as the comparison's right operand)
+                if self.at_kw("all", "any", "some"):
+                    nxt, nxt2 = self.peek(), self.peek(2)
+                    if nxt.kind == "op" and nxt.text == "(" \
+                            and nxt2.lower in ("select", "with"):
+                        quant = "all" if self.cur.lower == "all" \
+                            else "any"
+                        self.advance()
+                        q = self.parse_subquery()
+                        left = QuantifiedCmp(op, left, quant, q)
+                        continue
                 left = BinOp(op, left, self.parse_bitwise())
                 continue
             negated = False
@@ -1226,6 +1241,35 @@ class Parser:
                     args.append(self.parse_expr())
             self.expect_op(")")
             call = FuncCall(name.lower(), args, distinct)
+            # ANSI aggregate FILTER (engine extension).  Contextual:
+            # only consumed when followed by `( where`.  Desugared to
+            # CASE so both planner paths reuse existing machinery —
+            # exact for null-IGNORING aggregates (count(*) counts a
+            # literal 1 under the predicate); first/last/any_value are
+            # order-sensitive null-keepers and are rejected.
+            if self.at_kw("filter"):
+                nxt, nxt2 = self.peek(), self.peek(2)
+                if nxt.kind == "op" and nxt.text == "(" \
+                        and nxt2.lower == "where":
+                    from .functions import is_aggregate
+                    if not is_aggregate(call.name):
+                        self.error("FILTER is only valid on an "
+                                   "aggregate function", t)
+                    if call.name in ("first", "last", "any_value"):
+                        self.error(
+                            f"FILTER on {call.name}() is not supported "
+                            "(it keeps nulls; filter in WHERE or a "
+                            "derived table instead)", t)
+                    self.advance()
+                    self.expect_op("(")
+                    self.expect_kw("where")
+                    pred = self.parse_expr()
+                    self.expect_op(")")
+                    new_args = [
+                        Case([(pred, Lit(1, "long")
+                               if isinstance(a, Star) else a)], None)
+                        for a in (call.args or [Star(None)])]
+                    call = FuncCall(call.name, new_args, call.distinct)
             # engine extension (§2.5): analytic OVER clause.  `over` is
             # contextual — only consumed when followed by `(` or a
             # window NAME (a bare non-reserved ident), so a column
@@ -1402,7 +1446,7 @@ def _inline_ctes(q, cmap: dict) -> None:
         q.from_ = _inline_rel(q.from_, cmap)
     for e in _query_exprs(q):
         for x in walk_expr(e):
-            if isinstance(x, (InSubquery, Exists, ScalarSubquery)):
+            if isinstance(x, (InSubquery, Exists, ScalarSubquery, QuantifiedCmp)):
                 _inline_ctes(x.query, cmap)
 
 
@@ -1440,7 +1484,7 @@ def _query_references(q, names: set) -> bool:
                 return True
     for e in _query_exprs(q):
         for x in walk_expr(e):
-            if isinstance(x, (InSubquery, Exists, ScalarSubquery)) \
+            if isinstance(x, (InSubquery, Exists, ScalarSubquery, QuantifiedCmp)) \
                     and _query_references(x.query, names):
                 return True
     return False

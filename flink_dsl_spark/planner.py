@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, CreateSchema, CreateStream, Delete,
     DerivedTable, Exists, FuncCall, InList, InSubquery, Insert,
+    QuantifiedCmp,
     IntervalLit, IsNull, Join, Lit, OrderItem, Param, ScalarSubquery,
     Subscript,
     Select, SelectItem, SetOp, Star, TableRef, UnOp, Update, WindowFunc,
@@ -78,7 +79,7 @@ def _expr_subqueries(sel):
         if isinstance(e, Star):
             continue
         for x in walk_expr(e):
-            if isinstance(x, (InSubquery, Exists, ScalarSubquery)):
+            if isinstance(x, (InSubquery, Exists, ScalarSubquery, QuantifiedCmp)):
                 yield x.query
 
 
@@ -1297,7 +1298,8 @@ class Planner:
             return self._compile_func(e, df)
         if isinstance(e, WindowFunc):
             return self._compile_window_func(e, df)
-        if isinstance(e, (InSubquery, Exists, ScalarSubquery)):
+        if isinstance(e, (InSubquery, Exists, ScalarSubquery,
+                          QuantifiedCmp)):
             raise PlanError(
                 "internal: subquery expressions go through the SQL path")
         if isinstance(e, Star):

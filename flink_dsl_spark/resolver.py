@@ -21,6 +21,7 @@ from typing import Optional
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, Insert, IntervalLit, IsNull, Join, Lit, Param,
+    QuantifiedCmp,
     Policy, ScalarSubquery, Select, SelectItem, SetOp, Star, Subscript,
     TableRef,
     UnOp, WindowFunc, WindowSpec, relation_leaves, walk_expr,
@@ -167,7 +168,7 @@ class Resolver:
                             x.name.lower() in out_aliases:
                         continue
                     self._resolve_expr(x, scope)
-                elif isinstance(x, (InSubquery, Exists, ScalarSubquery)):
+                elif isinstance(x, (InSubquery, Exists, ScalarSubquery, QuantifiedCmp)):
                     self.resolve_query(x.query, scope)
         if sel.from_ is not None:
             self._resolve_windows(sel.from_, scope)
@@ -302,6 +303,10 @@ class Resolver:
                 self._resolve_expr(x, scope)
             return
         if isinstance(e, InSubquery):
+            self._resolve_expr(e.expr, scope)
+            self.resolve_query(e.query, scope)
+            return
+        if isinstance(e, QuantifiedCmp):
             self._resolve_expr(e.expr, scope)
             self.resolve_query(e.query, scope)
             return

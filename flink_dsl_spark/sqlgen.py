@@ -16,10 +16,15 @@ from __future__ import annotations
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, IntervalLit, IsNull, Join, Lit, Param,
-    ScalarSubquery, Select, SetOp, Star, Subscript, TableRef, UnOp,
-    WindowFunc, walk_expr,
+    QuantifiedCmp, ScalarSubquery, Select, SetOp, Star, Subscript,
+    TableRef, UnOp, WindowFunc, expr_children, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
+
+# comparison-operator negations for the quantifier duality rewrite
+# (¬(x cmp q S) ≡ x ¬cmp q̄ S — exact in 3VL)
+_NEGATED_CMP = {"=": "!=", "!=": "=", "<": ">=", ">=": "<",
+                ">": "<=", "<=": ">"}
 
 _IDENT_SAFE = set("abcdefghijklmnopqrstuvwxyz0123456789_")
 
@@ -44,6 +49,9 @@ class SqlGen:
         # item expression AST, consulted in expr()'s Col branch while
         # the QUALIFY predicate renders (None otherwise)
         self._alias_subst: dict | None = None
+        # quantified-comparison rewrite: unique alias counter for the
+        # generated one-column derived tables
+        self._qn = 0
 
     # --- identifiers / literals ---
 
@@ -90,6 +98,7 @@ class SqlGen:
         return self.select(q)
 
     def select(self, s: Select) -> str:
+        self._check_quantified_positions(s)
         if s.qualify is not None:
             return self._select_qualify(s)
         parts = ["SELECT"]
@@ -123,6 +132,93 @@ class SqlGen:
         if s.offset is not None:
             parts.append(f"OFFSET {self.expr(s.offset)}")
         return " ".join(parts)
+
+    def _check_quantified_positions(self, s: Select) -> None:
+        """The EXISTS rewrite of ALL/ANY (see _quantified) collapses
+        the ANSI NULL outcome to FALSE, which is exact exactly where a
+        predicate's truth is demanded: WHERE / HAVING / QUALIFY / join
+        conditions, composed through AND/OR (monotone in that
+        collapse), NOT (flipped via the quantifier duality before it
+        ever wraps the rewrite), and CASE *condition* position (a NULL
+        condition selects the next branch, same as FALSE — exact in
+        ANY clause, which is what lets agg FILTER predicates desugar
+        over a quantified comparison).  Any other enclosing position —
+        bare projections, GROUP/ORDER keys, comparison or arithmetic
+        operands, IS NULL, <=>, function arguments, CASE *result*
+        position — can observe the third value and is rejected with a
+        pointer to the derived-table workaround."""
+        def check(e, in_cond: bool, in_having: bool = False,
+                  case_cond_ok: bool = True):
+            if isinstance(e, Star):
+                return
+            if isinstance(e, QuantifiedCmp):
+                if not in_cond:
+                    raise UnsupportedError(
+                        "ALL/ANY subquery comparisons are only "
+                        "supported as predicates in WHERE/HAVING/"
+                        "QUALIFY/join conditions (project through a "
+                        "derived table for other positions)")
+                if in_having and self._has_aggregate(e.expr):
+                    # the EXISTS rewrite moves the comparison into the
+                    # subquery's WHERE, where an outer aggregate is
+                    # illegal — no lossless rendering exists on this
+                    # path
+                    raise UnsupportedError(
+                        "an aggregate on the left of ALL/ANY in "
+                        "HAVING is not supported (project the "
+                        "aggregate in a derived table and compare in "
+                        "its WHERE)")
+                check(e.expr, False)     # left operand is a value
+                return
+            if isinstance(e, BinOp) and e.op in ("and", "or"):
+                check(e.left, in_cond, in_having, case_cond_ok)
+                check(e.right, in_cond, in_having, case_cond_ok)
+                return
+            if isinstance(e, UnOp) and e.op == "not":
+                check(e.operand, in_cond, in_having, case_cond_ok)
+                return
+            if isinstance(e, Case):
+                # a CASE *condition* is truth-demanding in any clause
+                # (NULL selects the next branch, exactly like FALSE),
+                # so the rewrite stays exact even in projections —
+                # e.g. agg FILTER predicates, which desugar to CASE
+                for c, v in e.whens:
+                    check(c, in_cond or case_cond_ok, in_having,
+                          case_cond_ok)
+                    check(v, False, case_cond_ok=case_cond_ok)
+                if e.else_ is not None:
+                    check(e.else_, False, case_cond_ok=case_cond_ok)
+                return
+            for c in expr_children(e):
+                check(c, False, case_cond_ok=case_cond_ok)
+
+        # GROUP BY / ORDER BY keys: Spark cannot host a subquery there
+        # at all, so CASE conditions get no exemption
+        for e in list(s.group_by) + [o.expr for o in s.order_by]:
+            check(e, False, case_cond_ok=False)
+        for e in [i.expr for i in s.items]:
+            check(e, False)
+        for p in (s.where, s.qualify):
+            if p is not None:
+                check(p, True)
+        if s.having is not None:
+            check(s.having, True, in_having=True)
+
+        def join_conds(rel):
+            if isinstance(rel, Join):
+                yield from join_conds(rel.left)
+                yield from join_conds(rel.right)
+                if rel.on is not None:
+                    yield rel.on
+        if s.from_ is not None:
+            for cond in join_conds(s.from_):
+                check(cond, True)
+
+    @staticmethod
+    def _has_aggregate(e) -> bool:
+        from .functions import is_aggregate
+        return any(isinstance(x, FuncCall) and is_aggregate(x.name)
+                   for x in walk_expr(e))
 
     def _select_qualify(self, s: Select) -> str:
         """QUALIFY desugared to a nested select — Spark SQL has no
@@ -326,6 +422,18 @@ class SqlGen:
                   "=": "=", "!=": "<>"}.get(e.op, e.op)
             return f"({self.expr(e.left)} {op} {self.expr(e.right)})"
         if isinstance(e, UnOp):
+            if e.op == "not" and isinstance(e.operand, QuantifiedCmp):
+                # exact 3VL quantifier duality: NOT (x cmp ALL S) ≡
+                # x ¬cmp ANY S (and vice versa) at any NOT depth —
+                # this keeps the EXISTS rewrite truth-exact under
+                # negation, where wrapping it in NOT would not be
+                # (the rewrite maps NULL to FALSE; NOT would flip
+                # that to TRUE)
+                q = e.operand
+                dual = QuantifiedCmp(
+                    _NEGATED_CMP[q.op], q.expr,
+                    "any" if q.quant == "all" else "all", q.query)
+                return self.expr(dual)
             op = {"not": "NOT ", "-": "-", "~": "~"}[e.op]
             return f"({op}{self.expr(e.operand)})"
         if isinstance(e, FuncCall):
@@ -391,7 +499,49 @@ class SqlGen:
             return f"({neg}EXISTS ({self.query(e.query)}))"
         if isinstance(e, ScalarSubquery):
             return f"({self.query(e.query)})"
+        if isinstance(e, QuantifiedCmp):
+            return self._quantified(e)
         raise PlanError(f"cannot generate SQL for {type(e).__name__}")
+
+    def _quantified(self, e) -> str:
+        """``x cmp ALL|ANY (sub)`` — ANSI <quantified comparison>.
+
+        DuckDB renders the native form.  Spark SQL has none, so the
+        predicate rewrites to EXISTS / NOT EXISTS over the subquery
+        wrapped in a one-column derived table:
+
+          x cmp ANY S  →  EXISTS(SELECT 1 FROM S q(v) WHERE x cmp v)
+          x cmp ALL S  →  NOT EXISTS(SELECT 1 FROM S q(v)
+                            WHERE NOT(x cmp v) OR (x cmp v) IS NULL)
+
+        Truth-table check (WHERE/HAVING/ON demand TRUE, so mapping
+        the ANSI NULL outcome to FALSE is exact there): ANY is true
+        iff some comparison is true — exactly the EXISTS; ALL is true
+        iff S is empty or every comparison is definitely true — the
+        NOT EXISTS catches every definite-false AND every unknown
+        (null operand either side).  NOT over the node flips via the
+        quantifier duality (see UnOp above), so any NOT depth stays
+        exact; non-predicate positions are rejected in select()."""
+        sub_items = e.query
+        while isinstance(sub_items, SetOp):
+            sub_items = sub_items.left
+        if len(sub_items.items) != 1 \
+                or isinstance(sub_items.items[0].expr, Star):
+            raise PlanError(
+                "ALL/ANY subquery must select exactly one column")
+        n = self._qn
+        self._qn += 1
+        sub, left = self.query(e.query), self.expr(e.expr)
+        op = {"=": "=", "!=": "<>"}.get(e.op, e.op)
+        if self.dialect != "spark":
+            return f"({left} {op} {e.quant.upper()} ({sub}))"
+        t, v = f"__qs{n}", f"__qv{n}"
+        cmp_sql = f"({left} {op} {t}.{v})"
+        if e.quant == "any":
+            return (f"(EXISTS (SELECT 1 FROM ({sub}) AS {t}({v}) "
+                    f"WHERE {cmp_sql}))")
+        return (f"(NOT EXISTS (SELECT 1 FROM ({sub}) AS {t}({v}) "
+                f"WHERE NOT {cmp_sql} OR {cmp_sql} IS NULL))")
 
 
 def to_sql(q, params: list | None = None, dialect: str = "spark") -> str:
