@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 10))
+    shape = draw(st.integers(0, 12))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -170,6 +170,33 @@ def _query(draw):
         cmp_op = draw(st.sampled_from(["<", ">="]))
         return (f"select count(*) as n from events where ts {cmp_op} "
                 f"timestamp '2024-01-01 00:00:00' + interval {h} hours")
+    if shape == 11:
+        # quantified comparisons (late-r8): random operator and
+        # quantifier, correlated or not, optionally under NOT (the
+        # duality path); nation-vs-customer keeps subqueries small
+        op = draw(st.sampled_from(["=", "!=", "<", ">", "<=", ">="]))
+        quant = draw(st.sampled_from(["all", "any", "some"]))
+        cut = draw(st.integers(0, 60))
+        if draw(st.booleans()):
+            inner = (f"select c_custkey % 20 from customer "
+                     f"where c_nationkey = n_nationkey "
+                     f"and c_custkey < {cut}")
+        else:
+            inner = (f"select c_custkey % 20 from customer "
+                     f"where c_custkey < {cut}")
+        pred = f"n_nationkey {op} {quant} ({inner})"
+        if draw(st.booleans()):
+            pred = f"not ({pred})"
+        return f"select count(*) as n from nation where {pred}"
+    if shape == 12:
+        # aggregate FILTER (late-r8): random agg + predicate; the
+        # empty-group NULL agreement rides along
+        fn = draw(st.sampled_from(["sum", "count", "min", "max"]))
+        arg = draw(_int_expr(_NATION_INTS))
+        p = draw(_predicate(_NATION_INTS))
+        return (f"select n_regionkey, count(*) as cnt, "
+                f"{fn}({arg}) filter (where {p}) as fv "
+                f"from nation group by n_regionkey")
     # null-safe comparison over outer-join nulls + multiset set ops
     # (late-r8)
     if draw(st.booleans()):
