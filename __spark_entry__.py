@@ -413,6 +413,25 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # GROUP BY ALL / ORDER BY ALL (late r8): desugared to ordinals at
+    # parse time; DuckDB evaluates its native ALL on identical text
+    "q70_group_by_all": """
+        select o_orderstatus, o_orderpriority, count(*) as n,
+               round(sum(o_totalprice), 2) as s
+        from orders
+        group by all
+        order by all""",
+    # LATERAL (late r8): per-order scalar aggregate + per-nation
+    # top-k — both correlate into the FROM clause; identical text on
+    # DuckDB
+    "q71_lateral": """
+        select n_nationkey, t.c_custkey, t.c_acctbal
+        from nation,
+        lateral (select c_custkey, c_acctbal from customer
+                 where c_nationkey = n_nationkey
+                 order by c_acctbal desc, c_custkey
+                 limit 3) as t
+        order by n_nationkey, t.c_custkey""",
     # null-safe comparison (late r8): IS DISTINCT FROM as both a
     # grouping key and the filter semantics it exists for — NULL rows
     # from the outer join land in the not_f=true group instead of
@@ -1475,9 +1494,10 @@ _PRIORITY = [
     "q58_tpch_q3", "q59_tpch_q5", "q60_tpch_q7", "q61_tpch_q8",
     "q62_tpch_q10", "q63_tpch_q14", "q64_tpch_q17", "q65_tpch_q18",
     "q66_tpch_q13", "q67_tpch_q15",
-    # quantified comparisons + aggregate FILTER (late r8, never
-    # sampled — first rows due in r9)
-    "q68_quantified", "q69_agg_filter",
+    # quantified comparisons + aggregate FILTER + GROUP BY ALL +
+    # LATERAL (late r8, never sampled — first rows due in r9)
+    "q68_quantified", "q69_agg_filter", "q70_group_by_all",
+    "q71_lateral",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1934,6 +1954,22 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        # q70/q71: GROUP BY ALL and LATERAL are native DuckDB —
+        # identical text
+        "q70_group_by_all": """
+            select o_orderstatus, o_orderpriority, count(*) as n,
+                   round(sum(o_totalprice), 2) as s
+            from orders
+            group by all
+            order by all""",
+        "q71_lateral": """
+            select n_nationkey, t.c_custkey, t.c_acctbal
+            from nation,
+            lateral (select c_custkey, c_acctbal from customer
+                     where c_nationkey = n_nationkey
+                     order by c_acctbal desc, c_custkey
+                     limit 3) as t
+            order by n_nationkey, t.c_custkey""",
         # q68/q69: quantified comparisons and aggregate FILTER are
         # native DuckDB — identical text pins the engine's EXISTS
         # rewrite (incl. the NOT duality) and the CASE desugar

@@ -277,11 +277,16 @@ class TableRef:
 
 @dataclass
 class DerivedTable:
-    """(select ...) as alias in FROM (fsql/parser.scala:180-185)."""
+    """(select ...) as alias in FROM (fsql/parser.scala:180-185).
+    ``lateral`` marks a LATERAL subquery (engine extension): the body
+    may reference columns of relations earlier in the same FROM —
+    resolved against the in-progress scope and always compiled on the
+    SQL path (Spark and DuckDB both evaluate LATERAL natively)."""
 
     query: "Select"
     alias: str
     window: Optional[WindowSpec] = None
+    lateral: bool = False
 
     @property
     def binding(self) -> str:

@@ -502,7 +502,10 @@ class Parser:
                 left.offset, right.offset = right.offset, None
         if isinstance(left, SetOp):
             if self.at_kw("order"):
-                left.order_by = self.parse_order_by()
+                lm = left
+                while isinstance(lm, SetOp):
+                    lm = lm.left
+                left.order_by = self.parse_order_by(len(lm.items))
             if self.eat_kw("limit"):
                 left.limit = self.parse_limit_term()
                 if self.eat_kw("offset"):
@@ -586,6 +589,25 @@ class Parser:
                 self.advance()
                 self.advance()
                 group_by, grouping_sets = self._parse_grouping_sets()
+            elif self.eat_kw("all"):
+                # GROUP BY ALL (engine extension, DuckDB/Spark-style):
+                # desugars at parse time to the ordinals of every
+                # select item that contains no aggregate or window
+                # function, so both planner paths reuse the r8 ordinal
+                # machinery and DuckDB-oracle text stays identical
+                from .functions import is_aggregate
+                for i, it in enumerate(items):
+                    e = it.expr
+                    if isinstance(e, Star):
+                        self.error("GROUP BY ALL cannot expand * "
+                                   "(project explicit columns)")
+                    plain = not any(
+                        isinstance(x, WindowFunc)
+                        or (isinstance(x, FuncCall)
+                            and is_aggregate(x.name))
+                        for x in walk_expr(e))
+                    if plain:
+                        group_by.append(Lit(i + 1, "long"))
             else:
                 group_by = [self.parse_expr()]
                 while self.eat_op(","):
@@ -627,7 +649,8 @@ class Parser:
                         break
                 continue
             break
-        order_by = self.parse_order_by() if self.at_kw("order") else []
+        order_by = self.parse_order_by(len(items)) \
+            if self.at_kw("order") else []
         limit = offset = None
         if self.eat_kw("limit"):
             limit = self.parse_limit_term()
@@ -770,9 +793,20 @@ class Parser:
         expr = self.parse_expr()
         return SelectItem(expr, self.alias_ident())
 
-    def parse_order_by(self) -> list[OrderItem]:
+    def parse_order_by(self, n_items: int = 0) -> list[OrderItem]:
         self.expect_kw("order")
         self.expect_kw("by")
+        # ORDER BY ALL [ASC|DESC] (engine extension, DuckDB-style):
+        # desugars to the ordinals of every select item, left to right
+        if n_items and self.at_kw("all"):
+            self.advance()
+            asc = True
+            if self.eat_kw("desc"):
+                asc = False
+            else:
+                self.eat_kw("asc")
+            return [OrderItem(Lit(i + 1, "long"), asc)
+                    for i in range(n_items)]
         items = [self.parse_order_item()]
         while self.eat_op(","):
             items.append(self.parse_order_item())
@@ -859,6 +893,18 @@ class Parser:
         return None
 
     def parse_relation_primary(self):
+        # LATERAL (select ...) alias — engine extension; contextual
+        # (only consumed before a parenthesized subquery)
+        if self.at_kw("lateral") and self.peek().kind == "op" \
+                and self.peek().text == "(":
+            self.advance()
+            self.expect_op("(")
+            q = self.parse_select_statement()
+            self.expect_op(")")
+            alias = self.alias_ident()
+            if alias is None:
+                self.error("LATERAL subquery requires an alias")
+            return DerivedTable(q, alias, None, lateral=True)
         if self.at_op("("):
             # lookahead: derived table (select/with/values) vs
             # parenthesized join

@@ -53,7 +53,10 @@ def _select_has_subquery(sel) -> bool:
         return True
     if sel.from_ is not None:
         for leaf in relation_leaves(sel.from_):
-            if isinstance(leaf, DerivedTable) and _select_has_subquery(leaf.query):
+            if isinstance(leaf, DerivedTable) and (
+                    leaf.lateral           # LATERAL correlates across
+                                           # FROM — SQL path only
+                    or _select_has_subquery(leaf.query)):
                 return True
     return False
 

@@ -180,7 +180,12 @@ class Resolver:
                 cols = self.catalog.columns(leaf.name)
                 scope.add(leaf.binding, cols)
             elif isinstance(leaf, DerivedTable):
-                self.resolve_query(leaf.query, scope.parent)
+                # LATERAL sees relations earlier in the same FROM (the
+                # in-progress scope — leaves bind left to right); a
+                # plain derived table sees only the outer query's
+                self.resolve_query(leaf.query,
+                                   scope if leaf.lateral
+                                   else scope.parent)
                 scope.add(leaf.binding, self.output_names(leaf.query))
         # resolve join ON conditions after all leaves are bound (matches
         # SQL scoping; reference resolves the same env, fsql/Ast.scala:116-124)

@@ -363,7 +363,9 @@ class SqlGen:
             if rel.window is not None:
                 raise UnsupportedError(
                     "stream window specs have no SQL-text form")
-            return f"({self.query(rel.query)}) AS {self.ident(rel.alias)}"
+            lat = "LATERAL " if rel.lateral else ""
+            return (f"{lat}({self.query(rel.query)}) "
+                    f"AS {self.ident(rel.alias)}")
         if isinstance(rel, Join):
             left = self.relation(rel.left)
             right = self.relation(rel.right)
