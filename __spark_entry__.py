@@ -413,6 +413,54 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # TPC-H Q9 adapted (no partsupp/ps_supplycost: profit = revenue;
+    # p_name filter retuned to the synthetic name domain).  amount is
+    # a float PRODUCT (not a clean-2dp column like q53's), so it is
+    # rounded per row before summing: the true sum of exact-2dp
+    # addends is a multiple of 0.01, never at a .005 boundary, and
+    # the profit column sums in EXACT decimal (clean-2dp money and
+    # discount recover their decimals via cast, the product is exact
+    # at scale 4, round(,2) happens in the decimal domain with both
+    # engines agreeing on HALF_UP, and only the final exact 2dp value
+    # casts to double) — a float sum diverged by one ulp-boundary row
+    # at sf0.01, and per-row double rounding diverged WORSE (Java
+    # shortest-repr HALF_UP vs C rint on the same binary); found the
+    # hard way
+    "q72_tpch_q9": """
+        select nation, o_year,
+               cast(round(sum(cast(l_extendedprice as decimal(14,2))
+                              * (1 - cast(l_discount as decimal(6,2)))),
+                          2) as double) as sum_profit
+        from (select n_name as nation,
+                     extract(year from o_orderdate) as o_year,
+                     l_extendedprice, l_discount
+              from part, supplier, lineitem, orders, nation
+              where s_suppkey = l_suppkey and p_partkey = l_partkey
+                and o_orderkey = l_orderkey
+                and s_nationkey = n_nationkey
+                and p_name like '%widget%'
+             ) as profit
+        group by nation, o_year
+        order by nation, o_year desc""",
+    # TPC-H Q22 adapted (no c_phone: country code from the customer
+    # key; every synthetic customer has orders, so the anti-join
+    # probes "no URGENT order" instead — same NOT EXISTS + scalar
+    # average shape)
+    "q73_tpch_q22": """
+        select cntrycode, count(*) as numcust,
+               round(sum(c_acctbal), 2) as totacctbal
+        from (select c_custkey % 10 as cntrycode, c_acctbal
+              from customer
+              where c_custkey % 10 in (1, 2, 3, 4, 5)
+                and c_acctbal > (select avg(c_acctbal) from customer
+                                 where c_acctbal > 0.00
+                                   and c_custkey % 10 in (1, 2, 3, 4, 5))
+                and not exists (select * from orders
+                                where o_custkey = c_custkey
+                                  and o_orderpriority = '1-URGENT')
+             ) as custsale
+        group by cntrycode
+        order by cntrycode""",
     # GROUP BY ALL / ORDER BY ALL (late r8): desugared to ordinals at
     # parse time; DuckDB evaluates its native ALL on identical text
     "q70_group_by_all": """
@@ -1497,7 +1545,7 @@ _PRIORITY = [
     # quantified comparisons + aggregate FILTER + GROUP BY ALL +
     # LATERAL (late r8, never sampled — first rows due in r9)
     "q68_quantified", "q69_agg_filter", "q70_group_by_all",
-    "q71_lateral",
+    "q71_lateral", "q72_tpch_q9", "q73_tpch_q22",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -1954,6 +2002,42 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        # q72/q73: adapted TPC-H Q9/Q22 — identical text except the
+        # extract(year) INT cast (q60/q61's premise)
+        "q72_tpch_q9": """
+            select nation, o_year,
+                   cast(round(sum(cast(l_extendedprice as decimal(14,2))
+                                  * (1 - cast(l_discount
+                                              as decimal(6,2)))),
+                              2) as double) as sum_profit
+            from (select n_name as nation,
+                         cast(extract(year from o_orderdate) as int)
+                             as o_year,
+                         l_extendedprice, l_discount
+                  from part, supplier, lineitem, orders, nation
+                  where s_suppkey = l_suppkey and p_partkey = l_partkey
+                    and o_orderkey = l_orderkey
+                    and s_nationkey = n_nationkey
+                    and p_name like '%widget%'
+                 ) as profit
+            group by nation, o_year""",
+        "q73_tpch_q22": """
+            select cntrycode, count(*) as numcust,
+                   round(sum(c_acctbal), 2) as totacctbal
+            from (select c_custkey % 10 as cntrycode, c_acctbal
+                  from customer
+                  where c_custkey % 10 in (1, 2, 3, 4, 5)
+                    and c_acctbal > (select avg(c_acctbal)
+                                     from customer
+                                     where c_acctbal > 0.00
+                                       and c_custkey % 10
+                                           in (1, 2, 3, 4, 5))
+                    and not exists (select * from orders
+                                    where o_custkey = c_custkey
+                                      and o_orderpriority
+                                          = '1-URGENT')
+                 ) as custsale
+            group by cntrycode""",
         # q70/q71: GROUP BY ALL and LATERAL are native DuckDB —
         # identical text
         "q70_group_by_all": """

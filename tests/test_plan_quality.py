@@ -313,6 +313,9 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # scalar max(total_revenue) subquery is the q16 pattern (the
     # grouped revenue CTE itself shuffles on l_suppkey)
     "q63_tpch_q14", "q64_tpch_q17", "q67_tpch_q15",
+    # Q22's scalar average-acctbal subquery (q16 pattern); the outer
+    # anti-join and grouping shuffle on keys
+    "q73_tpch_q22",
 }
 
 
