@@ -51,13 +51,18 @@ HEADLINE = [
                                 # lag over events — added r8
     "q49_qualify",              # QUALIFY over GROUP BY (window +
                                 # aggregate aliases) — added late r8
+    "q59_tpch_q5",              # verbatim TPC-H Q5: 6-way join,
+                                # broadcast dims — added late r8
+    "q65_tpch_q18",             # verbatim TPC-H Q18: IN-subquery
+                                # semi join + big agg — added late r8
 ]
 
 # queries deliberately ADDED to the headline set after r4; the
 # like-for-like subtotal below excludes them so the round-over-round
 # ≤2x guard always compares the same 17 queries it was recorded on
 _ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers",
-             "q46_over_rank", "q47_over_running", "q49_qualify"}
+             "q46_over_rank", "q47_over_running", "q49_qualify",
+             "q59_tpch_q5", "q65_tpch_q18"}
 
 
 def _force(df):
