@@ -413,6 +413,19 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # LEFT SEMI/ANTI joins (late r8): existence filtering without
+    # materializing the probe side; the DuckDB oracle uses its bare
+    # SEMI/ANTI spelling (only syntactic difference)
+    "q74_semi_anti": """
+        select 'semi' as leg, o_orderpriority, count(*) as n
+        from orders left semi join lineitem
+          on l_orderkey = o_orderkey and l_quantity > 45
+        group by o_orderpriority
+        union all
+        select 'anti' as leg, o_orderpriority, count(*) as n
+        from orders left anti join lineitem
+          on l_orderkey = o_orderkey and l_quantity > 45
+        group by o_orderpriority""",
     # TPC-H Q9 adapted (no partsupp/ps_supplycost: profit = revenue;
     # p_name filter retuned to the synthetic name domain).  amount is
     # a float PRODUCT (not a clean-2dp column like q53's), so it is
@@ -1545,7 +1558,7 @@ _PRIORITY = [
     # quantified comparisons + aggregate FILTER + GROUP BY ALL +
     # LATERAL (late r8, never sampled — first rows due in r9)
     "q68_quantified", "q69_agg_filter", "q70_group_by_all",
-    "q71_lateral", "q72_tpch_q9", "q73_tpch_q22",
+    "q71_lateral", "q72_tpch_q9", "q73_tpch_q22", "q74_semi_anti",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -2002,6 +2015,16 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        "q74_semi_anti": """
+            select 'semi' as leg, o_orderpriority, count(*) as n
+            from orders semi join lineitem
+              on l_orderkey = o_orderkey and l_quantity > 45
+            group by o_orderpriority
+            union all
+            select 'anti' as leg, o_orderpriority, count(*) as n
+            from orders anti join lineitem
+              on l_orderkey = o_orderkey and l_quantity > 45
+            group by o_orderpriority""",
         # q72/q73: adapted TPC-H Q9/Q22 — identical text except the
         # extract(year) INT cast (q60/q61's premise)
         "q72_tpch_q9": """

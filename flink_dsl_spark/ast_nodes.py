@@ -566,6 +566,21 @@ def walk_expr(e: Expr):
         yield from walk_expr(c)
 
 
+def visible_leaves(rel):
+    """Leaves whose columns appear in the join OUTPUT: like
+    relation_leaves, but the right side of a SEMI/ANTI join is an
+    existence probe only — its columns are visible to the ON
+    condition, never to the select list or star expansion."""
+    if rel is None:
+        return
+    if isinstance(rel, Join):
+        yield from visible_leaves(rel.left)
+        if rel.kind not in ("semi", "anti"):
+            yield from visible_leaves(rel.right)
+        return
+    yield from relation_leaves(rel)
+
+
 def relation_leaves(rel: Relation):
     """All TableRef/DerivedTable leaves of a relation tree, left-to-right
     (parity: stmt.streams collection, fsql/Ast.scala:95-103)."""

@@ -886,7 +886,11 @@ class Parser:
                          ("cross", "cross")):
             if self.at_kw(kw):
                 self.advance()
-                if kind in ("left", "right", "full"):
+                # LEFT SEMI / LEFT ANTI (engine extension): existence
+                # filtering with left-side output columns only
+                if kind == "left" and self.at_kw("semi", "anti"):
+                    kind = self.advance().lower
+                elif kind in ("left", "right", "full"):
                     self.eat_kw("outer")
                 self.expect_kw("join")
                 return kind

@@ -512,7 +512,8 @@ class Planner:
 
     def _expand_star(self, sel: Select, star: Star):
         cols, names = [], []
-        for leaf in relation_leaves(sel.from_):
+        from .ast_nodes import visible_leaves
+        for leaf in visible_leaves(sel.from_):
             if star.qualifier is not None and \
                     leaf.binding.lower() != star.qualifier.lower():
                 continue
@@ -886,12 +887,15 @@ class Planner:
                             .drop(lw, rw))
                 return left.crossJoin(right)
             how = {"inner": "inner", "left": "left", "right": "right",
-                   "full": "full", "cross": "inner"}[rel.kind]
+                   "full": "full", "cross": "inner",
+                   "semi": "left_semi", "anti": "left_anti"}[rel.kind]
             salt = self._match_salt_hint(rel)
             if salt is not None and co_cond is not None:
                 raise PlanError(
                     "salt hint is not supported on windowed stream joins")
             if salt is not None and how not in ("inner", "left"):
+                # (semi/anti included: duplicate-per-salt would break
+                # their exactly-once existence semantics)
                 raise PlanError(
                     "salt hint preserves only inner/left join semantics "
                     "(a right/full outer would emit each unmatched "

@@ -350,7 +350,8 @@ class Resolver:
         if q.from_ is None:
             raise ResolutionError("* requires a FROM clause")
         out = []
-        for leaf in relation_leaves(q.from_):
+        from .ast_nodes import visible_leaves
+        for leaf in visible_leaves(q.from_):
             if star.qualifier is not None and \
                     leaf.binding.lower() != star.qualifier.lower():
                 continue

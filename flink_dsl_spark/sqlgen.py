@@ -371,8 +371,14 @@ class SqlGen:
             right = self.relation(rel.right)
             if rel.kind == "cross":
                 return f"{left} CROSS JOIN {right}"
-            kw = {"inner": "JOIN", "left": "LEFT JOIN",
-                  "right": "RIGHT JOIN", "full": "FULL JOIN"}[rel.kind]
+            if rel.kind in ("semi", "anti"):
+                # Spark spells it LEFT SEMI/ANTI; DuckDB bare
+                kw = (f"LEFT {rel.kind.upper()} JOIN"
+                      if self.dialect == "spark"
+                      else f"{rel.kind.upper()} JOIN")
+            else:
+                kw = {"inner": "JOIN", "left": "LEFT JOIN",
+                      "right": "RIGHT JOIN", "full": "FULL JOIN"}[rel.kind]
             s = f"{left} {kw} {right}"
             if rel.using is not None:
                 s += " USING (" + ", ".join(self.ident(c)
