@@ -413,6 +413,15 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # PIVOT (late r8): parse-time desugar to CASE aggregation —
+    # the oracle below IS the desugared form, so the row also proves
+    # the equivalence the desugar claims
+    "q75_pivot": """
+        select * from (select o_orderstatus, o_orderpriority,
+                              o_totalprice from orders) src
+        pivot (round(sum(o_totalprice), 2) as s, count(*) as n
+               for o_orderstatus in ('F' as f, 'O' as o, 'P' as p))
+        order by o_orderpriority""",
     # LEFT SEMI/ANTI joins (late r8): existence filtering without
     # materializing the probe side; the DuckDB oracle uses its bare
     # SEMI/ANTI spelling (only syntactic difference)
@@ -1559,6 +1568,7 @@ _PRIORITY = [
     # LATERAL (late r8, never sampled — first rows due in r9)
     "q68_quantified", "q69_agg_filter", "q70_group_by_all",
     "q71_lateral", "q72_tpch_q9", "q73_tpch_q22", "q74_semi_anti",
+    "q75_pivot",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -2015,6 +2025,22 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        "q75_pivot": """
+            select o_orderpriority,
+                   round(sum(case when o_orderstatus = 'F'
+                                  then o_totalprice end), 2) as f_s,
+                   count(case when o_orderstatus = 'F'
+                              then 1 end) as f_n,
+                   round(sum(case when o_orderstatus = 'O'
+                                  then o_totalprice end), 2) as o_s,
+                   count(case when o_orderstatus = 'O'
+                              then 1 end) as o_n,
+                   round(sum(case when o_orderstatus = 'P'
+                                  then o_totalprice end), 2) as p_s,
+                   count(case when o_orderstatus = 'P'
+                              then 1 end) as p_n
+            from orders
+            group by o_orderpriority""",
         "q74_semi_anti": """
             select 'semi' as leg, o_orderpriority, count(*) as n
             from orders semi join lineitem

@@ -196,9 +196,10 @@ class Parser:
 
     # contextual keywords that must not be swallowed as an IMPLICIT
     # alias (a bare ``from t qualify rank() ...`` starts a QUALIFY
-    # clause and ``from t window w as (...)`` a WINDOW clause, not an
-    # alias).  ``AS qualify`` / quoted forms still work as aliases.
-    _NON_ALIAS = {"qualify", "window"}
+    # clause, ``from t window w as (...)`` a WINDOW clause, and
+    # ``from t pivot (...)`` a PIVOT tail, not an alias).  ``AS
+    # qualify`` / quoted forms still work as aliases.
+    _NON_ALIAS = {"qualify", "window", "pivot"}
 
     def alias_ident(self) -> str | None:
         """Optional [AS] alias."""
@@ -845,6 +846,115 @@ class Parser:
 
     # --- FROM / joins / windows ---
 
+    def _parse_pivot_tail(self, source) -> DerivedTable:
+        """``(subquery) PIVOT (agg [AS a], ... FOR col IN (lit [AS n],
+        ...)) [alias]`` — desugared here to a CASE-aggregation derived
+        table (the FILTER clause's desugar, once per IN value), so
+        both planner paths and the DuckDB oracle execute ordinary
+        grouped SQL and the output naming is the engine's own rule:
+        one unaliased aggregate -> the value label; otherwise
+        ``label_aggalias`` (aliases required on multiple aggregates).
+        The source must be a subquery with an explicit projection —
+        the group columns are everything it projects minus the FOR
+        column and the aggregate inputs."""
+        pivot_tok = self.cur
+        self.advance()
+        self.expect_op("(")
+        if not isinstance(source, DerivedTable) \
+                or not isinstance(source.query, Select):
+            self.error("PIVOT requires a subquery source with an "
+                       "explicit projection — (select ...) pivot (...)",
+                       pivot_tok)
+        src_names = []
+        for it in source.query.items:
+            e = it.expr
+            if it.alias:
+                src_names.append(it.alias)
+            elif isinstance(e, Col):
+                src_names.append(e.name)
+            else:
+                self.error("every PIVOT source column needs a name "
+                           "(alias computed projections)", pivot_tok)
+        from .functions import is_aggregate
+        aggs: list[tuple] = []           # (expr-with-aggs, alias|None)
+        while True:
+            e = self.parse_expr()
+            if not any(isinstance(x, FuncCall) and is_aggregate(x.name)
+                       for x in walk_expr(e)):
+                self.error("PIVOT expects aggregate expressions",
+                           pivot_tok)
+            alias = self.ident("aggregate alias") \
+                if self.eat_kw("as") else None
+            aggs.append((e, alias))
+            if not self.eat_op(","):
+                break
+        if len(aggs) > 1 and any(a is None for _, a in aggs):
+            self.error("PIVOT with multiple aggregates requires an "
+                       "alias on each (agg(x) AS name)", pivot_tok)
+        self.expect_kw("for")
+        for_col = self.ident("pivot column")
+        self.expect_kw("in")
+        self.expect_op("(")
+        vals: list[tuple] = []          # (Lit, label)
+        while True:
+            t = self.cur
+            lit = self.parse_expr()
+            if not isinstance(lit, Lit):
+                self.error("PIVOT IN values must be literals", t)
+            if self.eat_kw("as"):
+                label = self.ident("value label")
+            else:
+                label = str(lit.value).lower()
+                if not re.fullmatch(r"[a-z_][a-z_0-9]*", label):
+                    self.error(
+                        f"PIVOT value {lit.value!r} is not a valid "
+                        "column label — add AS name", t)
+            vals.append((lit, label))
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        self.expect_op(")")
+        alias = self.alias_ident() or source.alias
+
+        agg_inputs = set()
+        for e, _ in aggs:
+            for x in walk_expr(e):
+                if isinstance(x, Col):
+                    agg_inputs.add(x.name.lower())
+        if for_col.lower() not in {n.lower() for n in src_names}:
+            self.error(f"PIVOT column {for_col!r} is not projected by "
+                       "the source subquery", pivot_tok)
+        group_names = [n for n in src_names
+                       if n.lower() != for_col.lower()
+                       and n.lower() not in agg_inputs]
+        items = [SelectItem(Col(n), None) for n in group_names]
+        seen = {n.lower() for n in group_names}
+        for lit, label in vals:
+            for e, agg_alias in aggs:
+                out = label if agg_alias is None \
+                    else f"{label}_{agg_alias}"
+                if out.lower() in seen:
+                    self.error(f"duplicate PIVOT output column "
+                               f"{out!r}", pivot_tok)
+                seen.add(out.lower())
+                ev = copy.deepcopy(e)
+                for x in walk_expr(ev):
+                    if isinstance(x, FuncCall) \
+                            and is_aggregate(x.name):
+                        cond = BinOp("=", Col(for_col),
+                                     copy.deepcopy(lit))
+                        x.args = [
+                            Case([(copy.deepcopy(cond),
+                                   Lit(1, "long")
+                                   if isinstance(a, Star) else a)],
+                                 None)
+                            for a in (x.args or [Star(None)])]
+                items.append(SelectItem(ev, out))
+        inner = Select(items, source, None,
+                       [Col(n) for n in group_names], False, None,
+                       [], None, None, False)
+        return DerivedTable(inner, alias)
+
     def parse_from(self):
         """from t1 [, t2 ...] with joins; comma = implicit cross join
         (flinkdsl/parser.scala:31)."""
@@ -855,6 +965,11 @@ class Parser:
 
     def parse_joinable(self):
         rel = self.parse_relation_primary()
+        # PIVOT tail (engine extension): contextual, only consumed
+        # when followed by `(`
+        if self.at_kw("pivot") and self.peek().kind == "op" \
+                and self.peek().text == "(":
+            rel = self._parse_pivot_tail(rel)
         while True:
             kind = self.peek_join_kind()
             if kind is None:
