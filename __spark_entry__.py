@@ -413,6 +413,16 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # UNPIVOT (late r8): parse-time desugar to a UNION ALL chain;
+    # DuckDB runs its NATIVE UNPIVOT on the identical text
+    "q76_unpivot": """
+        select measure, count(*) as n, round(sum(val), 2) as total
+        from (select p_partkey, cast(p_size as double) as p_size,
+                     p_retailprice from part) src
+        unpivot (val for measure in (p_size as 'size',
+                                     p_retailprice as 'price'))
+        group by measure
+        order by measure""",
     # PIVOT (late r8): parse-time desugar to CASE aggregation —
     # the oracle below IS the desugared form, so the row also proves
     # the equivalence the desugar claims
@@ -1568,7 +1578,7 @@ _PRIORITY = [
     # LATERAL (late r8, never sampled — first rows due in r9)
     "q68_quantified", "q69_agg_filter", "q70_group_by_all",
     "q71_lateral", "q72_tpch_q9", "q73_tpch_q22", "q74_semi_anti",
-    "q75_pivot",
+    "q75_pivot", "q76_unpivot",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -2025,6 +2035,13 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        "q76_unpivot": """
+            select measure, count(*) as n, round(sum(val), 2) as total
+            from (select p_partkey, cast(p_size as double) as p_size,
+                         p_retailprice from part) src
+            unpivot (val for measure in (p_size as 'size',
+                                         p_retailprice as 'price'))
+            group by measure""",
         "q75_pivot": """
             select o_orderpriority,
                    round(sum(case when o_orderstatus = 'F'

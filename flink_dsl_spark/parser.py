@@ -199,7 +199,7 @@ class Parser:
     # clause, ``from t window w as (...)`` a WINDOW clause, and
     # ``from t pivot (...)`` a PIVOT tail, not an alias).  ``AS
     # qualify`` / quoted forms still work as aliases.
-    _NON_ALIAS = {"qualify", "window", "pivot"}
+    _NON_ALIAS = {"qualify", "window", "pivot", "unpivot"}
 
     def alias_ident(self) -> str | None:
         """Optional [AS] alias."""
@@ -955,6 +955,80 @@ class Parser:
                        [], None, None, False)
         return DerivedTable(inner, alias)
 
+    def _parse_unpivot_tail(self, source) -> DerivedTable:
+        """``(subquery) UNPIVOT [INCLUDE NULLS] (val FOR name IN (c1
+        [AS 'label'], ...)) [alias]`` — columns-to-rows rotation,
+        desugared to a UNION ALL chain (one FROM-less-filtered select
+        per IN column over the shared source), so both planner paths
+        and the oracle execute ordinary SQL.  ANSI default EXCLUDEs
+        NULL measure values; INCLUDE NULLS keeps them."""
+        unpivot_tok = self.cur
+        self.advance()
+        include_nulls = False
+        if self.eat_kw("include"):
+            self.expect_kw("nulls")
+            include_nulls = True
+        self.expect_op("(")
+        if not isinstance(source, DerivedTable) \
+                or not isinstance(source.query, Select):
+            self.error("UNPIVOT requires a subquery source with an "
+                       "explicit projection — (select ...) unpivot "
+                       "(...)", unpivot_tok)
+        src_names = []
+        for it in source.query.items:
+            e = it.expr
+            if it.alias:
+                src_names.append(it.alias)
+            elif isinstance(e, Col):
+                src_names.append(e.name)
+            else:
+                self.error("every UNPIVOT source column needs a name "
+                           "(alias computed projections)", unpivot_tok)
+        val_col = self.ident("value column name")
+        self.expect_kw("for")
+        name_col = self.ident("name column name")
+        self.expect_kw("in")
+        self.expect_op("(")
+        cols: list[tuple[str, str]] = []      # (source col, label)
+        lower_src = {n.lower() for n in src_names}
+        while True:
+            t = self.cur
+            c = self.ident("unpivot column")
+            if c.lower() not in lower_src:
+                self.error(f"UNPIVOT column {c!r} is not projected "
+                           "by the source subquery", t)
+            if self.eat_kw("as"):
+                lt = self.cur
+                if lt.kind != "string":
+                    self.error("UNPIVOT label must be a string "
+                               "literal", lt)
+                self.advance()
+                label = lt.text[1:-1].replace("''", "'")
+            else:
+                label = c
+            cols.append((c, label))
+            if not self.eat_op(","):
+                break
+        self.expect_op(")")
+        self.expect_op(")")
+        alias = self.alias_ident() or source.alias
+
+        keep = [n for n in src_names
+                if n.lower() not in {c.lower() for c, _ in cols}]
+        legs = []
+        for c, label in cols:
+            items = [SelectItem(Col(n), None) for n in keep]
+            items.append(SelectItem(Lit(label, "string"), name_col))
+            items.append(SelectItem(Col(c), val_col))
+            where = None if include_nulls \
+                else IsNull(Col(c), negated=True)
+            legs.append(Select(items, copy.deepcopy(source), where,
+                               [], False, None, [], None, None, False))
+        q = legs[0]
+        for leg in legs[1:]:
+            q = SetOp("union_all", q, leg)
+        return DerivedTable(q, alias)
+
     def parse_from(self):
         """from t1 [, t2 ...] with joins; comma = implicit cross join
         (flinkdsl/parser.scala:31)."""
@@ -970,6 +1044,10 @@ class Parser:
         if self.at_kw("pivot") and self.peek().kind == "op" \
                 and self.peek().text == "(":
             rel = self._parse_pivot_tail(rel)
+        elif self.at_kw("unpivot") and (
+                (self.peek().kind == "op" and self.peek().text == "(")
+                or self.peek().lower == "include"):
+            rel = self._parse_unpivot_tail(rel)
         while True:
             kind = self.peek_join_kind()
             if kind is None:
