@@ -413,6 +413,19 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # WITH RECURSIVE (late r8): rendered as native recursive SQL —
+    # Spark >=4.0 and DuckDB evaluate the fixpoint themselves on
+    # identical text
+    "q77_recursive_cte": """
+        with recursive seq(n) as (
+            select 1
+            union all
+            select n + 1 from seq where n < 25)
+        select s.n, count(*) as cnt,
+               cast(sum(n_regionkey) as bigint) as rsum
+        from seq s join nation on n_nationkey = s.n - 1
+        group by s.n
+        order by s.n""",
     # UNPIVOT (late r8): parse-time desugar to a UNION ALL chain;
     # DuckDB runs its NATIVE UNPIVOT on the identical text
     "q76_unpivot": """
@@ -1578,7 +1591,7 @@ _PRIORITY = [
     # LATERAL (late r8, never sampled — first rows due in r9)
     "q68_quantified", "q69_agg_filter", "q70_group_by_all",
     "q71_lateral", "q72_tpch_q9", "q73_tpch_q22", "q74_semi_anti",
-    "q75_pivot", "q76_unpivot",
+    "q75_pivot", "q76_unpivot", "q77_recursive_cte",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -2035,6 +2048,15 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        "q77_recursive_cte": """
+            with recursive seq(n) as (
+                select 1
+                union all
+                select n + 1 from seq where n < 25)
+            select s.n, count(*) as cnt,
+                   cast(sum(n_regionkey) as bigint) as rsum
+            from seq s join nation on n_nationkey = s.n - 1
+            group by s.n""",
         "q76_unpivot": """
             select measure, count(*) as n, round(sum(val), 2) as total
             from (select p_partkey, cast(p_size as double) as p_size,

@@ -381,6 +381,19 @@ class SetOp:
 
 
 @dataclass
+class RecursiveWith:
+    """``WITH RECURSIVE name [(cols)] AS (anchor UNION ALL step), …
+    body`` (engine extension).  Unlike plain WITH (parse-time
+    inlining), the tree is kept intact and rendered as native
+    WITH RECURSIVE SQL — Spark ≥4.0 and DuckDB both evaluate the
+    fixpoint themselves, with their own recursion-depth guards.
+    Statement-level only (cannot appear as a subquery)."""
+
+    ctes: list          # [(name, cols|None, Select|SetOp), ...]
+    body: object        # Select | SetOp
+
+
+@dataclass
 class ColumnDef:
     """``name type`` in DDL (fsql/Ast.scala:54-61; types fsql/parser.scala:355)."""
 

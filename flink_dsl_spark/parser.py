@@ -28,8 +28,8 @@ from .ast_nodes import (
     CreateStream, Delete, DerivedSource, DerivedTable, Exists, FileSource,
     FuncCall, HostSource, InList, InSubquery, Insert, IntervalLit,
     IsNull, Join, Lit,
-    OrderItem, Param, Policy, QuantifiedCmp, RateSource, ScalarSubquery,
-    Select, SelectItem,
+    OrderItem, Param, Policy, QuantifiedCmp, RateSource, RecursiveWith,
+    ScalarSubquery, Select, SelectItem,
     SetOp, Star, Subscript, TableRef, UnOp, Update, WindowFrame,
     WindowFunc,
     WindowSpec, relation_leaves, walk_expr,
@@ -238,7 +238,7 @@ class Parser:
         if self.at_kw("explain"):
             return self.parse_explain()
         if self.at_kw("select") or self.at_kw("with") or self.at_op("("):
-            return self.parse_select_statement()
+            return self.parse_select_statement(allow_recursive=True)
         self.error("expected a statement")
 
     def parse_explain(self):
@@ -479,12 +479,14 @@ class Parser:
 
     # --- SELECT / set ops ---
 
-    def parse_select_statement(self):
+    def parse_select_statement(self, allow_recursive: bool = False):
         """select (UNION [ALL]|EXCEPT|INTERSECT select)* [order] [limit]
         (flinkdsl/parser.scala:32-40).  A leading WITH (engine
-        extension — the reference has no CTEs) is desugared here."""
+        extension — the reference has no CTEs) is desugared here;
+        WITH RECURSIVE (statement level only) is kept intact for
+        native rendering."""
         if self.at_kw("with"):
-            return self.parse_with_query()
+            return self.parse_with_query(allow_recursive)
         left = self.parse_select_core()
         while self.at_kw("union", "except", "intersect"):
             op = self.advance().lower
@@ -513,7 +515,7 @@ class Parser:
                     left.offset = self.parse_limit_term()
         return left
 
-    def parse_with_query(self):
+    def parse_with_query(self, allow_recursive: bool = False):
         """``WITH name AS (query) [, name2 AS (query2)]* query`` —
         non-recursive CTEs (engine extension; no reference grammar).
 
@@ -526,7 +528,11 @@ class Parser:
         Spark SQL's own default CTE inlining gets."""
         self.expect_kw("with")
         if self.cur.kind == "ident" and self.cur.lower == "recursive":
-            self.error("recursive CTEs are not supported")
+            if not allow_recursive:
+                self.error("WITH RECURSIVE is only supported at "
+                           "statement level (not in subqueries)")
+            self.advance()
+            return self._parse_recursive_with()
         cmap: dict[str, object] = {}
         while True:
             tok = self.cur
@@ -551,6 +557,38 @@ class Parser:
         body = self.parse_select_statement()
         _inline_ctes(body, cmap)
         return body
+
+    def _parse_recursive_with(self) -> RecursiveWith:
+        """Tail of ``WITH RECURSIVE`` (the keyword already consumed):
+        CTEs are NOT inlined — self-references are the point — and the
+        whole statement renders as native WITH RECURSIVE SQL on both
+        executors (Spark ≥4.0 / DuckDB evaluate the fixpoint with
+        their own depth guards).  Column alias lists are allowed here
+        (``seq(n)``) because the anchor's names often differ."""
+        ctes: list = []
+        seen: set = set()
+        while True:
+            tok = self.cur
+            name = self.ident("CTE name")
+            if name.lower() in seen:
+                self.error(f"duplicate CTE name {name!r}", tok)
+            seen.add(name.lower())
+            cols = None
+            if self.at_op("("):
+                self.advance()
+                cols = [self.ident("column name")]
+                while self.eat_op(","):
+                    cols.append(self.ident("column name"))
+                self.expect_op(")")
+            self.expect_kw("as")
+            self.expect_op("(")
+            q = self.parse_select_statement()
+            self.expect_op(")")
+            ctes.append((name, cols, q))
+            if not self.eat_op(","):
+                break
+        body = self.parse_select_statement()
+        return RecursiveWith(ctes, body)
 
     def parse_select_core(self) -> Select:
         if self.eat_op("("):
@@ -1536,14 +1574,28 @@ class Parser:
         _ = t
         return Col(name)
 
+    # ANSI spellings accepted in CAST and normalized to the DDL
+    # palette (late r8 — `cast(x as bigint)` reads more portably
+    # than `as long` and DuckDB oracle text uses them)
+    _CAST_TYPE_SYNONYMS = {
+        "bigint": "long", "integer": "int", "smallint": "short",
+        "tinyint": "byte", "varchar": "string", "real": "float",
+        "numeric": "decimal", "bool": "boolean",
+    }
+
     def parse_cast_tail(self) -> Cast:
         """``CAST( expr AS type )`` with the opening paren already
         consumed (engine extension — the reference has no cast
         expression; the type palette is the DDL one,
-        fsql/parser.scala:355, plus ``decimal(p, s)``)."""
+        fsql/parser.scala:355, plus ``decimal(p, s)`` and the ANSI
+        synonyms above)."""
         expr = self.parse_expr()
         self.expect_kw("as")
         t = self.cur
+        if t.kind == "ident" and t.lower in self._CAST_TYPE_SYNONYMS:
+            import dataclasses
+            t = dataclasses.replace(
+                t, text=self._CAST_TYPE_SYNONYMS[t.lower])
         if t.kind != "ident" or t.lower not in TYPE_NAMES:
             self.error("expected a type name")
         self.advance()

@@ -16,8 +16,8 @@ from __future__ import annotations
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, IntervalLit, IsNull, Join, Lit, Param,
-    QuantifiedCmp, ScalarSubquery, Select, SetOp, Star, Subscript,
-    TableRef, UnOp, WindowFunc, expr_children, walk_expr,
+    QuantifiedCmp, RecursiveWith, ScalarSubquery, Select, SetOp, Star,
+    Subscript, TableRef, UnOp, WindowFunc, expr_children, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 
@@ -81,6 +81,16 @@ class SqlGen:
     # --- statements ---
 
     def query(self, q) -> str:
+        if isinstance(q, RecursiveWith):
+            parts = []
+            for name, cols, sub in q.ctes:
+                col_sql = (" (" + ", ".join(self.ident(c)
+                                            for c in cols) + ")"
+                           if cols else "")
+                parts.append(f"{self.ident(name)}{col_sql} AS "
+                             f"({self.query(sub)})")
+            return ("WITH RECURSIVE " + ", ".join(parts) + " "
+                    + self.query(q.body))
         if isinstance(q, SetOp):
             op = {"union": "UNION", "union_all": "UNION ALL",
                   "except": "EXCEPT", "except_all": "EXCEPT ALL",

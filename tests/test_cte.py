@@ -70,8 +70,13 @@ def test_cte_in_subquery_position():
 
 
 def test_cte_errors():
-    with pytest.raises(ParseError, match="recursive"):
-        parse("with recursive t as (select 1 as x from d) select x from t")
+    # WITH RECURSIVE is now a supported statement-level form
+    # (t:recursive_cte); in subquery position it still rejects
+    with pytest.raises(ParseError, match="statement level"):
+        parse("select * from (with recursive t(n) as (select 1) "
+              "select n from t) d")
+    # a PLAIN with that references itself stays an error (the
+    # inliner cannot resolve it; spell it WITH RECURSIVE instead)
     with pytest.raises(ParseError, match="recursive"):
         parse("with t as (select a from t) select a from t")
     with pytest.raises(ParseError, match="duplicate"):
