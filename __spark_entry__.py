@@ -249,16 +249,23 @@ _FSQL: dict[str, str] = {
         group by o_orderpriority
         order by o_orderpriority""",
     # TPC-H wave 2 (late r8): the remaining classic queries the
-    # testdata schema can express.  q59/q60/q63/q65 run VERBATIM
-    # TPC-H text; q58/q61/q62/q64/q66/q67 adapt only around missing
-    # columns (no o_shippriority / partsupp / l_shipmode /
-    # p_container / c_phone / o_comment in the synthetic schema).
-    # LIMIT queries order on the ROUNDED measure with a unique key
-    # tiebreak so the cut line is cross-engine deterministic.
+    # testdata schema can express.  q59/q63/q65 run VERBATIM TPC-H
+    # text; the rest adapt only around missing columns (no
+    # o_shippriority / partsupp / l_shipmode / p_container / c_phone
+    # / o_comment in the synthetic schema).  LIMIT queries order on
+    # the ROUNDED measure with a unique key tiebreak so the cut line
+    # is cross-engine deterministic.  Float-sum policy: the ADAPTED
+    # queries sum the price*(1-disc) product in EXACT decimal (the
+    # q72 premise — a float sum diverged by one ulp-boundary row);
+    # the VERBATIM pair q59/q63 keeps the classic text under the
+    # q53-class empirical premise (verified at both gate SFs on the
+    # deterministic seed-42 data; the per-session pytest sweep and
+    # pre-gate rehearsal re-check on every run).
     "q58_tpch_q3": """
         select l_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   as revenue,
+               cast(round(sum(cast(l_extendedprice as decimal(14,2))
+                              * (1 - cast(l_discount as decimal(6,2)))),
+                          2) as double) as revenue,
                o_orderdate
         from customer, orders, lineitem
         where c_mktsegment = 'BUILDING'
@@ -283,10 +290,12 @@ _FSQL: dict[str, str] = {
         order by revenue desc""",
     "q60_tpch_q7": """
         select supp_nation, cust_nation, l_year,
-               round(sum(volume), 2) as revenue
+               cast(round(sum(volume), 2) as double) as revenue
         from (select n1.n_name as supp_nation, n2.n_name as cust_nation,
                      extract(year from l_shipdate) as l_year,
-                     l_extendedprice * (1 - l_discount) as volume
+                     cast(l_extendedprice as decimal(14,2))
+                         * (1 - cast(l_discount as decimal(6,2)))
+                         as volume
               from supplier, lineitem, orders, customer,
                    nation n1, nation n2
               where s_suppkey = l_suppkey and o_orderkey = l_orderkey
@@ -302,10 +311,13 @@ _FSQL: dict[str, str] = {
         order by supp_nation, cust_nation, l_year""",
     "q61_tpch_q8": """
         select o_year,
-               round(sum(case when nation = 'NATION_3' then volume
-                              else 0 end) / sum(volume), 6) as mkt_share
+               round(cast(sum(case when nation = 'NATION_3'
+                                   then volume else 0 end) as double)
+                     / cast(sum(volume) as double), 6) as mkt_share
         from (select extract(year from o_orderdate) as o_year,
-                     l_extendedprice * (1 - l_discount) as volume,
+                     cast(l_extendedprice as decimal(14,2))
+                         * (1 - cast(l_discount as decimal(6,2)))
+                         as volume,
                      n2.n_name as nation
               from part, supplier, lineitem, orders, customer,
                    nation n1, nation n2, region
@@ -322,8 +334,9 @@ _FSQL: dict[str, str] = {
         order by o_year""",
     "q62_tpch_q10": """
         select c_custkey, c_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2)
-                   as revenue,
+               cast(round(sum(cast(l_extendedprice as decimal(14,2))
+                              * (1 - cast(l_discount as decimal(6,2)))),
+                          2) as double) as revenue,
                c_acctbal, n_name
         from customer, orders, lineitem, nation
         where c_custkey = o_custkey and l_orderkey = o_orderkey
@@ -372,8 +385,11 @@ _FSQL: dict[str, str] = {
     "q67_tpch_q15": """
         with revenue as (
             select l_suppkey as supplier_no,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       as total_revenue
+                   cast(round(sum(cast(l_extendedprice
+                                       as decimal(14,2))
+                                  * (1 - cast(l_discount
+                                              as decimal(6,2)))),
+                              2) as double) as total_revenue
             from lineitem
             where l_shipdate >= date '1996-01-01'
               and l_shipdate < date '1996-01-01' + interval 3 months
@@ -1913,8 +1929,11 @@ def _oracle_sql_base() -> dict[str, str]:
         # rounded measure + a unique key.
         "q58_tpch_q3": """
             select l_orderkey,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       as revenue,
+                   cast(round(sum(cast(l_extendedprice
+                                       as decimal(14,2))
+                                  * (1 - cast(l_discount
+                                              as decimal(6,2)))),
+                              2) as double) as revenue,
                    o_orderdate
             from customer, orders, lineitem
             where c_mktsegment = 'BUILDING'
@@ -1939,12 +1958,14 @@ def _oracle_sql_base() -> dict[str, str]:
             group by n_name""",
         "q60_tpch_q7": """
             select supp_nation, cust_nation, l_year,
-                   round(sum(volume), 2) as revenue
+                   cast(round(sum(volume), 2) as double) as revenue
             from (select n1.n_name as supp_nation,
                          n2.n_name as cust_nation,
                          cast(extract(year from l_shipdate) as int)
                              as l_year,
-                         l_extendedprice * (1 - l_discount) as volume
+                         cast(l_extendedprice as decimal(14,2))
+                             * (1 - cast(l_discount as decimal(6,2)))
+                             as volume
                   from supplier, lineitem, orders, customer,
                        nation n1, nation n2
                   where s_suppkey = l_suppkey
@@ -1962,12 +1983,17 @@ def _oracle_sql_base() -> dict[str, str]:
             group by supp_nation, cust_nation, l_year""",
         "q61_tpch_q8": """
             select o_year,
-                   round(sum(case when nation = 'NATION_3' then volume
-                                  else 0 end) / sum(volume), 6)
+                   round(cast(sum(case when nation = 'NATION_3'
+                                       then volume else 0 end)
+                              as double)
+                         / cast(sum(volume) as double), 6)
                        as mkt_share
             from (select cast(extract(year from o_orderdate) as int)
                              as o_year,
-                         l_extendedprice * (1 - l_discount) as volume,
+                         cast(l_extendedprice as decimal(14,2))
+                             * (1 - cast(l_discount
+                                         as decimal(6,2)))
+                             as volume,
                          n2.n_name as nation
                   from part, supplier, lineitem, orders, customer,
                        nation n1, nation n2, region
@@ -1985,8 +2011,11 @@ def _oracle_sql_base() -> dict[str, str]:
             group by o_year""",
         "q62_tpch_q10": """
             select c_custkey, c_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       as revenue,
+                   cast(round(sum(cast(l_extendedprice
+                                       as decimal(14,2))
+                                  * (1 - cast(l_discount
+                                              as decimal(6,2)))),
+                              2) as double) as revenue,
                    c_acctbal, n_name
             from customer, orders, lineitem, nation
             where c_custkey = o_custkey and l_orderkey = o_orderkey
@@ -2036,8 +2065,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "q67_tpch_q15": """
             with revenue as (
                 select l_suppkey as supplier_no,
-                       round(sum(l_extendedprice * (1 - l_discount)),
-                             2) as total_revenue
+                       cast(round(sum(cast(l_extendedprice
+                                           as decimal(14,2))
+                                      * (1 - cast(l_discount
+                                                  as decimal(6,2)))),
+                                  2) as double) as total_revenue
                 from lineitem
                 where l_shipdate >= date '1996-01-01'
                   and l_shipdate < date '1996-01-01'

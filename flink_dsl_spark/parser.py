@@ -508,7 +508,9 @@ class Parser:
                 lm = left
                 while isinstance(lm, SetOp):
                     lm = lm.left
-                left.order_by = self.parse_order_by(len(lm.items))
+                left.order_by = self.parse_order_by(
+                    len(lm.items),
+                    any(isinstance(i.expr, Star) for i in lm.items))
             if self.eat_kw("limit"):
                 left.limit = self.parse_limit_term()
                 if self.eat_kw("offset"):
@@ -688,7 +690,8 @@ class Parser:
                         break
                 continue
             break
-        order_by = self.parse_order_by(len(items)) \
+        order_by = self.parse_order_by(
+            len(items), any(isinstance(i.expr, Star) for i in items)) \
             if self.at_kw("order") else []
         limit = offset = None
         if self.eat_kw("limit"):
@@ -832,12 +835,20 @@ class Parser:
         expr = self.parse_expr()
         return SelectItem(expr, self.alias_ident())
 
-    def parse_order_by(self, n_items: int = 0) -> list[OrderItem]:
+    def parse_order_by(self, n_items: int = 0,
+                       has_star: bool = False) -> list[OrderItem]:
         self.expect_kw("order")
         self.expect_kw("by")
         # ORDER BY ALL [ASC|DESC] (engine extension, DuckDB-style):
         # desugars to the ordinals of every select item, left to right
+        # — which is only meaningful when every item is a single named
+        # column, so a star in the list is rejected (its expansion
+        # width is unknown at parse time and the ordinals would land
+        # on the wrong columns)
         if n_items and self.at_kw("all"):
+            if has_star:
+                self.error("ORDER BY ALL cannot expand * (project "
+                           "explicit columns)")
             self.advance()
             asc = True
             if self.eat_kw("desc"):
@@ -1308,7 +1319,9 @@ class Parser:
                 if self.at_kw("all", "any", "some"):
                     nxt, nxt2 = self.peek(), self.peek(2)
                     if nxt.kind == "op" and nxt.text == "(" \
-                            and nxt2.lower in ("select", "with"):
+                            and (nxt2.lower in ("select", "with")
+                                 or (nxt2.kind == "op"
+                                     and nxt2.text == "(")):
                         quant = "all" if self.cur.lower == "all" \
                             else "any"
                         self.advance()

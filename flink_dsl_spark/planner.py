@@ -38,6 +38,7 @@ from .ast_nodes import (
     Subscript,
     Select, SelectItem, SetOp, Star, TableRef, UnOp, Update, WindowFunc,
     WindowSpec, relation_leaves, walk_expr,
+    visible_leaves,
 )
 from .errors import PlanError, UnsupportedError
 from .functions import FunctionRegistry
@@ -512,7 +513,6 @@ class Planner:
 
     def _expand_star(self, sel: Select, star: Star):
         cols, names = [], []
-        from .ast_nodes import visible_leaves
         for leaf in visible_leaves(sel.from_):
             if star.qualifier is not None and \
                     leaf.binding.lower() != star.qualifier.lower():

@@ -24,7 +24,8 @@ from .ast_nodes import (
     QuantifiedCmp,
     Policy, ScalarSubquery, Select, SelectItem, SetOp, Star, Subscript,
     TableRef,
-    UnOp, WindowFunc, WindowSpec, relation_leaves, walk_expr,
+    UnOp, WindowFunc, WindowSpec, relation_leaves, visible_leaves,
+    walk_expr,
 )
 from .catalog import Catalog
 from .errors import ResolutionError
@@ -139,10 +140,36 @@ class Resolver:
 
     # --- select ---
 
+    @staticmethod
+    def _probe_bindings(rel) -> set:
+        """Binding names on the right of SEMI/ANTI joins — visible to
+        the join's ON condition only, never to the select list, WHERE,
+        grouping, or ordering (the join never outputs them)."""
+        out: set = set()
+
+        def walk(r):
+            if isinstance(r, Join):
+                walk(r.left)
+                if r.kind in ("semi", "anti"):
+                    for leaf in relation_leaves(r.right):
+                        out.add(leaf.binding.lower())
+                else:
+                    walk(r.right)
+        walk(rel)
+        return out
+
     def resolve_select(self, sel: Select, outer: Optional[Scope]) -> Scope:
         scope = Scope(parent=outer)
         if sel.from_ is not None:
             self._bind_relations(sel.from_, scope)
+            # ON conditions resolved above (inside _bind_relations);
+            # drop semi/anti probe bindings before any output-position
+            # expression resolves, so a probe-column reference fails
+            # HERE with a resolution error instead of deep in Spark
+            for b in self._probe_bindings(sel.from_):
+                scope.bindings.pop(b, None)
+                if b in scope.order:
+                    scope.order.remove(b)
         for item in sel.items:
             self._resolve_expr(item.expr, scope)
         if sel.where is not None:
@@ -350,7 +377,6 @@ class Resolver:
         if q.from_ is None:
             raise ResolutionError("* requires a FROM clause")
         out = []
-        from .ast_nodes import visible_leaves
         for leaf in visible_leaves(q.from_):
             if star.qualifier is not None and \
                     leaf.binding.lower() != star.qualifier.lower():

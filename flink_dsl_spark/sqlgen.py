@@ -98,6 +98,15 @@ class SqlGen:
                   "intersect_all": "INTERSECT ALL"}[q.op]
             s = f"{self.query(q.left)} {op} {self.query(q.right)}"
             if q.order_by:
+                # same restriction as Select-level ORDER BY keys: a
+                # quantified comparison's rewrite can't live here
+                for o in q.order_by:
+                    if any(isinstance(x, QuantifiedCmp)
+                           for x in walk_expr(o.expr)):
+                        raise UnsupportedError(
+                            "ALL/ANY subquery comparisons in ORDER "
+                            "BY are not supported (project through "
+                            "a derived table)")
                 s += " ORDER BY " + ", ".join(self.order_item(o)
                                               for o in q.order_by)
             if q.limit is not None:
@@ -148,53 +157,89 @@ class SqlGen:
         the ANSI NULL outcome to FALSE, which is exact exactly where a
         predicate's truth is demanded: WHERE / HAVING / QUALIFY / join
         conditions, composed through AND/OR (monotone in that
-        collapse), NOT (flipped via the quantifier duality before it
-        ever wraps the rewrite), and CASE *condition* position (a NULL
-        condition selects the next branch, same as FALSE — exact in
-        ANY clause, which is what lets agg FILTER predicates desugar
-        over a quantified comparison).  Any other enclosing position —
-        bare projections, GROUP/ORDER keys, comparison or arithmetic
-        operands, IS NULL, <=>, function arguments, CASE *result*
-        position — can observe the third value and is rejected with a
-        pointer to the derived-table workaround."""
+        collapse), NOT directly over the comparison (flipped via the
+        quantifier duality before it ever wraps the rewrite), an EVEN
+        number of enclosing NOTs over a composition (they cancel, so
+        the collapse surfaces unchanged), and CASE *condition*
+        position (a NULL condition selects the next branch, same as
+        FALSE — exact in ANY clause, which is what lets agg FILTER
+        predicates desugar over a quantified comparison).  An ODD
+        number of NOTs over a COMPOSITION containing the comparison
+        is anti-monotone — NOT(UNKNOWN AND TRUE) is UNKNOWN but the
+        collapse would make it TRUE — and is rejected (apply De
+        Morgan by hand; NOT directly on the comparison stays exact).
+        Any other enclosing position — bare projections, GROUP/ORDER
+        keys, comparison or arithmetic operands, IS NULL, <=>,
+        function arguments, CASE *result* position — can observe the
+        third value and is rejected with a pointer to the
+        derived-table workaround."""
         def check(e, in_cond: bool, in_having: bool = False,
-                  case_cond_ok: bool = True):
+                  case_cond_ok: bool = True, odd_not: bool = False):
             if isinstance(e, Star):
                 return
-            if isinstance(e, QuantifiedCmp):
+
+            def q_leaf(q):
                 if not in_cond:
                     raise UnsupportedError(
                         "ALL/ANY subquery comparisons are only "
                         "supported as predicates in WHERE/HAVING/"
                         "QUALIFY/join conditions (project through a "
                         "derived table for other positions)")
-                if in_having and self._has_aggregate(e.expr):
-                    # the EXISTS rewrite moves the comparison into the
-                    # subquery's WHERE, where an outer aggregate is
-                    # illegal — no lossless rendering exists on this
-                    # path
+                if odd_not:
+                    raise UnsupportedError(
+                        "NOT over a composition containing an "
+                        "ALL/ANY comparison is not supported (the "
+                        "rewrite is only exact when NOT applies "
+                        "directly to the comparison — distribute the "
+                        "NOT with De Morgan first)")
+                if in_having and self._has_aggregate(q.expr):
+                    # the EXISTS rewrite moves the comparison into
+                    # the subquery's WHERE, where an outer aggregate
+                    # is illegal — no lossless rendering exists on
+                    # this path
                     raise UnsupportedError(
                         "an aggregate on the left of ALL/ANY in "
                         "HAVING is not supported (project the "
                         "aggregate in a derived table and compare in "
                         "its WHERE)")
-                check(e.expr, False)     # left operand is a value
+                check(q.expr, False)     # left operand is a value
+
+            if isinstance(e, QuantifiedCmp):
+                q_leaf(e)
                 return
             if isinstance(e, BinOp) and e.op in ("and", "or"):
-                check(e.left, in_cond, in_having, case_cond_ok)
-                check(e.right, in_cond, in_having, case_cond_ok)
+                check(e.left, in_cond, in_having, case_cond_ok,
+                      odd_not)
+                check(e.right, in_cond, in_having, case_cond_ok,
+                      odd_not)
                 return
             if isinstance(e, UnOp) and e.op == "not":
-                check(e.operand, in_cond, in_having, case_cond_ok)
+                if isinstance(e.operand, UnOp) \
+                        and e.operand.op == "not":
+                    # double NOT folds (3VL-identity; the renderer
+                    # folds it too), keeping parity unchanged
+                    check(e.operand.operand, in_cond, in_having,
+                          case_cond_ok, odd_not)
+                    return
+                if isinstance(e.operand, QuantifiedCmp):
+                    # duality consumes this NOT exactly (the renderer
+                    # flips quantifier+operator before rewriting), so
+                    # the pair behaves like a bare comparison leaf
+                    q_leaf(e.operand)
+                    return
+                check(e.operand, in_cond, in_having, case_cond_ok,
+                      not odd_not)
                 return
             if isinstance(e, Case):
                 # a CASE *condition* is truth-demanding in any clause
                 # (NULL selects the next branch, exactly like FALSE),
                 # so the rewrite stays exact even in projections —
-                # e.g. agg FILTER predicates, which desugar to CASE
+                # e.g. agg FILTER predicates, which desugar to CASE.
+                # Branch selection is also insensitive to enclosing
+                # NOTs, so the parity resets.
                 for c, v in e.whens:
                     check(c, in_cond or case_cond_ok, in_having,
-                          case_cond_ok)
+                          case_cond_ok, False)
                     check(v, False, case_cond_ok=case_cond_ok)
                 if e.else_ is not None:
                     check(e.else_, False, case_cond_ok=case_cond_ok)
@@ -440,6 +485,12 @@ class SqlGen:
                   "=": "=", "!=": "<>"}.get(e.op, e.op)
             return f"({self.expr(e.left)} {op} {self.expr(e.right)})"
         if isinstance(e, UnOp):
+            if e.op == "not" and isinstance(e.operand, UnOp) \
+                    and e.operand.op == "not":
+                # fold NOT NOT x -> x (a 3VL identity), so NOT-chains
+                # over quantified comparisons reduce to the exact
+                # direct-duality case instead of wrapping the rewrite
+                return self.expr(e.operand.operand)
             if e.op == "not" and isinstance(e.operand, QuantifiedCmp):
                 # exact 3VL quantifier duality: NOT (x cmp ALL S) ≡
                 # x ¬cmp ANY S (and vice versa) at any NOT depth —

@@ -177,15 +177,25 @@ def _query(draw):
         op = draw(st.sampled_from(["=", "!=", "<", ">", "<=", ">="]))
         quant = draw(st.sampled_from(["all", "any", "some"]))
         cut = draw(st.integers(0, 60))
+        # a third of the runs inject NULL elements so the rewrite's
+        # unknown arm (ALL false-on-null, ANY never-true-on-null) is
+        # fuzzed, not just the all-non-null fast path
+        if draw(st.integers(0, 2)) == 0:
+            proj = ("case when c_custkey % 7 = 0 then null "
+                    "else c_custkey % 20 end")
+        else:
+            proj = "c_custkey % 20"
         if draw(st.booleans()):
-            inner = (f"select c_custkey % 20 from customer "
+            inner = (f"select {proj} from customer "
                      f"where c_nationkey = n_nationkey "
                      f"and c_custkey < {cut}")
         else:
-            inner = (f"select c_custkey % 20 from customer "
+            inner = (f"select {proj} from customer "
                      f"where c_custkey < {cut}")
         pred = f"n_nationkey {op} {quant} ({inner})"
         if draw(st.booleans()):
+            # directly over the comparison — the exact duality case
+            # (NOT over a composition is rejected by design)
             pred = f"not ({pred})"
         return f"select count(*) as n from nation where {pred}"
     if shape == 12:

@@ -59,6 +59,13 @@ def test_order_by_all_expands_every_item():
     assert all(not o.ascending for o in q.order_by)
 
 
+def test_order_by_all_rejects_star():
+    # review finding (r8): a star's expansion width is unknown at
+    # parse time, so the ordinal desugar would misalign
+    with pytest.raises(ParseError, match="cannot expand"):
+        parse("select * from t order by all")
+
+
 def test_lateral_parses_and_requires_alias():
     q = parse("select 1 from t, lateral (select u.x from u) as d")
     leaves = list(q.from_.left for _ in [0])  # just check the tree

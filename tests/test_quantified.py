@@ -135,6 +135,42 @@ def test_multi_column_subquery_rejected():
         to_sql(q)
 
 
+def test_not_over_composition_rejected():
+    # review finding (r8): NOT is anti-monotone, so the NULL->FALSE
+    # collapse inside a composition under an odd NOT would turn
+    # UNKNOWN rows into TRUE — rejected, not silently wrong
+    q = parse("select 1 from t where not "
+              "(a > all (select b from u) and c = 1)")
+    with pytest.raises(UnsupportedError, match="De Morgan"):
+        to_sql(q)
+
+
+def test_even_not_over_composition_allowed():
+    q = parse("select 1 from t where not not "
+              "(a > all (select b from u) and c = 1)")
+    assert "NOT EXISTS" in to_sql(q)
+
+
+def test_double_not_direct_folds_to_plain_rewrite():
+    # NOT NOT Q folds before the duality, so the rendering is the
+    # plain (non-negated) rewrite — exact even with NULL elements
+    q = parse("select 1 from t where not not (a > any (select b from u))")
+    sql = to_sql(q)
+    assert "NOT EXISTS" not in sql and "EXISTS" in sql and " > " in sql
+
+
+def test_setop_order_by_quantified_rejected():
+    q = parse("select a from t union all select b from u "
+              "order by a > all (select 1)")
+    with pytest.raises(UnsupportedError, match="ORDER BY"):
+        to_sql(q)
+
+
+def test_double_paren_subquery_accepted():
+    q = parse("select 1 from t where a = any ((select b from u))")
+    assert isinstance(q.where, QuantifiedCmp)
+
+
 def test_having_aggregate_left_rejected():
     q = parse("select k, count(*) as n from t group by k "
               "having count(*) >= all (select 3)")

@@ -33,6 +33,16 @@ def test_parse_kinds():
         == "anti"
 
 
+def test_probe_column_rejected_at_resolution(engine):
+    # review finding (r8): probe-side columns are ON-only — selecting
+    # one fails with the engine's own resolution error, not a raw
+    # Spark exception
+    from flink_dsl_spark.errors import ResolutionError
+    with pytest.raises(ResolutionError):
+        engine.sql("select l_quantity from orders left semi join "
+                   "lineitem on l_orderkey = o_orderkey")
+
+
 def test_sqlgen_dialects():
     q = parse("select 1 from a left semi join b on x = y")
     assert "LEFT SEMI JOIN" in to_sql(q)
