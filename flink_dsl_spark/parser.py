@@ -252,7 +252,7 @@ class Parser:
                                              "codegen", "cost"):
             mode = t.lower
             self.advance()
-        query = self.parse_select_statement()
+        query = self.parse_select_statement(allow_recursive=True)
         return Explain(query, mode)
 
     def parse(self):

@@ -139,6 +139,13 @@ class Planner:
         self._params = params or []
         if isinstance(stmt, (Select, SetOp)):
             return self.plan_query(stmt)
+        from .ast_nodes import RecursiveWith
+        if isinstance(stmt, RecursiveWith):
+            # native WITH RECURSIVE text — Spark evaluates the
+            # fixpoint itself (same dispatch as FsqlEngine._run; here
+            # so EXPLAIN and direct planner callers work too)
+            from .sqlgen import to_sql
+            return self.catalog.spark.sql(to_sql(stmt, self._params))
         if isinstance(stmt, Insert):
             return self.plan_insert(stmt)
         if isinstance(stmt, Update):

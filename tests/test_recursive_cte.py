@@ -43,6 +43,13 @@ def test_rejected_in_subquery_position():
                  select * from r) t""")
 
 
+def test_explain_over_recursive(engine):
+    df = engine.sql("explain with recursive r(n) as (select 1 "
+                    "union all select n + 1 from r where n < 3) "
+                    "select n from r")
+    assert df.count() > 0
+
+
 def test_duplicate_cte_name_rejected():
     with pytest.raises(ParseError, match="duplicate"):
         parse("""with recursive r as (select 1), r as (select 2)
