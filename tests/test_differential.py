@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 12))
+    shape = draw(st.integers(0, 15))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -207,6 +207,30 @@ def _query(draw):
         return (f"select n_regionkey, count(*) as cnt, "
                 f"{fn}({arg}) filter (where {p}) as fv "
                 f"from nation group by n_regionkey")
+    if shape == 13:
+        # SEMI/ANTI joins (late-r8): engine spells LEFT SEMI/ANTI,
+        # DuckDB bare — the harness rewrites the oracle text below
+        kind = draw(st.sampled_from(["semi", "anti"]))
+        cut = draw(st.integers(0, 40))
+        return (f"select n_regionkey, count(*) as c from nation "
+                f"left {kind} join customer "
+                f"on n_nationkey = c_nationkey and c_custkey < {cut} "
+                f"group by n_regionkey")
+    if shape == 14:
+        # LATERAL (late-r8): per-row scalar aggregate over a
+        # correlated subquery; identical text both engines
+        agg = draw(st.sampled_from(["count(*)", "min(c_custkey)",
+                                    "max(c_custkey)"]))
+        return (f"select n_nationkey, t.v from nation, "
+                f"lateral (select {agg} as v from customer "
+                f"where c_nationkey = n_nationkey) as t "
+                f"order by n_nationkey")
+    if shape == 15:
+        # GROUP BY ALL + FILTER composition (late-r8)
+        p = draw(_predicate(_NATION_INTS))
+        return (f"select n_regionkey, count(*) as c, "
+                f"count(*) filter (where {p}) as f "
+                f"from nation group by all")
     # null-safe comparison over outer-join nulls + multiset set ops
     # (late-r8)
     if draw(st.booleans()):
