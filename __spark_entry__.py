@@ -1549,16 +1549,19 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-8 window (COVERAGE.md's r8 plan):
-    # regression core; first rows for the EIGHT new r8 dialect
-    # surfaces (q45 cap hint, q46/q47 analytic OVER windows, q48
-    # window-beside-GROUP-BY, q49 QUALIFY, q50 WITH CTEs, q51 CUBE/
-    # GROUPING SETS, q52 CAST); fresh rows for the families whose
-    # code changed this round (q43 DDL/engine register+DROP kind
-    # guards, q44 INSERT re-register kind inheritance, llm62
-    # bpe_train probe-cache fix, q15 the subquery-traversal dedup);
-    # then the r5-newest queries (31 of 35 — llm67 and llm69–llm71
-    # lent their slots to q49–q52 and lead the r9 rotation).
+    # stays a registry.  Round-8 window (COVERAGE.md's r8 plan, as
+    # amended by the continuation session): regression core; first
+    # rows for the EIGHT early-r8 dialect surfaces (q45 cap hint,
+    # q46/q47 analytic OVER, q48 window-beside-GROUP-BY, q49
+    # QUALIFY, q50 CTEs, q51 CUBE, q52 CAST); fresh rows for
+    # r8-touched families (q43/q44/llm62); FIRST rows for the
+    # late-r8 block — q53–q57, six TPC-H flagships (Q1-wave +
+    # Q5/Q14/Q17/Q18/Q13/Q9) and the eight new dialect surfaces
+    # (quantified, FILTER, GROUP BY ALL, LATERAL, SEMI/ANTI, PIVOT,
+    # UNPIVOT, WITH RECURSIVE) — the never-sampled lesson (llm33-35)
+    # outranks refreshing already-green r5 rows; then the first 12
+    # r5-newest refreshes (the displaced 19 + llm67/llm69–llm71
+    # lead the r9 rotation).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1574,19 +1577,24 @@ _PRIORITY = [
     "q52_cast",
     # -- r8-touched code: fresh rows for the changed families --
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
-    # -- rotation: the 35 r5-newest rows, refreshed --
+    # -- late-r8 first rows (continuation session): the never-sampled
+    #    lesson (llm33-35) outranks refreshing already-green r5 rows,
+    #    so the new surfaces take 19 of the rotation slots --
+    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
+    "q57_nullsafe",
+    "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17", "q65_tpch_q18",
+    "q66_tpch_q13", "q72_tpch_q9",
+    "q68_quantified", "q69_agg_filter", "q70_group_by_all",
+    "q71_lateral", "q74_semi_anti", "q75_pivot", "q76_unpivot",
+    "q77_recursive_cte",
+    # -- rotation: the first 12 of the r5-newest rows, refreshed
+    #    (the other 19 lend their slots to the first rows above and
+    #    LEAD the r9 rotation) --
     "q04_left_join", "q14_in_subquery", "s08_stream_dedup",
     "s09_stream_quality", "s10_stream_hll", "llm36_pack_verified",
     "llm37_embdup_lsh_exhaustive", "llm38_features_verified",
     "llm39_pipeline_verified", "llm40_decontaminate",
-    "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
-    "llm44_token_budget", "llm45_domain_mixture", "llm46_corpus_stats",
-    "llm47_cross_dedup_pairs", "llm48_dedup_against",
-    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
-    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
-    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
-    "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
-    "llm63_mixture_temperature",
+    "llm41_gopher_repetition", "llm42_line_dedup",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -1596,18 +1604,19 @@ _PRIORITY = [
     #     q49 QUALIFY / q50 CTE / q51 CUBE / q52 CAST first rows),
     #     then the r6-newest rows, then the r7 greens displaced by
     #     this rotation. ---
-    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
-    "q57_nullsafe",
-    # TPC-H wave 2 (late r8, never sampled — first rows due in r9):
-    # Q3/Q5/Q7/Q8/Q10/Q13/Q14/Q15/Q17/Q18 over the testdata schema
-    "q58_tpch_q3", "q59_tpch_q5", "q60_tpch_q7", "q61_tpch_q8",
-    "q62_tpch_q10", "q63_tpch_q14", "q64_tpch_q17", "q65_tpch_q18",
-    "q66_tpch_q13", "q67_tpch_q15",
-    # quantified comparisons + aggregate FILTER + GROUP BY ALL +
-    # LATERAL (late r8, never sampled — first rows due in r9)
-    "q68_quantified", "q69_agg_filter", "q70_group_by_all",
-    "q71_lateral", "q72_tpch_q9", "q73_tpch_q22", "q74_semi_anti",
-    "q75_pivot", "q76_unpivot", "q77_recursive_cte",
+    # displaced r5-newest rows (lent their slots to the late-r8
+    # first rows above — they LEAD the r9 rotation)
+    "llm43_dup_spans", "llm44_token_budget", "llm45_domain_mixture",
+    "llm46_corpus_stats", "llm47_cross_dedup_pairs",
+    "llm48_dedup_against", "llm49_classifier_score", "llm50_kmeans",
+    "llm51_semdedup", "llm52_lm_perplexity", "llm53_html_strip",
+    "llm54_vocab_stats", "llm55_mixture_epochs", "llm56_shard_assign",
+    "llm57_ann_quantized", "llm58_curation_report", "llm59_bpe_pairs",
+    "llm60_nfc_normalize", "llm63_mixture_temperature",
+    # remaining late-r8 TPC-H (never sampled — first rows due in r9
+    # right after the displaced batch)
+    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
+    "q67_tpch_q15", "q73_tpch_q22",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
