@@ -429,6 +429,13 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # DISTINCT ON (late r8): best-row-per-group via the QUALIFY
+    # desugar; DuckDB runs its native DISTINCT ON on identical text
+    "q78_distinct_on": """
+        select distinct on (c_nationkey) c_nationkey, c_custkey,
+               c_acctbal
+        from customer
+        order by c_nationkey, c_acctbal desc, c_custkey""",
     # WITH RECURSIVE (late r8): rendered as native recursive SQL —
     # Spark >=4.0 and DuckDB evaluate the fixpoint themselves on
     # identical text
@@ -1594,7 +1601,7 @@ _PRIORITY = [
     "s09_stream_quality", "s10_stream_hll", "llm36_pack_verified",
     "llm37_embdup_lsh_exhaustive", "llm38_features_verified",
     "llm39_pipeline_verified", "llm40_decontaminate",
-    "llm41_gopher_repetition", "llm42_line_dedup",
+    "llm41_gopher_repetition", "q78_distinct_on",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -1606,6 +1613,7 @@ _PRIORITY = [
     #     this rotation. ---
     # displaced r5-newest rows (lent their slots to the late-r8
     # first rows above — they LEAD the r9 rotation)
+    "llm42_line_dedup",
     "llm43_dup_spans", "llm44_token_budget", "llm45_domain_mixture",
     "llm46_corpus_stats", "llm47_cross_dedup_pairs",
     "llm48_dedup_against", "llm49_classifier_score", "llm50_kmeans",
@@ -2089,6 +2097,11 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        "q78_distinct_on": """
+            select distinct on (c_nationkey) c_nationkey, c_custkey,
+                   c_acctbal
+            from customer
+            order by c_nationkey, c_acctbal desc, c_custkey""",
         "q77_recursive_cte": """
             with recursive seq(n) as (
                 select 1

@@ -604,6 +604,19 @@ class Parser:
         while self.cur.kind == "hint":
             hints.extend(self._parse_hint_block(self.advance()))
         distinct = bool(self.eat_kw("distinct"))
+        # DISTINCT ON (k, ...) (engine extension, DuckDB/Postgres
+        # style): keep ONE row per key group, picked by ORDER BY —
+        # desugared below into a hidden row_number QUALIFY, so both
+        # planner paths reuse the analytic machinery
+        distinct_on: list | None = None
+        if distinct and self.at_kw("on") and self.peek().text == "(":
+            self.advance()
+            self.expect_op("(")
+            distinct_on = [self.parse_expr()]
+            while self.eat_op(","):
+                distinct_on.append(self.parse_expr())
+            self.expect_op(")")
+            distinct = False
         items = [self.parse_select_item()]
         while self.eat_op(","):
             items.append(self.parse_select_item())
@@ -698,6 +711,46 @@ class Parser:
             limit = self.parse_limit_term()
             if self.eat_kw("offset"):
                 offset = self.parse_limit_term()
+        if distinct_on is not None:
+            # desugar: row_number() over (partition by keys order by
+            # the query's ORDER BY) = 1.  ORDER BY is required (the
+            # per-group pick would be nondeterministic without it) —
+            # DuckDB accepts the identical text natively, so oracles
+            # compare the same statement.  Ordinals and alias
+            # references in ORDER BY are substituted with copies of
+            # the item expressions (a window spec cannot see either).
+            if not order_by:
+                self.error("DISTINCT ON requires ORDER BY (the "
+                           "per-group pick is nondeterministic "
+                           "without it)")
+            if qualify is not None:
+                self.error("DISTINCT ON cannot combine with QUALIFY "
+                           "(it desugars to one)")
+            alias_map = {it.alias.lower(): it.expr
+                         for it in items if it.alias}
+            win_order = []
+            for o in order_by:
+                e = o.expr
+                if isinstance(e, Lit) and isinstance(e.value, int) \
+                        and not isinstance(e.value, bool):
+                    pos = int(e.value)
+                    if not 1 <= pos <= len(items) \
+                            or isinstance(items[pos - 1].expr, Star):
+                        self.error(f"ORDER BY position {pos} is not "
+                                   "a select-list item")
+                    e = items[pos - 1].expr
+                elif isinstance(e, Col) and e.qualifier is None \
+                        and e.name.lower() in alias_map:
+                    e = alias_map[e.name.lower()]
+                win_order.append(OrderItem(copy.deepcopy(e),
+                                           o.ascending, None, o.nulls))
+            qualify = BinOp(
+                "=",
+                WindowFunc(FuncCall("row_number", [], False),
+                           partition_by=[copy.deepcopy(k)
+                                         for k in distinct_on],
+                           order_by=win_order),
+                Lit(1, "long"))
         sel = Select(items, from_, where, group_by, rollup, having,
                      order_by, limit, offset, distinct, hints=hints,
                      qualify=qualify, cube=cube,

@@ -85,7 +85,33 @@ def test_lateral_as_table_name_still_parses():
 # semantics vs DuckDB (identical text)
 # ---------------------------------------------------------------------------
 
+def test_distinct_on_desugars_to_qualify():
+    q = parse("""select distinct on (k) k, v from t
+                 order by k, v desc""")
+    assert q.qualify is not None and not q.distinct
+
+
+def test_distinct_on_requires_order_by():
+    with pytest.raises(ParseError, match="requires ORDER BY"):
+        parse("select distinct on (k) k, v from t")
+
+
+def test_plain_distinct_unaffected():
+    q = parse("select distinct k from t")
+    assert q.distinct and q.qualify is None
+
+
 CASES = {
+    "distinct_on_best_per_group": """
+        select distinct on (c_nationkey) c_nationkey, c_custkey,
+               c_acctbal
+        from customer
+        order by c_nationkey, c_acctbal desc, c_custkey""",
+    "distinct_on_alias_order": """
+        select distinct on (o_custkey) o_custkey,
+               o_totalprice as price, o_orderkey
+        from orders where o_custkey < 40
+        order by o_custkey, price desc, o_orderkey""",
     "gba_two_keys": """
         select n_regionkey, n_nationkey % 3 as m, count(*) as c
         from nation group by all order by all""",
