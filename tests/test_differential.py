@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 15))
+    shape = draw(st.integers(0, 17))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -231,6 +231,21 @@ def _query(draw):
         return (f"select n_regionkey, count(*) as c, "
                 f"count(*) filter (where {p}) as f "
                 f"from nation group by all")
+    if shape == 16:
+        # DISTINCT ON (late-r8): deterministic pick (unique tiebreak)
+        keydir = draw(st.sampled_from(["asc", "desc"]))
+        return (f"select distinct on (c_nationkey) c_nationkey, "
+                f"c_custkey, c_acctbal from customer "
+                f"order by c_nationkey, c_acctbal {keydir}, c_custkey")
+    if shape == 17:
+        # WITH RECURSIVE series (late-r8): random bound + step, the
+        # fixpoint evaluated natively by both engines
+        hi = draw(st.integers(1, 60))
+        step = draw(st.integers(1, 4))
+        return (f"with recursive s(n) as (select 0 union all "
+                f"select n + {step} from s where n < {hi}) "
+                f"select count(*) as c, cast(sum(n) as bigint) as t "
+                f"from s")
     # null-safe comparison over outer-join nulls + multiset set ops
     # (late-r8)
     if draw(st.booleans()):
