@@ -1392,6 +1392,13 @@ class Parser:
                 if negated:
                     left = UnOp("not", left)
                 continue
+            if self.eat_kw("ilike"):
+                # case-insensitive LIKE (engine extension) — native
+                # on Spark (>=3.3) and DuckDB
+                left = BinOp("ilike", left, self.parse_bitwise())
+                if negated:
+                    left = UnOp("not", left)
+                continue
             if self.eat_kw("between"):
                 lo = self.parse_bitwise()
                 self.expect_kw("and")

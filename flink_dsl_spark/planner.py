@@ -1346,6 +1346,9 @@ class Planner:
         if op == "like" and isinstance(e.right, Lit) \
                 and isinstance(e.right.value, str):
             return l.like(e.right.value)
+        if op == "ilike" and isinstance(e.right, Lit) \
+                and isinstance(e.right.value, str):
+            return l.ilike(e.right.value)
         return _apply_binop(op, l, self._compile(e.right, df))
 
     def _param_lit(self, p: Param, other, df) -> Column:
@@ -1688,6 +1691,7 @@ def _apply_binop(op: str, l: Column, r: Column) -> Column:
         "&": lambda: l.bitwiseAND(r),
         "^": lambda: l.bitwiseXOR(r),
         "like": lambda: F.like(l, r),
+        "ilike": lambda: F.ilike(l, r),
         "<=>": lambda: l.eqNullSafe(r),      # IS NOT DISTINCT FROM
     }
     try:

@@ -482,6 +482,7 @@ class SqlGen:
                 return (f"({self.expr(e.left)} IS NOT DISTINCT FROM "
                         f"{self.expr(e.right)})")
             op = {"and": "AND", "or": "OR", "like": "LIKE",
+                  "ilike": "ILIKE",
                   "=": "=", "!=": "<>"}.get(e.op, e.op)
             return f"({self.expr(e.left)} {op} {self.expr(e.right)})"
         if isinstance(e, UnOp):

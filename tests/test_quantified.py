@@ -246,6 +246,26 @@ def test_quantified_matches_duckdb(name, engine, duck):
     _cmp(engine.sql(sql), duck.sql(sql))
 
 
+ILIKE_CASES = {
+    "ilike_native_path": """
+        select count(*) as n from customer
+        where c_mktsegment ilike 'build%'""",
+    "not_ilike": """
+        select count(*) as n from customer
+        where c_mktsegment not ilike '%a%'""",
+    "ilike_sql_path": """
+        select count(*) as n from orders
+        where o_orderpriority ilike '%urgent'
+          and o_custkey in (select c_custkey from customer)""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(ILIKE_CASES))
+def test_ilike_matches_duckdb(name, engine, duck):
+    sql = ILIKE_CASES[name]
+    _cmp(engine.sql(sql), duck.sql(sql))
+
+
 FILTER_CASES = {
     "count_star_and_sum": """
         select o_orderstatus, count(*) as n,
