@@ -429,6 +429,14 @@ _FSQL: dict[str, str] = {
                    as urgent_total
         from orders
         group by o_orderstatus""",
+    # ILIKE (late r8): case-insensitive LIKE — native both engines
+    "q79_ilike": """
+        select o_orderpriority, count(*) as n,
+               count(*) filter (where o_orderpriority
+                                      not ilike '%urgent%') as calm
+        from orders
+        where o_orderpriority ilike '%g%'
+        group by o_orderpriority""",
     # DISTINCT ON (late r8): best-row-per-group via the QUALIFY
     # desugar; DuckDB runs its native DISTINCT ON on identical text
     "q78_distinct_on": """
@@ -1624,7 +1632,7 @@ _PRIORITY = [
     # remaining late-r8 TPC-H (never sampled — first rows due in r9
     # right after the displaced batch)
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
-    "q67_tpch_q15", "q73_tpch_q22",
+    "q67_tpch_q15", "q73_tpch_q22", "q79_ilike",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",
@@ -2097,6 +2105,13 @@ def _oracle_sql_base() -> dict[str, str]:
             where s_suppkey = supplier_no
               and total_revenue = (select max(total_revenue)
                                    from revenue)""",
+        "q79_ilike": """
+            select o_orderpriority, count(*) as n,
+                   count(*) filter (where o_orderpriority
+                                          not ilike '%urgent%') as calm
+            from orders
+            where o_orderpriority ilike '%g%'
+            group by o_orderpriority""",
         "q78_distinct_on": """
             select distinct on (c_nationkey) c_nationkey, c_custkey,
                    c_acctbal
