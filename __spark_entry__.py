@@ -1609,7 +1609,7 @@ _PRIORITY = [
     "s09_stream_quality", "s10_stream_hll", "llm36_pack_verified",
     "llm37_embdup_lsh_exhaustive", "llm38_features_verified",
     "llm39_pipeline_verified", "llm40_decontaminate",
-    "llm41_gopher_repetition", "q78_distinct_on",
+    "q78_distinct_on", "q79_ilike",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -1621,7 +1621,7 @@ _PRIORITY = [
     #     this rotation. ---
     # displaced r5-newest rows (lent their slots to the late-r8
     # first rows above — they LEAD the r9 rotation)
-    "llm42_line_dedup",
+    "llm41_gopher_repetition", "llm42_line_dedup",
     "llm43_dup_spans", "llm44_token_budget", "llm45_domain_mixture",
     "llm46_corpus_stats", "llm47_cross_dedup_pairs",
     "llm48_dedup_against", "llm49_classifier_score", "llm50_kmeans",
@@ -1632,7 +1632,7 @@ _PRIORITY = [
     # remaining late-r8 TPC-H (never sampled — first rows due in r9
     # right after the displaced batch)
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
-    "q67_tpch_q15", "q73_tpch_q22", "q79_ilike",
+    "q67_tpch_q15", "q73_tpch_q22",
     "llm67_ngram_novelty", "llm69_length_quantiles",
     "llm70_topk_quality", "llm71_length_outliers",
     "q02_filter_projection", "q05_right_join", "q08_using_join",

@@ -264,15 +264,9 @@ class FsqlEngine:
             return self._drop_relation(stmt)
         if isinstance(stmt, Insert) and stmt.source is not None:
             return self._insert_from_source(stmt)
-        from .ast_nodes import RecursiveWith
-        if isinstance(stmt, RecursiveWith):
-            # rendered as native WITH RECURSIVE SQL — Spark (>=4.0)
-            # analyzes and evaluates the fixpoint itself, including
-            # its own recursion-depth guard; the resolver is skipped
-            # because the CTE names are not catalog relations
-            from .sqlgen import to_sql
-            with self.timer.phase("plan"):
-                return self.spark.sql(to_sql(stmt, params))
+        # RecursiveWith falls through: resolver.resolve is a no-op
+        # for it (CTE names are not catalog relations) and
+        # planner.plan renders the native WITH RECURSIVE SQL
         with self.timer.phase("resolve"):
             self.resolver.resolve(stmt)
         with self.timer.phase("plan"):

@@ -489,6 +489,16 @@ class Parser:
             return self.parse_with_query(allow_recursive)
         left = self.parse_select_core()
         while self.at_kw("union", "except", "intersect"):
+            if isinstance(left, Select) and left.order_by and \
+                    getattr(left, "_distinct_on", False) and \
+                    not getattr(left, "_parened", False):
+                # same conflict as the right-arm case below, from the
+                # other side: the first arm's ORDER BY fed the
+                # DISTINCT ON pick but a set operation follows
+                self.error(
+                    "DISTINCT ON in a set-operation arm requires "
+                    "parentheses around the arm (its ORDER BY would "
+                    "otherwise apply to the whole set operation)")
             op = self.advance().lower
             if self.eat_kw("all"):
                 op += "_all"
@@ -500,6 +510,17 @@ class Parser:
             # on the union node, flinkdsl/parser.scala:35-40)
             if isinstance(right, Select) and \
                     not getattr(right, "_parened", False):
+                if right.order_by and \
+                        getattr(right, "_distinct_on", False):
+                    # the DISTINCT ON desugar already consumed this
+                    # ORDER BY as the per-group pick, but standard
+                    # scoping says it belongs to the whole set op —
+                    # the two meanings conflict, so demand parens
+                    self.error(
+                        "DISTINCT ON in a set-operation arm requires "
+                        "parentheses around the arm (its ORDER BY "
+                        "would otherwise apply to the whole set "
+                        "operation)")
                 left.order_by, right.order_by = right.order_by, []
                 left.limit, right.limit = right.limit, None
                 left.offset, right.offset = right.offset, None
@@ -742,8 +763,16 @@ class Parser:
                 elif isinstance(e, Col) and e.qualifier is None \
                         and e.name.lower() in alias_map:
                     e = alias_map[e.name.lower()]
+                # pin explicit null placement to DuckDB's default —
+                # NULLS LAST for BOTH directions (default_null_order,
+                # unlike Postgres' NULLS-FIRST-on-DESC) — when the
+                # user gave none: Spark's window default differs and
+                # the PICK must match the native DISTINCT ON the
+                # oracle runs (verified empirically on nullable keys
+                # in both directions)
+                nulls = o.nulls or "last"
                 win_order.append(OrderItem(copy.deepcopy(e),
-                                           o.ascending, None, o.nulls))
+                                           o.ascending, None, nulls))
             qualify = BinOp(
                 "=",
                 WindowFunc(FuncCall("row_number", [], False),
@@ -755,6 +784,8 @@ class Parser:
                      order_by, limit, offset, distinct, hints=hints,
                      qualify=qualify, cube=cube,
                      grouping_sets=grouping_sets)
+        if distinct_on is not None:
+            sel._distinct_on = True    # set-op arm guard marker
         self._resolve_named_windows(sel, named_windows)
         return sel
 

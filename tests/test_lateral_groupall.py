@@ -101,12 +101,38 @@ def test_plain_distinct_unaffected():
     assert q.distinct and q.qualify is None
 
 
+def test_distinct_on_setop_arm_requires_parens():
+    # second-review finding: the arm's ORDER BY would hoist to the
+    # whole set operation under standard scoping, diverging from the
+    # desugar's per-group pick
+    with pytest.raises(ParseError, match="parenthes"):
+        parse("select k from t union all "
+              "select distinct on (k) k from u order by k")
+    with pytest.raises(ParseError, match="parenthes"):
+        parse("select distinct on (k) k from u order by k "
+              "union all select k from t")
+
+
 CASES = {
     "distinct_on_best_per_group": """
         select distinct on (c_nationkey) c_nationkey, c_custkey,
                c_acctbal
         from customer
         order by c_nationkey, c_acctbal desc, c_custkey""",
+    "distinct_on_nullable_key_asc": """
+        select distinct on (k) k, v from
+        (select c_nationkey % 3 as k,
+                case when c_custkey % 7 = 0 then null
+                     else c_acctbal end as v
+         from customer) t
+        order by k, v, 1""",
+    "distinct_on_nullable_key_desc": """
+        select distinct on (k) k, v from
+        (select c_nationkey % 3 as k,
+                case when c_custkey % 7 = 0 then null
+                     else c_acctbal end as v
+         from customer) t
+        order by k, v desc, 1""",
     "distinct_on_alias_order": """
         select distinct on (o_custkey) o_custkey,
                o_totalprice as price, o_orderkey
