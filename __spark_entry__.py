@@ -1564,94 +1564,61 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-8 window (COVERAGE.md's r8 plan, as
-    # amended by the continuation session): regression core; first
-    # rows for the EIGHT early-r8 dialect surfaces (q45 cap hint,
-    # q46/q47 analytic OVER, q48 window-beside-GROUP-BY, q49
-    # QUALIFY, q50 CTEs, q51 CUBE, q52 CAST); fresh rows for
-    # r8-touched families (q43/q44/llm62); FIRST rows for the
-    # late-r8 block — q53–q57, six TPC-H flagships (Q1-wave +
-    # Q5/Q14/Q17/Q18/Q13/Q9) and the eight new dialect surfaces
-    # (quantified, FILTER, GROUP BY ALL, LATERAL, SEMI/ANTI, PIVOT,
-    # UNPIVOT, WITH RECURSIVE) — the never-sampled lesson (llm33-35)
-    # outranks refreshing already-green r5 rows; then the first 12
-    # r5-newest refreshes (the displaced 19 + llm67/llm69–llm71
-    # lead the r9 rotation).
+    # stays a registry.  Round-9 window (COVERAGE.md's r9 plan):
+    # evidence-freshness round — regression core; the 21 displaced
+    # r5-newest llm keys (four rounds stale by r9); the 4 r5
+    # stragglers (llm67/llm69-llm71, which lent their r8 slots to
+    # q49-q52 first rows); FIRST rows for the six below-fold TPC-H
+    # adaptations (q58 Q3, q60 Q7, q61 Q8, q62 Q10, q67 Q15, q73
+    # Q22 — the only value-oracled queries with zero driver
+    # evidence); remaining 11 slots to the oldest r6-newest keys,
+    # q15 first (it lent its r8 slot to q48).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- first rows: NEW r8 dialect surfaces (q48 took the q15 slot:
-    #    the subquery-traversal change is repped by q14 in-window;
-    #    q49 QUALIFY took llm71's slot, q50 CTE took llm70's, and
-    #    q51 CUBE took llm69's — the displaced sketch trio leads the
-    #    r9 rotation; the family stays oracled by the per-session
-    #    pytest sweep and rehearse --all) --
-    "q45_cap_hint", "q46_over_rank", "q47_over_running",
-    "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube",
-    "q52_cast",
-    # -- r8-touched code: fresh rows for the changed families --
-    "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
-    # -- late-r8 first rows (continuation session): the never-sampled
-    #    lesson (llm33-35) outranks refreshing already-green r5 rows,
-    #    so the new surfaces take 19 of the rotation slots --
-    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
-    "q57_nullsafe",
-    "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17", "q65_tpch_q18",
-    "q66_tpch_q13", "q72_tpch_q9",
-    "q68_quantified", "q69_agg_filter", "q70_group_by_all",
-    "q71_lateral", "q74_semi_anti", "q75_pivot", "q76_unpivot",
-    "q77_recursive_cte",
-    # -- rotation: the first 12 of the r5-newest rows, refreshed
-    #    (the other 19 lend their slots to the first rows above and
-    #    LEAD the r9 rotation) --
-    "q04_left_join", "q14_in_subquery", "s08_stream_dedup",
-    "s09_stream_quality", "s10_stream_hll", "llm36_pack_verified",
-    "llm37_embdup_lsh_exhaustive", "llm38_features_verified",
-    "llm39_pipeline_verified", "llm40_decontaminate",
-    "q78_distinct_on", "q79_ilike",
+    # -- r5-stale refreshes: the 21 llm keys displaced by the late-r8
+    #    first rows (newest driver row r5, four rounds old) --
+    "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
+    "llm44_token_budget", "llm45_domain_mixture", "llm46_corpus_stats",
+    "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
+    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
+    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
+    "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
+    "llm63_mixture_temperature",
+    # -- r5 stragglers (lent their r8 slots to q49/q50/q51/q52) --
+    "llm67_ngram_novelty", "llm69_length_quantiles", "llm70_topk_quality",
+    "llm71_length_outliers",
+    # -- FIRST driver rows: the six below-fold TPC-H adaptations
+    #    (VERDICT r8 item 1; self-verified vs DuckDB at sf0.01 in r8) --
+    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
+    "q67_tpch_q15", "q73_tpch_q22",
+    # -- oldest r6-newest refreshes (q15 first — lent its r8 slot) --
+    "q15_exists", "q02_filter_projection", "q05_right_join",
+    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
+    "q16_scalar_subquery", "q17a_union", "q18_case_arith",
+    "q20_comma_from", "q21_between_like_null",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: the never-sampled late-r8 TPC-H
-    #     trio first (they need FIRST rows in r9), then llm67,
-    #     llm69-llm71 (r5-newest — they lent their r8 slots to the
-    #     q49 QUALIFY / q50 CTE / q51 CUBE / q52 CAST first rows),
-    #     then the r6-newest rows, then the r7 greens displaced by
-    #     this rotation. ---
-    # displaced r5-newest rows (lent their slots to the late-r8
-    # first rows above — they LEAD the r9 rotation)
-    "llm41_gopher_repetition", "llm42_line_dedup",
-    "llm43_dup_spans", "llm44_token_budget", "llm45_domain_mixture",
-    "llm46_corpus_stats", "llm47_cross_dedup_pairs",
-    "llm48_dedup_against", "llm49_classifier_score", "llm50_kmeans",
-    "llm51_semdedup", "llm52_lm_perplexity", "llm53_html_strip",
-    "llm54_vocab_stats", "llm55_mixture_epochs", "llm56_shard_assign",
-    "llm57_ann_quantized", "llm58_curation_report", "llm59_bpe_pairs",
-    "llm60_nfc_normalize", "llm63_mixture_temperature",
-    # remaining late-r8 TPC-H (never sampled — first rows due in r9
-    # right after the displaced batch)
-    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
-    "q67_tpch_q15", "q73_tpch_q22",
-    "llm67_ngram_novelty", "llm69_length_quantiles",
-    "llm70_topk_quality", "llm71_length_outliers",
-    "q02_filter_projection", "q05_right_join", "q08_using_join",
-    "q09_rollup", "q12_order_limit_offset", "q15_exists",
-    "q16_scalar_subquery",
-    "q17a_union", "q18_case_arith", "q20_comma_from",
-    "q21_between_like_null", "q22_agg_distinct", "q23_params",
-    "q24_star_scoped", "q25_dual", "q28_count_tumbling",
-    "q31_delta_tumbling", "q33_derived_stream", "x02_expr_filter_groupby",
-    "s05_stream_session_window", "s07_stream_time_sliding",
-    "llm03_dedup_minhash_lsh", "llm05_dedup_embedding",
-    "llm06_ann_topk_bruteforce", "llm09_lang_id", "llm10_quality_score",
-    "llm11_fingerprint", "llm12_multimodal_decode",
+    #     Ordered by next-staleness: remaining r6-newest keys first
+    #     (they lead the r10 rotation alongside the r7 greens), then
+    #     the r7 greens, then the r8 greens displaced by this
+    #     rotation (freshest evidence, sampled last). ---
+    # remaining r6-newest keys (lead the r10 rotation)
+    "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
+    "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
+    "x02_expr_filter_groupby", "s05_stream_session_window",
+    "s07_stream_time_sliding", "llm03_dedup_minhash_lsh",
+    "llm05_dedup_embedding", "llm06_ann_topk_bruteforce", "llm09_lang_id",
+    "llm10_quality_score", "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
     "llm18_chunk_documents", "llm19_top_terms_tfidf",
     "llm23_seeded_shuffle", "llm24_stratified_sample",
     "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
-    # r7 greens displaced by the r8 rotation
+    # r7 greens (next after the r6 batch)
     "q42_salt_hint", "q36_range_join", "q06_full_join", "q07_cross_join",
     "q10_having", "q11_distinct", "q13_in_list", "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
@@ -1667,6 +1634,19 @@ _PRIORITY = [
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
+    # r8 greens displaced by this rotation (freshest driver evidence)
+    "q45_cap_hint", "q46_over_rank", "q47_over_running",
+    "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
+    "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
+    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
+    "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
+    "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
+    "q69_agg_filter", "q70_group_by_all", "q71_lateral", "q74_semi_anti",
+    "q75_pivot", "q76_unpivot", "q77_recursive_cte", "q04_left_join",
+    "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
+    "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
+    "llm38_features_verified", "llm39_pipeline_verified",
+    "llm40_decontaminate", "q78_distinct_on", "q79_ilike",
 ]
 
 
