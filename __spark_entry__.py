@@ -138,6 +138,19 @@ _FSQL: dict[str, str] = {
         from documents
         where n_chars > 100
         group by source""",
+    # the /*+ token_budget(id, tokens, budget) */ hint (r9 dialect
+    # extension): the reproducible "first B tokens" corpus cut —
+    # per-language stats over the hash-ordered prefix whose running
+    # n_chars total stays <= 75000 (the documents corpus is ~150k
+    # chars at the gate SFs, so the budget bites at roughly half);
+    # dialect fixes md5 id hash + seed 42, so the oracle replays the
+    # identical running-sum-and-filter in SQL
+    "q80_token_budget_hint": """
+        select /*+ token_budget(doc_id, n_chars, 75000) */
+               lang, count(*) as num_docs,
+               sum(n_chars) as total_chars
+        from documents
+        group by lang""",
     # analytic OVER windows (r8 dialect extension — SURVEY §2.5 records
     # the reference has none): the top-k-per-group idiom, rank in a
     # derived table + filter outside; the executed plan collapses to
@@ -1594,11 +1607,15 @@ _PRIORITY = [
     #    (VERDICT r8 item 1; self-verified vs DuckDB at sf0.01 in r8) --
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
     "q67_tpch_q15", "q73_tpch_q22",
+    # -- FIRST row: q80 token_budget hint (NEW r9 dialect surface —
+    #    never-sampled outranks a refresh; it took q21's slot, whose
+    #    §2.2 family q20 keeps in-window) --
+    "q80_token_budget_hint",
     # -- oldest r6-newest refreshes (q15 first — lent its r8 slot) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union", "q18_case_arith",
-    "q20_comma_from", "q21_between_like_null",
+    "q20_comma_from",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -1606,7 +1623,9 @@ _PRIORITY = [
     #     (they lead the r10 rotation alongside the r7 greens), then
     #     the r7 greens, then the r8 greens displaced by this
     #     rotation (freshest evidence, sampled last). ---
-    # remaining r6-newest keys (lead the r10 rotation)
+    # remaining r6-newest keys (lead the r10 rotation; q21 lent its
+    # slot to the q80 first row)
+    "q21_between_like_null",
     "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
     "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
     "x02_expr_filter_groupby", "s05_stream_session_window",
@@ -1859,6 +1878,23 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT source, count(*) AS num_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM r WHERE rk <= 10 GROUP BY source""",
+        # q80: the token_budget hint's running-sum prefix replayed in
+        # SQL — same 60-bit md5 key, same (key, doc_id) order, ROWS
+        # running total <= budget, then the same aggregate
+        "q80_token_budget_hint": """
+            WITH h AS (SELECT lang, doc_id, n_chars,
+                         CAST(concat('0x', substr(md5(concat(
+                              CAST(doc_id AS VARCHAR), ':', '42')),
+                              1, 15)) AS BIGINT) AS hh
+                  FROM documents),
+            c AS (SELECT lang, n_chars,
+                         sum(n_chars) OVER (ORDER BY hh, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum
+                  FROM h)
+            SELECT lang, count(*) AS num_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM c WHERE cum <= 75000 GROUP BY lang""",
         # q46/q47: same analytic SQL; DuckDB ranks/counts are BIGINT
         # where Spark's are INT, so the rank column casts
         "q46_over_rank": """

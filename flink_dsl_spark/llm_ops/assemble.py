@@ -186,6 +186,29 @@ def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,
     a document's position in the permutation never changes, so
     yesterday's sample is a prefix-superset of today's only where the
     budget boundary moved."""
+    d = df.select(F.col(id_col).alias("id"),
+                  F.col(tokens_col).cast("long").alias("n_tokens"))
+    return token_budget_filter(d, "id", "n_tokens", budget, seed=seed,
+                               id_hash=id_hash, cum_col="cum_tokens")
+
+
+def token_budget_filter(df: DataFrame, id_col: str, tokens_col: str,
+                        budget: int, seed: int = 42, id_hash=None,
+                        cum_col: str | None = None) -> DataFrame:
+    """The cut behind ``token_budget_sample``, keeping EVERY input
+    column (the dialect ``token_budget`` hint's shape — sample is the
+    (id, n_tokens, cum_tokens) projection of this filter).  Orders
+    rows by the seeded id hash and keeps the prefix whose running
+    ``tokens_col`` total stays <= ``budget``.  ``cum_col``: when set,
+    the running total is kept under that name (cast long); otherwise
+    all bookkeeping columns are dropped.
+
+    Distributed shape (same as the sample): range-bucket on the hash
+    key, collect only per-bucket token SUBTOTALS (<= parallelism+2
+    longs), rebase each bucket with its broadcast prefix offset, prune
+    whole buckets past the budget BEFORE the window runs — so cutting
+    1 B tokens out of a 100 TB corpus windows only the buckets that
+    straddle the cut."""
     if id_hash is None:
         id_hash = _xxhash_id
     from ..streaming.windows import _range_bucket
@@ -193,28 +216,29 @@ def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,
 
     spark = df.sparkSession
     buckets = spark.sparkContext.defaultParallelism
-    d = df.select(F.col(id_col).alias("id"),
-                  F.col(tokens_col).cast("long").alias("n_tokens"))
-    d = d.withColumn("__key", id_hash(F.col("id"), seed))
-    d = d.withColumn("__bkt", _range_bucket(d, F.col("__key"), buckets))
+    key, bkt, off, n = "__tb_key", "__tb_bkt", "__tb_off", "__tb_n"
+    d = df.withColumn(key, id_hash(F.col(id_col), seed)) \
+          .withColumn(n, F.col(tokens_col).cast("long"))
+    d = d.withColumn(bkt, _range_bucket(d, F.col(key), buckets))
     sums = sorted(
-        (r["__bkt"], r["s"]) for r in
-        d.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect())
+        (r[bkt], r["s"]) for r in
+        d.groupBy(bkt).agg(F.sum(n).alias("s")).collect())
     offsets, running = [], 0
     for b, s in sums:
         offsets.append((b, running))
-        running += int(s)
-    off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
-        if offsets else spark.createDataFrame([], "__bkt int, __off long")
-    w = (W.partitionBy("__bkt").orderBy("__key", "id")
+        running += int(s or 0)
+    off_df = spark.createDataFrame(offsets, f"{bkt} int, {off} long") \
+        if offsets else spark.createDataFrame([], f"{bkt} int, {off} long")
+    w = (W.partitionBy(bkt).orderBy(key, id_col)
           .rowsBetween(W.unboundedPreceding, W.currentRow))
-    return (d.join(F.broadcast(off_df), "__bkt")
-             .filter(F.col("__off") <= F.lit(int(budget)))
-             .withColumn("cum_tokens",
-                         (F.col("__off") +
-                          F.sum("n_tokens").over(w)).cast("long"))
-             .filter(F.col("cum_tokens") <= F.lit(int(budget)))
-             .select("id", "n_tokens", "cum_tokens"))
+    cum = cum_col or "__tb_cum"
+    out = (d.join(F.broadcast(off_df), bkt)
+            .filter(F.col(off) <= F.lit(int(budget)))
+            .withColumn(cum,
+                        (F.col(off) + F.sum(n).over(w)).cast("long"))
+            .filter(F.col(cum) <= F.lit(int(budget)))
+            .drop(key, bkt, off, n))
+    return out if cum_col else out.drop(cum)
 
 
 def domain_mixture(df: DataFrame, domain_col: str, id_col: str,

@@ -1247,7 +1247,18 @@ class Parser:
                 window = self.parse_window_spec() if self.at_op("[") else None
                 alias = self.alias_ident()
                 if alias is None:
-                    self.error("derived table requires an alias")
+                    # `(select ...) PIVOT/UNPIVOT (...)` may omit the
+                    # source alias (the rotation output is what gets
+                    # named); synthesize one so the tail desugars
+                    # normally — mirror parse_joinable's tail guard
+                    if self.at_kw("pivot", "unpivot") and (
+                            (self.peek().kind == "op"
+                             and self.peek().text == "(")
+                            or (self.cur.lower == "unpivot"
+                                and self.peek().lower == "include")):
+                        alias = "_pivot_src"
+                    else:
+                        self.error("derived table requires an alias")
                 return DerivedTable(q, alias, window)
             self.expect_op("(")
             rel = self.parse_from()

@@ -243,7 +243,7 @@ class Planner:
         # order) to the filtered FROM rows, so the curation layer is
         # reachable from the dialect without the Python API
         salt_specs = {}
-        cap_specs: list[tuple[str, str, int]] = []
+        row_hints: list[tuple] = []    # ("cap"|"token_budget", spec)
         for h in sel.hints:
             if h.name == "cap":
                 if len(h.args) != 3 or not isinstance(h.args[0], str) \
@@ -251,11 +251,22 @@ class Planner:
                         or not isinstance(h.args[2], int) or h.args[2] < 1:
                     raise PlanError("cap hint takes (group_column, "
                                     "id_column, positive_int_k)")
-                cap_specs.append((h.args[0], h.args[1], h.args[2]))
+                row_hints.append(("cap", (h.args[0], h.args[1],
+                                          h.args[2])))
+                continue
+            if h.name == "token_budget":
+                if len(h.args) != 3 or not isinstance(h.args[0], str) \
+                        or not isinstance(h.args[1], str) \
+                        or not isinstance(h.args[2], int) or h.args[2] < 1:
+                    raise PlanError("token_budget hint takes (id_column, "
+                                    "tokens_column, positive_int_budget)")
+                row_hints.append(("token_budget",
+                                  (h.args[0], h.args[1], h.args[2])))
                 continue
             if h.name != "salt":
                 raise PlanError(f"unknown hint {h.name!r} (supported: "
-                                "salt(key, n), cap(group, id, k))")
+                                "salt(key, n), cap(group, id, k), "
+                                "token_budget(id, tokens, budget))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -283,11 +294,15 @@ class Planner:
         if sel.where is not None:
             df = df.filter(self._compile(sel.where, df))
 
-        # cap(group, id, k): applied AFTER the row filter and BEFORE
-        # aggregation/projection, so aggregates summarize the capped
-        # corpus ("stats over at most k docs per domain")
-        for gcol, idcol, k in cap_specs:
-            df = self._apply_cap_hint(df, gcol, idcol, k)
+        # cap(group, id, k) / token_budget(id, tokens, budget): applied
+        # AFTER the row filter and BEFORE aggregation/projection, in
+        # written order, so aggregates summarize the cut corpus
+        # ("stats over at most k docs per domain / the first B tokens")
+        for kind, spec in row_hints:
+            if kind == "cap":
+                df = self._apply_cap_hint(df, *spec)
+            else:
+                df = self._apply_token_budget_hint(df, *spec)
 
         if sel.qualify is not None:
             self._check_qualify(sel, df)
@@ -1200,6 +1215,49 @@ class Planner:
         rank = "__cap_rank__"
         return (df.withColumn(rank, F.row_number().over(w))
                   .filter(F.col(rank) <= k).drop(rank))
+
+    def _apply_token_budget_hint(self, df: DataFrame, idcol: str,
+                                 tokcol: str, budget: int) -> DataFrame:
+        """token_budget(id, tokens, budget): keep the hash-ordered
+        prefix of rows whose running ``tokens`` total stays <=
+        ``budget`` — the declarative form of
+        llm_ops.assemble.token_budget_filter ("sample the first B
+        tokens of the corpus, reproducibly"), keeping ALL columns of
+        the select's input rows.
+
+        Like cap, the dialect surface fixes hash and seed
+        (md5_id_hash, seed 42) so the cut is reproducible across
+        engines and value-oracle-able (DuckDB: running sum over ORDER
+        BY the same 60-bit md5 key); the Python API keeps xxhash64 as
+        its production default.
+
+        Scale shape: the running sum is distributed — range-bucket on
+        the id hash, collect only per-bucket token subtotals
+        (<= parallelism+2 longs), rebase with broadcast offsets, prune
+        whole buckets past the budget before the per-bucket window
+        runs.  Note the subtotal collect executes the child plan at
+        PLAN time (documented in assemble.token_budget_filter)."""
+        if df.isStreaming:
+            raise PlanError("token_budget hint is batch-only (a "
+                            "running total over an unbounded stream "
+                            "has no prefix)")
+        resolve = {}
+        for c in df.columns:
+            resolve.setdefault(c.lower(), []).append(c)
+        cols = []
+        for want in (idcol, tokcol):
+            got = resolve.get(want.lower())
+            if not got:
+                raise PlanError(
+                    f"token_budget hint column {want!r} not in select "
+                    f"input ({', '.join(df.columns)})")
+            if len(got) > 1:
+                raise PlanError(f"token_budget hint column {want!r} is "
+                                "ambiguous in the join result")
+            cols.append(got[0])
+        from .llm_ops.assemble import md5_id_hash, token_budget_filter
+        return token_budget_filter(df, cols[0], cols[1], budget,
+                                   seed=42, id_hash=md5_id_hash)
 
     def _match_salt_hint(self, rel):
         """Consume the salt(key, n) spec whose key appears in this

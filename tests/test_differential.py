@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 17))
+    shape = draw(st.integers(0, 22))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -246,6 +246,92 @@ def _query(draw):
                 f"select n + {step} from s where n < {hi}) "
                 f"select count(*) as c, cast(sum(n) as bigint) as t "
                 f"from s")
+    if shape == 18:
+        # OVER frame bounds (r9): random ROWS/RANGE frames.  ROWS
+        # frames get a unique tiebreak in ORDER BY (tie order is
+        # engine-dependent otherwise); RANGE frames deliberately use
+        # a duplicate-heavy key (peers semantics) and optionally a
+        # NULL-bearing key with EXPLICIT null placement (engines'
+        # defaults differ — the dialect renders nulls first/last on
+        # both sides)
+        fn = draw(st.sampled_from(["sum", "count", "min", "max"]))
+        lo, hi = draw(st.integers(0, 3)), draw(st.integers(0, 3))
+        frame = draw(st.sampled_from([
+            f"between {lo} preceding and current row",
+            f"between {lo} preceding and {hi} following",
+            f"between current row and {hi} following",
+            "between unbounded preceding and current row",
+            "between current row and unbounded following",
+        ]))
+        kind = draw(st.sampled_from(["rows", "range"]))
+        if kind == "rows":
+            order = "n_regionkey, n_nationkey"
+        elif draw(st.booleans()):
+            order = "n_regionkey"
+        else:
+            place = draw(st.sampled_from(["nulls first", "nulls last"]))
+            order = (f"case when n_nationkey % 5 = 0 then null "
+                     f"else n_regionkey end {place}")
+        return (f"select n_nationkey, {fn}(n_nationkey) over "
+                f"(order by {order} {kind} {frame}) as w from nation")
+    if shape == 19:
+        # QUALIFY inside set-operation branches (r9): per-leg top-k
+        # composed with UNION/EXCEPT/INTERSECT — the window filter
+        # must stay scoped to its own leg
+        op = draw(st.sampled_from(["union", "union all", "except",
+                                   "intersect"]))
+        k1, k2 = draw(st.integers(1, 4)), draw(st.integers(1, 4))
+        d1 = draw(st.sampled_from(["", " desc"]))
+        d2 = draw(st.sampled_from(["", " desc"]))
+        return (f"select n_regionkey, n_nationkey, row_number() over "
+                f"(partition by n_regionkey order by n_nationkey{d1}) "
+                f"as rn from nation qualify rn <= {k1} {op} "
+                f"select n_regionkey, n_nationkey, row_number() over "
+                f"(partition by n_regionkey order by n_nationkey{d2}) "
+                f"as rn from nation qualify rn <= {k2}")
+    if shape == 20:
+        # PIVOT with multiple aggregates + optionally aliasless
+        # source (r9): the parse-time desugar must name columns
+        # label_aggalias and group on the residual projection
+        m = draw(st.integers(2, 4))
+        vals = ", ".join(f"{i} as m{i}"
+                         for i in range(draw(st.integers(1, 3)) + 1))
+        multi = draw(st.booleans())
+        aggs = ("sum(v) as s, count(v) as c" if multi
+                else draw(st.sampled_from(["sum(v) as s", "count(*)  as c",
+                                           "max(v) as mx"])))
+        alias = draw(st.sampled_from(["", " src"]))
+        return (f"select * from (select n_regionkey, n_nationkey % {m} "
+                f"as m, n_nationkey as v from nation){alias} "
+                f"pivot ({aggs} for m in ({vals}))")
+    if shape == 21:
+        # quantified comparison inside a CASE condition in the
+        # projection (r9): the scalar-context rewrite; UNKNOWN in the
+        # WHEN arm must act as false on both engines
+        op = draw(st.sampled_from(["=", "!=", "<", ">", "<=", ">="]))
+        quant = draw(st.sampled_from(["all", "any", "some"]))
+        cut = draw(st.integers(0, 40))
+        if draw(st.integers(0, 2)) == 0:
+            proj = ("case when c_custkey % 7 = 0 then null "
+                    "else c_custkey % 20 end")
+        else:
+            proj = "c_custkey % 20"
+        corr = (" and c_nationkey = n_nationkey"
+                if draw(st.booleans()) else "")
+        return (f"select n_nationkey, case when n_nationkey {op} "
+                f"{quant} (select {proj} from customer "
+                f"where c_custkey < {cut}{corr}) then 1 else 0 end "
+                f"as hit from nation")
+    if shape == 22:
+        # DISTINCT ON with an EXPRESSION pick-key (r9): the key is
+        # computed, the tiebreak unique, so the picked row is
+        # deterministic on both engines
+        m = draw(st.integers(2, 5))
+        keydir = draw(st.sampled_from(["asc", "desc"]))
+        return (f"select distinct on (c_nationkey % {m}) "
+                f"c_nationkey % {m} as g, c_custkey, c_acctbal "
+                f"from customer order by c_nationkey % {m}, "
+                f"c_acctbal {keydir}, c_custkey")
     # null-safe comparison over outer-join nulls + multiset set ops
     # (late-r8)
     if draw(st.booleans()):

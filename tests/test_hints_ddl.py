@@ -642,3 +642,127 @@ def test_cap_hint_is_batch_only(engine, spark):
                     "from cap_ev")
     finally:
         eng.sql("drop stream cap_ev")
+
+
+# ---------------------------------------------------------------------------
+# token_budget(id, tokens, budget) hint — the assemble layer's corpus
+# cut reachable from the dialect (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_hint_equals_python_api(engine):
+    """/*+ token_budget(id, tok, B) */ is the declarative form of
+    llm_ops.assemble.token_budget_filter with the cross-engine md5 id
+    hash and the dialect's fixed seed 42 — identical row sets."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash, \
+        token_budget_filter
+    got = engine.sql(
+        "select /*+ token_budget(doc_id, n_chars, 40000) */ "
+        "doc_id, source from documents")
+    want = token_budget_filter(
+        engine.catalog.get("documents"), "doc_id", "n_chars",
+        budget=40000, seed=42,
+        id_hash=md5_id_hash).select("doc_id", "source")
+    assert _rows(got) == _rows(want)
+    assert 0 < len(_rows(got)) < 500          # the budget bites
+
+
+def test_token_budget_hint_prefix_property(engine):
+    """The kept set is a hash-ordered PREFIX: every kept doc's running
+    total is within budget, and growing the budget only ADDS rows
+    (stability under budget growth)."""
+    small = {r[0] for r in _rows(engine.sql(
+        "select /*+ token_budget(doc_id, n_chars, 20000) */ doc_id "
+        "from documents"))}
+    large = {r[0] for r in _rows(engine.sql(
+        "select /*+ token_budget(doc_id, n_chars, 60000) */ doc_id "
+        "from documents"))}
+    assert small and small < large
+    total = _rows(engine.sql(
+        "select /*+ token_budget(doc_id, n_chars, 20000) */ "
+        "sum(n_chars) as s from documents"))[0][0]
+    assert total <= 20000
+
+
+def test_token_budget_hint_applies_after_where(engine):
+    """The budget meters the FILTERED rows: a doc excluded by WHERE
+    never consumes budget."""
+    rows = _rows(engine.sql(
+        "select /*+ token_budget(doc_id, n_chars, 30000) */ n_chars "
+        "from documents where n_chars > 200"))
+    assert rows and all(n > 200 for (n,) in rows)
+    assert sum(n for (n,) in rows) <= 30000
+
+
+def test_token_budget_hint_tiny_budget_empty(engine):
+    """A budget smaller than the first-pick document keeps nothing —
+    empty result, not an error."""
+    assert _rows(engine.sql(
+        "select /*+ token_budget(doc_id, n_chars, 1) */ doc_id "
+        "from documents")) == []
+
+
+def test_token_budget_hint_bad_args_error(engine):
+    for bad in ["token_budget(doc_id, n_chars)",      # missing budget
+                "token_budget(doc_id, n_chars, 0)",   # budget < 1
+                "token_budget(doc_id, 3, 5)",         # tokens not a column
+                "token_budget(doc_id, n_chars, b)"]:  # budget not an int
+        with pytest.raises(PlanError, match="token_budget hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ token_budget(nope, n_chars, 100) */ "
+                   "doc_id from documents")
+    with pytest.raises(PlanError, match="ambiguous"):
+        engine.sql(
+            "select /*+ token_budget(rk, rk, 100) */ a.n_name "
+            "from (select n_name, n_regionkey as rk from nation) as a "
+            "join (select r_regionkey as rk from region) as b "
+            "on a.rk = b.rk")
+
+
+def test_token_budget_hint_rejected_on_sqlgen_path(engine):
+    with pytest.raises(PlanError, match="subqueries"):
+        engine.sql(
+            "select /*+ token_budget(doc_id, n_chars, 1000) */ doc_id "
+            "from documents "
+            "where n_chars > (select avg(n_chars) from documents)")
+
+
+def test_token_budget_hint_is_batch_only(engine, spark):
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = tempfile.mkdtemp(prefix="tb_stream_")
+    os.symlink(f"{SF_DIR}/events.parquet",
+               os.path.join(d, "events.parquet"))
+    eng.sql("create stream tb_ev ("
+            + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                        for f in ev.schema.fields)
+            + f") source file ('{d}', 'parquet')")
+    try:
+        with pytest.raises(PlanError, match="batch-only"):
+            eng.sql("select /*+ token_budget(event_id, amount, 100) */ "
+                    "event_id from tb_ev")
+    finally:
+        eng.sql("drop stream tb_ev")
+
+
+def test_cap_then_token_budget_compose_in_order(engine):
+    """Hints apply in written order: cap first bounds each source to
+    k docs, then the budget meters the capped corpus."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash, \
+        cap_per_group, token_budget_filter
+    got = engine.sql(
+        "select /*+ cap(source, doc_id, 5) "
+        "token_budget(doc_id, n_chars, 10000) */ doc_id "
+        "from documents")
+    docs = engine.catalog.get("documents")
+    capped_ids = cap_per_group(docs, "source", "doc_id", k=5, seed=42,
+                               id_hash=md5_id_hash).select("doc_id")
+    capped = docs.join(capped_ids, "doc_id")
+    want = token_budget_filter(capped, "doc_id", "n_chars", 10000,
+                               seed=42, id_hash=md5_id_hash) \
+        .select("doc_id")
+    assert sorted(_rows(got)) == sorted(_rows(want))
+    assert len(_rows(got)) > 0

@@ -99,3 +99,40 @@ def test_pivot_composes_with_where_and_subquery_path(engine, duck):
         where o_custkey in (select c_custkey from customer)
         group by o_orderpriority""")
     _cmp(sdf, duck_rel)
+
+
+def test_aliasless_source_with_pivot_tail(engine, duck):
+    """`(subquery) PIVOT (...)` with no alias on the derived table is
+    valid (DuckDB/Spark both accept it — the rotation output is the
+    thing that gets named); the parser synthesizes a source alias so
+    the desugar proceeds (r9: previously errored 'derived table
+    requires an alias')."""
+    sdf = engine.sql("""
+        select * from (select n_regionkey, n_nationkey % 3 as m,
+                              n_nationkey as v from nation)
+        pivot (sum(v) as s, count(v) as c
+               for m in (0 as m0, 1 as m1, 2 as m2))
+        order by n_regionkey""")
+    duck_rel = duck.sql("""
+        select n_regionkey,
+               cast(sum(case when n_nationkey % 3 = 0 then n_nationkey end) as bigint) as m0_s,
+               count(case when n_nationkey % 3 = 0 then n_nationkey end) as m0_c,
+               cast(sum(case when n_nationkey % 3 = 1 then n_nationkey end) as bigint) as m1_s,
+               count(case when n_nationkey % 3 = 1 then n_nationkey end) as m1_c,
+               cast(sum(case when n_nationkey % 3 = 2 then n_nationkey end) as bigint) as m2_s,
+               count(case when n_nationkey % 3 = 2 then n_nationkey end) as m2_c
+        from nation group by n_regionkey order by n_regionkey""")
+    _cmp(sdf, duck_rel)
+
+
+def test_aliasless_pivot_trailing_alias_scopes(engine):
+    """A trailing alias AFTER the pivot tail names the rotated relation
+    and is usable for qualified references."""
+    df = engine.sql("""
+        select p.n_regionkey, p.m0 from
+        (select n_regionkey, n_nationkey % 3 as m, n_nationkey as v
+         from nation)
+        pivot (sum(v) for m in (0 as m0)) p
+        order by p.n_regionkey""")
+    assert df.columns == ["n_regionkey", "m0"]
+    assert df.count() == 5

@@ -100,3 +100,21 @@ def test_include_nulls_semantics(engine, duck):
     _cmp(engine.sql(sql), duck.sql(sql))
     sql_excl = sql.replace(" include nulls", "")
     _cmp(engine.sql(sql_excl), duck.sql(sql_excl))
+
+
+def test_aliasless_source_with_unpivot_tail(engine, duck):
+    """`(subquery) UNPIVOT (...)` with no source alias parses (r9) and
+    matches the UNION ALL desugar DuckDB evaluates."""
+    sdf = engine.sql("""
+        select * from (select n_nationkey, n_regionkey as a,
+                              n_nationkey % 3 as b from nation)
+        unpivot (v for k in (a, b))
+        order by n_nationkey, k""")
+    duck_rel = duck.sql("""
+        select n_nationkey, 'a' as k, n_regionkey as v from nation
+        union all
+        select n_nationkey, 'b' as k, n_nationkey % 3 as v from nation
+        order by n_nationkey, k""")
+    a = normalize(sdf.toPandas()); b = normalize(duck_rel.df())
+    assert list(a.columns) == list(b.columns)
+    assert a.values.tolist() == b.values.tolist()
