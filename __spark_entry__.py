@@ -1498,6 +1498,38 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = L.hll_registers(eng.catalog.get("docs_s10"), "text", p=9)
         return _run_stream(spark, out, "complete")
 
+    def s11(spark, d):
+        # streaming analytic OVER (r9 dialect extension): per-row
+        # RUNNING aggregates on an unbounded stream via the stateful
+        # running_agg operator (O(1) scalar state per key — no buffer;
+        # planner.py _plan_streaming_over).  The single-file
+        # availableNow source is one ordered batch and (ts, event_id)
+        # is unique, so the running values are deterministic and the
+        # batch window oracle applies; integral sums are exact, double
+        # sums add in the same sequence DuckDB's cumulative frame does.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s11", f"{d}/events.parquet")
+        out = eng.sql("""
+            select user_id, event_id,
+                   sum(value) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as run_sum,
+                   count(*) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as run_n,
+                   max(value) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as run_max
+            from ev_s11""")
+        df = _run_stream(spark, out, "append")
+        from pyspark.sql import functions as F
+        return df.select("user_id", "event_id",
+                         F.round("run_sum", 2).alias("run_sum"),
+                         "run_n", F.round("run_max", 2).alias("run_max"))
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1507,7 +1539,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s07_stream_time_sliding": s07,
             "s08_stream_dedup": s08,
             "s09_stream_quality": s09,
-            "s10_stream_hll": s10}
+            "s10_stream_hll": s10,
+            "s11_stream_running_over": s11}
 
 
 # ---------------------------------------------------------------------------
@@ -1607,15 +1640,16 @@ _PRIORITY = [
     #    (VERDICT r8 item 1; self-verified vs DuckDB at sf0.01 in r8) --
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
     "q67_tpch_q15", "q73_tpch_q22",
-    # -- FIRST row: q80 token_budget hint (NEW r9 dialect surface —
-    #    never-sampled outranks a refresh; it took q21's slot, whose
-    #    §2.2 family q20 keeps in-window) --
-    "q80_token_budget_hint",
+    # -- FIRST rows: NEW r9 dialect surfaces (never-sampled outranks
+    #    a refresh).  q80 token_budget hint took q21's slot (whose
+    #    §2.2 family q20... see below) and s11 streaming running OVER
+    #    took q20's (comma-FROM stays repped in-window by the classic
+    #    TPC-H texts q58/q60/q61/q62/q73) --
+    "q80_token_budget_hint", "s11_stream_running_over",
     # -- oldest r6-newest refreshes (q15 first — lent its r8 slot) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union", "q18_case_arith",
-    "q20_comma_from",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -1623,9 +1657,9 @@ _PRIORITY = [
     #     (they lead the r10 rotation alongside the r7 greens), then
     #     the r7 greens, then the r8 greens displaced by this
     #     rotation (freshest evidence, sampled last). ---
-    # remaining r6-newest keys (lead the r10 rotation; q21 lent its
-    # slot to the q80 first row)
-    "q21_between_like_null",
+    # remaining r6-newest keys (lead the r10 rotation; q21 and q20
+    # lent their slots to the q80/s11 first rows)
+    "q21_between_like_null", "q20_comma_from",
     "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
     "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
     "x02_expr_filter_groupby", "s05_stream_session_window",
@@ -1790,6 +1824,25 @@ def oracle_sql() -> dict[str, str]:
     # the streaming HLL is a pure streaming aggregation in complete
     # mode, so the batch register oracle applies verbatim
     o["s10_stream_hll"] = o["llm64_hll_registers"]
+    # s11: streaming running OVER == the batch cumulative window when
+    # the availableNow source is one ordered batch and (ts, event_id)
+    # is unique — integral counts exact, the double running sum adds
+    # in the same sequence as DuckDB's cumulative frame (r8 premise);
+    # both sides round the clean-2dp sums for belt-and-braces
+    o["s11_stream_running_over"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          sum(value) OVER win AS run_sum,
+                          count(*) OVER win AS run_n,
+                          max(value) OVER win AS run_max
+                   FROM events
+                   WINDOW win AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT user_id, event_id, round(run_sum, 2) AS run_sum,
+               CAST(run_n AS BIGINT) AS run_n,
+               round(run_max, 2) AS run_max
+        FROM w"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic
     # (quality desc, id) row_number cut

@@ -130,6 +130,11 @@ class Planner:
         # hidden column holding the computed item, active only while
         # the QUALIFY predicate compiles (empty otherwise)
         self._qualify_aliases: dict = {}
+        # streaming running-aggregate substitution: id(WindowFunc) ->
+        # column already computed by the stateful running_agg pass
+        # (populated by _plan_streaming_over, consulted by
+        # _compile_window_func before its batch-only guard)
+        self._stream_wf_cols: dict = {}
 
     # ------------------------------------------------------------------
     # statement dispatch
@@ -439,6 +444,13 @@ class Planner:
                          order: bool = True) -> DataFrame:
         if sel.qualify is not None:
             return self._plan_projection_qualify(sel, df, order=order)
+        if df.isStreaming:
+            wfs = [x for item in sel.items
+                   if not isinstance(item.expr, Star)
+                   for x in walk_expr(item.expr)
+                   if isinstance(x, WindowFunc)]
+            if wfs:
+                df = self._plan_streaming_over(sel, df, wfs)
         cols: list[Column] = []
         out_names: list[str] = []
         for i, item in enumerate(sel.items):
@@ -1435,6 +1447,113 @@ class Planner:
     _OFFSET_FUNCS = frozenset({"lag", "lead"})
     _VALUE_FUNCS = frozenset({"first_value", "last_value"})
 
+    _RUNNING_FRAME_MSG = (
+        "streaming OVER supports only running aggregates: "
+        "sum/count/min/max/avg OVER (PARTITION BY cols ORDER BY "
+        "event-time [, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) — write the ROWS frame explicitly (the implicit "
+        "default frame is RANGE, whose peer semantics an unbounded "
+        "stream cannot honor)")
+
+    def _plan_streaming_over(self, sel: Select, df: DataFrame,
+                             wfs: list) -> DataFrame:
+        """Streaming analytic OVER (r9): per-row RUNNING aggregates on
+        an unbounded stream, routed through the stateful
+        ``running_agg`` operator (streaming/stateful.py) instead of
+        ``pyspark.sql.Window`` (which Spark forbids on streams).
+
+        Scope is exactly what an unbounded stream can honor
+        incrementally: aggregate functions sum/count/min/max/avg with
+        an explicit ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
+        ROW`` frame, plain-column PARTITION BY, and an ascending
+        plain-column ORDER BY (event time + tiebreak).  Every window
+        function in the select must share one (partition, order) spec
+        — the stateful pass groups the stream once.  Anything else
+        keeps the clear batch-only rejection.
+
+        Scale shape: ONE keyed state shuffle (the applyInPandasWithState
+        exchange); state per key is O(1) scalars, independent of
+        stream length.  Substitutions land in ``_stream_wf_cols`` so
+        the normal projection compile picks the computed columns up."""
+        from .streaming import running_agg
+
+        def plain_col(x, what):
+            if not isinstance(x, Col):
+                raise PlanError(
+                    f"streaming OVER {what} must be a plain column "
+                    f"(got an expression)")
+            got = [c for c in df.columns
+                   if c.lower() == x.name.lower()]
+            if len(got) != 1:
+                raise PlanError(
+                    f"streaming OVER {what} column {x.name!r} is "
+                    f"{'ambiguous' if got else 'not'} in the stream "
+                    f"({', '.join(df.columns)})")
+            return got[0]
+
+        spec0 = None
+        aggs: list[tuple] = []
+        hidden: list[tuple] = []            # (name, Expr) inputs to add
+        for i, e in enumerate(wfs):
+            name = e.func.name
+            if not self.registry.is_aggregate(name) \
+                    or name not in ("sum", "count", "min", "max", "avg"):
+                raise PlanError(self._RUNNING_FRAME_MSG)
+            if e.func.distinct:
+                raise PlanError(
+                    f"DISTINCT is not supported in window function "
+                    f"{name}()")
+            f = e.frame
+            if f is None or f.mode != "rows" \
+                    or f.start != ("unbounded_preceding",) \
+                    or f.end != ("current",):
+                raise PlanError(self._RUNNING_FRAME_MSG)
+            if not e.order_by:
+                raise PlanError(self._RUNNING_FRAME_MSG)
+            for o in e.order_by:
+                if not o.ascending or o.nulls == "last":
+                    raise PlanError(
+                        "streaming OVER ORDER BY must be ascending "
+                        "(rows can only arrive forward in time)")
+            keys = tuple(plain_col(p, "PARTITION BY")
+                         for p in e.partition_by)
+            order = tuple(plain_col(o.expr, "ORDER BY")
+                          for o in e.order_by)
+            if spec0 is None:
+                spec0 = (keys, order)
+            elif spec0 != (keys, order):
+                raise PlanError(
+                    "all streaming window functions in one SELECT "
+                    "must share the same PARTITION BY and ORDER BY "
+                    "(the stream is stateful-grouped once)")
+            args = e.func.args
+            if args and isinstance(args[0], Star):
+                if name != "count":
+                    raise PlanError(f"{name}(*) is not valid")
+                in_col = None
+            elif len(args) != 1:
+                raise PlanError(
+                    f"running {name}() takes exactly one argument")
+            elif isinstance(args[0], Col):
+                in_col = plain_col(args[0], f"{name}() argument")
+            else:
+                in_col = f"__rw_in{i}"
+                hidden.append((in_col, args[0]))
+            aggs.append((name, in_col, f"__rw_out{i}"))
+            self._stream_wf_cols[id(e)] = f"__rw_out{i}"
+
+        for h, expr in hidden:
+            df = df.withColumn(h, self._compile(expr, df))
+        out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]))
+        out = out.drop(*[h for h, _ in hidden])
+        # the stateful exchange drops the FROM leaf's binding alias;
+        # restore it so the projection's qualified column refs
+        # (resolver qualifies every Col by its leaf) still resolve
+        leaves = list(visible_leaves(sel.from_))
+        if len(leaves) == 1:
+            out = out.alias(leaves[0].binding)
+        return out
+
     def _compile_window_func(self, e: WindowFunc, df,
                              compile=None) -> Column:
         """Analytic OVER clause (engine extension, SURVEY.md §2.5 —
@@ -1462,10 +1581,17 @@ class Planner:
                 "position (use an inline OVER (...) spec)")
         if df is None:
             raise PlanError("window functions require a FROM clause")
+        mapped = self._stream_wf_cols.get(id(e))
+        if mapped is not None:
+            # already computed by the stateful running_agg pass
+            return F.col(mapped)
         if df.isStreaming:
             raise PlanError(
-                "window functions are batch-only (analytic OVER needs "
-                "a finite partition order)")
+                "window functions on streams support only running "
+                "aggregates — sum/count/min/max/avg OVER (PARTITION "
+                "BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
+                "AND CURRENT ROW); other analytic forms are "
+                "batch-only (they need a finite partition order)")
         if e.func.distinct:
             raise PlanError(
                 f"DISTINCT is not supported in window function {name}()")

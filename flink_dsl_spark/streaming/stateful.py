@@ -294,3 +294,154 @@ def _lit0():
 def _arr_double():
     from pyspark.sql.types import ArrayType
     return ArrayType(DoubleType())
+
+
+def running_agg(sdf: DataFrame,
+                key_cols: list[str],
+                aggs: list[tuple[str, Optional[str], str]],
+                order_cols: list[str]) -> DataFrame:
+    """Per-ROW running aggregates over a keyed stream — the streaming
+    form of the batch analytic ``agg(x) OVER (PARTITION BY key ORDER BY
+    t ROWS UNBOUNDED PRECEDING..CURRENT ROW)``: every arriving row is
+    emitted with the aggregate of all rows seen so far for its key.
+
+    Parameters
+    ----------
+    aggs : ``(fn, col, alias)``; fn in sum/count/min/max/avg, col None
+        means ``count(*)``.  Inputs must be numeric.
+    order_cols : intra-batch processing order (event time + a unique
+        tiebreaker pins determinism).  Cross-batch order is arrival
+        order — the same documented premise as the count windows above
+        (a single-file availableNow source is one ordered batch).
+
+    State per (key, agg) is O(1) scalars (non-null count + running
+    sum/min/max) — no buffer at all, so state size is independent of
+    stream length; a billion-row key costs the same bytes as a ten-row
+    key.  Output: every input column (in input order) followed by one
+    column per alias; append mode, one output row per input row.
+
+    Output types follow the batch window's: count -> long, avg ->
+    double, sum -> long for integral inputs else double, min/max ->
+    the input type.  Integral sums accumulate in Python ints (exact);
+    double sums add sequentially in processing order, matching the
+    batch engine's and DuckDB's cumulative-frame evaluation order when
+    the order key is unique.
+    """
+    from pyspark.sql.types import IntegralType, NumericType
+
+    for fn, c, _a in aggs:
+        if fn not in _SUPPORTED:
+            raise PlanError(
+                f"running_agg supports {_SUPPORTED}, got {fn!r}")
+        if c is None and fn != "count":
+            raise PlanError(f"{fn}(*) is not valid")
+    if not order_cols:
+        raise PlanError("running_agg requires an ordering column")
+
+    in_fields = list(sdf.schema.fields)
+    by_name = {f.name: f for f in in_fields}
+    integral: list[bool] = []
+    for fn, c, _a in aggs:
+        if c is None:
+            integral.append(True)
+            continue
+        t = by_name[c].dataType
+        if not isinstance(t, NumericType):
+            raise PlanError(
+                f"running {fn}({c}) needs a numeric column, got "
+                f"{t.simpleString()}")
+        integral.append(isinstance(t, IntegralType))
+
+    def _out_type(i):
+        fn, c, _a = aggs[i]
+        if fn == "count":
+            return LongType()
+        if fn == "avg":
+            return DoubleType()
+        if fn == "sum":
+            return LongType() if integral[i] else DoubleType()
+        return by_name[c].dataType                     # min/max
+    out_schema = StructType(
+        in_fields + [StructField(a, _out_type(i))
+                     for i, (_f, _c, a) in enumerate(aggs)])
+
+    # state: rows seen + per-agg (non-null n, sum, min, max) scalars
+    def _acc_type(i):
+        return LongType() if integral[i] else DoubleType()
+    state_fields = [StructField("seen", LongType())]
+    for i in range(len(aggs)):
+        state_fields += [StructField(f"n{i}", LongType()),
+                         StructField(f"s{i}", _acc_type(i)),
+                         StructField(f"mn{i}", _acc_type(i)),
+                         StructField(f"mx{i}", _acc_type(i))]
+    state_schema = StructType(state_fields)
+
+    keyed = sdf if key_cols else sdf.withColumn("__gk", _lit0())
+    group_keys = key_cols if key_cols else ["__gk"]
+    agg_cols = [c for _f, c, _a in aggs]
+    out_names = [f.name for f in out_schema.fields]
+
+    def fn(key, pdf_iter: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            row = state.get
+            seen = row[0]
+            accs = [list(row[1 + 4 * i: 5 + 4 * i])
+                    for i in range(len(aggs))]
+        else:
+            seen = 0
+            accs = [[0, None, None, None] for _ in aggs]
+
+        # a key's batch rows may arrive as several chunks; the sort
+        # must be over ALL of them or chunk boundaries would corrupt
+        # the processing order (count_window_agg's windows are
+        # chunk-order-insensitive per emission; running values are not)
+        chunks = list(pdf_iter)
+        if chunks:
+            pdf = (pd.concat(chunks, ignore_index=True)
+                   if len(chunks) > 1 else chunks[0])
+            if order_cols and all(c in pdf.columns for c in order_cols):
+                pdf = pdf.sort_values(order_cols, kind="mergesort")
+            pdf = pdf.reset_index(drop=True)
+            vals = {c: pdf[c].to_numpy() for c in set(agg_cols)
+                    if c is not None}
+            outs: list[list] = [[] for _ in aggs]
+            for r in range(len(pdf)):
+                seen += 1
+                for i, (afn, c, _a) in enumerate(aggs):
+                    acc = accs[i]
+                    if c is not None:
+                        v = vals[c][r]
+                        if not pd.isna(v):
+                            v = int(v) if integral[i] else float(v)
+                            acc[0] += 1
+                            acc[1] = v if acc[1] is None else acc[1] + v
+                            acc[2] = v if acc[2] is None \
+                                else min(acc[2], v)
+                            acc[3] = v if acc[3] is None \
+                                else max(acc[3], v)
+                    if afn == "count":
+                        outs[i].append(seen if c is None else acc[0])
+                    elif afn == "sum":
+                        outs[i].append(acc[1])
+                    elif afn == "min":
+                        outs[i].append(acc[2])
+                    elif afn == "max":
+                        outs[i].append(acc[3])
+                    else:                              # avg
+                        outs[i].append(
+                            None if acc[0] == 0
+                            else float(acc[1]) / acc[0])
+            res = pdf.copy()
+            for i, (_f, _c, a) in enumerate(aggs):
+                res[a] = pd.Series(outs[i], dtype="object")
+            cols = [c for c in out_names if c in res.columns]
+            yield res[cols]
+        state.update(tuple(
+            [seen] + [x for acc in accs for x in acc]))
+
+    grouped = keyed.groupBy(*group_keys)
+    out = grouped.applyInPandasWithState(
+        fn, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+    return out.drop("__gk") if not key_cols else out

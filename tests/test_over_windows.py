@@ -231,7 +231,7 @@ def test_window_func_argument_errors(engine):
                    "(order by o_orderkey) as p from orders")
 
 
-def test_window_func_is_batch_only(spark):
+def test_nonrunning_window_func_rejected_on_stream(spark):
     from flink_dsl_spark import FsqlEngine
     eng = FsqlEngine(spark, streaming=True)
     import os
@@ -247,7 +247,10 @@ def test_window_func_is_batch_only(spark):
                         for f in ev.schema.fields)
             + f") source file ('{d}', 'parquet')")
     try:
-        with pytest.raises(PlanError, match="batch-only"):
+        # ranking functions stay rejected (r9: running
+        # sum/count/min/max/avg with an explicit ROWS frame now
+        # stream — tests/test_streaming_over.py)
+        with pytest.raises(PlanError, match="running aggregates"):
             eng.sql("select row_number() over (order by event_id) as rn "
                     "from over_ev")
     finally:

@@ -1,0 +1,179 @@
+"""Streaming analytic OVER (r9): per-row running aggregates on an
+unbounded stream, routed through the stateful running_agg operator
+(planner._plan_streaming_over).  Scope: sum/count/min/max/avg with an
+explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame, plain-column
+PARTITION BY / ascending ORDER BY; everything else keeps a clear
+rejection.  Driver query s11 cross-checks the same path against
+DuckDB's cumulative window at both gate SFs.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_dsl_spark import FsqlEngine, PlanError
+from flink_dsl_spark.streaming import running_agg
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+_OVER = ("over (partition by user order by ts, event_id "
+         "rows between unbounded preceding and current row)")
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    """24 deterministic rows, 2 users, one row per 5 minutes; value
+    NULL on every 7th row (null-skipping semantics)."""
+    d = str(tmp_path_factory.mktemp("rover_src"))
+    rows = [(i, T0 + dt.timedelta(minutes=5 * i), "u%d" % (i % 2),
+             None if i % 7 == 6 else float(i + 1), i % 3)
+            for i in range(24)]
+    df = spark.createDataFrame(
+        rows, schema="event_id long, ts timestamp, user string, "
+                     "value double, small long")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    return d
+
+
+_SINK_N = [0]
+
+
+def _run(df, output_mode="append"):
+    _SINK_N[0] += 1
+    name = f"rover{_SINK_N[0]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return name
+
+
+def _stream_engine(spark, src_dir):
+    schema = ("event_id long, ts timestamp, user string, value double, "
+              "small long")
+    sdf = spark.readStream.schema(schema).parquet(src_dir)
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf)
+    return eng
+
+
+def test_running_over_equals_batch_window(spark, src_dir):
+    """The streaming running aggregate must equal the SAME dialect text
+    run as a batch analytic window over the same rows — the engine's
+    own batch OVER path is the semantics oracle."""
+    eng = _stream_engine(spark, src_dir)
+    sql = (f"select event_id, sum(value) {_OVER} as rs, "
+           f"count(value) {_OVER} as rn, "
+           f"count(*) {_OVER} as rstar, "
+           f"min(value) {_OVER} as rmn, "
+           f"max(value) {_OVER} as rmx, "
+           f"avg(value) {_OVER} as rav, "
+           f"sum(small) {_OVER} as rsmall from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    sink = _run(out)
+    got = {r["event_id"]: r for r in
+           spark.sql(f"select * from {sink}").collect()}
+
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: r for r in beng.sql(sql).collect()}
+    assert set(got) == set(exp) and len(got) == 24
+    for k in exp:
+        for c in ("rs", "rn", "rstar", "rmn", "rmx", "rav", "rsmall"):
+            assert got[k][c] == exp[k][c], (k, c, got[k], exp[k])
+    # dtype parity with the batch window: integral sum stays long
+    bt = dict(beng.sql(sql).dtypes)
+    st = dict(out.dtypes)
+    assert st["rsmall"] == bt["rsmall"] == "bigint"
+    assert st["rn"] == bt["rn"] == "bigint"
+    assert st["rav"] == bt["rav"] == "double"
+
+
+def test_running_over_state_across_batches(spark, tmp_path):
+    """maxFilesPerTrigger=1 over a multi-file source => several
+    micro-batches; the running accumulators must carry across them."""
+    schema = "ts timestamp, user string, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    for b, vals in enumerate([[1, 2, 3], [4, 5], [6]]):
+        rows = [(T0 + dt.timedelta(minutes=v), "u", float(v))
+                for v in vals]
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [("sum", "value", "rs"),
+                                      ("count", None, "rstar")],
+                      order_cols=["ts"])
+    sink = _run(out)
+    got = {r["value"]: (r["rs"], r["rstar"]) for r in
+           spark.sql(f"select * from {sink}").collect()}
+    assert got == {1.0: (1.0, 1), 2.0: (3.0, 2), 3.0: (6.0, 3),
+                   4.0: (10.0, 4), 5.0: (15.0, 5), 6.0: (21.0, 6)}
+
+
+def test_running_over_expression_argument(spark, src_dir):
+    """A computed aggregate input materializes as a hidden column that
+    is dropped from the output."""
+    eng = _stream_engine(spark, src_dir)
+    out = eng.sql(f"select event_id, sum(value * 2) {_OVER} as d "
+                  f"from ev")
+    sink = _run(out)
+    rows = spark.sql(f"select * from {sink}").collect()
+    assert len(rows) == 24
+    assert not any(c.startswith("__rw") for c in
+                   spark.sql(f"select * from {sink}").columns)
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: r["d"] for r in beng.sql(
+        f"select event_id, sum(value * 2) {_OVER} as d from ev"
+    ).collect()}
+    assert {r["event_id"]: r["d"] for r in rows} == exp
+
+
+def test_running_over_rejections(spark, src_dir):
+    eng = _stream_engine(spark, src_dir)
+    cases = [
+        # ranking functions need a finite partition
+        (f"select rank() over (partition by user order by ts) as r "
+         f"from ev", "running aggregates"),
+        # implicit frame is RANGE — must be written as ROWS
+        ("select sum(value) over (partition by user order by ts) "
+         "as s from ev", "ROWS"),
+        # bounded frames need a buffer the scope excludes
+        ("select sum(value) over (partition by user order by ts "
+         "rows between 2 preceding and current row) as s from ev",
+         "running aggregates"),
+        # time flows forward only
+        ("select sum(value) over (partition by user order by ts desc "
+         "rows between unbounded preceding and current row) as s "
+         "from ev", "ascending"),
+        # one stateful grouping per SELECT
+        (f"select sum(value) {_OVER} as a, sum(value) over ("
+         f"partition by small order by ts, event_id rows between "
+         f"unbounded preceding and current row) as b from ev",
+         "share the same PARTITION BY"),
+        # non-numeric input
+        (f"select min(user) {_OVER} as m from ev", "numeric"),
+        # expression partition keys are out of scope
+        ("select sum(value) over (partition by small + 1 order by ts, "
+         "event_id rows between unbounded preceding and current row) "
+         "as s from ev", "plain column"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(PlanError, match=msg):
+            eng.sql(sql)
+
+
+def test_running_agg_validates_inputs(spark, src_dir):
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user string, "
+                   "value double, small long")
+           .parquet(src_dir))
+    with pytest.raises(PlanError, match="supports"):
+        running_agg(sdf, ["user"], [("median", "value", "m")], ["ts"])
+    with pytest.raises(PlanError, match="ordering"):
+        running_agg(sdf, ["user"], [("sum", "value", "s")], [])
+    with pytest.raises(PlanError, match="not valid"):
+        running_agg(sdf, ["user"], [("sum", None, "s")], ["ts"])
