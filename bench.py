@@ -55,6 +55,10 @@ HEADLINE = [
                                 # broadcast dims — added late r8
     "q65_tpch_q18",             # verbatim TPC-H Q18: IN-subquery
                                 # semi join + big agg — added late r8
+    "q80_token_budget_hint",    # token_budget hint: distributed
+                                # running-sum corpus cut — added r9
+    "s11_stream_running_over",  # streaming running OVER (stateful
+                                # O(1)-state per key) — added r9
 ]
 
 # queries deliberately ADDED to the headline set after r4; the
@@ -62,7 +66,8 @@ HEADLINE = [
 # ≤2x guard always compares the same 17 queries it was recorded on
 _ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers",
              "q46_over_rank", "q47_over_running", "q49_qualify",
-             "q59_tpch_q5", "q65_tpch_q18"}
+             "q59_tpch_q5", "q65_tpch_q18",
+             "q80_token_budget_hint", "s11_stream_running_over"}
 
 
 def _force(df):

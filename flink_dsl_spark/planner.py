@@ -450,7 +450,19 @@ class Planner:
                    for x in walk_expr(item.expr)
                    if isinstance(x, WindowFunc)]
             if wfs:
+                # scope the id()-keyed substitution map to THIS
+                # select's compile: ids recycle once an AST is
+                # collected, so a leaked entry could poison a later
+                # plan's window compile
                 df = self._plan_streaming_over(sel, df, wfs)
+                try:
+                    return self._plan_projection_items(sel, df, order)
+                finally:
+                    self._stream_wf_cols = {}
+        return self._plan_projection_items(sel, df, order)
+
+    def _plan_projection_items(self, sel: Select, df: DataFrame,
+                               order: bool) -> DataFrame:
         cols: list[Column] = []
         out_names: list[str] = []
         for i, item in enumerate(sel.items):
