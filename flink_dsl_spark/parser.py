@@ -135,6 +135,7 @@ class Parser:
         self.tokens = tokenize(sql)
         self.i = 0
         self.n_params = 0
+        self._pivot_srcs = 0     # synthesized aliasless-rotation names
 
     # --- token helpers ---
 
@@ -1170,22 +1171,27 @@ class Parser:
             rel = Join(rel, self.parse_joinable(), "cross")
         return rel
 
-    def parse_joinable(self):
-        rel = self.parse_relation_primary()
-        # PIVOT tail (engine extension): contextual, only consumed
-        # when followed by `(`
+    def _attach_rotation_tail(self, rel):
+        """PIVOT/UNPIVOT tails (engine extension): contextual, only
+        consumed when followed by `(` (or INCLUDE for UNPIVOT) — and
+        attachable to EITHER side of a join."""
         if self.at_kw("pivot") and self.peek().kind == "op" \
                 and self.peek().text == "(":
-            rel = self._parse_pivot_tail(rel)
-        elif self.at_kw("unpivot") and (
+            return self._parse_pivot_tail(rel)
+        if self.at_kw("unpivot") and (
                 (self.peek().kind == "op" and self.peek().text == "(")
                 or self.peek().lower == "include"):
-            rel = self._parse_unpivot_tail(rel)
+            return self._parse_unpivot_tail(rel)
+        return rel
+
+    def parse_joinable(self):
+        rel = self._attach_rotation_tail(self.parse_relation_primary())
         while True:
             kind = self.peek_join_kind()
             if kind is None:
                 return rel
-            right = self.parse_relation_primary()
+            right = self._attach_rotation_tail(
+                self.parse_relation_primary())
             on = using = None
             if kind != "cross":
                 if self.eat_kw("on"):
@@ -1256,7 +1262,11 @@ class Parser:
                              and self.peek().text == "(")
                             or (self.cur.lower == "unpivot"
                                 and self.peek().lower == "include")):
-                        alias = "_pivot_src"
+                        # unique per statement: two aliasless rotated
+                        # sources in one FROM must not collide in the
+                        # resolver's binding map
+                        self._pivot_srcs += 1
+                        alias = f"_pivot_src{self._pivot_srcs}"
                     else:
                         self.error("derived table requires an alias")
                 return DerivedTable(q, alias, window)

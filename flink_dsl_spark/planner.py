@@ -1218,21 +1218,7 @@ class Planner:
         if df.isStreaming:
             raise PlanError("cap hint is batch-only (row_number over "
                             "an unbounded stream is not supported)")
-        resolve = {}
-        for c in df.columns:
-            resolve.setdefault(c.lower(), []).append(c)
-        cols = []
-        for want in (gcol, idcol):
-            got = resolve.get(want.lower())
-            if not got:
-                raise PlanError(
-                    f"cap hint column {want!r} not in select input "
-                    f"({', '.join(df.columns)})")
-            if len(got) > 1:
-                raise PlanError(f"cap hint column {want!r} is ambiguous "
-                                "in the join result")
-            cols.append(got[0])
-        g, i = cols
+        g, i = self._resolve_hint_cols(df, (gcol, idcol), "cap")
         from .llm_ops.assemble import md5_id_hash
         w = Window.partitionBy(g).orderBy(md5_id_hash(F.col(i), 42),
                                           F.col(i))
@@ -1265,23 +1251,33 @@ class Planner:
             raise PlanError("token_budget hint is batch-only (a "
                             "running total over an unbounded stream "
                             "has no prefix)")
-        resolve = {}
+        idc, tokc = self._resolve_hint_cols(df, (idcol, tokcol),
+                                            "token_budget")
+        from .llm_ops.assemble import md5_id_hash, token_budget_filter
+        return token_budget_filter(df, idc, tokc, budget,
+                                   seed=42, id_hash=md5_id_hash)
+
+    @staticmethod
+    def _resolve_hint_cols(df: DataFrame, wanted: tuple,
+                           hint: str) -> list[str]:
+        """Case-insensitive resolution of hint argument columns against
+        the select's input frame — shared by cap and token_budget so
+        the resolution rule cannot drift between hints."""
+        resolve: dict = {}
         for c in df.columns:
             resolve.setdefault(c.lower(), []).append(c)
         cols = []
-        for want in (idcol, tokcol):
+        for want in wanted:
             got = resolve.get(want.lower())
             if not got:
                 raise PlanError(
-                    f"token_budget hint column {want!r} not in select "
-                    f"input ({', '.join(df.columns)})")
+                    f"{hint} hint column {want!r} not in select input "
+                    f"({', '.join(df.columns)})")
             if len(got) > 1:
-                raise PlanError(f"token_budget hint column {want!r} is "
+                raise PlanError(f"{hint} hint column {want!r} is "
                                 "ambiguous in the join result")
             cols.append(got[0])
-        from .llm_ops.assemble import md5_id_hash, token_budget_filter
-        return token_budget_filter(df, cols[0], cols[1], budget,
-                                   seed=42, id_hash=md5_id_hash)
+        return cols
 
     def _match_salt_hint(self, rel):
         """Consume the salt(key, n) spec whose key appears in this
@@ -1503,9 +1499,21 @@ class Planner:
                     f"({', '.join(df.columns)})")
             return got[0]
 
+        # the stateful exchange erases the FROM leaves' binding
+        # aliases; qualified projection refs only survive for a
+        # single leaf (re-aliased below), so reject joins up front
+        # with a clean message instead of a raw Spark resolution error
+        leaves = list(visible_leaves(sel.from_))
+        if len(leaves) != 1:
+            raise PlanError(
+                "streaming OVER supports a single stream relation in "
+                "FROM (running aggregates over a join result: compute "
+                "them in a derived table over one stream first)")
+
         spec0 = None
         aggs: list[tuple] = []
         hidden: list[tuple] = []            # (name, Expr) inputs to add
+        wf_map: dict[int, str] = {}         # installed only on success
         for i, e in enumerate(wfs):
             name = e.func.name
             if not self.registry.is_aggregate(name) \
@@ -1552,18 +1560,21 @@ class Planner:
                 in_col = f"__rw_in{i}"
                 hidden.append((in_col, args[0]))
             aggs.append((name, in_col, f"__rw_out{i}"))
-            self._stream_wf_cols[id(e)] = f"__rw_out{i}"
+            wf_map[id(e)] = f"__rw_out{i}"
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))
         out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]))
         out = out.drop(*[h for h, _ in hidden])
-        # the stateful exchange drops the FROM leaf's binding alias;
-        # restore it so the projection's qualified column refs
-        # (resolver qualifies every Col by its leaf) still resolve
-        leaves = list(visible_leaves(sel.from_))
-        if len(leaves) == 1:
-            out = out.alias(leaves[0].binding)
+        # restore the single leaf's binding so the projection's
+        # qualified column refs (resolver qualifies every Col by its
+        # leaf) still resolve on the stateful output
+        out = out.alias(leaves[0].binding)
+        # install the substitution map LAST: every raise above leaves
+        # it untouched, so a failed plan can never poison a later
+        # compile through a recycled AST id (the caller clears it
+        # after the projection compiles)
+        self._stream_wf_cols = wf_map
         return out
 
     def _compile_window_func(self, e: WindowFunc, df,

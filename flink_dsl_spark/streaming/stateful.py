@@ -308,11 +308,15 @@ def running_agg(sdf: DataFrame,
     Parameters
     ----------
     aggs : ``(fn, col, alias)``; fn in sum/count/min/max/avg, col None
-        means ``count(*)``.  Inputs must be numeric.
+        means ``count(*)``.  Inputs must be numeric (DecimalType is
+        rejected — Arrow round-trips it through Python objects, so
+        cast to double first).
     order_cols : intra-batch processing order (event time + a unique
-        tiebreaker pins determinism).  Cross-batch order is arrival
-        order — the same documented premise as the count windows above
-        (a single-file availableNow source is one ordered batch).
+        tiebreaker pins determinism); NULL order keys sort FIRST,
+        matching Spark's ascending default in the batch window.
+        Cross-batch order is arrival order — the same documented
+        premise as the count windows above (a single-file availableNow
+        source is one ordered batch).
 
     State per (key, agg) is O(1) scalars (non-null count + running
     sum/min/max) — no buffer at all, so state size is independent of
@@ -322,12 +326,20 @@ def running_agg(sdf: DataFrame,
 
     Output types follow the batch window's: count -> long, avg ->
     double, sum -> long for integral inputs else double, min/max ->
-    the input type.  Integral sums accumulate in Python ints (exact);
-    double sums add sequentially in processing order, matching the
-    batch engine's and DuckDB's cumulative-frame evaluation order when
-    the order key is unique.
+    the input type.  The per-batch computation is vectorized
+    (numpy cumulative ops seeded with the carried-in state scalars):
+    non-null integral columns accumulate in int64 (overflow wraps,
+    same as the JVM long sum batch Spark computes); double sums add
+    sequentially in processing order (cumsum), matching the batch
+    engine's and DuckDB's cumulative-frame evaluation order when the
+    order key is unique.  Premise shared with every Arrow-batched
+    path: a NULL in a double column arrives in pandas as NaN, so NaN
+    values are treated as NULL (batch Spark would propagate a true
+    NaN into the running sum — the distinction does not survive
+    Arrow).
     """
-    from pyspark.sql.types import IntegralType, NumericType
+    import numpy as np
+    from pyspark.sql.types import DecimalType, IntegralType, NumericType
 
     for fn, c, _a in aggs:
         if fn not in _SUPPORTED:
@@ -346,10 +358,11 @@ def running_agg(sdf: DataFrame,
             integral.append(True)
             continue
         t = by_name[c].dataType
-        if not isinstance(t, NumericType):
+        if not isinstance(t, NumericType) or isinstance(t, DecimalType):
             raise PlanError(
-                f"running {fn}({c}) needs a numeric column, got "
-                f"{t.simpleString()}")
+                f"running {fn}({c}) needs a non-decimal numeric "
+                f"column, got {t.simpleString()} (cast decimals to "
+                f"double first)")
         integral.append(isinstance(t, IntegralType))
 
     def _out_type(i):
@@ -401,40 +414,97 @@ def running_agg(sdf: DataFrame,
             pdf = (pd.concat(chunks, ignore_index=True)
                    if len(chunks) > 1 else chunks[0])
             if order_cols and all(c in pdf.columns for c in order_cols):
-                pdf = pdf.sort_values(order_cols, kind="mergesort")
+                # NULLS FIRST: Spark's ascending default, which the
+                # batch window this operator mirrors uses
+                pdf = pdf.sort_values(order_cols, kind="mergesort",
+                                      na_position="first")
             pdf = pdf.reset_index(drop=True)
-            vals = {c: pdf[c].to_numpy() for c in set(agg_cols)
-                    if c is not None}
-            outs: list[list] = [[] for _ in aggs]
-            for r in range(len(pdf)):
-                seen += 1
-                for i, (afn, c, _a) in enumerate(aggs):
-                    acc = accs[i]
-                    if c is not None:
-                        v = vals[c][r]
-                        if not pd.isna(v):
-                            v = int(v) if integral[i] else float(v)
-                            acc[0] += 1
-                            acc[1] = v if acc[1] is None else acc[1] + v
-                            acc[2] = v if acc[2] is None \
-                                else min(acc[2], v)
-                            acc[3] = v if acc[3] is None \
-                                else max(acc[3], v)
-                    if afn == "count":
-                        outs[i].append(seen if c is None else acc[0])
-                    elif afn == "sum":
-                        outs[i].append(acc[1])
-                    elif afn == "min":
-                        outs[i].append(acc[2])
-                    elif afn == "max":
-                        outs[i].append(acc[3])
-                    else:                              # avg
-                        outs[i].append(
-                            None if acc[0] == 0
-                            else float(acc[1]) / acc[0])
+            n_rows = len(pdf)
             res = pdf.copy()
-            for i, (_f, _c, a) in enumerate(aggs):
-                res[a] = pd.Series(outs[i], dtype="object")
+            star = np.arange(1, n_rows + 1, dtype="int64") + seen
+            cum_cache: dict = {}
+            for i, (afn, c, _a) in enumerate(aggs):
+                acc = accs[i]
+                if c is None:                          # count(*)
+                    res[aggs[i][2]] = star
+                    continue
+                key_c = (c, integral[i])
+                if key_c in cum_cache:
+                    nn, rs, rmn, rmx = cum_cache[key_c]
+                else:
+                    v = pdf[c]
+                    mask = v.notna().to_numpy()
+                    nn = mask.cumsum() + acc[0]
+                    if integral[i] and v.dtype.kind == "i":
+                        # non-null int64 end to end: exact, and
+                        # overflow wraps exactly like the JVM long
+                        # adds of the batch window
+                        arr = v.to_numpy()
+                        rs = arr.cumsum(dtype="int64") \
+                            + np.int64(acc[1] or 0)
+                        rmn = np.minimum.accumulate(
+                            arr if acc[2] is None else
+                            np.minimum(arr, np.int64(acc[2])))
+                        rmx = np.maximum.accumulate(
+                            arr if acc[3] is None else
+                            np.maximum(arr, np.int64(acc[3])))
+                    else:
+                        # nullable/double path: NaN marks null.
+                        # x + 0.0 is bitwise x for every finite x, so
+                        # fillna(0) keeps the cumsum identical to
+                        # skipping nulls; fmin/fmax ignore NaN
+                        arr = v.to_numpy(dtype="float64", copy=False)
+                        filled = np.where(np.isnan(arr), 0.0, arr)
+                        rs = filled.cumsum() + (acc[1] or 0.0)
+                        seed2 = np.nan if acc[2] is None else acc[2]
+                        seed3 = np.nan if acc[3] is None else acc[3]
+                        rmn = np.fmin.accumulate(np.fmin(arr, seed2)) \
+                            if not np.isnan(seed2) \
+                            else np.fmin.accumulate(arr)
+                        rmx = np.fmax.accumulate(np.fmax(arr, seed3)) \
+                            if not np.isnan(seed3) \
+                            else np.fmax.accumulate(arr)
+                    cum_cache[key_c] = (nn, rs, rmn, rmx)
+                empty = nn == 0                       # no value yet
+                alias = aggs[i][2]
+
+                def _nullable(a):
+                    # int64 results must not upcast to float64 when
+                    # the empty-prefix mask applies (precision + a
+                    # NaN under a LongType field): use pandas'
+                    # nullable Int64.  float64 NaN converts to an
+                    # Arrow null (the shared NaN==NULL premise).
+                    if a.dtype.kind == "i":
+                        s = pd.array(a, dtype="Int64")
+                        s[empty] = pd.NA
+                        return s
+                    return pd.Series(a).mask(empty, None)
+                if afn == "count":
+                    res[alias] = nn
+                elif afn == "avg":
+                    with np.errstate(invalid="ignore", divide="ignore"):
+                        av = rs.astype("float64") / nn
+                    res[alias] = _nullable(av)
+                elif afn == "sum":
+                    res[alias] = _nullable(rs)
+                elif afn == "min":
+                    res[alias] = _nullable(rmn)
+                else:
+                    res[alias] = _nullable(rmx)
+                # carry the batch-final scalars forward
+                acc[0] = int(nn[-1])
+                if acc[0] > 0:
+                    last = n_rows - 1
+                    cast = (lambda x: int(x)) if integral[i] \
+                        else (lambda x: float(x))
+                    acc[1] = cast(rs[last])
+                    acc[2] = None if (not integral[i]
+                                      and np.isnan(rmn[last])) \
+                        else cast(rmn[last])
+                    acc[3] = None if (not integral[i]
+                                      and np.isnan(rmx[last])) \
+                        else cast(rmx[last])
+            seen += n_rows
             cols = [c for c in out_names if c in res.columns]
             yield res[cols]
         state.update(tuple(

@@ -136,3 +136,24 @@ def test_aliasless_pivot_trailing_alias_scopes(engine):
         order by p.n_regionkey""")
     assert df.columns == ["n_regionkey", "m0"]
     assert df.count() == 5
+
+
+def test_two_aliasless_pivots_join_without_collision(engine):
+    """r9 review: two aliasless rotated sources in one FROM get UNIQUE
+    synthesized bindings (a fixed name would make the resolver reject
+    a query DuckDB accepts, naming an identifier the user never
+    wrote)."""
+    df = engine.sql("""
+        select * from
+        (select n_regionkey, n_nationkey % 2 as m, n_nationkey as v
+         from nation)
+        pivot (sum(v) as s for m in (0 as a0, 1 as a1))
+        join
+        (select n_regionkey % 5 as rk, n_nationkey % 2 as m,
+                n_nationkey as v from nation)
+        pivot (count(v) as c for m in (0 as b0, 1 as b1))
+        on n_regionkey = rk
+        order by n_regionkey""")
+    assert df.count() == 5
+    assert set(df.columns) == {"n_regionkey", "a0_s", "a1_s",
+                               "rk", "b0_c", "b1_c"}

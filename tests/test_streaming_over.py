@@ -177,3 +177,101 @@ def test_running_agg_validates_inputs(spark, src_dir):
         running_agg(sdf, ["user"], [("sum", "value", "s")], [])
     with pytest.raises(PlanError, match="not valid"):
         running_agg(sdf, ["user"], [("sum", None, "s")], ["ts"])
+
+
+def test_failed_plan_leaves_no_substitution_residue(spark, src_dir):
+    """r9 review: a plan that fails AFTER some window functions
+    validated (mixed partition specs) must leave the id()-keyed
+    substitution map empty — a leaked entry could poison a later
+    compile through a recycled AST id."""
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="share the same PARTITION BY"):
+        eng.sql(f"select sum(value) {_OVER} as a, sum(value) over ("
+                f"partition by small order by ts, event_id rows between "
+                f"unbounded preceding and current row) as b from ev")
+    assert eng.planner._stream_wf_cols == {}
+    # and the engine still plans both batch and streaming OVER cleanly
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    assert beng.sql(
+        "select event_id, row_number() over (order by event_id) as rn "
+        "from ev").count() == 24
+    out = eng.sql(f"select event_id, sum(value) {_OVER} as rs from ev")
+    assert out.isStreaming
+    assert eng.planner._stream_wf_cols == {}     # cleared after compile
+
+
+def test_running_over_join_from_rejected(spark, src_dir):
+    """Multi-leaf FROM gets a clean PlanError, not a raw Spark
+    resolution error (the stateful exchange erases binding aliases)."""
+    schema = ("event_id long, ts timestamp, user string, value double, "
+              "small long")
+    eng = FsqlEngine(spark)
+    eng.register("ev_a", spark.readStream.schema(schema).parquet(src_dir))
+    eng.register("ev_b", spark.readStream.schema(schema).parquet(src_dir))
+    with pytest.raises(PlanError, match="single stream relation"):
+        eng.sql(
+            "select a.event_id, sum(a.value) over (partition by a.user "
+            "order by a.ts, a.event_id rows between unbounded preceding "
+            "and current row) as s "
+            "from ev_a a join ev_b b on a.event_id = b.event_id")
+
+
+def test_running_over_null_order_key_sorts_first(spark, tmp_path):
+    """r9 review: intra-batch sorting must place NULL order keys FIRST
+    (Spark's ascending default — what the batch window this operator
+    mirrors does), not pandas' default last."""
+    schema = "ts timestamp, user string, value double"
+    rows = [(None, "u", 100.0),
+            (T0 + dt.timedelta(minutes=1), "u", 1.0),
+            (T0 + dt.timedelta(minutes=2), "u", 2.0)]
+    src = str(tmp_path / "nullts")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_agg(sdf, ["user"], [("sum", "value", "rs")], ["ts"])
+    sink = _run(out)
+    got = {r["value"]: r["rs"] for r in
+           spark.sql(f"select * from {sink}").collect()}
+    # NULL-ts row accumulates FIRST: its running sum is 100, then 101,
+    # 103 — pandas' default na_position='last' would yield 1, 3, 103
+    assert got == {100.0: 100.0, 1.0: 101.0, 2.0: 103.0}
+
+
+def test_running_over_all_null_prefix_emits_nulls(spark, tmp_path):
+    """A key whose first rows carry only NULL values must emit NULL
+    running sum/min/max/avg (count 0) without dtype corruption — the
+    integral path goes through pandas' nullable Int64 (a float64
+    upcast would put NaN under a LongType field)."""
+    schema = "ts timestamp, user string, v long"
+    rows = [(T0 + dt.timedelta(minutes=m), "u", val)
+            for m, val in [(1, None), (2, None), (3, 7), (4, 5)]]
+    src = str(tmp_path / "nullpre")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_agg(sdf, ["user"],
+                      [("sum", "v", "rs"), ("count", "v", "rn"),
+                       ("min", "v", "rmn"), ("avg", "v", "rav")],
+                      ["ts"])
+    sink = _run(out)
+    rows_out = sorted(spark.sql(f"select * from {sink}").collect(),
+                      key=lambda r: r["ts"])
+    assert [(r["rs"], r["rn"], r["rmn"], r["rav"])
+            for r in rows_out] == [
+        (None, 0, None, None), (None, 0, None, None),
+        (7, 1, 7, 7.0), (12, 2, 5, 6.0)]
+    # dtype parity held: integral sum/min emit as longs
+    assert dict(out.dtypes)["rs"] == "bigint"
+    assert dict(out.dtypes)["rmn"] == "bigint"
+
+
+def test_running_over_decimal_input_rejected(spark, src_dir):
+    from pyspark.sql import functions as F
+    sdf = (spark.readStream
+           .schema("event_id long, ts timestamp, user string, "
+                   "value double, small long")
+           .parquet(src_dir)
+           .withColumn("d", F.col("value").cast("decimal(10,2)")))
+    with pytest.raises(PlanError, match="decimal"):
+        running_agg(sdf, ["user"], [("sum", "d", "s")], ["ts"])
