@@ -4,10 +4,12 @@ against the DuckDB oracles with a driver-style compare (row count +
 sorted-column schema + stringified-cell values, which is dtype-strict:
 an int64-vs-float64 divergence fails here before it can fail the gate).
 
-Usage:  python tools/rehearse.py [sf_dir] [--all]   (default sf0.01)
-``--all`` sweeps EVERY registered query, not just the 50-key window —
-the below-fold queries only ever run at sf0.001 in the pytest sweep,
-so this is the one check that exercises them on the gate corpus.
+Usage:  python tools/rehearse.py [sf_dir] [--all] [--only k1,k2]
+(default sf0.01).  ``--all`` sweeps EVERY registered query, not just
+the 50-key window — the below-fold queries only ever run at sf0.001
+in the pytest sweep, so this is the one check that exercises them on
+the gate corpus.  ``--only`` takes a comma-separated key list for a
+quick driver-style check of specific queries.
 Prints one OK/FAIL line per query and a JSON summary; exit code 1 on
 any failure.
 """
@@ -25,8 +27,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--all"]
-    sweep_all = "--all" in sys.argv[1:]
+    argv = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in argv:
+        k = argv.index("--only")
+        only = [s for s in argv[k + 1].split(",") if s]
+        argv = argv[:k] + argv[k + 2:]
+    args = [a for a in argv if a != "--all"]
+    sweep_all = "--all" in argv
     sf = args[0] if args else "/root/testdata/sf0.01"
     import duckdb
 
@@ -41,7 +49,15 @@ def main() -> int:
         con.sql(f"create view {t} as select * from '{sf}/{t}.parquet'")
 
     results = {}
-    for name in (list(qs) if sweep_all else list(qs)[:50]):
+    if only is not None:
+        missing = [k for k in only if k not in qs]
+        if missing:
+            print(f"unknown keys: {', '.join(missing)}")
+            return 1
+        todo = only
+    else:
+        todo = list(qs) if sweep_all else list(qs)[:50]
+    for name in todo:
         t0 = time.time()
         try:
             sdf = qs[name](spark, sf).toPandas()
