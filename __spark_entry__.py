@@ -1530,6 +1530,23 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          F.round("run_sum", 2).alias("run_sum"),
                          "run_n", F.round("run_max", 2).alias("run_max"))
 
+    def s12(spark, d):
+        # streaming QUALIFY over a running aggregate (r9): keep the
+        # FIRST 3 events per user in (ts, event_id) order — the
+        # streaming per-key cap, one stateful pass then a stateless
+        # filter on the emitted running count.  Same determinism
+        # premise as s11.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s12", f"{d}/events.parquet")
+        out = eng.sql("""
+            select user_id, event_id,
+                   count(*) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as rn
+            from ev_s12 qualify rn <= 3""")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1540,7 +1557,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s08_stream_dedup": s08,
             "s09_stream_quality": s09,
             "s10_stream_hll": s10,
-            "s11_stream_running_over": s11}
+            "s11_stream_running_over": s11,
+            "s12_stream_qualify_cap": s12}
 
 
 # ---------------------------------------------------------------------------
@@ -1646,10 +1664,11 @@ _PRIORITY = [
     #    took q20's (comma-FROM stays repped in-window by the classic
     #    TPC-H texts q58/q60/q61/q62/q73) --
     "q80_token_budget_hint", "s11_stream_running_over",
+    "s12_stream_qualify_cap",
     # -- oldest r6-newest refreshes (q15 first — lent its r8 slot) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
-    "q16_scalar_subquery", "q17a_union", "q18_case_arith",
+    "q16_scalar_subquery", "q17a_union",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -1657,9 +1676,10 @@ _PRIORITY = [
     #     (they lead the r10 rotation alongside the r7 greens), then
     #     the r7 greens, then the r8 greens displaced by this
     #     rotation (freshest evidence, sampled last). ---
-    # remaining r6-newest keys (lead the r10 rotation; q21 and q20
-    # lent their slots to the q80/s11 first rows)
-    "q21_between_like_null", "q20_comma_from",
+    # remaining r6-newest keys (lead the r10 rotation; q21, q20 and
+    # q18 lent their slots to the q80/s11/s12 first rows — CASE stays
+    # repped in-window by q61's verbatim TPC-H Q8 text)
+    "q21_between_like_null", "q20_comma_from", "q18_case_arith",
     "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
     "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
     "x02_expr_filter_groupby", "s05_stream_session_window",
@@ -1843,6 +1863,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(run_n AS BIGINT) AS run_n,
                round(run_max, 2) AS run_max
         FROM w"""
+    # s12: streaming QUALIFY cap == the batch cumulative-count filter
+    # (same single-ordered-batch + unique (ts, event_id) premise)
+    o["s12_stream_qualify_cap"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          count(*) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS rn
+                   FROM events)
+        SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn
+        FROM w WHERE rn <= 3"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic
     # (quality desc, id) row_number cut

@@ -393,11 +393,10 @@ class Planner:
         window-function results.  It must involve a window — either a
         window function in the predicate itself or a reference to a
         window-function select item's alias; anything else belongs in
-        WHERE/HAVING.  Batch-only, like every analytic OVER clause."""
-        if df.isStreaming:
-            raise PlanError(
-                "QUALIFY is batch-only (window functions need a finite "
-                "partition order)")
+        WHERE/HAVING.  On a stream the involved windows must all be
+        running aggregates (_plan_streaming_over validates and raises
+        the clear scope message otherwise) — ``qualify run_n <= k``
+        is the streaming first-k-per-key cap."""
         win_aliases = {
             _item_name(item, i).lower()
             for i, item in enumerate(sel.items)
@@ -490,7 +489,32 @@ class Planner:
 
         Scale shape: identical to the same query through a derived
         table — the window's hash shuffle on its partition keys, then a
-        filter; no extra exchange for the QUALIFY itself."""
+        filter; no extra exchange for the QUALIFY itself.
+
+        Streaming (r9): the involved window functions route through
+        the stateful running_agg pass first (validated to be running
+        aggregates there); the QUALIFY predicate then filters each
+        emitted row on its running value — ``qualify count(*) over
+        (...) <= k`` keeps the FIRST k rows per key, the streaming
+        cap."""
+        if df.isStreaming:
+            wfs = [x for item in sel.items
+                   if not isinstance(item.expr, Star)
+                   for x in walk_expr(item.expr)
+                   if isinstance(x, WindowFunc)]
+            wfs += [x for x in walk_expr(sel.qualify)
+                    if isinstance(x, WindowFunc)]
+            if wfs:
+                df = self._plan_streaming_over(sel, df, wfs)
+                try:
+                    return self._plan_projection_qualify_body(
+                        sel, df, order)
+                finally:
+                    self._stream_wf_cols = {}
+        return self._plan_projection_qualify_body(sel, df, order)
+
+    def _plan_projection_qualify_body(self, sel: Select, df: DataFrame,
+                                      order: bool) -> DataFrame:
         qdf = df
         specs: list[tuple] = []          # ("star", Star) | ("col", (hid, out))
         alias_map: dict[str, str] = {}

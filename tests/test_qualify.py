@@ -205,7 +205,7 @@ def test_qualify_requires_window_sqlgen_path(engine):
                    "qualify o_totalprice > 100")
 
 
-def test_qualify_is_batch_only(spark):
+def test_qualify_nonrunning_rejected_on_stream(spark):
     import os
     import tempfile
 
@@ -224,7 +224,9 @@ def test_qualify_is_batch_only(spark):
                         for f in ev.schema.fields)
             + f") source file ('{d}', 'parquet')")
     try:
-        with pytest.raises(PlanError, match="batch-only"):
+        # ranking functions stay rejected on streams (r9: QUALIFY over
+        # RUNNING aggregates now streams — tests/test_streaming_over.py)
+        with pytest.raises(PlanError, match="running aggregates"):
             eng.sql("select event_id from qualify_ev qualify "
                     "row_number() over (order by event_id) = 1")
     finally:

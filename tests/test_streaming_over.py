@@ -275,3 +275,49 @@ def test_running_over_decimal_input_rejected(spark, src_dir):
            .withColumn("d", F.col("value").cast("decimal(10,2)")))
     with pytest.raises(PlanError, match="decimal"):
         running_agg(sdf, ["user"], [("sum", "d", "s")], ["ts"])
+
+
+def test_streaming_qualify_first_k_per_key(spark, src_dir):
+    """QUALIFY over a running aggregate on a stream (r9): keep the
+    FIRST k rows per key — the streaming cap.  Equals the batch
+    QUALIFY on the same text."""
+    eng = _stream_engine(spark, src_dir)
+    sql = (f"select user, event_id, count(*) {_OVER} as rn "
+           f"from ev qualify rn <= 3").replace(
+        "partition by user order", "partition by user order")
+    out = eng.sql(f"select user, event_id, count(*) over ("
+                  f"partition by user order by ts, event_id rows "
+                  f"between unbounded preceding and current row) as rn "
+                  f"from ev qualify rn <= 3")
+    assert out.isStreaming
+    sink = _run(out)
+    got = sorted((r["user"], r["event_id"], r["rn"]) for r in
+                 spark.sql(f"select * from {sink}").collect())
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = sorted((r["user"], r["event_id"], r["rn"]) for r in beng.sql(
+        "select user, event_id, count(*) over (partition by user "
+        "order by ts, event_id rows between unbounded preceding and "
+        "current row) as rn from ev qualify rn <= 3").collect())
+    assert got == exp and len(got) == 6          # 3 per user, 2 users
+    # window func directly in the predicate, not projected
+    out2 = eng.sql("select event_id from ev qualify sum(value) over ("
+                   "partition by user order by ts, event_id rows "
+                   "between unbounded preceding and current row) < 10")
+    sink2 = _run(out2)
+    exp2 = beng.sql("select event_id from ev qualify sum(value) over ("
+                    "partition by user order by ts, event_id rows "
+                    "between unbounded preceding and current row) < 10")
+    assert sorted(r["event_id"] for r in
+                  spark.sql(f"select * from {sink2}").collect()) == \
+        sorted(r["event_id"] for r in exp2.collect())
+
+
+def test_streaming_qualify_ranking_still_rejected(spark, src_dir):
+    """QUALIFY with a ranking function on a stream keeps the clear
+    running-aggregates scope message."""
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="running aggregates"):
+        eng.sql("select event_id, row_number() over (partition by user "
+                "order by ts) as rn from ev qualify rn <= 2")
+    assert eng.planner._stream_wf_cols == {}
