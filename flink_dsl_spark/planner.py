@@ -310,7 +310,7 @@ class Planner:
                 df = self._apply_token_budget_hint(df, *spec)
 
         if sel.qualify is not None:
-            self._check_qualify(sel, df)
+            self._check_qualify(sel)
 
         # DISTINCT evaluates BEFORE ORDER BY (ANSI): sorting first and
         # de-duplicating after would shuffle the order away — and with
@@ -388,7 +388,7 @@ class Planner:
                     f"window functions are not allowed in {pos} "
                     "(project them in a derived table first)")
 
-    def _check_qualify(self, sel: Select, df) -> None:
+    def _check_qualify(self, sel: Select) -> None:
         """QUALIFY (engine extension, DuckDB/Snowflake-style) filters on
         window-function results.  It must involve a window — either a
         window function in the predicate itself or a reference to a
@@ -443,22 +443,34 @@ class Planner:
                          order: bool = True) -> DataFrame:
         if sel.qualify is not None:
             return self._plan_projection_qualify(sel, df, order=order)
+        return self._route_streaming_over(
+            sel, df, [], lambda d: self._plan_projection_items(
+                sel, d, order))
+
+    def _route_streaming_over(self, sel: Select, df: DataFrame,
+                              extra_exprs: list, body) -> DataFrame:
+        """Shared streaming-OVER routing for the plain and QUALIFY
+        projection paths: collect window functions from the select
+        items (plus ``extra_exprs``, e.g. the QUALIFY predicate),
+        run the stateful pass, then compile ``body`` with the
+        id()-keyed substitution map scoped to THIS select — ids
+        recycle once an AST is collected, so a leaked entry could
+        poison a later plan's window compile (the r9 review's bug
+        class; one copy of the clear discipline lives here)."""
         if df.isStreaming:
             wfs = [x for item in sel.items
                    if not isinstance(item.expr, Star)
                    for x in walk_expr(item.expr)
                    if isinstance(x, WindowFunc)]
+            wfs += [x for e in extra_exprs if e is not None
+                    for x in walk_expr(e) if isinstance(x, WindowFunc)]
             if wfs:
-                # scope the id()-keyed substitution map to THIS
-                # select's compile: ids recycle once an AST is
-                # collected, so a leaked entry could poison a later
-                # plan's window compile
                 df = self._plan_streaming_over(sel, df, wfs)
                 try:
-                    return self._plan_projection_items(sel, df, order)
+                    return body(df)
                 finally:
                     self._stream_wf_cols = {}
-        return self._plan_projection_items(sel, df, order)
+        return body(df)
 
     def _plan_projection_items(self, sel: Select, df: DataFrame,
                                order: bool) -> DataFrame:
@@ -497,21 +509,9 @@ class Planner:
         emitted row on its running value — ``qualify count(*) over
         (...) <= k`` keeps the FIRST k rows per key, the streaming
         cap."""
-        if df.isStreaming:
-            wfs = [x for item in sel.items
-                   if not isinstance(item.expr, Star)
-                   for x in walk_expr(item.expr)
-                   if isinstance(x, WindowFunc)]
-            wfs += [x for x in walk_expr(sel.qualify)
-                    if isinstance(x, WindowFunc)]
-            if wfs:
-                df = self._plan_streaming_over(sel, df, wfs)
-                try:
-                    return self._plan_projection_qualify_body(
-                        sel, df, order)
-                finally:
-                    self._stream_wf_cols = {}
-        return self._plan_projection_qualify_body(sel, df, order)
+        return self._route_streaming_over(
+            sel, df, [sel.qualify],
+            lambda d: self._plan_projection_qualify_body(sel, d, order))
 
     def _plan_projection_qualify_body(self, sel: Select, df: DataFrame,
                                       order: bool) -> DataFrame:
@@ -604,6 +604,21 @@ class Planner:
             raise PlanError(
                 "CUBE/GROUPING SETS cannot combine with stream window "
                 "specs (every grouping set would need the window key)")
+        if df.isStreaming and (
+                sel.qualify is not None
+                or any(_expr_contains_winfunc(it.expr)
+                       for it in sel.items
+                       if not isinstance(it.expr, Star))):
+            # the streaming running-OVER pass (plain SELECTs only)
+            # never routes through the aggregate path — without this
+            # guard the compile would hit _compile_window_func's
+            # scope message, which wrongly implies the form is
+            # supported beside GROUP BY on a stream
+            raise PlanError(
+                "window functions / QUALIFY beside GROUP BY are not "
+                "supported on streams (apply the running OVER to the "
+                "aggregated stream through a derived table, or "
+                "aggregate in batch)")
         group_exprs = list(sel.group_by)
         # ANSI ordinals: GROUP BY 1 groups on the first select item
         for i, g in enumerate(group_exprs):

@@ -282,9 +282,6 @@ def test_streaming_qualify_first_k_per_key(spark, src_dir):
     FIRST k rows per key — the streaming cap.  Equals the batch
     QUALIFY on the same text."""
     eng = _stream_engine(spark, src_dir)
-    sql = (f"select user, event_id, count(*) {_OVER} as rn "
-           f"from ev qualify rn <= 3").replace(
-        "partition by user order", "partition by user order")
     out = eng.sql(f"select user, event_id, count(*) over ("
                   f"partition by user order by ts, event_id rows "
                   f"between unbounded preceding and current row) as rn "
@@ -321,3 +318,19 @@ def test_streaming_qualify_ranking_still_rejected(spark, src_dir):
         eng.sql("select event_id, row_number() over (partition by user "
                 "order by ts) as rn from ev qualify rn <= 2")
     assert eng.planner._stream_wf_cols == {}
+
+
+def test_streaming_group_by_with_window_rejected_cleanly(spark, src_dir):
+    """Window functions / QUALIFY beside GROUP BY on a stream get a
+    message that names the actual restriction — not the running-OVER
+    scope text (which would wrongly imply the written form is
+    supported; r9 second-review finding)."""
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="beside GROUP BY"):
+        eng.sql("select user, count(*) as c from ev group by user "
+                "qualify sum(c) over (partition by user order by c "
+                "rows between unbounded preceding and current row) <= 2")
+    with pytest.raises(PlanError, match="beside GROUP BY"):
+        eng.sql("select user, count(*) as c, sum(count(*)) over ("
+                "partition by user order by user rows between unbounded "
+                "preceding and current row) as w from ev group by user")

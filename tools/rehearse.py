@@ -31,6 +31,9 @@ def main() -> int:
     only: list[str] | None = None
     if "--only" in argv:
         k = argv.index("--only")
+        if k + 1 >= len(argv):
+            print("usage: --only key1[,key2,...]")
+            return 1
         only = [s for s in argv[k + 1].split(",") if s]
         argv = argv[:k] + argv[k + 2:]
     args = [a for a in argv if a != "--all"]
