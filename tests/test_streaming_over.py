@@ -334,3 +334,51 @@ def test_streaming_group_by_with_window_rejected_cleanly(spark, src_dir):
         eng.sql("select user, count(*) as c, sum(count(*)) over ("
                 "partition by user order by user rows between unbounded "
                 "preceding and current row) as w from ev group by user")
+
+
+# --------------------------------------------------------------------------
+# property test: random running-agg specs, streaming vs batch window
+# --------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 2),               # key
+                          st.one_of(st.none(),
+                                    st.integers(-50, 50))),  # value
+                min_size=1, max_size=40),
+       st.sets(st.sampled_from(["sum", "count", "min", "max", "avg"]),
+               min_size=1, max_size=5))
+def test_running_agg_matches_batch_window(spark, tmp_path_factory,
+                                          rows, fns):
+    """For ANY value sequence (nulls included) and agg subset, the
+    stateful streaming pass must equal Spark's batch cumulative window
+    over the same rows — integral dtypes preserved."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    d = str(tmp_path_factory.mktemp("prop"))
+    data = [(i, f"k{k}", v) for i, (k, v) in enumerate(rows)]
+    bdf = spark.createDataFrame(data, "seq long, k string, v long")
+    bdf.coalesce(1).write.mode("overwrite").parquet(d)
+    aggs = [(fn, None if fn == "count" else "v", f"o_{fn}")
+            for fn in sorted(fns)]
+    sdf = spark.readStream.schema("seq long, k string, v long").parquet(d)
+    out = running_agg(sdf, ["k"], aggs, ["seq"])
+    sink = _run(out)
+    got = {r["seq"]: tuple(r[a] for _f, _c, a in aggs)
+           for r in spark.sql(f"select * from {sink}").collect()}
+
+    w = (W.partitionBy("k").orderBy("seq")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    exp_cols = []
+    for fn, c, a in aggs:
+        col = F.count(F.lit(1)) if c is None else getattr(F, fn)(c)
+        exp_cols.append(col.over(w).alias(a))
+    exp = {r["seq"]: tuple(r[a] for _f, _c, a in aggs)
+           for r in bdf.select("seq", *exp_cols).collect()}
+    assert got == exp
