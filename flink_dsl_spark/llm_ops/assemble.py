@@ -216,7 +216,21 @@ def token_budget_filter(df: DataFrame, id_col: str, tokens_col: str,
 
     spark = df.sparkSession
     buckets = spark.sparkContext.defaultParallelism
-    key, bkt, off, n = "__tb_key", "__tb_bkt", "__tb_off", "__tb_n"
+
+    # bookkeeping names must not shadow an input column — withColumn
+    # silently REPLACES same-named columns, which would corrupt a user
+    # frame that happens to carry e.g. "__tb_key" through the hint path
+    taken = set(df.columns)
+
+    def _fresh(base: str) -> str:
+        name, i = base, 0
+        while name in taken:
+            i += 1
+            name = f"{base}{i}"
+        taken.add(name)
+        return name
+    key, bkt, off, n = (_fresh("__tb_key"), _fresh("__tb_bkt"),
+                        _fresh("__tb_off"), _fresh("__tb_n"))
     d = df.withColumn(key, id_hash(F.col(id_col), seed)) \
           .withColumn(n, F.col(tokens_col).cast("long"))
     d = d.withColumn(bkt, _range_bucket(d, F.col(key), buckets))
@@ -231,7 +245,7 @@ def token_budget_filter(df: DataFrame, id_col: str, tokens_col: str,
         if offsets else spark.createDataFrame([], f"{bkt} int, {off} long")
     w = (W.partitionBy(bkt).orderBy(key, id_col)
           .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cum = cum_col or "__tb_cum"
+    cum = cum_col or _fresh("__tb_cum")
     out = (d.join(F.broadcast(off_df), bkt)
             .filter(F.col(off) <= F.lit(int(budget)))
             .withColumn(cum,

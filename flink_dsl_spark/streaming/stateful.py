@@ -328,15 +328,19 @@ def running_agg(sdf: DataFrame,
     double, sum -> long for integral inputs else double, min/max ->
     the input type.  The per-batch computation is vectorized
     (numpy cumulative ops seeded with the carried-in state scalars):
-    non-null integral columns accumulate in int64 (overflow wraps,
-    same as the JVM long sum batch Spark computes); double sums add
-    sequentially in processing order (cumsum), matching the batch
-    engine's and DuckDB's cumulative-frame evaluation order when the
-    order key is unique.  Premise shared with every Arrow-batched
-    path: a NULL in a double column arrives in pandas as NaN, so NaN
-    values are treated as NULL (batch Spark would propagate a true
-    NaN into the running sum — the distinction does not survive
-    Arrow).
+    integral columns accumulate in int64 — with or without NULLs —
+    so running totals keep JVM-long wraparound parity instead of
+    drifting once past 2^53 (a nullable integral column itself
+    arrives from Arrow as float64, so its individual VALUES are exact
+    only below 2^53 — that per-value transfer bound is the one
+    documented premise); double sums seed the cumsum with the
+    carried-in state, so the addition order across micro-batches is
+    (carry+x1)+x2+..., the same sequential order as the batch
+    engine's and DuckDB's cumulative frame when the order key is
+    unique.  Premise shared with every Arrow-batched path: a NULL in
+    a double column arrives in pandas as NaN, so NaN values are
+    treated as NULL (batch Spark would propagate a true NaN into the
+    running sum — the distinction does not survive Arrow).
     """
     import numpy as np
     from pyspark.sql.types import DecimalType, IntegralType, NumericType
@@ -349,6 +353,11 @@ def running_agg(sdf: DataFrame,
             raise PlanError(f"{fn}(*) is not valid")
     if not order_cols:
         raise PlanError("running_agg requires an ordering column")
+    missing = [c for c in order_cols if c not in sdf.columns]
+    if missing:
+        raise PlanError(
+            f"running_agg order column(s) {missing} not found in "
+            f"input columns {sdf.columns}")
 
     in_fields = list(sdf.schema.fields)
     by_name = {f.name: f for f in in_fields}
@@ -413,11 +422,12 @@ def running_agg(sdf: DataFrame,
         if chunks:
             pdf = (pd.concat(chunks, ignore_index=True)
                    if len(chunks) > 1 else chunks[0])
-            if order_cols and all(c in pdf.columns for c in order_cols):
-                # NULLS FIRST: Spark's ascending default, which the
-                # batch window this operator mirrors uses
-                pdf = pdf.sort_values(order_cols, kind="mergesort",
-                                      na_position="first")
+            # NULLS FIRST: Spark's ascending default, which the
+            # batch window this operator mirrors uses (order_cols
+            # are validated against the input schema up front, so
+            # the sort never silently degrades to arrival order)
+            pdf = pdf.sort_values(order_cols, kind="mergesort",
+                                  na_position="first")
             pdf = pdf.reset_index(drop=True)
             n_rows = len(pdf)
             res = pdf.copy()
@@ -448,14 +458,46 @@ def running_agg(sdf: DataFrame,
                         rmx = np.maximum.accumulate(
                             arr if acc[3] is None else
                             np.maximum(arr, np.int64(acc[3])))
+                    elif integral[i]:
+                        # nullable integral: Arrow hands the column
+                        # over as float64 with NaN nulls (each VALUE
+                        # exact below 2^53 — the documented transfer
+                        # bound), but the RUNNING totals accumulate
+                        # in int64 so long sums keep JVM wraparound
+                        # parity instead of losing precision once the
+                        # total passes 2^53
+                        arr = v.to_numpy(dtype="float64", copy=False)
+                        nanmask = np.isnan(arr)
+                        ints = np.where(nanmask, 0, arr).astype("int64")
+                        rs = ints.cumsum(dtype="int64") \
+                            + np.int64(acc[1] or 0)
+                        # masked min/max: null rows contribute the
+                        # identity, so they never move the running
+                        # extreme; all-null prefixes are nulled by
+                        # the nn==0 mask below
+                        hi = np.int64(np.iinfo("int64").max)
+                        lo = np.int64(np.iinfo("int64").min)
+                        mn_in = np.where(nanmask, hi, ints)
+                        if acc[2] is not None:
+                            mn_in = np.minimum(mn_in, np.int64(acc[2]))
+                        rmn = np.minimum.accumulate(mn_in)
+                        mx_in = np.where(nanmask, lo, ints)
+                        if acc[3] is not None:
+                            mx_in = np.maximum(mx_in, np.int64(acc[3]))
+                        rmx = np.maximum.accumulate(mx_in)
                     else:
-                        # nullable/double path: NaN marks null.
-                        # x + 0.0 is bitwise x for every finite x, so
-                        # fillna(0) keeps the cumsum identical to
-                        # skipping nulls; fmin/fmax ignore NaN
+                        # double path: NaN marks null.  x + 0.0 is
+                        # bitwise x for every finite x, so
+                        # substituting 0 for NULL keeps the cumsum
+                        # identical to skipping nulls; seeding the
+                        # cumsum with the carry makes the cross-batch
+                        # addition order (carry+x1)+x2+... — the same
+                        # sequence the batch cumulative frame
+                        # evaluates; fmin/fmax ignore NaN
                         arr = v.to_numpy(dtype="float64", copy=False)
                         filled = np.where(np.isnan(arr), 0.0, arr)
-                        rs = filled.cumsum() + (acc[1] or 0.0)
+                        rs = np.concatenate(
+                            ([acc[1] or 0.0], filled)).cumsum()[1:]
                         seed2 = np.nan if acc[2] is None else acc[2]
                         seed3 = np.nan if acc[3] is None else acc[3]
                         rmn = np.fmin.accumulate(np.fmin(arr, seed2)) \

@@ -1030,6 +1030,32 @@ def test_token_budget_monotone_in_budget(docs):
     assert small < large
 
 
+def test_token_budget_filter_survives_colliding_columns(spark):
+    """Bookkeeping names derive collision-free from the input columns:
+    a frame that already carries __tb_key/__tb_bkt/__tb_off/__tb_n/
+    __tb_cum flows through the hint-shaped filter with those columns
+    INTACT — withColumn must never silently replace them (ADVICE r10)."""
+    from flink_dsl_spark.llm_ops.assemble import token_budget_filter
+    rows = [(i, 10, f"k{i}", f"b{i}", f"o{i}", f"n{i}", f"c{i}")
+            for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "id long, toks long, __tb_key string, __tb_bkt string, "
+              "__tb_off string, __tb_n string, __tb_cum string")
+    out = token_budget_filter(df, "id", "toks", budget=200)
+    got = out.collect()
+    assert len(got) == 20                       # 20 docs * 10 tokens
+    assert set(out.columns) == set(df.columns)
+    for r in got:
+        i = r["id"]
+        assert (r["__tb_key"], r["__tb_bkt"], r["__tb_off"],
+                r["__tb_n"], r["__tb_cum"]) == \
+            (f"k{i}", f"b{i}", f"o{i}", f"n{i}", f"c{i}")
+    # and the cut itself is unchanged by the colliding passengers
+    want = {r["id"] for r in token_budget_filter(
+        df.select("id", "toks"), "id", "toks", budget=200).collect()}
+    assert {r["id"] for r in got} == want
+
+
 # ---------------------------------------------------------------------------
 # domain mixture (llm45)
 # ---------------------------------------------------------------------------

@@ -113,6 +113,65 @@ def test_running_over_state_across_batches(spark, tmp_path):
                    4.0: (10.0, 4), 5.0: (15.0, 5), 6.0: (21.0, 6)}
 
 
+def test_running_sum_nullable_bigint_exact_past_2p53(spark, tmp_path):
+    """A NULLable bigint column arrives from Arrow as float64, but the
+    RUNNING totals must accumulate in int64: a total past 2^53 stays
+    exact where a float64 cumsum would round to the nearest even ulp
+    (ADVICE r10 medium).  12_000_000_000_000_001 is not
+    float64-representable (ulp is 2 past 2^53); each individual value
+    is below 2^53, the documented per-value transfer bound."""
+    schema = "ts timestamp, user string, v long"
+    vals = [3_000_000_000_000_000, None, 4_000_000_000_000_000,
+            5_000_000_000_000_001]
+    rows = [(T0 + dt.timedelta(minutes=m), "u", v)
+            for m, v in enumerate(vals)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_agg(sdf, ["user"],
+                      [("sum", "v", "rs"), ("min", "v", "rmn"),
+                       ("max", "v", "rmx")], order_cols=["ts"])
+    sink = _run(out)
+    got = [(r["rs"], r["rmn"], r["rmx"]) for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    t3 = 3_000_000_000_000_000
+    assert got == [
+        (t3, t3, t3),
+        (t3, t3, t3),                          # NULL row carries state
+        (7_000_000_000_000_000, t3, 4_000_000_000_000_000),
+        (12_000_000_000_000_001, t3, 5_000_000_000_000_001),
+    ]
+
+
+def test_running_double_sum_carry_seeds_cumsum(spark, tmp_path):
+    """Cross-batch double sums accumulate sequentially FROM the carry
+    ((carry+x1)+x2), the same addition order as the batch cumulative
+    frame — not batch-local-cumsum-plus-carry, which differs in final
+    ulps (ADVICE r10 low).  With batches [1e16] then [1, 1]:
+    sequential gives (1e16+1)+1 = 1e16 (half-even at ulp 2); the old
+    order gave cumsum([1,1])+1e16 = [1e16, 1e16+2]."""
+    schema = "ts timestamp, user string, v double"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    for b, vals in enumerate([[1e16], [1.0, 1.0]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", float(v)))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [("sum", "v", "rs")],
+                      order_cols=["ts"])
+    sink = _run(out)
+    got = [r["rs"] for r in
+           spark.sql(f"select rs from {sink} order by ts").collect()]
+    assert got == [1e16, 1e16, 1e16]
+
+
 def test_running_over_expression_argument(spark, src_dir):
     """A computed aggregate input materializes as a hidden column that
     is dropped from the output."""
@@ -177,6 +236,10 @@ def test_running_agg_validates_inputs(spark, src_dir):
         running_agg(sdf, ["user"], [("sum", "value", "s")], [])
     with pytest.raises(PlanError, match="not valid"):
         running_agg(sdf, ["user"], [("sum", None, "s")], ["ts"])
+    # a misspelled order column is an up-front error, never a silent
+    # fall-back to nondeterministic arrival order (ADVICE r10)
+    with pytest.raises(PlanError, match="order column"):
+        running_agg(sdf, ["user"], [("sum", "value", "s")], ["nope"])
 
 
 def test_failed_plan_leaves_no_substitution_residue(spark, src_dir):
