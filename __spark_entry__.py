@@ -1547,6 +1547,35 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from ev_s12 qualify rn <= 3""")
         return _run_stream(spark, out, "append")
 
+    def s13(spark, d):
+        # streaming lag (r10 dialect extension): the per-key
+        # previous-event lookup on an unbounded stream, routed through
+        # the same stateful pass as s11's running aggregates
+        # (planner.py _plan_streaming_over -> running_agg offsets;
+        # state per (key, lag spec) is the last k values — O(k),
+        # stream-length independent).  Mixing lag with a running sum
+        # exercises one shared keyed exchange for both.  Same
+        # determinism premise as s11: the single-file availableNow
+        # source is one ordered batch and (ts, event_id) is unique,
+        # so the batch lag/window oracle applies verbatim.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s13", f"{d}/events.parquet")
+        out = eng.sql("""
+            select user_id, event_id,
+                   lag(event_type, 1, 'none') over (partition by user_id
+                       order by ts, event_id) as prev_type,
+                   lag(event_id, 2) over (partition by user_id
+                       order by ts, event_id) as prev2_id,
+                   sum(value) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as run_sum
+            from ev_s13""")
+        df = _run_stream(spark, out, "append")
+        from pyspark.sql import functions as F
+        return df.select("user_id", "event_id", "prev_type", "prev2_id",
+                         F.round("run_sum", 2).alias("run_sum"))
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1558,7 +1587,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s09_stream_quality": s09,
             "s10_stream_hll": s10,
             "s11_stream_running_over": s11,
-            "s12_stream_qualify_cap": s12}
+            "s12_stream_qualify_cap": s12,
+            "s13_stream_lag": s13}
 
 
 # ---------------------------------------------------------------------------
@@ -1628,58 +1658,28 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-9 window (COVERAGE.md's r9 plan):
-    # evidence-freshness round — regression core; the 21 displaced
-    # r5-newest llm keys (four rounds stale by r9); the 4 r5
-    # stragglers (llm67/llm69-llm71, which lent their r8 slots to
-    # q49-q52 first rows); FIRST rows for the six below-fold TPC-H
-    # adaptations (q58 Q3, q60 Q7, q61 Q8, q62 Q10, q67 Q15, q73
-    # Q22 — the only value-oracled queries with zero driver
-    # evidence); remaining 11 slots to the oldest r6-newest keys,
-    # q15 first (it lent its r8 slot to q48).
+    # stays a registry.  Round-10 window (COVERAGE.md's r10 plan):
+    # evidence-freshness round — regression core; FIRST row for the
+    # new r10 surface (s13 streaming lag); fresh rows for the four
+    # queries whose code changed this round (running_agg int64/carry
+    # precision fixes -> s11/s12, token_budget_filter bookkeeping-name
+    # fix -> q80 and llm44); ALL 32 r6-newest keys (at the 3-round
+    # staleness limit, VERDICT r9 item 1); remaining 5 slots to the
+    # oldest r7 greens (q42 first).
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- r5-stale refreshes: the 21 llm keys displaced by the late-r8
-    #    first rows (newest driver row r5, four rounds old) --
-    "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
-    "llm44_token_budget", "llm45_domain_mixture", "llm46_corpus_stats",
-    "llm47_cross_dedup_pairs", "llm48_dedup_against",
-    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
-    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
-    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
-    "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
-    "llm63_mixture_temperature",
-    # -- r5 stragglers (lent their r8 slots to q49/q50/q51/q52) --
-    "llm67_ngram_novelty", "llm69_length_quantiles", "llm70_topk_quality",
-    "llm71_length_outliers",
-    # -- FIRST driver rows: the six below-fold TPC-H adaptations
-    #    (VERDICT r8 item 1; self-verified vs DuckDB at sf0.01 in r8) --
-    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
-    "q67_tpch_q15", "q73_tpch_q22",
-    # -- FIRST rows: NEW r9 dialect surfaces (never-sampled outranks
-    #    a refresh).  q80 token_budget hint took q21's slot (whose
-    #    §2.2 family q20... see below) and s11 streaming running OVER
-    #    took q20's (comma-FROM stays repped in-window by the classic
-    #    TPC-H texts q58/q60/q61/q62/q73) --
-    "q80_token_budget_hint", "s11_stream_running_over",
-    "s12_stream_qualify_cap",
-    # -- oldest r6-newest refreshes (q15 first — lent its r8 slot) --
-    "q15_exists", "q02_filter_projection", "q05_right_join",
-    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
-    "q16_scalar_subquery", "q17a_union",
-    # --- fold: entries below are outside the 50-entry prefix sample;
-    #     all stay value-checked by the per-session pytest oracle
-    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: remaining r6-newest keys first
-    #     (they lead the r10 rotation alongside the r7 greens), then
-    #     the r7 greens, then the r8 greens displaced by this
-    #     rotation (freshest evidence, sampled last). ---
-    # remaining r6-newest keys (lead the r10 rotation; q21, q20 and
-    # q18 lent their slots to the q80/s11/s12 first rows — CASE stays
-    # repped in-window by q61's verbatim TPC-H Q8 text)
-    "q21_between_like_null", "q20_comma_from", "q18_case_arith",
+    # -- FIRST row: NEW r10 surface (never-sampled outranks refresh) --
+    "s13_stream_lag",
+    # -- fresh rows for r10-touched code: running_agg precision fixes
+    #    (s11, s12) and token_budget_filter collision-free bookkeeping
+    #    names (q80 hint path, llm44 sample path) --
+    "s11_stream_running_over", "s12_stream_qualify_cap",
+    "q80_token_budget_hint", "llm44_token_budget",
+    # -- ALL 32 r6-newest keys: at the 3-round staleness limit, the
+    #    rotation-policy maximum --
+    "q18_case_arith", "q20_comma_from", "q21_between_like_null",
     "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
     "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
     "x02_expr_filter_groupby", "s05_stream_session_window",
@@ -1691,9 +1691,17 @@ _PRIORITY = [
     "llm23_seeded_shuffle", "llm24_stratified_sample",
     "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
-    # r7 greens (next after the r6 batch)
+    # -- oldest r7 greens (the r11 rotation continues from here) --
     "q42_salt_hint", "q36_range_join", "q06_full_join", "q07_cross_join",
-    "q10_having", "q11_distinct", "q13_in_list", "q17b_union_all",
+    "q10_having",
+    # --- fold: entries below are outside the 50-entry prefix sample;
+    #     all stay value-checked by the per-session pytest oracle
+    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
+    #     Ordered by next-staleness: remaining r7 greens first (they
+    #     lead the r11 rotation), then the r8 greens, then the r9
+    #     greens displaced by this rotation (freshest, sampled last).
+    # remaining r7 greens
+    "q11_distinct", "q13_in_list", "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
@@ -1707,7 +1715,7 @@ _PRIORITY = [
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
-    # r8 greens displaced by this rotation (freshest driver evidence)
+    # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
@@ -1720,6 +1728,22 @@ _PRIORITY = [
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
     "llm40_decontaminate", "q78_distinct_on", "q79_ilike",
+    # r9 greens displaced by this rotation (freshest driver evidence)
+    "q15_exists", "q02_filter_projection", "q05_right_join",
+    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
+    "q16_scalar_subquery", "q17a_union",
+    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
+    "q67_tpch_q15", "q73_tpch_q22",
+    "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
+    "llm45_domain_mixture", "llm46_corpus_stats",
+    "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
+    "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
+    "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
+    "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
+    "llm63_mixture_temperature",
+    "llm67_ngram_novelty", "llm69_length_quantiles", "llm70_topk_quality",
+    "llm71_length_outliers",
 ]
 
 
@@ -1874,6 +1898,27 @@ def oracle_sql() -> dict[str, str]:
                    FROM events)
         SELECT user_id, event_id, CAST(rn AS BIGINT) AS rn
         FROM w WHERE rn <= 3"""
+    # s13: streaming lag == the batch lag window (same
+    # single-ordered-batch + unique (ts, event_id) premise as s11);
+    # lag returns the input type, so only DuckDB's HUGEINT-free
+    # bigint needs no cast — cast anyway for belt-and-braces, and
+    # round the clean-2dp running sum like s11
+    o["s13_stream_lag"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          lag(event_type, 1, 'none') OVER win
+                              AS prev_type,
+                          lag(event_id, 2) OVER win AS prev2_id,
+                          sum(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS run_sum
+                   FROM events
+                   WINDOW win AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id))
+        SELECT user_id, event_id, prev_type,
+               CAST(prev2_id AS BIGINT) AS prev2_id,
+               round(run_sum, 2) AS run_sum
+        FROM w"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic
     # (quality desc, id) row_number cut

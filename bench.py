@@ -59,6 +59,8 @@ HEADLINE = [
                                 # running-sum corpus cut — added r9
     "s11_stream_running_over",  # streaming running OVER (stateful
                                 # O(1)-state per key) — added r9
+    "s13_stream_lag",           # streaming lag (O(k) tail state,
+                                # shared stateful pass) — added r10
 ]
 
 # queries deliberately ADDED to the headline set after r4; the
@@ -67,7 +69,8 @@ HEADLINE = [
 _ADDED_R5 = {"llm32_gopher_quality", "llm64_hll_registers",
              "q46_over_rank", "q47_over_running", "q49_qualify",
              "q59_tpch_q5", "q65_tpch_q18",
-             "q80_token_budget_hint", "s11_stream_running_over"}
+             "q80_token_budget_hint", "s11_stream_running_over",
+             "s13_stream_lag"}
 
 
 def _force(df):

@@ -1495,12 +1495,12 @@ class Planner:
     _VALUE_FUNCS = frozenset({"first_value", "last_value"})
 
     _RUNNING_FRAME_MSG = (
-        "streaming OVER supports only running aggregates: "
+        "streaming OVER supports only running aggregates — "
         "sum/count/min/max/avg OVER (PARTITION BY cols ORDER BY "
         "event-time [, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW) — write the ROWS frame explicitly (the implicit "
         "default frame is RANGE, whose peer semantics an unbounded "
-        "stream cannot honor)")
+        "stream cannot honor) — and lag(col [, offset [, default]])")
 
     def _plan_streaming_over(self, sel: Select, df: DataFrame,
                              wfs: list) -> DataFrame:
@@ -1512,11 +1512,13 @@ class Planner:
         Scope is exactly what an unbounded stream can honor
         incrementally: aggregate functions sum/count/min/max/avg with
         an explicit ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
-        ROW`` frame, plain-column PARTITION BY, and an ascending
-        plain-column ORDER BY (event time + tiebreak).  Every window
-        function in the select must share one (partition, order) spec
-        — the stateful pass groups the stream once.  Anything else
-        keeps the clear batch-only rejection.
+        ROW`` frame, plus ``lag(col [, k [, default]])`` (r10 — O(k)
+        backward state; ``lead`` stays rejected because it reads rows
+        that have not arrived), plain-column PARTITION BY, and an
+        ascending plain-column ORDER BY (event time + tiebreak).
+        Every window function in the select must share one
+        (partition, order) spec — the stateful pass groups the stream
+        once.  Anything else keeps the clear batch-only rejection.
 
         Scale shape: ONE keyed state shuffle (the applyInPandasWithState
         exchange); state per key is O(1) scalars, independent of
@@ -1551,24 +1553,39 @@ class Planner:
 
         spec0 = None
         aggs: list[tuple] = []
+        offsets: list[tuple] = []           # (col, k, default, alias)
         hidden: list[tuple] = []            # (name, Expr) inputs to add
         wf_map: dict[int, str] = {}         # installed only on success
         for i, e in enumerate(wfs):
             name = e.func.name
-            if not self.registry.is_aggregate(name) \
-                    or name not in ("sum", "count", "min", "max", "avg"):
+            if name == "lead":
+                raise PlanError(
+                    "lead() is batch-only: it reads rows that have not "
+                    "arrived yet, which an unbounded stream cannot look "
+                    "ahead to — use lag() (the backward offset) or run "
+                    "the query in batch")
+            is_lag = name == "lag"
+            if not is_lag and (
+                    not self.registry.is_aggregate(name)
+                    or name not in ("sum", "count", "min", "max", "avg")):
                 raise PlanError(self._RUNNING_FRAME_MSG)
             if e.func.distinct:
                 raise PlanError(
                     f"DISTINCT is not supported in window function "
                     f"{name}()")
             f = e.frame
-            if f is None or f.mode != "rows" \
+            if is_lag:
+                if f is not None:
+                    raise PlanError(
+                        "lag() does not accept a frame specification")
+            elif f is None or f.mode != "rows" \
                     or f.start != ("unbounded_preceding",) \
                     or f.end != ("current",):
                 raise PlanError(self._RUNNING_FRAME_MSG)
             if not e.order_by:
-                raise PlanError(self._RUNNING_FRAME_MSG)
+                raise PlanError(
+                    "lag() requires ORDER BY in its OVER clause"
+                    if is_lag else self._RUNNING_FRAME_MSG)
             for o in e.order_by:
                 if not o.ascending or o.nulls == "last":
                     raise PlanError(
@@ -1586,6 +1603,38 @@ class Planner:
                     "must share the same PARTITION BY and ORDER BY "
                     "(the stream is stateful-grouped once)")
             args = e.func.args
+            if is_lag:
+                if not 1 <= len(args) <= 3:
+                    raise PlanError(
+                        "lag(col [, offset [, default]]) takes 1-3 "
+                        "arguments")
+                off = 1
+                if len(args) >= 2:
+                    v = _plain_literal(args[1])
+                    if not isinstance(v, int) or isinstance(v, bool):
+                        raise PlanError(
+                            "lag() offset must be an integer literal")
+                    off = v
+                if off < 0:
+                    raise PlanError(
+                        "lag() offset must be >= 0 on a stream (a "
+                        "negative offset is lead(), which reads rows "
+                        "that have not arrived yet)")
+                dflt = None
+                if len(args) == 3:
+                    dflt = _plain_literal(args[2])
+                    if dflt is _NOT_LITERAL:
+                        raise PlanError("lag() default must be a literal")
+                if isinstance(args[0], Star):
+                    raise PlanError("lag(*) is not valid")
+                if isinstance(args[0], Col):
+                    in_col = plain_col(args[0], "lag() argument")
+                else:
+                    in_col = f"__rw_in{i}"
+                    hidden.append((in_col, args[0]))
+                offsets.append((in_col, off, dflt, f"__rw_out{i}"))
+                wf_map[id(e)] = f"__rw_out{i}"
+                continue
             if args and isinstance(args[0], Star):
                 if name != "count":
                     raise PlanError(f"{name}(*) is not valid")
@@ -1603,7 +1652,8 @@ class Planner:
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))
-        out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]))
+        out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]),
+                          offsets=offsets)
         out = out.drop(*[h for h, _ in hidden])
         # restore the single leaf's binding so the projection's
         # qualified column refs (resolver qualifies every Col by its
@@ -1652,8 +1702,8 @@ class Planner:
                 "window functions on streams support only running "
                 "aggregates — sum/count/min/max/avg OVER (PARTITION "
                 "BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
-                "AND CURRENT ROW); other analytic forms are "
-                "batch-only (they need a finite partition order)")
+                "AND CURRENT ROW) — and lag(); other analytic forms "
+                "are batch-only (they need a finite partition order)")
         if e.func.distinct:
             raise PlanError(
                 f"DISTINCT is not supported in window function {name}()")

@@ -299,7 +299,8 @@ def _arr_double():
 def running_agg(sdf: DataFrame,
                 key_cols: list[str],
                 aggs: list[tuple[str, Optional[str], str]],
-                order_cols: list[str]) -> DataFrame:
+                order_cols: list[str],
+                offsets: Optional[list[tuple]] = None) -> DataFrame:
     """Per-ROW running aggregates over a keyed stream — the streaming
     form of the batch analytic ``agg(x) OVER (PARTITION BY key ORDER BY
     t ROWS UNBOUNDED PRECEDING..CURRENT ROW)``: every arriving row is
@@ -311,6 +312,17 @@ def running_agg(sdf: DataFrame,
         means ``count(*)``.  Inputs must be numeric (DecimalType is
         rejected — Arrow round-trips it through Python objects, so
         cast to double first).
+    offsets : ``(col, k, default, alias)`` lag specs — the streaming
+        form of ``lag(col, k, default) OVER (PARTITION BY key ORDER
+        BY t)``: each row is emitted with the column value k rows
+        earlier for its key, or ``default`` where no such row exists.
+        ``k >= 0`` only (lag looks backward — a stream cannot look
+        ahead); state per (key, spec) is the last k values, O(k)
+        independent of stream length.  Any non-decimal atomic column
+        type is allowed; output type is the input column's.  A
+        nullable integral lag shares the running-sum per-value
+        premise: values are exact below 2^53 (the Arrow float64
+        transfer bound).
     order_cols : intra-batch processing order (event time + a unique
         tiebreaker pins determinism); NULL order keys sort FIRST,
         matching Spark's ascending default in the batch window.
@@ -343,14 +355,19 @@ def running_agg(sdf: DataFrame,
     running sum — the distinction does not survive Arrow).
     """
     import numpy as np
-    from pyspark.sql.types import DecimalType, IntegralType, NumericType
+    from pyspark.sql.types import (ArrayType, DecimalType, FractionalType,
+                                   IntegralType, NumericType)
 
+    offsets = offsets or []
     for fn, c, _a in aggs:
         if fn not in _SUPPORTED:
             raise PlanError(
                 f"running_agg supports {_SUPPORTED}, got {fn!r}")
         if c is None and fn != "count":
             raise PlanError(f"{fn}(*) is not valid")
+    if not aggs and not offsets:
+        raise PlanError("running_agg needs at least one aggregate "
+                        "or lag spec")
     if not order_cols:
         raise PlanError("running_agg requires an ordering column")
     missing = [c for c in order_cols if c not in sdf.columns]
@@ -374,6 +391,24 @@ def running_agg(sdf: DataFrame,
                 f"double first)")
         integral.append(isinstance(t, IntegralType))
 
+    for c, k, _d, _a in offsets:
+        if c not in by_name:
+            raise PlanError(
+                f"lag column {c!r} not found in input columns "
+                f"{sdf.columns}")
+        if isinstance(by_name[c].dataType, DecimalType):
+            raise PlanError(
+                f"lag({c}) on a decimal column is not supported on "
+                f"streams (cast to double first)")
+        from pyspark.sql.types import MapType
+        if isinstance(by_name[c].dataType,
+                      (ArrayType, MapType, StructType)):
+            raise PlanError(
+                f"lag({c}) needs an atomic column type, got "
+                f"{by_name[c].dataType.simpleString()}")
+        if not isinstance(k, int) or isinstance(k, bool) or k < 0:
+            raise PlanError("lag offset must be an integer >= 0")
+
     def _out_type(i):
         fn, c, _a = aggs[i]
         if fn == "count":
@@ -385,7 +420,9 @@ def running_agg(sdf: DataFrame,
         return by_name[c].dataType                     # min/max
     out_schema = StructType(
         in_fields + [StructField(a, _out_type(i))
-                     for i, (_f, _c, a) in enumerate(aggs)])
+                     for i, (_f, _c, a) in enumerate(aggs)]
+        + [StructField(a, by_name[c].dataType)
+           for c, _k, _d, a in offsets])
 
     # state: rows seen + per-agg (non-null n, sum, min, max) scalars
     def _acc_type(i):
@@ -396,12 +433,51 @@ def running_agg(sdf: DataFrame,
                          StructField(f"s{i}", _acc_type(i)),
                          StructField(f"mn{i}", _acc_type(i)),
                          StructField(f"mx{i}", _acc_type(i))]
+    # lag state: the last k values per spec (O(k), stream-length
+    # independent), typed as an array of the input column's type
+    for j, (c, _k, _d, _a) in enumerate(offsets):
+        state_fields.append(
+            StructField(f"tl{j}", ArrayType(by_name[c].dataType)))
     state_schema = StructType(state_fields)
+    tail_base = 1 + 4 * len(aggs)
 
     keyed = sdf if key_cols else sdf.withColumn("__gk", _lit0())
     group_keys = key_cols if key_cols else ["__gk"]
     agg_cols = [c for _f, c, _a in aggs]
     out_names = [f.name for f in out_schema.fields]
+
+    frac_lag = [isinstance(by_name[c].dataType, FractionalType)
+                for c, _k, _d, _a in offsets]
+    int_lag = [isinstance(by_name[c].dataType, IntegralType)
+               for c, _k, _d, _a in offsets]
+
+    def _obj_values(v: pd.Series, j: int) -> "object":
+        """A lag input column as an object ndarray with None for
+        NULL — the one representation Arrow converts back to the
+        declared column type losslessly for every supported kind
+        (float NaN and int-as-float would otherwise leak through)."""
+        if int_lag[j]:
+            return pd.array(v, dtype="Int64").to_numpy(
+                dtype=object, na_value=None)
+        if frac_lag[j]:
+            a = v.to_numpy(dtype="float64", copy=False)
+            out = a.astype(object)
+            out[np.isnan(a)] = None
+            return out
+        out = v.to_numpy(dtype=object, copy=True)
+        na = pd.isna(out)
+        if na.any():
+            out[na] = None
+        return out
+
+    def _py(x):
+        if x is None:
+            return None
+        if isinstance(x, np.generic):
+            return x.item()
+        if isinstance(x, pd.Timestamp):
+            return x.to_pydatetime()
+        return x
 
     def fn(key, pdf_iter: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
@@ -410,9 +486,12 @@ def running_agg(sdf: DataFrame,
             seen = row[0]
             accs = [list(row[1 + 4 * i: 5 + 4 * i])
                     for i in range(len(aggs))]
+            tails = [list(row[tail_base + j] or ())
+                     for j in range(len(offsets))]
         else:
             seen = 0
             accs = [[0, None, None, None] for _ in aggs]
+            tails = [[] for _ in offsets]
 
         # a key's batch rows may arrive as several chunks; the sort
         # must be over ALL of them or chunk boundaries would corrupt
@@ -546,11 +625,28 @@ def running_agg(sdf: DataFrame,
                     acc[3] = None if (not integral[i]
                                       and np.isnan(rmx[last])) \
                         else cast(rmx[last])
+            for j, (c, k, dflt, alias) in enumerate(offsets):
+                vals = _obj_values(pdf[c], j)
+                if k == 0:                    # lag 0 is the value itself
+                    res[alias] = pd.Series(vals, dtype=object)
+                    continue
+                tail = tails[j]
+                # global row g's lag-k lives at g-k: rows [seen-k,
+                # seen-1] are the carried tail, earlier rows get the
+                # default.  Prepending (default-pad + tail) — exactly
+                # k cells — makes ext[i] the lag of batch row i.
+                pad = np.empty(k - len(tail), dtype=object)
+                pad[:] = dflt
+                ext = np.concatenate(
+                    [pad, np.array(tail, dtype=object), vals])
+                res[alias] = pd.Series(ext[:n_rows], dtype=object)
+                tails[j] = [_py(x) for x in ext[len(ext) - k:]]
             seen += n_rows
             cols = [c for c in out_names if c in res.columns]
             yield res[cols]
         state.update(tuple(
-            [seen] + [x for acc in accs for x in acc]))
+            [seen] + [x for acc in accs for x in acc]
+            + [tails[j] for j in range(len(offsets))]))
 
     grouped = keyed.groupBy(*group_keys)
     out = grouped.applyInPandasWithState(

@@ -172,6 +172,129 @@ def test_running_double_sum_carry_seeds_cumsum(spark, tmp_path):
     assert got == [1e16, 1e16, 1e16]
 
 
+def test_streaming_lag_equals_batch_window(spark, src_dir):
+    """Streaming lag must equal the SAME dialect text run as a batch
+    analytic window — strings with a default, a k=2 numeric lag, and
+    a running sum sharing the one stateful pass (r10)."""
+    eng = _stream_engine(spark, src_dir)
+    sql = ("select event_id, "
+           "lag(user, 1, 'none') over (partition by small "
+           "order by ts, event_id) as pu, "
+           "lag(value, 2) over (partition by small "
+           "order by ts, event_id) as pv2, "
+           "lag(event_id, 3, -1) over (partition by small "
+           "order by ts, event_id) as pid3, "
+           "sum(value) over (partition by small order by ts, event_id "
+           "rows between unbounded preceding and current row) as rs "
+           "from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    sink = _run(out)
+    got = {r["event_id"]: r for r in
+           spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: r for r in beng.sql(sql).collect()}
+    assert set(got) == set(exp) and len(got) == 24
+    for k in exp:
+        for c in ("pu", "pv2", "pid3", "rs"):
+            assert got[k][c] == exp[k][c], (k, c, got[k], exp[k])
+    # lag returns the input type on both paths
+    assert dict(out.dtypes)["pid3"] == "bigint"
+    assert dict(out.dtypes)["pu"] == "string"
+
+
+def test_streaming_lag_state_across_batches(spark, tmp_path):
+    """The O(k) tail must carry across micro-batches: row values from
+    batch N-1 are the lag answers at the start of batch N."""
+    schema = "ts timestamp, user string, v long"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    for b, vals in enumerate([[10, 20, 30], [40, 50], [60]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", v))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [], order_cols=["ts"],
+                      offsets=[("v", 2, None, "p2"),
+                               ("v", 1, -1, "p1")])
+    sink = _run(out)
+    got = [(r["v"], r["p2"], r["p1"]) for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    assert got == [(10, None, -1), (20, None, 10), (30, 10, 20),
+                   (40, 20, 30), (50, 30, 40), (60, 40, 50)]
+
+
+def test_streaming_lag_nullable_bigint_values_stay_long(spark, tmp_path):
+    """A NULL in a bigint lag column must come back as NULL (not NaN)
+    and non-null values as exact longs — the object-array Arrow
+    round-trip, not a float64 one."""
+    schema = "ts timestamp, user string, v long"
+    vals = [7, None, 9_007_199_254_740_992]       # 2^53 boundary value
+    rows = [(T0 + dt.timedelta(minutes=m), "u", v)
+            for m, v in enumerate(vals)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_agg(sdf, ["user"], [], order_cols=["ts"],
+                      offsets=[("v", 1, None, "pv")])
+    sink = _run(out)
+    got = [r["pv"] for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    assert got == [None, 7, None]
+
+
+def test_streaming_lag_rejections(spark, src_dir):
+    eng = _stream_engine(spark, src_dir)
+    cases = [
+        # lead reads the future — no stream can
+        ("select lead(value, 1) over (partition by user "
+         "order by ts, event_id) as x from ev", "lead"),
+        # negative lag is lead in disguise
+        ("select lag(value, -1) over (partition by user "
+         "order by ts, event_id) as x from ev", ">= 0"),
+        # offset functions take no frame (same as batch)
+        ("select lag(value) over (partition by user order by ts "
+         "rows between unbounded preceding and current row) as x "
+         "from ev", "frame"),
+        # ORDER BY required
+        ("select lag(value) over (partition by user) as x from ev",
+         "ORDER BY"),
+        # offset must be a literal
+        ("select lag(value, event_id) over (partition by user "
+         "order by ts, event_id) as x from ev", "integer literal"),
+    ]
+    for sql, msg in cases:
+        with pytest.raises(PlanError, match=msg):
+            eng.sql(sql)
+
+
+def test_streaming_lag_expression_arg_and_zero_offset(spark, src_dir):
+    """lag of a computed expression routes through a hidden column
+    (dropped from the output); lag(col, 0) is the value itself."""
+    eng = _stream_engine(spark, src_dir)
+    sql = ("select event_id, lag(value * 2, 1) over (partition by user "
+           "order by ts, event_id) as dv, "
+           "lag(value, 0) over (partition by user "
+           "order by ts, event_id) as same from ev")
+    out = eng.sql(sql)
+    assert set(out.columns) == {"event_id", "dv", "same"}
+    sink = _run(out)
+    got = {r["event_id"]: (r["dv"], r["same"]) for r in
+           spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: (r["dv"], r["same"]) for r in
+           beng.sql(sql).collect()}
+    assert got == exp and len(got) == 24
+
+
 def test_running_over_expression_argument(spark, src_dir):
     """A computed aggregate input materializes as a hidden column that
     is dropped from the output."""
