@@ -142,8 +142,20 @@ class Planner:
 
     def plan(self, stmt, params: Optional[list] = None):
         self._params = params or []
+        # stateful streaming passes created while planning THIS
+        # statement — Spark allows at most one applyInPandasWithState
+        # per streaming query, and its checker only fires at
+        # writeStream.start(); counting here lets plan_setop reject
+        # a second pass with a clean scope message at plan time
+        self._stateful_passes = 0
         if isinstance(stmt, (Select, SetOp)):
-            return self.plan_query(stmt)
+            df = self.plan_query(stmt)
+            if df.isStreaming and self._stateful_passes > 1:
+                # derived-table compositions reach here too (e.g.
+                # streaming OVER over a subquery that already ran a
+                # stateful pass) — same limitation, same message
+                raise PlanError(self._ONE_STATEFUL_MSG)
+            return df
         from .ast_nodes import RecursiveWith
         if isinstance(stmt, RecursiveWith):
             # native WITH RECURSIVE text — Spark evaluates the
@@ -181,6 +193,13 @@ class Planner:
     def plan_setop(self, s: SetOp) -> DataFrame:
         left = self.plan_query(s.left)
         right = self.plan_query(s.right)
+        if getattr(self, "_stateful_passes", 0) > 1 \
+                and (left.isStreaming or right.isStreaming):
+            # Spark allows ONE applyInPandasWithState per streaming
+            # query, and its UnsupportedOperationChecker only fires at
+            # writeStream.start() — reject at plan time with a scope
+            # message instead of letting a raw analysis error surface
+            raise PlanError(self._ONE_STATEFUL_MSG)
         if s.op == "union_all":
             df = left.union(right)
         elif s.op == "union":
@@ -1096,6 +1115,9 @@ class Planner:
                             "one aggregate")
 
         base = df.withColumn("__ones", F.lit(1.0)) if needs_ones else df
+        if base.isStreaming:
+            self._stateful_passes = getattr(
+                self, "_stateful_passes", 0) + 1
         if axis == "count":
             order_cols = None
             if isinstance(leaf, TableRef) and self.catalog.has(leaf.name):
@@ -1494,6 +1516,13 @@ class Planner:
     _OFFSET_FUNCS = frozenset({"lag", "lead"})
     _VALUE_FUNCS = frozenset({"first_value", "last_value"})
 
+    _ONE_STATEFUL_MSG = (
+        "only one stateful streaming pass is allowed per query (a "
+        "Spark limitation on applyInPandasWithState): at most one "
+        "set-op branch or query level may use streaming OVER / "
+        "QUALIFY or a stateful count/delta window — run the other "
+        "as its own query or in batch")
+
     _RUNNING_FRAME_MSG = (
         "streaming OVER supports only running aggregates — "
         "sum/count/min/max/avg OVER (PARTITION BY cols ORDER BY "
@@ -1664,6 +1693,7 @@ class Planner:
         # compile through a recycled AST id (the caller clears it
         # after the projection compiles)
         self._stream_wf_cols = wf_map
+        self._stateful_passes = getattr(self, "_stateful_passes", 0) + 1
         return out
 
     def _compile_window_func(self, e: WindowFunc, df,

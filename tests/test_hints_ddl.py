@@ -748,6 +748,48 @@ def test_token_budget_hint_is_batch_only(engine, spark):
         eng.sql("drop stream tb_ev")
 
 
+def test_salt_then_token_budget_compose(engine):
+    """r10 fuzz target: the skew-salt join hint and the token budget
+    compose — the salted join's row set is identical to the unsalted
+    one, so the budget cut over it must equal the Python API applied
+    to the plain join."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash, \
+        token_budget_filter
+    got = engine.sql(
+        "select /*+ salt(c_nationkey, 4) "
+        "token_budget(c_custkey, c_nationkey, 500) */ c_custkey "
+        "from customer join nation on c_nationkey = n_nationkey")
+    plain = engine.sql(
+        "select c_custkey, c_nationkey "
+        "from customer join nation on c_nationkey = n_nationkey")
+    want = token_budget_filter(plain, "c_custkey", "c_nationkey", 500,
+                               seed=42, id_hash=md5_id_hash) \
+        .select("c_custkey")
+    assert sorted(_rows(got)) == sorted(_rows(want))
+    assert 0 < len(_rows(got)) < plain.count()    # the budget bites
+
+
+def test_token_budget_hint_on_aliasless_pivot_source(engine):
+    """r10 fuzz target: the budget hint over an ALIASLESS PIVOT source
+    (the r9 parser extension) — the hint resolves the rotated output
+    columns and the cut equals the Python API over the unhinted
+    rotation (NULL pivot cells consume no budget on either path)."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash, \
+        token_budget_filter
+    base = ("from (select doc_id, lang, n_chars from documents) "
+            "pivot (sum(n_chars) as s for lang in ('en' as en, "
+            "'de' as de))")
+    got = engine.sql(
+        f"select /*+ token_budget(doc_id, en_s, 20000) */ "
+        f"doc_id, en_s {base}")
+    unhinted = engine.sql(f"select doc_id, en_s, de_s {base}")
+    want = token_budget_filter(unhinted, "doc_id", "en_s", 20000,
+                               seed=42, id_hash=md5_id_hash) \
+        .select("doc_id", "en_s")
+    assert sorted(_rows(got), key=str) == sorted(_rows(want), key=str)
+    assert len(_rows(got)) > 0
+
+
 def test_cap_then_token_budget_compose_in_order(engine):
     """Hints apply in written order: cap first bounds each source to
     k docs, then the budget meters the capped corpus."""

@@ -496,6 +496,51 @@ def test_streaming_qualify_first_k_per_key(spark, src_dir):
         sorted(r["event_id"] for r in exp2.collect())
 
 
+def test_streaming_qualify_cap_composes_with_union(spark, src_dir):
+    """QUALIFY cap inside ONE set-op branch on a stream composes with
+    a stateless branch; TWO stateful branches hit Spark's one
+    applyInPandasWithState-per-query limit and must get a clean scope
+    message, not a raw Py4J error (r10 fuzz target)."""
+    eng = _stream_engine(spark, src_dir)
+    sql = ("select event_id, count(*) over (partition by user "
+           "order by ts, event_id rows between unbounded preceding "
+           "and current row) as rn from ev qualify rn <= 2 "
+           "union all "
+           "select event_id, small as rn from ev where small = 0")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    sink = _run(out)
+    got = sorted((r["event_id"], r["rn"]) for r in
+                 spark.sql(f"select * from {sink}").collect())
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = sorted((r["event_id"], r["rn"]) for r in
+                 beng.sql(sql).collect())
+    assert got == exp and len(got) == 2 * 2 + 8
+
+    # two stateful branches: clean rejection naming the limitation
+    with pytest.raises(PlanError, match="one stateful streaming pass"):
+        eng.sql(
+            "select event_id, count(*) over (partition by user "
+            "order by ts, event_id rows between unbounded preceding "
+            "and current row) as rn from ev qualify rn <= 2 "
+            "union all "
+            "select event_id, count(*) over (partition by small "
+            "order by ts, event_id rows between unbounded preceding "
+            "and current row) as rn from ev qualify rn <= 3")
+    # stacked stateful levels (OVER over a QUALIFY-capped derived
+    # table) hit the same one-pass limit, same clean message
+    with pytest.raises(PlanError, match="one stateful streaming pass"):
+        eng.sql(
+            "select event_id, sum(rn) over (partition by user "
+            "order by ts, event_id rows between unbounded preceding "
+            "and current row) as s from "
+            "(select user, ts, event_id, count(*) over (partition by "
+            "user order by ts, event_id rows between unbounded "
+            "preceding and current row) as rn from ev "
+            "qualify rn <= 5) t")
+
+
 def test_streaming_qualify_ranking_still_rejected(spark, src_dir):
     """QUALIFY with a ranking function on a stream keeps the clear
     running-aggregates scope message."""
@@ -567,4 +612,58 @@ def test_running_agg_matches_batch_window(spark, tmp_path_factory,
         exp_cols.append(col.over(w).alias(a))
     exp = {r["seq"]: tuple(r[a] for _f, _c, a in aggs)
            for r in bdf.select("seq", *exp_cols).collect()}
+    assert got == exp
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 1),                 # key a
+                          st.integers(0, 1),                 # key b
+                          st.one_of(st.none(),
+                                    st.integers(-40, 40))),  # value
+                min_size=3, max_size=36),
+       st.integers(1, 3),                                    # lag k
+       st.integers(2, 4))                                    # micro-batches
+def test_running_agg_multibatch_multikey_doubles(spark, tmp_path_factory,
+                                                 rows, k, nb):
+    """r10 fuzz shapes (VERDICT r9 item 3): MULTI-KEY partitions,
+    NULL-heavy DOUBLE values with inexact fractions (v*0.1), avg
+    across >= 2 micro-batches, and a lag spec sharing the pass — all
+    must equal Spark's batch cumulative window / batch lag exactly
+    (the carry-seeded cumsum makes cross-batch double addition order
+    identical to the batch frame's)."""
+    import math
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window as W
+
+    d = tmp_path_factory.mktemp("prop_mb")
+    data = [(i, f"a{a}", f"b{b}", None if v is None else v * 0.1)
+            for i, (a, b, v) in enumerate(rows)]
+    schema = "seq long, ka string, kb string, v double"
+    bdf = spark.createDataFrame(data, schema)
+    per = max(1, math.ceil(len(data) / nb))
+    for j in range(0, len(data), per):
+        spark.createDataFrame(data[j:j + per], schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(d / f"b{j:04d}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*"))
+    out = running_agg(
+        sdf, ["ka", "kb"],
+        [("sum", "v", "rs"), ("avg", "v", "ra"), ("count", "v", "rc")],
+        ["seq"], offsets=[("v", k, -1.0, "lg")])
+    sink = _run(out)
+    got = {r["seq"]: (r["rs"], r["ra"], r["rc"], r["lg"]) for r in
+           spark.sql(f"select * from {sink}").collect()}
+
+    w = (W.partitionBy("ka", "kb").orderBy("seq")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wl = W.partitionBy("ka", "kb").orderBy("seq")
+    exp = {r["seq"]: (r["rs"], r["ra"], r["rc"], r["lg"]) for r in
+           bdf.select("seq", F.sum("v").over(w).alias("rs"),
+                      F.avg("v").over(w).alias("ra"),
+                      F.count("v").over(w).alias("rc"),
+                      F.lag("v", k, -1.0).over(wl).alias("lg"))
+              .collect()}
     assert got == exp
