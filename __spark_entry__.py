@@ -151,6 +151,18 @@ _FSQL: dict[str, str] = {
                sum(n_chars) as total_chars
         from documents
         group by lang""",
+    # mixture hint (r10): assemble.domain_mixture_filter reachable
+    # from SQL — downsample-only rebalance toward target token shares
+    # (binding domain keeps rate 1.0), fixed md5 hash + seed 42 makes
+    # membership cross-engine deterministic; aggregating the kept rows
+    # shows the hint applies before GROUP BY like cap/token_budget
+    "q81_mixture_hint": """
+        select /*+ mixture(source, doc_id, n_chars,
+                           'src0=0.4,src1=0.3,src2=0.2,src3=0.1') */
+               source, count(*) as num_docs,
+               sum(n_chars) as total_chars
+        from documents
+        group by source""",
     # analytic OVER windows (r8 dialect extension — SURVEY §2.5 records
     # the reference has none): the top-k-per-group idiom, rank in a
     # derived table + filter outside; the executed plan collapses to
@@ -1670,8 +1682,9 @@ _PRIORITY = [
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- FIRST row: NEW r10 surface (never-sampled outranks refresh) --
-    "s13_stream_lag",
+    # -- FIRST rows: NEW r10 surfaces (never-sampled outranks refresh;
+    #    q81 took q10's slot — HAVING rotates back r11) --
+    "s13_stream_lag", "q81_mixture_hint",
     # -- fresh rows for r10-touched code: running_agg precision fixes
     #    (s11, s12) and token_budget_filter collision-free bookkeeping
     #    names (q80 hint path, llm44 sample path) --
@@ -1693,15 +1706,14 @@ _PRIORITY = [
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
     # -- oldest r7 greens (the r11 rotation continues from here) --
     "q42_salt_hint", "q36_range_join", "q06_full_join", "q07_cross_join",
-    "q10_having",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
     #     Ordered by next-staleness: remaining r7 greens first (they
     #     lead the r11 rotation), then the r8 greens, then the r9
     #     greens displaced by this rotation (freshest, sampled last).
-    # remaining r7 greens
-    "q11_distinct", "q13_in_list", "q17b_union_all",
+    # remaining r7 greens (q10 lent its slot to the q81 first row)
+    "q10_having", "q11_distinct", "q13_in_list", "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
@@ -2024,6 +2036,33 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT lang, count(*) AS num_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
             FROM c WHERE cum <= 75000 GROUP BY lang""",
+        # q81: the mixture hint's rate algebra replayed in SQL (the
+        # llm45 premise — identical double arithmetic both engines):
+        # per-domain token totals -> feasible total T = min(tok/w) ->
+        # keep-rate threshold -> md5 id-hash membership -> aggregate
+        "q81_mixture_hint": """
+            WITH dom AS (SELECT source AS domain,
+                                CAST(sum(n_chars) AS DOUBLE) AS tok,
+                                CASE source WHEN 'src0' THEN 0.4
+                                            WHEN 'src1' THEN 0.3
+                                            WHEN 'src2' THEN 0.2
+                                            WHEN 'src3' THEN 0.1
+                                END AS w
+                         FROM documents
+                         WHERE source IN ('src0','src1','src2','src3')
+                         GROUP BY source),
+            tot AS (SELECT min(tok / w) AS total FROM dom),
+            r AS (SELECT domain,
+                         CAST(round(least(1.0, w * tot.total / tok)
+                                    * 1000000) AS BIGINT) AS thresh
+                  FROM dom, tot)
+            SELECT d.source, count(*) AS num_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            FROM documents d JOIN r ON d.source = r.domain
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(d.doc_id AS VARCHAR), ':', '42')), 1, 15))
+                      AS BIGINT) % 1000000 < r.thresh
+            GROUP BY d.source""",
         # q46/q47: same analytic SQL; DuckDB ranks/counts are BIGINT
         # where Spark's are INT, so the rank column casts
         "q46_over_rank": """

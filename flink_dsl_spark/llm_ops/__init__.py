@@ -35,6 +35,7 @@ from .multimodal import (
 )
 from .assemble import (cap_per_group, domain_mixture,
                        domain_mixture_epochs,
+                       domain_mixture_filter,
                        domain_mixture_temperature,
                        md5_id_hash, pack_sequences,
                        seeded_shuffle, shard_corpus, split_dataset,
@@ -58,7 +59,8 @@ __all__ = [
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
     "cap_per_group",
-    "domain_mixture", "domain_mixture_epochs", "shard_corpus",
+    "domain_mixture", "domain_mixture_epochs", "domain_mixture_filter",
+    "shard_corpus",
     "corpus_stats",
     "cross_corpus_dup_pairs", "dedup_against", "classifier_score",
     "kmeans", "kmeans_assign", "kmeans_fit", "semdedup",

@@ -329,11 +329,12 @@ def domain_mixture_temperature(df: DataFrame, domain_col: str,
                            seed, id_hash)
 
 
-def _mixture_select(df: DataFrame, dom: DataFrame, domain_col: str,
-                    id_col: str, tokens_col: str, seed: int,
-                    id_hash) -> DataFrame:
-    """Shared mixture tail: feasible total from the (domain, __tok,
-    __w) frame, keep-rates broadcast back, id-hash membership."""
+def _mixture_keep(df: DataFrame, dom: DataFrame, domain_col: str,
+                  id_col: str, seed: int, id_hash) -> DataFrame:
+    """Shared mixture tail keeping EVERY input column: feasible total
+    from the (domain, __tok, __w) frame, keep-rates broadcast back,
+    id-hash membership filter.  Domains absent from the rates frame
+    are dropped (inner join)."""
     if id_hash is None:
         id_hash = _xxhash_id
     total = dom.agg(F.min(F.col("__tok") / F.col("__w"))
@@ -346,13 +347,46 @@ def _mixture_select(df: DataFrame, dom: DataFrame, domain_col: str,
                 .select("domain",
                         F.round(F.col("__rate") * _BUCKETS)
                          .cast("long").alias("__thresh")))
-    bucket = F.pmod(id_hash(F.col("id"), seed), F.lit(_BUCKETS))
-    return (df.select(F.col(id_col).alias("id"),
-                      F.col(domain_col).alias("domain"),
-                      F.col(tokens_col).cast("long").alias("n_tokens"))
-              .join(F.broadcast(rates), "domain")
-              .filter(bucket < F.col("__thresh"))
-              .select("id", "domain", "n_tokens"))
+    bucket = F.pmod(id_hash(df[id_col], seed), F.lit(_BUCKETS))
+    out = (df.join(F.broadcast(rates),
+                   df[domain_col] == rates["domain"])
+             .filter(bucket < rates["__thresh"]))
+    return out.drop(rates["domain"]).drop(rates["__thresh"])
+
+
+def _mixture_select(df: DataFrame, dom: DataFrame, domain_col: str,
+                    id_col: str, tokens_col: str, seed: int,
+                    id_hash) -> DataFrame:
+    """_mixture_keep projected to the (id, domain, n_tokens) API
+    shape."""
+    kept = _mixture_keep(df, dom, domain_col, id_col, seed, id_hash)
+    return kept.select(F.col(id_col).alias("id"),
+                       F.col(domain_col).alias("domain"),
+                       F.col(tokens_col).cast("long").alias("n_tokens"))
+
+
+def domain_mixture_filter(df: DataFrame, domain_col: str, id_col: str,
+                          tokens_col: str, weights: dict[str, float],
+                          seed: int = 42, id_hash=None) -> DataFrame:
+    """``domain_mixture``'s cut keeping EVERY input column (the
+    dialect ``mixture`` hint's shape — the API's (id, domain,
+    n_tokens) frame is a projection of this filter).  Same algebra:
+    feasible total T = min_d tokens_d / w_d, keep-rate
+    min(1, w_d * T / tokens_d), membership by seeded id hash, so the
+    selection is reproducible and downsample-only.  Scale shape is
+    domain_mixture's: one partial-aggregated pass for the per-domain
+    totals, a broadcast rates join, one filter."""
+    for k, v in weights.items():
+        if v < 0:
+            raise ValueError(f"weight for {k!r} must be >= 0")
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
+                          for x in (kv[0], float(kv[1]))])
+    dom = (df.groupBy(F.col(domain_col).alias("domain"))
+             .agg(F.sum(F.col(tokens_col).cast("long"))
+                   .cast("double").alias("__tok"))
+             .withColumn("__w", wmap[F.col("domain")])
+             .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
+    return _mixture_keep(df, dom, domain_col, id_col, seed, id_hash)
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,

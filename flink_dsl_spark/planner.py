@@ -287,10 +287,20 @@ class Planner:
                 row_hints.append(("token_budget",
                                   (h.args[0], h.args[1], h.args[2])))
                 continue
+            if h.name == "mixture":
+                if len(h.args) != 4 or not all(
+                        isinstance(a, str) for a in h.args):
+                    raise PlanError(
+                        "mixture hint takes (domain_column, id_column, "
+                        "tokens_column, 'dom=w,dom=w,...')")
+                row_hints.append(("mixture", tuple(h.args)))
+                continue
             if h.name != "salt":
                 raise PlanError(f"unknown hint {h.name!r} (supported: "
                                 "salt(key, n), cap(group, id, k), "
-                                "token_budget(id, tokens, budget))")
+                                "token_budget(id, tokens, budget), "
+                                "mixture(domain, id, tokens, "
+                                "'dom=w,...'))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -325,6 +335,8 @@ class Planner:
         for kind, spec in row_hints:
             if kind == "cap":
                 df = self._apply_cap_hint(df, *spec)
+            elif kind == "mixture":
+                df = self._apply_mixture_hint(df, *spec)
             else:
                 df = self._apply_token_budget_hint(df, *spec)
 
@@ -1317,6 +1329,54 @@ class Planner:
         from .llm_ops.assemble import md5_id_hash, token_budget_filter
         return token_budget_filter(df, idc, tokc, budget,
                                    seed=42, id_hash=md5_id_hash)
+
+    def _apply_mixture_hint(self, df: DataFrame, domcol: str,
+                            idcol: str, tokcol: str,
+                            weights_str: str) -> DataFrame:
+        """mixture(domain, id, tokens, 'dom=w,dom=w,...'): rebalance
+        the select's input rows toward the target token shares —
+        the declarative form of llm_ops.assemble.domain_mixture
+        (downsample-only: the binding domain keeps rate 1.0, every
+        other domain is hash-downsampled; domains absent from the
+        weight list are dropped), keeping ALL columns of the input
+        rows.
+
+        Like cap/token_budget, the dialect surface fixes hash and
+        seed (md5_id_hash, seed 42) so membership is reproducible
+        across engines and value-oracle-able; the Python API keeps
+        xxhash64 as its production default.
+
+        Scale shape (domain_mixture's): one partial-aggregated
+        groupBy for the per-domain token totals (|domains| rows), a
+        broadcast rates join, one filter — the corpus is touched by
+        exactly one agg pass and one filter."""
+        if df.isStreaming:
+            raise PlanError("mixture hint is batch-only (per-domain "
+                            "token totals need the whole corpus)")
+        d, i, t = self._resolve_hint_cols(df, (domcol, idcol, tokcol),
+                                          "mixture")
+        weights: dict = {}
+        for part in weights_str.split(","):
+            part = part.strip()
+            if not part:
+                continue
+            dom, eq, w = part.partition("=")
+            dom = dom.strip()
+            try:
+                wv = float(w.strip()) if eq else None
+            except ValueError:
+                wv = None
+            if not dom or wv is None or wv <= 0 or dom in weights:
+                raise PlanError(
+                    f"mixture hint weight entry {part!r} is not a "
+                    f"unique 'domain=positive_number' pair")
+            weights[dom] = wv
+        if not weights:
+            raise PlanError("mixture hint needs at least one "
+                            "'domain=weight' entry")
+        from .llm_ops.assemble import domain_mixture_filter, md5_id_hash
+        return domain_mixture_filter(df, d, i, t, weights, seed=42,
+                                     id_hash=md5_id_hash)
 
     @staticmethod
     def _resolve_hint_cols(df: DataFrame, wanted: tuple,

@@ -748,6 +748,75 @@ def test_token_budget_hint_is_batch_only(engine, spark):
         eng.sql("drop stream tb_ev")
 
 
+def test_mixture_hint_equals_python_api(engine):
+    """/*+ mixture(...) */ is the declarative form of
+    llm_ops.assemble.domain_mixture_filter with the cross-engine md5
+    hash and seed 42 — identical row sets, all input columns kept."""
+    from flink_dsl_spark.llm_ops.assemble import domain_mixture_filter, \
+        md5_id_hash
+    got = engine.sql(
+        "select /*+ mixture(source, doc_id, n_chars, "
+        "'src0=0.4, src1=0.3, src2=0.2, src3=0.1') */ "
+        "doc_id, source, n_chars from documents")
+    want = domain_mixture_filter(
+        engine.catalog.get("documents"), "source", "doc_id", "n_chars",
+        {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1},
+        seed=42, id_hash=md5_id_hash).select("doc_id", "source",
+                                             "n_chars")
+    assert sorted(_rows(got)) == sorted(_rows(want))
+    assert 0 < len(_rows(got)) < 500         # downsampling bites
+
+
+def test_mixture_hint_drops_unlisted_domains(engine):
+    """Domains missing from the weight string are dropped (the
+    domain_mixture contract), not kept whole."""
+    rows = _rows(engine.sql(
+        "select /*+ mixture(source, doc_id, n_chars, 'src0=1.0') */ "
+        "source from documents"))
+    assert rows and {s for (s,) in rows} == {"src0"}
+
+
+def test_mixture_hint_bad_args_error(engine):
+    for bad in ["mixture(source, doc_id, n_chars)",        # no weights
+                "mixture(source, doc_id, n_chars, 3)"]:    # not a string
+        with pytest.raises(PlanError, match="mixture hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+    for w in ["src0=0.4,src0=0.1",    # duplicate domain
+              "src0=",                # missing weight
+              "=0.3",                 # missing domain
+              "src0=-1",              # non-positive
+              "src0=abc"]:            # not a number
+        with pytest.raises(PlanError, match="mixture hint weight"):
+            engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                       f"'{w}') */ doc_id from documents")
+    with pytest.raises(PlanError, match="at least one"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, '') */"
+                   " doc_id from documents")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ mixture(nope, doc_id, n_chars, "
+                   "'a=1') */ doc_id from documents")
+
+
+def test_mixture_hint_is_batch_only(engine, spark):
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="mx_stream_")
+    os.symlink(f"{SF_DIR}/documents.parquet",
+               os.path.join(d, "documents.parquet"))
+    eng.sql("create stream mx_docs ("
+            + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                        for f in docs.schema.fields)
+            + f") source file ('{d}', 'parquet')")
+    try:
+        with pytest.raises(PlanError, match="batch-only"):
+            eng.sql("select /*+ mixture(source, doc_id, n_chars, "
+                    "'src0=1.0') */ doc_id from mx_docs")
+    finally:
+        eng.sql("drop stream mx_docs")
+
+
 def test_salt_then_token_budget_compose(engine):
     """r10 fuzz target: the skew-salt join hint and the token budget
     compose — the salted join's row set is identical to the unsalted

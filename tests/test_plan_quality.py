@@ -287,6 +287,9 @@ _SINGLE_PARTITION_BY_DESIGN = {
     "llm58_curation_report",     # five 1-row funnel scalar aggregates
     "llm63_mixture_temperature",  # global scalar min(tok/w) over the
                                   # per-domain frame (q30 pattern)
+    "q81_mixture_hint",           # same feasible-total scalar
+                                  # min(tok/w) as llm45/llm63 — one
+                                  # row over the |domains|-row frame
     "llm69_length_quantiles",     # prefix-sum window over the
                                   # DISTINCT-VALUE table (bounded
                                   # domain), never the corpus
