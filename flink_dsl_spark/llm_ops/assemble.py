@@ -268,6 +268,8 @@ def domain_mixture(df: DataFrame, domain_col: str, id_col: str,
 
     Returns the kept rows as (id, domain, n_tokens).
 
+    Weights must be finite and >= 0 (see _check_mixture_weights).
+
     Scale shape: one partial-aggregated groupBy computes per-domain
     token totals (|domains| rows), the feasible total is a scalar agg
     over that tiny frame, and the rates table broadcast-joins back —
@@ -276,9 +278,7 @@ def domain_mixture(df: DataFrame, domain_col: str, id_col: str,
     (split_dataset's bucket trick), so membership is reproducible and
     stable under corpus growth.  Domains missing from ``weights`` are
     dropped; weights naming absent domains are ignored."""
-    for k, v in weights.items():
-        if v < 0:
-            raise ValueError(f"weight for {k!r} must be >= 0")
+    _check_mixture_weights(weights)
     wmap = F.create_map(*[F.lit(x) for kv in weights.items()
                           for x in (kv[0], float(kv[1]))])
     dom = (df.groupBy(F.col(domain_col).alias("domain"))
@@ -376,9 +376,7 @@ def domain_mixture_filter(df: DataFrame, domain_col: str, id_col: str,
     selection is reproducible and downsample-only.  Scale shape is
     domain_mixture's: one partial-aggregated pass for the per-domain
     totals, a broadcast rates join, one filter."""
-    for k, v in weights.items():
-        if v < 0:
-            raise ValueError(f"weight for {k!r} must be >= 0")
+    _check_mixture_weights(weights)
     wmap = F.create_map(*[F.lit(x) for kv in weights.items()
                           for x in (kv[0], float(kv[1]))])
     dom = (df.groupBy(F.col(domain_col).alias("domain"))
@@ -387,6 +385,18 @@ def domain_mixture_filter(df: DataFrame, domain_col: str, id_col: str,
              .withColumn("__w", wmap[F.col("domain")])
              .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
     return _mixture_keep(df, dom, domain_col, id_col, seed, id_hash)
+
+
+def _check_mixture_weights(weights: dict) -> None:
+    """Weights must be finite and >= 0 — NaN passes plain comparison
+    gates (NaN < 0 is False) and then silently corrupts the rate
+    algebra (NaN sorts greatest in Spark, least(1.0, NaN) = 1.0);
+    inf makes the feasible total collapse to 0."""
+    import math
+    for k, v in weights.items():
+        if not math.isfinite(v) or v < 0:
+            raise ValueError(
+                f"weight for {k!r} must be finite and >= 0, got {v!r}")
 
 
 def pack_sequences(df: DataFrame, id_col: str, tokens_col: str,

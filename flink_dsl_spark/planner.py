@@ -25,6 +25,7 @@ Key mechanics:
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -1366,10 +1367,14 @@ class Planner:
                 wv = float(w.strip()) if eq else None
             except ValueError:
                 wv = None
-            if not dom or wv is None or wv <= 0 or dom in weights:
+            # isfinite also rejects 'nan'/'inf', which float() parses:
+            # NaN passes every comparison gate but silently corrupts
+            # the rate algebra (NaN sorts greatest, least(1, NaN)=1)
+            if not dom or wv is None or not math.isfinite(wv) \
+                    or wv <= 0 or dom in weights:
                 raise PlanError(
                     f"mixture hint weight entry {part!r} is not a "
-                    f"unique 'domain=positive_number' pair")
+                    f"unique 'domain=positive_finite_number' pair")
             weights[dom] = wv
         if not weights:
             raise PlanError("mixture hint needs at least one "
@@ -1645,6 +1650,21 @@ class Planner:
         offsets: list[tuple] = []           # (col, k, default, alias)
         hidden: list[tuple] = []            # (name, Expr) inputs to add
         wf_map: dict[int, str] = {}         # installed only on success
+
+        # bookkeeping names must not shadow a stream column — a user
+        # column named __rw_out0 would duplicate in running_agg's
+        # output schema, and withColumn would silently replace a
+        # __rw_in0 (the same collision class token_budget_filter
+        # guards against)
+        taken = set(df.columns)
+
+        def _fresh(base: str) -> str:
+            name, n = base, 0
+            while name in taken:
+                n += 1
+                name = f"{base}_{n}"
+            taken.add(name)
+            return name
         for i, e in enumerate(wfs):
             name = e.func.name
             if name == "lead":
@@ -1719,10 +1739,11 @@ class Planner:
                 if isinstance(args[0], Col):
                     in_col = plain_col(args[0], "lag() argument")
                 else:
-                    in_col = f"__rw_in{i}"
+                    in_col = _fresh(f"__rw_in{i}")
                     hidden.append((in_col, args[0]))
-                offsets.append((in_col, off, dflt, f"__rw_out{i}"))
-                wf_map[id(e)] = f"__rw_out{i}"
+                out_name = _fresh(f"__rw_out{i}")
+                offsets.append((in_col, off, dflt, out_name))
+                wf_map[id(e)] = out_name
                 continue
             if args and isinstance(args[0], Star):
                 if name != "count":
@@ -1734,10 +1755,11 @@ class Planner:
             elif isinstance(args[0], Col):
                 in_col = plain_col(args[0], f"{name}() argument")
             else:
-                in_col = f"__rw_in{i}"
+                in_col = _fresh(f"__rw_in{i}")
                 hidden.append((in_col, args[0]))
-            aggs.append((name, in_col, f"__rw_out{i}"))
-            wf_map[id(e)] = f"__rw_out{i}"
+            out_name = _fresh(f"__rw_out{i}")
+            aggs.append((name, in_col, out_name))
+            wf_map[id(e)] = out_name
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))

@@ -391,23 +391,49 @@ def running_agg(sdf: DataFrame,
                 f"double first)")
         integral.append(isinstance(t, IntegralType))
 
-    for c, k, _d, _a in offsets:
+    from pyspark.sql.types import (BooleanType, FractionalType, MapType,
+                                   StringType)
+    checked_offsets: list[tuple] = []
+    for c, k, dflt, a in offsets:
         if c not in by_name:
             raise PlanError(
                 f"lag column {c!r} not found in input columns "
                 f"{sdf.columns}")
-        if isinstance(by_name[c].dataType, DecimalType):
+        t = by_name[c].dataType
+        if isinstance(t, DecimalType):
             raise PlanError(
                 f"lag({c}) on a decimal column is not supported on "
                 f"streams (cast to double first)")
-        from pyspark.sql.types import MapType
-        if isinstance(by_name[c].dataType,
-                      (ArrayType, MapType, StructType)):
+        if isinstance(t, (ArrayType, MapType, StructType)):
             raise PlanError(
                 f"lag({c}) needs an atomic column type, got "
-                f"{by_name[c].dataType.simpleString()}")
+                f"{t.simpleString()}")
         if not isinstance(k, int) or isinstance(k, bool) or k < 0:
             raise PlanError("lag offset must be an integer >= 0")
+        # type-check the default at PLAN time: a mismatched literal
+        # would otherwise die in the executor as an opaque Arrow
+        # conversion error on the first micro-batch
+        if dflt is not None:
+            if isinstance(t, StringType):
+                ok = isinstance(dflt, str)
+            elif isinstance(t, BooleanType):
+                ok = isinstance(dflt, bool)
+            elif isinstance(t, IntegralType):
+                ok = isinstance(dflt, int) and not isinstance(dflt, bool)
+            elif isinstance(t, FractionalType):
+                ok = isinstance(dflt, (int, float)) \
+                    and not isinstance(dflt, bool)
+                if ok:
+                    dflt = float(dflt)
+            else:
+                ok = False        # date/timestamp/binary: NULL only
+            if not ok:
+                raise PlanError(
+                    f"lag({c}) default {dflt!r} does not match the "
+                    f"column type {t.simpleString()} (use a matching "
+                    f"literal or omit the default)")
+        checked_offsets.append((c, k, dflt, a))
+    offsets = checked_offsets
 
     def _out_type(i):
         fn, c, _a = aggs[i]

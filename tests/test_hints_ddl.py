@@ -785,7 +785,10 @@ def test_mixture_hint_bad_args_error(engine):
               "src0=",                # missing weight
               "=0.3",                 # missing domain
               "src0=-1",              # non-positive
-              "src0=abc"]:            # not a number
+              "src0=abc",             # not a number
+              "src0=nan,src1=1",      # float() parses nan — NaN would
+                                      # silently corrupt the algebra
+              "src0=inf"]:            # inf collapses the total to 0
         with pytest.raises(PlanError, match="mixture hint weight"):
             engine.sql("select /*+ mixture(source, doc_id, n_chars, "
                        f"'{w}') */ doc_id from documents")

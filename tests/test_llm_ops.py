@@ -1060,6 +1060,19 @@ def test_token_budget_filter_survives_colliding_columns(spark):
 # domain mixture (llm45)
 # ---------------------------------------------------------------------------
 
+def test_domain_mixture_rejects_non_finite_weights(spark):
+    """NaN passes plain comparison gates (NaN < 0 is False) and then
+    silently corrupts the rate algebra; inf collapses the feasible
+    total — both must raise up front (review finding, r10)."""
+    df = spark.createDataFrame([(1, "a", 10)], "id long, dom string, "
+                                               "toks long")
+    for bad in (float("nan"), float("inf"), -1.0):
+        with pytest.raises(ValueError, match="finite"):
+            L.domain_mixture(df, "dom", "id", "toks", {"a": bad})
+        with pytest.raises(ValueError, match="finite"):
+            L.domain_mixture_filter(df, "dom", "id", "toks", {"a": bad})
+
+
 def test_domain_mixture_binding_domain_kept_whole(spark):
     # dom a: 1000 tokens, dom b: 4000 tokens; weights 50/50 ->
     # T = min(1000/.5, 4000/.5) = 2000; a keeps rate 1.0 (binding),

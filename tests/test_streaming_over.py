@@ -275,6 +275,57 @@ def test_streaming_lag_rejections(spark, src_dir):
             eng.sql(sql)
 
 
+def test_streaming_lag_default_type_checked_at_plan_time(spark, src_dir):
+    """A default literal that does not match the lag column's type is
+    a plan-time PlanError, not an executor Arrow crash; an int default
+    on a double column coerces (review finding, r10)."""
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="does not match"):
+        eng.sql("select lag(value, 1, 'missing') over (partition by "
+                "user order by ts, event_id) as x from ev")
+    with pytest.raises(PlanError, match="does not match"):
+        eng.sql("select lag(user, 1, 7) over (partition by small "
+                "order by ts, event_id) as x from ev")
+    with pytest.raises(PlanError, match="does not match"):
+        eng.sql("select lag(ts, 1, 0) over (partition by user "
+                "order by ts, event_id) as x from ev")
+    # int default on a double column coerces to float and runs
+    out = eng.sql("select event_id, lag(value, 1, -1) over (partition "
+                  "by user order by ts, event_id) as pv from ev")
+    sink = _run(out)
+    got = {r["event_id"]: r["pv"] for r in
+           spark.sql(f"select * from {sink}").collect()}
+    assert got[0] == -1.0 and len(got) == 24
+
+
+def test_streaming_over_survives_rw_column_collision(spark, tmp_path):
+    """Input columns named __rw_out0/__rw_in0 must pass through the
+    stateful pass intact — bookkeeping names derive collision-free
+    (review finding, r10; same class as the __tb_* fix)."""
+    schema = ("ts timestamp, user string, v double, "
+              "__rw_out0 string, __rw_in0 string")
+    rows = [(T0 + dt.timedelta(minutes=m), "u", float(m + 1),
+             f"keep{m}", f"also{m}") for m in range(4)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf)
+    out = eng.sql(
+        'select ts, "__rw_out0", "__rw_in0", '
+        "lag(v * 2, 1) over (partition by user order by ts) as dv, "
+        "sum(v * 3) over (partition by user order by ts rows between "
+        "unbounded preceding and current row) as rs from ev")
+    sink = _run(out)
+    got = sorted((r["__rw_out0"], r["__rw_in0"], r["dv"], r["rs"])
+                 for r in spark.sql(f"select * from {sink}").collect())
+    assert got == [("keep0", "also0", None, 3.0),
+                   ("keep1", "also1", 2.0, 9.0),
+                   ("keep2", "also2", 4.0, 18.0),
+                   ("keep3", "also3", 6.0, 30.0)]
+
+
 def test_streaming_lag_expression_arg_and_zero_offset(spark, src_dir):
     """lag of a computed expression routes through a hidden column
     (dropped from the output); lag(col, 0) is the value itself."""
