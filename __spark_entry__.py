@@ -1588,6 +1588,26 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return df.select("user_id", "event_id", "prev_type", "prev2_id",
                          F.round("run_sum", 2).alias("run_sum"))
 
+    def s14(spark, d):
+        # streaming first_value/last_value (r10): first_value keeps ONE
+        # captured value per key (O(1) state; the empty-vs-[NULL]
+        # array distinction preserves a NULL first value); last_value
+        # over the running ROWS frame IS the current row — compiled
+        # inline, zero state.  Both share the single stateful pass
+        # with a running count.  Same determinism premise as s11.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s14", f"{d}/events.parquet")
+        frame = ("over (partition by user_id order by ts, event_id "
+                 "rows between unbounded preceding and current row)")
+        out = eng.sql(f"""
+            select user_id, event_id,
+                   first_value(event_type) {frame} as first_type,
+                   first_value(value) {frame} as first_amt,
+                   last_value(value) {frame} as cur_amt,
+                   count(*) {frame} as run_n
+            from ev_s14""")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1600,7 +1620,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s10_stream_hll": s10,
             "s11_stream_running_over": s11,
             "s12_stream_qualify_cap": s12,
-            "s13_stream_lag": s13}
+            "s13_stream_lag": s13,
+            "s14_stream_first_last": s14}
 
 
 # ---------------------------------------------------------------------------
@@ -1683,8 +1704,9 @@ _PRIORITY = [
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
     # -- FIRST rows: NEW r10 surfaces (never-sampled outranks refresh;
-    #    q81 took q10's slot — HAVING rotates back r11) --
-    "s13_stream_lag", "q81_mixture_hint",
+    #    q81 took q10's slot, s14 took q07's — HAVING and the cross
+    #    join rotate back r11) --
+    "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
     # -- fresh rows for r10-touched code: running_agg precision fixes
     #    (s11, s12) and token_budget_filter collision-free bookkeeping
     #    names (q80 hint path, llm44 sample path) --
@@ -1705,15 +1727,17 @@ _PRIORITY = [
     "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
     # -- oldest r7 greens (the r11 rotation continues from here) --
-    "q42_salt_hint", "q36_range_join", "q06_full_join", "q07_cross_join",
+    "q42_salt_hint", "q36_range_join", "q06_full_join",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
     #     Ordered by next-staleness: remaining r7 greens first (they
     #     lead the r11 rotation), then the r8 greens, then the r9
     #     greens displaced by this rotation (freshest, sampled last).
-    # remaining r7 greens (q10 lent its slot to the q81 first row)
-    "q10_having", "q11_distinct", "q13_in_list", "q17b_union_all",
+    # remaining r7 greens (q10 and q07 lent their slots to the
+    # q81/s14 first rows)
+    "q10_having", "q07_cross_join", "q11_distinct", "q13_in_list",
+    "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
@@ -1930,6 +1954,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, prev_type,
                CAST(prev2_id AS BIGINT) AS prev2_id,
                round(run_sum, 2) AS run_sum
+        FROM w"""
+    # s14: streaming first_value/last_value == the batch value-window
+    # (same single-ordered-batch + unique (ts, event_id) premise as
+    # s11); values pass through untouched, so no rounding is needed —
+    # only the count casts out of DuckDB's HUGEINT
+    o["s14_stream_first_last"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          first_value(event_type) OVER win
+                              AS first_type,
+                          first_value(value) OVER win AS first_amt,
+                          last_value(value) OVER win AS cur_amt,
+                          count(*) OVER win AS run_n
+                   FROM events
+                   WINDOW win AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT user_id, event_id, first_type, first_amt, cur_amt,
+               CAST(run_n AS BIGINT) AS run_n
         FROM w"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic

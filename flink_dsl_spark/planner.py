@@ -1594,7 +1594,8 @@ class Planner:
         "event-time [, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW) — write the ROWS frame explicitly (the implicit "
         "default frame is RANGE, whose peer semantics an unbounded "
-        "stream cannot honor) — and lag(col [, offset [, default]])")
+        "stream cannot honor) — plus lag(col [, offset [, default]]) "
+        "and first_value/last_value over the same running ROWS frame")
 
     def _plan_streaming_over(self, sel: Select, df: DataFrame,
                              wfs: list) -> DataFrame:
@@ -1608,8 +1609,11 @@ class Planner:
         an explicit ``ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT
         ROW`` frame, plus ``lag(col [, k [, default]])`` (r10 — O(k)
         backward state; ``lead`` stays rejected because it reads rows
-        that have not arrived), plain-column PARTITION BY, and an
-        ascending plain-column ORDER BY (event time + tiebreak).
+        that have not arrived), ``first_value`` (one captured value
+        per key) and ``last_value`` (over the running ROWS frame it
+        IS the current row — compiled inline, no state), plain-column
+        PARTITION BY, and an ascending plain-column ORDER BY (event
+        time + tiebreak).
         Every window function in the select must share one
         (partition, order) spec — the stateful pass groups the stream
         once.  Anything else keeps the clear batch-only rejection.
@@ -1648,7 +1652,9 @@ class Planner:
         spec0 = None
         aggs: list[tuple] = []
         offsets: list[tuple] = []           # (col, k, default, alias)
+        firsts: list[tuple] = []            # (col, alias)
         hidden: list[tuple] = []            # (name, Expr) inputs to add
+        hidden_keep: set = set()            # hidden cols that ARE outputs
         wf_map: dict[int, str] = {}         # installed only on success
 
         # bookkeeping names must not shadow a stream column — a user
@@ -1674,7 +1680,9 @@ class Planner:
                     "ahead to — use lag() (the backward offset) or run "
                     "the query in batch")
             is_lag = name == "lag"
-            if not is_lag and (
+            is_first = name == "first_value"
+            is_last = name == "last_value"
+            if not (is_lag or is_first or is_last) and (
                     not self.registry.is_aggregate(name)
                     or name not in ("sum", "count", "min", "max", "avg")):
                 raise PlanError(self._RUNNING_FRAME_MSG)
@@ -1695,6 +1703,11 @@ class Planner:
                 raise PlanError(
                     "lag() requires ORDER BY in its OVER clause"
                     if is_lag else self._RUNNING_FRAME_MSG)
+            if (is_first or is_last) and (
+                    len(e.func.args) != 1
+                    or isinstance(e.func.args[0], Star)):
+                raise PlanError(
+                    f"{name}() takes exactly one argument")
             for o in e.order_by:
                 if not o.ascending or o.nulls == "last":
                     raise PlanError(
@@ -1745,6 +1758,30 @@ class Planner:
                 offsets.append((in_col, off, dflt, out_name))
                 wf_map[id(e)] = out_name
                 continue
+            if is_first:
+                if isinstance(args[0], Col):
+                    in_col = plain_col(args[0], "first_value() argument")
+                else:
+                    in_col = _fresh(f"__rw_in{i}")
+                    hidden.append((in_col, args[0]))
+                out_name = _fresh(f"__rw_out{i}")
+                firsts.append((in_col, out_name))
+                wf_map[id(e)] = out_name
+                continue
+            if is_last:
+                # over the running ROWS frame, last_value(x) IS the
+                # current row's x — no state needed: map the window
+                # function at the input column (or a kept hidden
+                # column for expressions)
+                if isinstance(args[0], Col):
+                    wf_map[id(e)] = plain_col(args[0],
+                                              "last_value() argument")
+                else:
+                    out_name = _fresh(f"__rw_out{i}")
+                    hidden.append((out_name, args[0]))
+                    hidden_keep.add(out_name)
+                    wf_map[id(e)] = out_name
+                continue
             if args and isinstance(args[0], Star):
                 if name != "count":
                     raise PlanError(f"{name}(*) is not valid")
@@ -1763,9 +1800,17 @@ class Planner:
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))
-        out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]),
-                          offsets=offsets)
-        out = out.drop(*[h for h, _ in hidden])
+        stateful = bool(aggs or offsets or firsts)
+        if stateful:
+            out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]),
+                              offsets=offsets, firsts=firsts)
+        else:
+            # pure last_value select: every window function compiled
+            # to an existing (or kept-hidden) column — no stateful
+            # pass at all
+            out = df
+        out = out.drop(*[h for h, _ in hidden
+                         if h not in hidden_keep])
         # restore the single leaf's binding so the projection's
         # qualified column refs (resolver qualifies every Col by its
         # leaf) still resolve on the stateful output
@@ -1775,7 +1820,9 @@ class Planner:
         # compile through a recycled AST id (the caller clears it
         # after the projection compiles)
         self._stream_wf_cols = wf_map
-        self._stateful_passes = getattr(self, "_stateful_passes", 0) + 1
+        if stateful:
+            self._stateful_passes = getattr(
+                self, "_stateful_passes", 0) + 1
         return out
 
     def _compile_window_func(self, e: WindowFunc, df,
@@ -1814,8 +1861,9 @@ class Planner:
                 "window functions on streams support only running "
                 "aggregates — sum/count/min/max/avg OVER (PARTITION "
                 "BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
-                "AND CURRENT ROW) — and lag(); other analytic forms "
-                "are batch-only (they need a finite partition order)")
+                "AND CURRENT ROW) — plus lag() and "
+                "first_value/last_value; other analytic forms are "
+                "batch-only (they need a finite partition order)")
         if e.func.distinct:
             raise PlanError(
                 f"DISTINCT is not supported in window function {name}()")

@@ -300,7 +300,8 @@ def running_agg(sdf: DataFrame,
                 key_cols: list[str],
                 aggs: list[tuple[str, Optional[str], str]],
                 order_cols: list[str],
-                offsets: Optional[list[tuple]] = None) -> DataFrame:
+                offsets: Optional[list[tuple]] = None,
+                firsts: Optional[list[tuple]] = None) -> DataFrame:
     """Per-ROW running aggregates over a keyed stream — the streaming
     form of the batch analytic ``agg(x) OVER (PARTITION BY key ORDER BY
     t ROWS UNBOUNDED PRECEDING..CURRENT ROW)``: every arriving row is
@@ -323,6 +324,13 @@ def running_agg(sdf: DataFrame,
         nullable integral lag shares the running-sum per-value
         premise: values are exact below 2^53 (the Arrow float64
         transfer bound).
+    firsts : ``(col, alias)`` first_value specs — each row is emitted
+        with its key's FIRST row's value (possibly NULL, the
+        ignoreNulls=False default both engines share).  State per
+        (key, spec) is one captured value plus a set-flag — O(1); the
+        empty-vs-[NULL] array distinction is what separates "not yet
+        seen" from "first value was NULL".  Same atomic-type rules as
+        offsets.
     order_cols : intra-batch processing order (event time + a unique
         tiebreaker pins determinism); NULL order keys sort FIRST,
         matching Spark's ascending default in the batch window.
@@ -359,15 +367,16 @@ def running_agg(sdf: DataFrame,
                                    IntegralType, NumericType)
 
     offsets = offsets or []
+    firsts = firsts or []
     for fn, c, _a in aggs:
         if fn not in _SUPPORTED:
             raise PlanError(
                 f"running_agg supports {_SUPPORTED}, got {fn!r}")
         if c is None and fn != "count":
             raise PlanError(f"{fn}(*) is not valid")
-    if not aggs and not offsets:
-        raise PlanError("running_agg needs at least one aggregate "
-                        "or lag spec")
+    if not aggs and not offsets and not firsts:
+        raise PlanError("running_agg needs at least one aggregate, "
+                        "lag, or first_value spec")
     if not order_cols:
         raise PlanError("running_agg requires an ordering column")
     missing = [c for c in order_cols if c not in sdf.columns]
@@ -434,6 +443,20 @@ def running_agg(sdf: DataFrame,
                     f"literal or omit the default)")
         checked_offsets.append((c, k, dflt, a))
     offsets = checked_offsets
+    for c, _a in firsts:
+        if c not in by_name:
+            raise PlanError(
+                f"first_value column {c!r} not found in input columns "
+                f"{sdf.columns}")
+        t = by_name[c].dataType
+        if isinstance(t, DecimalType):
+            raise PlanError(
+                f"first_value({c}) on a decimal column is not "
+                f"supported on streams (cast to double first)")
+        if isinstance(t, (ArrayType, MapType, StructType)):
+            raise PlanError(
+                f"first_value({c}) needs an atomic column type, got "
+                f"{t.simpleString()}")
 
     def _out_type(i):
         fn, c, _a = aggs[i]
@@ -448,7 +471,8 @@ def running_agg(sdf: DataFrame,
         in_fields + [StructField(a, _out_type(i))
                      for i, (_f, _c, a) in enumerate(aggs)]
         + [StructField(a, by_name[c].dataType)
-           for c, _k, _d, a in offsets])
+           for c, _k, _d, a in offsets]
+        + [StructField(a, by_name[c].dataType) for c, a in firsts])
 
     # state: rows seen + per-agg (non-null n, sum, min, max) scalars
     def _acc_type(i):
@@ -464,28 +488,29 @@ def running_agg(sdf: DataFrame,
     for j, (c, _k, _d, _a) in enumerate(offsets):
         state_fields.append(
             StructField(f"tl{j}", ArrayType(by_name[c].dataType)))
+    # first_value state: one captured value per spec — the empty
+    # array means "not yet seen", [NULL] means "first value was NULL"
+    for j, (c, _a) in enumerate(firsts):
+        state_fields.append(
+            StructField(f"fv{j}", ArrayType(by_name[c].dataType)))
     state_schema = StructType(state_fields)
     tail_base = 1 + 4 * len(aggs)
+    first_base = tail_base + len(offsets)
 
     keyed = sdf if key_cols else sdf.withColumn("__gk", _lit0())
     group_keys = key_cols if key_cols else ["__gk"]
     agg_cols = [c for _f, c, _a in aggs]
     out_names = [f.name for f in out_schema.fields]
 
-    frac_lag = [isinstance(by_name[c].dataType, FractionalType)
-                for c, _k, _d, _a in offsets]
-    int_lag = [isinstance(by_name[c].dataType, IntegralType)
-               for c, _k, _d, _a in offsets]
-
-    def _obj_values(v: pd.Series, j: int) -> "object":
-        """A lag input column as an object ndarray with None for
-        NULL — the one representation Arrow converts back to the
+    def _obj_values(v: pd.Series, t) -> "object":
+        """A pass-through input column as an object ndarray with None
+        for NULL — the one representation Arrow converts back to the
         declared column type losslessly for every supported kind
         (float NaN and int-as-float would otherwise leak through)."""
-        if int_lag[j]:
+        if isinstance(t, IntegralType):
             return pd.array(v, dtype="Int64").to_numpy(
                 dtype=object, na_value=None)
-        if frac_lag[j]:
+        if isinstance(t, FractionalType):
             a = v.to_numpy(dtype="float64", copy=False)
             out = a.astype(object)
             out[np.isnan(a)] = None
@@ -514,10 +539,13 @@ def running_agg(sdf: DataFrame,
                     for i in range(len(aggs))]
             tails = [list(row[tail_base + j] or ())
                      for j in range(len(offsets))]
+            fvals = [list(row[first_base + j] or ())
+                     for j in range(len(firsts))]
         else:
             seen = 0
             accs = [[0, None, None, None] for _ in aggs]
             tails = [[] for _ in offsets]
+            fvals = [[] for _ in firsts]
 
         # a key's batch rows may arrive as several chunks; the sort
         # must be over ALL of them or chunk boundaries would corrupt
@@ -652,7 +680,7 @@ def running_agg(sdf: DataFrame,
                                       and np.isnan(rmx[last])) \
                         else cast(rmx[last])
             for j, (c, k, dflt, alias) in enumerate(offsets):
-                vals = _obj_values(pdf[c], j)
+                vals = _obj_values(pdf[c], by_name[c].dataType)
                 if k == 0:                    # lag 0 is the value itself
                     res[alias] = pd.Series(vals, dtype=object)
                     continue
@@ -667,12 +695,22 @@ def running_agg(sdf: DataFrame,
                     [pad, np.array(tail, dtype=object), vals])
                 res[alias] = pd.Series(ext[:n_rows], dtype=object)
                 tails[j] = [_py(x) for x in ext[len(ext) - k:]]
+            for j, (c, alias) in enumerate(firsts):
+                if not fvals[j]:
+                    # capture the key's very first row's value —
+                    # via the object conversion so NULL/ints survive
+                    fvals[j] = [_py(
+                        _obj_values(pdf[c].iloc[:1],
+                                    by_name[c].dataType)[0])]
+                res[alias] = pd.Series([fvals[j][0]] * n_rows,
+                                       dtype=object)
             seen += n_rows
             cols = [c for c in out_names if c in res.columns]
             yield res[cols]
         state.update(tuple(
             [seen] + [x for acc in accs for x in acc]
-            + [tails[j] for j in range(len(offsets))]))
+            + [tails[j] for j in range(len(offsets))]
+            + [fvals[j] for j in range(len(firsts))]))
 
     grouped = keyed.groupBy(*group_keys)
     out = grouped.applyInPandasWithState(

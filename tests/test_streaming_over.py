@@ -346,6 +346,92 @@ def test_streaming_lag_expression_arg_and_zero_offset(spark, src_dir):
     assert got == exp and len(got) == 24
 
 
+def test_streaming_first_last_value_equal_batch(spark, src_dir):
+    """first_value (one captured value per key, NULL included) and
+    last_value (the current row under the running ROWS frame) on a
+    stream must equal the batch window — sharing the stateful pass
+    with a running sum (r10)."""
+    eng = _stream_engine(spark, src_dir)
+    sql = (f"select event_id, first_value(value) {_OVER} as fv, "
+           f"first_value(user) {_OVER} as fu, "
+           f"last_value(value) {_OVER} as lv, "
+           f"last_value(value * 2) {_OVER} as lv2, "
+           f"sum(value) {_OVER} as rs from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    sink = _run(out)
+    got = {r["event_id"]: tuple(r[c] for c in
+                                ("fv", "fu", "lv", "lv2", "rs"))
+           for r in spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: tuple(r[c] for c in
+                                ("fv", "fu", "lv", "lv2", "rs"))
+           for r in beng.sql(sql).collect()}
+    assert got == exp and len(got) == 24
+
+
+def test_streaming_first_value_carries_across_batches(spark, tmp_path):
+    """The captured first value (a NULL one included — the
+    empty-vs-[NULL] state distinction) must hold across micro-batches."""
+    schema = "ts timestamp, user string, v long"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    for b, vals in enumerate([[None, 10], [20], [30, 40]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", v))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [], order_cols=["ts"],
+                      firsts=[("v", "fv")])
+    sink = _run(out)
+    got = [r["fv"] for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    assert got == [None, None, None, None, None]   # first value IS NULL
+
+
+def test_streaming_pure_last_value_needs_no_state(spark, src_dir):
+    """A SELECT whose only window functions are last_value compiles to
+    a stateless plan (no applyInPandasWithState at all) — and still
+    counts zero toward the one-stateful-pass limit, so it unions with
+    a stateful branch."""
+    eng = _stream_engine(spark, src_dir)
+    out = eng.sql(f"select event_id, last_value(value) {_OVER} as lv "
+                  f"from ev")
+    assert out.isStreaming
+    assert eng.planner._stateful_passes == 0
+    sink = _run(out)
+    got = {r["event_id"]: r["lv"] for r in
+           spark.sql(f"select * from {sink}").collect()}
+    exp = {r["event_id"]: r["value"] for r in
+           spark.read.parquet(src_dir).collect()}
+    assert got == exp
+    # composes with a stateful branch inside one union
+    both = eng.sql(
+        f"select event_id, sum(value) {_OVER} as x from ev "
+        f"union all "
+        f"select event_id, last_value(value) {_OVER} as x from ev")
+    assert both.isStreaming
+
+
+def test_streaming_value_funcs_require_running_frame(spark, src_dir):
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="running aggregates"):
+        eng.sql("select first_value(value) over (partition by user "
+                "order by ts, event_id) as x from ev")
+    with pytest.raises(PlanError, match="running aggregates"):
+        eng.sql("select last_value(value) over (partition by user "
+                "order by ts, event_id rows between 2 preceding and "
+                "current row) as x from ev")
+    with pytest.raises(PlanError, match="exactly one argument"):
+        eng.sql(f"select first_value(value, user) {_OVER} as x from ev")
+
+
 def test_running_over_expression_argument(spark, src_dir):
     """A computed aggregate input materializes as a hidden column that
     is dropped from the output."""
