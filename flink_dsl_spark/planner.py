@@ -1671,6 +1671,15 @@ class Planner:
                 name = f"{base}_{n}"
             taken.add(name)
             return name
+
+        def _input_col(arg, what: str, i: int) -> str:
+            """Resolve a window function's input: a plain column by
+            name, anything else via a kept-hidden computed column."""
+            if isinstance(arg, Col):
+                return plain_col(arg, what)
+            name = _fresh(f"__rw_in{i}")
+            hidden.append((name, arg))
+            return name
         for i, e in enumerate(wfs):
             name = e.func.name
             if name == "lead":
@@ -1749,21 +1758,13 @@ class Planner:
                         raise PlanError("lag() default must be a literal")
                 if isinstance(args[0], Star):
                     raise PlanError("lag(*) is not valid")
-                if isinstance(args[0], Col):
-                    in_col = plain_col(args[0], "lag() argument")
-                else:
-                    in_col = _fresh(f"__rw_in{i}")
-                    hidden.append((in_col, args[0]))
+                in_col = _input_col(args[0], "lag() argument", i)
                 out_name = _fresh(f"__rw_out{i}")
                 offsets.append((in_col, off, dflt, out_name))
                 wf_map[id(e)] = out_name
                 continue
             if is_first:
-                if isinstance(args[0], Col):
-                    in_col = plain_col(args[0], "first_value() argument")
-                else:
-                    in_col = _fresh(f"__rw_in{i}")
-                    hidden.append((in_col, args[0]))
+                in_col = _input_col(args[0], "first_value() argument", i)
                 out_name = _fresh(f"__rw_out{i}")
                 firsts.append((in_col, out_name))
                 wf_map[id(e)] = out_name
@@ -1789,11 +1790,8 @@ class Planner:
             elif len(args) != 1:
                 raise PlanError(
                     f"running {name}() takes exactly one argument")
-            elif isinstance(args[0], Col):
-                in_col = plain_col(args[0], f"{name}() argument")
             else:
-                in_col = _fresh(f"__rw_in{i}")
-                hidden.append((in_col, args[0]))
+                in_col = _input_col(args[0], f"{name}() argument", i)
             out_name = _fresh(f"__rw_out{i}")
             aggs.append((name, in_col, out_name))
             wf_map[id(e)] = out_name

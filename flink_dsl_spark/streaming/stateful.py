@@ -81,9 +81,9 @@ def count_window_agg(sdf: DataFrame,
                   else list(order_col or []))
 
     agg_cols = [c for _f, c, _a in aggs]
-    keyed = sdf if key_cols else sdf.withColumn(
-        "__gk", _lit0())
-    group_keys = key_cols if key_cols else ["__gk"]
+    gk = _fresh_name("__gk", sdf.columns)
+    keyed = sdf if key_cols else sdf.withColumn(gk, _lit0())
+    group_keys = key_cols if key_cols else [gk]
 
     sliding = every is not None
     win_name = "trigger" if sliding else "window_no"
@@ -133,7 +133,7 @@ def count_window_agg(sdf: DataFrame,
     out = grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
-    return out.drop("__gk") if not key_cols else out
+    return out.drop(gk) if not key_cols else out
 
 
 def delta_window_agg(sdf: DataFrame,
@@ -164,8 +164,9 @@ def delta_window_agg(sdf: DataFrame,
         raise PlanError("window size/every must be positive")
 
     agg_cols = [c for _f, c, _a in aggs]
-    keyed = sdf if key_cols else sdf.withColumn("__gk", _lit0())
-    group_keys = key_cols if key_cols else ["__gk"]
+    gk = _fresh_name("__gk", sdf.columns)
+    keyed = sdf if key_cols else sdf.withColumn(gk, _lit0())
+    group_keys = key_cols if key_cols else [gk]
     key_fields = [keyed.schema[k] for k in group_keys]
     out_schema = StructType(
         list(key_fields)
@@ -236,7 +237,7 @@ def delta_window_agg(sdf: DataFrame,
     out = grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
-    return out.drop("__gk") if not key_cols else out
+    return out.drop(gk) if not key_cols else out
 
 
 def _emit_delta(key, trigger, pos, bufs, aggs, size):
@@ -289,6 +290,19 @@ def _emit(key, win_val, bufs, aggs):
 def _lit0():
     from pyspark.sql import functions as F
     return F.lit(0)
+
+
+def _fresh_name(base: str, taken) -> str:
+    """A bookkeeping column name that cannot shadow an input column —
+    withColumn silently REPLACES same-named columns (the __tb_*/__rw_*
+    collision class), so every synthesized name derives from the
+    actual schema."""
+    name, i = base, 0
+    taken = set(taken)
+    while name in taken:
+        i += 1
+        name = f"{base}_{i}"
+    return name
 
 
 def _arr_double():
@@ -497,8 +511,9 @@ def running_agg(sdf: DataFrame,
     tail_base = 1 + 4 * len(aggs)
     first_base = tail_base + len(offsets)
 
-    keyed = sdf if key_cols else sdf.withColumn("__gk", _lit0())
-    group_keys = key_cols if key_cols else ["__gk"]
+    gk = _fresh_name("__gk", sdf.columns)
+    keyed = sdf if key_cols else sdf.withColumn(gk, _lit0())
+    group_keys = key_cols if key_cols else [gk]
     agg_cols = [c for _f, c, _a in aggs]
     out_names = [f.name for f in out_schema.fields]
 
@@ -716,4 +731,4 @@ def running_agg(sdf: DataFrame,
     out = grouped.applyInPandasWithState(
         fn, out_schema, state_schema, "append",
         GroupStateTimeout.NoTimeout)
-    return out.drop("__gk") if not key_cols else out
+    return out.drop(gk) if not key_cols else out

@@ -432,6 +432,25 @@ def test_streaming_value_funcs_require_running_frame(spark, src_dir):
         eng.sql(f"select first_value(value, user) {_OVER} as x from ev")
 
 
+def test_running_agg_survives_gk_column_collision(spark, tmp_path):
+    """An input column literally named __gk survives a GLOBAL (empty
+    PARTITION BY) running aggregate intact — the group-key bookkeeping
+    name derives collision-free like __rw_*/__tb_* (review finding,
+    r10)."""
+    schema = "ts timestamp, __gk long, v double"
+    rows = [(T0 + dt.timedelta(minutes=m), 100 + m, float(m + 1))
+            for m in range(3)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_agg(sdf, [], [("sum", "v", "rs")], order_cols=["ts"])
+    sink = _run(out)
+    got = sorted((r["__gk"], r["rs"]) for r in
+                 spark.sql(f"select * from {sink}").collect())
+    assert got == [(100, 1.0), (101, 3.0), (102, 6.0)]
+
+
 def test_running_over_expression_argument(spark, src_dir):
     """A computed aggregate input materializes as a hidden column that
     is dropped from the output."""
