@@ -432,6 +432,22 @@ def test_streaming_value_funcs_require_running_frame(spark, src_dir):
         eng.sql(f"select first_value(value, user) {_OVER} as x from ev")
 
 
+def test_streaming_over_plan_has_one_stateful_pass(spark, src_dir):
+    """Scale gate: a SELECT mixing running aggregates, lag, and
+    first_value/last_value compiles to exactly ONE
+    FlatMapGroupsInPandasWithState — one keyed state exchange at any
+    scale; last_value adds zero operators."""
+    eng = _stream_engine(spark, src_dir)
+    out = eng.sql(
+        f"select event_id, sum(value) {_OVER} as rs, "
+        f"lag(value, 1) over (partition by user "
+        f"order by ts, event_id) as pv, "
+        f"first_value(value) {_OVER} as fv, "
+        f"last_value(value) {_OVER} as lv from ev")
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+
+
 def test_running_agg_survives_gk_column_collision(spark, tmp_path):
     """An input column literally named __gk survives a GLOBAL (empty
     PARTITION BY) running aggregate intact — the group-key bookkeeping
