@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 22))
+    shape = draw(st.integers(0, 26))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -332,6 +332,48 @@ def _query(draw):
                 f"c_nationkey % {m} as g, c_custkey, c_acctbal "
                 f"from customer order by c_nationkey % {m}, "
                 f"c_acctbal {keydir}, c_custkey")
+    if shape == 23:
+        # GROUP BY ALL + aggregate FILTER (r10): the ordinal desugar
+        # and the CASE desugar composed — both parse-time rewrites
+        # must agree with DuckDB's native forms
+        m = draw(st.integers(2, 5))
+        cut = draw(st.integers(0, 20))
+        fn = draw(st.sampled_from(["count(*)", "count(n_nationkey)",
+                                   "sum(n_nationkey)"]))
+        agg = (f"{fn} filter (where n_nationkey > {cut}) as cf"
+               if fn.startswith("count")
+               else f"cast({fn} filter (where n_nationkey > {cut}) "
+                    f"as bigint) as cf")
+        return (f"select n_regionkey, n_nationkey % {m} as g, {agg}, "
+                f"count(*) as c from nation group by all")
+    if shape == 24:
+        # ORDER BY ALL after DISTINCT (r10): the star-ordinal desugar
+        # over the de-duplicated projection
+        m = draw(st.integers(2, 6))
+        e = draw(_int_expr(_NATION_INTS))
+        return (f"select distinct n_regionkey, ({e}) % {m} as g "
+                f"from nation order by all")
+    if shape == 25:
+        # LATERAL correlated derived table (r10): per-row subplan on
+        # both engines; the aggregate inside pins determinism
+        cut = draw(st.integers(0, 40))
+        fn = draw(st.sampled_from(
+            ["count(*) as c",
+             "cast(coalesce(sum(c_custkey), 0) as bigint) as c",
+             "cast(count(distinct c_custkey) as bigint) as c"]))
+        return (f"select n_name, t.c from nation, lateral "
+                f"(select {fn} from customer "
+                f"where c_nationkey = n_nationkey "
+                f"and c_custkey < {cut}) t")
+    if shape == 26:
+        # CUBE with a coalesced label + HAVING (r10): grouping-set
+        # NULL rows must label and filter identically
+        cut = draw(st.integers(0, 6))
+        return (f"select coalesce(cast(n_regionkey as varchar), 'ALL') "
+                f"as r, coalesce(cast(n_nationkey % 3 as varchar), "
+                f"'ALL') as g, count(*) as c from nation "
+                f"group by cube (n_regionkey, n_nationkey % 3) "
+                f"having count(*) > {cut}")
     # null-safe comparison over outer-join nulls + multiset set ops
     # (late-r8)
     if draw(st.booleans()):
