@@ -1928,6 +1928,22 @@ class Planner:
                         f"{name}() default must be a literal")
             fn = F.lag if name == "lag" else F.lead
             col = fn(comp(args[0]), off, dflt)
+        elif name == "nth_value":
+            # frame-sensitive like first/last_value, but the picked
+            # row index makes an unordered partition nondeterministic,
+            # so ORDER BY is required (stricter than Spark's default —
+            # the determinism premise every oracle rests on)
+            if len(args) != 2:
+                raise PlanError(
+                    "nth_value(col, n) takes exactly two arguments")
+            n = _plain_literal(args[1])
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise PlanError(
+                    "nth_value() n must be a positive integer literal")
+            if not e.order_by:
+                raise PlanError(
+                    "nth_value() requires ORDER BY in its OVER clause")
+            col = F.nth_value(comp(args[0]), n)
         elif name in self._VALUE_FUNCS:
             if len(args) != 1:
                 raise PlanError(f"{name}() takes exactly one argument")

@@ -116,6 +116,39 @@ def test_lag_lead_first_last_match_duckdb(engine, duck):
     assert_matches_oracle(engine.sql(q), duck, q, "offset/value")
 
 
+def test_nth_value_matches_duckdb(engine, duck):
+    """nth_value (r10): frame-sensitive pick of the n-th frame row —
+    NULL until the n-th row enters the running frame; explicit frames
+    compose like first/last_value."""
+    q = """select o_custkey, o_orderkey,
+                  nth_value(o_orderkey, 2) over (partition by o_custkey
+                      order by o_orderkey) as second_k,
+                  nth_value(o_totalprice, 3) over (partition by o_custkey
+                      order by o_orderkey
+                      rows between unbounded preceding
+                               and unbounded following) as third_price
+           from orders where o_custkey < 200"""
+    assert_matches_oracle(engine.sql(q), duck, q, "nth_value")
+
+
+def test_nth_value_validates_args(engine):
+    import pytest
+
+    from flink_dsl_spark import PlanError
+    with pytest.raises(PlanError, match="two arguments"):
+        engine.sql("select nth_value(o_orderkey) over (order by "
+                   "o_orderkey) as x from orders")
+    with pytest.raises(PlanError, match="positive integer"):
+        engine.sql("select nth_value(o_orderkey, 0) over (order by "
+                   "o_orderkey) as x from orders")
+    with pytest.raises(PlanError, match="positive integer"):
+        engine.sql("select nth_value(o_orderkey, o_custkey) over "
+                   "(order by o_orderkey) as x from orders")
+    with pytest.raises(PlanError, match="requires ORDER BY"):
+        engine.sql("select nth_value(o_orderkey, 2) over "
+                   "(partition by o_custkey) as x from orders")
+
+
 def test_agg_over_partition_and_frames_match_duckdb(engine, duck):
     q = """select o_custkey, o_orderkey,
                   sum(o_orderkey) over (partition by o_custkey) as tot,
