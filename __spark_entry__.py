@@ -739,6 +739,22 @@ _FSQL["q23_params"] = """
         where event_type = ? and value > ?"""
 
 _SCRIPTS: dict[str, str] = {
+    # mixture hint, TABLE form (r10): the target shares come from a
+    # registered (domain, weight) relation — here a derived view built
+    # in-dialect — instead of a literal string; same rate algebra,
+    # weights collected + validated at plan time (bounded: one row
+    # per domain).  Same oracle as q81 (identical weights and output).
+    "q82_mixture_table_hint": """
+        create stream wts82 as
+            (select 'src0' as domain, 0.4 as w
+             union all select 'src1', 0.3
+             union all select 'src2', 0.2
+             union all select 'src3', 0.1);
+        select /*+ mixture(source, doc_id, n_chars, wts82) */
+               source, count(*) as num_docs,
+               sum(n_chars) as total_chars
+        from documents
+        group by source""",
     # derived continuous view (create stream ... as select), then query it
     "q33_derived_stream": """
         create stream sview33 as
@@ -1704,9 +1720,10 @@ _PRIORITY = [
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
     # -- FIRST rows: NEW r10 surfaces (never-sampled outranks refresh;
-    #    q81 took q10's slot, s14 took q07's — HAVING and the cross
-    #    join rotate back r11) --
+    #    q81 took q10's slot, s14 took q07's, q82 took q42's — HAVING,
+    #    the cross join and the salt hint rotate back r11) --
     "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
+    "q82_mixture_table_hint",
     # -- fresh rows for r10-touched code: running_agg precision fixes
     #    (s11, s12) and token_budget_filter collision-free bookkeeping
     #    names (q80 hint path, llm44 sample path) --
@@ -1727,17 +1744,17 @@ _PRIORITY = [
     "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
     # -- oldest r7 greens (the r11 rotation continues from here) --
-    "q42_salt_hint", "q36_range_join", "q06_full_join",
+    "q36_range_join", "q06_full_join",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
     #     Ordered by next-staleness: remaining r7 greens first (they
     #     lead the r11 rotation), then the r8 greens, then the r9
     #     greens displaced by this rotation (freshest, sampled last).
-    # remaining r7 greens (q10 and q07 lent their slots to the
-    # q81/s14 first rows)
-    "q10_having", "q07_cross_join", "q11_distinct", "q13_in_list",
-    "q17b_union_all",
+    # remaining r7 greens (q10, q07 and q42 lent their slots to the
+    # q81/s14/q82 first rows)
+    "q10_having", "q07_cross_join", "q42_salt_hint", "q11_distinct",
+    "q13_in_list", "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
@@ -2084,6 +2101,32 @@ def _oracle_sql_base() -> dict[str, str]:
         # per-domain token totals -> feasible total T = min(tok/w) ->
         # keep-rate threshold -> md5 id-hash membership -> aggregate
         "q81_mixture_hint": """
+            WITH dom AS (SELECT source AS domain,
+                                CAST(sum(n_chars) AS DOUBLE) AS tok,
+                                CASE source WHEN 'src0' THEN 0.4
+                                            WHEN 'src1' THEN 0.3
+                                            WHEN 'src2' THEN 0.2
+                                            WHEN 'src3' THEN 0.1
+                                END AS w
+                         FROM documents
+                         WHERE source IN ('src0','src1','src2','src3')
+                         GROUP BY source),
+            tot AS (SELECT min(tok / w) AS total FROM dom),
+            r AS (SELECT domain,
+                         CAST(round(least(1.0, w * tot.total / tok)
+                                    * 1000000) AS BIGINT) AS thresh
+                  FROM dom, tot)
+            SELECT d.source, count(*) AS num_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            FROM documents d JOIN r ON d.source = r.domain
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(d.doc_id AS VARCHAR), ':', '42')), 1, 15))
+                      AS BIGINT) % 1000000 < r.thresh
+            GROUP BY d.source""",
+        # q82: table-form weights, same shares — the oracle is q81's
+        # algebra verbatim (the weights relation is an engine-side
+        # detail; DuckDB sees the settled shares)
+        "q82_mixture_table_hint": """
             WITH dom AS (SELECT source AS domain,
                                 CAST(sum(n_chars) AS DOUBLE) AS tok,
                                 CASE source WHEN 'src0' THEN 0.4

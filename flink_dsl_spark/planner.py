@@ -1356,6 +1356,15 @@ class Planner:
                             "token totals need the whole corpus)")
         d, i, t = self._resolve_hint_cols(df, (domcol, idcol, tokcol),
                                           "mixture")
+        if weights_str.strip() and "=" not in weights_str:
+            # table form (r10): a bare identifier names a registered
+            # (domain, weight) relation instead of a literal string
+            # (an EMPTY weights string stays a string-form error)
+            weights = self._mixture_weights_from_relation(weights_str)
+            from .llm_ops.assemble import (domain_mixture_filter,
+                                           md5_id_hash)
+            return domain_mixture_filter(df, d, i, t, weights, seed=42,
+                                         id_hash=md5_id_hash)
         weights: dict = {}
         for part in weights_str.split(","):
             part = part.strip()
@@ -1382,6 +1391,53 @@ class Planner:
         from .llm_ops.assemble import domain_mixture_filter, md5_id_hash
         return domain_mixture_filter(df, d, i, t, weights, seed=42,
                                      id_hash=md5_id_hash)
+
+    def _mixture_weights_from_relation(self, name: str) -> dict:
+        """mixture(domain, id, tokens, weights_rel): target shares
+        read from a registered relation whose FIRST TWO columns are
+        (domain, weight).  A weights table is tiny by construction
+        (one row per domain), so it is collected and validated at
+        PLAN time — the mixture analog of token_budget's documented
+        bounded plan-time action; a >10k-row relation is rejected as
+        a misuse guard rather than collected."""
+        if not self.catalog.has(name):
+            raise PlanError(
+                f"mixture hint weights {name!r} is neither a "
+                f"'dom=w,...' string (no '=') nor a registered "
+                f"relation")
+        rel = self.catalog.get(name)
+        if rel.isStreaming:
+            raise PlanError(
+                "mixture hint weights must come from a batch relation "
+                "(a stream has no settled weight set)")
+        if len(rel.columns) < 2:
+            raise PlanError(
+                f"mixture weights relation {name!r} needs (domain, "
+                f"weight) columns, got {rel.columns}")
+        dcol, wcol = rel.columns[:2]
+        rows = rel.select(dcol, wcol).limit(10001).collect()
+        if len(rows) > 10000:
+            raise PlanError(
+                f"mixture weights relation {name!r} has more than "
+                f"10000 rows — not a per-domain weights table")
+        weights: dict = {}
+        for r in rows:
+            dom, w = r[0], r[1]
+            try:
+                wv = None if w is None else float(w)
+            except (TypeError, ValueError):
+                wv = None
+            if dom is None or wv is None or not math.isfinite(wv) \
+                    or wv <= 0 or dom in weights:
+                raise PlanError(
+                    f"mixture weights relation row ({dom!r}, {w!r}) "
+                    f"is not a unique (domain, "
+                    f"positive_finite_weight) pair")
+            weights[str(dom)] = wv
+        if not weights:
+            raise PlanError(
+                f"mixture weights relation {name!r} is empty")
+        return weights
 
     @staticmethod
     def _resolve_hint_cols(df: DataFrame, wanted: tuple,

@@ -800,6 +800,60 @@ def test_mixture_hint_bad_args_error(engine):
                    "'a=1') */ doc_id from documents")
 
 
+def test_mixture_hint_table_form_equals_string_form(engine, spark):
+    """A bare identifier as the 4th mixture argument names a
+    registered (domain, weight) relation; the cut equals the literal
+    string form with the same shares (r10)."""
+    engine.register("wts_t", spark.createDataFrame(
+        [("src0", 0.4), ("src1", 0.3), ("src2", 0.2), ("src3", 0.1)],
+        "domain string, w double"))
+    got = _rows(engine.sql(
+        "select /*+ mixture(source, doc_id, n_chars, wts_t) */ "
+        "doc_id, source from documents"))
+    want = _rows(engine.sql(
+        "select /*+ mixture(source, doc_id, n_chars, "
+        "'src0=0.4,src1=0.3,src2=0.2,src3=0.1') */ "
+        "doc_id, source from documents"))
+    assert sorted(got) == sorted(want) and got
+
+
+def test_mixture_hint_table_form_errors(engine, spark):
+    with pytest.raises(PlanError, match="neither"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                   "no_such_rel) */ doc_id from documents")
+    engine.register("wts_bad1", spark.createDataFrame(
+        [("src0", float("nan"))], "domain string, w double"))
+    with pytest.raises(PlanError, match="positive_finite_weight"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                   "wts_bad1) */ doc_id from documents")
+    engine.register("wts_bad2", spark.createDataFrame(
+        [("src0", 0.4), ("src0", 0.1)], "domain string, w double"))
+    with pytest.raises(PlanError, match="unique"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                   "wts_bad2) */ doc_id from documents")
+    engine.register("wts_bad3", spark.createDataFrame(
+        [("src0",)], "domain string"))
+    with pytest.raises(PlanError, match=r"needs \(domain, weight\)"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                   "wts_bad3) */ doc_id from documents")
+    engine.register("wts_bad4", spark.createDataFrame(
+        [], "domain string, w double"))
+    with pytest.raises(PlanError, match="empty"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                   "wts_bad4) */ doc_id from documents")
+
+
+def test_mixture_hint_table_form_uses_first_two_columns(engine, spark):
+    """Extra columns after (domain, weight) are ignored — the
+    contract is positional on the first two."""
+    engine.register("wts_wide", spark.createDataFrame(
+        [("src0", 1.0, "note")], "domain string, w double, x string"))
+    rows = _rows(engine.sql(
+        "select /*+ mixture(source, doc_id, n_chars, wts_wide) */ "
+        "source from documents"))
+    assert rows and {s for (s,) in rows} == {"src0"}
+
+
 def test_mixture_hint_is_batch_only(engine, spark):
     import os
     import tempfile
