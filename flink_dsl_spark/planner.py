@@ -1361,33 +1361,26 @@ class Planner:
             # (domain, weight) relation instead of a literal string
             # (an EMPTY weights string stays a string-form error)
             weights = self._mixture_weights_from_relation(weights_str)
-            from .llm_ops.assemble import (domain_mixture_filter,
-                                           md5_id_hash)
-            return domain_mixture_filter(df, d, i, t, weights, seed=42,
-                                         id_hash=md5_id_hash)
-        weights: dict = {}
-        for part in weights_str.split(","):
-            part = part.strip()
-            if not part:
-                continue
-            dom, eq, w = part.partition("=")
-            dom = dom.strip()
-            try:
-                wv = float(w.strip()) if eq else None
-            except ValueError:
-                wv = None
-            # isfinite also rejects 'nan'/'inf', which float() parses:
-            # NaN passes every comparison gate but silently corrupts
-            # the rate algebra (NaN sorts greatest, least(1, NaN)=1)
-            if not dom or wv is None or not math.isfinite(wv) \
-                    or wv <= 0 or dom in weights:
-                raise PlanError(
-                    f"mixture hint weight entry {part!r} is not a "
-                    f"unique 'domain=positive_finite_number' pair")
-            weights[dom] = wv
-        if not weights:
-            raise PlanError("mixture hint needs at least one "
-                            "'domain=weight' entry")
+        else:
+            weights = {}
+            for part in weights_str.split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                dom, eq, w = part.partition("=")
+                dom = dom.strip()
+                try:
+                    wv = float(w.strip()) if eq else None
+                except ValueError:
+                    wv = None
+                if not dom or not _valid_weight(wv) or dom in weights:
+                    raise PlanError(
+                        f"mixture hint weight entry {part!r} is not a "
+                        f"unique 'domain=positive_finite_number' pair")
+                weights[dom] = wv
+            if not weights:
+                raise PlanError("mixture hint needs at least one "
+                                "'domain=weight' entry")
         from .llm_ops.assemble import domain_mixture_filter, md5_id_hash
         return domain_mixture_filter(df, d, i, t, weights, seed=42,
                                      id_hash=md5_id_hash)
@@ -1427,8 +1420,11 @@ class Planner:
                 wv = None if w is None else float(w)
             except (TypeError, ValueError):
                 wv = None
-            if dom is None or wv is None or not math.isfinite(wv) \
-                    or wv <= 0 or dom in weights:
+            # the dict keys are str(dom), so the uniqueness probe
+            # must be too — a raw non-string dom would never match
+            # and duplicates would silently overwrite
+            if dom is None or not _valid_weight(wv) \
+                    or str(dom) in weights:
                 raise PlanError(
                     f"mixture weights relation row ({dom!r}, {w!r}) "
                     f"is not a unique (domain, "
@@ -2016,8 +2012,8 @@ class Planner:
         else:
             raise PlanError(
                 f"{name}() is not a supported window function "
-                "(ranking, lag/lead, first_value/last_value, or any "
-                "registered aggregate)")
+                "(ranking, lag/lead, first_value/last_value, "
+                "nth_value, or any registered aggregate)")
         return col.over(w)
 
     @staticmethod
@@ -2238,6 +2234,15 @@ def _sorted_col(c: Column, o: OrderItem) -> Column:
 
 
 _NOT_LITERAL = object()
+
+
+def _valid_weight(wv) -> bool:
+    """A usable mixture weight: a finite positive number.  isfinite
+    also rejects 'nan'/'inf' (which float() parses) — NaN passes
+    every comparison gate and silently corrupts the rate algebra
+    (NaN sorts greatest in Spark, least(1.0, NaN) = 1.0); inf
+    collapses the feasible total to 0."""
+    return wv is not None and math.isfinite(wv) and wv > 0
 
 
 def _plain_literal(e):

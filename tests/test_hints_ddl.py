@@ -843,6 +843,49 @@ def test_mixture_hint_table_form_errors(engine, spark):
                    "wts_bad4) */ doc_id from documents")
 
 
+def test_mixture_hint_table_form_duplicate_nonstring_domain(engine,
+                                                            spark):
+    """Dict keys are str(dom), so the uniqueness probe must be too —
+    a duplicate INT domain previously slipped past `dom in weights`
+    and silently overwrote (review finding, r10)."""
+    engine.register("wts_int_dup", spark.createDataFrame(
+        [(1, 0.4), (1, 0.6), (2, 0.4)], "domain int, w double"))
+    with pytest.raises(PlanError, match="unique"):
+        engine.sql("select /*+ mixture(n_regionkey, n_nationkey, "
+                   "n_nationkey, wts_int_dup) */ n_nationkey "
+                   "from nation")
+
+
+def test_mixture_hint_table_form_guards(engine, spark):
+    """The streaming-weights rejection and the >10k-row misuse guard
+    (review finding, r10: previously untested)."""
+    import os
+    import tempfile
+    # streaming weights relation
+    eng = FsqlEngine(spark, streaming=True)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    d = tempfile.mkdtemp(prefix="mxw_stream_")
+    os.symlink(f"{SF_DIR}/documents.parquet",
+               os.path.join(d, "documents.parquet"))
+    eng.sql("create stream mxw_docs ("
+            + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                        for f in docs.schema.fields)
+            + f") source file ('{d}', 'parquet')")
+    eng.register("mxw_batch", docs)
+    try:
+        with pytest.raises(PlanError, match="batch relation"):
+            eng.sql("select /*+ mixture(source, doc_id, n_chars, "
+                    "mxw_docs) */ doc_id from mxw_batch")
+    finally:
+        eng.sql("drop stream mxw_docs")
+    # >10k rows is a misuse, rejected before any further work
+    engine.register("wts_huge", spark.range(10_001).selectExpr(
+        "cast(id as string) as domain", "1.0 as w"))
+    with pytest.raises(PlanError, match="more than"):
+        engine.sql("select /*+ mixture(source, doc_id, n_chars, "
+                   "wts_huge) */ doc_id from documents")
+
+
 def test_mixture_hint_table_form_uses_first_two_columns(engine, spark):
     """Extra columns after (domain, weight) are ignored — the
     contract is positional on the first two."""
