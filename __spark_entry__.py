@@ -1624,6 +1624,24 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from ev_s14""")
         return _run_stream(spark, out, "append")
 
+    def s15(spark, d):
+        # streaming nth_value (r10): the n-th row's value per key via
+        # an O(n) capture buffer (buffer LENGTH marks captured rows,
+        # so NULL values buffer exactly); NULL until n rows have
+        # arrived.  Shares the single stateful pass with a running
+        # count.  Same determinism premise as s11.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s15", f"{d}/events.parquet")
+        frame = ("over (partition by user_id order by ts, event_id "
+                 "rows between unbounded preceding and current row)")
+        out = eng.sql(f"""
+            select user_id, event_id,
+                   nth_value(event_type, 3) {frame} as third_type,
+                   nth_value(value, 2) {frame} as second_amt,
+                   count(*) {frame} as run_n
+            from ev_s15""")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1637,7 +1655,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s11_stream_running_over": s11,
             "s12_stream_qualify_cap": s12,
             "s13_stream_lag": s13,
-            "s14_stream_first_last": s14}
+            "s14_stream_first_last": s14,
+            "s15_stream_nth_value": s15}
 
 
 # ---------------------------------------------------------------------------
@@ -1720,10 +1739,11 @@ _PRIORITY = [
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
     # -- FIRST rows: NEW r10 surfaces (never-sampled outranks refresh;
-    #    q81 took q10's slot, s14 took q07's, q82 took q42's — HAVING,
-    #    the cross join and the salt hint rotate back r11) --
+    #    q81 took q10's slot, s14 took q07's, q82 took q42's, s15
+    #    took q36's — HAVING, the cross join, the salt hint and the
+    #    range join rotate back r11) --
     "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
-    "q82_mixture_table_hint",
+    "q82_mixture_table_hint", "s15_stream_nth_value",
     # -- fresh rows for r10-touched code: running_agg precision fixes
     #    (s11, s12) and token_budget_filter collision-free bookkeeping
     #    names (q80 hint path, llm44 sample path) --
@@ -1743,18 +1763,18 @@ _PRIORITY = [
     "llm23_seeded_shuffle", "llm24_stratified_sample",
     "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
     "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
-    # -- oldest r7 greens (the r11 rotation continues from here) --
-    "q36_range_join", "q06_full_join",
+    # -- oldest r7 green (the r11 rotation continues from here) --
+    "q06_full_join",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
     #     Ordered by next-staleness: remaining r7 greens first (they
     #     lead the r11 rotation), then the r8 greens, then the r9
     #     greens displaced by this rotation (freshest, sampled last).
-    # remaining r7 greens (q10, q07 and q42 lent their slots to the
-    # q81/s14/q82 first rows)
-    "q10_having", "q07_cross_join", "q42_salt_hint", "q11_distinct",
-    "q13_in_list", "q17b_union_all",
+    # remaining r7 greens (q10, q07, q42 and q36 lent their slots to
+    # the q81/s14/q82/s15 first rows)
+    "q10_having", "q07_cross_join", "q42_salt_hint", "q36_range_join",
+    "q11_distinct", "q13_in_list", "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
@@ -1989,6 +2009,24 @@ def oracle_sql() -> dict[str, str]:
                                   ROWS BETWEEN UNBOUNDED PRECEDING
                                   AND CURRENT ROW))
         SELECT user_id, event_id, first_type, first_amt, cur_amt,
+               CAST(run_n AS BIGINT) AS run_n
+        FROM w"""
+    # s15: streaming nth_value == the batch value window under the
+    # explicit running ROWS frame (same single-ordered-batch + unique
+    # (ts, event_id) premise as s11); values pass through untouched,
+    # only the count casts out of DuckDB's HUGEINT
+    o["s15_stream_nth_value"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          nth_value(event_type, 3) OVER win
+                              AS third_type,
+                          nth_value(value, 2) OVER win AS second_amt,
+                          count(*) OVER win AS run_n
+                   FROM events
+                   WINDOW win AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT user_id, event_id, third_type, second_amt,
                CAST(run_n AS BIGINT) AS run_n
         FROM w"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality

@@ -1705,6 +1705,7 @@ class Planner:
         aggs: list[tuple] = []
         offsets: list[tuple] = []           # (col, k, default, alias)
         firsts: list[tuple] = []            # (col, alias)
+        nths: list[tuple] = []              # (col, n, alias)
         hidden: list[tuple] = []            # (name, Expr) inputs to add
         hidden_keep: set = set()            # hidden cols that ARE outputs
         wf_map: dict[int, str] = {}         # installed only on success
@@ -1743,7 +1744,8 @@ class Planner:
             is_lag = name == "lag"
             is_first = name == "first_value"
             is_last = name == "last_value"
-            if not (is_lag or is_first or is_last) and (
+            is_nth = name == "nth_value"
+            if not (is_lag or is_first or is_last or is_nth) and (
                     not self.registry.is_aggregate(name)
                     or name not in ("sum", "count", "min", "max", "avg")):
                 raise PlanError(self._RUNNING_FRAME_MSG)
@@ -1769,6 +1771,10 @@ class Planner:
                     or isinstance(e.func.args[0], Star)):
                 raise PlanError(
                     f"{name}() takes exactly one argument")
+            if is_nth and (len(e.func.args) != 2
+                           or isinstance(e.func.args[0], Star)):
+                raise PlanError(
+                    "nth_value(col, n) takes exactly two arguments")
             for o in e.order_by:
                 if not o.ascending or o.nulls == "last":
                     raise PlanError(
@@ -1821,6 +1827,18 @@ class Planner:
                 firsts.append((in_col, out_name))
                 wf_map[id(e)] = out_name
                 continue
+            if is_nth:
+                n = _plain_literal(args[1])
+                if not isinstance(n, int) or isinstance(n, bool) \
+                        or n < 1:
+                    raise PlanError(
+                        "nth_value() n must be a positive integer "
+                        "literal")
+                in_col = _input_col(args[0], "nth_value() argument", i)
+                out_name = _fresh(f"__rw_out{i}")
+                nths.append((in_col, n, out_name))
+                wf_map[id(e)] = out_name
+                continue
             if is_last:
                 # over the running ROWS frame, last_value(x) IS the
                 # current row's x — no state needed: map the window
@@ -1850,10 +1868,11 @@ class Planner:
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))
-        stateful = bool(aggs or offsets or firsts)
+        stateful = bool(aggs or offsets or firsts or nths)
         if stateful:
             out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]),
-                              offsets=offsets, firsts=firsts)
+                              offsets=offsets, firsts=firsts,
+                              nths=nths)
         else:
             # pure last_value select: every window function compiled
             # to an existing (or kept-hidden) column — no stateful

@@ -315,7 +315,8 @@ def running_agg(sdf: DataFrame,
                 aggs: list[tuple[str, Optional[str], str]],
                 order_cols: list[str],
                 offsets: Optional[list[tuple]] = None,
-                firsts: Optional[list[tuple]] = None) -> DataFrame:
+                firsts: Optional[list[tuple]] = None,
+                nths: Optional[list[tuple]] = None) -> DataFrame:
     """Per-ROW running aggregates over a keyed stream — the streaming
     form of the batch analytic ``agg(x) OVER (PARTITION BY key ORDER BY
     t ROWS UNBOUNDED PRECEDING..CURRENT ROW)``: every arriving row is
@@ -345,6 +346,14 @@ def running_agg(sdf: DataFrame,
         empty-vs-[NULL] array distinction is what separates "not yet
         seen" from "first value was NULL".  Same atomic-type rules as
         offsets.
+    nths : ``(col, n, alias)`` nth_value specs (n >= 1) — each row is
+        emitted with the value at its key's n-th row in order, or
+        NULL while fewer than n rows have arrived (the batch
+        ``nth_value(col, n)`` under the running ROWS frame).  State
+        per (key, spec) is the first n values — O(n), stream-length
+        independent; the buffer LENGTH (not nullness) marks how many
+        rows are captured, so NULL values buffer exactly.  Same
+        atomic-type rules as offsets.
     order_cols : intra-batch processing order (event time + a unique
         tiebreaker pins determinism); NULL order keys sort FIRST,
         matching Spark's ascending default in the batch window.
@@ -382,15 +391,16 @@ def running_agg(sdf: DataFrame,
 
     offsets = offsets or []
     firsts = firsts or []
+    nths = nths or []
     for fn, c, _a in aggs:
         if fn not in _SUPPORTED:
             raise PlanError(
                 f"running_agg supports {_SUPPORTED}, got {fn!r}")
         if c is None and fn != "count":
             raise PlanError(f"{fn}(*) is not valid")
-    if not aggs and not offsets and not firsts:
+    if not aggs and not offsets and not firsts and not nths:
         raise PlanError("running_agg needs at least one aggregate, "
-                        "lag, or first_value spec")
+                        "lag, first_value, or nth_value spec")
     if not order_cols:
         raise PlanError("running_agg requires an ordering column")
     missing = [c for c in order_cols if c not in sdf.columns]
@@ -457,20 +467,27 @@ def running_agg(sdf: DataFrame,
                     f"literal or omit the default)")
         checked_offsets.append((c, k, dflt, a))
     offsets = checked_offsets
-    for c, _a in firsts:
+    def _check_value_col(c: str, what: str) -> None:
         if c not in by_name:
             raise PlanError(
-                f"first_value column {c!r} not found in input columns "
+                f"{what} column {c!r} not found in input columns "
                 f"{sdf.columns}")
         t = by_name[c].dataType
         if isinstance(t, DecimalType):
             raise PlanError(
-                f"first_value({c}) on a decimal column is not "
+                f"{what}({c}) on a decimal column is not "
                 f"supported on streams (cast to double first)")
         if isinstance(t, (ArrayType, MapType, StructType)):
             raise PlanError(
-                f"first_value({c}) needs an atomic column type, got "
+                f"{what}({c}) needs an atomic column type, got "
                 f"{t.simpleString()}")
+
+    for c, _a in firsts:
+        _check_value_col(c, "first_value")
+    for c, n, _a in nths:
+        _check_value_col(c, "nth_value")
+        if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+            raise PlanError("nth_value n must be an integer >= 1")
 
     def _out_type(i):
         fn, c, _a = aggs[i]
@@ -486,7 +503,8 @@ def running_agg(sdf: DataFrame,
                      for i, (_f, _c, a) in enumerate(aggs)]
         + [StructField(a, by_name[c].dataType)
            for c, _k, _d, a in offsets]
-        + [StructField(a, by_name[c].dataType) for c, a in firsts])
+        + [StructField(a, by_name[c].dataType) for c, a in firsts]
+        + [StructField(a, by_name[c].dataType) for c, _n, a in nths])
 
     # state: rows seen + per-agg (non-null n, sum, min, max) scalars
     def _acc_type(i):
@@ -507,9 +525,15 @@ def running_agg(sdf: DataFrame,
     for j, (c, _a) in enumerate(firsts):
         state_fields.append(
             StructField(f"fv{j}", ArrayType(by_name[c].dataType)))
+    # nth_value state: the first n values per spec (O(n)); the array
+    # LENGTH marks how many rows are captured (NULL values buffer)
+    for j, (c, _n, _a) in enumerate(nths):
+        state_fields.append(
+            StructField(f"nv{j}", ArrayType(by_name[c].dataType)))
     state_schema = StructType(state_fields)
     tail_base = 1 + 4 * len(aggs)
     first_base = tail_base + len(offsets)
+    nth_base = first_base + len(firsts)
 
     gk = _fresh_name("__gk", sdf.columns)
     keyed = sdf if key_cols else sdf.withColumn(gk, _lit0())
@@ -556,11 +580,14 @@ def running_agg(sdf: DataFrame,
                      for j in range(len(offsets))]
             fvals = [list(row[first_base + j] or ())
                      for j in range(len(firsts))]
+            nbufs = [list(row[nth_base + j] or ())
+                     for j in range(len(nths))]
         else:
             seen = 0
             accs = [[0, None, None, None] for _ in aggs]
             tails = [[] for _ in offsets]
             fvals = [[] for _ in firsts]
+            nbufs = [[] for _ in nths]
 
         # a key's batch rows may arrive as several chunks; the sort
         # must be over ALL of them or chunk boundaries would corrupt
@@ -719,13 +746,28 @@ def running_agg(sdf: DataFrame,
                                     by_name[c].dataType)[0])]
                 res[alias] = pd.Series([fvals[j][0]] * n_rows,
                                        dtype=object)
+            for j, (c, n, alias) in enumerate(nths):
+                buf = nbufs[j]
+                if len(buf) < n:
+                    vals = _obj_values(pdf[c], by_name[c].dataType)
+                    buf.extend(_py(x) for x in vals[:n - len(buf)])
+                # local row i sits at global position seen + i + 1;
+                # rows at or past position n see the captured value
+                # (by then the buffer is complete — it filled from
+                # this batch's own prefix), earlier rows see NULL
+                out = np.empty(n_rows, dtype=object)
+                k = min(n_rows, max(0, n - seen - 1))
+                out[:k] = None
+                out[k:] = buf[n - 1] if len(buf) >= n else None
+                res[alias] = pd.Series(out, dtype=object)
             seen += n_rows
             cols = [c for c in out_names if c in res.columns]
             yield res[cols]
         state.update(tuple(
             [seen] + [x for acc in accs for x in acc]
             + [tails[j] for j in range(len(offsets))]
-            + [fvals[j] for j in range(len(firsts))]))
+            + [fvals[j] for j in range(len(firsts))]
+            + [nbufs[j] for j in range(len(nths))]))
 
     grouped = keyed.groupBy(*group_keys)
     out = grouped.applyInPandasWithState(

@@ -419,6 +419,68 @@ def test_streaming_pure_last_value_needs_no_state(spark, src_dir):
     assert both.isStreaming
 
 
+def test_streaming_nth_value_equals_batch(spark, src_dir):
+    """nth_value(col, n) on a stream (O(n) capture buffer per key —
+    buffer LENGTH marks captured rows, so NULL values buffer exactly)
+    must equal the batch value window, sharing the stateful pass with
+    a running count (r10)."""
+    eng = _stream_engine(spark, src_dir)
+    sql = (f"select event_id, nth_value(value, 2) {_OVER} as v2, "
+           f"nth_value(user, 3) {_OVER} as u3, "
+           f"count(*) {_OVER} as rn from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    sink = _run(out)
+    got = {r["event_id"]: (r["v2"], r["u3"], r["rn"]) for r in
+           spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: (r["v2"], r["u3"], r["rn"]) for r in
+           beng.sql(sql).collect()}
+    assert got == exp and len(got) == 24
+
+
+def test_streaming_nth_value_buffer_carries_across_batches(spark,
+                                                           tmp_path):
+    """The capture buffer must persist across micro-batches: rows in
+    batch 3 see the n-th value captured in batch 1, and a NULL at the
+    n-th position stays a captured NULL (length-marked, not
+    nullness-marked)."""
+    schema = "ts timestamp, user string, v long"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    for b, vals in enumerate([[10, None], [30], [40, 50]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", v))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [], order_cols=["ts"],
+                      nths=[("v", 2, "n2"), ("v", 4, "n4")])
+    sink = _run(out)
+    got = [(r["n2"], r["n4"]) for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    # n2: the 2nd row's value is NULL — captured as NULL from row 2 on
+    # n4: NULL until the 4th row arrives, then 40 forever
+    assert got == [(None, None), (None, None), (None, None),
+                   (None, 40), (None, 40)]
+
+
+def test_streaming_nth_value_rejections(spark, src_dir):
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="running aggregates"):
+        eng.sql("select nth_value(value, 2) over (partition by user "
+                "order by ts, event_id) as x from ev")   # no ROWS frame
+    with pytest.raises(PlanError, match="positive integer"):
+        eng.sql(f"select nth_value(value, 0) {_OVER} as x from ev")
+    with pytest.raises(PlanError, match="two arguments"):
+        eng.sql(f"select nth_value(value) {_OVER} as x from ev")
+
+
 def test_streaming_value_funcs_require_running_frame(spark, src_dir):
     eng = _stream_engine(spark, src_dir)
     with pytest.raises(PlanError, match="running aggregates"):
