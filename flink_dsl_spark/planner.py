@@ -1646,8 +1646,10 @@ class Planner:
         "event-time [, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW) — write the ROWS frame explicitly (the implicit "
         "default frame is RANGE, whose peer semantics an unbounded "
-        "stream cannot honor) — plus lag(col [, offset [, default]]) "
-        "and first_value/last_value over the same running ROWS frame")
+        "stream cannot honor) — plus row_number() (no frame), "
+        "lag(col [, offset [, default]]) (no frame), and "
+        "first_value/last_value/nth_value over the same running ROWS "
+        "frame")
 
     def _plan_streaming_over(self, sel: Select, df: DataFrame,
                              wfs: list) -> DataFrame:
@@ -1662,10 +1664,12 @@ class Planner:
         ROW`` frame, plus ``lag(col [, k [, default]])`` (r10 — O(k)
         backward state; ``lead`` stays rejected because it reads rows
         that have not arrived), ``first_value`` (one captured value
-        per key) and ``last_value`` (over the running ROWS frame it
-        IS the current row — compiled inline, no state), plain-column
-        PARTITION BY, and an ascending plain-column ORDER BY (event
-        time + tiebreak).
+        per key), ``nth_value(col, n)`` (O(n) capture buffer),
+        ``last_value`` (over the running ROWS frame it IS the current
+        row — compiled inline, no state), and ``row_number()`` (the
+        running row count cast to int — same state as count(*)),
+        plain-column PARTITION BY, and an ascending plain-column
+        ORDER BY (event time + tiebreak).
         Every window function in the select must share one
         (partition, order) spec — the stateful pass groups the stream
         once.  Anything else keeps the clear batch-only rejection.
@@ -1706,6 +1710,7 @@ class Planner:
         offsets: list[tuple] = []           # (col, k, default, alias)
         firsts: list[tuple] = []            # (col, alias)
         nths: list[tuple] = []              # (col, n, alias)
+        rownum_casts: list[str] = []        # count outputs -> int
         hidden: list[tuple] = []            # (name, Expr) inputs to add
         hidden_keep: set = set()            # hidden cols that ARE outputs
         wf_map: dict[int, str] = {}         # installed only on success
@@ -1745,7 +1750,9 @@ class Planner:
             is_first = name == "first_value"
             is_last = name == "last_value"
             is_nth = name == "nth_value"
-            if not (is_lag or is_first or is_last or is_nth) and (
+            is_rownum = name == "row_number"
+            if not (is_lag or is_first or is_last or is_nth
+                    or is_rownum) and (
                     not self.registry.is_aggregate(name)
                     or name not in ("sum", "count", "min", "max", "avg")):
                 raise PlanError(self._RUNNING_FRAME_MSG)
@@ -1754,18 +1761,20 @@ class Planner:
                     f"DISTINCT is not supported in window function "
                     f"{name}()")
             f = e.frame
-            if is_lag:
+            if is_lag or is_rownum:
                 if f is not None:
                     raise PlanError(
-                        "lag() does not accept a frame specification")
+                        f"{name}() does not accept a frame "
+                        f"specification")
             elif f is None or f.mode != "rows" \
                     or f.start != ("unbounded_preceding",) \
                     or f.end != ("current",):
                 raise PlanError(self._RUNNING_FRAME_MSG)
             if not e.order_by:
                 raise PlanError(
-                    "lag() requires ORDER BY in its OVER clause"
-                    if is_lag else self._RUNNING_FRAME_MSG)
+                    f"{name}() requires ORDER BY in its OVER clause"
+                    if (is_lag or is_rownum) else
+                    self._RUNNING_FRAME_MSG)
             if (is_first or is_last) and (
                     len(e.func.args) != 1
                     or isinstance(e.func.args[0], Star)):
@@ -1792,6 +1801,18 @@ class Planner:
                     "must share the same PARTITION BY and ORDER BY "
                     "(the stream is stateful-grouped once)")
             args = e.func.args
+            if is_rownum:
+                if args:
+                    raise PlanError("row_number() takes no arguments")
+                # the running row count IS the row number under the
+                # shared ascending order; cast to int after the
+                # stateful pass for batch-dtype parity (Spark
+                # row_number is IntegerType, the stateful count long)
+                out_name = _fresh(f"__rw_out{i}")
+                aggs.append(("count", None, out_name))
+                rownum_casts.append(out_name)
+                wf_map[id(e)] = out_name
+                continue
             if is_lag:
                 if not 1 <= len(args) <= 3:
                     raise PlanError(
@@ -1880,6 +1901,8 @@ class Planner:
             out = df
         out = out.drop(*[h for h, _ in hidden
                          if h not in hidden_keep])
+        for rc in rownum_casts:
+            out = out.withColumn(rc, F.col(rc).cast("int"))
         # restore the single leaf's binding so the projection's
         # qualified column refs (resolver qualifies every Col by its
         # leaf) still resolve on the stateful output
@@ -1930,9 +1953,10 @@ class Planner:
                 "window functions on streams support only running "
                 "aggregates — sum/count/min/max/avg OVER (PARTITION "
                 "BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
-                "AND CURRENT ROW) — plus lag() and "
-                "first_value/last_value; other analytic forms are "
-                "batch-only (they need a finite partition order)")
+                "AND CURRENT ROW) — plus row_number(), lag(), and "
+                "first_value/last_value/nth_value; other analytic "
+                "forms are batch-only (they need a finite partition "
+                "order)")
         if e.func.distinct:
             raise PlanError(
                 f"DISTINCT is not supported in window function {name}()")

@@ -749,8 +749,14 @@ def running_agg(sdf: DataFrame,
             for j, (c, n, alias) in enumerate(nths):
                 buf = nbufs[j]
                 if len(buf) < n:
-                    vals = _obj_values(pdf[c], by_name[c].dataType)
-                    buf.extend(_py(x) for x in vals[:n - len(buf)])
+                    # slice BEFORE the object conversion: only the
+                    # n - len(buf) leading values are needed, never
+                    # the whole batch column (the first_value slicing
+                    # rationale)
+                    vals = _obj_values(
+                        pdf[c].iloc[:n - len(buf)],
+                        by_name[c].dataType)
+                    buf.extend(_py(x) for x in vals)
                 # local row i sits at global position seen + i + 1;
                 # rows at or past position n see the captured value
                 # (by then the buffer is complete — it filled from

@@ -481,6 +481,42 @@ def test_streaming_nth_value_rejections(spark, src_dir):
         eng.sql(f"select nth_value(value) {_OVER} as x from ev")
 
 
+def test_streaming_row_number_equals_batch(spark, src_dir):
+    """row_number() on a stream is the running row count under the
+    shared ascending order, cast to int for batch-dtype parity; it
+    composes with QUALIFY (the idiomatic streaming cap spelling) and
+    rejects frames like batch (r10)."""
+    eng = _stream_engine(spark, src_dir)
+    sql = ("select event_id, row_number() over (partition by user "
+           "order by ts, event_id) as rn, "
+           f"sum(value) {_OVER} as rs from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    assert dict(out.dtypes)["rn"] == "int"
+    sink = _run(out)
+    got = {r["event_id"]: (r["rn"], r["rs"]) for r in
+           spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: (r["rn"], r["rs"]) for r in
+           beng.sql(sql).collect()}
+    assert got == exp and len(got) == 24
+    # QUALIFY over streaming row_number: the cap in its natural form
+    capped = eng.sql("select event_id, row_number() over (partition "
+                     "by user order by ts, event_id) as rn from ev "
+                     "qualify rn <= 2")
+    sink2 = _run(capped)
+    assert spark.sql(f"select * from {sink2}").count() == 4
+    # frames rejected like batch
+    with pytest.raises(PlanError, match="frame"):
+        eng.sql("select row_number() over (partition by user order "
+                "by ts, event_id rows between unbounded preceding "
+                "and current row) as rn from ev")
+    with pytest.raises(PlanError, match="requires ORDER BY"):
+        eng.sql("select row_number() over (partition by user) as rn "
+                "from ev")
+
+
 def test_streaming_value_funcs_require_running_frame(spark, src_dir):
     eng = _stream_engine(spark, src_dir)
     with pytest.raises(PlanError, match="running aggregates"):
@@ -776,11 +812,12 @@ def test_streaming_qualify_cap_composes_with_union(spark, src_dir):
 
 
 def test_streaming_qualify_ranking_still_rejected(spark, src_dir):
-    """QUALIFY with a ranking function on a stream keeps the clear
-    running-aggregates scope message."""
+    """QUALIFY with a still-unsupported ranking function on a stream
+    keeps the clear scope message (row_number graduated to supported
+    in r10 — rank/dense_rank stay batch-only for now)."""
     eng = _stream_engine(spark, src_dir)
     with pytest.raises(PlanError, match="running aggregates"):
-        eng.sql("select event_id, row_number() over (partition by user "
+        eng.sql("select event_id, rank() over (partition by user "
                 "order by ts) as rn from ev qualify rn <= 2")
     assert eng.planner._stream_wf_cols == {}
 
