@@ -280,11 +280,11 @@ def test_nonrunning_window_func_rejected_on_stream(spark):
                         for f in ev.schema.fields)
             + f") source file ('{d}', 'parquet')")
     try:
-        # ranking functions stay rejected (r9: running
-        # sum/count/min/max/avg with an explicit ROWS frame now
-        # stream — tests/test_streaming_over.py)
+        # rank stays rejected (r9: running aggregates stream; r10:
+        # row_number/lag/first/last/nth_value graduated too —
+        # tests/test_streaming_over.py)
         with pytest.raises(PlanError, match="running aggregates"):
-            eng.sql("select row_number() over (order by event_id) as rn "
+            eng.sql("select rank() over (order by event_id) as rn "
                     "from over_ev")
     finally:
         eng.sql("drop stream over_ev")

@@ -224,10 +224,11 @@ def test_qualify_nonrunning_rejected_on_stream(spark):
                         for f in ev.schema.fields)
             + f") source file ('{d}', 'parquet')")
     try:
-        # ranking functions stay rejected on streams (r9: QUALIFY over
-        # RUNNING aggregates now streams — tests/test_streaming_over.py)
+        # rank stays rejected on streams (r9: QUALIFY over RUNNING
+        # aggregates streams; r10: row_number graduated too —
+        # tests/test_streaming_over.py)
         with pytest.raises(PlanError, match="running aggregates"):
             eng.sql("select event_id from qualify_ev qualify "
-                    "row_number() over (order by event_id) = 1")
+                    "rank() over (order by event_id) = 1")
     finally:
         eng.sql("drop stream qualify_ev")
