@@ -130,6 +130,8 @@ class WindowFunc(Expr):
     partition_by: list = field(default_factory=list)   # list[Expr]
     order_by: list = field(default_factory=list)       # list[OrderItem]
     frame: Optional[WindowFrame] = None
+    ignore_nulls: bool = False   # `func(...) IGNORE NULLS OVER ...`
+                                 # (r11; lag/lead/first/last/nth_value)
     ref: Optional[str] = None    # `over w` named-window reference —
                                  # resolved (and cleared) at parse time
                                  # from the WINDOW clause

@@ -1676,6 +1676,23 @@ class Parser:
                                if isinstance(a, Star) else a)], None)
                         for a in (call.args or [Star(None)])]
                     call = FuncCall(call.name, new_args, call.distinct)
+            # null-treatment clause (r11): ``func(...) IGNORE NULLS
+            # OVER ...`` — Spark's post-paren spelling (DuckDB puts it
+            # inside the parens; sqlgen renders each engine's own).
+            # RESPECT NULLS is the default and parses as a no-op.
+            # Contextual like `over`: consumed only when NULLS
+            # follows, so columns named ignore/respect still parse.
+            ignore_nulls = False
+            if self.at_kw("ignore", "respect") \
+                    and self.peek().kind == "ident" \
+                    and self.peek().lower == "nulls":
+                nt_tok = self.cur
+                ignore_nulls = self.cur.lower == "ignore"
+                self.advance()
+                self.advance()
+                if not self.at_kw("over"):
+                    self.error("IGNORE/RESPECT NULLS requires an OVER "
+                               "clause", nt_tok)
             # engine extension (§2.5): analytic OVER clause.  `over` is
             # contextual — only consumed when followed by `(` or a
             # window NAME (a bare non-reserved ident), so a column
@@ -1684,11 +1701,11 @@ class Parser:
                 nxt = self.peek()
                 if nxt.kind == "op" and nxt.text == "(":
                     self.advance()
-                    return self.parse_over_clause(call)
+                    return self.parse_over_clause(call, ignore_nulls)
                 if nxt.kind in ("ident", "qident") \
                         and nxt.lower not in RESERVED:
                     self.advance()
-                    return WindowFunc(call,
+                    return WindowFunc(call, ignore_nulls=ignore_nulls,
                                       ref=self.ident("window name"))
             return call
         if self.at_op(".") and self.peek().kind in ("ident", "qident") \
@@ -1759,14 +1776,16 @@ class Parser:
             return int(t.text)
         self.error(f"expected integer {what}")
 
-    def parse_over_clause(self, call: FuncCall) -> WindowFunc:
+    def parse_over_clause(self, call: FuncCall,
+                          ignore_nulls: bool = False) -> WindowFunc:
         """``OVER ( [PARTITION BY e,...] [ORDER BY o,...] [frame] )``
         (engine extension; the reference grammar has no analytic
         windows — SURVEY.md §2.5)."""
         self.expect_op("(")
         partition, order, frame = self.parse_window_body()
         self.expect_op(")")
-        return WindowFunc(call, partition, order, frame)
+        return WindowFunc(call, partition, order, frame,
+                          ignore_nulls=ignore_nulls)
 
     def parse_window_body(self):
         """The inside of an OVER ( ... ) or WINDOW w AS ( ... ) spec."""

@@ -1646,8 +1646,8 @@ class Planner:
         "event-time [, tiebreak] ROWS BETWEEN UNBOUNDED PRECEDING AND "
         "CURRENT ROW) — write the ROWS frame explicitly (the implicit "
         "default frame is RANGE, whose peer semantics an unbounded "
-        "stream cannot honor) — plus row_number() (no frame), "
-        "lag(col [, offset [, default]]) (no frame), and "
+        "stream cannot honor) — plus row_number()/rank()/dense_rank() "
+        "(no frame), lag(col [, offset [, default]]) (no frame), and "
         "first_value/last_value/nth_value over the same running ROWS "
         "frame")
 
@@ -1666,8 +1666,10 @@ class Planner:
         that have not arrived), ``first_value`` (one captured value
         per key), ``nth_value(col, n)`` (O(n) capture buffer),
         ``last_value`` (over the running ROWS frame it IS the current
-        row — compiled inline, no state), and ``row_number()`` (the
+        row — compiled inline, no state), ``row_number()`` (the
         running row count cast to int — same state as count(*)),
+        ``rank()``/``dense_rank()`` (r11 — peers share a rank; O(1)
+        state: the last row's order key + one scalar per spec),
         plain-column PARTITION BY, and an ascending plain-column
         ORDER BY (event time + tiebreak).
         Every window function in the select must share one
@@ -1710,7 +1712,8 @@ class Planner:
         offsets: list[tuple] = []           # (col, k, default, alias)
         firsts: list[tuple] = []            # (col, alias)
         nths: list[tuple] = []              # (col, n, alias)
-        rownum_casts: list[str] = []        # count outputs -> int
+        ranks: list[tuple] = []             # (kind, alias)
+        rownum_casts: list[str] = []        # long outputs -> int
         hidden: list[tuple] = []            # (name, Expr) inputs to add
         hidden_keep: set = set()            # hidden cols that ARE outputs
         wf_map: dict[int, str] = {}         # installed only on success
@@ -1740,6 +1743,12 @@ class Planner:
             return name
         for i, e in enumerate(wfs):
             name = e.func.name
+            if e.ignore_nulls:
+                raise PlanError(
+                    "IGNORE NULLS is batch-only: the streaming "
+                    "running_agg state tracks positional values — "
+                    "run the query in batch or drop the null "
+                    "treatment")
             if name == "lead":
                 raise PlanError(
                     "lead() is batch-only: it reads rows that have not "
@@ -1751,8 +1760,9 @@ class Planner:
             is_last = name == "last_value"
             is_nth = name == "nth_value"
             is_rownum = name == "row_number"
+            is_rank = name in ("rank", "dense_rank")
             if not (is_lag or is_first or is_last or is_nth
-                    or is_rownum) and (
+                    or is_rownum or is_rank) and (
                     not self.registry.is_aggregate(name)
                     or name not in ("sum", "count", "min", "max", "avg")):
                 raise PlanError(self._RUNNING_FRAME_MSG)
@@ -1761,7 +1771,7 @@ class Planner:
                     f"DISTINCT is not supported in window function "
                     f"{name}()")
             f = e.frame
-            if is_lag or is_rownum:
+            if is_lag or is_rownum or is_rank:
                 if f is not None:
                     raise PlanError(
                         f"{name}() does not accept a frame "
@@ -1773,7 +1783,7 @@ class Planner:
             if not e.order_by:
                 raise PlanError(
                     f"{name}() requires ORDER BY in its OVER clause"
-                    if (is_lag or is_rownum) else
+                    if (is_lag or is_rownum or is_rank) else
                     self._RUNNING_FRAME_MSG)
             if (is_first or is_last) and (
                     len(e.func.args) != 1
@@ -1810,6 +1820,20 @@ class Planner:
                 # row_number is IntegerType, the stateful count long)
                 out_name = _fresh(f"__rw_out{i}")
                 aggs.append(("count", None, out_name))
+                rownum_casts.append(out_name)
+                wf_map[id(e)] = out_name
+                continue
+            if is_rank:
+                if args:
+                    raise PlanError(f"{name}() takes no arguments")
+                # SQL rank semantics, incrementally: peers (equal on
+                # every order column) share a rank; state per key is
+                # the last row's order key + one scalar per spec —
+                # O(1) (stateful.py running_agg ranks).  Long out of
+                # the stateful pass, cast to int for batch-dtype
+                # parity like row_number.
+                out_name = _fresh(f"__rw_out{i}")
+                ranks.append((name, out_name))
                 rownum_casts.append(out_name)
                 wf_map[id(e)] = out_name
                 continue
@@ -1889,11 +1913,11 @@ class Planner:
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))
-        stateful = bool(aggs or offsets or firsts or nths)
+        stateful = bool(aggs or offsets or firsts or nths or ranks)
         if stateful:
             out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]),
                               offsets=offsets, firsts=firsts,
-                              nths=nths)
+                              nths=nths, ranks=ranks)
         else:
             # pure last_value select: every window function compiled
             # to an existing (or kept-hidden) column — no stateful
@@ -1944,6 +1968,11 @@ class Planner:
                 "position (use an inline OVER (...) spec)")
         if df is None:
             raise PlanError("window functions require a FROM clause")
+        if e.ignore_nulls and name not in ("lag", "lead", "first_value",
+                                           "last_value", "nth_value"):
+            raise PlanError(
+                "IGNORE NULLS applies to lag/lead/first_value/"
+                f"last_value/nth_value, not {name}()")
         mapped = self._stream_wf_cols.get(id(e))
         if mapped is not None:
             # already computed by the stateful running_agg pass
@@ -1953,10 +1982,10 @@ class Planner:
                 "window functions on streams support only running "
                 "aggregates — sum/count/min/max/avg OVER (PARTITION "
                 "BY k ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING "
-                "AND CURRENT ROW) — plus row_number(), lag(), and "
-                "first_value/last_value/nth_value; other analytic "
-                "forms are batch-only (they need a finite partition "
-                "order)")
+                "AND CURRENT ROW) — plus row_number()/rank()/"
+                "dense_rank(), lag(), and first_value/last_value/"
+                "nth_value; other analytic forms are batch-only "
+                "(they need a finite partition order)")
         if e.func.distinct:
             raise PlanError(
                 f"DISTINCT is not supported in window function {name}()")
@@ -2021,6 +2050,33 @@ class Planner:
                 if dflt is _NOT_LITERAL:
                     raise PlanError(
                         f"{name}() default must be a literal")
+            if e.ignore_nulls and off > 0:
+                # lag(x, k) IGNORE NULLS: PySpark's lag/lead lack the
+                # ignoreNulls overload, so compile the exact public-API
+                # rewrite — iterate ``last(CASE WHEN x IS NOT NULL
+                # THEN y END, ignorenulls) OVER (... ROWS UNBOUNDED
+                # PRECEDING .. 1 PRECEDING)`` k times: after m rounds
+                # y is the m-th previous non-null (an earlier all-NULL
+                # prefix stays NULL because the restriction to
+                # non-null-x rows is monotone).  Catalyst plans the k
+                # Window operators over ONE exchange + sort (k is a
+                # small literal; each pass is O(1) state per row) —
+                # differential-tested against Spark's native
+                # ``lag(...) IGNORE NULLS`` expression.  (ORDER BY
+                # presence was already enforced above for offset
+                # functions.)
+                y = comp(args[0])
+                nn = y.isNotNull()
+                back = name == "lag"
+                wf = (w.rowsBetween(SW.unboundedPreceding, -1) if back
+                      else w.rowsBetween(1, SW.unboundedFollowing))
+                pick = F.last if back else F.first
+                for _ in range(off):
+                    y = pick(F.when(nn, y), ignorenulls=True).over(wf)
+                return y if dflt is None else F.coalesce(y, F.lit(dflt))
+            # offset 0 is the current row on both engines, with or
+            # without IGNORE NULLS (null treatment skips *prior* rows
+            # only — pinned by test vs DuckDB's in-paren spelling)
             fn = F.lag if name == "lag" else F.lead
             col = fn(comp(args[0]), off, dflt)
         elif name == "nth_value":
@@ -2038,12 +2094,12 @@ class Planner:
             if not e.order_by:
                 raise PlanError(
                     "nth_value() requires ORDER BY in its OVER clause")
-            col = F.nth_value(comp(args[0]), n)
+            col = F.nth_value(comp(args[0]), n, e.ignore_nulls)
         elif name in self._VALUE_FUNCS:
             if len(args) != 1:
                 raise PlanError(f"{name}() takes exactly one argument")
             fn = F.first if name == "first_value" else F.last
-            col = fn(comp(args[0]))
+            col = fn(comp(args[0]), ignorenulls=e.ignore_nulls)
         elif self.registry.is_aggregate(name):
             if args and isinstance(args[0], Star):
                 if name != "count":

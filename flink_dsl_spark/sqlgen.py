@@ -526,7 +526,16 @@ class SqlGen:
                     f"{e.frame.mode.upper()} BETWEEN "
                     f"{self._frame_bound(e.frame.start)} AND "
                     f"{self._frame_bound(e.frame.end)}")
-            return (f"{self.expr(e.func)} OVER ({' '.join(parts)})")
+            fn = self.expr(e.func)
+            if e.ignore_nulls:
+                # Spark spells null treatment after the parens,
+                # DuckDB inside them after the last argument
+                if self.dialect == "spark":
+                    fn = f"{fn} IGNORE NULLS"
+                else:
+                    assert fn.endswith(")")
+                    fn = f"{fn[:-1]} IGNORE NULLS)"
+            return (f"{fn} OVER ({' '.join(parts)})")
         if isinstance(e, IntervalLit):
             return f"INTERVAL {e.value} {e.unit}"
         if isinstance(e, Subscript):

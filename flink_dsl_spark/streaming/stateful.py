@@ -316,7 +316,8 @@ def running_agg(sdf: DataFrame,
                 order_cols: list[str],
                 offsets: Optional[list[tuple]] = None,
                 firsts: Optional[list[tuple]] = None,
-                nths: Optional[list[tuple]] = None) -> DataFrame:
+                nths: Optional[list[tuple]] = None,
+                ranks: Optional[list[tuple]] = None) -> DataFrame:
     """Per-ROW running aggregates over a keyed stream — the streaming
     form of the batch analytic ``agg(x) OVER (PARTITION BY key ORDER BY
     t ROWS UNBOUNDED PRECEDING..CURRENT ROW)``: every arriving row is
@@ -354,6 +355,20 @@ def running_agg(sdf: DataFrame,
         independent; the buffer LENGTH (not nullness) marks how many
         rows are captured, so NULL values buffer exactly.  Same
         atomic-type rules as offsets.
+    ranks : ``(kind, alias)`` ranking specs, kind in ``rank`` /
+        ``dense_rank`` (r11) — each row is emitted with its SQL rank
+        over the rows seen so far for its key: peers (rows equal on
+        every order column; NULL peers NULL, matching the batch
+        window's ascending NULLS-FIRST grouping) share a rank, rank
+        jumps past peer runs while dense_rank increments by one per
+        distinct order key.  State per key is the LAST row's order-key
+        values (one captured value per order column, shared across
+        specs) plus one scalar per spec — O(1), stream-length
+        independent: a peer run can only continue at the state
+        boundary through the last row seen.  Output is long (cast to
+        int planner-side for batch-dtype parity).  Order columns must
+        be atomic and non-decimal when ranks are used (the captured
+        last key round-trips through the Arrow state store).
     order_cols : intra-batch processing order (event time + a unique
         tiebreaker pins determinism); NULL order keys sort FIRST,
         matching Spark's ascending default in the batch window.
@@ -392,15 +407,22 @@ def running_agg(sdf: DataFrame,
     offsets = offsets or []
     firsts = firsts or []
     nths = nths or []
+    ranks = ranks or []
     for fn, c, _a in aggs:
         if fn not in _SUPPORTED:
             raise PlanError(
                 f"running_agg supports {_SUPPORTED}, got {fn!r}")
         if c is None and fn != "count":
             raise PlanError(f"{fn}(*) is not valid")
-    if not aggs and not offsets and not firsts and not nths:
+    for kind, _a in ranks:
+        if kind not in ("rank", "dense_rank"):
+            raise PlanError(
+                f"running_agg rank specs support rank/dense_rank, "
+                f"got {kind!r}")
+    if not aggs and not offsets and not firsts and not nths \
+            and not ranks:
         raise PlanError("running_agg needs at least one aggregate, "
-                        "lag, first_value, or nth_value spec")
+                        "lag, first_value, nth_value, or rank spec")
     if not order_cols:
         raise PlanError("running_agg requires an ordering column")
     missing = [c for c in order_cols if c not in sdf.columns]
@@ -488,6 +510,11 @@ def running_agg(sdf: DataFrame,
         _check_value_col(c, "nth_value")
         if not isinstance(n, int) or isinstance(n, bool) or n < 1:
             raise PlanError("nth_value n must be an integer >= 1")
+    if ranks:
+        # the captured last order key lives in the Arrow state store —
+        # same atomic/non-decimal rules as the lag tail
+        for oc in order_cols:
+            _check_value_col(oc, "rank/dense_rank ORDER BY")
 
     def _out_type(i):
         fn, c, _a = aggs[i]
@@ -504,7 +531,8 @@ def running_agg(sdf: DataFrame,
         + [StructField(a, by_name[c].dataType)
            for c, _k, _d, a in offsets]
         + [StructField(a, by_name[c].dataType) for c, a in firsts]
-        + [StructField(a, by_name[c].dataType) for c, _n, a in nths])
+        + [StructField(a, by_name[c].dataType) for c, _n, a in nths]
+        + [StructField(a, LongType()) for _k, a in ranks])
 
     # state: rows seen + per-agg (non-null n, sum, min, max) scalars
     def _acc_type(i):
@@ -530,10 +558,22 @@ def running_agg(sdf: DataFrame,
     for j, (c, _n, _a) in enumerate(nths):
         state_fields.append(
             StructField(f"nv{j}", ArrayType(by_name[c].dataType)))
+    # rank state: one last-emitted value per spec, plus the LAST row's
+    # order-key values (one single-element array per order column,
+    # shared by every spec — empty array = no row seen yet, [NULL] =
+    # last key was NULL; the first_value encoding)
+    for j in range(len(ranks)):
+        state_fields.append(StructField(f"rk{j}", LongType()))
+    if ranks:
+        for m, oc in enumerate(order_cols):
+            state_fields.append(
+                StructField(f"lk{m}", ArrayType(by_name[oc].dataType)))
     state_schema = StructType(state_fields)
     tail_base = 1 + 4 * len(aggs)
     first_base = tail_base + len(offsets)
     nth_base = first_base + len(firsts)
+    rank_base = nth_base + len(nths)
+    lk_base = rank_base + len(ranks)
 
     gk = _fresh_name("__gk", sdf.columns)
     keyed = sdf if key_cols else sdf.withColumn(gk, _lit0())
@@ -582,12 +622,18 @@ def running_agg(sdf: DataFrame,
                      for j in range(len(firsts))]
             nbufs = [list(row[nth_base + j] or ())
                      for j in range(len(nths))]
+            rvals = [row[rank_base + j] for j in range(len(ranks))]
+            lastkey = ([list(row[lk_base + m] or ())
+                        for m in range(len(order_cols))]
+                       if ranks else [])
         else:
             seen = 0
             accs = [[0, None, None, None] for _ in aggs]
             tails = [[] for _ in offsets]
             fvals = [[] for _ in firsts]
             nbufs = [[] for _ in nths]
+            rvals = [0 for _ in ranks]
+            lastkey = [[] for _ in order_cols] if ranks else []
 
         # a key's batch rows may arrive as several chunks; the sort
         # must be over ALL of them or chunk boundaries would corrupt
@@ -766,6 +812,57 @@ def running_agg(sdf: DataFrame,
                 out[:k] = None
                 out[k:] = buf[n - 1] if len(buf) >= n else None
                 res[alias] = pd.Series(out, dtype=object)
+            if ranks:
+                # isnew[i]: row i starts a new peer run — it differs
+                # from row i-1 on ANY order column (NULL peers NULL,
+                # matching the NULLS-FIRST sort above; a float NaN is
+                # NA to pandas, the shared NaN==NULL premise)
+                isnew = np.zeros(n_rows, dtype=bool)
+                for oc in order_cols:
+                    a = pdf[oc]
+                    prev = a.shift()
+                    eq = (a == prev) | (a.isna() & prev.isna())
+                    d = (~eq).to_numpy(dtype=bool)
+                    d[0] = False
+                    isnew |= d
+                if seen == 0:
+                    isnew[0] = True
+                else:
+                    # row 0 continues the carried peer run only when
+                    # it equals the LAST row's captured order key
+                    same = True
+                    for m, oc in enumerate(order_cols):
+                        cur = _py(_obj_values(
+                            pdf[oc].iloc[:1], by_name[oc].dataType)[0])
+                        prv = lastkey[m][0] if lastkey[m] else None
+                        if not ((cur is None and prv is None)
+                                or (cur is not None and prv is not None
+                                    and cur == prv)):
+                            same = False
+                            break
+                    isnew[0] = not same
+                newcum = isnew.cumsum()
+                for j, (kind, alias) in enumerate(ranks):
+                    if kind == "dense_rank":
+                        # one increment per distinct order key; the
+                        # carried scalar is the last emitted dense rank
+                        vals = np.int64(rvals[j]) + newcum
+                    else:
+                        # rank = global position where a run starts,
+                        # held flat across the run; positions only
+                        # grow, so a running max over (position if
+                        # new else 0 / the carried rank at row 0)
+                        # reproduces SQL rank incrementally
+                        cand = np.where(isnew, star, np.int64(0))
+                        if not isnew[0]:
+                            cand[0] = rvals[j]
+                        vals = np.maximum.accumulate(cand)
+                    res[alias] = vals
+                    rvals[j] = int(vals[-1])
+                lastkey = [
+                    [_py(_obj_values(pdf[oc].iloc[n_rows - 1:],
+                                     by_name[oc].dataType)[0])]
+                    for oc in order_cols]
             seen += n_rows
             cols = [c for c in out_names if c in res.columns]
             yield res[cols]
@@ -773,7 +870,9 @@ def running_agg(sdf: DataFrame,
             [seen] + [x for acc in accs for x in acc]
             + [tails[j] for j in range(len(offsets))]
             + [fvals[j] for j in range(len(firsts))]
-            + [nbufs[j] for j in range(len(nths))]))
+            + [nbufs[j] for j in range(len(nths))]
+            + [rvals[j] for j in range(len(ranks))]
+            + (lastkey if ranks else [])))
 
     grouped = keyed.groupBy(*group_keys)
     out = grouped.applyInPandasWithState(

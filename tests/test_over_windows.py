@@ -474,3 +474,100 @@ def test_named_window_errors_and_alias_compat():
         .alias == "over"
     assert parse('select 1 as x from orders as "window"') \
         .from_.alias == "window"
+
+
+# ---------------------------------------------------------------------------
+# IGNORE NULLS (r11)
+# ---------------------------------------------------------------------------
+
+_NULLY = "case when value < 2.0 then null else value end"
+
+
+def test_ignore_nulls_parses_and_respect_is_noop():
+    sel = parse("select lag(x, 2) ignore nulls over (order by y) as a, "
+                "lead(x) respect nulls over (order by y) as b from t")
+    assert sel.items[0].expr.ignore_nulls is True
+    assert sel.items[1].expr.ignore_nulls is False
+    # contextual: columns named ignore/respect still parse
+    sel = parse("select ignore, respect from t")
+    assert sel.items[0].expr == Col("ignore")
+    with pytest.raises(ParseError, match="OVER"):
+        parse("select lag(x, 2) ignore nulls from t")
+
+
+def test_ignore_nulls_offset_functions_match_duckdb(engine, duck):
+    """lag/lead IGNORE NULLS compile to the iterated last/first
+    rewrite (PySpark lacks the native overload) — cell-exact against
+    DuckDB's native null treatment, including the default fill."""
+    q = f"""select event_id,
+                   lag({_NULLY}, 2) ignore nulls over (partition by
+                       user_id order by ts, event_id) as l2,
+                   lag({_NULLY}, 1, -1.0) ignore nulls over (partition
+                       by user_id order by ts, event_id) as l1d,
+                   lead({_NULLY}, 3) ignore nulls over (partition by
+                       user_id order by ts, event_id) as f3
+            from events"""
+    oracle = f"""select event_id,
+                   lag({_NULLY}, 2 ignore nulls) over (partition by
+                       user_id order by ts, event_id) as l2,
+                   lag({_NULLY}, 1, -1.0 ignore nulls) over (partition
+                       by user_id order by ts, event_id) as l1d,
+                   lead({_NULLY}, 3 ignore nulls) over (partition by
+                       user_id order by ts, event_id) as f3
+            from events"""
+    assert_matches_oracle(engine.sql(q), duck, oracle, "ignore_lag")
+
+
+def test_ignore_nulls_value_functions_match_duckdb(engine, duck):
+    frame = ("over (partition by user_id order by ts, event_id rows "
+             "between unbounded preceding and current row)")
+    q = f"""select event_id,
+                   first_value({_NULLY}) ignore nulls {frame} as fv,
+                   last_value({_NULLY}) ignore nulls {frame} as lv,
+                   nth_value({_NULLY}, 2) ignore nulls {frame} as nv
+            from events"""
+    oracle = f"""select event_id,
+                   first_value({_NULLY} ignore nulls) {frame} as fv,
+                   last_value({_NULLY} ignore nulls) {frame} as lv,
+                   nth_value({_NULLY}, 2 ignore nulls) {frame} as nv
+            from events"""
+    assert_matches_oracle(engine.sql(q), duck, oracle, "ignore_value")
+
+
+def test_ignore_nulls_offset_zero_is_current_row(engine, duck):
+    """Offset 0 is the current row on both engines even under IGNORE
+    NULLS (null treatment skips prior rows only)."""
+    q = f"""select event_id, lag({_NULLY}, 0) ignore nulls over (
+                partition by user_id order by ts, event_id) as l0
+            from events"""
+    oracle = f"""select event_id, lag({_NULLY}, 0 ignore nulls) over (
+                partition by user_id order by ts, event_id) as l0
+            from events"""
+    assert_matches_oracle(engine.sql(q), duck, oracle, "ignore_lag0")
+
+
+def test_ignore_nulls_sql_path_renders(engine, duck):
+    """The subquery (sqlgen) planner path renders the Spark post-paren
+    spelling; semantics stay cell-exact vs DuckDB."""
+    q = f"""select event_id,
+                   lag({_NULLY}, 2) ignore nulls over (partition by
+                       user_id order by ts, event_id) as l2
+            from events
+            where user_id in (select user_id from events
+                              where event_type = 'click')"""
+    oracle = f"""select event_id,
+                   lag({_NULLY}, 2 ignore nulls) over (partition by
+                       user_id order by ts, event_id) as l2
+            from events
+            where user_id in (select user_id from events
+                              where event_type = 'click')"""
+    assert_matches_oracle(engine.sql(q), duck, oracle, "ignore_sqlgen")
+
+
+def test_ignore_nulls_rejections(engine):
+    with pytest.raises(PlanError, match="IGNORE NULLS applies to"):
+        engine.sql("select sum(value) ignore nulls over (order by ts) "
+                   "as s from events")
+    with pytest.raises(PlanError, match="IGNORE NULLS applies to"):
+        engine.sql("select row_number() ignore nulls over (order by "
+                   "ts) as rn from events")

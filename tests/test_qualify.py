@@ -224,11 +224,12 @@ def test_qualify_nonrunning_rejected_on_stream(spark):
                         for f in ev.schema.fields)
             + f") source file ('{d}', 'parquet')")
     try:
-        # rank stays rejected on streams (r9: QUALIFY over RUNNING
-        # aggregates streams; r10: row_number graduated too —
+        # partition-size-dependent ranking stays rejected on streams
+        # (r9: QUALIFY over RUNNING aggregates; r10: row_number
+        # graduated; r11: rank/dense_rank graduated too —
         # tests/test_streaming_over.py)
         with pytest.raises(PlanError, match="running aggregates"):
             eng.sql("select event_id from qualify_ev qualify "
-                    "rank() over (order by event_id) = 1")
+                    "ntile(2) over (order by event_id) = 1")
     finally:
         eng.sql("drop stream qualify_ev")

@@ -517,6 +517,106 @@ def test_streaming_row_number_equals_batch(spark, src_dir):
                 "from ev")
 
 
+def test_streaming_rank_dense_rank_equals_batch(spark, src_dir):
+    """rank()/dense_rank() on a stream (r11): peers share a rank —
+    ordering by the heavily-tied ``small`` column (4 peers per value
+    per user) exercises real tie semantics, cell-exact against the
+    batch window on the same dialect text; dtype is int like batch."""
+    eng = _stream_engine(spark, src_dir)
+    sql = ("select event_id, "
+           "rank() over (partition by user order by small) as rnk, "
+           "dense_rank() over (partition by user order by small) "
+           "as drnk from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    assert dict(out.dtypes)["rnk"] == "int"
+    assert dict(out.dtypes)["drnk"] == "int"
+    sink = _run(out)
+    got = {r["event_id"]: (r["rnk"], r["drnk"]) for r in
+           spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: (r["rnk"], r["drnk"]) for r in
+           beng.sql(sql).collect()}
+    assert got == exp and len(got) == 24
+    # ties exist: some rank is shared and jumps past the peer run
+    assert sorted({v[0] for v in got.values()}) == [1, 5, 9]
+    assert sorted({v[1] for v in got.values()}) == [1, 2, 3]
+    # composes with QUALIFY and the other streaming window functions
+    # in the one stateful pass
+    q = eng.sql("select event_id, "
+                "rank() over (partition by user order by small) as r, "
+                "row_number() over (partition by user order by small) "
+                "as rn from ev qualify r = 1")
+    sink2 = _run(q)
+    assert spark.sql(f"select * from {sink2}").count() == 8
+    plan = q._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    # frames / arguments / missing ORDER BY rejected like batch
+    with pytest.raises(PlanError, match="frame"):
+        eng.sql("select rank() over (partition by user order by ts "
+                "rows between unbounded preceding and current row) "
+                "as r from ev")
+    with pytest.raises(PlanError, match="takes no arguments"):
+        eng.sql("select dense_rank(value) over (partition by user "
+                "order by ts) as r from ev")
+    with pytest.raises(PlanError, match="requires ORDER BY"):
+        eng.sql("select rank() over (partition by user) as r from ev")
+
+
+def test_streaming_rank_state_across_batches(spark, tmp_path):
+    """The captured last order key must carry across micro-batches: a
+    peer run that straddles the batch boundary keeps its rank, and a
+    new key right after the boundary jumps to the global position."""
+    schema = "ts timestamp, user string, k long"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    # key runs: 10,10 | 10,20 | 20,30 — the 10-run and the 20-run
+    # each straddle a boundary
+    for b, vals in enumerate([[10, 10], [10, 20], [20, 30]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", v))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [], order_cols=["k"],
+                      ranks=[("rank", "r"), ("dense_rank", "d")])
+    sink = _run(out)
+    got = [(r["k"], r["r"], r["d"]) for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    assert got == [(10, 1, 1), (10, 1, 1), (10, 1, 1),
+                   (20, 4, 2), (20, 4, 2), (30, 6, 3)]
+
+
+def test_streaming_rank_null_keys_are_peers(spark, tmp_path):
+    """NULL order keys are peers of each other (they sort first and
+    share a rank), including across the batch-boundary carry."""
+    schema = "ts timestamp, user string, k long"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    for b, vals in enumerate([[None, None], [None, 5]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", v))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(sdf, ["user"], [], order_cols=["k"],
+                      ranks=[("rank", "r"), ("dense_rank", "d")])
+    sink = _run(out)
+    got = [(r["k"], r["r"], r["d"]) for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    assert got == [(None, 1, 1), (None, 1, 1), (None, 1, 1),
+                   (5, 4, 2)]
+
+
 def test_streaming_value_funcs_require_running_frame(spark, src_dir):
     eng = _stream_engine(spark, src_dir)
     with pytest.raises(PlanError, match="running aggregates"):
@@ -587,9 +687,10 @@ def test_running_over_expression_argument(spark, src_dir):
 def test_running_over_rejections(spark, src_dir):
     eng = _stream_engine(spark, src_dir)
     cases = [
-        # ranking functions need a finite partition
-        (f"select rank() over (partition by user order by ts) as r "
-         f"from ev", "running aggregates"),
+        # partition-size-dependent ranking needs a finite partition
+        # (rank/dense_rank graduated to supported in r11)
+        (f"select cume_dist() over (partition by user order by ts) "
+         f"as r from ev", "running aggregates"),
         # implicit frame is RANGE — must be written as ROWS
         ("select sum(value) over (partition by user order by ts) "
          "as s from ev", "ROWS"),
@@ -606,6 +707,12 @@ def test_running_over_rejections(spark, src_dir):
          f"partition by small order by ts, event_id rows between "
          f"unbounded preceding and current row) as b from ev",
          "share the same PARTITION BY"),
+        # IGNORE NULLS tracks non-positional values — batch-only
+        ("select lag(value, 1) ignore nulls over (partition by user "
+         "order by ts, event_id) as x from ev", "batch-only"),
+        ("select first_value(value) ignore nulls over (partition by "
+         "user order by ts, event_id rows between unbounded preceding "
+         "and current row) as x from ev", "batch-only"),
         # non-numeric input
         (f"select min(user) {_OVER} as m from ev", "numeric"),
         # expression partition keys are out of scope
@@ -813,12 +920,17 @@ def test_streaming_qualify_cap_composes_with_union(spark, src_dir):
 
 def test_streaming_qualify_ranking_still_rejected(spark, src_dir):
     """QUALIFY with a still-unsupported ranking function on a stream
-    keeps the clear scope message (row_number graduated to supported
-    in r10 — rank/dense_rank stay batch-only for now)."""
+    keeps the clear scope message (row_number graduated in r10 and
+    rank/dense_rank in r11 — percent_rank/cume_dist/ntile genuinely
+    need the partition size, which an unbounded stream never has)."""
     eng = _stream_engine(spark, src_dir)
     with pytest.raises(PlanError, match="running aggregates"):
-        eng.sql("select event_id, rank() over (partition by user "
-                "order by ts) as rn from ev qualify rn <= 2")
+        eng.sql("select event_id, percent_rank() over (partition by "
+                "user order by ts) as pr from ev qualify pr <= 0.5")
+    assert eng.planner._stream_wf_cols == {}
+    with pytest.raises(PlanError, match="running aggregates"):
+        eng.sql("select event_id, ntile(4) over (partition by user "
+                "order by ts) as nt from ev qualify nt = 1")
     assert eng.planner._stream_wf_cols == {}
 
 
