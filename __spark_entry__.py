@@ -779,6 +779,24 @@ _SCRIPTS: dict[str, str] = {
                sum(n_chars) as total_chars
         from documents
         group by source""",
+    # mixture_temperature hint (r11): explicit priors from a weights
+    # relation, temperature-flattened w' = w^(1/T) at plan time before
+    # the same rate algebra.  T=2 = sqrt, correctly rounded by
+    # IEEE-754 on CPython/JVM/DuckDB alike, so the oracle replays
+    # sqrt(w) on the same literals bit-for-bit (sqrt(0.16) etc. are
+    # NOT the literal doubles 0.4 etc. — both engines must compute)
+    "q84_mixture_temperature_hint": """
+        create stream wts84 as
+            (select 'src0' as domain, 0.16 as w
+             union all select 'src1', 0.09
+             union all select 'src2', 0.04
+             union all select 'src3', 0.01);
+        select /*+ mixture_temperature(source, doc_id, n_chars,
+                                       wts84, 2) */
+               source, count(*) as num_docs,
+               sum(n_chars) as total_chars
+        from documents
+        group by source""",
     # derived continuous view (create stream ... as select), then query it
     "q33_derived_stream": """
         create stream sview33 as
@@ -2268,6 +2286,32 @@ def _oracle_sql_base() -> dict[str, str]:
                                             WHEN 'src2' THEN 0.2
                                             WHEN 'src3' THEN 0.1
                                 END AS w
+                         FROM documents
+                         WHERE source IN ('src0','src1','src2','src3')
+                         GROUP BY source),
+            tot AS (SELECT min(tok / w) AS total FROM dom),
+            r AS (SELECT domain,
+                         CAST(round(least(1.0, w * tot.total / tok)
+                                    * 1000000) AS BIGINT) AS thresh
+                  FROM dom, tot)
+            SELECT d.source, count(*) AS num_docs,
+                   CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+            FROM documents d JOIN r ON d.source = r.domain
+            WHERE CAST(concat('0x', substr(md5(concat(
+                      CAST(d.doc_id AS VARCHAR), ':', '42')), 1, 15))
+                      AS BIGINT) % 1000000 < r.thresh
+            GROUP BY d.source""",
+        # q84: q81's algebra with the weights temperature-flattened —
+        # the oracle COMPUTES sqrt(w) like the engine does (the
+        # scaled weights are not representable as clean literals)
+        "q84_mixture_temperature_hint": """
+            WITH dom AS (SELECT source AS domain,
+                                CAST(sum(n_chars) AS DOUBLE) AS tok,
+                                sqrt(CASE source WHEN 'src0' THEN 0.16
+                                            WHEN 'src1' THEN 0.09
+                                            WHEN 'src2' THEN 0.04
+                                            WHEN 'src3' THEN 0.01
+                                END) AS w
                          FROM documents
                          WHERE source IN ('src0','src1','src2','src3')
                          GROUP BY source),

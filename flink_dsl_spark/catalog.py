@@ -64,6 +64,14 @@ class StreamMeta:
     # non-streaming DataFrame in batch mode, so isStreaming alone would
     # let `DROP TABLE <stream>` through (round-7 ADVICE).
     kind: Optional[str] = None
+    # the registered plan already contains a stateful streaming pass
+    # (applyInPandasWithState — a derived view with streaming OVER or
+    # a stateful count/delta window).  The planner adds this to its
+    # one-stateful-pass count when the view is used as a leaf, so a
+    # second pass layered over it is rejected at PLAN time with the
+    # scope message instead of surfacing Spark's raw
+    # UnsupportedOperationChecker error at start() (round-10 ADVICE).
+    stateful: bool = False
 
 
 class Catalog:

@@ -144,12 +144,15 @@ class FsqlEngine:
     def register(self, name: str, df: DataFrame,
                  event_time_col: Optional[str] = None,
                  watermark: Optional[str] = None,
-                 kind: Optional[str] = None) -> None:
+                 kind: Optional[str] = None,
+                 stateful: bool = False) -> None:
         """Register a DataFrame as a stream/table.  ``watermark`` is an
         engine extension (reference has no late-data handling,
         SURVEY.md §7.0(4)).  ``kind`` records the creating DDL form
         ('stream' | 'table') so DROP's kind guard works even when a
-        batch-mode CREATE STREAM registers a non-streaming DataFrame."""
+        batch-mode CREATE STREAM registers a non-streaming DataFrame.
+        ``stateful`` marks a plan that already carries a stateful
+        streaming pass (see StreamMeta.stateful)."""
         df = _coerce_ntz(df)
         if watermark and event_time_col and df.isStreaming:
             df = df.withWatermark(event_time_col, watermark)
@@ -162,7 +165,7 @@ class FsqlEngine:
             name, df,
             StreamMeta(name, is_stream=df.isStreaming,
                        event_time_col=event_time_col, watermark=watermark,
-                       kind=kind))
+                       kind=kind, stateful=stateful))
 
     def register_parquet(self, name: str, path: str,
                          event_time_col: Optional[str] = None) -> None:
@@ -384,7 +387,13 @@ class FsqlEngine:
                 df = self.planner.plan(src.query, params)
             if schema is not None:
                 df = df.toDF(*[f.name for f in schema.fields])
-            self.register(stmt.name, df, kind="stream")
+            # carry the derived plan's stateful-pass mark into the
+            # catalog so later compositions over this view count it
+            # toward the one-pass limit (round-10 ADVICE)
+            self.register(
+                stmt.name, df, kind="stream",
+                stateful=(df.isStreaming and getattr(
+                    self.planner, "_stateful_passes", 0) > 0))
             return None
 
         if isinstance(src, FileSource):

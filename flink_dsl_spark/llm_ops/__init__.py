@@ -37,6 +37,8 @@ from .assemble import (cap_per_group, domain_mixture,
                        domain_mixture_epochs,
                        domain_mixture_filter,
                        domain_mixture_temperature,
+                       domain_mixture_temperature_weights,
+                       temperature_scaled_weights,
                        md5_id_hash, pack_sequences,
                        seeded_shuffle, shard_corpus, split_dataset,
                        stratified_sample, token_budget_sample)
@@ -68,6 +70,7 @@ __all__ = [
     "curation_report",
     "bpe_pair_stats", "nfc_normalize", "heavy_hitters",
     "bpe_train", "bpe_encode", "domain_mixture_temperature",
+    "domain_mixture_temperature_weights", "temperature_scaled_weights",
     "hll_registers", "hll_estimate", "cms_counts",
     "bloom_bitmap", "bloom_decontaminate",
     "soft_dedup", "ngram_novelty", "exact_quantiles",

@@ -278,16 +278,25 @@ def domain_mixture(df: DataFrame, domain_col: str, id_col: str,
     (split_dataset's bucket trick), so membership is reproducible and
     stable under corpus growth.  Domains missing from ``weights`` are
     dropped; weights naming absent domains are ignored."""
+    dom = _weights_dom_frame(df, domain_col, tokens_col, weights)
+    return _mixture_select(df, dom, domain_col, id_col, tokens_col,
+                           seed, id_hash)
+
+
+def _weights_dom_frame(df: DataFrame, domain_col: str, tokens_col: str,
+                       weights: dict[str, float]) -> DataFrame:
+    """Per-domain token totals joined to the validated explicit weight
+    map — the (domain, __tok, __w) frame every weighted mixture entry
+    point shares, so the rate algebra exists in exactly one place
+    (_mixture_keep).  Zero-weight and unnamed domains drop here."""
     _check_mixture_weights(weights)
     wmap = F.create_map(*[F.lit(x) for kv in weights.items()
                           for x in (kv[0], float(kv[1]))])
-    dom = (df.groupBy(F.col(domain_col).alias("domain"))
-             .agg(F.sum(F.col(tokens_col).cast("long"))
-                   .cast("double").alias("__tok"))
-             .withColumn("__w", wmap[F.col("domain")])
-             .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
-    return _mixture_select(df, dom, domain_col, id_col, tokens_col,
-                           seed, id_hash)
+    return (df.groupBy(F.col(domain_col).alias("domain"))
+              .agg(F.sum(F.col(tokens_col).cast("long"))
+                    .cast("double").alias("__tok"))
+              .withColumn("__w", wmap[F.col("domain")])
+              .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
 
 
 def domain_mixture_temperature(df: DataFrame, domain_col: str,
@@ -376,15 +385,49 @@ def domain_mixture_filter(df: DataFrame, domain_col: str, id_col: str,
     selection is reproducible and downsample-only.  Scale shape is
     domain_mixture's: one partial-aggregated pass for the per-domain
     totals, a broadcast rates join, one filter."""
-    _check_mixture_weights(weights)
-    wmap = F.create_map(*[F.lit(x) for kv in weights.items()
-                          for x in (kv[0], float(kv[1]))])
-    dom = (df.groupBy(F.col(domain_col).alias("domain"))
-             .agg(F.sum(F.col(tokens_col).cast("long"))
-                   .cast("double").alias("__tok"))
-             .withColumn("__w", wmap[F.col("domain")])
-             .filter(F.col("__w").isNotNull() & (F.col("__w") > 0)))
+    dom = _weights_dom_frame(df, domain_col, tokens_col, weights)
     return _mixture_keep(df, dom, domain_col, id_col, seed, id_hash)
+
+
+def temperature_scaled_weights(weights: dict[str, float],
+                               temperature: float) -> dict[str, float]:
+    """Temperature-flatten an EXPLICIT prior-weights table:
+    ``w' = w^(1/T)`` — T=1 keeps the priors, T→∞ approaches uniform
+    over the named domains (the hand-tuned-mixture analog of
+    ``domain_mixture_temperature``'s natural-share flattening; the
+    mixture algebra is scale-invariant so the result stays
+    unnormalized, the same premise as the natural-share variant).
+
+    T=2 is the oracle configuration: ``sqrt`` is correctly rounded by
+    IEEE-754 on CPython, the JVM and DuckDB alike, so a SQL oracle
+    replaying ``sqrt(w)`` on the same literals agrees bit-for-bit.
+    Other temperatures go through ``pow`` (1-ulp across platforms) —
+    production configs, not oracle configs.  Zero weights stay zero
+    (excluded domains stay excluded at every temperature)."""
+    import math
+    t = float(temperature)
+    if not (math.isfinite(t) and t > 0):
+        raise ValueError("temperature must be a finite number > 0")
+    _check_mixture_weights(weights)
+    inv = 1.0 / t
+    return {d: (math.sqrt(v) if inv == 0.5 else v ** inv)
+            for d, v in weights.items()}
+
+
+def domain_mixture_temperature_weights(
+        df: DataFrame, domain_col: str, id_col: str, tokens_col: str,
+        weights: dict[str, float], temperature: float, seed: int = 42,
+        id_hash=None) -> DataFrame:
+    """``domain_mixture`` with the explicit priors temperature-scaled
+    first (see temperature_scaled_weights) — the third mixture API's
+    weights-table form: natural shares (domain_mixture_temperature),
+    explicit shares (domain_mixture), and temperature-flattened
+    explicit shares all ride the same one-agg-pass + broadcast-rates
+    plan."""
+    return domain_mixture(
+        df, domain_col, id_col, tokens_col,
+        temperature_scaled_weights(weights, temperature),
+        seed=seed, id_hash=id_hash)
 
 
 def _check_mixture_weights(weights: dict) -> None:

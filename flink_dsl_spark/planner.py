@@ -296,12 +296,25 @@ class Planner:
                         "tokens_column, 'dom=w,dom=w,...')")
                 row_hints.append(("mixture", tuple(h.args)))
                 continue
+            if h.name == "mixture_temperature":
+                t = h.args[4] if len(h.args) == 5 else None
+                if len(h.args) != 5 or not all(
+                        isinstance(a, str) for a in h.args[:4]) \
+                        or isinstance(t, bool) \
+                        or not isinstance(t, (int, float)) or not t > 0:
+                    raise PlanError(
+                        "mixture_temperature hint takes (domain_column, "
+                        "id_column, tokens_column, weights, "
+                        "positive_temperature)")
+                row_hints.append(("mixture_temperature", tuple(h.args)))
+                continue
             if h.name != "salt":
                 raise PlanError(f"unknown hint {h.name!r} (supported: "
                                 "salt(key, n), cap(group, id, k), "
                                 "token_budget(id, tokens, budget), "
                                 "mixture(domain, id, tokens, "
-                                "'dom=w,...'))")
+                                "'dom=w,...'), mixture_temperature("
+                                "domain, id, tokens, weights, T))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -338,6 +351,9 @@ class Planner:
                 df = self._apply_cap_hint(df, *spec)
             elif kind == "mixture":
                 df = self._apply_mixture_hint(df, *spec)
+            elif kind == "mixture_temperature":
+                df = self._apply_mixture_hint(df, *spec[:4],
+                                              temperature=spec[4])
             else:
                 df = self._apply_token_budget_hint(df, *spec)
 
@@ -981,6 +997,15 @@ class Planner:
     def _plan_relation(self, rel, snapshot: bool = False) -> DataFrame:
         if isinstance(rel, TableRef):
             df = self.catalog.get(rel.name).alias(rel.binding)
+            if df.isStreaming and self.catalog.has(rel.name) \
+                    and getattr(self.catalog.meta(rel.name),
+                                "stateful", False):
+                # a derived view whose plan already carries a stateful
+                # pass (StreamMeta.stateful): count every leaf use
+                # toward the one-pass limit so a second pass layered
+                # over it rejects at plan time (round-10 ADVICE)
+                self._stateful_passes = getattr(
+                    self, "_stateful_passes", 0) + 1
             if snapshot and rel.window is not None:
                 df = self._apply_snapshot_window(df, rel)
             return df
@@ -1333,7 +1358,8 @@ class Planner:
 
     def _apply_mixture_hint(self, df: DataFrame, domcol: str,
                             idcol: str, tokcol: str,
-                            weights_str: str) -> DataFrame:
+                            weights_str: str,
+                            temperature=None) -> DataFrame:
         """mixture(domain, id, tokens, 'dom=w,dom=w,...'): rebalance
         the select's input rows toward the target token shares —
         the declarative form of llm_ops.assemble.domain_mixture
@@ -1350,7 +1376,13 @@ class Planner:
         Scale shape (domain_mixture's): one partial-aggregated
         groupBy for the per-domain token totals (|domains| rows), a
         broadcast rates join, one filter — the corpus is touched by
-        exactly one agg pass and one filter."""
+        exactly one agg pass and one filter.
+
+        ``temperature`` (the mixture_temperature(domain, id, tokens,
+        weights, T) hint, r11): the resolved weights are
+        temperature-flattened w' = w^(1/T) at plan time before the
+        same rate algebra runs (assemble.temperature_scaled_weights;
+        T=2 = sqrt is the cross-engine-oracle configuration)."""
         if df.isStreaming:
             raise PlanError("mixture hint is batch-only (per-domain "
                             "token totals need the whole corpus)")
@@ -1381,7 +1413,12 @@ class Planner:
             if not weights:
                 raise PlanError("mixture hint needs at least one "
                                 "'domain=weight' entry")
-        from .llm_ops.assemble import domain_mixture_filter, md5_id_hash
+        from .llm_ops.assemble import (domain_mixture_filter,
+                                       md5_id_hash,
+                                       temperature_scaled_weights)
+        if temperature is not None:
+            weights = temperature_scaled_weights(weights,
+                                                 float(temperature))
         return domain_mixture_filter(df, d, i, t, weights, seed=42,
                                      id_hash=md5_id_hash)
 

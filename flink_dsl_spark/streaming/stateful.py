@@ -444,7 +444,12 @@ def running_agg(sdf: DataFrame,
                 f"running {fn}({c}) needs a non-decimal numeric "
                 f"column, got {t.simpleString()} (cast decimals to "
                 f"double first)")
-        integral.append(isinstance(t, IntegralType))
+        # avg accumulates its numerator in float64 even for integral
+        # inputs — batch Spark's Average keeps a DOUBLE sum buffer for
+        # longs, so an int64 numerator would diverge from batch once
+        # the running total passes 2^53 (round-10 ADVICE); sum keeps
+        # the int64 path for JVM-long wraparound parity
+        integral.append(isinstance(t, IntegralType) and fn != "avg")
 
     from pyspark.sql.types import (BooleanType, FractionalType, MapType,
                                    StringType)

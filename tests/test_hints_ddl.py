@@ -977,3 +977,71 @@ def test_cap_then_token_budget_compose_in_order(engine):
         .select("doc_id")
     assert sorted(_rows(got)) == sorted(_rows(want))
     assert len(_rows(got)) > 0
+
+
+def test_mixture_temperature_hint_equals_scaled_weights(engine, spark):
+    """/*+ mixture_temperature(...) */ temperature-flattens the
+    resolved weights (w' = w^(1/T)) at plan time, then runs the same
+    rate algebra — so it equals a plain mixture hint whose string
+    carries the pre-scaled weights, in both the table and string
+    forms (r11)."""
+    engine.register("wts_temp", spark.createDataFrame(
+        [("src0", 0.16), ("src1", 0.09), ("src2", 0.04),
+         ("src3", 0.01)], "domain string, w double"))
+    got = _rows(engine.sql(
+        "select /*+ mixture_temperature(source, doc_id, n_chars, "
+        "wts_temp, 2) */ doc_id, source from documents"))
+    want = _rows(engine.sql(
+        "select /*+ mixture(source, doc_id, n_chars, "
+        "'src0=0.4,src1=0.3,src2=0.2,src3=0.1') */ "
+        "doc_id, source from documents"))
+    assert sorted(got) == sorted(want) and got
+    # string-form weights work too, and T=1 is the identity
+    same = _rows(engine.sql(
+        "select /*+ mixture_temperature(source, doc_id, n_chars, "
+        "'src0=0.4,src1=0.3,src2=0.2,src3=0.1', 1) */ "
+        "doc_id, source from documents"))
+    assert sorted(same) == sorted(want)
+
+
+def test_mixture_temperature_api_parity(engine):
+    """domain_mixture_temperature_weights == domain_mixture over
+    temperature_scaled_weights (the API form of the hint)."""
+    import math
+    from flink_dsl_spark.llm_ops.assemble import (
+        domain_mixture, domain_mixture_temperature_weights,
+        temperature_scaled_weights)
+    pri = {"src0": 0.16, "src1": 0.09, "src2": 0.04, "src3": 0.01}
+    scaled = temperature_scaled_weights(pri, 2)
+    assert scaled == {d: math.sqrt(v) for d, v in pri.items()}
+    docs = engine.catalog.get("documents")
+    got = _rows(domain_mixture_temperature_weights(
+        docs, "source", "doc_id", "n_chars", pri, 2))
+    want = _rows(domain_mixture(
+        docs, "source", "doc_id", "n_chars", scaled))
+    assert sorted(got) == sorted(want) and got
+    # T→∞ flattens toward uniform; zero weights stay excluded
+    flat = temperature_scaled_weights({"a": 0.5, "b": 0.0}, 1e9)
+    assert flat["b"] == 0.0 and 0.99 < flat["a"] <= 1.0
+
+
+def test_mixture_temperature_hint_bad_args(engine):
+    for bad in [
+            "mixture_temperature(source, doc_id, n_chars, 'a=1')",
+            "mixture_temperature(source, doc_id, n_chars, 'a=1', 0)",
+            "mixture_temperature(source, doc_id, n_chars, 'a=1', '2')",
+            "mixture_temperature(source, doc_id, n_chars, 'a=1', x)"]:
+        with pytest.raises(PlanError,
+                           match="mixture_temperature hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+
+
+def test_temperature_scaled_weights_validation():
+    from flink_dsl_spark.llm_ops.assemble import (
+        temperature_scaled_weights)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_scaled_weights({"a": 1.0}, 0)
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_scaled_weights({"a": 1.0}, float("nan"))
+    with pytest.raises(ValueError, match="finite"):
+        temperature_scaled_weights({"a": float("inf")}, 2)

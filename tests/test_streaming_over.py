@@ -646,6 +646,32 @@ def test_streaming_over_plan_has_one_stateful_pass(spark, src_dir):
     assert plan.count("FlatMapGroupsInPandasWithState") == 1
 
 
+def test_stateful_derived_view_counts_toward_one_pass(spark, src_dir):
+    """A derived view created with its own stateful pass (streaming
+    OVER) carries a catalog mark; composing a second stateful pass
+    over it is rejected at PLAN time with the scope message instead of
+    Spark's raw UnsupportedOperationChecker error at start()
+    (round-10 ADVICE).  A plain stateless read of the view stays
+    allowed."""
+    eng = _stream_engine(spark, src_dir)
+    eng.sql(f"create stream sview_sf as (select event_id, ts, user, "
+            f"value, sum(value) {_OVER} as rs from ev)")
+    # stateless composition over the stateful view: fine
+    ok = eng.sql("select event_id, rs from sview_sf where rs > 5")
+    assert ok.isStreaming
+    # a second stateful pass layered over the view: clean plan-time
+    # rejection
+    with pytest.raises(PlanError, match="one stateful streaming pass"):
+        eng.sql("select event_id, count(*) over (partition by user "
+                "order by ts, event_id rows between unbounded "
+                "preceding and current row) as n from sview_sf")
+    # ... and via QUALIFY too
+    with pytest.raises(PlanError, match="one stateful streaming pass"):
+        eng.sql("select event_id, rs from sview_sf qualify count(*) "
+                "over (partition by user order by ts, event_id rows "
+                "between unbounded preceding and current row) <= 2")
+
+
 def test_running_agg_survives_gk_column_collision(spark, tmp_path):
     """An input column literally named __gk survives a GLOBAL (empty
     PARTITION BY) running aggregate intact — the group-key bookkeeping
@@ -1049,4 +1075,34 @@ def test_running_agg_multibatch_multikey_doubles(spark, tmp_path_factory,
                       F.count("v").over(w).alias("rc"),
                       F.lag("v", k, -1.0).over(wl).alias("lg"))
               .collect()}
+    assert got == exp
+
+
+def test_running_avg_integral_matches_batch_past_2p53(spark, tmp_path):
+    """avg over an integral column accumulates its numerator in
+    float64 like batch Spark's Average (double sum buffer for longs):
+    once the running total passes 2^53 the int64-sum path would
+    diverge from the batch window, so avg must NOT share it
+    (round-10 ADVICE).  sum keeps int64 (wraparound parity)."""
+    schema = "ts timestamp, v long"
+    big = (1 << 53) + 111               # not representable in float64
+    rows = [(T0 + dt.timedelta(minutes=m), big + m) for m in range(4)]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, schema=schema).coalesce(1) \
+         .write.mode("overwrite").parquet(src)
+    sdf = spark.readStream.schema(schema).parquet(src)
+    out = running_agg(sdf, [], [("avg", "v", "ra"), ("sum", "v", "rs")],
+                      order_cols=["ts"])
+    sink = _run(out)
+    got = [(r["ra"], r["rs"]) for r in
+           spark.sql(f"select * from {sink} order by ts").collect()]
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = (Window.orderBy("ts")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    exp = [(r["ra"], r["rs"]) for r in
+           spark.read.parquet(src)
+                .select(F.avg("v").over(w).alias("ra"),
+                        F.sum("v").over(w).alias("rs"), "ts")
+                .orderBy("ts").collect()]
     assert got == exp
