@@ -1811,53 +1811,29 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-10 window (COVERAGE.md's r10 plan):
-    # evidence-freshness round — regression core; FIRST row for the
-    # new r10 surface (s13 streaming lag); fresh rows for the four
-    # queries whose code changed this round (running_agg int64/carry
-    # precision fixes -> s11/s12, token_budget_filter bookkeeping-name
-    # fix -> q80 and llm44); ALL 32 r6-newest keys (at the 3-round
-    # staleness limit, VERDICT r9 item 1); remaining 5 slots to the
-    # oldest r7 greens (q42 first).
+    # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
+    # regression core; FIRST rows for the four new r11 surfaces
+    # (s16 streaming ranking trio, s17 rank tie semantics, q83
+    # IGNORE NULLS, q84 mixture_temperature — each also the fresh
+    # row for a code-touched family: running_agg, batch OVER compile,
+    # mixture weights builder); q06 re-oracles its CHANGED text (the
+    # r10 vacuous-row fix); then 37 of the 38 r7-stale greens.  The
+    # 38th, llm26_minhash_verified_pairs, waits one round below the
+    # fold (50-slot arithmetic: 8+4+1+37 = 50) — its oracled twin
+    # llm03 went green in r10 and the verified-pairs shape stays
+    # in-window via llm28; llm26 leads the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- FIRST rows: NEW r10 surfaces (never-sampled outranks refresh;
-    #    q81 took q10's slot, s14 took q07's, q82 took q42's, s15
-    #    took q36's — HAVING, the cross join, the salt hint and the
-    #    range join rotate back r11) --
-    "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
-    "q82_mixture_table_hint", "s15_stream_nth_value",
-    # -- fresh rows for r10-touched code: running_agg precision fixes
-    #    (s11, s12) and token_budget_filter collision-free bookkeeping
-    #    names (q80 hint path, llm44 sample path) --
-    "s11_stream_running_over", "s12_stream_qualify_cap",
-    "q80_token_budget_hint", "llm44_token_budget",
-    # -- ALL 32 r6-newest keys: at the 3-round staleness limit, the
-    #    rotation-policy maximum --
-    "q18_case_arith", "q20_comma_from", "q21_between_like_null",
-    "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
-    "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
-    "x02_expr_filter_groupby", "s05_stream_session_window",
-    "s07_stream_time_sliding", "llm03_dedup_minhash_lsh",
-    "llm05_dedup_embedding", "llm06_ann_topk_bruteforce", "llm09_lang_id",
-    "llm10_quality_score", "llm11_fingerprint", "llm12_multimodal_decode",
-    "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
-    "llm18_chunk_documents", "llm19_top_terms_tfidf",
-    "llm23_seeded_shuffle", "llm24_stratified_sample",
-    "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
-    "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
-    # -- oldest r7 green (the r11 rotation continues from here) --
+    # -- FIRST rows: NEW r11 surfaces (never-sampled outranks refresh) --
+    "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
+    "q84_mixture_temperature_hint",
+    # -- changed-text re-oracle: the full join now produces unmatched
+    #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
-    # --- fold: entries below are outside the 50-entry prefix sample;
-    #     all stay value-checked by the per-session pytest oracle
-    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: remaining r7 greens first (they
-    #     lead the r11 rotation), then the r8 greens, then the r9
-    #     greens displaced by this rotation (freshest, sampled last).
-    # remaining r7 greens (q10, q07, q42 and q36 lent their slots to
-    # the q81/s14/q82/s15 first rows)
+    # -- ALL r7-stale greens except llm26 (see header note); q10,
+    #    q07, q42, q36 first — they lent their r10 slots --
     "q10_having", "q07_cross_join", "q42_salt_hint", "q36_range_join",
     "q11_distinct", "q13_in_list", "q17b_union_all",
     "q17c_except", "q17d_intersect", "q19_derived_table",
@@ -1868,11 +1844,19 @@ _PRIORITY = [
     "s03_stream_windowed_join", "s04_stream_delta_window",
     "s06_stream_count_sliding", "x03_expr_bitwise_unary",
     "llm02_dedup_ngram_jaccard", "llm08_token_stats", "llm13_frame_sample",
-    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
+    "llm27_ann_lsh_exhaustive",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
+    # --- fold: entries below are outside the 50-entry prefix sample;
+    #     all stay value-checked by the per-session pytest oracle
+    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
+    #     Ordered by next-staleness: llm26 (r7, lent its r11 slot)
+    #     leads the r12 rotation, then the r8 greens, the r9 greens,
+    #     and the r10 greens displaced by this rotation (freshest,
+    #     sampled last).
+    "llm26_minhash_verified_pairs",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -1886,7 +1870,7 @@ _PRIORITY = [
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
     "llm40_decontaminate", "q78_distinct_on", "q79_ilike",
-    # r9 greens displaced by this rotation (freshest driver evidence)
+    # r9 greens
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
@@ -1902,6 +1886,23 @@ _PRIORITY = [
     "llm63_mixture_temperature",
     "llm67_ngram_novelty", "llm69_length_quantiles", "llm70_topk_quality",
     "llm71_length_outliers",
+    # r10 greens displaced by this rotation (freshest driver evidence)
+    "q18_case_arith", "q20_comma_from", "q21_between_like_null",
+    "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
+    "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
+    "x02_expr_filter_groupby", "s05_stream_session_window",
+    "s07_stream_time_sliding", "llm03_dedup_minhash_lsh",
+    "llm05_dedup_embedding", "llm06_ann_topk_bruteforce", "llm09_lang_id",
+    "llm10_quality_score", "llm11_fingerprint", "llm12_multimodal_decode",
+    "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
+    "llm18_chunk_documents", "llm19_top_terms_tfidf",
+    "llm23_seeded_shuffle", "llm24_stratified_sample",
+    "llm61_heavy_hitters", "llm64_hll_registers", "llm65_cms_counts",
+    "llm66_bloom_decontaminate", "llm68_soft_dedup", "llm72_domain_cap",
+    "s11_stream_running_over", "s12_stream_qualify_cap",
+    "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
+    "q82_mixture_table_hint", "s15_stream_nth_value",
+    "q80_token_budget_hint", "llm44_token_budget",
 ]
 
 

@@ -291,6 +291,7 @@ _SINGLE_PARTITION_BY_DESIGN = {
                                   # min(tok/w) as llm45/llm63 — one
                                   # row over the |domains|-row frame
     "q82_mixture_table_hint",     # table-form weights, same scalar
+    "q84_mixture_temperature_hint",  # temperature form, same scalar
     "llm69_length_quantiles",     # prefix-sum window over the
                                   # DISTINCT-VALUE table (bounded
                                   # domain), never the corpus
