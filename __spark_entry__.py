@@ -783,14 +783,17 @@ _SCRIPTS: dict[str, str] = {
     # relation, temperature-flattened w' = w^(1/T) at plan time before
     # the same rate algebra.  T=2 = sqrt, correctly rounded by
     # IEEE-754 on CPython/JVM/DuckDB alike, so the oracle replays
-    # sqrt(w) on the same literals bit-for-bit (sqrt(0.16) etc. are
-    # NOT the literal doubles 0.4 etc. — both engines must compute)
+    # sqrt(w) on the same literals bit-for-bit.  The weights are
+    # chosen so every sqrt is NON-representable (sqrt(0.5) =
+    # 0.7071…, unlike a 0.16 → 0.4 pick where the root is a clean
+    # literal): both engines genuinely compute, which is what the
+    # row proves (review finding, r11)
     "q84_mixture_temperature_hint": """
         create stream wts84 as
-            (select 'src0' as domain, 0.16 as w
-             union all select 'src1', 0.09
-             union all select 'src2', 0.04
-             union all select 'src3', 0.01);
+            (select 'src0' as domain, 0.5 as w
+             union all select 'src1', 0.32
+             union all select 'src2', 0.18
+             union all select 'src3', 0.02);
         select /*+ mixture_temperature(source, doc_id, n_chars,
                                        wts84, 2) */
                source, count(*) as num_docs,
@@ -1710,10 +1713,16 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming rank/dense_rank TIE semantics (r11): ordering by
         # event_type alone gives ~2000 peers per (user, type) — peers
         # share a rank, rank jumps past the run, dense_rank increments
-        # once per distinct key.  Under ties rank/dense_rank are
+        # once per distinct key.  WITHIN the batch rank/dense_rank are
         # functions of the ORDER BY value only, so each output row is
         # deterministic even though peer arrival order is not (the
         # reason row_number stays out of THIS query's select list).
+        # Cross-batch the incremental carry matches the batch oracle
+        # only while the order key never regresses across micro-batch
+        # boundaries — this row rests on s11's single-ordered-batch
+        # premise (single-file availableNow source = ONE batch, sorted
+        # whole before ranking), the same premise every streaming OVER
+        # row shares.
         eng = _engine(spark, d)
         eng.register_stream_parquet("ev_s17", f"{d}/events.parquet")
         out = eng.sql("""
@@ -2303,15 +2312,16 @@ def _oracle_sql_base() -> dict[str, str]:
                       AS BIGINT) % 1000000 < r.thresh
             GROUP BY d.source""",
         # q84: q81's algebra with the weights temperature-flattened —
-        # the oracle COMPUTES sqrt(w) like the engine does (the
-        # scaled weights are not representable as clean literals)
+        # the oracle COMPUTES sqrt(w) like the engine does (every
+        # root is non-representable, so a literal-weight shortcut
+        # cannot satisfy this row)
         "q84_mixture_temperature_hint": """
             WITH dom AS (SELECT source AS domain,
                                 CAST(sum(n_chars) AS DOUBLE) AS tok,
-                                sqrt(CASE source WHEN 'src0' THEN 0.16
-                                            WHEN 'src1' THEN 0.09
-                                            WHEN 'src2' THEN 0.04
-                                            WHEN 'src3' THEN 0.01
+                                sqrt(CASE source WHEN 'src0' THEN 0.5
+                                            WHEN 'src1' THEN 0.32
+                                            WHEN 'src2' THEN 0.18
+                                            WHEN 'src3' THEN 0.02
                                 END) AS w
                          FROM documents
                          WHERE source IN ('src0','src1','src2','src3')

@@ -2087,7 +2087,7 @@ class Planner:
                 if dflt is _NOT_LITERAL:
                     raise PlanError(
                         f"{name}() default must be a literal")
-            if e.ignore_nulls and off > 0:
+            if e.ignore_nulls and off != 0:
                 # lag(x, k) IGNORE NULLS: PySpark's lag/lead lack the
                 # ignoreNulls overload, so compile the exact public-API
                 # rewrite — iterate ``last(CASE WHEN x IS NOT NULL
@@ -2104,11 +2104,16 @@ class Planner:
                 # functions.)
                 y = comp(args[0])
                 nn = y.isNotNull()
-                back = name == "lag"
+                # a negative offset flips direction on both engines:
+                # lag(x, -k) IGNORE NULLS == lead(x, k) IGNORE NULLS
+                # (pinned vs Spark's native expression) — without this
+                # the rewrite gate would silently drop the null
+                # treatment for negative offsets (review finding, r11)
+                back = (name == "lag") == (off > 0)
                 wf = (w.rowsBetween(SW.unboundedPreceding, -1) if back
                       else w.rowsBetween(1, SW.unboundedFollowing))
                 pick = F.last if back else F.first
-                for _ in range(off):
+                for _ in range(abs(off)):
                     y = pick(F.when(nn, y), ignorenulls=True).over(wf)
                 return y if dflt is None else F.coalesce(y, F.lit(dflt))
             # offset 0 is the current row on both engines, with or

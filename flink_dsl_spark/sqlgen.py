@@ -528,6 +528,16 @@ class SqlGen:
                     f"{self._frame_bound(e.frame.end)}")
             fn = self.expr(e.func)
             if e.ignore_nulls:
+                if e.func.name.lower() not in (
+                        "lag", "lead", "first_value", "last_value",
+                        "nth_value"):
+                    # mirror the DataFrame path's applicability check
+                    # so the SQL path raises the same clean scope
+                    # message instead of Spark's raw AnalysisException
+                    # (review finding, r11)
+                    raise PlanError(
+                        "IGNORE NULLS applies to lag/lead/first_value/"
+                        f"last_value/nth_value, not {e.func.name}()")
                 # Spark spells null treatment after the parens,
                 # DuckDB inside them after the last argument
                 if self.dialect == "spark":

@@ -571,3 +571,32 @@ def test_ignore_nulls_rejections(engine):
     with pytest.raises(PlanError, match="IGNORE NULLS applies to"):
         engine.sql("select row_number() ignore nulls over (order by "
                    "ts) as rn from events")
+
+
+def test_ignore_nulls_negative_offset_flips_direction(engine, duck):
+    """lag(x, -k) IGNORE NULLS == lead(x, k) IGNORE NULLS on both
+    engines; the rewrite gate must not silently drop the treatment
+    for negative offsets (review finding, r11)."""
+    q = f"""select event_id,
+                   lag({_NULLY}, -2) ignore nulls over (partition by
+                       user_id order by ts, event_id) as ln,
+                   lead({_NULLY}, -1) ignore nulls over (partition by
+                       user_id order by ts, event_id) as lp
+            from events"""
+    oracle = f"""select event_id,
+                   lead({_NULLY}, 2 ignore nulls) over (partition by
+                       user_id order by ts, event_id) as ln,
+                   lag({_NULLY}, 1 ignore nulls) over (partition by
+                       user_id order by ts, event_id) as lp
+            from events"""
+    assert_matches_oracle(engine.sql(q), duck, oracle, "ignore_neg")
+
+
+def test_ignore_nulls_sql_path_rejects_unsupported(engine):
+    """The sqlgen path mirrors the DataFrame path's applicability
+    check — same clean scope message, never Spark's raw
+    AnalysisException (review finding, r11)."""
+    with pytest.raises(PlanError, match="IGNORE NULLS applies to"):
+        engine.sql("""select sum(value) ignore nulls over (order by
+            ts) as s from events
+            where user_id in (select user_id from events)""")
