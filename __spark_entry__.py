@@ -1734,6 +1734,34 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from ev_s17 qualify drnk <= 2""")
         return _run_stream(spark, out, "append")
 
+    def s18(spark, d):
+        # streaming IGNORE NULLS (r11): lag / first_value /
+        # last_value / nth_value with null treatment on an unbounded
+        # stream — state tracks NON-null values (last k non-nulls /
+        # first non-null / most recent non-null / first n non-nulls),
+        # same O(k)-or-better size as the respect-nulls forms, one
+        # stateful pass for the whole list.  The CASE manufactures
+        # NULLs (events.value has none).  Same single-ordered-batch
+        # determinism premise as s11.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s18", f"{d}/events.parquet")
+        nully = "case when value < 50.0 then null else value end"
+        frame = ("over (partition by user_id order by ts, event_id "
+                 "rows between unbounded preceding and current row)")
+        out = eng.sql(f"""
+            select user_id, event_id,
+                   lag({nully}, 1, -1.0) ignore nulls over (
+                       partition by user_id order by ts, event_id)
+                       as prev_amt,
+                   first_value({nully}) ignore nulls {frame}
+                       as first_amt,
+                   last_value({nully}) ignore nulls {frame}
+                       as cur_amt,
+                   nth_value({nully}, 2) ignore nulls {frame}
+                       as second_amt
+            from ev_s18""")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1750,7 +1778,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s14_stream_first_last": s14,
             "s15_stream_nth_value": s15,
             "s16_stream_ranking": s16,
-            "s17_stream_rank_ties": s17}
+            "s17_stream_rank_ties": s17,
+            "s18_stream_ignore_nulls": s18}
 
 
 # ---------------------------------------------------------------------------
@@ -1821,23 +1850,28 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the four new r11 surfaces
+    # regression core; FIRST rows for the FIVE new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
-    # IGNORE NULLS, q84 mixture_temperature — each also the fresh
-    # row for a code-touched family: running_agg, batch OVER compile,
-    # mixture weights builder); q06 re-oracles its CHANGED text (the
-    # r10 vacuous-row fix); then 37 of the 38 r7-stale greens.  The
-    # 38th, llm26_minhash_verified_pairs, waits one round below the
-    # fold (50-slot arithmetic: 8+4+1+37 = 50) — its oracled twin
-    # llm03 went green in r10 and the verified-pairs shape stays
-    # in-window via llm28; llm26 leads the r12 rotation.
+    # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
+    # NULLS — each also the fresh row for a code-touched family:
+    # running_agg, batch OVER compile, mixture weights builder);
+    # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
+    # then 36 of the 38 r7-stale greens.  The other two wait one
+    # round below the fold (50-slot arithmetic: 8+5+1+36 = 50):
+    # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
+    # verified-pairs shape in-window via llm28) and
+    # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
+    # green r10); both lead the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- FIRST rows: NEW r11 surfaces (never-sampled outranks refresh) --
+    # -- FIRST rows: NEW r11 surfaces (never-sampled outranks refresh;
+    #    s18 landed late r11 and took llm27's slot — llm27's ANN
+    #    family keeps llm16/llm06 evidence from r10 and its
+    #    exhaustive-probe twin shape; it joins llm26 leading r12) --
     "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
-    "q84_mixture_temperature_hint",
+    "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1853,7 +1887,6 @@ _PRIORITY = [
     "s03_stream_windowed_join", "s04_stream_delta_window",
     "s06_stream_count_sliding", "x03_expr_bitwise_unary",
     "llm02_dedup_ngram_jaccard", "llm08_token_stats", "llm13_frame_sample",
-    "llm27_ann_lsh_exhaustive",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
@@ -1861,11 +1894,12 @@ _PRIORITY = [
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm26 (r7, lent its r11 slot)
-    #     leads the r12 rotation, then the r8 greens, the r9 greens,
-    #     and the r10 greens displaced by this rotation (freshest,
-    #     sampled last).
-    "llm26_minhash_verified_pairs",
+    #     Ordered by next-staleness: llm26 and llm27 (r7 — each lent
+    #     its r11 slot, llm26 to the fill arithmetic and llm27 to the
+    #     late s18 first row) lead the r12 rotation, then the r8
+    #     greens, the r9 greens, and the r10 greens displaced by this
+    #     rotation (freshest, sampled last).
+    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -2153,6 +2187,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, event_type, CAST(rnk AS INT) AS rnk,
                CAST(drnk AS INT) AS drnk
         FROM w WHERE drnk <= 2"""
+    # s18: streaming IGNORE NULLS == the batch null-treatment windows
+    # (DuckDB spells the treatment inside the parens); doubles pass
+    # through untouched, no casts needed.  Same single-ordered-batch
+    # premise as s11.
+    o["s18_stream_ignore_nulls"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          lag(CASE WHEN value < 50.0 THEN NULL ELSE
+                                  value END, 1, -1.0 IGNORE NULLS)
+                              OVER nofr AS prev_amt,
+                          first_value(CASE WHEN value < 50.0 THEN NULL
+                                  ELSE value END IGNORE NULLS)
+                              OVER win AS first_amt,
+                          last_value(CASE WHEN value < 50.0 THEN NULL
+                                  ELSE value END IGNORE NULLS)
+                              OVER win AS cur_amt,
+                          nth_value(CASE WHEN value < 50.0 THEN NULL
+                                  ELSE value END, 2 IGNORE NULLS)
+                              OVER win AS second_amt
+                   FROM events
+                   WINDOW nofr AS (PARTITION BY user_id
+                                   ORDER BY ts, event_id),
+                          win AS (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW))
+        SELECT user_id, event_id, prev_amt, first_amt, cur_amt,
+               second_amt
+        FROM w"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic
     # (quality desc, id) row_number cut

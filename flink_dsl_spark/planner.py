@@ -1708,7 +1708,13 @@ class Planner:
         ``rank()``/``dense_rank()`` (r11 — peers share a rank; O(1)
         state: the last row's order key + one scalar per spec),
         plain-column PARTITION BY, and an ascending plain-column
-        ORDER BY (event time + tiebreak).
+        ORDER BY (event time + tiebreak).  lag / first_value /
+        last_value / nth_value accept ``IGNORE NULLS`` (r11): the
+        state then tracks non-null values (last k non-nulls / first
+        non-null / most recent non-null / first n non-nulls) at the
+        same O(k)-or-better size; IGNORE-NULLS last_value is stateful
+        (one captured value) where the respect-nulls form compiles
+        inline.
         Every window function in the select must share one
         (partition, order) spec — the stateful pass groups the stream
         once.  Anything else keeps the clear batch-only rejection.
@@ -1746,10 +1752,11 @@ class Planner:
 
         spec0 = None
         aggs: list[tuple] = []
-        offsets: list[tuple] = []           # (col, k, default, alias)
-        firsts: list[tuple] = []            # (col, alias)
-        nths: list[tuple] = []              # (col, n, alias)
-        ranks: list[tuple] = []             # (kind, alias)
+        offsets: list[tuple] = []    # (col, k, default, alias, ignore)
+        firsts: list[tuple] = []     # (col, alias, ignore)
+        nths: list[tuple] = []       # (col, n, alias, ignore)
+        ranks: list[tuple] = []      # (kind, alias)
+        lasts: list[tuple] = []      # (col, alias) — IGNORE NULLS only
         rownum_casts: list[str] = []        # long outputs -> int
         hidden: list[tuple] = []            # (name, Expr) inputs to add
         hidden_keep: set = set()            # hidden cols that ARE outputs
@@ -1780,12 +1787,14 @@ class Planner:
             return name
         for i, e in enumerate(wfs):
             name = e.func.name
-            if e.ignore_nulls:
+            if e.ignore_nulls and name not in (
+                    "lag", "lead", "first_value", "last_value",
+                    "nth_value"):
+                # same applicability rule as batch (lead then hits its
+                # own causality rejection below)
                 raise PlanError(
-                    "IGNORE NULLS is batch-only: the streaming "
-                    "running_agg state tracks positional values — "
-                    "run the query in batch or drop the null "
-                    "treatment")
+                    "IGNORE NULLS applies to lag/lead/first_value/"
+                    f"last_value/nth_value, not {name}()")
             if name == "lead":
                 raise PlanError(
                     "lead() is batch-only: it reads rows that have not "
@@ -1900,13 +1909,14 @@ class Planner:
                     raise PlanError("lag(*) is not valid")
                 in_col = _input_col(args[0], "lag() argument", i)
                 out_name = _fresh(f"__rw_out{i}")
-                offsets.append((in_col, off, dflt, out_name))
+                offsets.append((in_col, off, dflt, out_name,
+                                e.ignore_nulls))
                 wf_map[id(e)] = out_name
                 continue
             if is_first:
                 in_col = _input_col(args[0], "first_value() argument", i)
                 out_name = _fresh(f"__rw_out{i}")
-                firsts.append((in_col, out_name))
+                firsts.append((in_col, out_name, e.ignore_nulls))
                 wf_map[id(e)] = out_name
                 continue
             if is_nth:
@@ -1918,10 +1928,20 @@ class Planner:
                         "literal")
                 in_col = _input_col(args[0], "nth_value() argument", i)
                 out_name = _fresh(f"__rw_out{i}")
-                nths.append((in_col, n, out_name))
+                nths.append((in_col, n, out_name, e.ignore_nulls))
                 wf_map[id(e)] = out_name
                 continue
             if is_last:
+                if e.ignore_nulls:
+                    # IGNORE NULLS last_value is the running most
+                    # recent NON-null — a stateful spec (one captured
+                    # value per key), unlike the respect-nulls form
+                    in_col = _input_col(
+                        args[0], "last_value() argument", i)
+                    out_name = _fresh(f"__rw_out{i}")
+                    lasts.append((in_col, out_name))
+                    wf_map[id(e)] = out_name
+                    continue
                 # over the running ROWS frame, last_value(x) IS the
                 # current row's x — no state needed: map the window
                 # function at the input column (or a kept hidden
@@ -1950,11 +1970,12 @@ class Planner:
 
         for h, expr in hidden:
             df = df.withColumn(h, self._compile(expr, df))
-        stateful = bool(aggs or offsets or firsts or nths or ranks)
+        stateful = bool(aggs or offsets or firsts or nths or ranks
+                        or lasts)
         if stateful:
             out = running_agg(df, list(spec0[0]), aggs, list(spec0[1]),
                               offsets=offsets, firsts=firsts,
-                              nths=nths, ranks=ranks)
+                              nths=nths, ranks=ranks, lasts=lasts)
         else:
             # pure last_value select: every window function compiled
             # to an existing (or kept-hidden) column — no stateful

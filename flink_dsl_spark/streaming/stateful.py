@@ -317,7 +317,8 @@ def running_agg(sdf: DataFrame,
                 offsets: Optional[list[tuple]] = None,
                 firsts: Optional[list[tuple]] = None,
                 nths: Optional[list[tuple]] = None,
-                ranks: Optional[list[tuple]] = None) -> DataFrame:
+                ranks: Optional[list[tuple]] = None,
+                lasts: Optional[list[tuple]] = None) -> DataFrame:
     """Per-ROW running aggregates over a keyed stream — the streaming
     form of the batch analytic ``agg(x) OVER (PARTITION BY key ORDER BY
     t ROWS UNBOUNDED PRECEDING..CURRENT ROW)``: every arriving row is
@@ -329,7 +330,8 @@ def running_agg(sdf: DataFrame,
         means ``count(*)``.  Inputs must be numeric (DecimalType is
         rejected — Arrow round-trips it through Python objects, so
         cast to double first).
-    offsets : ``(col, k, default, alias)`` lag specs — the streaming
+    offsets : ``(col, k, default, alias [, ignore_nulls])`` lag specs
+        — the streaming
         form of ``lag(col, k, default) OVER (PARTITION BY key ORDER
         BY t)``: each row is emitted with the column value k rows
         earlier for its key, or ``default`` where no such row exists.
@@ -339,22 +341,36 @@ def running_agg(sdf: DataFrame,
         type is allowed; output type is the input column's.  A
         nullable integral lag shares the running-sum per-value
         premise: values are exact below 2^53 (the Arrow float64
-        transfer bound).
-    firsts : ``(col, alias)`` first_value specs — each row is emitted
+        transfer bound).  With ``ignore_nulls`` (r11) the tail keeps
+        the last k NON-null values and each row is emitted with the
+        k-th most recent non-null strictly before it — still O(k).
+    firsts : ``(col, alias [, ignore_nulls])`` first_value specs —
+        each row is emitted
         with its key's FIRST row's value (possibly NULL, the
         ignoreNulls=False default both engines share).  State per
         (key, spec) is one captured value plus a set-flag — O(1); the
         empty-vs-[NULL] array distinction is what separates "not yet
         seen" from "first value was NULL".  Same atomic-type rules as
-        offsets.
-    nths : ``(col, n, alias)`` nth_value specs (n >= 1) — each row is
+        offsets.  With ``ignore_nulls`` (r11) the capture waits for
+        the key's first NON-null value; rows before it emit NULL.
+    nths : ``(col, n, alias [, ignore_nulls])`` nth_value specs
+        (n >= 1) — each row is
         emitted with the value at its key's n-th row in order, or
         NULL while fewer than n rows have arrived (the batch
         ``nth_value(col, n)`` under the running ROWS frame).  State
         per (key, spec) is the first n values — O(n), stream-length
         independent; the buffer LENGTH (not nullness) marks how many
         rows are captured, so NULL values buffer exactly.  Same
-        atomic-type rules as offsets.
+        atomic-type rules as offsets.  With ``ignore_nulls`` (r11)
+        the buffer keeps the first n NON-null values and a row sees
+        the n-th once n non-nulls have arrived at or before it.
+    lasts : ``(col, alias)`` IGNORE-NULLS last_value specs (r11) —
+        each row is emitted with its key's most recent NON-null value
+        at or before it (NULL until one arrives): the streaming
+        ``last_value(col) IGNORE NULLS`` under the running ROWS frame
+        (the RESPECT-NULLS form is the current row and compiles
+        inline planner-side, no spec here).  State per (key, spec) is
+        one captured value — O(1).
     ranks : ``(kind, alias)`` ranking specs, kind in ``rank`` /
         ``dense_rank`` (r11) — each row is emitted with its SQL rank
         over the rows seen so far for its key: peers (rows equal on
@@ -404,10 +420,15 @@ def running_agg(sdf: DataFrame,
     from pyspark.sql.types import (ArrayType, DecimalType, FractionalType,
                                    IntegralType, NumericType)
 
-    offsets = offsets or []
-    firsts = firsts or []
-    nths = nths or []
+    # normalize the optional trailing ignore_nulls flag on each spec
+    # kind (older callers pass the short tuples)
+    offsets = [(o + (False,) if len(o) == 4 else o)
+               for o in (offsets or [])]
+    firsts = [(f + (False,) if len(f) == 2 else f)
+              for f in (firsts or [])]
+    nths = [(x + (False,) if len(x) == 3 else x) for x in (nths or [])]
     ranks = ranks or []
+    lasts = lasts or []
     for fn, c, _a in aggs:
         if fn not in _SUPPORTED:
             raise PlanError(
@@ -420,9 +441,10 @@ def running_agg(sdf: DataFrame,
                 f"running_agg rank specs support rank/dense_rank, "
                 f"got {kind!r}")
     if not aggs and not offsets and not firsts and not nths \
-            and not ranks:
+            and not ranks and not lasts:
         raise PlanError("running_agg needs at least one aggregate, "
-                        "lag, first_value, nth_value, or rank spec")
+                        "lag, first_value, last_value, nth_value, or "
+                        "rank spec")
     if not order_cols:
         raise PlanError("running_agg requires an ordering column")
     missing = [c for c in order_cols if c not in sdf.columns]
@@ -454,7 +476,7 @@ def running_agg(sdf: DataFrame,
     from pyspark.sql.types import (BooleanType, FractionalType, MapType,
                                    StringType)
     checked_offsets: list[tuple] = []
-    for c, k, dflt, a in offsets:
+    for c, k, dflt, a, ign in offsets:
         if c not in by_name:
             raise PlanError(
                 f"lag column {c!r} not found in input columns "
@@ -492,7 +514,7 @@ def running_agg(sdf: DataFrame,
                     f"lag({c}) default {dflt!r} does not match the "
                     f"column type {t.simpleString()} (use a matching "
                     f"literal or omit the default)")
-        checked_offsets.append((c, k, dflt, a))
+        checked_offsets.append((c, k, dflt, a, bool(ign)))
     offsets = checked_offsets
     def _check_value_col(c: str, what: str) -> None:
         if c not in by_name:
@@ -509,12 +531,14 @@ def running_agg(sdf: DataFrame,
                 f"{what}({c}) needs an atomic column type, got "
                 f"{t.simpleString()}")
 
-    for c, _a in firsts:
+    for c, _a, _ig in firsts:
         _check_value_col(c, "first_value")
-    for c, n, _a in nths:
+    for c, n, _a, _ig in nths:
         _check_value_col(c, "nth_value")
         if not isinstance(n, int) or isinstance(n, bool) or n < 1:
             raise PlanError("nth_value n must be an integer >= 1")
+    for c, _a in lasts:
+        _check_value_col(c, "last_value")
     if ranks:
         # the captured last order key lives in the Arrow state store —
         # same atomic/non-decimal rules as the lag tail
@@ -534,10 +558,12 @@ def running_agg(sdf: DataFrame,
         in_fields + [StructField(a, _out_type(i))
                      for i, (_f, _c, a) in enumerate(aggs)]
         + [StructField(a, by_name[c].dataType)
-           for c, _k, _d, a in offsets]
-        + [StructField(a, by_name[c].dataType) for c, a in firsts]
-        + [StructField(a, by_name[c].dataType) for c, _n, a in nths]
-        + [StructField(a, LongType()) for _k, a in ranks])
+           for c, _k, _d, a, _ig in offsets]
+        + [StructField(a, by_name[c].dataType) for c, a, _ig in firsts]
+        + [StructField(a, by_name[c].dataType)
+           for c, _n, a, _ig in nths]
+        + [StructField(a, LongType()) for _k, a in ranks]
+        + [StructField(a, by_name[c].dataType) for c, a in lasts])
 
     # state: rows seen + per-agg (non-null n, sum, min, max) scalars
     def _acc_type(i):
@@ -550,19 +576,27 @@ def running_agg(sdf: DataFrame,
                          StructField(f"mx{i}", _acc_type(i))]
     # lag state: the last k values per spec (O(k), stream-length
     # independent), typed as an array of the input column's type
-    for j, (c, _k, _d, _a) in enumerate(offsets):
+    for j, (c, _k, _d, _a, _ig) in enumerate(offsets):
         state_fields.append(
             StructField(f"tl{j}", ArrayType(by_name[c].dataType)))
     # first_value state: one captured value per spec — the empty
     # array means "not yet seen", [NULL] means "first value was NULL"
-    for j, (c, _a) in enumerate(firsts):
+    # (under IGNORE NULLS the capture waits for a non-null, so [NULL]
+    # never occurs there)
+    for j, (c, _a, _ig) in enumerate(firsts):
         state_fields.append(
             StructField(f"fv{j}", ArrayType(by_name[c].dataType)))
     # nth_value state: the first n values per spec (O(n)); the array
-    # LENGTH marks how many rows are captured (NULL values buffer)
-    for j, (c, _n, _a) in enumerate(nths):
+    # LENGTH marks how many rows are captured (NULL values buffer;
+    # under IGNORE NULLS only non-nulls do)
+    for j, (c, _n, _a, _ig) in enumerate(nths):
         state_fields.append(
             StructField(f"nv{j}", ArrayType(by_name[c].dataType)))
+    # IGNORE-NULLS last_value state: the most recent non-null per
+    # spec — empty array until one arrives
+    for j, (c, _a) in enumerate(lasts):
+        state_fields.append(
+            StructField(f"lv{j}", ArrayType(by_name[c].dataType)))
     # rank state: one last-emitted value per spec, plus the LAST row's
     # order-key values (one single-element array per order column,
     # shared by every spec — empty array = no row seen yet, [NULL] =
@@ -577,7 +611,8 @@ def running_agg(sdf: DataFrame,
     tail_base = 1 + 4 * len(aggs)
     first_base = tail_base + len(offsets)
     nth_base = first_base + len(firsts)
-    rank_base = nth_base + len(nths)
+    last_base = nth_base + len(nths)
+    rank_base = last_base + len(lasts)
     lk_base = rank_base + len(ranks)
 
     gk = _fresh_name("__gk", sdf.columns)
@@ -627,6 +662,8 @@ def running_agg(sdf: DataFrame,
                      for j in range(len(firsts))]
             nbufs = [list(row[nth_base + j] or ())
                      for j in range(len(nths))]
+            lvals = [list(row[last_base + j] or ())
+                     for j in range(len(lasts))]
             rvals = [row[rank_base + j] for j in range(len(ranks))]
             lastkey = ([list(row[lk_base + m] or ())
                         for m in range(len(order_cols))]
@@ -637,6 +674,7 @@ def running_agg(sdf: DataFrame,
             tails = [[] for _ in offsets]
             fvals = [[] for _ in firsts]
             nbufs = [[] for _ in nths]
+            lvals = [[] for _ in lasts]
             rvals = [0 for _ in ranks]
             lastkey = [[] for _ in order_cols] if ranks else []
 
@@ -772,12 +810,33 @@ def running_agg(sdf: DataFrame,
                     acc[3] = None if (not integral[i]
                                       and np.isnan(rmx[last])) \
                         else cast(rmx[last])
-            for j, (c, k, dflt, alias) in enumerate(offsets):
+            for j, (c, k, dflt, alias, ign) in enumerate(offsets):
                 vals = _obj_values(pdf[c], by_name[c].dataType)
                 if k == 0:                    # lag 0 is the value itself
                     res[alias] = pd.Series(vals, dtype=object)
                     continue
                 tail = tails[j]
+                if ign:
+                    # IGNORE NULLS: the tail carries the last k
+                    # NON-null values; row i's answer is the k-th most
+                    # recent non-null strictly before it — index
+                    # (len(tail) + #batch-non-nulls-before-i - k)
+                    # into tail+batch-non-nulls, default when negative
+                    m = np.array([v is not None for v in vals],
+                                 dtype=bool)
+                    nn = np.concatenate(
+                        [np.array(tail, dtype=object), vals[m]])
+                    c_excl = np.concatenate(
+                        ([0], m.cumsum()[:-1])) + len(tail)
+                    idx = c_excl - k
+                    out = np.empty(n_rows, dtype=object)
+                    out[:] = dflt
+                    ok = idx >= 0
+                    if ok.any():
+                        out[ok] = nn[idx[ok]]
+                    res[alias] = pd.Series(out, dtype=object)
+                    tails[j] = [_py(x) for x in nn[max(0, len(nn) - k):]]
+                    continue
                 # global row g's lag-k lives at g-k: rows [seen-k,
                 # seen-1] are the carried tail, earlier rows get the
                 # default.  Prepending (default-pad + tail) — exactly
@@ -788,7 +847,24 @@ def running_agg(sdf: DataFrame,
                     [pad, np.array(tail, dtype=object), vals])
                 res[alias] = pd.Series(ext[:n_rows], dtype=object)
                 tails[j] = [_py(x) for x in ext[len(ext) - k:]]
-            for j, (c, alias) in enumerate(firsts):
+            for j, (c, alias, ign) in enumerate(firsts):
+                if ign and not fvals[j]:
+                    # IGNORE NULLS: the capture waits for the key's
+                    # first NON-null; rows before it (this batch's
+                    # prefix — earlier batches already emitted NULL)
+                    # see NULL
+                    vals = _obj_values(pdf[c], by_name[c].dataType)
+                    hit = next((i for i, v in enumerate(vals)
+                                if v is not None), None)
+                    out = np.empty(n_rows, dtype=object)
+                    if hit is None:
+                        out[:] = None
+                    else:
+                        fvals[j] = [_py(vals[hit])]
+                        out[:hit] = None
+                        out[hit:] = fvals[j][0]
+                    res[alias] = pd.Series(out, dtype=object)
+                    continue
                 if not fvals[j]:
                     # capture the key's very first row's value —
                     # via the object conversion so NULL/ints survive
@@ -797,8 +873,28 @@ def running_agg(sdf: DataFrame,
                                     by_name[c].dataType)[0])]
                 res[alias] = pd.Series([fvals[j][0]] * n_rows,
                                        dtype=object)
-            for j, (c, n, alias) in enumerate(nths):
+            for j, (c, n, alias, ign) in enumerate(nths):
                 buf = nbufs[j]
+                if ign:
+                    # IGNORE NULLS: buffer the first n NON-null
+                    # values (buffer length = min(non-nulls seen, n),
+                    # so it doubles as the carried non-null count); a
+                    # row sees the n-th once n non-nulls have arrived
+                    # at or before it
+                    vals = _obj_values(pdf[c], by_name[c].dataType)
+                    m = np.array([v is not None for v in vals],
+                                 dtype=bool)
+                    before = len(buf)
+                    if before < n:
+                        buf.extend(_py(x)
+                                   for x in vals[m][:n - before])
+                    c_incl = m.cumsum() + before
+                    out = np.empty(n_rows, dtype=object)
+                    out[:] = None
+                    if len(buf) >= n:
+                        out[c_incl >= n] = buf[n - 1]
+                    res[alias] = pd.Series(out, dtype=object)
+                    continue
                 if len(buf) < n:
                     # slice BEFORE the object conversion: only the
                     # n - len(buf) leading values are needed, never
@@ -817,6 +913,20 @@ def running_agg(sdf: DataFrame,
                 out[:k] = None
                 out[k:] = buf[n - 1] if len(buf) >= n else None
                 res[alias] = pd.Series(out, dtype=object)
+            for j, (c, alias) in enumerate(lasts):
+                # IGNORE-NULLS last_value: the most recent non-null at
+                # or before each row — vectorized ffill over positions
+                # of non-nulls, seeded with the carried capture
+                vals = _obj_values(pdf[c], by_name[c].dataType)
+                m = np.array([v is not None for v in vals], dtype=bool)
+                pos = np.where(m, np.arange(n_rows), -1)
+                last_pos = np.maximum.accumulate(pos)
+                carry = lvals[j][0] if lvals[j] else None
+                out = np.where(last_pos >= 0,
+                               vals[np.maximum(last_pos, 0)], carry)
+                res[alias] = pd.Series(out, dtype=object)
+                if m.any():
+                    lvals[j] = [_py(vals[last_pos[-1]])]
             if ranks:
                 # isnew[i]: row i starts a new peer run — it differs
                 # from row i-1 on ANY order column (NULL peers NULL,
@@ -876,6 +986,7 @@ def running_agg(sdf: DataFrame,
             + [tails[j] for j in range(len(offsets))]
             + [fvals[j] for j in range(len(firsts))]
             + [nbufs[j] for j in range(len(nths))]
+            + [lvals[j] for j in range(len(lasts))]
             + [rvals[j] for j in range(len(ranks))]
             + (lastkey if ranks else [])))
 

@@ -68,7 +68,7 @@ def _predicate(draw, cols):
 
 @st.composite
 def _query(draw):
-    shape = draw(st.integers(0, 26))
+    shape = draw(st.integers(0, 27))
     if shape == 0:
         # single-table projection + filter
         cols = _NATION_INTS
@@ -365,6 +365,29 @@ def _query(draw):
                 f"(select {fn} from customer "
                 f"where c_nationkey = n_nationkey "
                 f"and c_custkey < {cut}) t")
+    if shape == 27:
+        # IGNORE NULLS null treatment (r11): offset functions hit the
+        # iterated last/first rewrite (incl. negative offsets — the
+        # direction flip), value functions the public ignoreNulls
+        # flags; sqlgen renders Spark post-paren / DuckDB in-paren
+        # from the same AST.  The CASE manufactures NULLs; the unique
+        # (n_nationkey) order pins determinism.
+        nully = (f"case when n_nationkey % "
+                 f"{draw(st.integers(2, 5))} = 0 then null "
+                 f"else n_nationkey end")
+        k = draw(st.integers(-3, 3))
+        form = draw(st.sampled_from(["lag", "lead", "value"]))
+        if form == "value":
+            fn = draw(st.sampled_from(
+                [f"first_value({nully})", f"last_value({nully})",
+                 f"nth_value({nully}, {draw(st.integers(1, 4))})"]))
+            return (f"select n_nationkey, {fn} ignore nulls over "
+                    f"(order by n_nationkey rows between unbounded "
+                    f"preceding and current row) as w from nation")
+        dflt = draw(st.sampled_from(["", ", -1"]))
+        return (f"select n_nationkey, {form}({nully}, {k}{dflt}) "
+                f"ignore nulls over (partition by n_regionkey "
+                f"order by n_nationkey) as w from nation")
     if shape == 26:
         # CUBE with a coalesced label + HAVING (r10): grouping-set
         # NULL rows must label and filter identically

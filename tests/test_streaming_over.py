@@ -733,12 +733,14 @@ def test_running_over_rejections(spark, src_dir):
          f"partition by small order by ts, event_id rows between "
          f"unbounded preceding and current row) as b from ev",
          "share the same PARTITION BY"),
-        # IGNORE NULLS tracks non-positional values — batch-only
-        ("select lag(value, 1) ignore nulls over (partition by user "
-         "order by ts, event_id) as x from ev", "batch-only"),
-        ("select first_value(value) ignore nulls over (partition by "
-         "user order by ts, event_id rows between unbounded preceding "
-         "and current row) as x from ev", "batch-only"),
+        # IGNORE NULLS keeps the batch applicability rule on streams
+        # (lag/first/last/nth accept it since r11 — see
+        # test_streaming_ignore_nulls_equals_batch)
+        (f"select sum(value) ignore nulls {_OVER} as x from ev",
+         "IGNORE NULLS applies to"),
+        ("select row_number() ignore nulls over (partition by user "
+         "order by ts, event_id) as x from ev",
+         "IGNORE NULLS applies to"),
         # non-numeric input
         (f"select min(user) {_OVER} as m from ev", "numeric"),
         # expression partition keys are out of scope
@@ -1106,3 +1108,72 @@ def test_running_avg_integral_matches_batch_past_2p53(spark, tmp_path):
                         F.sum("v").over(w).alias("rs"), "ts")
                 .orderBy("ts").collect()]
     assert got == exp
+
+
+_NULLY_EV = "case when value < 5.0 then null else value end"
+
+
+def test_streaming_ignore_nulls_equals_batch(spark, src_dir):
+    """IGNORE NULLS on streams (r11) for lag / first_value /
+    last_value / nth_value — state tracks non-null values; must equal
+    the SAME dialect text run through the batch OVER path (which is
+    differential-tested against DuckDB)."""
+    eng = _stream_engine(spark, src_dir)
+    sql = (f"select event_id, "
+           f"lag({_NULLY_EV}, 2, -1.0) ignore nulls over (partition "
+           f"by user order by ts, event_id) as l2, "
+           f"first_value({_NULLY_EV}) ignore nulls {_OVER} as fv, "
+           f"last_value({_NULLY_EV}) ignore nulls {_OVER} as lv, "
+           f"nth_value({_NULLY_EV}, 3) ignore nulls {_OVER} as n3, "
+           f"count(*) {_OVER} as rn from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    # the whole list still compiles to ONE stateful pass
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert plan.count("FlatMapGroupsInPandasWithState") == 1
+    sink = _run(out)
+    got = {r["event_id"]: (r["l2"], r["fv"], r["lv"], r["n3"], r["rn"])
+           for r in spark.sql(f"select * from {sink}").collect()}
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: (r["l2"], r["fv"], r["lv"], r["n3"], r["rn"])
+           for r in beng.sql(sql).collect()}
+    assert got == exp and len(got) == 24
+
+
+def test_streaming_ignore_nulls_state_across_batches(spark, tmp_path):
+    """The non-null tail / first-non-null capture / last-non-null /
+    n-th-non-null buffer must all carry across micro-batches —
+    including a key whose first batch is ALL NULL."""
+    schema = "ts timestamp, user string, v long"
+    src = tmp_path / "src"
+    src.mkdir()
+    m = 0
+    for b, vals in enumerate([[None, None], [10, None, 20], [None, 30]]):
+        rows = []
+        for v in vals:
+            rows.append((T0 + dt.timedelta(minutes=m), "u", v))
+            m += 1
+        spark.createDataFrame(rows, schema=schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(src / f"b{b}"))
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(src) + "/*"))
+    out = running_agg(
+        sdf, ["user"], [], order_cols=["ts"],
+        offsets=[("v", 1, -1, "p1", True), ("v", 2, None, "p2", True)],
+        firsts=[("v", "fv", True)],
+        nths=[("v", 2, "n2", True)],
+        lasts=[("v", "lnn")])
+    sink = _run(out)
+    got = [(r["v"], r["p1"], r["p2"], r["fv"], r["n2"], r["lnn"])
+           for r in spark.sql(f"select * from {sink} order by ts")
+           .collect()]
+    assert got == [
+        (None, -1, None, None, None, None),
+        (None, -1, None, None, None, None),
+        (10,   -1, None, 10,   None, 10),
+        (None, 10, None, 10,   None, 10),
+        (20,   10, None, 10,   20,   20),
+        (None, 20, 10,   10,   20,   20),
+        (30,   20, 10,   10,   20,   30),
+    ]
