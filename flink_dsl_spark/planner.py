@@ -1707,8 +1707,11 @@ class Planner:
         running row count cast to int — same state as count(*)),
         ``rank()``/``dense_rank()`` (r11 — peers share a rank; O(1)
         state: the last row's order key + one scalar per spec),
-        plain-column PARTITION BY, and an ascending plain-column
-        ORDER BY (event time + tiebreak).  lag / first_value /
+        PARTITION BY and ascending ORDER BY keys that are plain
+        columns OR expressions (r11 — an expression key compiles to a
+        hidden computed column before the stateful pass, dropped
+        after; structurally equal expressions share one hidden column
+        so the one-spec rule still holds).  lag / first_value /
         last_value / nth_value accept ``IGNORE NULLS`` (r11): the
         state then tracks non-null values (last k non-nulls / first
         non-null / most recent non-null / first n non-nulls) at the
@@ -1738,6 +1741,25 @@ class Planner:
                     f"{'ambiguous' if got else 'not'} in the stream "
                     f"({', '.join(df.columns)})")
             return got[0]
+
+        expr_keys: list[tuple] = []  # (Expr, hidden name), dedup below
+
+        def key_col(x, what):
+            """Resolve a PARTITION BY / ORDER BY key: a plain column
+            by name, any other expression via a hidden computed
+            column.  Structurally equal expressions (dataclass
+            equality) share one hidden column, so the same expression
+            written in two OVER clauses still resolves to ONE spec —
+            the spec-sharing rule compares resolved names."""
+            if isinstance(x, Col):
+                return plain_col(x, what)
+            for prev, name in expr_keys:
+                if prev == x:
+                    return name
+            name = _fresh(f"__rw_key{len(expr_keys)}")
+            expr_keys.append((x, name))
+            hidden.append((name, x))
+            return name
 
         # the stateful exchange erases the FROM leaves' binding
         # aliases; qualified projection refs only survive for a
@@ -1845,9 +1867,9 @@ class Planner:
                     raise PlanError(
                         "streaming OVER ORDER BY must be ascending "
                         "(rows can only arrive forward in time)")
-            keys = tuple(plain_col(p, "PARTITION BY")
+            keys = tuple(key_col(p, "PARTITION BY")
                          for p in e.partition_by)
-            order = tuple(plain_col(o.expr, "ORDER BY")
+            order = tuple(key_col(o.expr, "ORDER BY")
                           for o in e.order_by)
             if spec0 is None:
                 spec0 = (keys, order)

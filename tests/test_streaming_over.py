@@ -1,9 +1,9 @@
 """Streaming analytic OVER (r9): per-row running aggregates on an
 unbounded stream, routed through the stateful running_agg operator
 (planner._plan_streaming_over).  Scope: sum/count/min/max/avg with an
-explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame, plain-column
-PARTITION BY / ascending ORDER BY; everything else keeps a clear
-rejection.  Driver query s11 cross-checks the same path against
+explicit ROWS UNBOUNDED PRECEDING..CURRENT ROW frame, column-or-
+expression PARTITION BY / ascending ORDER BY keys (r11); everything
+else keeps a clear rejection.  Driver query s11 cross-checks the same path against
 DuckDB's cumulative window at both gate SFs.
 """
 
@@ -710,6 +710,46 @@ def test_running_over_expression_argument(spark, src_dir):
     assert {r["event_id"]: r["d"] for r in rows} == exp
 
 
+def test_running_over_expression_keys_equal_batch(spark, src_dir):
+    """r11: PARTITION BY / ORDER BY keys may be expressions — each
+    compiles to a hidden column before the stateful pass and is
+    dropped after; the structurally equal `small % 2` in both OVER
+    clauses must share ONE hidden column so the one-spec rule still
+    holds.  Batch window on the same dialect text is the oracle."""
+    eng = _stream_engine(spark, src_dir)
+    sql = ("select event_id, "
+           "sum(value) over (partition by small % 2 "
+           "order by ts, event_id * 1 rows between unbounded "
+           "preceding and current row) as rs, "
+           "rank() over (partition by small % 2 "
+           "order by ts, event_id * 1) as rk from ev")
+    out = eng.sql(sql)
+    assert out.isStreaming
+    assert out.columns == ["event_id", "rs", "rk"]
+    sink = _run(out)
+    rows = spark.sql(f"select * from {sink}").collect()
+    assert len(rows) == 24
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {r["event_id"]: (r["rs"], r["rk"])
+           for r in beng.sql(sql).collect()}
+    assert {r["event_id"]: (r["rs"], r["rk"]) for r in rows} == exp
+
+
+def test_running_over_expression_key_specs_must_still_match(
+        spark, src_dir):
+    """Two structurally DIFFERENT partition expressions are two specs
+    — the one-stateful-grouping rule applies to expression keys too."""
+    eng = _stream_engine(spark, src_dir)
+    with pytest.raises(PlanError, match="share the same PARTITION BY"):
+        eng.sql(
+            "select sum(value) over (partition by small % 2 order by "
+            "ts, event_id rows between unbounded preceding and current "
+            "row) as a, sum(value) over (partition by small % 3 order "
+            "by ts, event_id rows between unbounded preceding and "
+            "current row) as b from ev")
+
+
 def test_running_over_rejections(spark, src_dir):
     eng = _stream_engine(spark, src_dir)
     cases = [
@@ -743,10 +783,11 @@ def test_running_over_rejections(spark, src_dir):
          "IGNORE NULLS applies to"),
         # non-numeric input
         (f"select min(user) {_OVER} as m from ev", "numeric"),
-        # expression partition keys are out of scope
-        ("select sum(value) over (partition by small + 1 order by ts, "
-         "event_id rows between unbounded preceding and current row) "
-         "as s from ev", "plain column"),
+        # keys may be expressions (r11) but the forward-only ORDER BY
+        # rule applies to them the same as to plain columns
+        ("select sum(value) over (partition by user order by "
+         "small % 2 desc rows between unbounded preceding and current "
+         "row) as s from ev", "ascending"),
     ]
     for sql, msg in cases:
         with pytest.raises(PlanError, match=msg):
@@ -1177,3 +1218,58 @@ def test_streaming_ignore_nulls_state_across_batches(spark, tmp_path):
         (None, 20, 10,   10,   20,   20),
         (30,   20, 10,   10,   20,   30),
     ]
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.tuples(st.integers(0, 1),                 # key
+                          st.one_of(st.none(),
+                                    st.integers(-9, 9))),    # value
+                min_size=3, max_size=30),
+       st.integers(1, 2),                                    # lag k
+       st.integers(2, 3))                                    # micro-batches
+def test_streaming_ignore_respect_composition_fuzz(
+        spark, tmp_path_factory, rows, k, nb):
+    """r11 fuzz shape: RESPECT and IGNORE NULLS treatments of the SAME
+    function composed in one streaming SELECT (one stateful pass),
+    over NULL-heavy values split across micro-batches, with an
+    expression ORDER BY key — must equal the engine's batch OVER path
+    on the same dialect text."""
+    import math
+
+    d = tmp_path_factory.mktemp("prop_inulls")
+    data = [(i, f"k{kk}", v) for i, (kk, v) in enumerate(rows)]
+    schema = "seq long, ka string, v long"
+    per = max(1, math.ceil(len(data) / nb))
+    for j in range(0, len(data), per):
+        spark.createDataFrame(data[j:j + per], schema).coalesce(1) \
+             .write.mode("overwrite").parquet(str(d / f"b{j:04d}"))
+    frame = ("over (partition by ka order by seq + 0 rows between "
+             "unbounded preceding and current row)")
+    bare = "over (partition by ka order by seq + 0)"
+    sql = (f"select seq, "
+           f"lag(v, {k}, -1) ignore nulls {bare} as li, "
+           f"lag(v, {k}, -1) {bare} as lr, "
+           f"first_value(v) ignore nulls {frame} as fi, "
+           f"first_value(v) respect nulls {frame} as fr, "
+           f"last_value(v) ignore nulls {frame} as lvi, "
+           f"nth_value(v, 2) ignore nulls {frame} as ni, "
+           f"sum(v) {frame} as rs from ev")
+
+    sdf = (spark.readStream.schema(schema)
+           .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*"))
+    eng = FsqlEngine(spark)
+    eng.register("ev", sdf)
+    out = eng.sql(sql)
+    assert out.isStreaming
+    sink = _run(out)
+    cols = ("li", "lr", "fi", "fr", "lvi", "ni", "rs")
+    got = {r["seq"]: tuple(r[c] for c in cols)
+           for r in spark.sql(f"select * from {sink}").collect()}
+
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(str(d) + "/*"))
+    exp = {r["seq"]: tuple(r[c] for c in cols)
+           for r in beng.sql(sql).collect()}
+    assert got == exp
