@@ -1308,6 +1308,17 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm72_domain_cap": lambda s, d: L.cap_per_group(
             _docs(s, d), "source", "doc_id", k=10, seed=7,
             id_hash=L.md5_id_hash),
+        # weighted sample without replacement (r11): Duffield-Lund-
+        # Thorup priority sampling — q = u/w with u from the seeded
+        # md5 id hash, the k SMALLEST priorities win.  The key uses
+        # only correctly-rounded IEEE ops (long->double conversion,
+        # exact power-of-two scaling, one division — no pow/log), so
+        # the selection AND the priority doubles value-oracle
+        # bit-exactly.  Plan: projection + TakeOrderedAndProject
+        # (per-partition top-k heap), zero shuffle.
+        "llm73_priority_sample": lambda s, d: L.priority_sample(
+            _docs(s, d), "doc_id", "n_chars", k=50, seed=42,
+            id_hash=L.md5_id_hash),
         # rank=True demonstrates the distributed two-phase global
         # numbering on top of the shuffle key; with the cross-engine
         # md5 id hash both the key and the rank are value-oracled
@@ -1850,18 +1861,20 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the FIVE new r11 surfaces
+    # regression core; FIRST rows for the SIX new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
     # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
-    # NULLS — each also the fresh row for a code-touched family:
-    # running_agg, batch OVER compile, mixture weights builder);
+    # NULLS, llm73 priority sampling — each also the fresh row for a
+    # code-touched family: running_agg, batch OVER compile, mixture
+    # weights builder, the seeded-sampling family);
     # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 36 of the 38 r7-stale greens.  The other two wait one
-    # round below the fold (50-slot arithmetic: 8+5+1+36 = 50):
+    # then 35 of the 38 r7-stale greens.  The other three wait one
+    # round below the fold (50-slot arithmetic: 8+6+1+35 = 50):
     # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
-    # verified-pairs shape in-window via llm28) and
+    # verified-pairs shape in-window via llm28),
     # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
-    # green r10); both lead the r12 rotation.
+    # green r10) and llm30_shuffle_key_verified (oracled twin llm23
+    # green r10); all three lead the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1872,6 +1885,7 @@ _PRIORITY = [
     #    exhaustive-probe twin shape; it joins llm26 leading r12) --
     "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
+    "llm73_priority_sample",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1888,18 +1902,21 @@ _PRIORITY = [
     "s06_stream_count_sliding", "x03_expr_bitwise_unary",
     "llm02_dedup_ngram_jaccard", "llm08_token_stats", "llm13_frame_sample",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
-    "llm30_shuffle_key_verified", "llm31_stratified_verified",
+    "llm31_stratified_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm26 and llm27 (r7 — each lent
-    #     its r11 slot, llm26 to the fill arithmetic and llm27 to the
-    #     late s18 first row) lead the r12 rotation, then the r8
-    #     greens, the r9 greens, and the r10 greens displaced by this
-    #     rotation (freshest, sampled last).
+    #     Ordered by next-staleness: llm26, llm27 and llm30 (r7 —
+    #     each lent its r11 slot: llm26 to the fill arithmetic, llm27
+    #     to the late s18 first row, llm30 to llm73's first row; its
+    #     oracled twin llm23 went green r10, the llm26/llm03
+    #     precedent) lead the r12 rotation, then the r8 greens, the
+    #     r9 greens, and the r10 greens displaced by this rotation
+    #     (freshest, sampled last).
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
+    "llm30_shuffle_key_verified",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -3759,6 +3776,18 @@ def _oracle_sql_base() -> dict[str, str]:
         # the z-score compare replayed in HUGEINT — the Spark side
         # sums in decimal(38,0), so both engines do EXACT integer
         # algebra and the flag has no float boundary at all
+        # the DLT priority replayed verbatim: same md5 60-bit hash,
+        # same (h+1)/2^60 uniform, same single division by the weight
+        # — bit-exact because every step is correctly-rounded IEEE
+        "llm73_priority_sample": """
+            SELECT doc_id, n_chars,
+                   (CAST(CAST(concat('0x', substr(md5(concat(
+                        CAST(doc_id AS VARCHAR), ':', '42')), 1, 15))
+                        AS BIGINT) + 1 AS DOUBLE)
+                    / 1152921504606846976.0)
+                   / CAST(n_chars AS DOUBLE) AS samp_priority
+            FROM documents WHERE n_chars > 0
+            ORDER BY samp_priority, doc_id LIMIT 50""",
         "llm72_domain_cap": """
             WITH h AS (
                 SELECT source, doc_id,

@@ -161,6 +161,87 @@ def cap_per_group(df: DataFrame, group_col: str, id_col: str,
               .orderBy(group_col, "rank"))
 
 
+_P60 = 1 << 60  # md5_id_hash range; 2^60 (a power of two, so /2^60
+                # is an EXACT float scaling — see priority_sample)
+
+
+def priority_sample(df: DataFrame, id_col: str, weight_col: str,
+                    k: int, seed: int = 42, id_hash=None,
+                    with_estimate: bool = False) -> DataFrame:
+    """Weighted sample WITHOUT replacement of ``k`` rows, inclusion
+    probability increasing in weight — Duffield–Lund–Thorup priority
+    sampling (JACM 54(6), 2007): every row draws a priority
+    ``q = u / w`` with ``u`` a deterministic uniform in (0, 1] from
+    the seeded id hash, and the ``k`` SMALLEST priorities win.  The
+    canonical "sample big documents more often" corpus cut, with the
+    near-optimal subset-sum variance the paper proves.
+
+    The key is ``u / w`` rather than Efraimidis-Spirakis'
+    ``u ** (1/w)`` for cross-engine exactness: u = (h+1) / 2^60 is a
+    long-to-double conversion (correctly rounded IEEE) followed by an
+    EXACT power-of-two scaling, and the / w is one correctly-rounded
+    double division — every engine (JVM, CPython, DuckDB) produces the
+    identical bit pattern, where pow/log go through libm and can
+    drift a ulp.  Both schemes sample proportionally-to-weight without
+    replacement; only the inclusion-probability fine print differs.
+
+    Rows with NULL or non-positive weight are excluded (a weight of 0
+    means "never sample" in any PPS scheme).  Ties (astronomically
+    unlikely with distinct ids) break by ascending id.
+
+    Returns (id, weight, samp_priority) ordered by priority.  With
+    ``with_estimate=True`` a ``w_est`` column carries the DLT
+    unbiased subset-sum estimator max(w, 1/q_(k+1)) — the paper
+    states it for priorities w/u taking the k LARGEST, whose
+    threshold tau is the (k+1)-th largest; under this module's
+    inverted key u/w that threshold is 1 over the (k+1)-th smallest
+    samp_priority.  When the population has <= k rows the sample is
+    exhaustive and w_est = w.  Summing w_est over any sampled subset
+    estimates that subset's true total weight.
+
+    Scale shape: pure projection + TakeOrderedAndProject (per-partition
+    top-k heap, driver-side merge of k rows per partition) — no global
+    sort, no shuffle.  The estimate path re-ranks only the k+1
+    selected rows (a bounded single-partition window over k+1 rows,
+    same bounded-verifier class as brute-force ANN).
+    ``id_hash``: md5_id_hash is the cross-engine (oracle) choice;
+    xxhash64 the production default (its full signed range folds into
+    [0, 2^60) via pmod — a no-op on the md5 path)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if id_hash is None:
+        id_hash = _xxhash_id
+    h = F.pmod(id_hash(F.col(id_col), seed), F.lit(_P60))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_P60))
+    w = F.col(weight_col).cast("double")
+    out = (df.filter(w.isNotNull() & (w > 0))
+             .select(id_col, weight_col,
+                     (u / w).alias("samp_priority"))
+             .orderBy("samp_priority", id_col))
+    if not with_estimate:
+        return out.limit(k)
+    from pyspark.sql import Window
+
+    top = out.limit(k + 1)
+    ww = Window.orderBy("samp_priority", F.col(id_col))
+    ranked = (top.withColumn("__ps_rn", F.row_number().over(ww))
+                 .withColumn("__ps_tau",
+                             F.max(F.when(F.col("__ps_rn") == k + 1,
+                                          F.col("samp_priority")))
+                              .over(ww.rowsBetween(
+                                  Window.unboundedPreceding,
+                                  Window.unboundedFollowing))))
+    return (ranked.filter(F.col("__ps_rn") <= k)
+                  .withColumn(
+                      "w_est",
+                      F.when(F.col("__ps_tau").isNull(),
+                             F.col(weight_col).cast("double"))
+                       .otherwise(F.greatest(
+                           F.col(weight_col).cast("double"),
+                           F.lit(1.0) / F.col("__ps_tau"))))
+                  .drop("__ps_rn", "__ps_tau"))
+
+
 def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,
                         budget: int, seed: int = 42,
                         id_hash=None) -> DataFrame:

@@ -2229,3 +2229,89 @@ def test_hll_estimate_small_range_linear_counting(spark):
             L.hll_registers(df, "text", p=9).collect()]
     est = L.hll_estimate(regs, p=9)
     assert abs(est - 40) / 40 < 0.15
+
+
+def _ps_expected(ids_weights, seed, k):
+    """Reference priority sample in pure Python (md5 path)."""
+    import hashlib
+    out = []
+    for i, w in ids_weights:
+        if w is None or w <= 0:
+            continue
+        h = int(hashlib.md5(f"{i}:{seed}".encode()).hexdigest()[:15], 16)
+        u = (h + 1) / float(1 << 60)
+        out.append((u / w, i, w))
+    out.sort()
+    return out[:k], (out[k][0] if len(out) > k else None)
+
+
+def test_priority_sample_matches_reference_and_estimator(spark):
+    rows = [(i, float(1 + (i * 7) % 50)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    exp, tau = _ps_expected(rows, seed=7, k=25)
+    got = L.priority_sample(df, "id", "w", k=25, seed=7,
+                            id_hash=L.md5_id_hash).collect()
+    assert [(r["samp_priority"], r["id"], r["w"]) for r in got] == exp
+    # estimator: w_est = max(w, 1/q_(k+1)), bit-exact
+    est = L.priority_sample(df, "id", "w", k=25, seed=7,
+                            id_hash=L.md5_id_hash,
+                            with_estimate=True).collect()
+    assert {r["id"]: r["w_est"] for r in est} == \
+        {i: max(w, 1.0 / tau) for _q, i, w in exp}
+
+
+def test_priority_sample_excludes_nonpositive_and_exhausts_small(spark):
+    rows = [(1, 5.0), (2, None), (3, 0.0), (4, -2.0), (5, 1.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = L.priority_sample(df, "id", "w", k=10, seed=42,
+                            id_hash=L.md5_id_hash,
+                            with_estimate=True).collect()
+    # population of positive weights (2) <= k: exhaustive, w_est = w
+    assert {r["id"]: r["w_est"] for r in got} == {1: 5.0, 5: 1.0}
+    with pytest.raises(ValueError, match="k must be"):
+        L.priority_sample(df, "id", "w", k=0)
+
+
+def test_priority_sample_prefers_heavy_rows(spark):
+    # 500 weight-1 rows + 20 weight-1000 rows: with k=20 nearly every
+    # heavy row must be sampled (P[heavy beaten by a light row] ~ 1e-3)
+    rows = [(i, 1.0) for i in range(500)] + \
+           [(1000 + i, 1000.0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in
+           L.priority_sample(df, "id", "w", k=20, seed=3,
+                             id_hash=L.md5_id_hash).collect()}
+    assert len(got) == 20
+    assert sum(1 for i in got if i >= 1000) >= 18
+
+
+def test_priority_sample_plan_is_take_ordered(spark):
+    df = spark.createDataFrame([(i, float(i + 1)) for i in range(100)],
+                               "id long, w double")
+    out = L.priority_sample(df, "id", "w", k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan   # top-k heap, no global sort
+    assert "SinglePartition" not in plan
+
+
+def test_priority_sample_duckdb_parity(spark):
+    """The whole point of the u/w key: DuckDB reproduces the selection
+    AND the priority doubles bit-exactly from its own md5/division."""
+    import duckdb
+    rows = [(i, float(1 + (i * 13) % 97)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [(r["id"], r["w"], r["samp_priority"]) for r in
+           L.priority_sample(df, "id", "w", k=30, seed=42,
+                             id_hash=L.md5_id_hash).collect()]
+    con = duckdb.connect()
+    con.sql("create table t(id bigint, w double)")
+    con.executemany("insert into t values (?, ?)", rows)
+    exp = con.sql("""
+        select id, w,
+               (cast(cast(concat('0x', substr(md5(concat(
+                    cast(id as varchar), ':', '42')), 1, 15)) as bigint)
+                 + 1 as double) / 1152921504606846976.0) / w
+                 as samp_priority
+        from t where w > 0
+        order by samp_priority, id limit 30""").fetchall()
+    assert got == [tuple(r) for r in exp]
