@@ -280,12 +280,14 @@ def test_nonrunning_window_func_rejected_on_stream(spark):
                         for f in ev.schema.fields)
             + f") source file ('{d}', 'parquet')")
     try:
-        # rank stays rejected (r9: running aggregates stream; r10:
-        # row_number/lag/first/last/nth_value graduated too —
+        # percent_rank stays rejected — it needs the partition SIZE,
+        # which an unbounded stream never has (r9: running aggregates
+        # streamed; r10: row_number/lag/first/last/nth_value
+        # graduated; r11: rank/dense_rank graduated too —
         # tests/test_streaming_over.py)
         with pytest.raises(PlanError, match="running aggregates"):
-            eng.sql("select rank() over (order by event_id) as rn "
-                    "from over_ev")
+            eng.sql("select percent_rank() over (order by event_id) "
+                    "as rn from over_ev")
     finally:
         eng.sql("drop stream over_ev")
 
