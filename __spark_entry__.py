@@ -779,6 +779,14 @@ _SCRIPTS: dict[str, str] = {
                sum(n_chars) as total_chars
         from documents
         group by source""",
+    # priority_sample hint (r11): DLT weighted sampling reachable from
+    # the dialect — composes with WHERE (sample the FILTERED corpus);
+    # the u/w key is pure correctly-rounded IEEE arithmetic so the
+    # selected row set value-oracles bit-exactly
+    "q85_priority_sample_hint": """
+        select /*+ priority_sample(doc_id, n_chars, 40) */
+               doc_id, source, n_chars
+        from documents where lang = 'en'""",
     # mixture_temperature hint (r11): explicit priors from a weights
     # relation, temperature-flattened w' = w^(1/T) at plan time before
     # the same rate algebra.  T=2 = sqrt, correctly rounded by
@@ -1861,20 +1869,22 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the SIX new r11 surfaces
+    # regression core; FIRST rows for the SEVEN new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
     # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
-    # NULLS, llm73 priority sampling — each also the fresh row for a
-    # code-touched family: running_agg, batch OVER compile, mixture
-    # weights builder, the seeded-sampling family);
+    # NULLS, llm73 priority sampling, q85 its hint form — each also
+    # the fresh row for a code-touched family: running_agg, batch
+    # OVER compile, mixture weights builder, the seeded-sampling
+    # family, the hint dispatch);
     # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 35 of the 38 r7-stale greens.  The other three wait one
-    # round below the fold (50-slot arithmetic: 8+6+1+35 = 50):
+    # then 34 of the 38 r7-stale greens.  The other four wait one
+    # round below the fold (50-slot arithmetic: 8+7+1+34 = 50):
     # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
     # verified-pairs shape in-window via llm28),
     # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
-    # green r10) and llm30_shuffle_key_verified (oracled twin llm23
-    # green r10); all three lead the r12 rotation.
+    # green r10), llm30_shuffle_key_verified (oracled twin llm23
+    # green r10) and llm31_stratified_verified (oracled twin llm24
+    # green r10); all four lead the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1885,7 +1895,7 @@ _PRIORITY = [
     #    exhaustive-probe twin shape; it joins llm26 leading r12) --
     "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
-    "llm73_priority_sample",
+    "llm73_priority_sample", "q85_priority_sample_hint",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1902,21 +1912,21 @@ _PRIORITY = [
     "s06_stream_count_sliding", "x03_expr_bitwise_unary",
     "llm02_dedup_ngram_jaccard", "llm08_token_stats", "llm13_frame_sample",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
-    "llm31_stratified_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm26, llm27 and llm30 (r7 —
-    #     each lent its r11 slot: llm26 to the fill arithmetic, llm27
-    #     to the late s18 first row, llm30 to llm73's first row; its
-    #     oracled twin llm23 went green r10, the llm26/llm03
-    #     precedent) lead the r12 rotation, then the r8 greens, the
-    #     r9 greens, and the r10 greens displaced by this rotation
-    #     (freshest, sampled last).
+    #     Ordered by next-staleness: llm26, llm27, llm30 and llm31
+    #     (r7 — each lent its r11 slot: llm26 to the fill arithmetic,
+    #     llm27 to the late s18 first row, llm30 to llm73's first
+    #     row, llm31 to q85's; llm30/llm31's oracled twins llm23/
+    #     llm24 went green r10, the llm26/llm03 precedent) lead the
+    #     r12 rotation, then the r8 greens, the r9 greens, and the
+    #     r10 greens displaced by this rotation (freshest, sampled
+    #     last).
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
-    "llm30_shuffle_key_verified",
+    "llm30_shuffle_key_verified", "llm31_stratified_verified",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -2390,6 +2400,22 @@ def _oracle_sql_base() -> dict[str, str]:
                       CAST(d.doc_id AS VARCHAR), ':', '42')), 1, 15))
                       AS BIGINT) % 1000000 < r.thresh
             GROUP BY d.source""",
+        # q85: the DLT priority replayed on the WHERE-filtered rows —
+        # same md5 60-bit hash, same (h+1)/2^60 uniform, same single
+        # division by the weight (llm73's oracle composed with the
+        # lang filter)
+        "q85_priority_sample_hint": """
+            WITH f AS (SELECT doc_id, source, n_chars FROM documents
+                       WHERE lang = 'en' AND n_chars > 0),
+            p AS (SELECT doc_id, source, n_chars,
+                         (CAST(CAST(concat('0x', substr(md5(concat(
+                              CAST(doc_id AS VARCHAR), ':', '42')),
+                              1, 15)) AS BIGINT) + 1 AS DOUBLE)
+                          / 1152921504606846976.0)
+                         / CAST(n_chars AS DOUBLE) AS pri
+                  FROM f)
+            SELECT doc_id, source, n_chars FROM p
+            ORDER BY pri, doc_id LIMIT 40""",
         # q84: q81's algebra with the weights temperature-flattened —
         # the oracle COMPUTES sqrt(w) like the engine does (every
         # root is non-representable, so a literal-weight shortcut

@@ -165,6 +165,21 @@ _P60 = 1 << 60  # md5_id_hash range; 2^60 (a power of two, so /2^60
                 # is an EXACT float scaling — see priority_sample)
 
 
+def dlt_priority(id_col, weight_col, seed: int = 42,
+                 id_hash=None):
+    """The Duffield-Lund-Thorup priority ``q = u / w`` as a Column:
+    u = (pmod(hash, 2^60) + 1) / 2^60 (exact power-of-two scaling of
+    a correctly-rounded long->double conversion), one correctly-
+    rounded division by the weight.  Shared by priority_sample and
+    the planner's priority_sample hint so the key algebra exists in
+    exactly one place."""
+    if id_hash is None:
+        id_hash = _xxhash_id
+    h = F.pmod(id_hash(F.col(id_col), seed), F.lit(_P60))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(_P60))
+    return u / F.col(weight_col).cast("double")
+
+
 def priority_sample(df: DataFrame, id_col: str, weight_col: str,
                     k: int, seed: int = 42, id_hash=None,
                     with_estimate: bool = False) -> DataFrame:
@@ -209,14 +224,11 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
     [0, 2^60) via pmod — a no-op on the md5 path)."""
     if k < 1:
         raise ValueError("k must be >= 1")
-    if id_hash is None:
-        id_hash = _xxhash_id
-    h = F.pmod(id_hash(F.col(id_col), seed), F.lit(_P60))
-    u = (h + F.lit(1)).cast("double") / F.lit(float(_P60))
     w = F.col(weight_col).cast("double")
     out = (df.filter(w.isNotNull() & (w > 0))
              .select(id_col, weight_col,
-                     (u / w).alias("samp_priority"))
+                     dlt_priority(id_col, weight_col, seed, id_hash)
+                     .alias("samp_priority"))
              .orderBy("samp_priority", id_col))
     if not with_estimate:
         return out.limit(k)

@@ -308,13 +308,23 @@ class Planner:
                         "positive_temperature)")
                 row_hints.append(("mixture_temperature", tuple(h.args)))
                 continue
+            if h.name == "priority_sample":
+                if len(h.args) != 3 or not isinstance(h.args[0], str) \
+                        or not isinstance(h.args[1], str) \
+                        or not isinstance(h.args[2], int) or h.args[2] < 1:
+                    raise PlanError("priority_sample hint takes "
+                                    "(id_column, weight_column, "
+                                    "positive_int_k)")
+                row_hints.append(("priority_sample", tuple(h.args)))
+                continue
             if h.name != "salt":
                 raise PlanError(f"unknown hint {h.name!r} (supported: "
                                 "salt(key, n), cap(group, id, k), "
                                 "token_budget(id, tokens, budget), "
                                 "mixture(domain, id, tokens, "
                                 "'dom=w,...'), mixture_temperature("
-                                "domain, id, tokens, weights, T))")
+                                "domain, id, tokens, weights, T), "
+                                "priority_sample(id, weight, k))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -354,6 +364,8 @@ class Planner:
             elif kind == "mixture_temperature":
                 df = self._apply_mixture_hint(df, *spec[:4],
                                               temperature=spec[4])
+            elif kind == "priority_sample":
+                df = self._apply_priority_sample_hint(df, *spec)
             else:
                 df = self._apply_token_budget_hint(df, *spec)
 
@@ -1324,6 +1336,47 @@ class Planner:
         rank = "__cap_rank__"
         return (df.withColumn(rank, F.row_number().over(w))
                   .filter(F.col(rank) <= k).drop(rank))
+
+    def _apply_priority_sample_hint(self, df: DataFrame, idcol: str,
+                                    wcol: str, k: int) -> DataFrame:
+        """priority_sample(id, weight, k): keep the k rows whose
+        Duffield-Lund-Thorup priority u/weight is smallest — the
+        declarative form of llm_ops.assemble.priority_sample
+        (weighted sampling without replacement, inclusion probability
+        increasing in weight), keeping ALL columns of the select's
+        input rows.
+
+        Like cap/token_budget, the dialect surface fixes hash and
+        seed (md5_id_hash, seed 42); the u/w key uses only
+        correctly-rounded IEEE ops (assemble.dlt_priority — no
+        pow/log), so the sampled row set value-oracles bit-exactly
+        (DuckDB: ORDER BY the same priority LIMIT k).  NULL and
+        non-positive weights are excluded (never sampled); ties break
+        by ascending id.
+
+        Scale shape: projection + TakeOrderedAndProject
+        (per-partition k-row heap, driver merges k per partition) —
+        no shuffle, no global sort; plan-gated in test_hints_ddl."""
+        if df.isStreaming:
+            raise PlanError(
+                "priority_sample hint is batch-only (a global top-k "
+                "needs the finite corpus; sample in batch, or cut the "
+                "stream with QUALIFY on a running count)")
+        idc, wc = self._resolve_hint_cols(df, (idcol, wcol),
+                                          "priority_sample")
+        from .llm_ops.assemble import dlt_priority, md5_id_hash
+        w = F.col(wc).cast("double")
+        # collision-free bookkeeping name — withColumn silently
+        # REPLACES a same-named user column (the __tb_* lesson)
+        pri = "__ps_pri"
+        while pri in df.columns:
+            pri += "_"
+        return (df.filter(w.isNotNull() & (w > 0))
+                  .withColumn(pri, dlt_priority(idc, wc, 42,
+                                                md5_id_hash))
+                  .orderBy(pri, F.col(idc))
+                  .limit(k)
+                  .drop(pri))
 
     def _apply_token_budget_hint(self, df: DataFrame, idcol: str,
                                  tokcol: str, budget: int) -> DataFrame:

@@ -1045,3 +1045,103 @@ def test_temperature_scaled_weights_validation():
         temperature_scaled_weights({"a": 1.0}, float("nan"))
     with pytest.raises(ValueError, match="finite"):
         temperature_scaled_weights({"a": float("inf")}, 2)
+
+
+# ---------------------------------------------------------------------------
+# priority_sample(id, weight, k) hint — DLT weighted sampling reachable
+# from the dialect (r11)
+# ---------------------------------------------------------------------------
+
+def test_priority_sample_hint_equals_python_api(engine):
+    """/*+ priority_sample(id, w, k) */ keeps the same row SET as
+    llm_ops.assemble.priority_sample with the dialect's fixed md5
+    hash + seed 42 (the hint keeps ALL columns, the API projects)."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash, \
+        priority_sample
+    got = engine.sql(
+        "select /*+ priority_sample(doc_id, n_chars, 25) */ doc_id, "
+        "n_chars, source from documents")
+    want = priority_sample(
+        engine.catalog.get("documents"), "doc_id", "n_chars", k=25,
+        seed=42, id_hash=md5_id_hash)
+    assert {r["doc_id"] for r in got.collect()} == \
+        {r["doc_id"] for r in want.collect()}
+    assert got.count() == 25
+    assert got.columns == ["doc_id", "n_chars", "source"]
+
+
+def test_priority_sample_hint_applies_after_where(engine):
+    """Sampling operates on the FILTERED rows, and composes with a
+    following aggregate over the cut corpus."""
+    rows = _rows(engine.sql(
+        "select /*+ priority_sample(doc_id, n_chars, 10) */ n_chars "
+        "from documents where n_chars > 100"))
+    assert len(rows) == 10 and all(n > 100 for (n,) in rows)
+    agg = _rows(engine.sql(
+        "select /*+ priority_sample(doc_id, n_chars, 10) */ "
+        "count(*) as cnt from documents where n_chars > 100"))
+    assert agg == [(10,)]
+
+
+def test_priority_sample_hint_plan_is_take_ordered(engine):
+    df = engine.sql(
+        "select /*+ priority_sample(doc_id, n_chars, 25) */ doc_id "
+        "from documents")
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_priority_sample_hint_survives_colliding_column(engine, spark):
+    """A user column named like the bookkeeping priority must pass
+    through intact (the __tb_* collision lesson)."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(i + 1), f"v{i}") for i in range(50)],
+        "id long, w double, __ps_pri string")
+    eng.register("t", df)
+    got = eng.sql(
+        "select /*+ priority_sample(id, w, 5) */ id, __ps_pri from t")
+    rows = got.collect()
+    assert len(rows) == 5
+    assert all(r["__ps_pri"] == f"v{r['id']}" for r in rows)
+
+
+def test_priority_sample_hint_bad_args_error(engine):
+    for bad in ["priority_sample(doc_id, n_chars)",
+                "priority_sample(doc_id, n_chars, 0)",
+                "priority_sample(doc_id, 3, 5)",
+                "priority_sample(doc_id, n_chars, k)"]:
+        with pytest.raises(PlanError, match="priority_sample hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ priority_sample(nope, n_chars, 5) */ "
+                   "doc_id from documents")
+
+
+def test_priority_sample_hint_rejected_on_sqlgen_path(engine):
+    with pytest.raises(PlanError, match="subqueries"):
+        engine.sql(
+            "select /*+ priority_sample(doc_id, n_chars, 5) */ doc_id "
+            "from documents "
+            "where n_chars > (select avg(n_chars) from documents)")
+
+
+def test_priority_sample_hint_is_batch_only(engine, spark):
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = tempfile.mkdtemp(prefix="ps_stream_")
+    os.symlink(f"{SF_DIR}/events.parquet",
+               os.path.join(d, "events.parquet"))
+    eng.sql("create stream ps_ev ("
+            + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                        for f in ev.schema.fields)
+            + f") source file ('{d}', 'parquet')")
+    try:
+        with pytest.raises(PlanError, match="batch-only"):
+            eng.sql("select /*+ priority_sample(event_id, value, 3) */ "
+                    "event_id from ps_ev")
+    finally:
+        eng.sql("drop stream ps_ev")
