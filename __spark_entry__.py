@@ -1036,6 +1036,13 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "embedding", "vec_id", threshold=0.4),
         "llm06_ann_topk_bruteforce": lambda s, d: L.cosine_topk(
             _emb(s, d), "embedding", "vec_id", query_id=0, k=10),
+        # Achlioptas ±1 random projection (r11): the JL dimension cut
+        # that shrinks embedding bytes before dedup/ANN.  Every output
+        # is a literal left-associative ± chain + one division — no
+        # aggregate fold, no libm — so the oracle (generated from the
+        # same sign matrix) matches bit-exactly
+        "llm74_random_projection": lambda s, d: L.random_projection(
+            _emb(s, d), "embedding", "vec_id", dim=64, out_dim=4),
         # rows-only BY DESIGN: probe_bits=2 prunes buckets, and on the
         # gate corpora the pruned candidate set demonstrably loses
         # top-k members (checked r6: output != llm27's exhaustive
@@ -1869,22 +1876,25 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the SEVEN new r11 surfaces
+    # regression core; FIRST rows for the EIGHT new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
     # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
-    # NULLS, llm73 priority sampling, q85 its hint form — each also
-    # the fresh row for a code-touched family: running_agg, batch
-    # OVER compile, mixture weights builder, the seeded-sampling
-    # family, the hint dispatch);
+    # NULLS, llm73 priority sampling, q85 its hint form, llm74
+    # random projection — each also the fresh row for a code-touched
+    # family: running_agg, batch OVER compile, mixture weights
+    # builder, the seeded-sampling family, the hint dispatch, the
+    # embedding-ops family);
     # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 34 of the 38 r7-stale greens.  The other four wait one
-    # round below the fold (50-slot arithmetic: 8+7+1+34 = 50):
+    # then 33 of the 38 r7-stale greens.  The other five wait one
+    # round below the fold (50-slot arithmetic: 8+8+1+33 = 50):
     # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
     # verified-pairs shape in-window via llm28),
     # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
     # green r10), llm30_shuffle_key_verified (oracled twin llm23
-    # green r10) and llm31_stratified_verified (oracled twin llm24
-    # green r10); all four lead the r12 rotation.
+    # green r10), llm31_stratified_verified (oracled twin llm24
+    # green r10) and q17d_intersect (set-op family keeps TWO
+    # in-window rows, q17b UNION ALL + q17c EXCEPT); all five lead
+    # the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1896,6 +1906,7 @@ _PRIORITY = [
     "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
     "llm73_priority_sample", "q85_priority_sample_hint",
+    "llm74_random_projection",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1903,7 +1914,7 @@ _PRIORITY = [
     #    q07, q42, q36 first — they lent their r10 slots --
     "q10_having", "q07_cross_join", "q42_salt_hint", "q36_range_join",
     "q11_distinct", "q13_in_list", "q17b_union_all",
-    "q17c_except", "q17d_intersect", "q19_derived_table",
+    "q17c_except", "q19_derived_table",
     "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
     "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
@@ -1917,16 +1928,19 @@ _PRIORITY = [
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm26, llm27, llm30 and llm31
-    #     (r7 — each lent its r11 slot: llm26 to the fill arithmetic,
-    #     llm27 to the late s18 first row, llm30 to llm73's first
-    #     row, llm31 to q85's; llm30/llm31's oracled twins llm23/
-    #     llm24 went green r10, the llm26/llm03 precedent) lead the
+    #     Ordered by next-staleness: llm26, llm27, llm30, llm31 and
+    #     q17d (r7 — each lent its r11 slot: llm26 to the fill
+    #     arithmetic, llm27 to the late s18 first row, llm30 to
+    #     llm73's first row, llm31 to q85's, q17d to llm74's;
+    #     llm30/llm31's oracled twins llm23/llm24 went green r10
+    #     (the llm26/llm03 precedent) and q17d's set-op siblings
+    #     q17b/q17c stay in-window) lead the
     #     r12 rotation, then the r8 greens, the r9 greens, and the
     #     r10 greens displaced by this rotation (freshest, sampled
     #     last).
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
+    "q17d_intersect",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -1995,6 +2009,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles (ANSI SQL on the same parquet views)
 # ---------------------------------------------------------------------------
 
+def _rp_oracle(out_dim: int, dim: int, seed: int = 42) -> str:
+    """DuckDB replay of random_projection (llm74): the SAME plan-time
+    ±1 sign matrix (rp_signs) rendered as a left-associative ± chain
+    over 1-indexed array elements, then the same division by
+    sqrt(out_dim) — every step correctly-rounded IEEE, so the match
+    is bit-exact."""
+    from flink_dsl_spark.llm_ops import rp_signs
+
+    signs = rp_signs(out_dim, dim, seed)
+    terms = []
+    for j in range(out_dim):
+        chain = " ".join(
+            ("+" if signs[j][i] > 0 else "-")
+            + f" CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(dim))
+        if chain.startswith("+ "):
+            chain = chain[2:]
+        terms.append(f"({chain}) / sqrt({out_dim}.0) AS p{j}")
+    return (f"SELECT vec_id AS id, {', '.join(terms)} "
+            f"FROM embeddings ORDER BY id")
+
+
 def _bpe_oracle(num_merges: int) -> str:
     """DuckDB replay of bpe_train + bpe_encode (llm62): the same
     weighted pair counts over the word-frequency table, the same
@@ -2059,6 +2095,9 @@ def oracle_sql() -> dict[str, str]:
     o = _oracle_sql_base()
     # llm62: full tokenizer-train + encode replay (see _bpe_oracle)
     o["llm62_bpe_encode"] = _bpe_oracle(3)
+    # llm74: sign-matrix replay generated from rp_signs (see
+    # _rp_oracle) — bit-exact, no libm in the chain
+    o["llm74_random_projection"] = _rp_oracle(4, 64)
     # llm03: the production 16x4 banding exact-Jaccard-verifies every
     # candidate, so its output VALUES are hash-free; banding only
     # bounds recall, and on the gate corpora the config recovers the

@@ -15,7 +15,8 @@ from .dedup import (
 )
 from .simsearch import (cosine_topk, cosine_topk_quantized,
                         ivf_ann_topk, lsh_ann_topk,
-                        quantize_embeddings)
+                        quantize_embeddings, random_projection,
+                        rp_signs)
 from .textstats import (
     bpe_pair_stats, c4_line_filter, chunk_documents, classifier_score,
     corpus_stats, curation_report, decontaminate,
@@ -52,6 +53,7 @@ __all__ = [
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quantize_embeddings", "cosine_topk_quantized",
+    "random_projection", "rp_signs",
     "c4_line_filter", "decontaminate", "gopher_quality",
     "gopher_repetition", "pii_redact",
     "quality_score", "token_stats", "fingerprint",

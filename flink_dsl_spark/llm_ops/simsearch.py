@@ -223,3 +223,67 @@ def cosine_topk_quantized(df: DataFrame, vec_col: str, id_col: str,
               .select("id", F.round(cos, 6).alias("cosine"))
               .orderBy(F.col("cosine").desc(), F.col("id").asc())
               .limit(k))
+
+
+def rp_signs(out_dim: int, dim: int, seed: int = 42) -> list[list[int]]:
+    """The deterministic ±1 projection matrix for random_projection:
+    entry (j, i) is +1 when md5("rp:<seed>:<j>:<i>") is even, else -1
+    — reproducible on any engine/runtime with nothing shipped but the
+    seed (the same no-driver-randomness rule as lsh_ann_topk's
+    planes).  Bounded: out_dim*dim entries, computed at PLAN time."""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(
+                f"rp:{seed}:{j}:{i}".encode()).hexdigest(), 16) % 2 == 0
+             else -1
+             for i in range(dim)]
+            for j in range(out_dim)]
+
+
+def random_projection(df: DataFrame, vec_col: str, id_col: str,
+                      dim: int, out_dim: int = 16,
+                      seed: int = 42) -> DataFrame:
+    """Database-friendly random projection (Achlioptas, JCSS 66(4)
+    2003): map each ``dim``-wide embedding onto ``out_dim``
+    pseudo-random ±1 directions, scaled by 1/sqrt(out_dim) — the
+    Johnson–Lindenstrauss dimension cut that preserves pairwise
+    distances within (1±eps) whp.  Returns (id, p0..p{out_dim-1}).
+
+    The 100 TB story: embedding bytes shrink dim/out_dim-fold BEFORE
+    the expensive stages — project, then run embedding dedup / ANN /
+    clustering on the short vectors and verify survivors on the full
+    ones (the same candidates-then-verify shape as minhash LSH).
+
+    Exactness: the matrix entries are ±1, so every output component
+    is a chain of double adds/subtracts in a FIXED left-associative
+    index order (a literal expression, not an aggregate — the
+    float-fold reordering caveat cannot apply) followed by one
+    correctly-rounded division by sqrt(out_dim); every engine
+    reproduces it bit-exactly, which is what makes the op
+    value-oracle-able.
+
+    Scale shape: pure per-row projection in whole-stage codegen —
+    zero shuffle, composes with scan pushdown; out_dim*dim adds per
+    row.  The plan-time cost is building out_dim*dim sign literals
+    (bounded; out_dim <= 64 enforced)."""
+    import math
+
+    if dim < 1 or out_dim < 1:
+        raise ValueError("dim and out_dim must be >= 1")
+    if out_dim > 64:
+        raise ValueError("out_dim must be <= 64 (the sign matrix is "
+                         "compiled into the plan)")
+    signs = rp_signs(out_dim, dim, seed)
+    root = math.sqrt(float(out_dim))
+    v = F.col(vec_col)
+    cols = []
+    for j in range(out_dim):
+        expr = v.getItem(0).cast("double")
+        if signs[j][0] < 0:
+            expr = -expr
+        for i in range(1, dim):
+            t = v.getItem(i).cast("double")
+            expr = (expr + t) if signs[j][i] > 0 else (expr - t)
+        cols.append((expr / F.lit(root)).alias(f"p{j}"))
+    return (spread_for_compute(df)
+            .select(F.col(id_col).alias("id"), *cols))

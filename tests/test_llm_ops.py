@@ -2315,3 +2315,106 @@ def test_priority_sample_duckdb_parity(spark):
         from t where w > 0
         order by samp_priority, id limit 30""").fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def _rp_reference(vecs, out_dim, dim, seed):
+    """Pure-Python replay of random_projection: same sign matrix, same
+    left-associative add order, same final division."""
+    import math
+    signs = L.rp_signs(out_dim, dim, seed)
+    root = math.sqrt(float(out_dim))
+    out = {}
+    for vid, v in vecs:
+        row = []
+        for j in range(out_dim):
+            acc = float(v[0]) if signs[j][0] > 0 else -float(v[0])
+            for i in range(1, dim):
+                acc = acc + float(v[i]) if signs[j][i] > 0 \
+                    else acc - float(v[i])
+            row.append(acc / root)
+        out[vid] = row
+    return out
+
+
+def test_random_projection_matches_reference(emb):
+    rows = [(r["vec_id"], list(r["embedding"]))
+            for r in emb.limit(40).collect()]
+    exp = _rp_reference(rows, out_dim=8, dim=64, seed=42)
+    got = {r["id"]: [r[f"p{j}"] for j in range(8)]
+           for r in L.random_projection(emb.limit(40), "embedding",
+                                        "vec_id", dim=64,
+                                        out_dim=8).collect()}
+    assert got == exp   # bit-exact: literal chain, no fold reordering
+
+
+def test_random_projection_preserves_distances(emb):
+    """JL sanity: squared distances in the projected space track the
+    originals within a loose (1±0.75) band at out_dim=16 — enough to
+    show the op projects rather than scrambles."""
+    import math
+    rows = [(r["vec_id"], [float(x) for x in r["embedding"]])
+            for r in emb.limit(30).collect()]
+    proj = {r["id"]: [r[f"p{j}"] for j in range(16)]
+            for r in L.random_projection(emb.limit(30), "embedding",
+                                         "vec_id", dim=64,
+                                         out_dim=16).collect()}
+    ids = [i for i, _ in rows]
+    orig = dict(rows)
+    checked = ratio_lo = ratio_hi = 0
+    for a in range(0, len(ids), 3):
+        for b in range(a + 1, len(ids), 7):
+            ia, ib = ids[a], ids[b]
+            d0 = sum((x - y) ** 2 for x, y in zip(orig[ia], orig[ib]))
+            d1 = sum((x - y) ** 2 for x, y in zip(proj[ia], proj[ib]))
+            if d0 == 0:
+                continue
+            checked += 1
+            r = d1 / d0
+            ratio_lo += r < 0.25
+            ratio_hi += r > 4.0
+    assert checked >= 20
+    # JL concentration: the huge-distortion tails must be rare
+    assert ratio_lo + ratio_hi <= checked * 0.1
+
+
+def test_random_projection_plan_no_shuffle(emb):
+    out = L.random_projection(emb, "embedding", "vec_id", dim=64,
+                              out_dim=8)
+    out.collect()   # materialize the AQE final plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # no key shuffle and no sort anywhere — the only allowed Exchange
+    # is spread_for_compute's round-robin fan-out (a documented no-op
+    # at scale where the scan already has enough splits)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+    assert "Sort " not in plan
+    assert "*(" in plan          # the Project runs in codegen ("*(n)")
+    with pytest.raises(ValueError, match="out_dim"):
+        L.random_projection(emb, "embedding", "vec_id", dim=64,
+                            out_dim=65)
+
+
+def test_random_projection_duckdb_parity(spark, emb):
+    """The generated ±-chain SQL replays the projection bit-exactly
+    (same literal order, same division)."""
+    import duckdb
+
+    from .conftest import SF_DIR
+    signs = L.rp_signs(4, 64, seed=42)
+    terms = []
+    for j in range(4):
+        chain = " ".join(
+            ("+" if signs[j][i] > 0 else "-")
+            + f" CAST(embedding[{i + 1}] AS DOUBLE)"
+            for i in range(64))
+        if chain.startswith("+ "):
+            chain = chain[2:]
+        terms.append(f"({chain}) / sqrt(4.0) AS p{j}")
+    sql = (f"SELECT vec_id AS id, {', '.join(terms)} "
+           f"FROM '{SF_DIR}/embeddings.parquet' ORDER BY id LIMIT 50")
+    exp = duckdb.sql(sql).fetchall()
+    got = [tuple([r["id"]] + [r[f"p{j}"] for j in range(4)])
+           for r in L.random_projection(emb, "embedding", "vec_id",
+                                        dim=64, out_dim=4)
+           .orderBy("id").limit(50).collect()]
+    assert got == [tuple(r) for r in exp]
