@@ -118,6 +118,22 @@ class WindowFrame:
     end: tuple
 
 
+# the null-treatment applicability rule, shared by the batch compile,
+# the streaming OVER planner, and sqlgen so the three paths can never
+# drift (review finding, r11)
+NULL_TREATMENT_FUNCS = ("lag", "lead", "first_value", "last_value",
+                        "nth_value")
+
+
+def null_treatment_error(name: str) -> str | None:
+    """The scope message when ``name`` cannot take IGNORE/RESPECT
+    NULLS, or None when it can (callers raise their own error type)."""
+    if name.lower() in NULL_TREATMENT_FUNCS:
+        return None
+    return ("IGNORE NULLS applies to lag/lead/first_value/"
+            f"last_value/nth_value, not {name}()")
+
+
 @dataclass
 class WindowFunc(Expr):
     """``func(args) OVER (PARTITION BY ... ORDER BY ... [frame])`` —

@@ -1683,10 +1683,12 @@ class Parser:
             # Contextual like `over`: consumed only when NULLS
             # follows, so columns named ignore/respect still parse.
             ignore_nulls = False
+            nt_seen = False
             if self.at_kw("ignore", "respect") \
                     and self.peek().kind == "ident" \
                     and self.peek().lower == "nulls":
                 nt_tok = self.cur
+                nt_seen = True
                 ignore_nulls = self.cur.lower == "ignore"
                 self.advance()
                 self.advance()
@@ -1707,6 +1709,12 @@ class Parser:
                     self.advance()
                     return WindowFunc(call, ignore_nulls=ignore_nulls,
                                       ref=self.ident("window name"))
+            if nt_seen:
+                # a parsed null treatment must not be silently dropped
+                # when `over` is present but malformed (e.g. `over
+                # from` — `over` would re-parse as a column alias)
+                self.error("IGNORE/RESPECT NULLS requires an OVER "
+                           "clause", nt_tok)
             return call
         if self.at_op(".") and self.peek().kind in ("ident", "qident") \
                 and self.peek().lower not in RESERVED:

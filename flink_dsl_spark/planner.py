@@ -38,6 +38,7 @@ from .ast_nodes import (
     IntervalLit, IsNull, Join, Lit, OrderItem, Param, ScalarSubquery,
     Subscript,
     Select, SelectItem, SetOp, Star, TableRef, UnOp, Update, WindowFunc,
+    null_treatment_error,
     WindowSpec, relation_leaves, walk_expr,
     visible_leaves,
 )
@@ -1862,14 +1863,12 @@ class Planner:
             return name
         for i, e in enumerate(wfs):
             name = e.func.name
-            if e.ignore_nulls and name not in (
-                    "lag", "lead", "first_value", "last_value",
-                    "nth_value"):
+            if e.ignore_nulls:
                 # same applicability rule as batch (lead then hits its
                 # own causality rejection below)
-                raise PlanError(
-                    "IGNORE NULLS applies to lag/lead/first_value/"
-                    f"last_value/nth_value, not {name}()")
+                msg = null_treatment_error(name)
+                if msg:
+                    raise PlanError(msg)
             if name == "lead":
                 raise PlanError(
                     "lead() is batch-only: it reads rows that have not "
@@ -2101,11 +2100,10 @@ class Planner:
                 "position (use an inline OVER (...) spec)")
         if df is None:
             raise PlanError("window functions require a FROM clause")
-        if e.ignore_nulls and name not in ("lag", "lead", "first_value",
-                                           "last_value", "nth_value"):
-            raise PlanError(
-                "IGNORE NULLS applies to lag/lead/first_value/"
-                f"last_value/nth_value, not {name}()")
+        if e.ignore_nulls:
+            msg = null_treatment_error(name)
+            if msg:
+                raise PlanError(msg)
         mapped = self._stream_wf_cols.get(id(e))
         if mapped is not None:
             # already computed by the stateful running_agg pass

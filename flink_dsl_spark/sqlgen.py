@@ -17,7 +17,8 @@ from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, IntervalLit, IsNull, Join, Lit, Param,
     QuantifiedCmp, RecursiveWith, ScalarSubquery, Select, SetOp, Star,
-    Subscript, TableRef, UnOp, WindowFunc, expr_children, walk_expr,
+    Subscript, TableRef, UnOp, WindowFunc, expr_children,
+    null_treatment_error, walk_expr,
 )
 from .errors import PlanError, UnsupportedError
 
@@ -528,16 +529,13 @@ class SqlGen:
                     f"{self._frame_bound(e.frame.end)}")
             fn = self.expr(e.func)
             if e.ignore_nulls:
-                if e.func.name.lower() not in (
-                        "lag", "lead", "first_value", "last_value",
-                        "nth_value"):
-                    # mirror the DataFrame path's applicability check
-                    # so the SQL path raises the same clean scope
-                    # message instead of Spark's raw AnalysisException
-                    # (review finding, r11)
-                    raise PlanError(
-                        "IGNORE NULLS applies to lag/lead/first_value/"
-                        f"last_value/nth_value, not {e.func.name}()")
+                # mirror the DataFrame path's applicability check so
+                # the SQL path raises the same clean scope message
+                # instead of Spark's raw AnalysisException (review
+                # finding, r11; rule shared via ast_nodes)
+                msg = null_treatment_error(e.func.name)
+                if msg:
+                    raise PlanError(msg)
                 # Spark spells null treatment after the parens,
                 # DuckDB inside them after the last argument
                 if self.dialect == "spark":

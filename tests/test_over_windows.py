@@ -495,6 +495,14 @@ def test_ignore_nulls_parses_and_respect_is_noop():
     assert sel.items[0].expr == Col("ignore")
     with pytest.raises(ParseError, match="OVER"):
         parse("select lag(x, 2) ignore nulls from t")
+    # `over` present but malformed (followed by a reserved word, so
+    # the contextual OVER block does not consume it): the treatment
+    # must error, never silently drop with `over` re-parsed as an
+    # alias (review finding, r11)
+    with pytest.raises(ParseError, match="OVER"):
+        parse("select lag(x, 1) ignore nulls over from t")
+    with pytest.raises(ParseError, match="OVER"):
+        parse("select lag(x, 1) respect nulls over from t")
 
 
 def test_ignore_nulls_offset_functions_match_duckdb(engine, duck):
