@@ -2418,3 +2418,37 @@ def test_random_projection_duckdb_parity(spark, emb):
                                         dim=64, out_dim=4)
            .orderBy("id").limit(50).collect()]
     assert got == [tuple(r) for r in exp]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.one_of(st.none(),
+                          st.floats(min_value=1e-12, max_value=1e12),
+                          st.floats(min_value=-10, max_value=0)),
+                min_size=1, max_size=60),
+       st.integers(1, 12),
+       st.integers(0, 9))
+def test_priority_sample_duckdb_parity_fuzz(spark, weights, k, seed):
+    """r11 fuzz shape: ANY weight vector (nulls, non-positives, 12
+    orders of magnitude) and any (k, seed) must select the same rows
+    with the same priorities as DuckDB's replay — the correctly-
+    rounded-IEEE premise under fuzz, not just on one fixture."""
+    import duckdb
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = [(r["id"], r["w"], r["samp_priority"]) for r in
+           L.priority_sample(df, "id", "w", k=k, seed=seed,
+                             id_hash=L.md5_id_hash).collect()]
+    con = duckdb.connect()
+    con.sql("create table t(id bigint, w double)")
+    con.executemany("insert into t values (?, ?)", rows)
+    exp = con.sql(f"""
+        select id, w,
+               (cast(cast(concat('0x', substr(md5(concat(
+                    cast(id as varchar), ':', '{seed}')), 1, 15))
+                    as bigint) + 1 as double)
+                / 1152921504606846976.0) / w as samp_priority
+        from t where w is not null and w > 0
+        order by samp_priority, id limit {k}""").fetchall()
+    assert got == [tuple(r) for r in exp]
