@@ -1043,6 +1043,12 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # same sign matrix) matches bit-exactly
         "llm74_random_projection": lambda s, d: L.random_projection(
             _emb(s, d), "embedding", "vec_id", dim=64, out_dim=4),
+        # batched brute-force ANN (r11): top-k for a query SET in one
+        # corpus pass — broadcast |Q|-row query table, per-qid
+        # WindowGroupLimit heap in Partial mode before the exchange.
+        # Same round-6 cosine premise as llm06
+        "llm75_ann_topk_batch": lambda s, d: L.cosine_topk_batch(
+            _emb(s, d), "embedding", "vec_id", [0, 1, 7], k=5),
         # rows-only BY DESIGN: probe_bits=2 prunes buckets, and on the
         # gate corpora the pruned candidate set demonstrably loses
         # top-k members (checked r6: output != llm27's exhaustive
@@ -1876,25 +1882,27 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the EIGHT new r11 surfaces
+    # regression core; FIRST rows for the NINE new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
     # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
     # NULLS, llm73 priority sampling, q85 its hint form, llm74
-    # random projection — each also the fresh row for a code-touched
-    # family: running_agg, batch OVER compile, mixture weights
-    # builder, the seeded-sampling family, the hint dispatch, the
-    # embedding-ops family);
+    # random projection, llm75 batched ANN — each also the fresh row
+    # for a code-touched family: running_agg, batch OVER compile,
+    # mixture weights builder, the seeded-sampling family, the hint
+    # dispatch, the embedding-ops family);
     # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 33 of the 38 r7-stale greens.  The other five wait one
-    # round below the fold (50-slot arithmetic: 8+8+1+33 = 50):
+    # then 32 of the 38 r7-stale greens.  The other six wait one
+    # round below the fold (50-slot arithmetic: 8+9+1+32 = 50):
     # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
     # verified-pairs shape in-window via llm28),
     # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
     # green r10), llm30_shuffle_key_verified (oracled twin llm23
     # green r10), llm31_stratified_verified (oracled twin llm24
-    # green r10) and q17d_intersect (set-op family keeps TWO
-    # in-window rows, q17b UNION ALL + q17c EXCEPT); all five lead
-    # the r12 rotation.
+    # green r10), q17d_intersect (set-op family keeps TWO in-window
+    # rows, q17b UNION ALL + q17c EXCEPT) and
+    # llm02_dedup_ngram_jaccard (its value SET is pinned equal to
+    # llm03's — green r10 — by test_minhash_matches_exact_jaccard);
+    # all six lead the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1906,7 +1914,7 @@ _PRIORITY = [
     "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
     "llm73_priority_sample", "q85_priority_sample_hint",
-    "llm74_random_projection",
+    "llm74_random_projection", "llm75_ann_topk_batch",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1921,26 +1929,27 @@ _PRIORITY = [
     "q41_stats_aggs", "s02_stream_count_window",
     "s03_stream_windowed_join", "s04_stream_delta_window",
     "s06_stream_count_sliding", "x03_expr_bitwise_unary",
-    "llm02_dedup_ngram_jaccard", "llm08_token_stats", "llm13_frame_sample",
+    "llm08_token_stats", "llm13_frame_sample",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm26, llm27, llm30, llm31 and
-    #     q17d (r7 — each lent its r11 slot: llm26 to the fill
-    #     arithmetic, llm27 to the late s18 first row, llm30 to
-    #     llm73's first row, llm31 to q85's, q17d to llm74's;
-    #     llm30/llm31's oracled twins llm23/llm24 went green r10
-    #     (the llm26/llm03 precedent) and q17d's set-op siblings
-    #     q17b/q17c stay in-window) lead the
+    #     Ordered by next-staleness: llm26, llm27, llm30, llm31,
+    #     q17d and llm02 (r7 — each lent its r11 slot: llm26 to the
+    #     fill arithmetic, llm27 to the late s18 first row, llm30 to
+    #     llm73's first row, llm31 to q85's, q17d to llm74's, llm02
+    #     to llm75's; llm30/llm31's oracled twins llm23/llm24 went
+    #     green r10 (the llm26/llm03 precedent), q17d's set-op
+    #     siblings q17b/q17c stay in-window, and llm02's value set
+    #     is pinned equal to r10-green llm03's) lead the
     #     r12 rotation, then the r8 greens, the r9 greens, and the
     #     r10 greens displaced by this rotation (freshest, sampled
     #     last).
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
-    "q17d_intersect",
+    "q17d_intersect", "llm02_dedup_ngram_jaccard",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -3304,6 +3313,20 @@ def _oracle_sql_base() -> dict[str, str]:
                           WHERE vec_id = 0)), 6) AS cosine
             FROM embeddings WHERE vec_id <> 0
             ORDER BY cosine DESC, id ASC LIMIT 10""",
+        # llm75: llm06's cosine replayed per query id, ranked within
+        # each qid on the SAME rounded value + id tie-break
+        "llm75_ann_topk_batch": """
+            WITH q AS (SELECT vec_id AS qid,
+                              embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id IN (0, 1, 7)),
+            s AS (SELECT q.qid, e.vec_id AS id,
+                         round(list_cosine_similarity(
+                             e.embedding::DOUBLE[], q.qv), 6) AS cosine
+                  FROM embeddings e JOIN q ON e.vec_id <> q.qid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY qid
+                      ORDER BY cosine DESC, id ASC) AS rn FROM s)
+            SELECT qid, id, cosine FROM r WHERE rn <= 5
+            ORDER BY qid, cosine DESC, id""",
         # MinHash with r=1 banding exact-verifies an (effectively)
         # complete candidate set -> the exact n-gram-Jaccard pair SQL
         # is its oracle (same query as llm02)

@@ -13,7 +13,8 @@ from .dedup import (
     simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
     soft_dedup,
 )
-from .simsearch import (cosine_topk, cosine_topk_quantized,
+from .simsearch import (cosine_topk, cosine_topk_batch,
+                        cosine_topk_quantized,
                         ivf_ann_topk, lsh_ann_topk,
                         quantize_embeddings, random_projection,
                         rp_signs)
@@ -53,6 +54,7 @@ __all__ = [
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quantize_embeddings", "cosine_topk_quantized",
+    "cosine_topk_batch",
     "random_projection", "rp_signs",
     "c4_line_filter", "decontaminate", "gopher_quality",
     "gopher_repetition", "pii_redact",

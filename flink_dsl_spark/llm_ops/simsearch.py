@@ -287,3 +287,47 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
         cols.append((expr / F.lit(root)).alias(f"p{j}"))
     return (spread_for_compute(df)
             .select(F.col(id_col).alias("id"), *cols))
+
+
+def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
+                      query_ids: list, k: int = 10) -> DataFrame:
+    """Exact top-k by cosine for a BATCH of query ids in ONE corpus
+    pass — the serving shape of brute-force ANN ("embed the eval set,
+    find every item's neighbors"), versus |Q| separate cosine_topk
+    jobs that each rescan the corpus.
+
+    Returns (qid, id, cosine) with k rows per query id, ordered by
+    (qid, cosine desc, id).  Self-matches are excluded and cosine
+    rounds to 6 decimals before ranking — the same cross-engine
+    premises as cosine_topk (llm06).
+
+    Scale shape: broadcast the |Q|-row query table (bounded: <= 10k
+    ids enforced), ONE codegen cosine per (candidate, query), then a
+    per-qid rank<=k filter that compiles to WindowGroupLimit
+    (plan-gated) — Spark runs it in Partial mode BEFORE the qid
+    exchange, so each map task forwards at most k rows per query and
+    the shuffle carries O(tasks * |Q| * k) triples, never the
+    |corpus| x |Q| cross product."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not query_ids:
+        raise ValueError("query_ids must be non-empty")
+    if len(query_ids) > 10_000:
+        raise ValueError("query_ids is broadcast plan-side — pass at "
+                         "most 10k ids (use lsh/ivf for larger sets)")
+    q = F.broadcast(
+        df.filter(F.col(id_col).isin(list(query_ids)))
+          .select(F.col(id_col).alias("qid"),
+                  F.col(vec_col).alias("__qv")))
+    cos = F.round(cosine_sim(F.col(vec_col), F.col("__qv")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
+                                          F.col("id").asc())
+    return (spread_for_compute(df).crossJoin(q)
+            .filter(F.col(id_col) != F.col("qid"))
+            .select("qid", F.col(id_col).alias("id"),
+                    cos.alias("cosine"))
+            .withColumn("__rnk", F.row_number().over(w))
+            .filter(F.col("__rnk") <= k).drop("__rnk")
+            .orderBy("qid", F.col("cosine").desc(), F.col("id")))

@@ -2452,3 +2452,34 @@ def test_priority_sample_duckdb_parity_fuzz(spark, weights, k, seed):
         from t where w is not null and w > 0
         order by samp_priority, id limit {k}""").fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_cosine_topk_batch_equals_per_query(emb):
+    """The batched form must return exactly each query's cosine_topk
+    result (same rounding, same tie-break)."""
+    got = {}
+    for r in L.cosine_topk_batch(emb, "embedding", "vec_id",
+                                 [0, 1, 7], k=5).collect():
+        got.setdefault(r["qid"], []).append((r["id"], r["cosine"]))
+    for qid in (0, 1, 7):
+        single = [(r["id"], r["cosine"]) for r in
+                  L.cosine_topk(emb, "embedding", "vec_id",
+                                query_id=qid, k=5).collect()]
+        assert got[qid] == single, qid
+    with pytest.raises(ValueError, match="k must be"):
+        L.cosine_topk_batch(emb, "embedding", "vec_id", [0], k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        L.cosine_topk_batch(emb, "embedding", "vec_id", [])
+    with pytest.raises(ValueError, match="10k"):
+        L.cosine_topk_batch(emb, "embedding", "vec_id",
+                            list(range(10_001)))
+
+
+def test_cosine_topk_batch_plan_group_limit(emb):
+    out = L.cosine_topk_batch(emb, "embedding", "vec_id", [0, 1], k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rank<=k filter must run as a per-task heap, partial mode
+    # BEFORE the qid exchange — never a full per-query sort buffer
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
