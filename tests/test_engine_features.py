@@ -513,3 +513,32 @@ def test_distinct_order_by_requires_output_key(engine):
     with pytest.raises(PlanError, match="select-list outputs"):
         engine.sql("select distinct o_orderstatus from orders "
                    "order by o_custkey")
+
+
+def test_register_jdbc_roundtrip_with_derby(spark):
+    """The external-RDBMS catalog path (engine.register_jdbc — the
+    reference's schemacrawler introspection role,
+    flinkdsl/database.scala:11-31) driven end-to-end against the
+    Apache Derby embedded driver Spark bundles for its metastore:
+    schema (names, types, nullability) comes from JDBC driver
+    metadata, and the registered relation composes with the dialect
+    like any other (filter pushes to the JDBC scan)."""
+    url = "jdbc:derby:memory:fsqljdbc_t;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    src = spark.createDataFrame(
+        [(1, "alice", 34.5), (2, "bob", None), (3, "carol", 7.25)],
+        "id int, name string, score double")
+    src.write.jdbc(url, "people", mode="overwrite", properties=props)
+    eng = FsqlEngine(spark)
+    eng.register_jdbc("people", url, "people", properties=props)
+    # driver-metadata schema: names + types survive the round trip
+    got = eng.sql("select id, name, score from people order by id")
+    assert got.schema.simpleString() == \
+        "struct<id:int,name:string,score:double>"
+    assert [(r["id"], r["name"], r["score"]) for r in got.collect()] \
+        == [(1, "alice", 34.5), (2, "bob", None), (3, "carol", 7.25)]
+    # predicate pushdown reaches the JDBC scan
+    df = eng.sql("select name from people where id = 2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "id" in plan
+    assert [r["name"] for r in df.collect()] == ["bob"]
