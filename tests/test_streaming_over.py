@@ -1273,3 +1273,24 @@ def test_streaming_ignore_respect_composition_fuzz(
     exp = {r["seq"]: tuple(r[c] for c in cols)
            for r in beng.sql(sql).collect()}
     assert got == exp
+
+
+def test_streaming_qualify_with_expression_keys(spark, src_dir):
+    """QUALIFY shares _plan_streaming_over, so expression keys work
+    there too: first-2-per-(small % 2) via a running count."""
+    eng = _stream_engine(spark, src_dir)
+    out = eng.sql(
+        "select event_id, count(*) over (partition by small % 2 "
+        "order by ts, event_id rows between unbounded preceding and "
+        "current row) as rn from ev qualify rn <= 2")
+    assert out.isStreaming
+    sink = _run(out)
+    rows = spark.sql(f"select * from {sink}").collect()
+    beng = FsqlEngine(spark)
+    beng.register("ev", spark.read.parquet(src_dir))
+    exp = {(r["event_id"], r["rn"]) for r in beng.sql(
+        "select event_id, count(*) over (partition by small % 2 "
+        "order by ts, event_id rows between unbounded preceding and "
+        "current row) as rn from ev qualify rn <= 2").collect()}
+    assert {(r["event_id"], r["rn"]) for r in rows} == exp
+    assert len(rows) == 4   # 2 per parity class
