@@ -255,17 +255,22 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
     ones (the same candidates-then-verify shape as minhash LSH).
 
     Exactness: the matrix entries are ±1, so every output component
-    is a chain of double adds/subtracts in a FIXED left-associative
-    index order (a literal expression, not an aggregate — the
-    float-fold reordering caveat cannot apply) followed by one
-    correctly-rounded division by sqrt(out_dim); every engine
+    is a FIXED left-to-right index-order sequence of double adds —
+    executed as ``aggregate(zip_with(vec, signs, x*s), 0.0, +)``,
+    whose IEEE operation sequence is bit-identical to the written-out
+    chain ``±x0 ± x1 ± …`` (x*(+1.0)/x*(-1.0) are exact sign flips
+    and the 0.0 seed is additive identity), followed by one
+    correctly-rounded division by sqrt(out_dim).  Every engine
     reproduces it bit-exactly, which is what makes the op
-    value-oracle-able.
+    value-oracle-able (the llm74 oracle is the written-out chain).
 
-    Scale shape: pure per-row projection in whole-stage codegen —
-    zero shuffle, composes with scan pushdown; out_dim*dim adds per
-    row.  The plan-time cost is building out_dim*dim sign literals
-    (bounded; out_dim <= 64 enforced)."""
+    Scale shape: pure per-row projection, zero shuffle, composes with
+    scan pushdown; out_dim*dim multiply-adds per row.  Each sign row
+    ships as ONE ArrayType literal — a first cut as an unrolled
+    add/subtract chain put ~dim*out_dim expression nodes into the
+    plan and Catalyst analysis dominated wall-clock at small scale
+    (6 s to compile 16x64 over 2k rows); the HOF form plans in
+    milliseconds and computes the identical floats."""
     import math
 
     if dim < 1 or out_dim < 1:
@@ -275,16 +280,13 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
                          "compiled into the plan)")
     signs = rp_signs(out_dim, dim, seed)
     root = math.sqrt(float(out_dim))
-    v = F.col(vec_col)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     cols = []
     for j in range(out_dim):
-        expr = v.getItem(0).cast("double")
-        if signs[j][0] < 0:
-            expr = -expr
-        for i in range(1, dim):
-            t = v.getItem(i).cast("double")
-            expr = (expr + t) if signs[j][i] > 0 else (expr - t)
-        cols.append((expr / F.lit(root)).alias(f"p{j}"))
+        srow = F.lit([float(s) for s in signs[j]])
+        dot = F.aggregate(F.zip_with(v, srow, lambda x, s: x * s),
+                          F.lit(0.0), lambda acc, t: acc + t)
+        cols.append((dot / F.lit(root)).alias(f"p{j}"))
     return (spread_for_compute(df)
             .select(F.col(id_col).alias("id"), *cols))
 
