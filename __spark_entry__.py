@@ -824,6 +824,23 @@ _SCRIPTS: dict[str, str] = {
         delete from mut40 where value <= 50;
         select event_id, event_type, round(value, 2) as value
         from mut40""",
+    # MERGE INTO (r11 engine extension completing the executable-DML
+    # family): upsert a derived copy from a shifted self-source so
+    # BOTH paths run at every gate SF (ids +500: the tail 50 source
+    # rows overshoot max(event_id) and INSERT, the rest UPDATE)
+    "q86_merge_upsert": """
+        create stream mut86 as
+            (select event_id, event_type, value from events);
+        merge into mut86 using
+            (select event_id + 500 as sid, value as sv from events
+             where event_id % 10 = 0) as s
+            on mut86.event_id = s.sid
+        when matched then update set value = s.sv * 2,
+                                     event_type = 'MERGED'
+        when not matched then insert (event_id, event_type, value)
+            values (s.sid, 'inserted', s.sv);
+        select event_id, event_type, round(value, 2) as value
+        from mut86""",
     # bucketed-table DDL (r6 dialect extension): write the join key's
     # shuffle ONCE at table-creation time, then aggregate on the
     # bucket key — the scan arrives pre-partitioned (the write-once
@@ -1882,27 +1899,30 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the NINE new r11 surfaces
+    # regression core; FIRST rows for the TEN new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
     # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
     # NULLS, llm73 priority sampling, q85 its hint form, llm74
-    # random projection, llm75 batched ANN — each also the fresh row
-    # for a code-touched family: running_agg, batch OVER compile,
-    # mixture weights builder, the seeded-sampling family, the hint
-    # dispatch, the embedding-ops family);
+    # random projection, llm75 batched ANN, q86 MERGE INTO — each
+    # also the fresh row for a code-touched family: running_agg,
+    # batch OVER compile, mixture weights builder, the
+    # seeded-sampling family, the hint dispatch, the embedding-ops
+    # family, the executable-DML family);
     # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 32 of the 38 r7-stale greens.  The other six wait one
-    # round below the fold (50-slot arithmetic: 8+9+1+32 = 50):
+    # then 31 of the 38 r7-stale greens.  The other seven wait one
+    # round below the fold (50-slot arithmetic: 8+10+1+31 = 50):
     # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
     # verified-pairs shape in-window via llm28),
     # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
     # green r10), llm30_shuffle_key_verified (oracled twin llm23
     # green r10), llm31_stratified_verified (oracled twin llm24
     # green r10), q17d_intersect (set-op family keeps TWO in-window
-    # rows, q17b UNION ALL + q17c EXCEPT) and
+    # rows, q17b UNION ALL + q17c EXCEPT),
     # llm02_dedup_ngram_jaccard (its value SET is pinned equal to
-    # llm03's — green r10 — by test_minhash_matches_exact_jaccard);
-    # all six lead the r12 rotation.
+    # llm03's — green r10 — by test_minhash_matches_exact_jaccard)
+    # and q29_count_sliding (tumbling sibling q28 green r10; the
+    # streaming count-sliding twin s06 stays in-window);
+    # all seven lead the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1915,6 +1935,7 @@ _PRIORITY = [
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
     "llm73_priority_sample", "q85_priority_sample_hint",
     "llm74_random_projection", "llm75_ann_topk_batch",
+    "q86_merge_upsert",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1923,7 +1944,7 @@ _PRIORITY = [
     "q10_having", "q07_cross_join", "q42_salt_hint", "q36_range_join",
     "q11_distinct", "q13_in_list", "q17b_union_all",
     "q17c_except", "q19_derived_table",
-    "q26_window_tumbling", "q27_window_sliding", "q29_count_sliding",
+    "q26_window_tumbling", "q27_window_sliding",
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
     "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
     "q41_stats_aggs", "s02_stream_count_window",
@@ -1950,6 +1971,7 @@ _PRIORITY = [
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "q17d_intersect", "llm02_dedup_ngram_jaccard",
+    "q29_count_sliding",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -3087,6 +3109,27 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events)
             SELECT event_id, event_type, round(value, 2) AS value
             FROM m1 WHERE value > 50 OR value IS NULL""",
+        # q86: the merge replayed as LEFT JOIN (update side) + anti
+        # join (insert side) UNION ALL — the same CASE-mapping shape
+        # as q40's oracle
+        "q86_merge_upsert": """
+            WITH src AS (SELECT event_id + 500 AS sid, value AS sv
+                         FROM events WHERE event_id % 10 = 0),
+            upd AS (SELECT e.event_id,
+                           CASE WHEN s.sid IS NOT NULL THEN 'MERGED'
+                                ELSE e.event_type END AS event_type,
+                           CASE WHEN s.sid IS NOT NULL THEN s.sv * 2
+                                ELSE e.value END AS value
+                    FROM events e LEFT JOIN src s ON e.event_id = s.sid),
+            ins AS (SELECT s.sid AS event_id,
+                           'inserted' AS event_type, s.sv AS value
+                    FROM src s LEFT JOIN events e ON e.event_id = s.sid
+                    WHERE e.event_id IS NULL)
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM upd
+            UNION ALL
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM ins""",
         # q44: replay the three INSERT forms as a UNION ALL of their
         # row sources over the same parquet; sum cast to BIGINT (DuckDB
         # auto-promotes sum(BIGINT) to HUGEINT)

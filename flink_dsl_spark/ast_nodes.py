@@ -534,6 +534,23 @@ class Delete:
 
 
 @dataclass
+class Merge:
+    """MERGE INTO t [AS a] USING src [AS b] ON cond
+    [WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE]
+    [WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (...)] —
+    engine extension (r11) completing the executable-DML family
+    (UPDATE/DELETE, SURVEY §7.0(5) session-relation semantics).
+    One clause of each kind; at least one overall."""
+
+    target: object                               # TableRef
+    source: object                               # TableRef | DerivedTable
+    on: Expr = None
+    matched: Optional[tuple] = None       # ("update", [Assignment], cond)
+                                          # | ("delete", None, cond)
+    not_matched: Optional[tuple] = None   # (cols|None, [Expr], cond)
+
+
+@dataclass
 class Explain:
     """EXPLAIN [FORMATTED|EXTENDED|CODEGEN|COST] <query> — engine
     diagnostic extension (the reference has no explain; this surfaces

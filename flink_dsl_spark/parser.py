@@ -236,6 +236,8 @@ class Parser:
             return self.parse_update()
         if self.at_kw("delete"):
             return self.parse_delete()
+        if self.at_kw("merge"):
+            return self.parse_merge()
         if self.at_kw("explain"):
             return self.parse_explain()
         if self.at_kw("select") or self.at_kw("with") or self.at_op("("):
@@ -477,6 +479,75 @@ class Parser:
     def parse_table_name_alias(self) -> TableRef:
         name = self.ident("table name")
         return TableRef(name, self.alias_ident())
+
+    def parse_merge(self):
+        """MERGE INTO t [AS a] USING (name [AS b] | (select) AS b)
+        ON cond, then one optional WHEN MATCHED clause (UPDATE SET |
+        DELETE) and one optional WHEN NOT MATCHED clause (INSERT);
+        at least one clause (engine extension, r11)."""
+        from .ast_nodes import DerivedTable, Merge
+        self.expect_kw("merge")
+        self.expect_kw("into")
+        target = self.parse_table_name_alias()
+        self.expect_kw("using")
+        if self.at_op("("):
+            tok = self.cur
+            self.advance()
+            sub = self.parse_select_statement()
+            self.expect_op(")")
+            alias = self.alias_ident()
+            if alias is None:
+                self.error("MERGE USING (subquery) requires an alias",
+                           tok)
+            source = DerivedTable(sub, alias)
+        else:
+            source = self.parse_table_name_alias()
+        self.expect_kw("on")
+        on = self.parse_expr()
+        matched = None
+        not_matched = None
+        saw_clause = False
+        while self.at_kw("when"):
+            tok = self.cur
+            self.advance()
+            negated = self.eat_kw("not")
+            self.expect_kw("matched")
+            cond = self.parse_expr() if self.eat_kw("and") else None
+            self.expect_kw("then")
+            saw_clause = True
+            if negated:
+                if not_matched is not None:
+                    self.error("duplicate WHEN NOT MATCHED clause", tok)
+                self.expect_kw("insert")
+                cols = None
+                if self.at_op("("):
+                    self.advance()
+                    cols = [self.ident("column")]
+                    while self.eat_op(","):
+                        cols.append(self.ident("column"))
+                    self.expect_op(")")
+                self.expect_kw("values")
+                self.expect_op("(")
+                exprs = [self.parse_expr()]
+                while self.eat_op(","):
+                    exprs.append(self.parse_expr())
+                self.expect_op(")")
+                not_matched = (cols, exprs, cond)
+            else:
+                if matched is not None:
+                    self.error("duplicate WHEN MATCHED clause", tok)
+                if self.eat_kw("delete"):
+                    matched = ("delete", None, cond)
+                else:
+                    self.expect_kw("update")
+                    self.expect_kw("set")
+                    assigns = [self.parse_assignment()]
+                    while self.eat_op(","):
+                        assigns.append(self.parse_assignment())
+                    matched = ("update", assigns, cond)
+        if not saw_clause:
+            self.error("MERGE requires at least one WHEN clause")
+        return Merge(target, source, on, matched, not_matched)
 
     # --- SELECT / set ops ---
 

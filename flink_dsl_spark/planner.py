@@ -171,6 +171,9 @@ class Planner:
             return self.plan_update(stmt)
         if isinstance(stmt, Delete):
             return self.plan_delete(stmt)
+        from .ast_nodes import Merge
+        if isinstance(stmt, Merge):
+            return self.plan_merge(stmt)
         raise PlanError(f"cannot plan statement {type(stmt).__name__}")
 
     def plan_query(self, q) -> DataFrame:
@@ -992,6 +995,206 @@ class Planner:
             remaining = target.filter(~F.coalesce(cond, F.lit(False)))
         self.catalog.register(name, remaining)
         return remaining
+
+    def plan_merge(self, m) -> DataFrame:
+        """MERGE INTO t USING s ON cond WHEN [NOT] MATCHED ... —
+        the upsert completing the executable-DML family (engine
+        extension, r11; same session-relation execution model as
+        UPDATE/DELETE, SURVEY §7.0(5)).
+
+        Semantics (ANSI): matched target rows get the UPDATE
+        assignments (RHS sees PRE-merge target values and the
+        matching source row) or are DELETEd; source rows matching no
+        target row INSERT.  A NULL matched-/not-matched-condition
+        behaves as FALSE (row unchanged / not inserted).  The ANSI
+        cardinality rule is enforced: a target row matched by more
+        than one DISTINCT source value-tuple raises (duplicate source
+        rows with IDENTICAL values are collapsed first — they assign
+        the same result, so they are not a violation).
+
+        The cardinality check is ONE eager aggregate job at plan time
+        (the token_budget plan-time-collect precedent, DIALECT.md) —
+        acceptable because MERGE mutates a session relation, not the
+        100 TB scan path; the merge itself is two joins (left for the
+        update side, left-anti for the insert side) on the ON keys.
+
+        Scope: one WHEN MATCHED clause (UPDATE or DELETE) + one WHEN
+        NOT MATCHED clause (INSERT ... VALUES); subqueries inside
+        merge expressions are rejected."""
+        from .ast_nodes import (DerivedTable, Exists, InSubquery, Merge,
+                                QuantifiedCmp, ScalarSubquery, walk_expr)
+
+        name = m.target.name
+        target = self.catalog.get(name)
+        if target.isStreaming:
+            raise PlanError("cannot MERGE into a streaming relation")
+        ta = (m.target.alias or m.target.name).lower()
+        if isinstance(m.source, DerivedTable):
+            src_df = self.plan_query(m.source.query)
+            sa = m.source.alias.lower()
+        else:
+            src_df = self.catalog.get(m.source.name)
+            sa = (m.source.alias or m.source.name).lower()
+        if src_df.isStreaming:
+            raise PlanError("MERGE USING a streaming relation is not "
+                            "supported")
+        if ta == sa:
+            raise PlanError(
+                f"MERGE target and source need distinct names/aliases "
+                f"(both are {ta!r})")
+
+        tcols = {c.lower(): c for c in target.columns}
+        scols = {c.lower(): c for c in src_df.columns}
+        dtypes = dict(target.dtypes)
+
+        def qualify(expr, what: str, sides=("t", "s")):
+            """Bind every Col to its side; unqualified names resolve
+            to whichever allowed side uniquely has them."""
+            if expr is None:
+                return None
+            for x in walk_expr(expr):
+                if isinstance(x, (ScalarSubquery, InSubquery, Exists,
+                                  QuantifiedCmp)):
+                    raise PlanError(
+                        f"subqueries are not supported in MERGE {what}")
+                if not isinstance(x, Col) or x.binding is not None:
+                    continue
+                q = x.qualifier.lower() if x.qualifier else None
+                nm = x.name.lower()
+                if q is None:
+                    in_t = "t" in sides and nm in tcols
+                    in_s = "s" in sides and nm in scols
+                    if in_t and in_s:
+                        raise PlanError(
+                            f"column {x.name!r} is ambiguous in MERGE "
+                            f"{what} — qualify it with {ta!r} or {sa!r}")
+                    if in_t:
+                        x.binding = ta
+                    elif in_s:
+                        x.binding = sa
+                    else:
+                        raise PlanError(
+                            f"unknown column {x.name!r} in MERGE "
+                            f"{what}")
+                elif q == ta:
+                    if "t" not in sides:
+                        raise PlanError(
+                            f"MERGE {what} cannot reference target "
+                            f"column {x.name!r}")
+                    if nm not in tcols:
+                        raise PlanError(
+                            f"unknown column {x.name!r} in MERGE "
+                            f"target {name!r}")
+                    x.binding = ta
+                elif q == sa:
+                    if nm not in scols:
+                        raise PlanError(
+                            f"unknown column {x.name!r} in MERGE "
+                            f"source")
+                    x.binding = sa
+                else:
+                    raise PlanError(
+                        f"unknown qualifier {x.qualifier!r} in MERGE "
+                        f"{what} (sides are {ta!r} and {sa!r})")
+            return expr
+
+        cond = self._compile(qualify(m.on, "ON"), None)
+        # duplicate source rows with identical values assign identical
+        # results — collapse them so the left join cannot fan out
+        srcd = src_df.dropDuplicates()
+
+        if m.matched is not None:
+            # ANSI cardinality rule (eager, plan-time — see docstring)
+            viol = (target.alias(ta)
+                    .join(srcd.alias(sa), cond, "inner")
+                    .groupBy(*[F.col(f"{ta}.{c}") for c in target.columns])
+                    .agg(F.count_distinct(F.struct(
+                        *[F.col(f"{sa}.{c}") for c in srcd.columns]))
+                        .alias("__n"))
+                    .filter(F.col("__n") > 1).limit(1).count())
+            if viol:
+                raise PlanError(
+                    "MERGE cardinality violation: a target row matches "
+                    "more than one distinct source row — deduplicate "
+                    "the source on the ON keys first")
+
+        mk = "__mg_hit"
+        while mk in srcd.columns:
+            mk += "_"
+        kind, assigns, mcond_ast = m.matched or (None, None, None)
+        if m.matched is not None:
+            joined = (target.alias(ta)
+                      .join(srcd.withColumn(mk, F.lit(True)).alias(sa),
+                            cond, "left"))
+            matched = F.col(f"{sa}.{mk}").isNotNull()
+            mcond = (self._compile(qualify(mcond_ast, "WHEN MATCHED"),
+                                   None)
+                     if mcond_ast is not None else F.lit(True))
+            hit = matched & F.coalesce(mcond, F.lit(False))
+            if kind == "delete":
+                updated = (joined
+                           .filter(~F.coalesce(hit, F.lit(False)))
+                           .select(*[F.col(f"{ta}.{c}").alias(c)
+                                     for c in target.columns]))
+            else:
+                assigned: dict[str, Column] = {}
+                for a in assigns:
+                    col = tcols.get(a.col.name.lower())
+                    if col is None or (
+                            a.col.qualifier
+                            and a.col.qualifier.lower() != ta):
+                        raise PlanError(
+                            f"MERGE SET target {a.col.name!r} is not a "
+                            f"column of {name!r}")
+                    if col in assigned:
+                        raise PlanError(
+                            f"column {col!r} assigned twice in MERGE")
+                    assigned[col] = self._compile(
+                        qualify(a.value, "SET"), None)
+                updated = joined.select(*[
+                    (F.when(hit, assigned[c].cast(dtypes[c]))
+                      .otherwise(F.col(f"{ta}.{c}")).alias(c))
+                    if c in assigned
+                    else F.col(f"{ta}.{c}").alias(c)
+                    for c in target.columns])
+        else:
+            updated = target
+
+        result = updated
+        if m.not_matched is not None:
+            icols, iexprs, nmcond_ast = m.not_matched
+            if icols is None:
+                icols = list(target.columns)
+            else:
+                bad = [c for c in icols if c.lower() not in tcols]
+                if bad:
+                    raise PlanError(
+                        f"unknown INSERT column(s) {', '.join(bad)} in "
+                        f"MERGE target {name!r}")
+                icols = [tcols[c.lower()] for c in icols]
+            if len(iexprs) != len(icols):
+                raise PlanError(
+                    f"MERGE INSERT has {len(iexprs)} values for "
+                    f"{len(icols)} columns")
+            unmatched = (src_df.alias(sa)
+                         .join(target.alias(ta), cond, "left_anti"))
+            if nmcond_ast is not None:
+                nmcond = self._compile(
+                    qualify(nmcond_ast, "WHEN NOT MATCHED", sides=("s",)),
+                    None)
+                unmatched = unmatched.filter(
+                    F.coalesce(nmcond, F.lit(False)))
+            by_col = dict(zip(icols, iexprs))
+            inserts = unmatched.select(*[
+                (self._compile(qualify(by_col[c], "INSERT",
+                                       sides=("s",)), None)
+                 if c in by_col else F.lit(None))
+                .cast(dtypes[c]).alias(c)
+                for c in target.columns])
+            result = updated.unionByName(inserts)
+
+        self.catalog.register(name, result)
+        return result
 
     def _const_value(self, e):
         """Evaluate a constant expression in VALUES position."""

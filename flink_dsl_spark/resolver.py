@@ -101,7 +101,16 @@ class Resolver:
             self.resolve_setop(stmt, None)
         elif isinstance(stmt, Insert):
             self.resolve_insert(stmt)
-        # CreateSchema/CreateStream/Update/Delete: resolved at plan time
+        else:
+            from .ast_nodes import DerivedTable, Merge
+            if isinstance(stmt, Merge) \
+                    and isinstance(stmt.source, DerivedTable):
+                # the USING subquery is an ordinary query — resolve it
+                # here; the merge expressions themselves qualify at
+                # plan time against the two named sides (plan_merge)
+                self.resolve_select(stmt.source.query, None)
+        # CreateSchema/CreateStream/Update/Delete/Merge: resolved at
+        # plan time
         return stmt
 
     def resolve_setop(self, s: SetOp, outer: Optional[Scope]):

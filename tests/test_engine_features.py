@@ -7,7 +7,7 @@ import pytest
 
 from flink_dsl_spark import (Failure, FsqlEngine, Ok, ParseError,
                              UnsupportedError)
-from flink_dsl_spark.errors import ResolutionError, as_result
+from flink_dsl_spark.errors import PlanError, ResolutionError, as_result
 from flink_dsl_spark.parser import parse
 
 
@@ -542,3 +542,119 @@ def test_register_jdbc_roundtrip_with_derby(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "id" in plan
     assert [r["name"] for r in df.collect()] == ["bob"]
+
+
+def _merge_fixture(spark):
+    e = FsqlEngine(spark)
+    e.register("mt", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, tag string, v double"))
+    e.register("ms", spark.createDataFrame(
+        [(2, 200.0), (3, None), (4, 400.0)], "id long, nv double"))
+    return e
+
+
+def test_merge_update_and_insert(spark):
+    """Full upsert: matched rows update (RHS sees both sides), a NULL
+    matched-condition behaves as FALSE, unmatched source rows insert,
+    and the catalog serves the merged relation afterwards."""
+    e = _merge_fixture(spark)
+    out = e.sql(
+        "merge into mt using ms on mt.id = ms.id "
+        "when matched and ms.nv is not null then "
+        "  update set v = ms.nv, tag = upper(tag) "
+        "when not matched then insert (id, tag, v) "
+        "  values (ms.id, 'new', ms.nv)")
+    got = {(r.id, r.tag, r.v) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (2, "B", 200.0),
+                   (3, "c", 30.0), (4, "new", 400.0)}
+    assert e.sql("select count(*) as n from mt").first()["n"] == 4
+
+
+def test_merge_delete_and_insert_defaults(spark):
+    """DELETE clause removes matched rows; an INSERT without a column
+    list is positional over the full target schema; omitted columns
+    in a listed INSERT are NULL."""
+    e = _merge_fixture(spark)
+    out = e.sql(
+        "merge into mt using ms on mt.id = ms.id "
+        "when matched then delete "
+        "when not matched and ms.nv > 0 then insert (id) values (ms.id)")
+    got = {(r.id, r.tag, r.v) for r in out.collect()}
+    assert got == {(1, "a", 10.0), (4, None, None)}
+    e2 = _merge_fixture(spark)
+    out2 = e2.sql(
+        "merge into mt using (select id + 10 as id, 'x' as tag, "
+        "1.5 as v from ms) as n on mt.id = n.id "
+        "when not matched then insert values (n.id, n.tag, n.v)")
+    assert out2.count() == 6   # 3 original + 3 inserted (12, 13, 14)
+
+
+def test_merge_cardinality_violation(spark):
+    e = FsqlEngine(spark)
+    e.register("mt", spark.createDataFrame(
+        [(1, 1.0)], "id long, v double"))
+    e.register("dup", spark.createDataFrame(
+        [(1, 5.0), (1, 6.0)], "id long, nv double"))
+    with pytest.raises(PlanError, match="cardinality"):
+        e.sql("merge into mt using dup on mt.id = dup.id "
+              "when matched then update set v = dup.nv")
+    # identical duplicate source rows are NOT a violation
+    e.register("dup2", spark.createDataFrame(
+        [(1, 5.0), (1, 5.0)], "id long, nv double"))
+    out = e.sql("merge into mt using dup2 on mt.id = dup2.id "
+                "when matched then update set v = dup2.nv")
+    assert [(r.id, r.v) for r in out.collect()] == [(1, 5.0)]
+
+
+def test_merge_errors(spark):
+    e = _merge_fixture(spark)
+    with pytest.raises(PlanError, match="ambiguous"):
+        e.sql("merge into mt using ms on id = id "
+              "when matched then delete")
+    with pytest.raises(PlanError, match="cannot reference target"):
+        e.sql("merge into mt using ms on mt.id = ms.id "
+              "when not matched and mt.v > 0 then "
+              "insert (id) values (ms.id)")
+    with pytest.raises(PlanError, match="unknown column"):
+        e.sql("merge into mt using ms on mt.nope = ms.id "
+              "when matched then delete")
+    with pytest.raises(PlanError, match="assigned twice"):
+        e.sql("merge into mt using ms on mt.id = ms.id "
+              "when matched then update set v = 1, v = 2")
+    with pytest.raises(PlanError, match="3 values for 2"):
+        e.sql("merge into mt using ms on mt.id = ms.id "
+              "when not matched then insert (id, tag) "
+              "values (ms.id, 'x', 1)")
+    with pytest.raises(ParseError, match="at least one WHEN"):
+        e.sql("merge into mt using ms on mt.id = ms.id")
+    with pytest.raises(ParseError, match="duplicate WHEN MATCHED"):
+        e.sql("merge into mt using ms on mt.id = ms.id "
+              "when matched then delete when matched then delete")
+    with pytest.raises(PlanError, match="distinct names"):
+        e.sql("merge into mt using mt on mt.id = mt.id "
+              "when matched then delete")
+
+
+def test_merge_streaming_rejected(spark, eng):
+    import os
+    import tempfile
+    from .conftest import SF_DIR
+    from tests.test_hints_ddl import _ddl_type
+    e = FsqlEngine(spark, streaming=True)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    d = tempfile.mkdtemp(prefix="merge_stream_")
+    os.symlink(f"{SF_DIR}/events.parquet",
+               os.path.join(d, "events.parquet"))
+    e.sql("create stream mg_ev ("
+          + ", ".join(f"{f.name} {_ddl_type(f.dataType)}"
+                      for f in ev.schema.fields)
+          + f") source file ('{d}', 'parquet')")
+    e.register("mg_b", spark.createDataFrame([(1,)], "event_id long"))
+    try:
+        with pytest.raises(PlanError, match="streaming"):
+            e.sql("merge into mg_ev using mg_b "
+                  "on mg_ev.event_id = mg_b.event_id "
+                  "when matched then delete")
+    finally:
+        e.sql("drop stream mg_ev")
