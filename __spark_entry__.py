@@ -2042,8 +2042,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _rp_oracle(out_dim: int, dim: int, seed: int = 42) -> str:
     """DuckDB replay of random_projection (llm74): the SAME plan-time
-    ±1 sign matrix (rp_signs) rendered as a left-associative ± chain
-    over 1-indexed array elements, then the same division by
+    ±1 sign matrix (rp_signs) rendered as a 0.0-SEEDED
+    left-associative ± chain over 1-indexed array elements (the seed
+    mirrors the Spark side's aggregate fold — it only matters for
+    the sign bit of an all-zero result), then the same division by
     sqrt(out_dim) — every step correctly-rounded IEEE, so the match
     is bit-exact."""
     from flink_dsl_spark.llm_ops import rp_signs
@@ -2051,12 +2053,10 @@ def _rp_oracle(out_dim: int, dim: int, seed: int = 42) -> str:
     signs = rp_signs(out_dim, dim, seed)
     terms = []
     for j in range(out_dim):
-        chain = " ".join(
+        chain = "0.0 " + " ".join(
             ("+" if signs[j][i] > 0 else "-")
             + f" CAST(embedding[{i + 1}] AS DOUBLE)"
             for i in range(dim))
-        if chain.startswith("+ "):
-            chain = chain[2:]
         terms.append(f"({chain}) / sqrt({out_dim}.0) AS p{j}")
     return (f"SELECT vec_id AS id, {', '.join(terms)} "
             f"FROM embeddings ORDER BY id")

@@ -561,7 +561,7 @@ class Explain:
 
 
 Statement = Union[Select, SetOp, CreateSchema, CreateStream, Insert,
-                  Update, Delete, Explain]
+                  Update, Delete, Merge, Explain]
 
 
 # --------------------------------------------------------------------------

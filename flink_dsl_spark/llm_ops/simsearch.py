@@ -256,13 +256,16 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
 
     Exactness: the matrix entries are ±1, so every output component
     is a FIXED left-to-right index-order sequence of double adds —
-    executed as ``aggregate(zip_with(vec, signs, x*s), 0.0, +)``,
-    whose IEEE operation sequence is bit-identical to the written-out
-    chain ``±x0 ± x1 ± …`` (x*(+1.0)/x*(-1.0) are exact sign flips
-    and the 0.0 seed is additive identity), followed by one
-    correctly-rounded division by sqrt(out_dim).  Every engine
-    reproduces it bit-exactly, which is what makes the op
-    value-oracle-able (the llm74 oracle is the written-out chain).
+    executed as ``aggregate(zip_with(vec, signs, x*s), 0.0, +)`` —
+    followed by one correctly-rounded division by sqrt(out_dim).
+    Every engine reproduces the identical sequence bit-exactly,
+    which is what makes the op value-oracle-able: the llm74 oracle
+    replays it as the 0.0-SEEDED written-out chain ``0.0 ± x0 ± x1
+    ± …`` (x*(+1.0)/x*(-1.0) are exact sign flips; the explicit 0.0
+    seed matters only for the sign of an all-zero result — a bare
+    ``-x0 ± …`` chain would keep -0.0 where the fold's 0.0 + (-0.0)
+    is +0.0, and the driver's stringified compare distinguishes
+    them).
 
     Scale shape: pure per-row projection, zero shuffle, composes with
     scan pushdown; out_dim*dim multiply-adds per row.  Each sign row
@@ -280,7 +283,12 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
                          "compiled into the plan)")
     signs = rp_signs(out_dim, dim, seed)
     root = math.sqrt(float(out_dim))
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # slice to dim so an over-length vector projects its first dim
+    # components (matching the oracle's embedding[1..dim]); a shorter
+    # vector zip_with-pads NULL signs and yields NULL outputs, the
+    # same NULL-poisoning an out-of-range getItem would produce
+    v = F.transform(F.slice(F.col(vec_col), 1, dim),
+                    lambda x: x.cast("double"))
     cols = []
     for j in range(out_dim):
         srow = F.lit([float(s) for s in signs[j]])

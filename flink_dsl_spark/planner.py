@@ -1099,6 +1099,15 @@ class Planner:
             return expr
 
         cond = self._compile(qualify(m.on, "ON"), None)
+        from pyspark.sql.types import MapType
+        if any(isinstance(f.dataType, MapType) for f in src_df.schema):
+            # dropDuplicates / count_distinct (the dedup + cardinality
+            # machinery below) cannot compare map values — reject with
+            # a clean message instead of Spark's raw AnalysisException
+            raise PlanError(
+                "MERGE USING a source with map-typed columns is not "
+                "supported — drop them from the source or cast to a "
+                "comparable type")
         # duplicate source rows with identical values assign identical
         # results — collapse them so the left join cannot fan out
         srcd = src_df.dropDuplicates()
@@ -1132,8 +1141,11 @@ class Planner:
                      if mcond_ast is not None else F.lit(True))
             hit = matched & F.coalesce(mcond, F.lit(False))
             if kind == "delete":
+                # hit is never NULL (matched is an isNotNull test and
+                # the mcond coalesce handles NULL-as-FALSE), so ~hit
+                # keeps unmatched and condition-failed rows
                 updated = (joined
-                           .filter(~F.coalesce(hit, F.lit(False)))
+                           .filter(~hit)
                            .select(*[F.col(f"{ta}.{c}").alias(c)
                                      for c in target.columns]))
             else:
@@ -1176,6 +1188,10 @@ class Planner:
                 raise PlanError(
                     f"MERGE INSERT has {len(iexprs)} values for "
                     f"{len(icols)} columns")
+            if len(set(icols)) != len(icols):
+                dup = next(c for c in icols if icols.count(c) > 1)
+                raise PlanError(
+                    f"column {dup!r} listed twice in MERGE INSERT")
             unmatched = (src_df.alias(sa)
                          .join(target.alias(ta), cond, "left_anti"))
             if nmcond_ast is not None:

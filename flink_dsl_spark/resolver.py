@@ -108,7 +108,11 @@ class Resolver:
                 # the USING subquery is an ordinary query — resolve it
                 # here; the merge expressions themselves qualify at
                 # plan time against the two named sides (plan_merge)
-                self.resolve_select(stmt.source.query, None)
+                q = stmt.source.query
+                if isinstance(q, SetOp):
+                    self.resolve_setop(q, None)
+                else:
+                    self.resolve_select(q, None)
         # CreateSchema/CreateStream/Update/Delete/Merge: resolved at
         # plan time
         return stmt

@@ -636,7 +636,7 @@ def test_merge_errors(spark):
               "when matched then delete")
 
 
-def test_merge_streaming_rejected(spark, eng):
+def test_merge_streaming_rejected(spark):
     import os
     import tempfile
     from .conftest import SF_DIR
@@ -658,3 +658,30 @@ def test_merge_streaming_rejected(spark, eng):
                   "when matched then delete")
     finally:
         e.sql("drop stream mg_ev")
+
+
+def test_merge_review_regressions(spark):
+    """r11 review findings: a set-operation USING source plans (the
+    resolver dispatched SetOp to resolve_select and crashed); a
+    map-typed source column rejects cleanly (dropDuplicates/
+    count_distinct cannot compare maps); a duplicate INSERT column
+    raises like the UPDATE path's assigned-twice."""
+    e = _merge_fixture(spark)
+    out = e.sql(
+        "merge into mt using (select id, nv from ms where id = 2 "
+        "union all select id + 100, nv from ms) as u "
+        "on mt.id = u.id "
+        "when matched then update set v = u.nv")
+    got = {(r.id, r.v) for r in out.collect()}
+    assert (2, 200.0) in got and (1, 10.0) in got
+    with pytest.raises(PlanError, match="listed twice"):
+        e.sql("merge into mt using ms on mt.id = ms.id "
+              "when not matched then insert (id, id) "
+              "values (ms.id, 99)")
+    import pyspark.sql.functions as F
+    e.register("msm", spark.createDataFrame(
+        [(2, 5.0)], "id long, nv double").withColumn(
+            "m", F.create_map(F.lit("k"), F.lit(1))))
+    with pytest.raises(PlanError, match="map-typed"):
+        e.sql("merge into mt using msm on mt.id = msm.id "
+              "when matched then update set v = msm.nv")

@@ -2327,8 +2327,8 @@ def _rp_reference(vecs, out_dim, dim, seed):
     for vid, v in vecs:
         row = []
         for j in range(out_dim):
-            acc = float(v[0]) if signs[j][0] > 0 else -float(v[0])
-            for i in range(1, dim):
+            acc = 0.0   # the fold's seed (matters for signed zeros)
+            for i in range(dim):
                 acc = acc + float(v[i]) if signs[j][i] > 0 \
                     else acc - float(v[i])
             row.append(acc / root)
@@ -2403,12 +2403,10 @@ def test_random_projection_duckdb_parity(spark, emb):
     signs = L.rp_signs(4, 64, seed=42)
     terms = []
     for j in range(4):
-        chain = " ".join(
+        chain = "0.0 " + " ".join(
             ("+" if signs[j][i] > 0 else "-")
             + f" CAST(embedding[{i + 1}] AS DOUBLE)"
             for i in range(64))
-        if chain.startswith("+ "):
-            chain = chain[2:]
         terms.append(f"({chain}) / sqrt(4.0) AS p{j}")
     sql = (f"SELECT vec_id AS id, {', '.join(terms)} "
            f"FROM '{SF_DIR}/embeddings.parquet' ORDER BY id LIMIT 50")
@@ -2483,3 +2481,15 @@ def test_cosine_topk_batch_plan_group_limit(emb):
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_random_projection_overlong_vector_uses_first_dim(spark):
+    """r11 review finding: zip_with pads the SHORTER side with NULLs,
+    so without the slice an over-length vector NULL-poisoned the
+    fold; it must project its first dim components (the oracle's
+    embedding[1..dim])."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "id long, v array<double>")
+    got = L.random_projection(df, "v", "id", dim=2, out_dim=2).first()
+    exp = _rp_reference([(1, [1.0, 2.0])], out_dim=2, dim=2, seed=42)[1]
+    assert [got["p0"], got["p1"]] == exp
