@@ -841,6 +841,24 @@ _SCRIPTS: dict[str, str] = {
             values (s.sid, 'inserted', s.sv);
         select event_id, event_type, round(value, 2) as value
         from mut86""",
+    # MERGE full-table sync (r11): all three clause kinds in one
+    # statement — update matched, insert new, delete rows absent from
+    # the source (WHEN NOT MATCHED BY SOURCE).  Source ids +500 step
+    # 4 so every path has rows at every gate SF
+    "q87_merge_sync": """
+        create stream mut87 as
+            (select event_id, event_type, value from events);
+        merge into mut87 using
+            (select event_id + 500 as sid, value as sv from events
+             where event_id % 4 = 0) as s
+            on mut87.event_id = s.sid
+        when matched then update set value = s.sv,
+                                     event_type = 'SYNCED'
+        when not matched then insert (event_id, event_type, value)
+            values (s.sid, 'added', s.sv)
+        when not matched by source then delete;
+        select event_id, event_type, round(value, 2) as value
+        from mut87""",
     # bucketed-table DDL (r6 dialect extension): write the join key's
     # shuffle ONCE at table-creation time, then aggregate on the
     # bucket key — the scan arrives pre-partitioned (the write-once
@@ -1899,18 +1917,19 @@ _PRIORITY = [
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
     # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the TEN new r11 surfaces
+    # regression core; FIRST rows for the ELEVEN new r11 surfaces
     # (s16 streaming ranking trio, s17 rank tie semantics, q83
     # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
     # NULLS, llm73 priority sampling, q85 its hint form, llm74
-    # random projection, llm75 batched ANN, q86 MERGE INTO — each
+    # random projection, llm75 batched ANN, q86 MERGE INTO, q87
+    # MERGE full sync incl. WHEN NOT MATCHED BY SOURCE — each
     # also the fresh row for a code-touched family: running_agg,
     # batch OVER compile, mixture weights builder, the
     # seeded-sampling family, the hint dispatch, the embedding-ops
     # family, the executable-DML family);
     # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 31 of the 38 r7-stale greens.  The other seven wait one
-    # round below the fold (50-slot arithmetic: 8+10+1+31 = 50):
+    # then 30 of the 38 r7-stale greens.  The other eight wait one
+    # round below the fold (50-slot arithmetic: 8+11+1+30 = 50):
     # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
     # verified-pairs shape in-window via llm28),
     # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
@@ -1919,10 +1938,12 @@ _PRIORITY = [
     # green r10), q17d_intersect (set-op family keeps TWO in-window
     # rows, q17b UNION ALL + q17c EXCEPT),
     # llm02_dedup_ngram_jaccard (its value SET is pinned equal to
-    # llm03's — green r10 — by test_minhash_matches_exact_jaccard)
-    # and q29_count_sliding (tumbling sibling q28 green r10; the
-    # streaming count-sliding twin s06 stays in-window);
-    # all seven lead the r12 rotation.
+    # llm03's — green r10 — by test_minhash_matches_exact_jaccard),
+    # q29_count_sliding (tumbling sibling q28 green r10; the
+    # streaming count-sliding twin s06 stays in-window) and
+    # s04_stream_delta_window (its batch delta twin q31 green r10;
+    # q35_delta_sliding stays in-window);
+    # all eight lead the r12 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -1935,7 +1956,7 @@ _PRIORITY = [
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
     "llm73_priority_sample", "q85_priority_sample_hint",
     "llm74_random_projection", "llm75_ann_topk_batch",
-    "q86_merge_upsert",
+    "q86_merge_upsert", "q87_merge_sync",
     # -- changed-text re-oracle: the full join now produces unmatched
     #    rows on BOTH sides at every gate SF (r10 judge finding) --
     "q06_full_join",
@@ -1948,7 +1969,7 @@ _PRIORITY = [
     "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
     "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
     "q41_stats_aggs", "s02_stream_count_window",
-    "s03_stream_windowed_join", "s04_stream_delta_window",
+    "s03_stream_windowed_join",
     "s06_stream_count_sliding", "x03_expr_bitwise_unary",
     "llm08_token_stats", "llm13_frame_sample",
     "llm28_simhash_verified_pairs", "llm29_split_verified",
@@ -1971,7 +1992,7 @@ _PRIORITY = [
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "q17d_intersect", "llm02_dedup_ngram_jaccard",
-    "q29_count_sliding",
+    "q29_count_sliding", "s04_stream_delta_window",
     # r8 greens
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
@@ -3123,6 +3144,24 @@ def _oracle_sql_base() -> dict[str, str]:
                     FROM events e LEFT JOIN src s ON e.event_id = s.sid),
             ins AS (SELECT s.sid AS event_id,
                            'inserted' AS event_type, s.sv AS value
+                    FROM src s LEFT JOIN events e ON e.event_id = s.sid
+                    WHERE e.event_id IS NULL)
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM upd
+            UNION ALL
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM ins""",
+        # q87: full sync = inner join (survivors are exactly the
+        # matched rows, updated) UNION ALL the anti-joined inserts —
+        # the by-source delete removes everything else
+        "q87_merge_sync": """
+            WITH src AS (SELECT event_id + 500 AS sid, value AS sv
+                         FROM events WHERE event_id % 4 = 0),
+            upd AS (SELECT e.event_id, 'SYNCED' AS event_type,
+                           s.sv AS value
+                    FROM events e JOIN src s ON e.event_id = s.sid),
+            ins AS (SELECT s.sid AS event_id,
+                           'added' AS event_type, s.sv AS value
                     FROM src s LEFT JOIN events e ON e.event_id = s.sid
                     WHERE e.event_id IS NULL)
             SELECT event_id, event_type, round(value, 2) AS value

@@ -548,6 +548,9 @@ class Merge:
     matched: Optional[tuple] = None       # ("update", [Assignment], cond)
                                           # | ("delete", None, cond)
     not_matched: Optional[tuple] = None   # (cols|None, [Expr], cond)
+    by_source: Optional[tuple] = None     # WHEN NOT MATCHED BY SOURCE:
+                                          # same shapes as `matched`,
+                                          # target-side refs only
 
 
 @dataclass

@@ -482,9 +482,11 @@ class Parser:
 
     def parse_merge(self):
         """MERGE INTO t [AS a] USING (name [AS b] | (select) AS b)
-        ON cond, then one optional WHEN MATCHED clause (UPDATE SET |
-        DELETE) and one optional WHEN NOT MATCHED clause (INSERT);
-        at least one clause (engine extension, r11)."""
+        ON cond, then up to one clause of each kind: WHEN MATCHED
+        (UPDATE SET | DELETE), WHEN NOT MATCHED [BY TARGET] (INSERT),
+        and WHEN NOT MATCHED BY SOURCE (UPDATE SET | DELETE — the
+        full-table-sync clause); at least one clause overall (engine
+        extension, r11)."""
         from .ast_nodes import DerivedTable, Merge
         self.expect_kw("merge")
         self.expect_kw("into")
@@ -506,16 +508,40 @@ class Parser:
         on = self.parse_expr()
         matched = None
         not_matched = None
+        by_source = None
         saw_clause = False
+
+        def upd_or_del():
+            if self.eat_kw("delete"):
+                return ("delete", None)
+            self.expect_kw("update")
+            self.expect_kw("set")
+            assigns = [self.parse_assignment()]
+            while self.eat_op(","):
+                assigns.append(self.parse_assignment())
+            return ("update", assigns)
+
         while self.at_kw("when"):
             tok = self.cur
             self.advance()
             negated = self.eat_kw("not")
             self.expect_kw("matched")
+            src_side = False
+            if negated and self.eat_kw("by"):
+                if self.eat_kw("source"):
+                    src_side = True
+                else:
+                    self.expect_kw("target")
             cond = self.parse_expr() if self.eat_kw("and") else None
             self.expect_kw("then")
             saw_clause = True
-            if negated:
+            if negated and src_side:
+                if by_source is not None:
+                    self.error("duplicate WHEN NOT MATCHED BY SOURCE "
+                               "clause", tok)
+                kind, assigns = upd_or_del()
+                by_source = (kind, assigns, cond)
+            elif negated:
                 if not_matched is not None:
                     self.error("duplicate WHEN NOT MATCHED clause", tok)
                 self.expect_kw("insert")
@@ -536,18 +562,12 @@ class Parser:
             else:
                 if matched is not None:
                     self.error("duplicate WHEN MATCHED clause", tok)
-                if self.eat_kw("delete"):
-                    matched = ("delete", None, cond)
-                else:
-                    self.expect_kw("update")
-                    self.expect_kw("set")
-                    assigns = [self.parse_assignment()]
-                    while self.eat_op(","):
-                        assigns.append(self.parse_assignment())
-                    matched = ("update", assigns, cond)
+                kind, assigns = upd_or_del()
+                matched = (kind, assigns, cond)
         if not saw_clause:
             self.error("MERGE requires at least one WHEN clause")
-        return Merge(target, source, on, matched, not_matched)
+        return Merge(target, source, on, matched, not_matched,
+                     by_source)
 
     # --- SELECT / set ops ---
 

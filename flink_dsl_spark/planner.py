@@ -1087,6 +1087,10 @@ class Planner:
                             f"target {name!r}")
                     x.binding = ta
                 elif q == sa:
+                    if "s" not in sides:
+                        raise PlanError(
+                            f"MERGE {what} cannot reference source "
+                            f"column {x.name!r}")
                     if nm not in scols:
                         raise PlanError(
                             f"unknown column {x.name!r} in MERGE "
@@ -1130,7 +1134,27 @@ class Planner:
         mk = "__mg_hit"
         while mk in srcd.columns:
             mk += "_"
+
+        def compile_assigns(assigns, what: str, sides=("t", "s")):
+            out: dict[str, Column] = {}
+            for a in assigns:
+                col = tcols.get(a.col.name.lower())
+                if col is None or (
+                        a.col.qualifier
+                        and a.col.qualifier.lower() != ta):
+                    raise PlanError(
+                        f"MERGE SET target {a.col.name!r} is not a "
+                        f"column of {name!r}")
+                if col in out:
+                    raise PlanError(
+                        f"column {col!r} assigned twice in MERGE")
+                out[col] = self._compile(
+                    qualify(a.value, what, sides=sides), None)
+            return out
+
         kind, assigns, mcond_ast = m.matched or (None, None, None)
+        bkind, bassigns, bcond_ast = m.by_source or (None, None, None)
+        _BYS = "WHEN NOT MATCHED BY SOURCE"
         if m.matched is not None:
             joined = (target.alias(ta)
                       .join(srcd.withColumn(mk, F.lit(True)).alias(sa),
@@ -1139,36 +1163,65 @@ class Planner:
             mcond = (self._compile(qualify(mcond_ast, "WHEN MATCHED"),
                                    None)
                      if mcond_ast is not None else F.lit(True))
+            # hit/bhit are never NULL (matched is an isNotNull test
+            # and the coalesce handles NULL-condition-as-FALSE)
             hit = matched & F.coalesce(mcond, F.lit(False))
+            bhit = F.lit(False)
+            if m.by_source is not None:
+                # by-source expressions see the TARGET side only
+                bcond = (self._compile(
+                    qualify(bcond_ast, _BYS, sides=("t",)), None)
+                    if bcond_ast is not None else F.lit(True))
+                bhit = ~matched & F.coalesce(bcond, F.lit(False))
+            keep = F.lit(True)
+            cases: dict[str, list] = {c: [] for c in target.columns}
             if kind == "delete":
-                # hit is never NULL (matched is an isNotNull test and
-                # the mcond coalesce handles NULL-as-FALSE), so ~hit
-                # keeps unmatched and condition-failed rows
-                updated = (joined
-                           .filter(~hit)
-                           .select(*[F.col(f"{ta}.{c}").alias(c)
-                                     for c in target.columns]))
+                keep = keep & ~hit
+            elif kind == "update":
+                for c, v in compile_assigns(assigns, "SET").items():
+                    cases[c].append((hit, v))
+            if bkind == "delete":
+                keep = keep & ~bhit
+            elif bkind == "update":
+                for c, v in compile_assigns(bassigns, f"{_BYS} SET",
+                                            sides=("t",)).items():
+                    cases[c].append((bhit, v))
+            def col_expr(c):
+                e = None
+                for pred, v in cases[c]:
+                    w = v.cast(dtypes[c])
+                    e = F.when(pred, w) if e is None else e.when(pred, w)
+                base = F.col(f"{ta}.{c}")
+                return (base if e is None
+                        else e.otherwise(base)).alias(c)
+            updated = (joined.filter(keep)
+                       .select(*[col_expr(c) for c in target.columns]))
+        elif m.by_source is not None:
+            # no matched clause => no cardinality check ran, so avoid
+            # the left-join fanout entirely: matched target rows pass
+            # through a semi join untouched, unmatched ones transform
+            # after an anti join (by-source never reads source values)
+            bcond = (self._compile(
+                qualify(bcond_ast, _BYS, sides=("t",)), None)
+                if bcond_ast is not None else F.lit(True))
+            bhit = F.coalesce(bcond, F.lit(False))
+            mt = (target.alias(ta).join(srcd.alias(sa), cond,
+                                        "left_semi"))
+            un = (target.alias(ta).join(srcd.alias(sa), cond,
+                                        "left_anti"))
+            if bkind == "delete":
+                un = un.filter(~bhit)
             else:
-                assigned: dict[str, Column] = {}
-                for a in assigns:
-                    col = tcols.get(a.col.name.lower())
-                    if col is None or (
-                            a.col.qualifier
-                            and a.col.qualifier.lower() != ta):
-                        raise PlanError(
-                            f"MERGE SET target {a.col.name!r} is not a "
-                            f"column of {name!r}")
-                    if col in assigned:
-                        raise PlanError(
-                            f"column {col!r} assigned twice in MERGE")
-                    assigned[col] = self._compile(
-                        qualify(a.value, "SET"), None)
-                updated = joined.select(*[
-                    (F.when(hit, assigned[c].cast(dtypes[c]))
+                bassigned = compile_assigns(bassigns, f"{_BYS} SET",
+                                            sides=("t",))
+                un = un.select(*[
+                    (F.when(bhit, bassigned[c].cast(dtypes[c]))
                       .otherwise(F.col(f"{ta}.{c}")).alias(c))
-                    if c in assigned
+                    if c in bassigned
                     else F.col(f"{ta}.{c}").alias(c)
                     for c in target.columns])
+            updated = mt.unionByName(
+                un.select(*[F.col(c) for c in target.columns]))
         else:
             updated = target
 

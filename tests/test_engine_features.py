@@ -685,3 +685,55 @@ def test_merge_review_regressions(spark):
     with pytest.raises(PlanError, match="map-typed"):
         e.sql("merge into mt using msm on mt.id = msm.id "
               "when matched then update set v = msm.nv")
+
+
+def test_merge_not_matched_by_source(spark):
+    """The full-table-sync clause: matched rows update, new rows
+    insert, rows absent from the source delete — one statement."""
+    e = _merge_fixture(spark)
+    out = e.sql(
+        "merge into mt using ms on mt.id = ms.id "
+        "when matched then update set v = ms.nv, tag = 'SYNCED' "
+        "when not matched then insert (id, tag, v) "
+        "  values (ms.id, 'added', ms.nv) "
+        "when not matched by source then delete")
+    got = {(r.id, r.tag, r.v) for r in out.collect()}
+    assert got == {(2, "SYNCED", 200.0), (3, "SYNCED", None),
+                   (4, "added", 400.0)}   # id 1 deleted (not in ms)
+
+
+def test_merge_by_source_update_and_no_fanout(spark):
+    """By-source UPDATE with a condition (target-side refs only); the
+    no-matched-clause path must not duplicate target rows when the
+    source has multiple matches (semi/anti formulation)."""
+    e = FsqlEngine(spark)
+    e.register("t2", spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, tag string"))
+    e.register("sdup", spark.createDataFrame(
+        [(2, 1.0), (2, 2.0)], "id long, x double"))
+    out = e.sql(
+        "merge into t2 using sdup on t2.id = sdup.id "
+        "when not matched by source and t2.id > 0 then "
+        "update set tag = 'stale'")
+    assert sorted((r.id, r.tag) for r in out.collect()) == \
+        [(1, "stale"), (2, "b")]
+    out2 = e.sql(
+        "merge into t2 using sdup on t2.id = sdup.id "
+        "when not matched by source then delete")
+    assert [(r.id, r.tag) for r in out2.collect()] == [(2, "b")]
+    # by-source expressions must not reach the source side
+    with pytest.raises(PlanError, match="cannot reference|unknown"):
+        e.sql("merge into t2 using sdup on t2.id = sdup.id "
+              "when not matched by source then update set tag = "
+              "cast(sdup.x as string)")
+    with pytest.raises(ParseError, match="duplicate WHEN NOT MATCHED "
+                                         "BY SOURCE"):
+        e.sql("merge into t2 using sdup on t2.id = sdup.id "
+              "when not matched by source then delete "
+              "when not matched by source then delete")
+    # BY TARGET is the explicit spelling of the insert clause
+    out3 = e.sql(
+        "merge into t2 using sdup on t2.id = sdup.id "
+        "when not matched by target then insert (id, tag) "
+        "values (sdup.id, 'x')")
+    assert out3.count() == 1   # id 2 matched; no unmatched source ids
