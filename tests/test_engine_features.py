@@ -737,3 +737,80 @@ def test_merge_by_source_update_and_no_fanout(spark):
         "when not matched by target then insert (id, tag) "
         "values (sdup.id, 'x')")
     assert out3.count() == 1   # id 2 matched; no unmatched source ids
+
+
+def test_merge_differential_fuzz(spark):
+    """r11 fuzz shape for the MERGE family: random target/source
+    tables and clause combinations vs a pure-Python replay of the
+    ANSI semantics (update matched, insert unmatched source, delete/
+    update unmatched-by-source), across all three clause kinds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture,
+                  HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.integers(0, 6),
+                              st.integers(-5, 5)),
+                    min_size=0, max_size=8, unique_by=lambda t: t[0]),
+           st.lists(st.tuples(st.integers(0, 9),
+                              st.integers(-5, 5)),
+                    min_size=0, max_size=8, unique_by=lambda t: t[0]),
+           st.sampled_from(["update", "delete", None]),
+           st.booleans(),
+           st.sampled_from(["update", "delete", None]))
+    def case(trows, srows, mkind, insert, bkind):
+        if mkind is None and not insert and bkind is None:
+            return
+        e = FsqlEngine(spark)
+        e.register("ft", spark.createDataFrame(
+            trows, "id long, v long") if trows else
+            spark.createDataFrame([], "id long, v long"))
+        e.register("fs", spark.createDataFrame(
+            srows, "id long, nv long") if srows else
+            spark.createDataFrame([], "id long, nv long"))
+        clauses = []
+        if mkind == "update":
+            clauses.append("when matched and fs.nv > 0 then "
+                           "update set v = fs.nv * 10")
+        elif mkind == "delete":
+            clauses.append("when matched and fs.nv > 0 then delete")
+        if insert:
+            clauses.append("when not matched then insert (id, v) "
+                           "values (fs.id, fs.nv)")
+        if bkind == "update":
+            clauses.append("when not matched by source and ft.v < 0 "
+                           "then update set v = 99")
+        elif bkind == "delete":
+            clauses.append("when not matched by source and ft.v < 0 "
+                           "then delete")
+        out = e.sql("merge into ft using fs on ft.id = fs.id "
+                    + " ".join(clauses))
+        got = sorted((r.id, r.v) for r in out.collect())
+
+        smap = dict(srows)
+        exp = []
+        for tid, tv in trows:
+            if tid in smap:
+                nv = smap[tid]
+                if mkind == "update" and nv > 0:
+                    exp.append((tid, nv * 10))
+                elif mkind == "delete" and nv > 0:
+                    pass
+                else:
+                    exp.append((tid, tv))
+            else:
+                if bkind == "update" and tv < 0:
+                    exp.append((tid, 99))
+                elif bkind == "delete" and tv < 0:
+                    pass
+                else:
+                    exp.append((tid, tv))
+        if insert:
+            tids = {t for t, _ in trows}
+            exp.extend((sid, nv) for sid, nv in srows
+                       if sid not in tids)
+        assert got == sorted(exp), (trows, srows, mkind, insert, bkind)
+
+    case()
