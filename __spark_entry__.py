@@ -2497,7 +2497,8 @@ def _oracle_sql_base() -> dict[str, str]:
         # lang filter)
         "q85_priority_sample_hint": """
             WITH f AS (SELECT doc_id, source, n_chars FROM documents
-                       WHERE lang = 'en' AND n_chars > 0),
+                       WHERE lang = 'en' AND n_chars > 0
+                         AND doc_id IS NOT NULL),
             p AS (SELECT doc_id, source, n_chars,
                          (CAST(CAST(concat('0x', substr(md5(concat(
                               CAST(doc_id AS VARCHAR), ':', '42')),
@@ -3956,7 +3957,8 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS BIGINT) + 1 AS DOUBLE)
                     / 1152921504606846976.0)
                    / CAST(n_chars AS DOUBLE) AS samp_priority
-            FROM documents WHERE n_chars > 0
+            FROM documents
+            WHERE n_chars > 0 AND doc_id IS NOT NULL
             ORDER BY samp_priority, doc_id LIMIT 50""",
         "llm72_domain_cap": """
             WITH h AS (

@@ -201,7 +201,11 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
     replacement; only the inclusion-probability fine print differs.
 
     Rows with NULL or non-positive weight are excluded (a weight of 0
-    means "never sample" in any PPS scheme).  Ties (astronomically
+    means "never sample" in any PPS scheme), and so are NULL ids: the
+    hash of NULL is NULL, so the priority would be NULL — Spark sorts
+    NULLS FIRST and DuckDB NULLS LAST, and a silent cross-engine
+    divergence (Spark always picking the NULL-id row, DuckDB never)
+    is worse than an explicit exclusion rule.  Ties (astronomically
     unlikely with distinct ids) break by ascending id.
 
     Returns (id, weight, samp_priority) ordered by priority.  With
@@ -225,7 +229,8 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
     if k < 1:
         raise ValueError("k must be >= 1")
     w = F.col(weight_col).cast("double")
-    out = (df.filter(w.isNotNull() & (w > 0))
+    out = (df.filter(w.isNotNull() & (w > 0)
+                     & F.col(id_col).isNotNull())
              .select(id_col, weight_col,
                      dlt_priority(id_col, weight_col, seed, id_hash)
                      .alias("samp_priority"))

@@ -327,10 +327,21 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     if len(query_ids) > 10_000:
         raise ValueError("query_ids is broadcast plan-side — pass at "
                          "most 10k ids (use lsh/ivf for larger sets)")
-    q = F.broadcast(
-        df.filter(F.col(id_col).isin(list(query_ids)))
-          .select(F.col(id_col).alias("qid"),
-                  F.col(vec_col).alias("__qv")))
+    qdf = (df.filter(F.col(id_col).isin(list(query_ids)))
+             .select(F.col(id_col).alias("qid"),
+                     F.col(vec_col).alias("__qv")))
+    # a typo'd / absent query id would otherwise just yield a quietly
+    # smaller result set (it never joins) — fail loudly instead.
+    # Bounded: the distinct is over the <=10k filtered query rows.
+    found = {r[0] for r in qdf.select("qid").distinct().collect()}
+    missing = sorted(str(i) for i in set(query_ids) - found)
+    if missing:
+        raise ValueError(
+            f"query id(s) not present in the corpus: "
+            f"{', '.join(missing[:10])}"
+            + (f" (+{len(missing) - 10} more)"
+               if len(missing) > 10 else ""))
+    q = F.broadcast(qdf)
     cos = F.round(cosine_sim(F.col(vec_col), F.col("__qv")), 6)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("id").asc())

@@ -1104,17 +1104,36 @@ class Planner:
 
         cond = self._compile(qualify(m.on, "ON"), None)
         from pyspark.sql.types import MapType
-        if any(isinstance(f.dataType, MapType) for f in src_df.schema):
+        needs_dedup = (m.matched is not None
+                       or m.by_source is not None)
+        if needs_dedup and any(isinstance(f.dataType, MapType)
+                               for f in src_df.schema):
             # dropDuplicates / count_distinct (the dedup + cardinality
             # machinery below) cannot compare map values — reject with
-            # a clean message instead of Spark's raw AnalysisException
+            # a clean message instead of Spark's raw AnalysisException.
+            # Insert-only merges never dedup or aggregate the source,
+            # so they pass through (the anti join compares only the
+            # ON keys).
             raise PlanError(
                 "MERGE USING a source with map-typed columns is not "
-                "supported — drop them from the source or cast to a "
-                "comparable type")
+                "supported with WHEN MATCHED / BY SOURCE clauses — "
+                "drop them from the source or cast to a comparable "
+                "type")
+        if m.matched is not None and any(
+                isinstance(f.dataType, MapType)
+                for f in target.schema):
+            # the cardinality check groups by every target column —
+            # map values are not orderable/groupable either
+            raise PlanError(
+                "MERGE with a WHEN MATCHED clause into a target with "
+                "map-typed columns is not supported — the cardinality "
+                "check cannot compare map values")
         # duplicate source rows with identical values assign identical
         # results — collapse them so the left join cannot fan out
-        srcd = src_df.dropDuplicates()
+        # (insert-only merges skip the dedup: the anti join cannot
+        # fan out target rows, and INSERT keeps ANSI multiset
+        # semantics for duplicate source rows)
+        srcd = src_df.dropDuplicates() if needs_dedup else src_df
 
         if m.matched is not None:
             # ANSI cardinality rule (eager, plan-time — see docstring)
@@ -1624,8 +1643,9 @@ class Planner:
         correctly-rounded IEEE ops (assemble.dlt_priority — no
         pow/log), so the sampled row set value-oracles bit-exactly
         (DuckDB: ORDER BY the same priority LIMIT k).  NULL and
-        non-positive weights are excluded (never sampled); ties break
-        by ascending id.
+        non-positive weights are excluded (never sampled), and so are
+        NULL ids (NULL hash → NULL priority → opposite NULL-sort
+        order across engines); ties break by ascending id.
 
         Scale shape: projection + TakeOrderedAndProject
         (per-partition k-row heap, driver merges k per partition) —
@@ -1644,7 +1664,8 @@ class Planner:
         pri = "__ps_pri"
         while pri in df.columns:
             pri += "_"
-        return (df.filter(w.isNotNull() & (w > 0))
+        return (df.filter(w.isNotNull() & (w > 0)
+                          & F.col(idc).isNotNull())
                   .withColumn(pri, dlt_priority(idc, wc, 42,
                                                 md5_id_hash))
                   .orderBy(pri, F.col(idc))

@@ -687,6 +687,32 @@ def test_merge_review_regressions(spark):
               "when matched then update set v = msm.nv")
 
 
+def test_merge_map_guard_scoping(spark):
+    """r11 advice: the map guard must look at BOTH sides and ONLY the
+    paths that dedup/aggregate.  (a) insert-only merge from a
+    map-typed source is fine — the anti join compares only the ON
+    keys; (b) a map-typed TARGET with WHEN MATCHED rejects cleanly
+    (the cardinality check groups by every target column)."""
+    import pyspark.sql.functions as F
+    e = _merge_fixture(spark)
+    e.register("msm2", spark.createDataFrame(
+        [(3, 33.0), (9, 99.0)], "id long, nv double").withColumn(
+            "m", F.create_map(F.lit("k"), F.lit(1))))
+    out = e.sql("merge into mt using msm2 on mt.id = msm2.id "
+                "when not matched then insert (id, tag, v) "
+                "values (msm2.id, 'ins', msm2.nv)")
+    got = {(r.id, r.v) for r in out.collect()}
+    assert (9, 99.0) in got and (3, 30.0) in got and len(got) == 4
+    e.register("mtm", spark.createDataFrame(
+        [(1, 1.0)], "id long, v double").withColumn(
+            "m", F.create_map(F.lit("k"), F.lit(1))))
+    e.register("ms2", spark.createDataFrame(
+        [(1, 5.0)], "id long, nv double"))
+    with pytest.raises(PlanError, match="map-typed"):
+        e.sql("merge into mtm using ms2 on mtm.id = ms2.id "
+              "when matched then update set v = ms2.nv")
+
+
 def test_merge_not_matched_by_source(spark):
     """The full-table-sync clause: matched rows update, new rows
     insert, rows absent from the source delete — one statement."""

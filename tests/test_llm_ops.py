@@ -2272,6 +2272,18 @@ def test_priority_sample_excludes_nonpositive_and_exhausts_small(spark):
         L.priority_sample(df, "id", "w", k=0)
 
 
+def test_priority_sample_excludes_null_ids(spark):
+    """r11 advice: a NULL id hashes to NULL, so its priority would be
+    NULL — Spark sorts NULLS FIRST (always sampled) while DuckDB
+    sorts NULLS LAST (never sampled).  Exclude NULL ids explicitly so
+    both engines agree."""
+    rows = [(1, 5.0), (None, 100.0), (2, 1.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = L.priority_sample(df, "id", "w", k=2, seed=42,
+                            id_hash=L.md5_id_hash).collect()
+    assert {r["id"] for r in got} == {1, 2}
+
+
 def test_priority_sample_prefers_heavy_rows(spark):
     # 500 weight-1 rows + 20 weight-1000 rows: with k=20 nearly every
     # heavy row must be sampled (P[heavy beaten by a light row] ~ 1e-3)
@@ -2471,6 +2483,11 @@ def test_cosine_topk_batch_equals_per_query(emb):
     with pytest.raises(ValueError, match="10k"):
         L.cosine_topk_batch(emb, "embedding", "vec_id",
                             list(range(10_001)))
+    # r11 advice: a typo'd / absent query id must fail loudly, not
+    # silently shrink the result set
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(emb, "embedding", "vec_id",
+                            [0, 999_999_999], k=3)
 
 
 def test_cosine_topk_batch_plan_group_limit(emb):
