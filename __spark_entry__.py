@@ -859,6 +859,29 @@ _SCRIPTS: dict[str, str] = {
         when not matched by source then delete;
         select event_id, event_type, round(value, 2) as value
         from mut87""",
+    # multi-clause MERGE (r12): ORDERED WHEN MATCHED clauses
+    # (delete-if-tombstone / update-if-hot / else-mark) + ROUTED
+    # insert clauses, first-true-wins per row.  Source ids +500 step
+    # 5 and events.value carries NULLs and >100 rows at every gate
+    # SF, so every one of the five clauses fires rows
+    "q88_merge_multi": """
+        create stream mut88 as
+            (select event_id, event_type, value from events);
+        merge into mut88 using
+            (select event_id + 500 as sid, value as sv from events
+             where event_id % 5 = 0) as s
+            on mut88.event_id = s.sid
+        when matched and s.sv is null then delete
+        when matched and s.sv > 100 then update set value = s.sv,
+                                                    event_type = 'HOT'
+        when matched then update set event_type = 'WARM'
+        when not matched and s.sv > 100 then
+            insert (event_id, event_type, value)
+            values (s.sid, 'newhot', s.sv)
+        when not matched then insert (event_id, event_type, value)
+            values (s.sid, 'newcold', s.sv);
+        select event_id, event_type, round(value, 2) as value
+        from mut88""",
     # bucketed-table DDL (r6 dialect extension): write the join key's
     # shuffle ONCE at table-creation time, then aggregate on the
     # bucket key — the scan arrives pre-partitioned (the write-once
@@ -1829,6 +1852,28 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from ev_s18""")
         return _run_stream(spark, out, "append")
 
+    def s19(spark, d):
+        # streaming QUALIFY composed with EXPRESSION partition keys
+        # (both shipped r11 with test-only evidence — this is their
+        # first driver row, VERDICT r11 item 4): `user_id % 4`
+        # compiles to a hidden column before the ONE stateful pass
+        # (shared by both window functions — structurally equal specs
+        # collapse to one grouping), the ranking state is O(1) per
+        # derived key, and QUALIFY filters on the aliased rank after
+        # the pass.  The (ts, event_id) order is unique, so every
+        # ranking value is deterministic and the batch window oracle
+        # applies verbatim.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s19", f"{d}/events.parquet")
+        out = eng.sql("""
+            select user_id, event_id,
+                   row_number() over (partition by user_id % 4
+                       order by ts, event_id) as rn,
+                   rank() over (partition by user_id % 4
+                       order by ts, event_id) as rnk
+            from ev_s19 qualify rn <= 7""")
+        return _run_stream(spark, out, "append")
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1846,7 +1891,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s15_stream_nth_value": s15,
             "s16_stream_ranking": s16,
             "s17_stream_rank_ties": s17,
-            "s18_stream_ignore_nulls": s18}
+            "s18_stream_ignore_nulls": s18,
+            "s19_stream_expr_key_qualify": s19}
 
 
 # ---------------------------------------------------------------------------
@@ -2333,6 +2379,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, prev_amt, first_amt, cur_amt,
                second_amt
         FROM w"""
+    # s19: expression partition key + QUALIFY == the batch ranking
+    # window over the same derived key (unique (ts, event_id) order,
+    # same single-ordered-batch premise as s11); Spark ranking is
+    # INT32, DuckDB's BIGINT — cast
+    o["s19_stream_expr_key_qualify"] = """
+        WITH w AS (SELECT user_id, event_id,
+                          row_number() OVER win AS rn,
+                          rank() OVER win AS rnk
+                   FROM events
+                   WINDOW win AS (PARTITION BY user_id % 4
+                                  ORDER BY ts, event_id))
+        SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+               CAST(rnk AS INT) AS rnk
+        FROM w WHERE rn <= 7"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic
     # (quality desc, id) row_number cut
@@ -3163,6 +3223,34 @@ def _oracle_sql_base() -> dict[str, str]:
                     FROM events e JOIN src s ON e.event_id = s.sid),
             ins AS (SELECT s.sid AS event_id,
                            'added' AS event_type, s.sv AS value
+                    FROM src s LEFT JOIN events e ON e.event_id = s.sid
+                    WHERE e.event_id IS NULL)
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM upd
+            UNION ALL
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM ins""",
+        # q88: the ordered clause ladder replayed as CASE routing —
+        # the delete clause is the WHERE, the update ladder and the
+        # insert router are CASE chains in statement order (a later
+        # arm can only fire when the earlier conds are false, which
+        # CASE gives for free)
+        "q88_merge_multi": """
+            WITH src AS (SELECT event_id + 500 AS sid, value AS sv
+                         FROM events WHERE event_id % 5 = 0),
+            upd AS (SELECT e.event_id,
+                           CASE WHEN s.sid IS NULL THEN e.event_type
+                                WHEN s.sv > 100 THEN 'HOT'
+                                ELSE 'WARM' END AS event_type,
+                           CASE WHEN s.sid IS NOT NULL
+                                     AND s.sv > 100 THEN s.sv
+                                ELSE e.value END AS value
+                    FROM events e LEFT JOIN src s ON e.event_id = s.sid
+                    WHERE s.sid IS NULL OR s.sv IS NOT NULL),
+            ins AS (SELECT s.sid AS event_id,
+                           CASE WHEN s.sv > 100 THEN 'newhot'
+                                ELSE 'newcold' END AS event_type,
+                           s.sv AS value
                     FROM src s LEFT JOIN events e ON e.event_id = s.sid
                     WHERE e.event_id IS NULL)
             SELECT event_id, event_type, round(value, 2) AS value

@@ -536,21 +536,28 @@ class Delete:
 @dataclass
 class Merge:
     """MERGE INTO t [AS a] USING src [AS b] ON cond
-    [WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE]
-    [WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (...)] —
-    engine extension (r11) completing the executable-DML family
-    (UPDATE/DELETE, SURVEY §7.0(5) session-relation semantics).
-    One clause of each kind; at least one overall."""
+    (WHEN MATCHED [AND c] THEN UPDATE SET ... | DELETE)*
+    (WHEN NOT MATCHED [AND c] THEN INSERT [(cols)] VALUES (...))*
+    (WHEN NOT MATCHED BY SOURCE [AND c] THEN ...)* —
+    engine extension (r11, multi-clause r12) completing the
+    executable-DML family (UPDATE/DELETE, SURVEY §7.0(5)
+    session-relation semantics).  Each kind holds an ORDERED clause
+    list; per row the FIRST clause of the applicable kind whose
+    condition is true fires (ANSI); a conditionless clause must be
+    the last of its kind (later ones would be unreachable).  At
+    least one clause overall."""
 
     target: object                               # TableRef
     source: object                               # TableRef | DerivedTable
     on: Expr = None
-    matched: Optional[tuple] = None       # ("update", [Assignment], cond)
-                                          # | ("delete", None, cond)
-    not_matched: Optional[tuple] = None   # (cols|None, [Expr], cond)
-    by_source: Optional[tuple] = None     # WHEN NOT MATCHED BY SOURCE:
-                                          # same shapes as `matched`,
-                                          # target-side refs only
+    # ordered lists; empty = kind absent
+    matched: list = field(default_factory=list)
+    # each: ("update", [Assignment], cond) | ("delete", None, cond)
+    not_matched: list = field(default_factory=list)
+    # each: (cols|None, [Expr], cond)
+    by_source: list = field(default_factory=list)
+    # WHEN NOT MATCHED BY SOURCE: same shapes as `matched`,
+    # target-side refs only
 
 
 @dataclass

@@ -482,11 +482,16 @@ class Parser:
 
     def parse_merge(self):
         """MERGE INTO t [AS a] USING (name [AS b] | (select) AS b)
-        ON cond, then up to one clause of each kind: WHEN MATCHED
-        (UPDATE SET | DELETE), WHEN NOT MATCHED [BY TARGET] (INSERT),
-        and WHEN NOT MATCHED BY SOURCE (UPDATE SET | DELETE — the
-        full-table-sync clause); at least one clause overall (engine
-        extension, r11)."""
+        ON cond, then any number of clauses of each kind, in any
+        interleaving: WHEN MATCHED [AND c] (UPDATE SET | DELETE),
+        WHEN NOT MATCHED [BY TARGET] [AND c] (INSERT), and WHEN NOT
+        MATCHED BY SOURCE [AND c] (UPDATE SET | DELETE — the
+        full-table-sync clause).  Clauses of a kind are ORDERED:
+        per row the first whose condition holds fires, so a
+        conditionless clause must be the LAST of its kind (a later
+        one could never fire — rejected here, not silently dead).
+        At least one clause overall (engine extension, r11;
+        multi-clause r12)."""
         from .ast_nodes import DerivedTable, Merge
         self.expect_kw("merge")
         self.expect_kw("into")
@@ -506,10 +511,16 @@ class Parser:
             source = self.parse_table_name_alias()
         self.expect_kw("on")
         on = self.parse_expr()
-        matched = None
-        not_matched = None
-        by_source = None
-        saw_clause = False
+        matched: list = []
+        not_matched: list = []
+        by_source: list = []
+
+        def check_reachable(lst, cond, label, tok):
+            if lst and lst[-1][-1] is None:
+                self.error(
+                    f"unreachable {label} clause: the previous "
+                    f"{label} has no AND condition, so it fires for "
+                    f"every row first", tok)
 
         def upd_or_del():
             if self.eat_kw("delete"):
@@ -534,16 +545,14 @@ class Parser:
                     self.expect_kw("target")
             cond = self.parse_expr() if self.eat_kw("and") else None
             self.expect_kw("then")
-            saw_clause = True
             if negated and src_side:
-                if by_source is not None:
-                    self.error("duplicate WHEN NOT MATCHED BY SOURCE "
-                               "clause", tok)
+                check_reachable(by_source, cond,
+                                "WHEN NOT MATCHED BY SOURCE", tok)
                 kind, assigns = upd_or_del()
-                by_source = (kind, assigns, cond)
+                by_source.append((kind, assigns, cond))
             elif negated:
-                if not_matched is not None:
-                    self.error("duplicate WHEN NOT MATCHED clause", tok)
+                check_reachable(not_matched, cond,
+                                "WHEN NOT MATCHED", tok)
                 self.expect_kw("insert")
                 cols = None
                 if self.at_op("("):
@@ -558,13 +567,12 @@ class Parser:
                 while self.eat_op(","):
                     exprs.append(self.parse_expr())
                 self.expect_op(")")
-                not_matched = (cols, exprs, cond)
+                not_matched.append((cols, exprs, cond))
             else:
-                if matched is not None:
-                    self.error("duplicate WHEN MATCHED clause", tok)
+                check_reachable(matched, cond, "WHEN MATCHED", tok)
                 kind, assigns = upd_or_del()
-                matched = (kind, assigns, cond)
-        if not saw_clause:
+                matched.append((kind, assigns, cond))
+        if not (matched or not_matched or by_source):
             self.error("MERGE requires at least one WHEN clause")
         return Merge(target, source, on, matched, not_matched,
                      by_source)

@@ -1018,9 +1018,13 @@ class Planner:
         100 TB scan path; the merge itself is two joins (left for the
         update side, left-anti for the insert side) on the ON keys.
 
-        Scope: one WHEN MATCHED clause (UPDATE or DELETE) + one WHEN
-        NOT MATCHED clause (INSERT ... VALUES); subqueries inside
-        merge expressions are rejected."""
+        Scope (r12): any number of clauses of each kind, evaluated in
+        statement order — per row the FIRST clause of the applicable
+        kind whose condition holds fires (WHEN MATCHED / BY SOURCE:
+        UPDATE or DELETE; WHEN NOT MATCHED: INSERT ... VALUES); a
+        conditionless clause must be the last of its kind (parser
+        rejects unreachable ones).  Subqueries inside merge
+        expressions are rejected."""
         from .ast_nodes import (DerivedTable, Exists, InSubquery, Merge,
                                 QuantifiedCmp, ScalarSubquery, walk_expr)
 
@@ -1104,8 +1108,7 @@ class Planner:
 
         cond = self._compile(qualify(m.on, "ON"), None)
         from pyspark.sql.types import MapType
-        needs_dedup = (m.matched is not None
-                       or m.by_source is not None)
+        needs_dedup = bool(m.matched or m.by_source)
         if needs_dedup and any(isinstance(f.dataType, MapType)
                                for f in src_df.schema):
             # dropDuplicates / count_distinct (the dedup + cardinality
@@ -1119,7 +1122,7 @@ class Planner:
                 "supported with WHEN MATCHED / BY SOURCE clauses — "
                 "drop them from the source or cast to a comparable "
                 "type")
-        if m.matched is not None and any(
+        if m.matched and any(
                 isinstance(f.dataType, MapType)
                 for f in target.schema):
             # the cardinality check groups by every target column —
@@ -1135,7 +1138,7 @@ class Planner:
         # semantics for duplicate source rows)
         srcd = src_df.dropDuplicates() if needs_dedup else src_df
 
-        if m.matched is not None:
+        if m.matched:
             # ANSI cardinality rule (eager, plan-time — see docstring)
             viol = (target.alias(ta)
                     .join(srcd.alias(sa), cond, "inner")
@@ -1171,114 +1174,133 @@ class Planner:
                     qualify(a.value, what, sides=sides), None)
             return out
 
-        kind, assigns, mcond_ast = m.matched or (None, None, None)
-        bkind, bassigns, bcond_ast = m.by_source or (None, None, None)
         _BYS = "WHEN NOT MATCHED BY SOURCE"
-        if m.matched is not None:
-            joined = (target.alias(ta)
-                      .join(srcd.withColumn(mk, F.lit(True)).alias(sa),
-                            cond, "left"))
-            matched = F.col(f"{sa}.{mk}").isNotNull()
-            mcond = (self._compile(qualify(mcond_ast, "WHEN MATCHED"),
-                                   None)
-                     if mcond_ast is not None else F.lit(True))
-            # hit/bhit are never NULL (matched is an isNotNull test
-            # and the coalesce handles NULL-condition-as-FALSE)
-            hit = matched & F.coalesce(mcond, F.lit(False))
-            bhit = F.lit(False)
-            if m.by_source is not None:
-                # by-source expressions see the TARGET side only
-                bcond = (self._compile(
-                    qualify(bcond_ast, _BYS, sides=("t",)), None)
-                    if bcond_ast is not None else F.lit(True))
-                bhit = ~matched & F.coalesce(bcond, F.lit(False))
-            keep = F.lit(True)
-            cases: dict[str, list] = {c: [] for c in target.columns}
-            if kind == "delete":
-                keep = keep & ~hit
-            elif kind == "update":
-                for c, v in compile_assigns(assigns, "SET").items():
-                    cases[c].append((hit, v))
-            if bkind == "delete":
-                keep = keep & ~bhit
-            elif bkind == "update":
-                for c, v in compile_assigns(bassigns, f"{_BYS} SET",
-                                            sides=("t",)).items():
-                    cases[c].append((bhit, v))
+
+        def ordered_preds(clauses, base, what, sides):
+            """ANSI first-true-wins predicates for an ordered clause
+            list: pred_i = base AND cond_i AND no-earlier-cond-true.
+            A NULL condition behaves as FALSE (coalesce), so every
+            predicate is a non-NULL boolean and the preds of one kind
+            are mutually exclusive by construction."""
+            preds, fired = [], F.lit(False)
+            for cl in clauses:
+                cond_ast = cl[-1]
+                c = (F.coalesce(self._compile(
+                        qualify(cond_ast, what, sides=sides), None),
+                        F.lit(False))
+                     if cond_ast is not None else F.lit(True))
+                preds.append(base & c & ~fired)
+                fired = fired | c
+            return preds
+
+        def action_cases(clauses, preds, label, sides):
+            """Fold delete/update clauses into (keep-predicate,
+            per-column CASE arms).  Arm order across kinds is
+            irrelevant: the preds are mutually exclusive."""
+            keep, cases = F.lit(True), {}
+            for (knd, assigns, _c), pred in zip(clauses, preds):
+                if knd == "delete":
+                    keep = keep & ~pred
+                else:
+                    for c, v in compile_assigns(assigns, label,
+                                                sides=sides).items():
+                        cases.setdefault(c, []).append((pred, v))
+            return keep, cases
+
+        def case_select(df_in, keep, cases):
             def col_expr(c):
                 e = None
-                for pred, v in cases[c]:
+                for pred, v in cases.get(c, []):
                     w = v.cast(dtypes[c])
                     e = F.when(pred, w) if e is None else e.when(pred, w)
                 base = F.col(f"{ta}.{c}")
                 return (base if e is None
                         else e.otherwise(base)).alias(c)
-            updated = (joined.filter(keep)
-                       .select(*[col_expr(c) for c in target.columns]))
-        elif m.by_source is not None:
+            return (df_in.filter(keep)
+                    .select(*[col_expr(c) for c in target.columns]))
+
+        if m.matched:
+            joined = (target.alias(ta)
+                      .join(srcd.withColumn(mk, F.lit(True)).alias(sa),
+                            cond, "left"))
+            matched = F.col(f"{sa}.{mk}").isNotNull()
+            mkeep, mcases = action_cases(
+                m.matched,
+                ordered_preds(m.matched, matched, "WHEN MATCHED",
+                              ("t", "s")),
+                "SET", ("t", "s"))
+            # by-source expressions see the TARGET side only
+            bkeep, bcases = action_cases(
+                m.by_source,
+                ordered_preds(m.by_source, ~matched, _BYS, ("t",)),
+                f"{_BYS} SET", ("t",))
+            for c, arms in bcases.items():
+                mcases.setdefault(c, []).extend(arms)
+            updated = case_select(joined, mkeep & bkeep, mcases)
+        elif m.by_source:
             # no matched clause => no cardinality check ran, so avoid
             # the left-join fanout entirely: matched target rows pass
             # through a semi join untouched, unmatched ones transform
             # after an anti join (by-source never reads source values)
-            bcond = (self._compile(
-                qualify(bcond_ast, _BYS, sides=("t",)), None)
-                if bcond_ast is not None else F.lit(True))
-            bhit = F.coalesce(bcond, F.lit(False))
             mt = (target.alias(ta).join(srcd.alias(sa), cond,
                                         "left_semi"))
             un = (target.alias(ta).join(srcd.alias(sa), cond,
                                         "left_anti"))
-            if bkind == "delete":
-                un = un.filter(~bhit)
-            else:
-                bassigned = compile_assigns(bassigns, f"{_BYS} SET",
-                                            sides=("t",))
-                un = un.select(*[
-                    (F.when(bhit, bassigned[c].cast(dtypes[c]))
-                      .otherwise(F.col(f"{ta}.{c}")).alias(c))
-                    if c in bassigned
-                    else F.col(f"{ta}.{c}").alias(c)
-                    for c in target.columns])
+            bkeep, bcases = action_cases(
+                m.by_source,
+                ordered_preds(m.by_source, F.lit(True), _BYS, ("t",)),
+                f"{_BYS} SET", ("t",))
             updated = mt.unionByName(
-                un.select(*[F.col(c) for c in target.columns]))
+                case_select(un, bkeep, bcases)
+                .select(*[F.col(c) for c in target.columns]))
         else:
             updated = target
 
         result = updated
-        if m.not_matched is not None:
-            icols, iexprs, nmcond_ast = m.not_matched
-            if icols is None:
-                icols = list(target.columns)
-            else:
-                bad = [c for c in icols if c.lower() not in tcols]
-                if bad:
+        if m.not_matched:
+            clause_vals: list[dict] = []
+            for icols, iexprs, _nmcond in m.not_matched:
+                if icols is None:
+                    icols = list(target.columns)
+                else:
+                    bad = [c for c in icols if c.lower() not in tcols]
+                    if bad:
+                        raise PlanError(
+                            f"unknown INSERT column(s) "
+                            f"{', '.join(bad)} in "
+                            f"MERGE target {name!r}")
+                    icols = [tcols[c.lower()] for c in icols]
+                if len(iexprs) != len(icols):
                     raise PlanError(
-                        f"unknown INSERT column(s) {', '.join(bad)} in "
-                        f"MERGE target {name!r}")
-                icols = [tcols[c.lower()] for c in icols]
-            if len(iexprs) != len(icols):
-                raise PlanError(
-                    f"MERGE INSERT has {len(iexprs)} values for "
-                    f"{len(icols)} columns")
-            if len(set(icols)) != len(icols):
-                dup = next(c for c in icols if icols.count(c) > 1)
-                raise PlanError(
-                    f"column {dup!r} listed twice in MERGE INSERT")
+                        f"MERGE INSERT has {len(iexprs)} values for "
+                        f"{len(icols)} columns")
+                if len(set(icols)) != len(icols):
+                    dup = next(c for c in icols if icols.count(c) > 1)
+                    raise PlanError(
+                        f"column {dup!r} listed twice in MERGE INSERT")
+                clause_vals.append(dict(zip(icols, iexprs)))
             unmatched = (src_df.alias(sa)
                          .join(target.alias(ta), cond, "left_anti"))
-            if nmcond_ast is not None:
-                nmcond = self._compile(
-                    qualify(nmcond_ast, "WHEN NOT MATCHED", sides=("s",)),
-                    None)
-                unmatched = unmatched.filter(
-                    F.coalesce(nmcond, F.lit(False)))
-            by_col = dict(zip(icols, iexprs))
-            inserts = unmatched.select(*[
-                (self._compile(qualify(by_col[c], "INSERT",
-                                       sides=("s",)), None)
-                 if c in by_col else F.lit(None))
-                .cast(dtypes[c]).alias(c)
-                for c in target.columns])
+            # insert conditions see the SOURCE side only
+            npreds = ordered_preds(m.not_matched, F.lit(True),
+                                   "WHEN NOT MATCHED", ("s",))
+            fire_any = npreds[0]
+            for p in npreds[1:]:
+                fire_any = fire_any | p
+            unmatched = unmatched.filter(fire_any)
+
+            def ins_expr(c):
+                e = None
+                for by_col, pred in zip(clause_vals, npreds):
+                    v = (self._compile(qualify(by_col[c], "INSERT",
+                                               sides=("s",)), None)
+                         if c in by_col else F.lit(None)
+                         ).cast(dtypes[c])
+                    e = F.when(pred, v) if e is None else e.when(pred, v)
+                # the fire_any filter guarantees one arm is taken
+                return e.alias(c)
+            inserts = unmatched.select(
+                *[ins_expr(c) for c in target.columns])
             result = updated.unionByName(inserts)
 
         self.catalog.register(name, result)

@@ -628,7 +628,9 @@ def test_merge_errors(spark):
               "values (ms.id, 'x', 1)")
     with pytest.raises(ParseError, match="at least one WHEN"):
         e.sql("merge into mt using ms on mt.id = ms.id")
-    with pytest.raises(ParseError, match="duplicate WHEN MATCHED"):
+    # multi-clause (r12): a conditionless clause must be LAST of its
+    # kind — anything after it could never fire
+    with pytest.raises(ParseError, match="unreachable WHEN MATCHED"):
         e.sql("merge into mt using ms on mt.id = ms.id "
               "when matched then delete when matched then delete")
     with pytest.raises(PlanError, match="distinct names"):
@@ -713,6 +715,77 @@ def test_merge_map_guard_scoping(spark):
               "when matched then update set v = ms2.nv")
 
 
+def test_merge_multi_clause_ordered(spark):
+    """r12: N WHEN MATCHED [AND c] clauses evaluated in statement
+    order, first-true-wins — the canonical update-if-fresh /
+    delete-if-tombstone / else-ignore upsert.  ms: id2 nv=200
+    (fresh), id3 nv=NULL (tombstone via IS NULL guard)."""
+    e = _merge_fixture(spark)
+    out = e.sql(
+        "merge into mt using ms on mt.id = ms.id "
+        "when matched and ms.nv is null then delete "
+        "when matched and ms.nv > 100 then update set v = ms.nv "
+        "when matched then update set tag = 'stale'")
+    got = {(r.id, r.tag, r.v) for r in out.collect()}
+    # id1 unmatched (kept), id2 hit clause 2, id3 hit clause 1 (gone)
+    assert got == {(1, "a", 10.0), (2, "b", 200.0)}
+
+
+def test_merge_multi_clause_first_wins(spark):
+    """A row satisfying SEVERAL clause conditions takes only the
+    FIRST — later arms must not also apply."""
+    e = _merge_fixture(spark)
+    out = e.sql(
+        "merge into mt using ms on mt.id = ms.id "
+        "when matched and ms.nv > 0 then update set tag = 'first' "
+        "when matched and ms.nv > 100 then update set tag = 'second'")
+    got = {r.id: r.tag for r in out.collect()}
+    assert got[2] == "first" and got[3] == "c" and got[1] == "a"
+
+
+def test_merge_multi_insert_clauses(spark):
+    """Multiple WHEN NOT MATCHED clauses route inserts: each clause
+    carries its OWN column list and values; unrouted source rows
+    (no clause fires) do not insert."""
+    e = _merge_fixture(spark)
+    e.register("ms3", spark.createDataFrame(
+        [(7, 70.0), (8, -1.0), (9, None)], "id long, nv double"))
+    out = e.sql(
+        "merge into mt using ms3 on mt.id = ms3.id "
+        "when not matched and ms3.nv > 0 then "
+        "  insert (id, tag, v) values (ms3.id, 'pos', ms3.nv) "
+        "when not matched and ms3.nv < 0 then "
+        "  insert (id, tag) values (ms3.id, 'neg')")
+    got = {(r.id, r.tag, r.v) for r in out.collect()}
+    assert (7, "pos", 70.0) in got and (8, "neg", None) in got
+    assert not any(r[0] == 9 for r in got)   # NULL cond = no clause
+    assert len(got) == 5
+
+
+def test_merge_multi_by_source_clauses(spark):
+    """Ordered BY SOURCE clauses on both planner paths (with and
+    without a matched clause): tag-if-recent else delete."""
+    e = _merge_fixture(spark)
+    sync = ("merge into mt using ms on mt.id = ms.id "
+            "{}"
+            "when not matched by source and mt.v >= 10 then "
+            "  update set tag = 'kept' "
+            "when not matched by source then delete")
+    # path 1: semi/anti (no matched clause).  id1 is the only
+    # unmatched target row and v=10 keeps it
+    out = e.sql(sync.format(""))
+    got = {(r.id, r.tag) for r in out.collect()}
+    assert (1, "kept") in got and len(got) == 3
+    # path 2: the left-join path (matched clause present)
+    e2 = _merge_fixture(spark)
+    out2 = e2.sql(sync.format(
+        "when matched and ms.nv is not null then "
+        "update set v = ms.nv "))
+    got2 = {(r.id, r.tag, r.v) for r in out2.collect()}
+    assert got2 == {(1, "kept", 10.0), (2, "b", 200.0),
+                    (3, "c", 30.0)}
+
+
 def test_merge_not_matched_by_source(spark):
     """The full-table-sync clause: matched rows update, new rows
     insert, rows absent from the source delete — one statement."""
@@ -752,8 +825,8 @@ def test_merge_by_source_update_and_no_fanout(spark):
         e.sql("merge into t2 using sdup on t2.id = sdup.id "
               "when not matched by source then update set tag = "
               "cast(sdup.x as string)")
-    with pytest.raises(ParseError, match="duplicate WHEN NOT MATCHED "
-                                         "BY SOURCE"):
+    with pytest.raises(ParseError, match="unreachable WHEN NOT "
+                                         "MATCHED BY SOURCE"):
         e.sql("merge into t2 using sdup on t2.id = sdup.id "
               "when not matched by source then delete "
               "when not matched by source then delete")
@@ -838,5 +911,65 @@ def test_merge_differential_fuzz(spark):
             exp.extend((sid, nv) for sid, nv in srows
                        if sid not in tids)
         assert got == sorted(exp), (trows, srows, mkind, insert, bkind)
+
+    case()
+
+
+def test_merge_multi_clause_differential_fuzz(spark):
+    """r12 fuzz shape for ORDERED multi-clause MERGE: two matched
+    clauses (conditional delete, then conditional update) + two
+    routed insert clauses vs a pure-Python first-true-wins replay."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[
+                  HealthCheck.function_scoped_fixture,
+                  HealthCheck.too_slow])
+    @given(st.lists(st.tuples(st.integers(0, 6),
+                              st.integers(-5, 5)),
+                    min_size=0, max_size=8, unique_by=lambda t: t[0]),
+           st.lists(st.tuples(st.integers(0, 9),
+                              st.integers(-5, 5)),
+                    min_size=0, max_size=8, unique_by=lambda t: t[0]),
+           st.integers(-4, 4), st.integers(-4, 4))
+    def case(trows, srows, thr1, thr2):
+        e = FsqlEngine(spark)
+        e.register("ft", spark.createDataFrame(
+            trows, "id long, v long") if trows else
+            spark.createDataFrame([], "id long, v long"))
+        e.register("fs", spark.createDataFrame(
+            srows, "id long, nv long") if srows else
+            spark.createDataFrame([], "id long, nv long"))
+        out = e.sql(
+            f"merge into ft using fs on ft.id = fs.id "
+            f"when matched and fs.nv < {thr1} then delete "
+            f"when matched and fs.nv < {thr2} then "
+            f"  update set v = fs.nv * 10 "
+            f"when matched then update set v = 0 "
+            f"when not matched and fs.nv > {thr1} then "
+            f"  insert (id, v) values (fs.id, fs.nv + 100) "
+            f"when not matched then insert (id, v) "
+            f"  values (fs.id, -1)")
+        got = sorted((r.id, r.v) for r in out.collect())
+
+        smap, exp = dict(srows), []
+        for tid, tv in trows:
+            if tid in smap:
+                nv = smap[tid]
+                if nv < thr1:
+                    pass                       # clause 1: delete
+                elif nv < thr2:
+                    exp.append((tid, nv * 10))  # clause 2
+                else:
+                    exp.append((tid, 0))        # clause 3
+            else:
+                exp.append((tid, tv))
+        tids = {t for t, _ in trows}
+        for sid, nv in srows:
+            if sid not in tids:
+                exp.append((sid, nv + 100) if nv > thr1
+                           else (sid, -1))
+        assert got == sorted(exp), (trows, srows, thr1, thr2)
 
     case()
