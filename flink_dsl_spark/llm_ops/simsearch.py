@@ -311,8 +311,11 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     rounds to 6 decimals before ranking — the same cross-engine
     premises as cosine_topk (llm06).
 
-    Scale shape: broadcast the |Q|-row query table (bounded: <= 10k
-    ids enforced), ONE codegen cosine per (candidate, query), then a
+    Scale shape: the |Q|-row query table is collected at CALL time
+    (one bounded scan — also validates every requested id exists,
+    failing loudly on typos) and broadcast as a local relation
+    (bounded: <= 10k ids enforced), ONE codegen cosine per
+    (candidate, query), then a
     per-qid rank<=k filter that compiles to WindowGroupLimit
     (plan-gated) — Spark runs it in Partial mode BEFORE the qid
     exchange, so each map task forwards at most k rows per query and
@@ -331,17 +334,26 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
              .select(F.col(id_col).alias("qid"),
                      F.col(vec_col).alias("__qv")))
     # a typo'd / absent query id would otherwise just yield a quietly
-    # smaller result set (it never joins) — fail loudly instead.
-    # Bounded: the distinct is over the <=10k filtered query rows.
-    found = {r[0] for r in qdf.select("qid").distinct().collect()}
-    missing = sorted(str(i) for i in set(query_ids) - found)
+    # smaller result set (it never joins) — fail loudly instead.  The
+    # query rows are collected ONCE (bounded: <=10k rows post-filter)
+    # and re-shipped as a local relation, so the corpus is still
+    # scanned exactly once per side: this scan moves to call time
+    # instead of re-running inside the returned plan.  Membership
+    # compares STRINGIFIED ids because Spark's isin coerces types
+    # (int 1 matches a string id column '1') and a raw set difference
+    # would spuriously reject those matches.
+    qrows = qdf.collect()
+    found = {str(r["qid"]) for r in qrows}
+    missing = sorted(str(i) for i in set(query_ids)
+                     if str(i) not in found)
     if missing:
         raise ValueError(
             f"query id(s) not present in the corpus: "
             f"{', '.join(missing[:10])}"
             + (f" (+{len(missing) - 10} more)"
                if len(missing) > 10 else ""))
-    q = F.broadcast(qdf)
+    spark = df.sparkSession
+    q = F.broadcast(spark.createDataFrame(qrows, qdf.schema))
     cos = F.round(cosine_sim(F.col(vec_col), F.col("__qv")), 6)
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(),
                                           F.col("id").asc())

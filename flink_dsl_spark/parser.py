@@ -515,7 +515,7 @@ class Parser:
         not_matched: list = []
         by_source: list = []
 
-        def check_reachable(lst, cond, label, tok):
+        def check_reachable(lst, label, tok):
             if lst and lst[-1][-1] is None:
                 self.error(
                     f"unreachable {label} clause: the previous "
@@ -546,13 +546,13 @@ class Parser:
             cond = self.parse_expr() if self.eat_kw("and") else None
             self.expect_kw("then")
             if negated and src_side:
-                check_reachable(by_source, cond,
+                check_reachable(by_source,
                                 "WHEN NOT MATCHED BY SOURCE", tok)
                 kind, assigns = upd_or_del()
                 by_source.append((kind, assigns, cond))
             elif negated:
-                check_reachable(not_matched, cond,
-                                "WHEN NOT MATCHED", tok)
+                check_reachable(not_matched, "WHEN NOT MATCHED",
+                                tok)
                 self.expect_kw("insert")
                 cols = None
                 if self.at_op("("):
@@ -569,7 +569,7 @@ class Parser:
                 self.expect_op(")")
                 not_matched.append((cols, exprs, cond))
             else:
-                check_reachable(matched, cond, "WHEN MATCHED", tok)
+                check_reachable(matched, "WHEN MATCHED", tok)
                 kind, assigns = upd_or_del()
                 matched.append((kind, assigns, cond))
         if not (matched or not_matched or by_source):

@@ -1108,20 +1108,21 @@ class Planner:
 
         cond = self._compile(qualify(m.on, "ON"), None)
         from pyspark.sql.types import MapType
-        needs_dedup = bool(m.matched or m.by_source)
+        # only the WHEN MATCHED path deduplicates/aggregates the
+        # source (left-join fanout + cardinality check); by-source
+        # plans semi/anti joins that compare only the ON keys and
+        # never fan out, and insert-only merges use one anti join —
+        # neither needs the dropDuplicates shuffle or the map guard
+        needs_dedup = bool(m.matched)
         if needs_dedup and any(isinstance(f.dataType, MapType)
                                for f in src_df.schema):
             # dropDuplicates / count_distinct (the dedup + cardinality
             # machinery below) cannot compare map values — reject with
-            # a clean message instead of Spark's raw AnalysisException.
-            # Insert-only merges never dedup or aggregate the source,
-            # so they pass through (the anti join compares only the
-            # ON keys).
+            # a clean message instead of Spark's raw AnalysisException
             raise PlanError(
                 "MERGE USING a source with map-typed columns is not "
-                "supported with WHEN MATCHED / BY SOURCE clauses — "
-                "drop them from the source or cast to a comparable "
-                "type")
+                "supported with WHEN MATCHED clauses — drop them from "
+                "the source or cast to a comparable type")
         if m.matched and any(
                 isinstance(f.dataType, MapType)
                 for f in target.schema):

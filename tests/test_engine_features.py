@@ -713,6 +713,11 @@ def test_merge_map_guard_scoping(spark):
     with pytest.raises(PlanError, match="map-typed"):
         e.sql("merge into mtm using ms2 on mtm.id = ms2.id "
               "when matched then update set v = ms2.nv")
+    # (c) by-source-only from a map-typed source also passes — the
+    # semi/anti joins compare only the ON keys (r12 review)
+    out3 = e.sql("merge into mt using msm2 on mt.id = msm2.id "
+                 "when not matched by source then delete")
+    assert {r.id for r in out3.collect()} == {3, 9}
 
 
 def test_merge_multi_clause_ordered(spark):

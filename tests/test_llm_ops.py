@@ -2490,6 +2490,17 @@ def test_cosine_topk_batch_equals_per_query(emb):
                             [0, 999_999_999], k=3)
 
 
+def test_cosine_topk_batch_coerced_id_types(emb, spark):
+    """Spark's isin coerces types (int 1 matches a string id '1') —
+    the missing-id validation must compare stringified ids so a
+    coerced match is not spuriously rejected (r12 review)."""
+    import pyspark.sql.functions as F
+    semb = emb.withColumn("sid", F.col("vec_id").cast("string"))
+    out = L.cosine_topk_batch(semb, "embedding", "sid", [0, 1], k=3)
+    got = {r["qid"] for r in out.collect()}
+    assert got == {"0", "1"}
+
+
 def test_cosine_topk_batch_plan_group_limit(emb):
     out = L.cosine_topk_batch(emb, "embedding", "vec_id", [0, 1], k=5)
     plan = out._jdf.queryExecution().executedPlan().toString()
