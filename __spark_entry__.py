@@ -787,6 +787,13 @@ _SCRIPTS: dict[str, str] = {
         select /*+ priority_sample(doc_id, n_chars, 40) */
                doc_id, source, n_chars
         from documents where lang = 'en'""",
+    # stratified form (r12): the optional 4th hint column makes the
+    # cut per-stratum — k weighted-sampled docs from EACH source of
+    # the filtered corpus (WindowGroupLimit before the one exchange)
+    "q89_priority_stratified_hint": """
+        select /*+ priority_sample(doc_id, n_chars, 10, source) */
+               doc_id, source, n_chars
+        from documents where lang = 'en'""",
     # mixture_temperature hint (r11): explicit priors from a weights
     # relation, temperature-flattened w' = w^(1/T) at plan time before
     # the same rate algebra.  T=2 = sqrt, correctly rounded by
@@ -1398,6 +1405,15 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm73_priority_sample": lambda s, d: L.priority_sample(
             _docs(s, d), "doc_id", "n_chars", k=50, seed=42,
             id_hash=L.md5_id_hash),
+        # per-stratum DLT sampling (r12): k rows from EACH source —
+        # the corpus-mixture shape.  Same bit-exact u/w key as llm73;
+        # the per-stratum cut plans as WindowGroupLimit running
+        # Partial BEFORE the one stratum exchange, so the shuffle
+        # carries O(tasks * strata * k) rows, never the corpus.
+        "llm76_priority_stratified": lambda s, d:
+            L.priority_sample_stratified(
+                _docs(s, d), "doc_id", "n_chars", "source", k=15,
+                seed=42, id_hash=L.md5_id_hash),
         # rank=True demonstrates the distributed two-phase global
         # numbering on top of the shuffle key; with the cross-engine
         # md5 id hash both the key and the rank are value-oracled
@@ -2568,6 +2584,23 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM f)
             SELECT doc_id, source, n_chars FROM p
             ORDER BY pri, doc_id LIMIT 40""",
+        # q89: q85's priority replayed per stratum over the filtered
+        # rows — row_number over (source, pri, id), cut at k
+        "q89_priority_stratified_hint": """
+            WITH f AS (SELECT doc_id, source, n_chars FROM documents
+                       WHERE lang = 'en' AND n_chars > 0
+                         AND doc_id IS NOT NULL),
+            p AS (SELECT doc_id, source, n_chars,
+                         (CAST(CAST(concat('0x', substr(md5(concat(
+                              CAST(doc_id AS VARCHAR), ':', '42')),
+                              1, 15)) AS BIGINT) + 1 AS DOUBLE)
+                          / 1152921504606846976.0)
+                         / CAST(n_chars AS DOUBLE) AS pri
+                  FROM f),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY pri, doc_id) AS rn
+                  FROM p)
+            SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""",
         # q84: q81's algebra with the weights temperature-flattened —
         # the oracle COMPUTES sqrt(w) like the engine does (every
         # root is non-representable, so a literal-weight shortcut
@@ -4048,6 +4081,23 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM documents
             WHERE n_chars > 0 AND doc_id IS NOT NULL
             ORDER BY samp_priority, doc_id LIMIT 50""",
+        # llm76: the same priority replayed per stratum — row_number
+        # over (source, priority, id), cut at k
+        "llm76_priority_stratified": """
+            WITH p AS (
+                SELECT source, doc_id, n_chars,
+                       (CAST(CAST(concat('0x', substr(md5(concat(
+                            CAST(doc_id AS VARCHAR), ':', '42')),
+                            1, 15)) AS BIGINT) + 1 AS DOUBLE)
+                        / 1152921504606846976.0)
+                       / CAST(n_chars AS DOUBLE) AS samp_priority
+                FROM documents
+                WHERE n_chars > 0 AND doc_id IS NOT NULL),
+            r AS (SELECT *, row_number() OVER (PARTITION BY source
+                      ORDER BY samp_priority, doc_id) AS rn
+                  FROM p)
+            SELECT source, doc_id, n_chars, samp_priority
+            FROM r WHERE rn <= 15""",
         "llm72_domain_cap": """
             WITH h AS (
                 SELECT source, doc_id,

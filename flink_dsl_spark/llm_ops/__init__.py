@@ -42,7 +42,7 @@ from .assemble import (cap_per_group, domain_mixture,
                        domain_mixture_temperature_weights,
                        temperature_scaled_weights,
                        md5_id_hash, pack_sequences,
-                       priority_sample,
+                       priority_sample, priority_sample_stratified,
                        seeded_shuffle, shard_corpus, split_dataset,
                        stratified_sample, token_budget_sample)
 from .cluster import kmeans, kmeans_assign, kmeans_fit, semdedup
@@ -65,7 +65,7 @@ __all__ = [
     "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",
     "line_dedup", "duplicate_spans", "token_budget_sample",
-    "priority_sample",
+    "priority_sample", "priority_sample_stratified",
     "cap_per_group",
     "domain_mixture", "domain_mixture_epochs", "domain_mixture_filter",
     "shard_corpus",

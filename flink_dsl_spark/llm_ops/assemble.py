@@ -259,6 +259,52 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
                   .drop("__ps_rn", "__ps_tau"))
 
 
+def priority_sample_stratified(df: DataFrame, id_col: str,
+                               weight_col: str, stratum_col: str,
+                               k: int, seed: int = 42,
+                               id_hash=None) -> DataFrame:
+    """:func:`priority_sample` per stratum: an independent
+    Duffield–Lund–Thorup weighted sample WITHOUT replacement of up to
+    ``k`` rows from EACH distinct ``stratum_col`` value — the
+    corpus-mixture sampling shape ("k documents per domain, big
+    documents more often").  The priority key u/w, the exclusion
+    rules (NULL/non-positive weight, NULL id), the seeded id hash,
+    and the cross-engine bit-exactness argument are exactly
+    priority_sample's; per-stratum independence is free because the
+    priority never reads the stratum.  A NULL stratum is its own
+    stratum (both Spark and DuckDB group NULLs together).
+
+    Returns (stratum, id, weight, samp_priority) ordered by
+    (stratum, samp_priority, id); strata with <= k eligible rows are
+    exhaustive.
+
+    Scale shape: pure projection + per-stratum top-k, which Spark
+    plans as WindowGroupLimit in Partial mode BEFORE the stratum
+    exchange — each map task forwards at most k rows per stratum, so
+    the ONE shuffle carries O(tasks * strata * k) rows, never the
+    corpus (plan-gated in tests).  Contrast the global form's
+    TakeOrderedAndProject (zero shuffle): the stratified cut needs
+    the keyed exchange, the global cut does not."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("double")
+    base = (df.filter(w.isNotNull() & (w > 0)
+                      & F.col(id_col).isNotNull())
+              .select(stratum_col, id_col, weight_col,
+                      dlt_priority(id_col, weight_col, seed, id_hash)
+                      .alias("samp_priority")))
+    win = (Window.partitionBy(stratum_col)
+                 .orderBy("samp_priority", F.col(id_col)))
+    rn = "__pss_rn"
+    while rn in base.columns:
+        rn += "_"
+    return (base.withColumn(rn, F.row_number().over(win))
+                .filter(F.col(rn) <= k).drop(rn)
+                .orderBy(stratum_col, "samp_priority", F.col(id_col)))
+
+
 def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,
                         budget: int, seed: int = 42,
                         id_hash=None) -> DataFrame:

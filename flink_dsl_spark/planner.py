@@ -313,12 +313,17 @@ class Planner:
                 row_hints.append(("mixture_temperature", tuple(h.args)))
                 continue
             if h.name == "priority_sample":
-                if len(h.args) != 3 or not isinstance(h.args[0], str) \
+                if len(h.args) not in (3, 4) \
+                        or not isinstance(h.args[0], str) \
                         or not isinstance(h.args[1], str) \
-                        or not isinstance(h.args[2], int) or h.args[2] < 1:
+                        or not isinstance(h.args[2], int) \
+                        or h.args[2] < 1 \
+                        or (len(h.args) == 4
+                            and not isinstance(h.args[3], str)):
                     raise PlanError("priority_sample hint takes "
                                     "(id_column, weight_column, "
-                                    "positive_int_k)")
+                                    "positive_int_k[, "
+                                    "stratum_column])")
                 row_hints.append(("priority_sample", tuple(h.args)))
                 continue
             if h.name != "salt":
@@ -328,7 +333,8 @@ class Planner:
                                 "mixture(domain, id, tokens, "
                                 "'dom=w,...'), mixture_temperature("
                                 "domain, id, tokens, weights, T), "
-                                "priority_sample(id, weight, k))")
+                                "priority_sample(id, weight, k"
+                                "[, stratum]))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -1653,13 +1659,19 @@ class Planner:
                   .filter(F.col(rank) <= k).drop(rank))
 
     def _apply_priority_sample_hint(self, df: DataFrame, idcol: str,
-                                    wcol: str, k: int) -> DataFrame:
-        """priority_sample(id, weight, k): keep the k rows whose
-        Duffield-Lund-Thorup priority u/weight is smallest — the
+                                    wcol: str, k: int,
+                                    stratcol: str = None) -> DataFrame:
+        """priority_sample(id, weight, k[, stratum]): keep the k rows
+        whose Duffield-Lund-Thorup priority u/weight is smallest — the
         declarative form of llm_ops.assemble.priority_sample
         (weighted sampling without replacement, inclusion probability
         increasing in weight), keeping ALL columns of the select's
-        input rows.
+        input rows.  With the optional 4th column the cut is PER
+        STRATUM (k rows from each distinct value — the corpus-mixture
+        shape, llm_ops.assemble.priority_sample_stratified): the plan
+        becomes a per-stratum WindowGroupLimit that runs Partial
+        BEFORE the one keyed exchange, so the shuffle carries
+        O(tasks * strata * k) rows, never the corpus.
 
         Like cap/token_budget, the dialect surface fixes hash and
         seed (md5_id_hash, seed 42); the u/w key uses only
@@ -1687,13 +1699,20 @@ class Planner:
         pri = "__ps_pri"
         while pri in df.columns:
             pri += "_"
-        return (df.filter(w.isNotNull() & (w > 0)
+        base = (df.filter(w.isNotNull() & (w > 0)
                           & F.col(idc).isNotNull())
                   .withColumn(pri, dlt_priority(idc, wc, 42,
-                                                md5_id_hash))
-                  .orderBy(pri, F.col(idc))
-                  .limit(k)
-                  .drop(pri))
+                                                md5_id_hash)))
+        if stratcol is None:
+            return base.orderBy(pri, F.col(idc)).limit(k).drop(pri)
+        from pyspark.sql import Window
+
+        (sc,) = self._resolve_hint_cols(df, (stratcol,),
+                                        "priority_sample")
+        rn = pri + "_rn"
+        win = Window.partitionBy(sc).orderBy(pri, F.col(idc))
+        return (base.withColumn(rn, F.row_number().over(win))
+                    .filter(F.col(rn) <= k).drop(pri, rn))
 
     def _apply_token_budget_hint(self, df: DataFrame, idcol: str,
                                  tokcol: str, budget: int) -> DataFrame:

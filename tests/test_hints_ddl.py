@@ -1107,10 +1107,36 @@ def test_priority_sample_hint_survives_colliding_column(engine, spark):
     assert all(r["__ps_pri"] == f"v{r['id']}" for r in rows)
 
 
+def test_priority_sample_hint_stratified_equals_python_api(engine):
+    """/*+ priority_sample(id, w, k, stratum) */ keeps the same row
+    set as llm_ops.assemble.priority_sample_stratified (r12): k rows
+    from EACH distinct stratum value, same md5 hash + seed 42."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash, \
+        priority_sample_stratified
+    got = engine.sql(
+        "select /*+ priority_sample(doc_id, n_chars, 8, source) */ "
+        "doc_id, source, n_chars from documents")
+    want = priority_sample_stratified(
+        engine.catalog.get("documents"), "doc_id", "n_chars",
+        "source", k=8, seed=42, id_hash=md5_id_hash)
+    assert {(r["source"], r["doc_id"]) for r in got.collect()} == \
+        {(r["source"], r["doc_id"]) for r in want.collect()}
+    # every stratum contributes exactly min(k, stratum size) rows
+    per = {}
+    for r in got.collect():
+        per[r["source"]] = per.get(r["source"], 0) + 1
+    assert all(n <= 8 for n in per.values()) and len(per) >= 2
+    assert got.columns == ["doc_id", "source", "n_chars"]
+    plan = _plan(got)
+    assert "WindowGroupLimit" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_priority_sample_hint_bad_args_error(engine):
     for bad in ["priority_sample(doc_id, n_chars)",
                 "priority_sample(doc_id, n_chars, 0)",
                 "priority_sample(doc_id, 3, 5)",
+                "priority_sample(doc_id, n_chars, 5, 9)",
                 "priority_sample(doc_id, n_chars, k)"]:
         with pytest.raises(PlanError, match="priority_sample hint takes"):
             engine.sql(f"select /*+ {bad} */ doc_id from documents")

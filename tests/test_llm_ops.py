@@ -2306,6 +2306,76 @@ def test_priority_sample_plan_is_take_ordered(spark):
     assert "SinglePartition" not in plan
 
 
+def test_priority_sample_stratified_equals_per_stratum_global(spark):
+    """r12: the stratified cut must equal priority_sample applied to
+    each stratum's rows independently (the priority never reads the
+    stratum), with small strata exhaustive and NULL ids excluded."""
+    import pyspark.sql.functions as F
+    rows = [(i, float(1 + (i * 7) % 50), f"d{i % 3}")
+            for i in range(150)] + [(None, 9.0, "d0"), (900, 5.0, None)]
+    df = spark.createDataFrame(rows, "id long, w double, dom string")
+    out = L.priority_sample_stratified(df, "id", "w", "dom", k=10,
+                                       seed=7, id_hash=L.md5_id_hash)
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["dom"], []).append((r["id"],
+                                             r["samp_priority"]))
+    for dmn in ("d0", "d1", "d2"):
+        sub = df.filter(F.col("dom") == dmn)
+        exp = [(r["id"], r["samp_priority"]) for r in
+               L.priority_sample(sub, "id", "w", k=10, seed=7,
+                                 id_hash=L.md5_id_hash).collect()]
+        assert got[dmn] == exp, dmn
+    # NULL stratum is its own stratum; its single row is exhaustive
+    assert got[None] == [(900, next(
+        r["samp_priority"] for r in out.collect()
+        if r["dom"] is None))]
+    with pytest.raises(ValueError, match="k must be"):
+        L.priority_sample_stratified(df, "id", "w", "dom", k=0)
+
+
+def test_priority_sample_stratified_plan_group_limit(spark):
+    """Scale gate: the per-stratum cut must run as WindowGroupLimit
+    (partial top-k heap BEFORE the stratum exchange) and never plan a
+    SinglePartition sort."""
+    rows = [(i, float(i + 1), f"d{i % 4}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w double, dom string")
+    out = L.priority_sample_stratified(df, "id", "w", "dom", k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_priority_sample_stratified_duckdb_parity(spark):
+    """Bit-exact DuckDB replay: same md5 60-bit hash, same division,
+    row_number over (stratum, priority, id)."""
+    import duckdb
+    rows = [(i, float(1 + (i * 13) % 97), f"s{i % 3}")
+            for i in range(240)]
+    df = spark.createDataFrame(rows, "id long, w double, dom string")
+    got = [(r["dom"], r["id"], r["w"], r["samp_priority"]) for r in
+           L.priority_sample_stratified(df, "id", "w", "dom", k=20,
+                                        seed=42,
+                                        id_hash=L.md5_id_hash).collect()]
+    con = duckdb.connect()
+    con.sql("create table t(id bigint, w double, dom varchar)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    exp = con.sql("""
+        with p as (
+            select dom, id, w,
+                   (cast(cast(concat('0x', substr(md5(concat(
+                        cast(id as varchar), ':', '42')), 1, 15))
+                        as bigint) + 1 as double)
+                    / 1152921504606846976.0) / w as samp_priority
+            from t where w > 0 and id is not null),
+        r as (select *, row_number() over (partition by dom
+                  order by samp_priority, id) as rn from p)
+        select dom, id, w, samp_priority from r where rn <= 20
+        order by dom, samp_priority, id""").fetchall()
+    assert got == [tuple(r) for r in exp]
+
+
 def test_priority_sample_duckdb_parity(spark):
     """The whole point of the u/w key: DuckDB reproduces the selection
     AND the priority doubles bit-exactly from its own md5/division."""
