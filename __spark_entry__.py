@@ -1978,84 +1978,41 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-11 window (VERDICT r10 items 1-3):
-    # regression core; FIRST rows for the ELEVEN new r11 surfaces
-    # (s16 streaming ranking trio, s17 rank tie semantics, q83
-    # IGNORE NULLS, q84 mixture_temperature, s18 streaming IGNORE
-    # NULLS, llm73 priority sampling, q85 its hint form, llm74
-    # random projection, llm75 batched ANN, q86 MERGE INTO, q87
-    # MERGE full sync incl. WHEN NOT MATCHED BY SOURCE — each
-    # also the fresh row for a code-touched family: running_agg,
-    # batch OVER compile, mixture weights builder, the
-    # seeded-sampling family, the hint dispatch, the embedding-ops
-    # family, the executable-DML family);
-    # q06 re-oracles its CHANGED text (the r10 vacuous-row fix);
-    # then 30 of the 38 r7-stale greens.  The other eight wait one
-    # round below the fold (50-slot arithmetic: 8+11+1+30 = 50):
-    # llm26_minhash_verified_pairs (oracled twin llm03 green r10,
-    # verified-pairs shape in-window via llm28),
-    # llm27_ann_lsh_exhaustive (ANN family evidence llm16/llm06
-    # green r10), llm30_shuffle_key_verified (oracled twin llm23
-    # green r10), llm31_stratified_verified (oracled twin llm24
-    # green r10), q17d_intersect (set-op family keeps TWO in-window
-    # rows, q17b UNION ALL + q17c EXCEPT),
-    # llm02_dedup_ngram_jaccard (its value SET is pinned equal to
-    # llm03's — green r10 — by test_minhash_matches_exact_jaccard),
-    # q29_count_sliding (tumbling sibling q28 green r10; the
-    # streaming count-sliding twin s06 stays in-window) and
-    # s04_stream_delta_window (its batch delta twin q31 green r10;
-    # q35_delta_sliding stays in-window);
-    # all eight lead the r12 rotation.
+    # stays a registry.  Round-12 window (VERDICT r11 items 1, 3-5;
+    # arithmetic 8+8+6+28 = 50):
+    # regression core 8; the eight r7 leaders the r11 ledger named
+    # (llm26, llm27, llm30, llm31, q17d, llm02, q29, s04 — each lent
+    # its r11 slot, judge-confirmed as exactly the keys whose newest
+    # driver green was r7); FIRST rows for the FOUR new r12 surfaces
+    # (q88 multi-clause MERGE ladder, s19 streaming QUALIFY +
+    # expression-key OVER, llm76 stratified priority sampling, q89
+    # its hint form) plus llm04's driver RE-ENTRY (VERDICT r11 item
+    # 3: no rows-only key has ever executed driver-side since the r1
+    # nanos-config errors — rows+schema are driver-checkable, no
+    # value hash by design) and llm75 as the fresh row for the
+    # r12-touched batched-ANN family (missing-id validation + local
+    # -relation broadcast rewrite; second-consecutive-sample rule).
+    # The other r12-touched families get their fresh rows from the
+    # new surfaces themselves: q88 covers the MERGE planner rewrite
+    # (q86/q87 re-rehearsed green post-rewrite, ledgered), llm76/q89
+    # cover the priority-sampling NULL-id fix (llm73/q85 likewise
+    # re-rehearsed).  Then the 28 OLDEST r8 greens in ledger order;
+    # the 14-key r8 tail (q76, q77, q04, q14, s08-s10, llm36-llm40,
+    # q78, q79) waits below the fold and leads the r13 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- FIRST rows: NEW r11 surfaces (never-sampled outranks refresh;
-    #    s18 landed late r11 and took llm27's slot — llm27's ANN
-    #    family keeps llm16/llm06 evidence from r10 and its
-    #    exhaustive-probe twin shape; it joins llm26 leading r12) --
-    "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
-    "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
-    "llm73_priority_sample", "q85_priority_sample_hint",
-    "llm74_random_projection", "llm75_ann_topk_batch",
-    "q86_merge_upsert", "q87_merge_sync",
-    # -- changed-text re-oracle: the full join now produces unmatched
-    #    rows on BOTH sides at every gate SF (r10 judge finding) --
-    "q06_full_join",
-    # -- ALL r7-stale greens except llm26 (see header note); q10,
-    #    q07, q42, q36 first — they lent their r10 slots --
-    "q10_having", "q07_cross_join", "q42_salt_hint", "q36_range_join",
-    "q11_distinct", "q13_in_list", "q17b_union_all",
-    "q17c_except", "q19_derived_table",
-    "q26_window_tumbling", "q27_window_sliding",
-    "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
-    "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
-    "q41_stats_aggs", "s02_stream_count_window",
-    "s03_stream_windowed_join",
-    "s06_stream_count_sliding", "x03_expr_bitwise_unary",
-    "llm08_token_stats", "llm13_frame_sample",
-    "llm28_simhash_verified_pairs", "llm29_split_verified",
-    "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
-    "llm35_dedup_survivors",
-    # --- fold: entries below are outside the 50-entry prefix sample;
-    #     all stay value-checked by the per-session pytest oracle
-    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: llm26, llm27, llm30, llm31,
-    #     q17d and llm02 (r7 — each lent its r11 slot: llm26 to the
-    #     fill arithmetic, llm27 to the late s18 first row, llm30 to
-    #     llm73's first row, llm31 to q85's, q17d to llm74's, llm02
-    #     to llm75's; llm30/llm31's oracled twins llm23/llm24 went
-    #     green r10 (the llm26/llm03 precedent), q17d's set-op
-    #     siblings q17b/q17c stay in-window, and llm02's value set
-    #     is pinned equal to r10-green llm03's) lead the
-    #     r12 rotation, then the r8 greens, the r9 greens, and the
-    #     r10 greens displaced by this rotation (freshest, sampled
-    #     last).
+    # -- the eight r7 leaders (stalest value-oracled keys) --
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "q17d_intersect", "llm02_dedup_ngram_jaccard",
     "q29_count_sliding", "s04_stream_delta_window",
-    # r8 greens
+    # -- FIRST rows: new r12 surfaces, llm04 re-entry, touched family --
+    "q88_merge_multi", "s19_stream_expr_key_qualify",
+    "llm76_priority_stratified", "q89_priority_stratified_hint",
+    "llm04_dedup_simhash", "llm75_ann_topk_batch",
+    # -- 28 oldest r8 greens (ledger order) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
@@ -2063,7 +2020,15 @@ _PRIORITY = [
     "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
     "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
     "q69_agg_filter", "q70_group_by_all", "q71_lateral", "q74_semi_anti",
-    "q75_pivot", "q76_unpivot", "q77_recursive_cte", "q04_left_join",
+    "q75_pivot",
+    # --- fold: entries below are outside the 50-entry prefix sample;
+    #     all stay value-checked by the per-session pytest oracle
+    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
+    #     Ordered by next-staleness: the 14-key r8 tail leads the r13
+    #     rotation, then the r9 greens, the r10 greens, and the r11
+    #     greens (freshest, sampled last).
+    # r8 tail (newest r8 first-rows — lead the r13 rotation)
+    "q76_unpivot", "q77_recursive_cte", "q04_left_join",
     "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
@@ -2084,7 +2049,7 @@ _PRIORITY = [
     "llm63_mixture_temperature",
     "llm67_ngram_novelty", "llm69_length_quantiles", "llm70_topk_quality",
     "llm71_length_outliers",
-    # r10 greens displaced by this rotation (freshest driver evidence)
+    # r10 greens
     "q18_case_arith", "q20_comma_from", "q21_between_like_null",
     "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
     "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
@@ -2101,6 +2066,25 @@ _PRIORITY = [
     "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
     "q82_mixture_table_hint", "s15_stream_nth_value",
     "q80_token_budget_hint", "llm44_token_budget",
+    # r11 greens displaced by this rotation (freshest driver evidence)
+    "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
+    "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
+    "llm73_priority_sample", "q85_priority_sample_hint",
+    "llm74_random_projection", "q86_merge_upsert", "q87_merge_sync",
+    "q06_full_join",
+    "q10_having", "q07_cross_join", "q42_salt_hint", "q36_range_join",
+    "q11_distinct", "q13_in_list", "q17b_union_all",
+    "q17c_except", "q19_derived_table",
+    "q26_window_tumbling", "q27_window_sliding",
+    "q30_snapshot_window", "q32_partitioned_window", "q34_windowed_join",
+    "q35_delta_sliding", "q37_session_window", "q39_session_window_fsql",
+    "q41_stats_aggs", "s02_stream_count_window",
+    "s03_stream_windowed_join",
+    "s06_stream_count_sliding", "x03_expr_bitwise_unary",
+    "llm08_token_stats", "llm13_frame_sample",
+    "llm28_simhash_verified_pairs", "llm29_split_verified",
+    "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
+    "llm35_dedup_survivors",
 ]
 
 
