@@ -889,6 +889,21 @@ _SCRIPTS: dict[str, str] = {
             values (s.sid, 'newcold', s.sv);
         select event_id, event_type, round(value, 2) as value
         from mut88""",
+    # MERGE SET * / INSERT * shorthands (r12): every same-named
+    # source column copies/inserts by name — the full-overlap source
+    # makes both expansions total, and the +500 step-8 shift gives
+    # both paths rows at every gate SF
+    "q90_merge_star": """
+        create stream mut90 as
+            (select event_id, event_type, value from events);
+        merge into mut90 using
+            (select event_id + 500 as event_id, 'SYNCED' as event_type,
+                    value from events where event_id % 8 = 0) as s
+            on mut90.event_id = s.event_id
+        when matched then update set *
+        when not matched then insert *;
+        select event_id, event_type, round(value, 2) as value
+        from mut90""",
     # bucketed-table DDL (r6 dialect extension): write the join key's
     # shuffle ONCE at table-creation time, then aggregate on the
     # bucket key — the scan arrives pre-partitioned (the write-once
@@ -2008,11 +2023,13 @@ _PRIORITY = [
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
     "q17d_intersect", "llm02_dedup_ngram_jaccard",
     "q29_count_sliding", "s04_stream_delta_window",
-    # -- FIRST rows: new r12 surfaces, llm04 re-entry, touched family --
+    # -- FIRST rows: new r12 surfaces, llm04 re-entry, touched family
+    #    (q90 SET*/INSERT* landed late r12 and took q75_pivot's slot —
+    #    q75 joins the r8 tail leading r13; arithmetic 8+8+7+27 = 50) --
     "q88_merge_multi", "s19_stream_expr_key_qualify",
     "llm76_priority_stratified", "q89_priority_stratified_hint",
-    "llm04_dedup_simhash", "llm75_ann_topk_batch",
-    # -- 28 oldest r8 greens (ledger order) --
+    "llm04_dedup_simhash", "llm75_ann_topk_batch", "q90_merge_star",
+    # -- 27 oldest r8 greens (ledger order) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
@@ -2020,15 +2037,15 @@ _PRIORITY = [
     "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
     "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
     "q69_agg_filter", "q70_group_by_all", "q71_lateral", "q74_semi_anti",
-    "q75_pivot",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
     #     Ordered by next-staleness: the 14-key r8 tail leads the r13
     #     rotation, then the r9 greens, the r10 greens, and the r11
     #     greens (freshest, sampled last).
-    # r8 tail (newest r8 first-rows — lead the r13 rotation)
-    "q76_unpivot", "q77_recursive_cte", "q04_left_join",
+    # r8 tail (newest r8 first-rows — lead the r13 rotation; q75
+    # lent its slot to the late-r12 q90 first row)
+    "q75_pivot", "q76_unpivot", "q77_recursive_cte", "q04_left_join",
     "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
@@ -3269,6 +3286,30 @@ def _oracle_sql_base() -> dict[str, str]:
                                 ELSE 'newcold' END AS event_type,
                            s.sv AS value
                     FROM src s LEFT JOIN events e ON e.event_id = s.sid
+                    WHERE e.event_id IS NULL)
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM upd
+            UNION ALL
+            SELECT event_id, event_type, round(value, 2) AS value
+            FROM ins""",
+        # q90: SET * / INSERT * replayed as the same left-join CASE
+        # copy + anti-join insert, all columns by name
+        "q90_merge_star": """
+            WITH src AS (SELECT event_id + 500 AS event_id,
+                                'SYNCED' AS event_type, value
+                         FROM events WHERE event_id % 8 = 0),
+            upd AS (SELECT e.event_id,
+                           CASE WHEN s.event_id IS NOT NULL
+                                THEN s.event_type
+                                ELSE e.event_type END AS event_type,
+                           CASE WHEN s.event_id IS NOT NULL
+                                THEN s.value
+                                ELSE e.value END AS value
+                    FROM events e
+                    LEFT JOIN src s ON e.event_id = s.event_id),
+            ins AS (SELECT s.event_id, s.event_type, s.value
+                    FROM src s
+                    LEFT JOIN events e ON e.event_id = s.event_id
                     WHERE e.event_id IS NULL)
             SELECT event_id, event_type, round(value, 2) AS value
             FROM upd

@@ -527,6 +527,11 @@ class Parser:
                 return ("delete", None)
             self.expect_kw("update")
             self.expect_kw("set")
+            # UPDATE SET * (r12): assign every target column from its
+            # same-named source column — must stand alone
+            if self.at_op("*"):
+                self.advance()
+                return ("update", "*")
             assigns = [self.parse_assignment()]
             while self.eat_op(","):
                 assigns.append(self.parse_assignment())
@@ -554,6 +559,12 @@ class Parser:
                 check_reachable(not_matched, "WHEN NOT MATCHED",
                                 tok)
                 self.expect_kw("insert")
+                # INSERT * (r12): insert every source column into its
+                # same-named target column, no VALUES list
+                if self.at_op("*"):
+                    self.advance()
+                    not_matched.append(("*", None, cond))
+                    continue
                 cols = None
                 if self.at_op("("):
                     self.advance()

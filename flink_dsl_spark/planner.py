@@ -1165,6 +1165,23 @@ class Planner:
             mk += "_"
 
         def compile_assigns(assigns, what: str, sides=("t", "s")):
+            if assigns == "*":
+                # UPDATE SET * (r12, the Delta-style shorthand):
+                # every target column takes its SAME-NAMED source
+                # column; columns the source lacks keep their target
+                # value (expansion over the name intersection)
+                if "s" not in sides:
+                    raise PlanError(
+                        "UPDATE SET * is not available in WHEN NOT "
+                        "MATCHED BY SOURCE — there is no source row "
+                        "to copy from")
+                star = {tcols[n]: F.col(f"{sa}.{scols[n]}")
+                        for n in tcols if n in scols}
+                if not star:
+                    raise PlanError(
+                        "UPDATE SET *: no target column matches a "
+                        "source column by name")
+                return star
             out: dict[str, Column] = {}
             for a in assigns:
                 col = tcols.get(a.col.name.lower())
@@ -1267,6 +1284,19 @@ class Planner:
         if m.not_matched:
             clause_vals: list[dict] = []
             for icols, iexprs, _nmcond in m.not_matched:
+                if icols == "*":
+                    # INSERT * (r12): every source column lands in
+                    # its same-named target column, the rest NULL —
+                    # pre-compiled Columns, not ASTs (ins_expr
+                    # branches on the type)
+                    star = {tcols[n]: F.col(f"{sa}.{scols[n]}")
+                            for n in tcols if n in scols}
+                    if not star:
+                        raise PlanError(
+                            "INSERT *: no source column matches a "
+                            "target column by name")
+                    clause_vals.append(star)
+                    continue
                 if icols is None:
                     icols = list(target.columns)
                 else:
@@ -1299,10 +1329,15 @@ class Planner:
             def ins_expr(c):
                 e = None
                 for by_col, pred in zip(clause_vals, npreds):
-                    v = (self._compile(qualify(by_col[c], "INSERT",
-                                               sides=("s",)), None)
-                         if c in by_col else F.lit(None)
-                         ).cast(dtypes[c])
+                    raw = by_col.get(c)
+                    if raw is None:
+                        v = F.lit(None).cast(dtypes[c])
+                    elif isinstance(raw, Column):   # INSERT * path
+                        v = raw.cast(dtypes[c])
+                    else:
+                        v = self._compile(
+                            qualify(raw, "INSERT", sides=("s",)),
+                            None).cast(dtypes[c])
                     e = F.when(pred, v) if e is None else e.when(pred, v)
                 # the fire_any filter guarantees one arm is taken
                 return e.alias(c)

@@ -791,6 +791,46 @@ def test_merge_multi_by_source_clauses(spark):
                     (3, "c", 30.0)}
 
 
+def test_merge_set_star_and_insert_star(spark):
+    """r12 Delta-style shorthands: UPDATE SET * copies every
+    same-named source column into the target (unmatched names keep
+    their target value); INSERT * inserts source columns by name,
+    the rest NULL; SET * is rejected in BY SOURCE (no source row)."""
+    e = FsqlEngine(spark)
+    e.register("st", spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, tag string, v double"))
+    e.register("ss", spark.createDataFrame(
+        [(2, 222.0), (9, 999.0)], "id long, v double"))
+    out = e.sql("merge into st using ss on st.id = ss.id "
+                "when matched then update set * "
+                "when not matched then insert *")
+    got = {(r.id, r.tag, r.v) for r in out.collect()}
+    # id2: v copied, tag (absent from source) kept; id9: tag NULL
+    assert got == {(1, "a", 10.0), (2, "b", 222.0), (9, None, 999.0)}
+    with pytest.raises(PlanError, match="BY SOURCE"):
+        e.sql("merge into st using ss on st.id = ss.id "
+              "when not matched by source then update set *")
+    # no name overlap at all → clean error, not a silent no-op
+    e.register("sx", spark.createDataFrame([(1,)], "zz long"))
+    with pytest.raises(PlanError, match="no target column matches"):
+        e.sql("merge into st using sx on st.id = sx.zz "
+              "when matched then update set *")
+    with pytest.raises(PlanError, match="no source column matches"):
+        e.sql("merge into st using sx on st.id = sx.zz "
+              "when not matched then insert *")
+    # routed multi-clause composition: * clauses obey clause order
+    e.register("st2", spark.createDataFrame(
+        [(1, "a", 10.0)], "id long, tag string, v double"))
+    e.register("ss2", spark.createDataFrame(
+        [(7, 70.0), (8, -8.0)], "id long, v double"))
+    out2 = e.sql("merge into st2 using ss2 on st2.id = ss2.id "
+                 "when not matched and ss2.v > 0 then insert * "
+                 "when not matched then insert (id, tag) "
+                 "  values (ss2.id, 'neg')")
+    got2 = {(r.id, r.tag, r.v) for r in out2.collect()}
+    assert got2 == {(1, "a", 10.0), (7, None, 70.0), (8, "neg", None)}
+
+
 def test_merge_not_matched_by_source(spark):
     """The full-table-sync clause: matched rows update, new rows
     insert, rows absent from the source delete — one statement."""
