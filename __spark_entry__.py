@@ -1425,10 +1425,14 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the per-stratum cut plans as WindowGroupLimit running
         # Partial BEFORE the one stratum exchange, so the shuffle
         # carries O(tasks * strata * k) rows, never the corpus.
+        # with_estimate: each stratum's DLT subset-sum estimator
+        # w_est = max(w, 1/q_(k+1)) rides along — one division + one
+        # max, so it value-oracles bit-exactly too (the second window
+        # runs over the bounded <= k+1 rows per stratum)
         "llm76_priority_stratified": lambda s, d:
             L.priority_sample_stratified(
                 _docs(s, d), "doc_id", "n_chars", "source", k=15,
-                seed=42, id_hash=L.md5_id_hash),
+                seed=42, id_hash=L.md5_id_hash, with_estimate=True),
         # rank=True demonstrates the distributed two-phase global
         # numbering on top of the shuffle key; with the cross-engine
         # md5 id hash both the key and the rank are value-oracled
@@ -4107,7 +4111,9 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE n_chars > 0 AND doc_id IS NOT NULL
             ORDER BY samp_priority, doc_id LIMIT 50""",
         # llm76: the same priority replayed per stratum — row_number
-        # over (source, priority, id), cut at k
+        # over (source, priority, id), cut at k; the estimator lifts
+        # each stratum's (k+1)-th priority as tau and takes
+        # max(w, 1/tau) (one division + one max — bit-exact)
         "llm76_priority_stratified": """
             WITH p AS (
                 SELECT source, doc_id, n_chars,
@@ -4120,9 +4126,16 @@ def _oracle_sql_base() -> dict[str, str]:
                 WHERE n_chars > 0 AND doc_id IS NOT NULL),
             r AS (SELECT *, row_number() OVER (PARTITION BY source
                       ORDER BY samp_priority, doc_id) AS rn
-                  FROM p)
-            SELECT source, doc_id, n_chars, samp_priority
-            FROM r WHERE rn <= 15""",
+                  FROM p),
+            t AS (SELECT *, max(CASE WHEN rn = 16 THEN samp_priority
+                                END) OVER (PARTITION BY source) AS tau
+                  FROM r WHERE rn <= 16)
+            SELECT source, doc_id, n_chars, samp_priority,
+                   CASE WHEN tau IS NULL
+                        THEN CAST(n_chars AS DOUBLE)
+                        ELSE greatest(CAST(n_chars AS DOUBLE),
+                                      1.0 / tau) END AS w_est
+            FROM t WHERE rn <= 15""",
         "llm72_domain_cap": """
             WITH h AS (
                 SELECT source, doc_id,

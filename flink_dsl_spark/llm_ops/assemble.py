@@ -262,7 +262,8 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
 def priority_sample_stratified(df: DataFrame, id_col: str,
                                weight_col: str, stratum_col: str,
                                k: int, seed: int = 42,
-                               id_hash=None) -> DataFrame:
+                               id_hash=None,
+                               with_estimate: bool = False) -> DataFrame:
     """:func:`priority_sample` per stratum: an independent
     Duffield–Lund–Thorup weighted sample WITHOUT replacement of up to
     ``k`` rows from EACH distinct ``stratum_col`` value — the
@@ -276,7 +277,13 @@ def priority_sample_stratified(df: DataFrame, id_col: str,
 
     Returns (stratum, id, weight, samp_priority) ordered by
     (stratum, samp_priority, id); strata with <= k eligible rows are
-    exhaustive.
+    exhaustive.  With ``with_estimate=True`` a ``w_est`` column
+    carries the PER-STRATUM DLT unbiased subset-sum estimator
+    max(w, 1/q_(k+1)) — q_(k+1) is that stratum's (k+1)-th smallest
+    priority; an exhaustive stratum has no threshold and w_est = w
+    (exactly priority_sample's estimator, applied within each
+    stratum — summing w_est over any sampled subset of a stratum
+    estimates that subset's true total weight).
 
     Scale shape: pure projection + per-stratum top-k, which Spark
     plans as WindowGroupLimit in Partial mode BEFORE the stratum
@@ -300,9 +307,35 @@ def priority_sample_stratified(df: DataFrame, id_col: str,
     rn = "__pss_rn"
     while rn in base.columns:
         rn += "_"
-    return (base.withColumn(rn, F.row_number().over(win))
-                .filter(F.col(rn) <= k).drop(rn)
-                .orderBy(stratum_col, "samp_priority", F.col(id_col)))
+    ranked = base.withColumn(rn, F.row_number().over(win))
+    if not with_estimate:
+        return (ranked.filter(F.col(rn) <= k).drop(rn)
+                      .orderBy(stratum_col, "samp_priority",
+                               F.col(id_col)))
+    # estimator path: keep k+1 rows per stratum (WindowGroupLimit
+    # still bounds the exchange), then a SECOND window over that
+    # <= (k+1)-per-stratum frame lifts the threshold q_(k+1) to every
+    # surviving row — the same bounded-re-rank class as
+    # priority_sample's estimator, just keyed by stratum
+    tau = rn + "_tau"
+    full = (Window.partitionBy(stratum_col)
+                  .rowsBetween(Window.unboundedPreceding,
+                               Window.unboundedFollowing))
+    return (ranked.filter(F.col(rn) <= k + 1)
+                  .withColumn(tau, F.max(
+                      F.when(F.col(rn) == k + 1,
+                             F.col("samp_priority"))).over(full))
+                  .filter(F.col(rn) <= k)
+                  .withColumn(
+                      "w_est",
+                      F.when(F.col(tau).isNull(),
+                             F.col(weight_col).cast("double"))
+                       .otherwise(F.greatest(
+                           F.col(weight_col).cast("double"),
+                           F.lit(1.0) / F.col(tau))))
+                  .drop(rn, tau)
+                  .orderBy(stratum_col, "samp_priority",
+                           F.col(id_col)))
 
 
 def token_budget_sample(df: DataFrame, id_col: str, tokens_col: str,

@@ -2334,6 +2334,31 @@ def test_priority_sample_stratified_equals_per_stratum_global(spark):
         L.priority_sample_stratified(df, "id", "w", "dom", k=0)
 
 
+def test_priority_sample_stratified_estimator(spark):
+    """with_estimate=True: each stratum carries ITS OWN DLT
+    threshold — w_est must equal priority_sample's estimator applied
+    to that stratum's rows alone, with exhaustive strata w_est = w."""
+    import pyspark.sql.functions as F
+    rows = ([(i, float(1 + (i * 7) % 50), "big") for i in range(80)]
+            + [(1000 + i, 2.0 + i, "tiny") for i in range(3)])
+    df = spark.createDataFrame(rows, "id long, w double, dom string")
+    out = L.priority_sample_stratified(
+        df, "id", "w", "dom", k=10, seed=7, id_hash=L.md5_id_hash,
+        with_estimate=True).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["dom"], {})[r["id"]] = r["w_est"]
+    for dmn in ("big", "tiny"):
+        sub = df.filter(F.col("dom") == dmn)
+        exp = {r["id"]: r["w_est"] for r in
+               L.priority_sample(sub, "id", "w", k=10, seed=7,
+                                 id_hash=L.md5_id_hash,
+                                 with_estimate=True).collect()}
+        assert got[dmn] == exp, dmn
+    # tiny stratum (3 rows <= k) is exhaustive: w_est == w exactly
+    assert got["tiny"] == {1000: 2.0, 1001: 3.0, 1002: 4.0}
+
+
 def test_priority_sample_stratified_plan_group_limit(spark):
     """Scale gate: the per-stratum cut must run as WindowGroupLimit
     (partial top-k heap BEFORE the stratum exchange) and never plan a
