@@ -13,7 +13,7 @@ from typing import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _BUCKETS = 1_000_000
@@ -180,6 +180,16 @@ def dlt_priority(id_col, weight_col, seed: int = 42,
     return u / F.col(weight_col).cast("double")
 
 
+def _dlt_w_est(weight_col: str, tau_col: str) -> Column:
+    """The DLT unbiased subset-sum estimator max(w, 1/q_(k+1)) with
+    the exhaustive case (no threshold → w_est = w) — ONE definition
+    shared by the global and stratified samplers so the
+    bit-exactness-critical formula cannot drift between them."""
+    w = F.col(weight_col).cast("double")
+    return (F.when(F.col(tau_col).isNull(), w)
+             .otherwise(F.greatest(w, F.lit(1.0) / F.col(tau_col))))
+
+
 def priority_sample(df: DataFrame, id_col: str, weight_col: str,
                     k: int, seed: int = 42, id_hash=None,
                     with_estimate: bool = False) -> DataFrame:
@@ -249,13 +259,8 @@ def priority_sample(df: DataFrame, id_col: str, weight_col: str,
                                   Window.unboundedPreceding,
                                   Window.unboundedFollowing))))
     return (ranked.filter(F.col("__ps_rn") <= k)
-                  .withColumn(
-                      "w_est",
-                      F.when(F.col("__ps_tau").isNull(),
-                             F.col(weight_col).cast("double"))
-                       .otherwise(F.greatest(
-                           F.col(weight_col).cast("double"),
-                           F.lit(1.0) / F.col("__ps_tau"))))
+                  .withColumn("w_est",
+                              _dlt_w_est(weight_col, "__ps_tau"))
                   .drop("__ps_rn", "__ps_tau"))
 
 
@@ -316,8 +321,18 @@ def priority_sample_stratified(df: DataFrame, id_col: str,
     # still bounds the exchange), then a SECOND window over that
     # <= (k+1)-per-stratum frame lifts the threshold q_(k+1) to every
     # surviving row — the same bounded-re-rank class as
-    # priority_sample's estimator, just keyed by stratum
+    # priority_sample's estimator, just keyed by stratum.
+    # tau gets the same collision guard as rn (withColumn silently
+    # REPLACES a same-named user column); w_est is the documented
+    # OUTPUT name, so a clashing input column is an error, not a
+    # silent overwrite
     tau = rn + "_tau"
+    while tau in base.columns:
+        tau += "_"
+    if "w_est" in base.columns:
+        raise ValueError(
+            "with_estimate=True writes a 'w_est' column — rename the "
+            "input column 'w_est' first")
     full = (Window.partitionBy(stratum_col)
                   .rowsBetween(Window.unboundedPreceding,
                                Window.unboundedFollowing))
@@ -326,13 +341,7 @@ def priority_sample_stratified(df: DataFrame, id_col: str,
                       F.when(F.col(rn) == k + 1,
                              F.col("samp_priority"))).over(full))
                   .filter(F.col(rn) <= k)
-                  .withColumn(
-                      "w_est",
-                      F.when(F.col(tau).isNull(),
-                             F.col(weight_col).cast("double"))
-                       .otherwise(F.greatest(
-                           F.col(weight_col).cast("double"),
-                           F.lit(1.0) / F.col(tau))))
+                  .withColumn("w_est", _dlt_w_est(weight_col, tau))
                   .drop(rn, tau)
                   .orderBy(stratum_col, "samp_priority",
                            F.col(id_col)))

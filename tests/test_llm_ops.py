@@ -2365,11 +2365,13 @@ def test_priority_sample_stratified_plan_group_limit(spark):
     SinglePartition sort."""
     rows = [(i, float(i + 1), f"d{i % 4}") for i in range(200)]
     df = spark.createDataFrame(rows, "id long, w double, dom string")
-    out = L.priority_sample_stratified(df, "id", "w", "dom", k=5)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "WindowGroupLimit" in plan
-    assert "Partial" in plan
-    assert "SinglePartition" not in plan
+    for est in (False, True):   # the llm76 driver runs the True path
+        out = L.priority_sample_stratified(df, "id", "w", "dom", k=5,
+                                           with_estimate=est)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan, est
+        assert "Partial" in plan, est
+        assert "SinglePartition" not in plan, est
 
 
 def test_priority_sample_stratified_duckdb_parity(spark):
