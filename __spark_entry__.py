@@ -1457,6 +1457,16 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             id_hash=L.md5_id_hash),
         "llm19_top_terms_tfidf": lambda s, d: L.top_terms_tfidf(
             _docs(s, d), "text", "doc_id", k=5),
+        # Okapi BM25 query scoring (r12) — the retrieval-side
+        # complement of llm19's TF-IDF: shuffle carries only
+        # query-term postings (isin filter BEFORE the keyed agg),
+        # corpus stats one broadcast 1-row aggregate, k-cut
+        # TakeOrderedAndProject.  Per-(doc, term) scores quantize to
+        # integer micro-scores before the per-doc sum, so the sum is
+        # exact and order-independent across engines.
+        "llm77_bm25_scores": lambda s, d: L.bm25_scores(
+            _docs(s, d), "text", "doc_id",
+            ["hash", "join", "merge"], k=100),
         "llm18_chunk_documents": lambda s, d: L.chunk_documents(
             _docs(s, d), "text", "doc_id", chunk_tokens=64, overlap=8),
         "llm17_dup_clusters": lambda s, d: L.dup_clusters(
@@ -2028,19 +2038,22 @@ _PRIORITY = [
     "q17d_intersect", "llm02_dedup_ngram_jaccard",
     "q29_count_sliding", "s04_stream_delta_window",
     # -- FIRST rows: new r12 surfaces, llm04 re-entry, touched family
-    #    (q90 SET*/INSERT* landed late r12 and took q75_pivot's slot —
-    #    q75 joins the r8 tail leading r13; arithmetic 8+8+7+27 = 50) --
+    #    (q90 SET*/INSERT* landed late r12 and took q75_pivot's slot;
+    #    llm77 BM25 landed later still and took q74_semi_anti's —
+    #    both displaced keys join the r8 tail leading r13;
+    #    arithmetic 8+8+8+26 = 50) --
     "q88_merge_multi", "s19_stream_expr_key_qualify",
     "llm76_priority_stratified", "q89_priority_stratified_hint",
     "llm04_dedup_simhash", "llm75_ann_topk_batch", "q90_merge_star",
-    # -- 27 oldest r8 greens (ledger order) --
+    "llm77_bm25_scores",
+    # -- 26 oldest r8 greens (ledger order) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
     "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
     "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
     "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
-    "q69_agg_filter", "q70_group_by_all", "q71_lateral", "q74_semi_anti",
+    "q69_agg_filter", "q70_group_by_all", "q71_lateral",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2048,8 +2061,9 @@ _PRIORITY = [
     #     rotation, then the r9 greens, the r10 greens, and the r11
     #     greens (freshest, sampled last).
     # r8 tail (newest r8 first-rows — lead the r13 rotation; q75
-    # lent its slot to the late-r12 q90 first row)
-    "q75_pivot", "q76_unpivot", "q77_recursive_cte", "q04_left_join",
+    # lent its slot to the late-r12 q90 first row, q74 to llm77's)
+    "q74_semi_anti", "q75_pivot", "q76_unpivot", "q77_recursive_cte",
+    "q04_left_join",
     "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
@@ -3475,6 +3489,39 @@ def _oracle_sql_base() -> dict[str, str]:
               FROM events GROUP BY 2, 3)
             SELECT granularity_sec, bucket_start, event_type, n, v, mx
             FROM b""",
+        # llm77: the BM25 replay — same tokenizer, same Lucene idf,
+        # same association order in every float expression (the
+        # shared-literal recipe: (1.2 + 1) instead of 2.2 so both
+        # engines derive the constant identically), and the integer
+        # micro-score sum that makes addition order irrelevant
+        "llm77_bm25_scores": """
+            WITH t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9\\s]',
+                                        ' ', 'g'),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '')
+                         AS toks
+              FROM documents),
+            e AS (SELECT id, len(toks) AS dl, unnest(toks) AS term
+                  FROM t),
+            stats AS (SELECT count(*) AS n_docs,
+                             avg(len(toks)) AS avgdl FROM t),
+            tf AS (SELECT id, dl, term, count(*) AS tf FROM e
+                   WHERE term IN ('hash', 'join', 'merge')
+                   GROUP BY 1, 2, 3),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT id,
+                          CAST(round(
+                              ln((n_docs - df + 0.5)
+                                 / (df + 0.5) + 1)
+                              * ((tf * (1.2 + 1)) /
+                                 (tf + 1.2 * (1 - 0.75
+                                              + 0.75 * dl / avgdl)))
+                              * 1000000.0, 0) AS BIGINT) AS micro
+                   FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+            SELECT id, sum(micro) / 1000000.0 AS score
+            FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 100""",
         "llm19_top_terms_tfidf": """
             WITH t AS (
               SELECT doc_id AS id,

@@ -23,7 +23,7 @@ from .textstats import (
     corpus_stats, curation_report, decontaminate,
     gopher_quality, gopher_repetition, html_strip, lang_id,
     ngram_lm_fit, ngram_lm_perplexity, ngram_novelty, pii_redact,
-    quality_score, token_stats, fingerprint, top_terms_tfidf,
+    bm25_scores, quality_score, token_stats, fingerprint, top_terms_tfidf,
     vocab_stats,
 )
 from .unicode_norm import nfc_normalize
@@ -60,7 +60,7 @@ __all__ = [
     "gopher_repetition", "pii_redact",
     "quality_score", "token_stats", "fingerprint",
     "chunk_documents",
-    "top_terms_tfidf", "with_binary_column",
+    "bm25_scores", "top_terms_tfidf", "with_binary_column",
     "decode_metadata", "sample_frames", "resize_images", "extract_features",
     "md5_id_hash", "pack_sequences", "seeded_shuffle", "split_dataset",
     "stratified_sample",

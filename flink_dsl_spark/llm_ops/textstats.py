@@ -6,6 +6,8 @@ inside whole-stage codegen at any scale.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -395,6 +397,75 @@ def chunk_documents(df: DataFrame, text_col: str, id_col: str,
               .select("id", "chunk_no",
                       F.size("__toks").alias("n_tokens"),
                       F.concat_ws(" ", "__toks").alias("chunk_text")))
+
+
+def bm25_scores(df: DataFrame, text_col: str, id_col: str,
+                query_terms: list[str], k1: float = 1.2,
+                b: float = 0.75, k: int | None = None) -> DataFrame:
+    """Okapi BM25 relevance of every document to a bag of query
+    terms (Robertson & Walker 1994; the Lucene non-negative idf
+    variant): for each document containing at least one query term,
+
+        score = Σ_q  idf_q · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+        idf_q = ln((N − df_q + 0.5)/(df_q + 0.5) + 1)
+
+    with tf the term count in the doc, dl the doc token length,
+    avgdl the corpus mean, N the corpus size, df_q the query term's
+    document frequency.  The retrieval-side complement of
+    top_terms_tfidf (llm19): TF-IDF characterizes a document,
+    BM25 ranks documents for a query.  Query terms are normalized
+    with the same rules as document text; returns (id, score)
+    ordered (score desc, id), optionally cut to the top ``k``.
+
+    Cross-engine determinism: each per-(doc, term) score is
+    quantized to an integer micro-score round(score·1e6) BEFORE the
+    per-doc sum, so the sum is exact integer arithmetic and
+    ORDER-INDEPENDENT — engines may add partial sums in any order
+    and still agree bit-for-bit; the one ln() sits inside the
+    pre-quantization value where a last-ulp difference only matters
+    on a ~1e-10-probability rounding boundary (the llm19 round-6
+    recipe, one level earlier).  The final score is micro/1e6 — one
+    correctly-rounded division.
+
+    Scale shape: doc length rides the explode (no extra join), the
+    explode is FILTERED to query terms before the one
+    (id, term)-keyed aggregate — the shuffle carries only query-term
+    postings, never the corpus token stream; document frequencies
+    aggregate to ≤|Q| rows and broadcast back; corpus stats (N,
+    avgdl) are ONE broadcast 1-row aggregate; the k-cut lands as
+    TakeOrderedAndProject."""
+    qnorm = sorted({t for t in (
+        re.sub(r"\s+", " ",
+               re.sub(r"[^a-z0-9\s]", " ", q.lower())).strip()
+        for q in query_terms) if t and " " not in t})
+    if not qnorm:
+        raise ValueError("query_terms is empty after normalization "
+                         "(multi-word entries must be split)")
+    toks = F.filter(_ws_tokens(F.col(text_col)),
+                    lambda t: t != F.lit(""))
+    base = (spread_for_compute(df)
+            .select(F.col(id_col).alias("id"),
+                    F.size(toks).alias("dl"),
+                    F.explode(toks).alias("term")))
+    stats = F.broadcast(
+        df.select(F.size(toks).alias("__dl"))
+          .agg(F.count(F.lit(1)).alias("n_docs"),
+               F.avg("__dl").alias("avgdl")))
+    tf = (base.filter(F.col("term").isin(qnorm))
+              .groupBy("id", "dl", "term")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    dfq = F.broadcast(tf.groupBy("term")
+                        .agg(F.count(F.lit(1)).alias("df")))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1)
+    tnorm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    micro = F.round(idf * tnorm * 1_000_000.0, 0).cast("bigint")
+    out = (tf.join(dfq, "term").crossJoin(stats)
+             .groupBy("id")
+             .agg((F.sum(micro) / 1_000_000.0).alias("score"))
+             .orderBy(F.col("score").desc(), F.col("id")))
+    return out.limit(k) if k is not None else out
 
 
 def top_terms_tfidf(df: DataFrame, text_col: str, id_col: str,

@@ -303,6 +303,65 @@ def test_chunk_documents_matches_duckdb(docs, duck):
         "chunk_documents")
 
 
+def test_bm25_scores_matches_duckdb(docs, duck):
+    """r12 BM25 (Lucene idf variant): the per-(doc, term) score is
+    quantized to an integer micro-score BEFORE the per-doc sum, so
+    both engines sum exactly and order-independently; the ln sits
+    pre-quantization (the llm19 round recipe one level earlier)."""
+    from .conftest import assert_matches_oracle
+    out = L.bm25_scores(docs, "text", "doc_id",
+                        ["hash", "join", "merge"], k=100)
+    assert_matches_oracle(out, duck, """
+        WITH t AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split(trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9\\s]', ' ',
+                                    'g'),
+                     '\\s+', ' ', 'g')), ' '), x -> x <> '') AS toks
+          FROM documents),
+        e AS (SELECT id, len(toks) AS dl, unnest(toks) AS term FROM t),
+        stats AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl
+                  FROM t),
+        tf AS (SELECT id, dl, term, count(*) AS tf FROM e
+               WHERE term IN ('hash', 'join', 'merge')
+               GROUP BY 1, 2, 3),
+        dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        sc AS (SELECT id,
+                      CAST(round(
+                          ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+                          * ((tf * (1.2 + 1)) /
+                             (tf + 1.2 * (1 - 0.75
+                                          + 0.75 * dl / avgdl)))
+                          * 1000000.0, 0) AS BIGINT) AS micro
+               FROM tf JOIN dfq USING (term) CROSS JOIN stats)
+        SELECT id, sum(micro) / 1000000.0 AS score
+        FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 100""",
+        "bm25_scores")
+
+
+def test_bm25_scores_semantics(spark):
+    """More query-term mass scores higher; rarer terms out-weigh
+    common ones at equal tf; normalization folds case/punctuation;
+    an unusable query errors."""
+    rows = [(1, "alpha beta beta gamma"),
+            (2, "alpha alpha alpha delta"),
+            (3, "beta beta beta beta"),
+            (4, "delta delta epsilon")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["score"] for r in
+           L.bm25_scores(df, "text", "id", ["Alpha", "beta!"]).collect()}
+    assert set(got) == {1, 2, 3}          # doc 4 has no query term
+    assert got[1] > got[2]                # both terms beat one term
+    assert all(v > 0 for v in got.values())
+    top = L.bm25_scores(df, "text", "id", ["alpha"], k=1).collect()
+    assert top[0]["id"] == 2              # highest tf for the term
+    plan = (L.bm25_scores(df, "text", "id", ["alpha"], k=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="empty after normalization"):
+        L.bm25_scores(df, "text", "id", ["!!", "  "])
+
+
 def test_top_terms_tfidf_matches_duckdb(docs, duck):
     from .conftest import assert_matches_oracle
     out = L.top_terms_tfidf(docs, "text", "doc_id", k=5)

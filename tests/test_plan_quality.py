@@ -321,6 +321,12 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # Q22's scalar average-acctbal subquery (q16 pattern); the outer
     # anti-join and grouping shuffle on keys
     "q73_tpch_q22",
+    # BM25 (r12): the (n_docs, avgdl) corpus-stats aggregate is the
+    # canonical global scalar fold (q54 pattern) — partial_count/
+    # partial_avg run per task, the SinglePartition exchange carries
+    # ONE row per task, and the 1-row result broadcasts back; the
+    # scoring path itself shuffles on (id, term) postings only
+    "llm77_bm25_scores",
 }
 
 
