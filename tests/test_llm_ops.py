@@ -2620,6 +2620,95 @@ def test_priority_sample_duckdb_parity_fuzz(spark, weights, k, seed):
     assert got == [tuple(r) for r in exp]
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.tuples(
+            st.one_of(st.none(),
+                      st.floats(min_value=1e-9, max_value=1e9),
+                      st.floats(min_value=-5, max_value=0)),
+            st.integers(0, 3)),
+            min_size=1, max_size=50),
+       st.integers(1, 6),
+       st.integers(0, 9))
+def test_priority_sample_stratified_duckdb_parity_fuzz(
+        spark, wd, k, seed):
+    """r12 fuzz shape for the STRATIFIED cut (incl. the estimator):
+    any weight vector over random strata must select the same rows,
+    priorities AND w_est as DuckDB's per-stratum replay."""
+    import duckdb
+    rows = [(i, w, f"s{dm}") for i, (w, dm) in enumerate(wd)]
+    df = spark.createDataFrame(rows, "id long, w double, dom string")
+    got = [(r["dom"], r["id"], r["w"], r["samp_priority"], r["w_est"])
+           for r in L.priority_sample_stratified(
+               df, "id", "w", "dom", k=k, seed=seed,
+               id_hash=L.md5_id_hash, with_estimate=True).collect()]
+    con = duckdb.connect()
+    con.sql("create table t(id bigint, w double, dom varchar)")
+    con.executemany("insert into t values (?, ?, ?)", rows)
+    exp = con.sql(f"""
+        with p as (
+            select dom, id, w,
+                   (cast(cast(concat('0x', substr(md5(concat(
+                        cast(id as varchar), ':', '{seed}')), 1, 15))
+                        as bigint) + 1 as double)
+                    / 1152921504606846976.0) / w as samp_priority
+            from t where w is not null and w > 0),
+        r as (select *, row_number() over (partition by dom
+                  order by samp_priority, id) as rn from p),
+        x as (select *, max(case when rn = {k + 1} then samp_priority
+                            end) over (partition by dom) as tau
+              from r where rn <= {k + 1})
+        select dom, id, w, samp_priority,
+               case when tau is null then w
+                    else greatest(w, 1.0 / tau) end as w_est
+        from x where rn <= {k}
+        order by dom, samp_priority, id""").fetchall()
+    assert got == [tuple(r) for r in exp]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(
+            ["red", "blue", "green", "fast", "slow", "x9"]),
+            min_size=0, max_size=12).map(" ".join),
+            min_size=1, max_size=20),
+       st.lists(st.sampled_from(["red", "blue", "x9"]),
+                min_size=1, max_size=3, unique=True))
+def test_bm25_scores_python_replay_fuzz(spark, texts, qterms):
+    """r12 fuzz shape for BM25: random corpora and query bags vs a
+    pure-Python replay of the formula with the same micro-score
+    quantization — guards the tokenizer, the Lucene idf, the length
+    normalization and the exact integer sum together."""
+    import math
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["score"] for r in
+           L.bm25_scores(df, "text", "id", list(qterms)).collect()}
+    toks = {i: t.split() if t else [] for i, t in rows}
+    n = len(rows)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfq = {q: sum(1 for v in toks.values() if q in v) for q in qterms}
+    exp = {}
+    for i, v in toks.items():
+        micro = 0
+        hit = False
+        for q in qterms:
+            tf = v.count(q)
+            if not tf:
+                continue
+            hit = True
+            idf = math.log((n - dfq[q] + 0.5) / (dfq[q] + 0.5) + 1)
+            tn = (tf * (1.2 + 1)) / (
+                tf + 1.2 * (1 - 0.75 + 0.75 * len(v) / avgdl))
+            # round-half-up like Spark/DuckDB round(x, 0) for x >= 0
+            micro += math.floor(idf * tn * 1_000_000.0 + 0.5)
+        if hit:
+            exp[i] = micro / 1_000_000.0
+    assert got == exp, (texts, qterms)
+
+
 def test_cosine_topk_batch_equals_per_query(emb):
     """The batched form must return exactly each query's cosine_topk
     result (same rounding, same tie-break)."""
