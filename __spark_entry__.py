@@ -787,6 +787,12 @@ _SCRIPTS: dict[str, str] = {
         select /*+ priority_sample(doc_id, n_chars, 40) */
                doc_id, source, n_chars
         from documents where lang = 'en'""",
+    # sample hint (r12): deterministic Bernoulli subsample — the
+    # TABLESAMPLE shape done reproducibly (hash membership, not
+    # rand()); a pure per-row filter, zero shuffle, streaming-safe
+    "q91_sample_hint": """
+        select /*+ sample(doc_id, 150) */ doc_id, source, n_chars
+        from documents where lang = 'en'""",
     # stratified form (r12): the optional 4th hint column makes the
     # cut per-stratum — k weighted-sampled docs from EACH source of
     # the filtered corpus (WindowGroupLimit before the one exchange)
@@ -2039,21 +2045,21 @@ _PRIORITY = [
     "q29_count_sliding", "s04_stream_delta_window",
     # -- FIRST rows: new r12 surfaces, llm04 re-entry, touched family
     #    (q90 SET*/INSERT* landed late r12 and took q75_pivot's slot;
-    #    llm77 BM25 landed later still and took q74_semi_anti's —
-    #    both displaced keys join the r8 tail leading r13;
-    #    arithmetic 8+8+8+26 = 50) --
+    #    llm77 BM25 took q74_semi_anti's; q91 sample hint took
+    #    q71_lateral's — all displaced keys join the r8 tail leading
+    #    r13; arithmetic 8+8+9+25 = 50) --
     "q88_merge_multi", "s19_stream_expr_key_qualify",
     "llm76_priority_stratified", "q89_priority_stratified_hint",
     "llm04_dedup_simhash", "llm75_ann_topk_batch", "q90_merge_star",
-    "llm77_bm25_scores",
-    # -- 26 oldest r8 greens (ledger order) --
+    "llm77_bm25_scores", "q91_sample_hint",
+    # -- 25 oldest r8 greens (ledger order) --
     "q45_cap_hint", "q46_over_rank", "q47_over_running",
     "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
     "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
     "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
     "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
     "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
-    "q69_agg_filter", "q70_group_by_all", "q71_lateral",
+    "q69_agg_filter", "q70_group_by_all",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2061,9 +2067,10 @@ _PRIORITY = [
     #     rotation, then the r9 greens, the r10 greens, and the r11
     #     greens (freshest, sampled last).
     # r8 tail (newest r8 first-rows — lead the r13 rotation; q75
-    # lent its slot to the late-r12 q90 first row, q74 to llm77's)
-    "q74_semi_anti", "q75_pivot", "q76_unpivot", "q77_recursive_cte",
-    "q04_left_join",
+    # lent its slot to the late-r12 q90 first row, q74 to llm77's,
+    # q71 to q91's)
+    "q71_lateral", "q74_semi_anti", "q75_pivot", "q76_unpivot",
+    "q77_recursive_cte", "q04_left_join",
     "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
@@ -2603,6 +2610,14 @@ def _oracle_sql_base() -> dict[str, str]:
                   FROM f)
             SELECT doc_id, source, n_chars FROM p
             ORDER BY pri, doc_id LIMIT 40""",
+        # q91: the same 60-bit md5 membership rule the split/shuffle
+        # oracles use, below permille/1000
+        "q91_sample_hint": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE lang = 'en'
+              AND CAST(concat('0x', substr(md5(concat(
+                      CAST(doc_id AS VARCHAR), ':', '42')), 1, 15))
+                      AS BIGINT) % 1000 < 150""",
         # q89: q85's priority replayed per stratum over the filtered
         # rows — row_number over (source, pri, id), cut at k
         "q89_priority_stratified_hint": """

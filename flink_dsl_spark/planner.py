@@ -312,6 +312,15 @@ class Planner:
                         "positive_temperature)")
                 row_hints.append(("mixture_temperature", tuple(h.args)))
                 continue
+            if h.name == "sample":
+                if len(h.args) != 2 or not isinstance(h.args[0], str) \
+                        or isinstance(h.args[1], bool) \
+                        or not isinstance(h.args[1], int) \
+                        or not 1 <= h.args[1] <= 999:
+                    raise PlanError("sample hint takes (id_column, "
+                                    "permille between 1 and 999)")
+                row_hints.append(("sample", tuple(h.args)))
+                continue
             if h.name == "priority_sample":
                 if len(h.args) not in (3, 4) \
                         or not isinstance(h.args[0], str) \
@@ -334,7 +343,7 @@ class Planner:
                                 "'dom=w,...'), mixture_temperature("
                                 "domain, id, tokens, weights, T), "
                                 "priority_sample(id, weight, k"
-                                "[, stratum]))")
+                                "[, stratum]), sample(id, permille))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
@@ -376,6 +385,8 @@ class Planner:
                                               temperature=spec[4])
             elif kind == "priority_sample":
                 df = self._apply_priority_sample_hint(df, *spec)
+            elif kind == "sample":
+                df = self._apply_sample_hint(df, *spec)
             else:
                 df = self._apply_token_budget_hint(df, *spec)
 
@@ -1692,6 +1703,28 @@ class Planner:
         rank = "__cap_rank__"
         return (df.withColumn(rank, F.row_number().over(w))
                   .filter(F.col(rank) <= k).drop(rank))
+
+    def _apply_sample_hint(self, df: DataFrame, idcol: str,
+                           permille: int) -> DataFrame:
+        """sample(id, permille): deterministic Bernoulli subsample —
+        keep the rows whose seeded 60-bit md5 id hash lands below
+        permille/1000, the TABLESAMPLE shape done reproducibly (a
+        rand()-based sample is irreproducible across runs AND
+        engines; the hash cut is the same membership rule
+        split_dataset/domain_mixture already use, so the SAME rows
+        are kept on every engine, every run, every cluster size).
+
+        Like the other dialect cuts the hash and seed are fixed
+        (md5_id_hash, seed 42) which makes it value-oracle-able;
+        membership is independent of sibling rows, so the hint is a
+        PURE per-row filter: no shuffle, no state — and therefore
+        the one sampling hint that is STREAMING-SAFE.  Composes with
+        WHERE (samples the filtered rows) and with following
+        aggregates ("stats over a reproducible 5% of the corpus")."""
+        (idc,) = self._resolve_hint_cols(df, (idcol,), "sample")
+        from .llm_ops.assemble import md5_id_hash
+        return df.filter(
+            md5_id_hash(F.col(idc), 42) % 1000 < permille)
 
     def _apply_priority_sample_hint(self, df: DataFrame, idcol: str,
                                     wcol: str, k: int,

@@ -1132,6 +1132,68 @@ def test_priority_sample_hint_stratified_equals_python_api(engine):
     assert "SinglePartition" not in plan
 
 
+# ---------------------------------------------------------------------------
+# sample(id, permille) hint — deterministic Bernoulli subsample (r12)
+# ---------------------------------------------------------------------------
+
+def test_sample_hint_membership_and_composition(engine):
+    """/*+ sample(id, p) */ keeps exactly the rows whose seeded md5
+    hash lands below p/1000 (the split_dataset membership rule),
+    composes with WHERE, and keeps all columns."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash
+    import pyspark.sql.functions as F
+    got = engine.sql(
+        "select /*+ sample(doc_id, 200) */ doc_id, source "
+        "from documents where n_chars > 100")
+    want = (engine.catalog.get("documents")
+            .filter("n_chars > 100")
+            .filter(md5_id_hash(F.col("doc_id"), 42) % 1000 < 200))
+    assert {r["doc_id"] for r in got.collect()} == \
+        {r["doc_id"] for r in want.collect()}
+    assert got.columns == ["doc_id", "source"]
+    # ~20% of the corpus, reproducible: re-running yields the SAME set
+    again = {r["doc_id"] for r in engine.sql(
+        "select /*+ sample(doc_id, 200) */ doc_id, source "
+        "from documents where n_chars > 100").collect()}
+    assert again == {r["doc_id"] for r in got.collect()}
+    agg = engine.sql(
+        "select /*+ sample(doc_id, 500) */ count(*) as cnt "
+        "from documents").collect()[0]["cnt"]
+    n = engine.catalog.get("documents").count()
+    assert 0.35 * n < agg < 0.65 * n
+
+
+def test_sample_hint_no_shuffle_and_streaming_safe(engine, spark):
+    """Membership is per-row, so the plan has NO exchange — and the
+    hint is the one sampling cut that works on a stream."""
+    import os
+    import tempfile
+    df = engine.sql("select /*+ sample(doc_id, 100) */ doc_id "
+                    "from documents")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    eng = FsqlEngine(spark, streaming=True)
+    d = tempfile.mkdtemp(prefix="sample_stream_")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200) \
+         .write.mode("overwrite").parquet(os.path.join(d, "ev"))
+    eng.sql(f"create stream sev (event_id long, user_id long, "
+            f"event_type string, value double, ts timestamp) "
+            f"source file('{os.path.join(d, 'ev')}')")
+    out = eng.sql("select /*+ sample(event_id, 300) */ event_id "
+                  "from sev")
+    assert out.isStreaming
+
+
+def test_sample_hint_bad_args_error(engine):
+    for bad in ["sample(doc_id)", "sample(doc_id, 0)",
+                "sample(doc_id, 1000)", "sample(7, 100)"]:
+        with pytest.raises(PlanError, match="sample hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ sample(nope, 100) */ doc_id "
+                   "from documents")
+
+
 def test_priority_sample_hint_bad_args_error(engine):
     for bad in ["priority_sample(doc_id, n_chars)",
                 "priority_sample(doc_id, n_chars, 0)",
