@@ -2611,10 +2611,13 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM p
             ORDER BY pri, doc_id LIMIT 40""",
         # q91: the same 60-bit md5 membership rule the split/shuffle
-        # oracles use, below permille/1000
+        # oracles use — hash % 1000 < permille.  doc_id IS NOT NULL
+        # mirrors the engine: Spark's concat propagates a NULL id
+        # (hash NULL, row filtered) while DuckDB's concat SKIPS NULL
+        # args and would hash ':42' (the q85/q89 lesson)
         "q91_sample_hint": """
             SELECT doc_id, source, n_chars FROM documents
-            WHERE lang = 'en'
+            WHERE lang = 'en' AND doc_id IS NOT NULL
               AND CAST(concat('0x', substr(md5(concat(
                       CAST(doc_id AS VARCHAR), ':', '42')), 1, 15))
                       AS BIGINT) % 1000 < 150""",

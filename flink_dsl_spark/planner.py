@@ -1707,8 +1707,9 @@ class Planner:
     def _apply_sample_hint(self, df: DataFrame, idcol: str,
                            permille: int) -> DataFrame:
         """sample(id, permille): deterministic Bernoulli subsample —
-        keep the rows whose seeded 60-bit md5 id hash lands below
-        permille/1000, the TABLESAMPLE shape done reproducibly (a
+        keep the rows whose seeded 60-bit md5 id hash satisfies
+        ``hash % 1000 < permille`` (a residue cut, NOT a
+        top-of-range cut), the TABLESAMPLE shape done reproducibly (a
         rand()-based sample is irreproducible across runs AND
         engines; the hash cut is the same membership rule
         split_dataset/domain_mixture already use, so the SAME rows
@@ -1720,7 +1721,10 @@ class Planner:
         PURE per-row filter: no shuffle, no state — and therefore
         the one sampling hint that is STREAMING-SAFE.  Composes with
         WHERE (samples the filtered rows) and with following
-        aggregates ("stats over a reproducible 5% of the corpus")."""
+        aggregates ("stats over a reproducible 5% of the corpus").
+        NULL ids are never sampled (NULL hash → NULL comparison →
+        filtered; oracles must spell the exclusion explicitly since
+        DuckDB's concat skips NULL args instead of propagating)."""
         (idc,) = self._resolve_hint_cols(df, (idcol,), "sample")
         from .llm_ops.assemble import md5_id_hash
         return df.filter(

@@ -1174,11 +1174,11 @@ def test_sample_hint_no_shuffle_and_streaming_safe(engine, spark):
     assert "Exchange" not in plan
     eng = FsqlEngine(spark, streaming=True)
     d = tempfile.mkdtemp(prefix="sample_stream_")
-    spark.read.parquet(f"{SF_DIR}/events.parquet").limit(200) \
-         .write.mode("overwrite").parquet(os.path.join(d, "ev"))
+    src = os.path.join(d, "ev.parquet")
+    os.symlink(f"{SF_DIR}/events.parquet", src)
     eng.sql(f"create stream sev (event_id long, user_id long, "
             f"event_type string, value double, ts timestamp) "
-            f"source file('{os.path.join(d, 'ev')}')")
+            f"source file('{src}')")
     out = eng.sql("select /*+ sample(event_id, 300) */ event_id "
                   "from sev")
     assert out.isStreaming
