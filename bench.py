@@ -85,6 +85,8 @@ def main():
     from flink_dsl_spark.testdata_sentinel import assert_testdata
     assert_testdata(SF_DIR)
 
+    loadavg_start = _read_loadavg()
+
     import __spark_entry__ as entrymod
     from flink_dsl_spark import get_session
 
@@ -213,6 +215,13 @@ def main():
             v for k, v in steady.items() if k not in _ADDED_R5), 3),
         "compile_phases_ms": phases,
         "sf": sf,
+        # ambient-load self-adjudication (r12 verdict item 4): the VM
+        # hosts other tenants whose load spikes have repeatedly
+        # contaminated figures — a regressed-looking number with a
+        # high loadavg here is ambient, not a plan change.  "start"
+        # is read before the JVM spins up (pre-existing load);
+        # "end" right before printing includes our own run.
+        "loadavg": {"start": loadavg_start, "end": _read_loadavg()},
     }
     prev = _prev_round_queries()
     if prev:
@@ -221,6 +230,15 @@ def main():
             if k in prev}
         out["prev_round_total"] = round(sum(prev.values()), 3)
     print(json.dumps(out))
+
+
+def _read_loadavg() -> list | None:
+    """1/5/15-minute system load from /proc/loadavg (None off-Linux)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
 
 
 def _prev_round_queries() -> dict | None:

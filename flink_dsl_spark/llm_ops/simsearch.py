@@ -299,6 +299,37 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
             .select(F.col(id_col).alias("id"), *cols))
 
 
+def _qkey(v) -> str:
+    """Membership key mirroring Spark isin's numeric coercion: an
+    integral numeric (int, 1.0, Decimal('1')) canonicalizes to the
+    plain int spelling, other numerics to repr(float), everything
+    else to str — so a float query id 1.0 matches an int id column
+    value 1 the same way isin matched it, instead of '1.0' != '1'."""
+    if isinstance(v, bool):
+        return str(v)
+    if isinstance(v, int):
+        return str(v)      # exact — never route ints through float
+    if isinstance(v, float) or type(v).__name__ == "Decimal":
+        try:
+            f = float(v)
+        except (ValueError, OverflowError):
+            return str(v)
+        if f != f or f in (float("inf"), float("-inf")):
+            return repr(f)
+        if f == int(f) and abs(f) < 2 ** 53:
+            return str(int(f))
+        return repr(f)
+    if isinstance(v, str):
+        # a numeric-looking string id compares under the same
+        # coercion (isin casts the string column to double when the
+        # probe is numeric, so '1.0' matched a query id 1.0)
+        try:
+            return _qkey(float(v))
+        except ValueError:
+            return v
+    return str(v)
+
+
 def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
                       query_ids: list, k: int = 10) -> DataFrame:
     """Exact top-k by cosine for a BATCH of query ids in ONE corpus
@@ -330,6 +361,11 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     if len(query_ids) > 10_000:
         raise ValueError("query_ids is broadcast plan-side — pass at "
                          "most 10k ids (use lsh/ivf for larger sets)")
+    if df.isStreaming:
+        raise ValueError("cosine_topk_batch is batch-only: the query "
+                         "rows are collected EAGERLY at call time "
+                         "(one bounded corpus scan) — a stream cannot "
+                         "be collected; snapshot it to a table first")
     qdf = (df.filter(F.col(id_col).isin(list(query_ids)))
              .select(F.col(id_col).alias("qid"),
                      F.col(vec_col).alias("__qv")))
@@ -337,15 +373,19 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     # smaller result set (it never joins) — fail loudly instead.  The
     # query rows are collected ONCE (bounded: <=10k rows post-filter)
     # and re-shipped as a local relation, so the corpus is still
-    # scanned exactly once per side: this scan moves to call time
-    # instead of re-running inside the returned plan.  Membership
-    # compares STRINGIFIED ids because Spark's isin coerces types
-    # (int 1 matches a string id column '1') and a raw set difference
-    # would spuriously reject those matches.
+    # scanned exactly once per side: NOTE the function is therefore
+    # EAGER — the query-side scan runs at call time (and snapshots
+    # the query vectors), not inside the returned lazy plan.
+    # Membership compares ids under the SAME numeric coercion isin
+    # applies (int 1 matches a string id column '1' AND a float query
+    # id 1.0): _qkey canonicalizes integral numerics to the int
+    # spelling so a requested 1.0 is not spuriously reported missing
+    # against an int id column, while non-numeric ids compare as raw
+    # strings.
     qrows = qdf.collect()
-    found = {str(r["qid"]) for r in qrows}
-    missing = sorted(str(i) for i in set(query_ids)
-                     if str(i) not in found)
+    found = {_qkey(r["qid"]) for r in qrows}
+    missing = sorted(_qkey(i) for i in set(query_ids)
+                     if _qkey(i) not in found)
     if missing:
         raise ValueError(
             f"query id(s) not present in the corpus: "

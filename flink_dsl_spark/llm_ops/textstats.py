@@ -431,9 +431,14 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     explode is FILTERED to query terms before the one
     (id, term)-keyed aggregate — the shuffle carries only query-term
     postings, never the corpus token stream; document frequencies
-    aggregate to ≤|Q| rows and broadcast back; corpus stats (N,
-    avgdl) are ONE broadcast 1-row aggregate; the k-cut lands as
-    TakeOrderedAndProject."""
+    come from a COUNT() OVER (PARTITION BY term) window on that same
+    aggregated postings relation, so the explode subtree evaluates
+    exactly once (a groupBy-then-join-back would re-run the corpus
+    explode for the df side — the r12 verdict's 3-scans finding);
+    the window's exchange carries only the bounded postings (≤ |Q|
+    terms × matching docs), never the corpus; corpus stats (N,
+    avgdl) are ONE broadcast 1-row aggregate (the second and last
+    corpus scan); the k-cut lands as TakeOrderedAndProject."""
     qnorm = sorted({t for t in (
         re.sub(r"\s+", " ",
                re.sub(r"[^a-z0-9\s]", " ", q.lower())).strip()
@@ -451,20 +456,25 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
         df.select(F.size(toks).alias("__dl"))
           .agg(F.count(F.lit(1)).alias("n_docs"),
                F.avg("__dl").alias("avgdl")))
+    from pyspark.sql import Window
+
     tf = (base.filter(F.col("term").isin(qnorm))
               .groupBy("id", "dl", "term")
               .agg(F.count(F.lit(1)).alias("tf")))
-    dfq = F.broadcast(tf.groupBy("term")
-                        .agg(F.count(F.lit(1)).alias("df")))
+    # df_q = number of tf rows per term (tf is one row per (doc,
+    # term)) — computed as a window on tf itself so the corpus
+    # explode is not re-evaluated for a separate df aggregate
+    posting = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term")))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1)
     tnorm = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     micro = F.round(idf * tnorm * 1_000_000.0, 0).cast("bigint")
-    out = (tf.join(dfq, "term").crossJoin(stats)
-             .groupBy("id")
-             .agg((F.sum(micro) / 1_000_000.0).alias("score"))
-             .orderBy(F.col("score").desc(), F.col("id")))
+    out = (posting.crossJoin(stats)
+                  .groupBy("id")
+                  .agg((F.sum(micro) / 1_000_000.0).alias("score"))
+                  .orderBy(F.col("score").desc(), F.col("id")))
     return out.limit(k) if k is not None else out
 
 

@@ -277,6 +277,7 @@ class Planner:
             if h.name == "cap":
                 if len(h.args) != 3 or not isinstance(h.args[0], str) \
                         or not isinstance(h.args[1], str) \
+                        or isinstance(h.args[2], bool) \
                         or not isinstance(h.args[2], int) or h.args[2] < 1:
                     raise PlanError("cap hint takes (group_column, "
                                     "id_column, positive_int_k)")
@@ -286,6 +287,7 @@ class Planner:
             if h.name == "token_budget":
                 if len(h.args) != 3 or not isinstance(h.args[0], str) \
                         or not isinstance(h.args[1], str) \
+                        or isinstance(h.args[2], bool) \
                         or not isinstance(h.args[2], int) or h.args[2] < 1:
                     raise PlanError("token_budget hint takes (id_column, "
                                     "tokens_column, positive_int_budget)")
@@ -325,6 +327,7 @@ class Planner:
                 if len(h.args) not in (3, 4) \
                         or not isinstance(h.args[0], str) \
                         or not isinstance(h.args[1], str) \
+                        or isinstance(h.args[2], bool) \
                         or not isinstance(h.args[2], int) \
                         or h.args[2] < 1 \
                         or (len(h.args) == 4
@@ -345,6 +348,7 @@ class Planner:
                                 "priority_sample(id, weight, k"
                                 "[, stratum]), sample(id, permille))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
+                    or isinstance(h.args[1], bool) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
                 raise PlanError(
                     "salt hint takes (key_column, positive_int_factor)")
@@ -1782,6 +1786,8 @@ class Planner:
         (sc,) = self._resolve_hint_cols(df, (stratcol,),
                                         "priority_sample")
         rn = pri + "_rn"
+        while rn in df.columns:
+            rn += "_"
         win = Window.partitionBy(sc).orderBy(pri, F.col(idc))
         return (base.withColumn(rn, F.row_number().over(win))
                     .filter(F.col(rn) <= k).drop(pri, rn))

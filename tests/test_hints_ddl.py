@@ -1207,6 +1207,48 @@ def test_priority_sample_hint_bad_args_error(engine):
                    "doc_id from documents")
 
 
+def test_hint_int_args_reject_bool_ast(engine):
+    """isinstance(True, int) is True — a programmatically-built Hint
+    carrying a Python bool where a positive int belongs must NOT
+    silently plan as k=1 / permille=1 (r12 ADVICE: the sample hint
+    had the guard, priority_sample/cap/token_budget/salt did not)."""
+    from flink_dsl_spark.parser import parse
+    cases = [
+        ("select /*+ priority_sample(doc_id, n_chars, 5) */ doc_id "
+         "from documents", 2, "priority_sample hint takes"),
+        ("select /*+ cap(source, doc_id, 5) */ doc_id "
+         "from documents", 2, "cap hint takes"),
+        ("select /*+ token_budget(doc_id, n_chars, 500) */ doc_id "
+         "from documents", 2, "token_budget hint takes"),
+        ("select /*+ sample(doc_id, 100) */ doc_id "
+         "from documents", 1, "sample hint takes"),
+        ("select /*+ salt(doc_id, 4) */ doc_id "
+         "from documents", 1, "salt hint takes"),
+    ]
+    for text, pos, msg in cases:
+        stmt = parse(text)
+        stmt.hints[0].args[pos] = True
+        with pytest.raises(PlanError, match=msg):
+            engine._run(stmt, None)
+
+
+def test_priority_stratified_hint_survives_colliding_rn_column(
+        engine, spark):
+    """The stratified path's row-number bookkeeping column must also
+    dodge a same-named user column (r12 ADVICE: pri was guarded,
+    pri + '_rn' was not — withColumn silently replaces)."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(i, float(i + 1), f"s{i % 3}", f"v{i}") for i in range(60)],
+        "id long, w double, g string, __ps_pri_rn string")
+    eng.register("t", df)
+    got = eng.sql("select /*+ priority_sample(id, w, 4, g) */ "
+                  "id, g, __ps_pri_rn from t")
+    rows = got.collect()
+    assert len(rows) == 12                      # 4 per stratum x 3
+    assert all(r["__ps_pri_rn"] == f"v{r['id']}" for r in rows)
+
+
 def test_priority_sample_hint_rejected_on_sqlgen_path(engine):
     with pytest.raises(PlanError, match="subqueries"):
         engine.sql(

@@ -358,6 +358,11 @@ def test_bm25_scores_semantics(spark):
     plan = (L.bm25_scores(df, "text", "id", ["alpha"], k=1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+    # r12-verdict fix: document frequency comes from a window over
+    # the aggregated postings, NOT a groupBy-then-join-back that
+    # re-evaluates the corpus explode — exactly ONE Generate
+    # (explode) subtree may appear in the executed plan
+    assert plan.count("Generate") == 1, plan
     with pytest.raises(ValueError, match="empty after normalization"):
         L.bm25_scores(df, "text", "id", ["!!", "  "])
 
@@ -2744,6 +2749,36 @@ def test_cosine_topk_batch_coerced_id_types(emb, spark):
     out = L.cosine_topk_batch(semb, "embedding", "sid", [0, 1], k=3)
     got = {r["qid"] for r in out.collect()}
     assert got == {"0", "1"}
+
+
+def test_cosine_topk_batch_float_query_id_not_spuriously_missing(emb):
+    """r12 ADVICE: a float query id 1.0 against an int id column isin
+    -matches (numeric coercion), but str(1.0)='1.0' != str(1) made
+    the missing-id check raise spuriously — the normalized key must
+    agree with isin's coercion."""
+    out = L.cosine_topk_batch(emb, "embedding", "vec_id",
+                              [0.0, 1.0], k=3)
+    assert {r["qid"] for r in out.collect()} == {0, 1}
+    # and a genuinely absent float id still fails loudly
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(emb, "embedding", "vec_id",
+                            [0.0, 123456789.0], k=3)
+
+
+def test_cosine_topk_batch_rejects_stream(spark, tmp_path):
+    """r12 ADVICE: the function collects the query rows eagerly at
+    call time — a streaming DataFrame must be rejected with a clear
+    error, not die inside .collect()."""
+    import os
+    src = str(tmp_path / "emb")
+    os.makedirs(src, exist_ok=True)
+    os.symlink(f"{SF_DIR}/embeddings.parquet",
+               os.path.join(src, "e.parquet"))
+    sdf = (spark.readStream
+                .schema(spark.read.parquet(src).schema)
+                .parquet(src))
+    with pytest.raises(ValueError, match="batch-only"):
+        L.cosine_topk_batch(sdf, "embedding", "vec_id", [0], k=3)
 
 
 def test_cosine_topk_batch_plan_group_limit(emb):
