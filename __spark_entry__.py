@@ -800,6 +800,17 @@ _SCRIPTS: dict[str, str] = {
         select /*+ priority_sample(doc_id, n_chars, 10, source) */
                doc_id, source, n_chars
         from documents where lang = 'en'""",
+    # bm25 hint (r13): Okapi BM25 retrieval reachable from the dialect
+    # — keep the top-k docs for the query bag with ALL their columns
+    # plus the appended bm25_score; applies AFTER the WHERE filter, so
+    # corpus statistics (N, avgdl, df) are computed over the FILTERED
+    # corpus (this row proves that composition); the integer
+    # micro-score quantization (textstats.bm25_scores) makes the
+    # score bit-exact across engines
+    "q92_bm25_hint": """
+        select /*+ bm25(text, doc_id, 'data stream window', 40) */
+               doc_id, source, n_chars, bm25_score
+        from documents where lang = 'en'""",
     # mixture_temperature hint (r11): explicit priors from a weights
     # relation, temperature-flattened w' = w^(1/T) at plan time before
     # the same rate algebra.  T=2 = sqrt, correctly rounded by
@@ -1925,6 +1936,36 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             from ev_s19 qualify rn <= 7""")
         return _run_stream(spark, out, "append")
 
+    def s20(spark, d):
+        # sample hint composed on a STREAM with running OVER + QUALIFY
+        # (r13, VERDICT r12 item 7): the sample hint is the one
+        # sampling cut that is streaming-safe (pure per-row
+        # hash-residue filter, no shuffle, no state), so it composes
+        # with the stateful running_agg pass — the window functions
+        # see ONLY the sampled rows (rn counts kept rows, the running
+        # sum accumulates them), and QUALIFY cuts on the post-pass
+        # rank.  Determinism: membership is a pure function of
+        # event_id (md5, seed 42), and the same single-ordered-batch
+        # + unique (ts, event_id) premise as s11 makes every running
+        # value deterministic — the batch replay oracle (filter, then
+        # window) applies verbatim; both sides round the clean-2dp
+        # running sum like s11.
+        eng = _engine(spark, d)
+        eng.register_stream_parquet("ev_s20", f"{d}/events.parquet")
+        out = eng.sql("""
+            select /*+ sample(event_id, 300) */ user_id, event_id,
+                   row_number() over (partition by user_id
+                       order by ts, event_id) as rn,
+                   sum(value) over (partition by user_id
+                       order by ts, event_id
+                       rows between unbounded preceding and current row)
+                       as run_amt
+            from ev_s20 qualify rn <= 6""")
+        df = _run_stream(spark, out, "append")
+        from pyspark.sql import functions as F
+        return df.select("user_id", "event_id", "rn",
+                         F.round("run_amt", 2).alias("run_amt"))
+
     return {"s01_stream_time_window": s01,
             "s02_stream_count_window": s02,
             "s03_stream_windowed_join": s03,
@@ -1943,7 +1984,8 @@ def _stream_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "s16_stream_ranking": s16,
             "s17_stream_rank_ties": s17,
             "s18_stream_ignore_nulls": s18,
-            "s19_stream_expr_key_qualify": s19}
+            "s19_stream_expr_key_qualify": s19,
+            "s20_stream_sample_over": s20}
 
 
 # ---------------------------------------------------------------------------
@@ -2013,69 +2055,51 @@ _PRIORITY = [
     # The driver samples the FIRST 50 keys below for CORRECTNESS rows
     # each round.  Window composition and full rotation history live
     # in COVERAGE.md ("Driver-window rotation ledger") — this list
-    # stays a registry.  Round-12 window (VERDICT r11 items 1, 3-5;
-    # arithmetic 8+8+6+28 = 50):
-    # regression core 8; the eight r7 leaders the r11 ledger named
-    # (llm26, llm27, llm30, llm31, q17d, llm02, q29, s04 — each lent
-    # its r11 slot, judge-confirmed as exactly the keys whose newest
-    # driver green was r7); FIRST rows for the FOUR new r12 surfaces
-    # (q88 multi-clause MERGE ladder, s19 streaming QUALIFY +
-    # expression-key OVER, llm76 stratified priority sampling, q89
-    # its hint form) plus llm04's driver RE-ENTRY (VERDICT r11 item
-    # 3: no rows-only key has ever executed driver-side since the r1
-    # nanos-config errors — rows+schema are driver-checkable, no
-    # value hash by design) and llm75 as the fresh row for the
-    # r12-touched batched-ANN family (missing-id validation + local
-    # -relation broadcast rewrite; second-consecutive-sample rule).
-    # The other r12-touched families get their fresh rows from the
-    # new surfaces themselves: q88 covers the MERGE planner rewrite
-    # (q86/q87 re-rehearsed green post-rewrite, ledgered), llm76/q89
-    # cover the priority-sampling NULL-id fix (llm73/q85 likewise
-    # re-rehearsed).  Then the 28 OLDEST r8 greens in ledger order;
-    # the 14-key r8 tail (q76, q77, q04, q14, s08-s10, llm36-llm40,
-    # q78, q79) waits below the fold and leads the r13 rotation.
+    # stays a registry.  NOTE on rows-only keys: a key with no
+    # oracle_sql() entry produces a driver row with rows_match /
+    # schema_match NULL ("no_oracle") — the driver skips ALL
+    # comparison, so its row proves only that the config EXECUTES
+    # driver-side without error (run-only evidence, r12 verdict item
+    # 5).  The one-per-round rows-only re-entry below buys exactly
+    # that, nothing stronger — do not report such rows as verified.
+    # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
+    # 8+17+1+2+2+20 = 50):
+    # regression core 8; the 17-key r8 tail the r12 ledger named as
+    # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
+    # the late q91/llm77/q90 first rows); the llm07 rows-only
+    # RE-ENTRY (next in registry order after llm04's r12 row — the
+    # one-per-round cadence); FIRST rows for the TWO new r13
+    # surfaces (q92 bm25 hint — also the fresh row for the
+    # r13-touched bm25_scores/textstats code via the new-surface
+    # carve-out, r11/r12 precedent, llm77 lends its slot; s20 the
+    # streaming sample-hint x running-OVER x QUALIFY composition —
+    # VERDICT item 7, taking llm48's slot per the new-surfaces-
+    # displace-the-r9-tail rule); fresh rows for the
+    # two other r13-touched families (q89: the stratified hint's
+    # rn-collision guard; llm75: cosine_topk_batch's streaming guard
+    # + coercion-normalized missing-id check — both keep their slots
+    # under the touched-code exception to the second-consecutive-
+    # sample rule); then the 20 OLDEST r9 greens in ledger order —
+    # the r9 tail (llm48 first, then llm49..llm71) waits below the
+    # fold and leads the r14 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- the eight r7 leaders (stalest value-oracled keys) --
-    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
-    "llm30_shuffle_key_verified", "llm31_stratified_verified",
-    "q17d_intersect", "llm02_dedup_ngram_jaccard",
-    "q29_count_sliding", "s04_stream_delta_window",
-    # -- FIRST rows: new r12 surfaces, llm04 re-entry, touched family
-    #    (q90 SET*/INSERT* landed late r12 and took q75_pivot's slot;
-    #    llm77 BM25 took q74_semi_anti's; q91 sample hint took
-    #    q71_lateral's — all displaced keys join the r8 tail leading
-    #    r13; arithmetic 8+8+9+25 = 50) --
-    "q88_merge_multi", "s19_stream_expr_key_qualify",
-    "llm76_priority_stratified", "q89_priority_stratified_hint",
-    "llm04_dedup_simhash", "llm75_ann_topk_batch", "q90_merge_star",
-    "llm77_bm25_scores", "q91_sample_hint",
-    # -- 25 oldest r8 greens (ledger order) --
-    "q45_cap_hint", "q46_over_rank", "q47_over_running",
-    "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
-    "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
-    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
-    "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
-    "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
-    "q69_agg_filter", "q70_group_by_all",
-    # --- fold: entries below are outside the 50-entry prefix sample;
-    #     all stay value-checked by the per-session pytest oracle
-    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: the 14-key r8 tail leads the r13
-    #     rotation, then the r9 greens, the r10 greens, and the r11
-    #     greens (freshest, sampled last).
-    # r8 tail (newest r8 first-rows — lead the r13 rotation; q75
-    # lent its slot to the late-r12 q90 first row, q74 to llm77's,
-    # q71 to q91's)
+    # -- the 17-key r8 tail (stalest value-oracled keys) --
     "q71_lateral", "q74_semi_anti", "q75_pivot", "q76_unpivot",
     "q77_recursive_cte", "q04_left_join",
     "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
     "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
     "llm38_features_verified", "llm39_pipeline_verified",
     "llm40_decontaminate", "q78_distinct_on", "q79_ilike",
-    # r9 greens
+    # -- rows-only re-entry (run-only driver evidence, see note) --
+    "llm07_ann_lsh",
+    # -- FIRST rows: new r13 surfaces --
+    "q92_bm25_hint", "s20_stream_sample_over",
+    # -- fresh rows for the r13-touched families --
+    "q89_priority_stratified_hint", "llm75_ann_topk_batch",
+    # -- 20 oldest r9 greens (ledger order) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
@@ -2083,7 +2107,16 @@ _PRIORITY = [
     "q67_tpch_q15", "q73_tpch_q22",
     "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
     "llm45_domain_mixture", "llm46_corpus_stats",
-    "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    "llm47_cross_dedup_pairs",
+    # --- fold: entries below are outside the 50-entry prefix sample;
+    #     all stay value-checked by the per-session pytest oracle
+    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
+    #     Ordered by next-staleness: the 17-key r9 tail leads the
+    #     r14 rotation, then the r10 greens, the r11 greens, and the
+    #     r12 greens (freshest, sampled last).
+    # r9 tail (oldest driver evidence below the fold — leads r14;
+    # llm48 lent its slot to the late-r13 s20 first row)
+    "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
@@ -2108,7 +2141,7 @@ _PRIORITY = [
     "s13_stream_lag", "q81_mixture_hint", "s14_stream_first_last",
     "q82_mixture_table_hint", "s15_stream_nth_value",
     "q80_token_budget_hint", "llm44_token_budget",
-    # r11 greens displaced by this rotation (freshest driver evidence)
+    # r11 greens
     "s16_stream_ranking", "s17_stream_rank_ties", "q83_ignore_nulls",
     "q84_mixture_temperature_hint", "s18_stream_ignore_nulls",
     "llm73_priority_sample", "q85_priority_sample_hint",
@@ -2127,6 +2160,24 @@ _PRIORITY = [
     "llm28_simhash_verified_pairs", "llm29_split_verified",
     "llm32_gopher_quality", "llm33_c4_line_filter", "llm34_pii_redact",
     "llm35_dedup_survivors",
+    # r12 greens displaced by this rotation (freshest driver
+    # evidence, sampled last): the eight r7-leader refreshes, the
+    # r12 first rows (less q89/llm75, in-window above for touched
+    # code; llm04's run-only row), and the 25 r8 rotate-backs
+    "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
+    "llm30_shuffle_key_verified", "llm31_stratified_verified",
+    "q17d_intersect", "llm02_dedup_ngram_jaccard",
+    "q29_count_sliding", "s04_stream_delta_window",
+    "q88_merge_multi", "s19_stream_expr_key_qualify",
+    "llm76_priority_stratified", "llm04_dedup_simhash",
+    "q90_merge_star", "llm77_bm25_scores", "q91_sample_hint",
+    "q45_cap_hint", "q46_over_rank", "q47_over_running",
+    "q48_over_groupagg", "q49_qualify", "q50_cte", "q51_cube", "q52_cast",
+    "q43_bucketed_agg", "q44_insert_forms", "llm62_bpe_encode",
+    "q53_tpch_q1", "q54_tpch_q6", "q55_tpch_q4", "q56_array",
+    "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
+    "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
+    "q69_agg_filter", "q70_group_by_all",
 ]
 
 
@@ -2435,6 +2486,31 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, event_id, CAST(rn AS INT) AS rn,
                CAST(rnk AS INT) AS rnk
         FROM w WHERE rn <= 7"""
+    # s20: the sample hint's hash-residue membership (the q91 rule,
+    # incl. the explicit NULL-id exclusion DuckDB's concat needs)
+    # REPLAYED BEFORE the batch cumulative window — the streaming
+    # side filters per-row before its one stateful pass, so the
+    # composition is exactly filter-then-window (same
+    # single-ordered-batch premise as s11; rounded 2dp sums both
+    # sides)
+    o["s20_stream_sample_over"] = """
+        WITH f AS (SELECT user_id, event_id, value, ts FROM events
+                   WHERE event_id IS NOT NULL
+                     AND CAST(concat('0x', substr(md5(concat(
+                         CAST(event_id AS VARCHAR), ':', '42')),
+                         1, 15)) AS BIGINT) % 1000 < 300),
+        w AS (SELECT user_id, event_id,
+                     row_number() OVER win AS rn,
+                     sum(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS run_amt
+              FROM f
+              WINDOW win AS (PARTITION BY user_id
+                             ORDER BY ts, event_id))
+        SELECT user_id, event_id, CAST(rn AS INT) AS rn,
+               round(run_amt, 2) AS run_amt
+        FROM w WHERE rn <= 6"""
     # best-k-per-source composes the ALREADY-oracled llm10 quality
     # frame (the llm58 CTE pattern) under an explicit deterministic
     # (quality desc, id) row_number cut
@@ -2638,6 +2714,45 @@ def _oracle_sql_base() -> dict[str, str]:
                       ORDER BY pri, doc_id) AS rn
                   FROM p)
             SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""",
+        # q92: the llm77 BM25 replay over the FILTERED corpus (the
+        # hint applies after WHERE, so N/avgdl/df come from the
+        # lang='en' subset), top-40 joined back to the doc rows —
+        # same tokenizer, same Lucene idf, same shared-literal
+        # association order, same integer micro-score sum
+        "q92_bm25_hint": """
+            WITH d0 AS (SELECT doc_id, source, n_chars, text
+                        FROM documents WHERE lang = 'en'),
+            t AS (
+              SELECT doc_id AS id,
+                     list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9\\s]',
+                                        ' ', 'g'),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '')
+                         AS toks
+              FROM d0),
+            e AS (SELECT id, len(toks) AS dl, unnest(toks) AS term
+                  FROM t),
+            stats AS (SELECT count(*) AS n_docs,
+                             avg(len(toks)) AS avgdl FROM t),
+            tf AS (SELECT id, dl, term, count(*) AS tf FROM e
+                   WHERE term IN ('data', 'stream', 'window')
+                   GROUP BY 1, 2, 3),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT id,
+                          CAST(round(
+                              ln((n_docs - df + 0.5)
+                                 / (df + 0.5) + 1)
+                              * ((tf * (1.2 + 1)) /
+                                 (tf + 1.2 * (1 - 0.75
+                                              + 0.75 * dl / avgdl)))
+                              * 1000000.0, 0) AS BIGINT) AS micro
+                   FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+            topk AS (SELECT id, sum(micro) / 1000000.0 AS score
+                     FROM sc GROUP BY id
+                     ORDER BY score DESC, id LIMIT 40)
+            SELECT d0.doc_id, d0.source, d0.n_chars,
+                   topk.score AS bm25_score
+            FROM d0 JOIN topk ON d0.doc_id = topk.id""",
         # q84: q81's algebra with the weights temperature-flattened —
         # the oracle COMPUTES sqrt(w) like the engine does (every
         # root is non-representable, so a literal-weight shortcut

@@ -323,6 +323,18 @@ class Planner:
                                     "permille between 1 and 999)")
                 row_hints.append(("sample", tuple(h.args)))
                 continue
+            if h.name == "bm25":
+                if len(h.args) != 4 or not isinstance(h.args[0], str) \
+                        or not isinstance(h.args[1], str) \
+                        or not isinstance(h.args[2], str) \
+                        or isinstance(h.args[3], bool) \
+                        or not isinstance(h.args[3], int) \
+                        or h.args[3] < 1:
+                    raise PlanError("bm25 hint takes (text_column, "
+                                    "id_column, 'term term ...', "
+                                    "positive_int_k)")
+                row_hints.append(("bm25", tuple(h.args)))
+                continue
             if h.name == "priority_sample":
                 if len(h.args) not in (3, 4) \
                         or not isinstance(h.args[0], str) \
@@ -346,7 +358,8 @@ class Planner:
                                 "'dom=w,...'), mixture_temperature("
                                 "domain, id, tokens, weights, T), "
                                 "priority_sample(id, weight, k"
-                                "[, stratum]), sample(id, permille))")
+                                "[, stratum]), sample(id, permille), "
+                                "bm25(text, id, 'terms', k))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or isinstance(h.args[1], bool) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
@@ -391,6 +404,8 @@ class Planner:
                 df = self._apply_priority_sample_hint(df, *spec)
             elif kind == "sample":
                 df = self._apply_sample_hint(df, *spec)
+            elif kind == "bm25":
+                df = self._apply_bm25_hint(df, *spec)
             else:
                 df = self._apply_token_budget_hint(df, *spec)
 
@@ -678,6 +693,13 @@ class Planner:
             for c in leaf_cols:
                 cols.append(F.col(f"{leaf.binding}.{c}"))
                 names.append(c)
+        # the bm25 row hint appends a score column that belongs to no
+        # relation leaf — an unqualified * includes it (last, like the
+        # join that added it); a qualified t.* stays leaf-only
+        if star.qualifier is None and any(
+                getattr(h, "name", None) == "bm25" for h in sel.hints):
+            cols.append(F.col("bm25_score"))
+            names.append("bm25_score")
         return cols, names
 
     # --- aggregate path ---
@@ -1733,6 +1755,59 @@ class Planner:
         from .llm_ops.assemble import md5_id_hash
         return df.filter(
             md5_id_hash(F.col(idc), 42) % 1000 < permille)
+
+    def _apply_bm25_hint(self, df: DataFrame, textcol: str,
+                         idcol: str, terms: str, k: int) -> DataFrame:
+        """bm25(text, id, 'term term ...', k): keep the input rows of
+        the k documents scoring highest by Okapi BM25 for the query
+        bag, with the score appended as a ``bm25_score`` column — the
+        declarative form of llm_ops.textstats.bm25_scores ("retrieve
+        the top-k docs for this query, with all their columns"),
+        keeping ALL columns of the select's input rows plus the
+        score.  Query terms are whitespace-separated inside the one
+        quoted argument and normalized with the document tokenizer's
+        rules; ties break by ascending id (bm25_scores' premise), so
+        the kept row set is deterministic and value-oracle-able —
+        the per-(doc, term) micro-score quantization makes the score
+        itself bit-exact across engines (textstats.bm25_scores
+        docstring).
+
+        Like the other row hints it applies AFTER the WHERE filter,
+        in written hint order, so it composes ("score only the
+        gopher-clean docs", "cap per source then retrieve").
+
+        Scale shape: the scoring subtree is bm25_scores' (explode
+        filtered to query-term postings before the one keyed agg +
+        a 1-row broadcast stats aggregate + TakeOrderedAndProject);
+        the k-cut makes the score relation <= k rows, which
+        BROADCASTS back onto the input — one broadcast hash join, the
+        corpus is never shuffled (plan-gated in test_hints_ddl)."""
+        if df.isStreaming:
+            raise PlanError("bm25 hint is batch-only (a global top-k "
+                            "needs the finite corpus and corpus-wide "
+                            "df/avgdl statistics)")
+        tc, idc = self._resolve_hint_cols(df, (textcol, idcol), "bm25")
+        from .llm_ops.textstats import bm25_scores
+        try:
+            scores = bm25_scores(df, tc, idc, terms.split(), k=k)
+        except ValueError as e:           # e.g. no usable query terms
+            raise PlanError(f"bm25 hint: {e}")
+        # the score column is part of the hint's CONTRACT (the select
+        # list references it by name), so a pre-existing column is an
+        # error, not a silent rename like internal bookkeeping names
+        score_col = "bm25_score"
+        if score_col in df.columns:
+            raise PlanError("bm25 hint adds a 'bm25_score' column but "
+                            "the select input already has one — "
+                            "rename or drop it first")
+        join_id = "__bm25_id"
+        while join_id in df.columns:
+            join_id += "_"
+        scores = F.broadcast(
+            scores.select(F.col("id").alias(join_id),
+                          F.col("score").alias(score_col)))
+        return (df.join(scores, F.col(idc) == F.col(join_id))
+                  .drop(join_id))
 
     def _apply_priority_sample_hint(self, df: DataFrame, idcol: str,
                                     wcol: str, k: int,

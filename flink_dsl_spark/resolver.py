@@ -183,6 +183,14 @@ class Resolver:
                 scope.bindings.pop(b, None)
                 if b in scope.order:
                     scope.order.remove(b)
+            # the bm25 row hint APPENDS a score column to the FROM
+            # rows (the one hint that adds rather than filters) — make
+            # it referencable from the select list / ORDER BY at this
+            # level; a same-named table column resolves ambiguous
+            # here, matching the planner's collision rejection
+            if any(getattr(h, "name", None) == "bm25"
+                   for h in getattr(sel, "hints", [])):
+                scope.add("__bm25_hint__", ["bm25_score"])
         for item in sel.items:
             self._resolve_expr(item.expr, scope)
         if sel.where is not None:
@@ -292,7 +300,10 @@ class Resolver:
                 b = scope.find_unqualified(e.name)
                 if b is None:
                     raise ResolutionError(f"unknown column {e.name!r}")
-                e.binding = b
+                # hint-added columns (the bm25 score) exist on the
+                # post-hint DataFrame but belong to no relation —
+                # compile UNQUALIFIED (binding None -> F.col(name))
+                e.binding = None if b == "__bm25_hint__" else b
             return
         if isinstance(e, Star):
             if e.qualifier is not None and \

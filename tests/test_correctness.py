@@ -39,15 +39,17 @@ def test_priority_window_integrity():
     oracles exist; only the 8 documented rows-only-by-design keys may
     lack one, and at most the ONE ledgered rows-only re-entry may sit
     in the window: VERDICT r11 item 3 rotates one rows-only key
-    through per round so the driver's rows+schema check runs on that
-    code path too — r12: llm04)."""
+    through per round so the driver executes that code path too —
+    r13: llm07.  NOTE such a row reads as run-only (rows_match NULL,
+    'no_oracle'): the driver skips all comparison without an oracle
+    — r12 verdict item 5)."""
     pri = entrymod._PRIORITY
     assert len(pri) == len(set(pri)), "duplicate _PRIORITY keys"
     missing = [k for k in pri if k not in _QUERIES]
     assert not missing, f"_PRIORITY keys not in queries(): {missing}"
     window = list(_QUERIES)[:50]
     assert window == pri[:50], "window is not the _PRIORITY prefix"
-    rows_only_reentry = {"llm04_dedup_simhash"}
+    rows_only_reentry = {"llm07_ann_lsh"}
     unoracled = [k for k in window
                  if k not in _ORACLES and k not in rows_only_reentry]
     assert not unoracled, \

@@ -1257,6 +1257,148 @@ def test_priority_sample_hint_rejected_on_sqlgen_path(engine):
             "where n_chars > (select avg(n_chars) from documents)")
 
 
+# ---------------------------------------------------------------------------
+# bm25(text, id, 'terms', k) hint — Okapi BM25 retrieval (r13)
+# ---------------------------------------------------------------------------
+
+def test_bm25_hint_equals_python_api(engine):
+    """/*+ bm25(text, id, 'terms', k) */ keeps exactly the top-k rows
+    of llm_ops.textstats.bm25_scores with the score appended as
+    bm25_score, and all input columns preserved."""
+    from flink_dsl_spark.llm_ops.textstats import bm25_scores
+    got = engine.sql(
+        "select /*+ bm25(text, doc_id, 'hash join merge', 15) */ "
+        "doc_id, source, bm25_score from documents")
+    want = bm25_scores(engine.catalog.get("documents"), "text",
+                       "doc_id", ["hash", "join", "merge"], k=15)
+    assert {(r["doc_id"], r["bm25_score"]) for r in got.collect()} == \
+        {(r["id"], r["score"]) for r in want.collect()}
+    assert got.columns == ["doc_id", "source", "bm25_score"]
+
+
+def test_bm25_hint_applies_after_where(engine):
+    """The hint scores the FILTERED corpus: N/avgdl/df come from the
+    post-WHERE rows, so the scores differ from the unfiltered ones."""
+    from flink_dsl_spark.llm_ops.textstats import bm25_scores
+    got = engine.sql(
+        "select /*+ bm25(text, doc_id, 'hash join', 10) */ "
+        "doc_id, bm25_score from documents where lang = 'en'")
+    want = bm25_scores(
+        engine.catalog.get("documents").filter("lang = 'en'"),
+        "text", "doc_id", ["hash", "join"], k=10)
+    assert {(r["doc_id"], r["bm25_score"]) for r in got.collect()} == \
+        {(r["id"], r["score"]) for r in want.collect()}
+
+
+def test_bm25_hint_star_and_aggregate(engine):
+    """Unqualified * includes the appended score (last); aggregates
+    summarize the retrieved top-k set."""
+    df = engine.sql("select /*+ bm25(text, doc_id, 'hash', 8) */ * "
+                    "from documents")
+    assert df.columns[-1] == "bm25_score"
+    assert df.count() == 8
+    agg = engine.sql(
+        "select /*+ bm25(text, doc_id, 'hash', 8) */ "
+        "count(*) as n, min(bm25_score) as lo from documents"
+    ).collect()[0]
+    assert agg["n"] == 8 and agg["lo"] > 0
+
+
+def test_bm25_hint_plan_broadcasts_topk(engine):
+    """Scale gate: ONE corpus explode (Generate), the <=k score
+    relation broadcast back (BroadcastHashJoin), the k-cut a
+    TakeOrderedAndProject — the corpus itself is never shuffled."""
+    df = engine.sql(
+        "select /*+ bm25(text, doc_id, 'hash join', 10) */ "
+        "doc_id, bm25_score from documents")
+    plan = _plan(df)
+    assert plan.count("Generate") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_hint_bad_args_error(engine):
+    for bad in ["bm25(text, doc_id, 'hash')",
+                "bm25(text, doc_id, 'hash', 0)",
+                "bm25(text, doc_id, 5, 5)",
+                "bm25(text, doc_id, 'hash', k)"]:
+        with pytest.raises(PlanError, match="bm25 hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from documents")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ bm25(nope, doc_id, 'hash', 5) */ "
+                   "doc_id from documents")
+    with pytest.raises(PlanError, match="empty after normalization"):
+        engine.sql("select /*+ bm25(text, doc_id, '!! ??', 5) */ "
+                   "doc_id from documents")
+
+
+def test_bm25_hint_score_column_collision_rejected(engine, spark):
+    """bm25_score is the hint's output CONTRACT — a pre-existing
+    column of that name errors instead of being silently shadowed."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "hash join", 0.5)],
+        "id long, text string, bm25_score double")
+    eng.register("t", df)
+    with pytest.raises(PlanError, match="already has one"):
+        eng.sql("select /*+ bm25(text, id, 'hash', 3) */ id from t")
+
+
+def test_bm25_score_unknown_without_hint(engine):
+    """Without the hint, bm25_score is not a column — the resolver's
+    synthetic binding must not leak into hint-less selects."""
+    from flink_dsl_spark.errors import ResolutionError
+    with pytest.raises(ResolutionError, match="unknown column"):
+        engine.sql("select bm25_score from documents")
+
+
+def test_bm25_hint_is_batch_only(engine, spark):
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    d = tempfile.mkdtemp(prefix="bm25_stream_")
+    os.symlink(f"{SF_DIR}/documents.parquet",
+               os.path.join(d, "documents.parquet"))
+    eng.sql("create stream bm_docs (doc_id long, text string, "
+            "lang string, source string, n_chars long) "
+            f"source file ('{d}', 'parquet')")
+    try:
+        with pytest.raises(PlanError, match="batch-only"):
+            eng.sql("select /*+ bm25(text, doc_id, 'hash', 5) */ "
+                    "doc_id from bm_docs")
+    finally:
+        eng.sql("drop stream bm_docs")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(
+            ["red", "blue", "green", "fast", "x9"]),
+            min_size=0, max_size=10).map(" ".join),
+            min_size=1, max_size=15),
+       st.sampled_from(["red", "blue x9", "green fast"]),
+       st.integers(min_value=1, max_value=6))
+def test_bm25_hint_equals_api_fuzz(spark, texts, terms, k):
+    """r13 fuzz shape for the bm25 hint: random corpora, query bags
+    and k vs the Python API — guards the join-back (row identity,
+    column preservation) and the k-cut tie-break together; the
+    scoring formula itself is fuzzed in test_llm_ops."""
+    from flink_dsl_spark.llm_ops.textstats import bm25_scores
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "id long, text string")
+    eng.register("bm_t", df)
+    got = eng.sql(f"select /*+ bm25(text, id, '{terms}', {k}) */ "
+                  "id, text, bm25_score from bm_t").collect()
+    want = bm25_scores(df, "text", "id", terms.split(), k=k).collect()
+    assert {(r["id"], r["bm25_score"]) for r in got} == \
+        {(r["id"], r["score"]) for r in want}
+    texts_by_id = dict(enumerate(texts))
+    assert all(r["text"] == texts_by_id[r["id"]] for r in got)
+
+
 def test_priority_sample_hint_is_batch_only(engine, spark):
     import os
     import tempfile

@@ -327,6 +327,10 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # ONE row per task, and the 1-row result broadcasts back; the
     # scoring path itself shuffles on (id, term) postings only
     "llm77_bm25_scores",
+    # bm25 hint (r13): same stats scalar fold as llm77; the scoring
+    # path shuffles postings only and the <=k score relation
+    # broadcasts back onto the input rows
+    "q92_bm25_hint",
 }
 
 
