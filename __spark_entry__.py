@@ -1484,6 +1484,22 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm77_bm25_scores": lambda s, d: L.bm25_scores(
             _docs(s, d), "text", "doc_id",
             ["hash", "join", "merge"], k=100),
+        # hybrid lexical+semantic retrieval (r13): BM25 top-pool and
+        # embedding-cosine top-pool fused by Reciprocal Rank Fusion
+        # (Cormack et al. 2009).  Ranks are integers over already
+        # bit-exact scores (integer micro-score BM25; round-6
+        # cosine), each reciprocal one correctly-rounded division,
+        # the sum left-associated in list order — so the fused
+        # ordering value-oracles bit-exactly.  Corpus-scale work
+        # stays in the two upstream operators; the fusion join runs
+        # on two <=pool-row candidate relations.
+        "llm78_hybrid_rrf": lambda s, d: L.hybrid_topk(
+            _docs(s, d).join(
+                s.read.parquet(f"{d}/embeddings.parquet"),
+                F.col("doc_id") == F.col("vec_id")),
+            "text", "embedding", "doc_id",
+            ["data", "stream", "window"], query_id=7,
+            k=10, pool=50),
         "llm18_chunk_documents": lambda s, d: L.chunk_documents(
             _docs(s, d), "text", "doc_id", chunk_tokens=64, overlap=8),
         "llm17_dup_clusters": lambda s, d: L.dup_clusters(
@@ -2063,25 +2079,26 @@ _PRIORITY = [
     # 5).  The one-per-round rows-only re-entry below buys exactly
     # that, nothing stronger — do not report such rows as verified.
     # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
-    # 8+17+1+2+2+20 = 50):
+    # 8+17+1+3+2+19 = 50):
     # regression core 8; the 17-key r8 tail the r12 ledger named as
     # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
     # the late q91/llm77/q90 first rows); the llm07 rows-only
     # RE-ENTRY (next in registry order after llm04's r12 row — the
-    # one-per-round cadence); FIRST rows for the TWO new r13
+    # one-per-round cadence); FIRST rows for the THREE new r13
     # surfaces (q92 bm25 hint — also the fresh row for the
     # r13-touched bm25_scores/textstats code via the new-surface
     # carve-out, r11/r12 precedent, llm77 lends its slot; s20 the
     # streaming sample-hint x running-OVER x QUALIFY composition —
-    # VERDICT item 7, taking llm48's slot per the new-surfaces-
+    # VERDICT item 7, taking llm48's slot; llm78 hybrid RRF
+    # retrieval, taking llm47's — both per the new-surfaces-
     # displace-the-r9-tail rule); fresh rows for the
     # two other r13-touched families (q89: the stratified hint's
     # rn-collision guard; llm75: cosine_topk_batch's streaming guard
     # + coercion-normalized missing-id check — both keep their slots
     # under the touched-code exception to the second-consecutive-
-    # sample rule); then the 20 OLDEST r9 greens in ledger order —
-    # the r9 tail (llm48 first, then llm49..llm71) waits below the
-    # fold and leads the r14 rotation.
+    # sample rule); then the 19 OLDEST r9 greens in ledger order —
+    # the r9 tail (llm47, llm48 first, then llm49..llm71) waits
+    # below the fold and leads the r14 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -2096,10 +2113,10 @@ _PRIORITY = [
     # -- rows-only re-entry (run-only driver evidence, see note) --
     "llm07_ann_lsh",
     # -- FIRST rows: new r13 surfaces --
-    "q92_bm25_hint", "s20_stream_sample_over",
+    "q92_bm25_hint", "s20_stream_sample_over", "llm78_hybrid_rrf",
     # -- fresh rows for the r13-touched families --
     "q89_priority_stratified_hint", "llm75_ann_topk_batch",
-    # -- 20 oldest r9 greens (ledger order) --
+    # -- 19 oldest r9 greens (ledger order) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
@@ -2107,7 +2124,6 @@ _PRIORITY = [
     "q67_tpch_q15", "q73_tpch_q22",
     "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
     "llm45_domain_mixture", "llm46_corpus_stats",
-    "llm47_cross_dedup_pairs",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2115,8 +2131,9 @@ _PRIORITY = [
     #     r14 rotation, then the r10 greens, the r11 greens, and the
     #     r12 greens (freshest, sampled last).
     # r9 tail (oldest driver evidence below the fold — leads r14;
-    # llm48 lent its slot to the late-r13 s20 first row)
-    "llm48_dedup_against",
+    # llm48 lent its slot to the late-r13 s20 first row, llm47 to
+    # llm78's)
+    "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
@@ -3655,6 +3672,60 @@ def _oracle_sql_base() -> dict[str, str]:
                    FROM tf JOIN dfq USING (term) CROSS JOIN stats)
             SELECT id, sum(micro) / 1000000.0 AS score
             FROM sc GROUP BY id ORDER BY score DESC, id LIMIT 100""",
+        # llm78: the hybrid RRF replay — the llm77 BM25 recipe over
+        # the docs+embeddings join, the llm06 round-6 cosine, both
+        # ranked with the same (score desc, id) tie-break, then the
+        # left-associated coalesce(1/(60+r),0) sum in list order
+        # (bm25 first, cosine second — matching rrf_fusion's
+        # association)
+        "llm78_hybrid_rrf": """
+            WITH j0 AS (SELECT d.doc_id AS id, d.text, e.embedding
+                        FROM documents d
+                        JOIN embeddings e ON d.doc_id = e.vec_id),
+            t AS (
+              SELECT id,
+                     list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9\\s]',
+                                        ' ', 'g'),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '')
+                         AS toks
+              FROM j0),
+            e AS (SELECT id, len(toks) AS dl, unnest(toks) AS term
+                  FROM t),
+            stats AS (SELECT count(*) AS n_docs,
+                             avg(len(toks)) AS avgdl FROM t),
+            tf AS (SELECT id, dl, term, count(*) AS tf FROM e
+                   WHERE term IN ('data', 'stream', 'window')
+                   GROUP BY 1, 2, 3),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT id,
+                          CAST(round(
+                              ln((n_docs - df + 0.5)
+                                 / (df + 0.5) + 1)
+                              * ((tf * (1.2 + 1)) /
+                                 (tf + 1.2 * (1 - 0.75
+                                              + 0.75 * dl / avgdl)))
+                              * 1000000.0, 0) AS BIGINT) AS micro
+                   FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+            bmk AS (SELECT id, sum(micro) / 1000000.0 AS score
+                    FROM sc GROUP BY id
+                    ORDER BY score DESC, id LIMIT 50),
+            bmr AS (SELECT id, row_number() OVER
+                        (ORDER BY score DESC, id) AS rank FROM bmk),
+            csk AS (SELECT id,
+                           round(list_cosine_similarity(
+                               embedding::DOUBLE[],
+                               (SELECT embedding::DOUBLE[] FROM j0
+                                WHERE id = 7)), 6) AS cosine
+                    FROM j0 WHERE id <> 7
+                    ORDER BY cosine DESC, id LIMIT 50),
+            csr AS (SELECT id, row_number() OVER
+                        (ORDER BY cosine DESC, id) AS rank FROM csk),
+            f AS (SELECT coalesce(b.id, c.id) AS id,
+                         coalesce(1.0 / (60 + b.rank), 0.0)
+                         + coalesce(1.0 / (60 + c.rank), 0.0) AS rrf
+                  FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id)
+            SELECT id, rrf FROM f ORDER BY rrf DESC, id LIMIT 10""",
         "llm19_top_terms_tfidf": """
             WITH t AS (
               SELECT doc_id AS id,

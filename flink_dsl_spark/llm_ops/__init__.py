@@ -14,10 +14,10 @@ from .dedup import (
     soft_dedup,
 )
 from .simsearch import (cosine_topk, cosine_topk_batch,
-                        cosine_topk_quantized,
+                        cosine_topk_quantized, hybrid_topk,
                         ivf_ann_topk, lsh_ann_topk,
                         quantize_embeddings, random_projection,
-                        rp_signs)
+                        rp_signs, rrf_fusion)
 from .textstats import (
     bpe_pair_stats, c4_line_filter, chunk_documents, classifier_score,
     corpus_stats, curation_report, decontaminate,
@@ -54,7 +54,7 @@ __all__ = [
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",
     "quantize_embeddings", "cosine_topk_quantized",
-    "cosine_topk_batch",
+    "cosine_topk_batch", "rrf_fusion", "hybrid_topk",
     "random_projection", "rp_signs",
     "c4_line_filter", "decontaminate", "gopher_quality",
     "gopher_repetition", "pii_redact",

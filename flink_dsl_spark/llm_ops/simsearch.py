@@ -404,3 +404,86 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
             .withColumn("__rnk", F.row_number().over(w))
             .filter(F.col("__rnk") <= k).drop("__rnk")
             .orderBy("qid", F.col("cosine").desc(), F.col("id")))
+
+
+def rrf_fusion(ranked: list, k: int = 10, k_rrf: int = 60,
+               id_col: str = "id", rank_col: str = "rank") -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR
+    2009) of N ranked candidate lists: every item's fused score is
+    Σ_lists 1/(k_rrf + rank), summing only over the lists it appears
+    in; returns the top ``k`` by (rrf desc, id).  The standard way to
+    merge lexical (BM25) and semantic (embedding-cosine) retrieval
+    without score calibration — ranks are comparable where raw
+    scores are not.
+
+    Cross-engine determinism: ranks are INTEGERS (deterministic when
+    the upstream lists tie-break on id), each reciprocal is one
+    correctly-rounded IEEE division, and the sum associates in LIST
+    ORDER (coalesce(1/(k_rrf+r_0), 0) + coalesce(1/(k_rrf+r_1), 0) +
+    …) — an oracle spelling the same left-associated chain matches
+    bit-for-bit.
+
+    Scale shape: the inputs are the BOUNDED top-pool outputs of
+    upstream retrieval (each ≤ pool rows — never a corpus), so the
+    full-outer join chain and the k-cut are trivially small; the
+    corpus-scale work lives entirely in the upstream operators."""
+    if not ranked:
+        raise ValueError("ranked must be a non-empty list of "
+                         "ranked DataFrames")
+    if k < 1 or k_rrf < 1:
+        raise ValueError("k and k_rrf must be >= 1")
+    sides = [d.select(F.col(id_col).alias("id"),
+                      (1.0 / (F.lit(k_rrf) + F.col(rank_col)))
+                      .alias(f"__rrf_{i}"))
+             for i, d in enumerate(ranked)]
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.join(s, "id", "full")
+    expr = F.coalesce(F.col("__rrf_0"), F.lit(0.0))
+    for i in range(1, len(sides)):
+        expr = expr + F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))
+    return (out.select("id", expr.alias("rrf"))
+               .orderBy(F.col("rrf").desc(), F.col("id"))
+               .limit(k))
+
+
+def hybrid_topk(df: DataFrame, text_col: str, vec_col: str,
+                id_col: str, query_terms: list, query_id,
+                k: int = 10, pool: int = 50,
+                k_rrf: int = 60) -> DataFrame:
+    """Hybrid lexical + semantic retrieval: BM25 over ``query_terms``
+    and embedding-cosine similarity to the ``query_id`` row, each cut
+    to its top-``pool`` candidates, fused by Reciprocal Rank Fusion —
+    the two-tower serving shape ("docs that MATCH the query terms OR
+    RESEMBLE the seed document", rank-merged without score
+    calibration).  Returns (id, rrf), top ``k`` by (rrf desc, id).
+
+    Both candidate ranks tie-break on ascending id over
+    already-deterministic scores (bm25_scores' integer micro-score
+    sum; cosine_topk's round-6 cosine), so the fused ordering
+    value-oracles bit-exactly (see rrf_fusion).
+
+    Scale shape: the corpus-scale work is exactly the two upstream
+    operators' (bm25_scores: one filtered explode + broadcast stats +
+    TakeOrderedAndProject; cosine_topk: broadcast 1-row query +
+    TakeOrderedAndProject) — the rank windows and the fusion join run
+    on the two ≤ pool-row candidate relations (single-partition BY
+    DESIGN over bounded input, the llm69 pattern), never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from .textstats import bm25_scores
+
+    if pool < 1:
+        raise ValueError("pool must be >= 1")
+    bm = bm25_scores(df, text_col, id_col, query_terms, k=pool)
+    bm_r = bm.select(
+        "id", F.row_number().over(
+            Window.orderBy(F.col("score").desc(), F.col("id")))
+        .alias("rank"))
+    cs = cosine_topk(df, vec_col, id_col, query_id, k=pool)
+    cs_r = cs.select(
+        "id", F.row_number().over(
+            Window.orderBy(F.col("cosine").desc(), F.col("id")))
+        .alias("rank"))
+    return rrf_fusion([bm_r, cs_r], k=k, k_rrf=k_rrf)

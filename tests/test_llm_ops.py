@@ -2714,6 +2714,83 @@ def test_bm25_scores_python_replay_fuzz(spark, texts, qterms):
     assert got == exp, (texts, qterms)
 
 
+def test_rrf_fusion_semantics(spark):
+    """Items in both lists sum both reciprocals, single-list items
+    contribute one term, k cuts by (rrf desc, id), and bad args
+    error."""
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "id long, rank int")
+    b = spark.createDataFrame([(2, 1), (4, 2)], "id long, rank int")
+    got = {r["id"]: r["rrf"] for r in
+           L.rrf_fusion([a, b], k=10).collect()}
+    assert got == {1: 1.0 / 61,
+                   2: 1.0 / 62 + 1.0 / 61,
+                   3: 1.0 / 63,
+                   4: 1.0 / 62}
+    top = L.rrf_fusion([a, b], k=1).collect()
+    assert top[0]["id"] == 2              # appears in both lists
+    with pytest.raises(ValueError, match="non-empty"):
+        L.rrf_fusion([])
+    with pytest.raises(ValueError, match=">= 1"):
+        L.rrf_fusion([a], k=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        L.rrf_fusion([a], k_rrf=0)
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.lists(st.integers(min_value=0, max_value=20),
+                         min_size=1, max_size=10, unique=True),
+                min_size=1, max_size=3),
+       st.integers(min_value=1, max_value=8),
+       st.integers(min_value=1, max_value=100))
+def test_rrf_fusion_python_replay_fuzz(spark, lists, k, k_rrf):
+    """r13 fuzz shape for RRF: random ranked lists vs a pure-Python
+    replay with the same left-associated reciprocal sum and
+    (rrf desc, id) cut."""
+    dfs = [spark.createDataFrame([(v, i + 1) for i, v in enumerate(l)],
+                                 "id long, rank int")
+           for l in lists]
+    got = [(r["id"], r["rrf"]) for r in
+           L.rrf_fusion(dfs, k=k, k_rrf=k_rrf).collect()]
+    scores = {}
+    for l in lists:
+        for i, v in enumerate(l):
+            scores[v] = scores.get(v, 0.0) + 1.0 / (k_rrf + (i + 1))
+    exp = sorted(scores.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert got == exp, (lists, k, k_rrf)
+
+
+def test_hybrid_topk_equals_manual_composition(docs, emb, spark):
+    """hybrid_topk == rank both candidate lists by (score desc, id)
+    and fuse — and the corpus-side plan carries the bm25 explode
+    exactly once."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    got = L.hybrid_topk(j, "text", "embedding", "doc_id",
+                        ["data", "stream"], query_id=3, k=8, pool=25)
+    bm = L.bm25_scores(j, "text", "doc_id", ["data", "stream"], k=25)
+    bm_r = bm.select("id", F.row_number().over(
+        Window.orderBy(F.col("score").desc(), F.col("id")))
+        .alias("rank"))
+    cs = L.cosine_topk(j, "embedding", "doc_id", query_id=3, k=25)
+    cs_r = cs.select("id", F.row_number().over(
+        Window.orderBy(F.col("cosine").desc(), F.col("id")))
+        .alias("rank"))
+    want = L.rrf_fusion([bm_r, cs_r], k=8)
+    assert [(r["id"], r["rrf"]) for r in got.collect()] == \
+        [(r["id"], r["rrf"]) for r in want.collect()]
+    plan = (got._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])   # post-collect AQE
+                                               # repeats the tree
+    assert plan.count("Generate") == 1
+    with pytest.raises(ValueError, match="pool"):
+        L.hybrid_topk(j, "text", "embedding", "doc_id", ["data"],
+                      query_id=3, pool=0)
+
+
 def test_cosine_topk_batch_equals_per_query(emb):
     """The batched form must return exactly each query's cosine_topk
     result (same rounding, same tie-break)."""

@@ -331,6 +331,11 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # path shuffles postings only and the <=k score relation
     # broadcasts back onto the input rows
     "q92_bm25_hint",
+    # hybrid RRF (r13): llm77's stats scalar fold rides along, and
+    # the candidate rank windows run unpartitioned over the two
+    # <=pool-row relations (bounded domain — the llm69 pattern),
+    # never the corpus
+    "llm78_hybrid_rrf",
 }
 
 
