@@ -2733,12 +2733,14 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT doc_id, source, n_chars FROM r WHERE rn <= 10""",
         # q92: the llm77 BM25 replay over the FILTERED corpus (the
         # hint applies after WHERE, so N/avgdl/df come from the
-        # lang='en' subset), top-40 joined back to the doc rows —
-        # same tokenizer, same Lucene idf, same shared-literal
+        # lang='en' subset; NULL ids excluded like the engine — they
+        # could never join back), top-40 joined back to the doc rows
+        # — same tokenizer, same Lucene idf, same shared-literal
         # association order, same integer micro-score sum
         "q92_bm25_hint": """
             WITH d0 AS (SELECT doc_id, source, n_chars, text
-                        FROM documents WHERE lang = 'en'),
+                        FROM documents
+                        WHERE lang = 'en' AND doc_id IS NOT NULL),
             t AS (
               SELECT doc_id AS id,
                      list_filter(string_split(trim(regexp_replace(

@@ -299,12 +299,26 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
             .select(F.col(id_col).alias("id"), *cols))
 
 
+def _is_numeric_probe(v) -> bool:
+    """True for the probe types Spark's isin compares NUMERICALLY
+    against the id column (casting the column when needed) — ints,
+    floats, Decimals, but never bools."""
+    if isinstance(v, bool):
+        return False
+    return isinstance(v, (int, float)) or type(v).__name__ == "Decimal"
+
+
 def _qkey(v) -> str:
-    """Membership key mirroring Spark isin's numeric coercion: an
-    integral numeric (int, 1.0, Decimal('1')) canonicalizes to the
-    plain int spelling, other numerics to repr(float), everything
-    else to str — so a float query id 1.0 matches an int id column
-    value 1 the same way isin matched it, instead of '1.0' != '1'."""
+    """Canonical NUMERIC membership key mirroring Spark isin's
+    coercion for numeric probes: an integral numeric (int, 1.0,
+    Decimal('1'), 1e17) canonicalizes to the plain int spelling —
+    int(f) is exact for any integral float, so a float query id
+    1e17 agrees with a bigint column value 10**17 — a numeric-
+    looking STRING id canonicalizes the same way (isin casts a
+    string column to double when the probe is numeric), and
+    everything else falls back to str.  Only consulted for numeric
+    probes (see the membership check): string probes compare as
+    plain strings, matching isin's string-vs-string equality."""
     if isinstance(v, bool):
         return str(v)
     if isinstance(v, int):
@@ -316,13 +330,10 @@ def _qkey(v) -> str:
             return str(v)
         if f != f or f in (float("inf"), float("-inf")):
             return repr(f)
-        if f == int(f) and abs(f) < 2 ** 53:
-            return str(int(f))
+        if f == int(f):
+            return str(int(f))            # exact for integral floats
         return repr(f)
     if isinstance(v, str):
-        # a numeric-looking string id compares under the same
-        # coercion (isin casts the string column to double when the
-        # probe is numeric, so '1.0' matched a query id 1.0)
         try:
             return _qkey(float(v))
         except ValueError:
@@ -376,16 +387,22 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     # scanned exactly once per side: NOTE the function is therefore
     # EAGER — the query-side scan runs at call time (and snapshots
     # the query vectors), not inside the returned lazy plan.
-    # Membership compares ids under the SAME numeric coercion isin
-    # applies (int 1 matches a string id column '1' AND a float query
-    # id 1.0): _qkey canonicalizes integral numerics to the int
-    # spelling so a requested 1.0 is not spuriously reported missing
-    # against an int id column, while non-numeric ids compare as raw
-    # strings.
+    # Membership mirrors isin's per-probe coercion: every probe first
+    # compares by raw str() (int 1 vs column '1', exact string ids);
+    # a NUMERIC probe additionally matches through the canonical
+    # numeric key (_qkey), because isin casts the column to double
+    # for numeric probes — so float 1.0 finds int column value 1,
+    # and float 1e17 finds bigint 10**17.  A STRING probe never
+    # takes the numeric path: isin compares string-vs-string
+    # exactly, so a requested '1.0' against a string column holding
+    # only '1' is correctly reported missing.
     qrows = qdf.collect()
-    found = {_qkey(r["qid"]) for r in qrows}
-    missing = sorted(_qkey(i) for i in set(query_ids)
-                     if _qkey(i) not in found)
+    raw_found = {str(r["qid"]) for r in qrows}
+    canon_found = {_qkey(r["qid"]) for r in qrows}
+    missing = sorted(
+        str(i) for i in set(query_ids)
+        if str(i) not in raw_found
+        and not (_is_numeric_probe(i) and _qkey(i) in canon_found))
     if missing:
         raise ValueError(
             f"query id(s) not present in the corpus: "

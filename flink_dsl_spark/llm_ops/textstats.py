@@ -434,11 +434,22 @@ def bm25_scores(df: DataFrame, text_col: str, id_col: str,
     come from a COUNT() OVER (PARTITION BY term) window on that same
     aggregated postings relation, so the explode subtree evaluates
     exactly once (a groupBy-then-join-back would re-run the corpus
-    explode for the df side — the r12 verdict's 3-scans finding);
-    the window's exchange carries only the bounded postings (≤ |Q|
-    terms × matching docs), never the corpus; corpus stats (N,
-    avgdl) are ONE broadcast 1-row aggregate (the second and last
-    corpus scan); the k-cut lands as TakeOrderedAndProject."""
+    explode for the df side — the r12 verdict's 3-scans finding;
+    measured: Catalyst collapses the join-back's df aggregate past
+    the tf aggregate, so exchange reuse never rescues the double
+    scan); corpus stats (N, avgdl) are ONE broadcast 1-row aggregate
+    (the second and last corpus scan); the k-cut lands as
+    TakeOrderedAndProject.
+
+    Skew note: the term-keyed window CONCENTRATES each query term's
+    postings (one ~40 B row per matching doc) onto one reducer — at
+    most df_q rows per task.  That is the deliberate trade against
+    the join-back shape's second full corpus explode (whose own
+    term-keyed distinct-count exchange concentrates the same rows
+    anyway); it is benign for discriminative query terms and
+    degrades only when the bag contains stop-word-frequency terms —
+    split those out (their idf ≈ ln(1 + small) contributes least)
+    rather than scoring them."""
     qnorm = sorted({t for t in (
         re.sub(r"\s+", " ",
                re.sub(r"[^a-z0-9\s]", " ", q.lower())).strip()

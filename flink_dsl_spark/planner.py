@@ -1766,7 +1766,10 @@ class Planner:
         keeping ALL columns of the select's input rows plus the
         score.  Query terms are whitespace-separated inside the one
         quoted argument and normalized with the document tokenizer's
-        rules; ties break by ascending id (bm25_scores' premise), so
+        rules; NULL-id rows are excluded BEFORE scoring (they could
+        never join back, so they must not hold top-k slots — and the
+        corpus statistics N/avgdl/df count non-NULL-id docs only);
+        ties break by ascending id (bm25_scores' premise), so
         the kept row set is deterministic and value-oracle-able —
         the per-(doc, term) micro-score quantization makes the score
         itself bit-exact across engines (textstats.bm25_scores
@@ -1788,8 +1791,14 @@ class Planner:
                             "df/avgdl statistics)")
         tc, idc = self._resolve_hint_cols(df, (textcol, idcol), "bm25")
         from .llm_ops.textstats import bm25_scores
+        # NULL ids can never join back (NULL never equals), so they
+        # must not occupy top-k score slots either — exclude them
+        # BEFORE scoring, like every other row hint's NULL-id rule
+        # (a NULL-id doc in the top-k would silently shrink the
+        # result below k and displace a real document)
+        scorable = df.filter(F.col(idc).isNotNull())
         try:
-            scores = bm25_scores(df, tc, idc, terms.split(), k=k)
+            scores = bm25_scores(scorable, tc, idc, terms.split(), k=k)
         except ValueError as e:           # e.g. no usable query terms
             raise PlanError(f"bm25 hint: {e}")
         # the score column is part of the hint's CONTRACT (the select

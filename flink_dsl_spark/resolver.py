@@ -194,7 +194,18 @@ class Resolver:
         for item in sel.items:
             self._resolve_expr(item.expr, scope)
         if sel.where is not None:
-            self._resolve_expr(sel.where, scope)
+            # the bm25 hint applies AFTER the WHERE filter, so its
+            # score column is NOT visible there — hide the synthetic
+            # binding so the reference fails HERE with a resolution
+            # error instead of deep in Spark (the probe-binding rule)
+            hidden = scope.bindings.pop("__bm25_hint__", None)
+            if hidden is not None:
+                scope.order.remove("__bm25_hint__")
+            try:
+                self._resolve_expr(sel.where, scope)
+            finally:
+                if hidden is not None:
+                    scope.add("__bm25_hint__", hidden)
         for g in sel.group_by:
             self._resolve_expr(g, scope)
         if sel.having is not None:
@@ -412,4 +423,11 @@ class Resolver:
         if not out:
             raise ResolutionError(
                 f"unknown relation {star.qualifier!r} for {star.qualifier}.*")
+        # mirror planner._expand_star: the bm25 row hint appends its
+        # score column to an unqualified * (last), so a derived table
+        # around a hinted select exposes it to the outer query
+        if star.qualifier is None and any(
+                getattr(h, "name", None) == "bm25"
+                for h in getattr(q, "hints", [])):
+            out.append("bm25_score")
         return out

@@ -1333,6 +1333,46 @@ def test_bm25_hint_bad_args_error(engine):
                    "doc_id from documents")
 
 
+def test_bm25_hint_excludes_null_ids(engine, spark):
+    """r13 review: a NULL-id doc can never join back, so it must not
+    occupy a top-k score slot either (it would silently shrink the
+    result and displace a real document)."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(None, "data data data data"), (2, "data"), (3, "nothing")],
+        "id long, text string")
+    eng.register("t", df)
+    rows = eng.sql("select /*+ bm25(text, id, 'data', 1) */ "
+                   "id, bm25_score from t").collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_bm25_hint_derived_table_composition(engine):
+    """r13 review: a derived table around a hinted select exposes
+    bm25_score to the outer query — both through an explicit
+    projection and through the inner unqualified *."""
+    got = engine.sql(
+        "select doc_id, bm25_score from "
+        "(select /*+ bm25(text, doc_id, 'hash join', 5) */ * "
+        " from documents) t where bm25_score > 0")
+    rows = got.collect()
+    assert len(rows) == 5 and all(r["bm25_score"] > 0 for r in rows)
+    star = engine.sql(
+        "select * from (select /*+ bm25(text, doc_id, 'hash', 3) */ * "
+        "from documents) t")
+    assert star.columns[-1] == "bm25_score"
+
+
+def test_bm25_score_not_visible_in_where(engine):
+    """r13 review: the hint applies AFTER the WHERE filter, so a
+    bm25_score reference there fails with a clean resolution error
+    (not a raw Spark AnalysisException)."""
+    from flink_dsl_spark.errors import ResolutionError
+    with pytest.raises(ResolutionError, match="unknown column"):
+        engine.sql("select /*+ bm25(text, doc_id, 'hash', 5) */ "
+                   "doc_id from documents where bm25_score > 0")
+
+
 def test_bm25_hint_score_column_collision_rejected(engine, spark):
     """bm25_score is the hint's output CONTRACT — a pre-existing
     column of that name errors instead of being silently shadowed."""

@@ -2842,6 +2842,37 @@ def test_cosine_topk_batch_float_query_id_not_spuriously_missing(emb):
                             [0.0, 123456789.0], k=3)
 
 
+def test_cosine_topk_batch_string_probe_stays_exact(emb, spark):
+    """r13 review: string probes compare string-vs-string in isin, so
+    a numeric-looking string id absent from a string id column must
+    STILL fail loudly ('1.0' does not match '1'), while genuinely
+    present string ids pass."""
+    import pyspark.sql.functions as F
+    semb = emb.withColumn("sid", F.col("vec_id").cast("string"))
+    out = L.cosine_topk_batch(semb, "embedding", "sid", ["0", "1"], k=3)
+    assert {r["qid"] for r in out.collect()} == {"0", "1"}
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(semb, "embedding", "sid", ["0", "1.0"], k=3)
+
+
+def test_cosine_topk_batch_large_integral_float_id(spark):
+    """r13 review: an integral float probe beyond 2**53 must agree
+    with the exact-int spelling of the matching bigint column value
+    (int(f) is exact for integral floats)."""
+    big = 10 ** 17
+    df = spark.createDataFrame(
+        [(big, [1.0, 0.0]), (big + 1, [0.0, 1.0]), (5, [1.0, 1.0])],
+        "vid long, embedding array<double>")
+    out = L.cosine_topk_batch(df, "embedding", "vid",
+                              [float(big)], k=2)
+    # isin casts the bigint column to double for the float probe, so
+    # BOTH 10**17 and 10**17 + 1 collide onto 1e17 and become query
+    # rows — that is isin's real coercion; the regression under test
+    # is only that the validation no longer raises a spurious
+    # "not present" for the float spelling
+    assert {r["qid"] for r in out.collect()} == {big, big + 1}
+
+
 def test_cosine_topk_batch_rejects_stream(spark, tmp_path):
     """r12 ADVICE: the function collects the query rows eagerly at
     call time — a streaming DataFrame must be rejected with a clear
