@@ -1493,6 +1493,16 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ordering value-oracles bit-exactly.  Corpus-scale work
         # stays in the two upstream operators; the fusion join runs
         # on two <=pool-row candidate relations.
+        # asymmetric n-gram CONTAINMENT pairs (r13): detects quotes /
+        # excerpts / boilerplate-wrapped copies that Jaccard misses
+        # (|A∩B|/|A| ≈ 1 for a quote inside a much larger page).
+        # Same inverted-index aggregate-counts-shared-shingles shape
+        # as llm02 (never per-pair array scans); both directions
+        # emitted per unordered pair, kept if either clears the
+        # threshold; integer/integer divisions round-6 → bit-exact.
+        "llm79_containment_pairs": lambda s, d: (
+            L.ngram_containment_pairs(
+                _docs(s, d), "text", "doc_id", n=8, threshold=0.6)),
         "llm78_hybrid_rrf": lambda s, d: L.hybrid_topk(
             _docs(s, d).join(
                 s.read.parquet(f"{d}/embeddings.parquet"),
@@ -2079,26 +2089,27 @@ _PRIORITY = [
     # 5).  The one-per-round rows-only re-entry below buys exactly
     # that, nothing stronger — do not report such rows as verified.
     # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
-    # 8+17+1+3+2+19 = 50):
+    # 8+17+1+4+2+18 = 50):
     # regression core 8; the 17-key r8 tail the r12 ledger named as
     # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
     # the late q91/llm77/q90 first rows); the llm07 rows-only
     # RE-ENTRY (next in registry order after llm04's r12 row — the
-    # one-per-round cadence); FIRST rows for the THREE new r13
+    # one-per-round cadence); FIRST rows for the FOUR new r13
     # surfaces (q92 bm25 hint — also the fresh row for the
     # r13-touched bm25_scores/textstats code via the new-surface
     # carve-out, r11/r12 precedent, llm77 lends its slot; s20 the
     # streaming sample-hint x running-OVER x QUALIFY composition —
     # VERDICT item 7, taking llm48's slot; llm78 hybrid RRF
-    # retrieval, taking llm47's — both per the new-surfaces-
+    # retrieval, taking llm47's; llm79 asymmetric containment
+    # pairs, taking llm46's — all per the new-surfaces-
     # displace-the-r9-tail rule); fresh rows for the
     # two other r13-touched families (q89: the stratified hint's
     # rn-collision guard; llm75: cosine_topk_batch's streaming guard
     # + coercion-normalized missing-id check — both keep their slots
     # under the touched-code exception to the second-consecutive-
-    # sample rule); then the 19 OLDEST r9 greens in ledger order —
-    # the r9 tail (llm47, llm48 first, then llm49..llm71) waits
-    # below the fold and leads the r14 rotation.
+    # sample rule); then the 18 OLDEST r9 greens in ledger order —
+    # the r9 tail (llm46, llm47, llm48 first, then llm49..llm71)
+    # waits below the fold and leads the r14 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -2114,16 +2125,17 @@ _PRIORITY = [
     "llm07_ann_lsh",
     # -- FIRST rows: new r13 surfaces --
     "q92_bm25_hint", "s20_stream_sample_over", "llm78_hybrid_rrf",
+    "llm79_containment_pairs",
     # -- fresh rows for the r13-touched families --
     "q89_priority_stratified_hint", "llm75_ann_topk_batch",
-    # -- 19 oldest r9 greens (ledger order) --
+    # -- 18 oldest r9 greens (ledger order) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
     "q67_tpch_q15", "q73_tpch_q22",
     "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
-    "llm45_domain_mixture", "llm46_corpus_stats",
+    "llm45_domain_mixture",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2132,8 +2144,9 @@ _PRIORITY = [
     #     r12 greens (freshest, sampled last).
     # r9 tail (oldest driver evidence below the fold — leads r14;
     # llm48 lent its slot to the late-r13 s20 first row, llm47 to
-    # llm78's)
-    "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    # llm78's, llm46 to llm79's)
+    "llm46_corpus_stats", "llm47_cross_dedup_pairs",
+    "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
@@ -3557,6 +3570,26 @@ def _oracle_sql_base() -> dict[str, str]:
                          6) AS jaccard
             FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING jaccard >= 0.8""",
+        # llm79: llm02's inverted-index shingle join with BOTH
+        # asymmetric denominators — count/any_value(n_sh) per side,
+        # round-6, either direction clearing the threshold keeps the
+        # pair
+        "llm79_containment_pairs": """
+            WITH d AS (SELECT doc_id,
+                              list_distinct([substr(text, i, 8)
+                               for i in range(1, greatest(length(text)-6, 2))])
+                              AS sh
+                       FROM documents),
+                 e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                       FROM d)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(count(*)::DOUBLE / any_value(a.n_sh), 6)
+                       AS cont_a_in_b,
+                   round(count(*)::DOUBLE / any_value(b.n_sh), 6)
+                       AS cont_b_in_a
+            FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6""",
         "llm05_dedup_embedding": """
             WITH s AS (SELECT * FROM embeddings
                        WHERE vec_id % 3 = 1 AND vec_id < 1200)

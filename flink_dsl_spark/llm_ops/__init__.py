@@ -8,7 +8,7 @@ Pandas UDFs where genuinely needed (simhash bit-fold, multimodal decode).
 from .dedup import (
     cross_corpus_dup_pairs, dedup_against,
     dedup_survivors, dup_clusters, duplicate_spans, exact_dedup,
-    line_dedup, ngram_jaccard_pairs,
+    line_dedup, ngram_containment_pairs, ngram_jaccard_pairs,
     minhash_lsh_pairs, minhash_signatures, md5_token_hash, simhash_pairs,
     simhash_64, embedding_dup_pairs, embedding_dup_pairs_lsh,
     soft_dedup,
@@ -49,7 +49,8 @@ from .cluster import kmeans, kmeans_assign, kmeans_fit, semdedup
 
 __all__ = [
     "dedup_survivors", "dup_clusters", "exact_dedup",
-    "ngram_jaccard_pairs", "minhash_lsh_pairs",
+    "ngram_jaccard_pairs", "ngram_containment_pairs",
+    "minhash_lsh_pairs",
     "minhash_signatures", "md5_token_hash", "simhash_pairs", "simhash_64",
     "embedding_dup_pairs", "embedding_dup_pairs_lsh", "cosine_topk",
     "lsh_ann_topk", "ivf_ann_topk", "lang_id",

@@ -188,6 +188,101 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     return verified.select("id_a", "id_b", "jaccard")
 
 
+def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
+                            n: int = 8, threshold: float = 0.8,
+                            max_posting_size: int | None = None
+                            ) -> DataFrame:
+    """All pairs where char-n-gram CONTAINMENT >= threshold in either
+    direction — the ASYMMETRIC complement of ngram_jaccard_pairs:
+    containment(A in B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|
+    detects quotes, excerpts and boilerplate-wrapped copies that
+    Jaccard misses (a 100-word quote inside a 10k-word page has
+    near-zero Jaccard but containment ≈ 1 for the quote side).
+
+    Returns one row per unordered pair (id_a < id_b) with BOTH
+    directions, (id_a, id_b, cont_a_in_b, cont_b_in_a), keeping pairs
+    where either direction clears the threshold; containments round
+    to 6 decimals (integer count / integer count — one
+    correctly-rounded division each, so the values replay bit-exactly
+    in any engine).
+
+    Scale shape: identical to ngram_jaccard_pairs — inverted-index
+    self-join whose aggregate counts shared shingles (never per-pair
+    array scans over the candidate set), with the same
+    ``max_posting_size`` straggler guard: over-cap postings drop
+    before the join, the kept-shared count lower-bounds true shared,
+    the sound upper bound (kept + min(capped_a, capped_b)) prunes —
+    against the SMALLER denominator, the direction where containment
+    is largest — and the few survivors exact-verify on their full
+    shingle arrays."""
+    sh = (spread_for_compute(df)
+            .select(F.col(id_col).alias("id"),
+                    char_shingles(F.col(text_col), n).alias("sh"))
+            .withColumn("n_sh", F.size("sh")))
+    e = sh.select("id", F.explode("sh").alias("s"))
+    if max_posting_size is None:
+        a, b = e.alias("a"), e.alias("b")
+        pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                        (F.col("a.id") < F.col("b.id")))
+                 .groupBy(F.col("a.id").alias("id_a"),
+                          F.col("b.id").alias("id_b"))
+                 .agg(F.count(F.lit(1)).alias("shared")))
+        meta = sh.select("id", "n_sh")
+        return (pairs
+                .join(meta.select(F.col("id").alias("id_a"),
+                                  F.col("n_sh").alias("na")), "id_a")
+                .join(meta.select(F.col("id").alias("id_b"),
+                                  F.col("n_sh").alias("nb")), "id_b")
+                .withColumn("cont_a_in_b",
+                            F.round(F.col("shared") / F.col("na"), 6))
+                .withColumn("cont_b_in_a",
+                            F.round(F.col("shared") / F.col("nb"), 6))
+                .filter((F.col("cont_a_in_b") >= threshold)
+                        | (F.col("cont_b_in_a") >= threshold))
+                .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
+
+    big = (e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__pc"))
+            .filter(F.col("__pc") > max_posting_size)
+            .select("s"))
+    kept = e.join(F.broadcast(big), "s", "left_anti")
+    n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
+    meta = (sh.select("id", "n_sh")
+              .join(n_kept, "id", "left")
+              .withColumn("n_capped",
+                          F.col("n_sh") - F.coalesce("n_kept", F.lit(0)))
+              .select("id", "n_sh", "n_capped"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                    (F.col("a.id") < F.col("b.id")))
+             .groupBy(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("shared_kept")))
+    pairs = (pairs
+             .join(meta.select(F.col("id").alias("id_a"),
+                               F.col("n_sh").alias("na"),
+                               F.col("n_capped").alias("ca")), "id_a")
+             .join(meta.select(F.col("id").alias("id_b"),
+                               F.col("n_sh").alias("nb"),
+                               F.col("n_capped").alias("cb")), "id_b"))
+    ub_shared = F.col("shared_kept") + F.least("ca", "cb")
+    # prune on the LARGER containment direction (smaller denominator)
+    ub_cont = ub_shared / F.least("na", "nb")
+    cand = pairs.filter(ub_cont >= threshold).select("id_a", "id_b")
+    shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
+    verified = (cand
+                .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+                .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
+                .withColumn("cont_a_in_b",
+                            F.round(shared / F.col("sa.n_sh"), 6))
+                .withColumn("cont_b_in_a",
+                            F.round(shared / F.col("sb.n_sh"), 6))
+                .filter((F.col("cont_a_in_b") >= threshold)
+                        | (F.col("cont_b_in_a") >= threshold)))
+    return verified.select("id_a", "id_b",
+                           "cont_a_in_b", "cont_b_in_a")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

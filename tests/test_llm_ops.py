@@ -514,6 +514,81 @@ def test_sample_frames_count_matches_offsets(spark):
     assert rows[3]["frame_offsets"] == []
 
 
+def test_ngram_containment_matches_duckdb(docs, duck):
+    from .conftest import assert_matches_oracle
+    out = L.ngram_containment_pairs(docs, "text", "doc_id",
+                                    n=8, threshold=0.6)
+    assert_matches_oracle(out, duck, """
+        WITH d AS (SELECT doc_id,
+                          list_distinct([substr(text, i, 8)
+                           for i in range(1, greatest(length(text)-6, 2))])
+                          AS sh
+                   FROM documents),
+             e AS (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s
+                   FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(count(*)::DOUBLE / any_value(a.n_sh), 6)
+                   AS cont_a_in_b,
+               round(count(*)::DOUBLE / any_value(b.n_sh), 6)
+                   AS cont_b_in_a
+        FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING cont_a_in_b >= 0.6 OR cont_b_in_a >= 0.6""",
+        "ngram_containment_pairs")
+
+
+def test_ngram_containment_detects_quote_jaccard_misses(spark):
+    """The asymmetric point: a short quote inside a much larger page
+    has near-zero Jaccard but containment ≈ 1 on the quote side."""
+    quote = "the five boxing wizards jump quickly tonight"
+    page = ("completely unrelated opening paragraph about weather "
+            "patterns and agriculture. " + quote +
+            " followed by a long closing discussion of maritime "
+            "law, navigation, and insurance practices in the north.")
+    df = spark.createDataFrame([(1, quote), (2, page)],
+                               "doc_id long, text string")
+    jac = L.ngram_jaccard_pairs(df, "text", "doc_id", 8, 0.5).collect()
+    assert jac == []                       # Jaccard misses the quote
+    got = L.ngram_containment_pairs(df, "text", "doc_id",
+                                    n=8, threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a_in_b"] >= 0.9         # quote fully inside page
+    assert r["cont_b_in_a"] < 0.5          # page not inside quote
+
+
+def test_ngram_containment_posting_cap(spark, docs):
+    """The max_posting_size guard mirrors the Jaccard one: unengaged
+    on the real corpus (capped == exhaustive), and on a degenerate
+    boilerplate corpus survivors keep EXACT scores (the verify step
+    recomputes on full shingle sets)."""
+    uncapped = L.ngram_containment_pairs(docs, "text", "doc_id",
+                                         8, 0.6)
+    capped = L.ngram_containment_pairs(docs, "text", "doc_id", 8, 0.6,
+                                       max_posting_size=1000)
+    key = lambda r: (r.id_a, r.id_b, r.cont_a_in_b, r.cont_b_in_a)
+    u = {key(r) for r in uncapped.collect()}
+    c = {key(r) for r in capped.collect()}
+    assert u == c and len(u) > 0
+
+    boiler = "the quick brown fox jumps over the lazy dog " * 3
+    rows = [(i, boiler + f"unique tail nr {i:06d}") for i in range(40)]
+    rows += [(100, boiler + "same same same tail"),
+             (101, boiler + "same same same tail!")]
+    deg = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+           for r in L.ngram_containment_pairs(
+               deg, "text", "doc_id", 8, 0.95,
+               max_posting_size=30).collect()}
+    exact = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+             for r in L.ngram_containment_pairs(
+                 deg, "text", "doc_id", 8, 0.95).collect()}
+    assert (100, 101) in got
+    assert got[(100, 101)] == exact[(100, 101)]
+    assert set(got) <= set(exact)
+
+
 def test_ngram_posting_cap_guards_skew(spark, docs):
     """max_posting_size drops boilerplate shingles from the inverted
     index; pairs that share any rarer shingle keep their EXACT Jaccard
