@@ -811,6 +811,16 @@ _SCRIPTS: dict[str, str] = {
         select /*+ bm25(text, doc_id, 'data stream window', 40) */
                doc_id, source, n_chars, bm25_score
         from documents where lang = 'en'""",
+    # TABLESAMPLE relation suffix (r13): the sample hint's
+    # deterministic hash-residue membership applied at the RELATION —
+    # before the join — so one join side subsamples reproducibly
+    # ("join embeddings against a 30% document sample"); the
+    # aggregate then summarizes only joined sampled rows
+    "q93_tablesample": """
+        select c.source, count(*) as n
+        from documents c tablesample(doc_id, 300)
+        join embeddings e on c.doc_id = e.vec_id
+        group by c.source""",
     # mixture_temperature hint (r11): explicit priors from a weights
     # relation, temperature-flattened w' = w^(1/T) at plan time before
     # the same rate algebra.  T=2 = sqrt, correctly rounded by
@@ -2089,27 +2099,28 @@ _PRIORITY = [
     # 5).  The one-per-round rows-only re-entry below buys exactly
     # that, nothing stronger — do not report such rows as verified.
     # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
-    # 8+17+1+4+2+18 = 50):
+    # 8+17+1+5+2+17 = 50):
     # regression core 8; the 17-key r8 tail the r12 ledger named as
     # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
     # the late q91/llm77/q90 first rows); the llm07 rows-only
     # RE-ENTRY (next in registry order after llm04's r12 row — the
-    # one-per-round cadence); FIRST rows for the FOUR new r13
+    # one-per-round cadence); FIRST rows for the FIVE new r13
     # surfaces (q92 bm25 hint — also the fresh row for the
     # r13-touched bm25_scores/textstats code via the new-surface
     # carve-out, r11/r12 precedent, llm77 lends its slot; s20 the
     # streaming sample-hint x running-OVER x QUALIFY composition —
     # VERDICT item 7, taking llm48's slot; llm78 hybrid RRF
     # retrieval, taking llm47's; llm79 asymmetric containment
-    # pairs, taking llm46's — all per the new-surfaces-
+    # pairs, taking llm46's; q93 the TABLESAMPLE relation suffix,
+    # taking llm45's — all per the new-surfaces-
     # displace-the-r9-tail rule); fresh rows for the
     # two other r13-touched families (q89: the stratified hint's
     # rn-collision guard; llm75: cosine_topk_batch's streaming guard
     # + coercion-normalized missing-id check — both keep their slots
     # under the touched-code exception to the second-consecutive-
-    # sample rule); then the 18 OLDEST r9 greens in ledger order —
-    # the r9 tail (llm46, llm47, llm48 first, then llm49..llm71)
-    # waits below the fold and leads the r14 rotation.
+    # sample rule); then the 17 OLDEST r9 greens in ledger order —
+    # the r9 tail (llm45, llm46, llm47, llm48 first, then
+    # llm49..llm71) waits below the fold and leads the r14 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -2125,17 +2136,16 @@ _PRIORITY = [
     "llm07_ann_lsh",
     # -- FIRST rows: new r13 surfaces --
     "q92_bm25_hint", "s20_stream_sample_over", "llm78_hybrid_rrf",
-    "llm79_containment_pairs",
+    "llm79_containment_pairs", "q93_tablesample",
     # -- fresh rows for the r13-touched families --
     "q89_priority_stratified_hint", "llm75_ann_topk_batch",
-    # -- 18 oldest r9 greens (ledger order) --
+    # -- 17 oldest r9 greens (ledger order) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
     "q67_tpch_q15", "q73_tpch_q22",
     "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
-    "llm45_domain_mixture",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2144,9 +2154,9 @@ _PRIORITY = [
     #     r12 greens (freshest, sampled last).
     # r9 tail (oldest driver evidence below the fold — leads r14;
     # llm48 lent its slot to the late-r13 s20 first row, llm47 to
-    # llm78's, llm46 to llm79's)
-    "llm46_corpus_stats", "llm47_cross_dedup_pairs",
-    "llm48_dedup_against",
+    # llm78's, llm46 to llm79's, llm45 to q93's)
+    "llm45_domain_mixture", "llm46_corpus_stats",
+    "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
@@ -2785,6 +2795,19 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d0.doc_id, d0.source, d0.n_chars,
                    topk.score AS bm25_score
             FROM d0 JOIN topk ON d0.doc_id = topk.id""",
+        # q93: the q91 membership rule applied INSIDE the join's left
+        # side (relation-level, pre-join), then the grouped count —
+        # NULL-id exclusion spelled out as ever (DuckDB concat skips
+        # NULL args)
+        "q93_tablesample": """
+            SELECT c.source, count(*) AS n
+            FROM (SELECT * FROM documents
+                  WHERE doc_id IS NOT NULL
+                    AND CAST(concat('0x', substr(md5(concat(
+                        CAST(doc_id AS VARCHAR), ':', '42')), 1, 15))
+                        AS BIGINT) % 1000 < 300) c
+            JOIN embeddings e ON c.doc_id = e.vec_id
+            GROUP BY c.source""",
         # q84: q81's algebra with the weights temperature-flattened —
         # the oracle COMPUTES sqrt(w) like the engine does (every
         # root is non-representable, so a literal-weight shortcut

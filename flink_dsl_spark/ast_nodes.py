@@ -287,6 +287,8 @@ class TableRef:
     name: str
     alias: Optional[str] = None
     window: Optional[WindowSpec] = None
+    sample: Optional[tuple] = None     # (id_col, permille) — engine
+                                       # extension: TABLESAMPLE suffix
 
     @property
     def binding(self) -> str:
@@ -305,6 +307,8 @@ class DerivedTable:
     alias: str
     window: Optional[WindowSpec] = None
     lateral: bool = False
+    sample: Optional[tuple] = None     # (id_col, permille) — engine
+                                       # extension: TABLESAMPLE suffix
 
     @property
     def binding(self) -> str:

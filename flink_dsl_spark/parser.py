@@ -200,7 +200,8 @@ class Parser:
     # clause, ``from t window w as (...)`` a WINDOW clause, and
     # ``from t pivot (...)`` a PIVOT tail, not an alias).  ``AS
     # qualify`` / quoted forms still work as aliases.
-    _NON_ALIAS = {"qualify", "window", "pivot", "unpivot"}
+    _NON_ALIAS = {"qualify", "window", "pivot", "unpivot",
+                  "tablesample"}
 
     def alias_ident(self) -> str | None:
         """Optional [AS] alias."""
@@ -1379,7 +1380,8 @@ class Parser:
                         alias = f"_pivot_src{self._pivot_srcs}"
                     else:
                         self.error("derived table requires an alias")
-                return DerivedTable(q, alias, window)
+                return DerivedTable(q, alias, window,
+                                    sample=self.parse_tablesample())
             self.expect_op("(")
             rel = self.parse_from()
             self.expect_op(")")
@@ -1389,7 +1391,34 @@ class Parser:
         alias = self.alias_ident()
         if window is None and self.at_op("["):
             window = self.parse_window_spec()
-        return TableRef(name, alias, window)
+        return TableRef(name, alias, window,
+                        sample=self.parse_tablesample())
+
+    def parse_tablesample(self):
+        """``TABLESAMPLE(id_col, permille)`` relation suffix (engine
+        extension): deterministic Bernoulli subsample of ONE relation
+        — the seeded md5 hash-residue membership rule of the sample
+        hint (q91), but applied at the RELATION, before any join or
+        WHERE ("sample one side of a join").  Returns (col, permille)
+        or None; the column resolves at plan time against the
+        relation's own output."""
+        if not self.at_kw("tablesample"):
+            return None
+        self.advance()
+        self.expect_op("(")
+        col = self.ident("tablesample id column")
+        self.expect_op(",")
+        t = self.cur
+        # digits only: rejects 2.5 AND exponent forms like 2e1 (the
+        # bucket-count lesson)
+        if t.kind != "number" or not t.text.isdigit():
+            self.error("expected integer permille in TABLESAMPLE")
+        permille = int(self.advance().text)
+        if not 1 <= permille <= 999:
+            self.error("TABLESAMPLE permille must be between 1 and "
+                       "999", t)
+        self.expect_op(")")
+        return (col, permille)
 
     def _paren_starts_select(self) -> bool:
         j = self.i

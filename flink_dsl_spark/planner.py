@@ -1399,6 +1399,31 @@ class Planner:
     # relations
     # ------------------------------------------------------------------
 
+    def _apply_tablesample(self, df: DataFrame, rel) -> DataFrame:
+        """``TABLESAMPLE(id_col, permille)`` relation suffix: the
+        sample hint's deterministic hash-residue membership (seeded
+        60-bit md5, ``hash % 1000 < permille``) applied at the
+        RELATION — before any join, WHERE, or aggregation — so one
+        side of a join can be subsampled reproducibly ("join orders
+        against a 10% customer sample").  Same cross-engine premises
+        as the hint (q91): fixed md5 + seed 42, NULL ids never
+        sampled, membership independent of sibling rows — a pure
+        per-row filter, no shuffle, no state, streaming-safe."""
+        spec = getattr(rel, "sample", None)
+        if spec is None:
+            return df
+        colname, permille = spec
+        lower = {c.lower(): c for c in df.columns}
+        real = lower.get(colname.lower())
+        if real is None:
+            raise PlanError(
+                f"TABLESAMPLE column {colname!r} not in relation "
+                f"{rel.binding!r} ({', '.join(df.columns)})")
+        from .llm_ops.assemble import md5_id_hash
+        return df.filter(
+            md5_id_hash(F.col(f"{rel.binding}.{real}"), 42)
+            % 1000 < permille)
+
     def _plan_relation(self, rel, snapshot: bool = False) -> DataFrame:
         if isinstance(rel, TableRef):
             df = self.catalog.get(rel.name).alias(rel.binding)
@@ -1413,12 +1438,12 @@ class Planner:
                     self, "_stateful_passes", 0) + 1
             if snapshot and rel.window is not None:
                 df = self._apply_snapshot_window(df, rel)
-            return df
+            return self._apply_tablesample(df, rel)
         if isinstance(rel, DerivedTable):
             sub = self.plan_query(rel.query).alias(rel.binding)
             if snapshot and rel.window is not None:
                 sub = self._apply_snapshot_window(sub, rel)
-            return sub
+            return self._apply_tablesample(sub, rel)
         if isinstance(rel, Join):
             left = self._plan_relation(rel.left, snapshot)
             right = self._plan_relation(rel.right, snapshot)

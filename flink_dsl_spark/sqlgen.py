@@ -411,6 +411,11 @@ class SqlGen:
             if rel.window is not None:
                 raise UnsupportedError(
                     "stream window specs have no SQL-text form")
+            if getattr(rel, "sample", None) is not None:
+                raise UnsupportedError(
+                    "TABLESAMPLE is not supported in statements that "
+                    "need the SQL-text path (subqueries) — sample in "
+                    "a separate statement or use the sample hint")
             s = self.ident(rel.name)
             if rel.alias:
                 s += f" AS {self.ident(rel.alias)}"
@@ -419,6 +424,11 @@ class SqlGen:
             if rel.window is not None:
                 raise UnsupportedError(
                     "stream window specs have no SQL-text form")
+            if getattr(rel, "sample", None) is not None:
+                raise UnsupportedError(
+                    "TABLESAMPLE is not supported in statements that "
+                    "need the SQL-text path (subqueries) — sample in "
+                    "a separate statement or use the sample hint")
             lat = "LATERAL " if rel.lateral else ""
             return (f"{lat}({self.query(rel.query)}) "
                     f"AS {self.ident(rel.alias)}")

@@ -1258,6 +1258,94 @@ def test_priority_sample_hint_rejected_on_sqlgen_path(engine):
 
 
 # ---------------------------------------------------------------------------
+# TABLESAMPLE(id_col, permille) relation suffix (r13)
+# ---------------------------------------------------------------------------
+
+def test_tablesample_membership(engine):
+    """Same hash-residue row set as the sample hint's membership
+    rule, applied at the relation."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash
+    import pyspark.sql.functions as F
+    got = engine.sql(
+        "select doc_id from documents tablesample(doc_id, 200)")
+    want = (engine.catalog.get("documents")
+            .filter(md5_id_hash(F.col("doc_id"), 42) % 1000 < 200))
+    assert {r["doc_id"] for r in got.collect()} == \
+        {r["doc_id"] for r in want.collect()}
+    plan = _plan(got)
+    assert "Exchange" not in plan          # pure per-row filter
+
+
+def test_tablesample_one_join_side(engine):
+    """The point of the relation form: sample ONE side of a join —
+    the other side stays complete, and the filter applies BEFORE the
+    join (unsampled docs never join)."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash
+    import pyspark.sql.functions as F
+    got = engine.sql("""
+        select c.source, count(*) as n
+        from documents c tablesample(doc_id, 300)
+        join embeddings e on c.doc_id = e.vec_id
+        group by c.source""")
+    docs = (engine.catalog.get("documents")
+            .filter(md5_id_hash(F.col("doc_id"), 42) % 1000 < 300))
+    emb = engine.catalog.get("embeddings")
+    want = (docs.join(emb, docs.doc_id == emb.vec_id)
+                .groupBy("source").count())
+    assert {(r["source"], r["n"]) for r in got.collect()} == \
+        {(r["source"], r["count"]) for r in want.collect()}
+
+
+def test_tablesample_derived_table_and_alias(engine):
+    d = engine.sql(
+        "select * from (select doc_id, n_chars from documents) t "
+        "tablesample(doc_id, 400)")
+    assert d.count() > 0
+    # alias + suffix + WHERE compose
+    d2 = engine.sql(
+        "select d.doc_id from documents d tablesample(doc_id, 500) "
+        "where d.n_chars > 100")
+    assert d2.count() > 0
+    # a relation genuinely aliased 'tablesample' still works via AS
+    d3 = engine.sql(
+        "select tablesample.doc_id from documents as tablesample")
+    assert d3.count() > 0
+
+
+def test_tablesample_errors(engine):
+    with pytest.raises(PlanError, match="not in relation"):
+        engine.sql("select doc_id from documents "
+                   "tablesample(nope, 100)")
+    for bad in ["tablesample(doc_id, 0)", "tablesample(doc_id, 1000)",
+                "tablesample(doc_id, 2.5)"]:
+        with pytest.raises(ParseError,
+                           match="permille|TABLESAMPLE"):
+            engine.sql(f"select doc_id from documents {bad}")
+    from flink_dsl_spark.errors import UnsupportedError
+    with pytest.raises(UnsupportedError, match="TABLESAMPLE"):
+        engine.sql(
+            "select doc_id from documents tablesample(doc_id, 100) "
+            "where n_chars > (select avg(n_chars) from documents)")
+
+
+def test_tablesample_streaming_safe(engine, spark):
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    d = tempfile.mkdtemp(prefix="ts_stream_")
+    os.symlink(f"{SF_DIR}/events.parquet", os.path.join(d, "ev.parquet"))
+    eng.sql(f"create stream ts_ev (event_id long, user_id long, "
+            f"event_type string, value double, ts timestamp) "
+            f"source file('{d}')")
+    try:
+        out = eng.sql("select event_id from ts_ev "
+                      "tablesample(event_id, 300)")
+        assert out.isStreaming
+    finally:
+        eng.sql("drop stream ts_ev")
+
+
+# ---------------------------------------------------------------------------
 # bm25(text, id, 'terms', k) hint — Okapi BM25 retrieval (r13)
 # ---------------------------------------------------------------------------
 
