@@ -2099,7 +2099,7 @@ _PRIORITY = [
     # 5).  The one-per-round rows-only re-entry below buys exactly
     # that, nothing stronger — do not report such rows as verified.
     # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
-    # 8+17+1+5+2+17 = 50):
+    # 8+17+1+5+3+16 = 50):
     # regression core 8; the 17-key r8 tail the r12 ledger named as
     # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
     # the late q91/llm77/q90 first rows); the llm07 rows-only
@@ -2114,13 +2114,16 @@ _PRIORITY = [
     # pairs, taking llm46's; q93 the TABLESAMPLE relation suffix,
     # taking llm45's — all per the new-surfaces-
     # displace-the-r9-tail rule); fresh rows for the
-    # two other r13-touched families (q89: the stratified hint's
+    # three other r13-touched families (q89: the stratified hint's
     # rn-collision guard; llm75: cosine_topk_batch's streaming guard
     # + coercion-normalized missing-id check — both keep their slots
     # under the touched-code exception to the second-consecutive-
-    # sample rule); then the 17 OLDEST r9 greens in ledger order —
-    # the r9 tail (llm45, llm46, llm47, llm48 first, then
-    # llm49..llm71) waits below the fold and leads the r14 rotation.
+    # sample rule; llm02: the n-gram pair detectors' shared-scaffold
+    # refactor + rounded-prune fix touched ngram_jaccard_pairs,
+    # llm43_dup_spans lends its slot); then the 16 OLDEST r9 greens
+    # in ledger order — the r9 tail (llm43, llm45, llm46, llm47,
+    # llm48 first, then llm49..llm71) waits below the fold and leads
+    # the r14 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -2139,13 +2142,14 @@ _PRIORITY = [
     "llm79_containment_pairs", "q93_tablesample",
     # -- fresh rows for the r13-touched families --
     "q89_priority_stratified_hint", "llm75_ann_topk_batch",
-    # -- 17 oldest r9 greens (ledger order) --
+    "llm02_dedup_ngram_jaccard",
+    # -- 16 oldest r9 greens (ledger order) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
     "q67_tpch_q15", "q73_tpch_q22",
-    "llm41_gopher_repetition", "llm42_line_dedup", "llm43_dup_spans",
+    "llm41_gopher_repetition", "llm42_line_dedup",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2154,8 +2158,9 @@ _PRIORITY = [
     #     r12 greens (freshest, sampled last).
     # r9 tail (oldest driver evidence below the fold — leads r14;
     # llm48 lent its slot to the late-r13 s20 first row, llm47 to
-    # llm78's, llm46 to llm79's, llm45 to q93's)
-    "llm45_domain_mixture", "llm46_corpus_stats",
+    # llm78's, llm46 to llm79's, llm45 to q93's, llm43 to the
+    # jaccard-refactor fresh row llm02)
+    "llm43_dup_spans", "llm45_domain_mixture", "llm46_corpus_stats",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
@@ -2206,7 +2211,7 @@ _PRIORITY = [
     # code; llm04's run-only row), and the 25 r8 rotate-backs
     "llm26_minhash_verified_pairs", "llm27_ann_lsh_exhaustive",
     "llm30_shuffle_key_verified", "llm31_stratified_verified",
-    "q17d_intersect", "llm02_dedup_ngram_jaccard",
+    "q17d_intersect",
     "q29_count_sliding", "s04_stream_delta_window",
     "q88_merge_multi", "s19_stream_expr_key_qualify",
     "llm76_priority_stratified", "llm04_dedup_simhash",

@@ -94,6 +94,86 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str,
 # n-gram Jaccard (exact pairwise, inverted-index join)
 # ---------------------------------------------------------------------------
 
+def _shingle_index(df: DataFrame, text_col: str, id_col: str, n: int):
+    """(sh, e): per-doc distinct-shingle arrays with sizes, and the
+    exploded inverted index — the shared base of the n-gram pair
+    detectors (Jaccard and containment)."""
+    sh = (spread_for_compute(df)
+            .select(F.col(id_col).alias("id"),
+                    char_shingles(F.col(text_col), n).alias("sh"))
+            .withColumn("n_sh", F.size("sh")))
+    return sh, sh.select("id", F.explode("sh").alias("s"))
+
+
+def _shared_shingle_counts(e: DataFrame, count_alias: str) -> DataFrame:
+    """Inverted-index self-join: one row per (id_a < id_b) pair that
+    shares >= 1 indexed shingle, with the shared count — every score
+    derives from this aggregate, never from per-pair array scans over
+    the full candidate set."""
+    a, b = e.alias("a"), e.alias("b")
+    return (a.join(b, (F.col("a.s") == F.col("b.s")) &
+                   (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias(count_alias)))
+
+
+def _join_pair_sizes(pairs: DataFrame, meta: DataFrame,
+                     cols: dict) -> DataFrame:
+    """Attach per-side metadata: ``cols`` maps a meta column to its
+    (a_side_alias, b_side_alias)."""
+    sel_a = [F.col("id").alias("id_a")] + \
+        [F.col(c).alias(a) for c, (a, _) in cols.items()]
+    sel_b = [F.col("id").alias("id_b")] + \
+        [F.col(c).alias(b) for c, (_, b) in cols.items()]
+    return (pairs.join(meta.select(*sel_a), "id_a")
+                 .join(meta.select(*sel_b), "id_b"))
+
+
+def _capped_candidates(sh: DataFrame, e: DataFrame,
+                       max_posting_size: int, threshold: float,
+                       ub_score) -> DataFrame:
+    """Shared posting-cap scaffold for the n-gram pair detectors:
+    (1) over-cap postings drop before the self-join (broadcast
+    anti-join); (2) the join counts shared KEPT shingles — a lower
+    bound of true shared; (3) the caller's upper-bound score, built
+    from ``ub_shared = shared_kept + min(capped_a, capped_b)``,
+    prunes the pair list.  The bound compares after the SAME round-6
+    the final filters apply, so a pair sitting on the rounding
+    boundary is never pruned that the exhaustive path would keep
+    (r13 review; round is monotone, so the rounded bound stays
+    sound).  Returns the (id_a, id_b) candidates for exact
+    verification on full shingle arrays."""
+    big = (e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__pc"))
+            .filter(F.col("__pc") > max_posting_size)
+            .select("s"))
+    kept = e.join(F.broadcast(big), "s", "left_anti")
+    n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
+    meta = (sh.select("id", "n_sh")
+              .join(n_kept, "id", "left")
+              .withColumn("n_capped",
+                          F.col("n_sh") - F.coalesce("n_kept", F.lit(0)))
+              .select("id", "n_sh", "n_capped"))
+    pairs = _join_pair_sizes(
+        _shared_shingle_counts(kept, "shared_kept"), meta,
+        {"n_sh": ("na", "nb"), "n_capped": ("ca", "cb")})
+    ub_shared = F.col("shared_kept") + F.least("ca", "cb")
+    return (pairs
+            .filter(F.round(ub_score(ub_shared), 6) >= threshold)
+            .select("id_a", "id_b"))
+
+
+def _verified_pairs(cand: DataFrame, sh: DataFrame):
+    """Exact-verification scaffold: join candidates back to their FULL
+    shingle arrays; returns (joined, shared_count_expr)."""
+    joined = (cand
+              .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+              .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id")))
+    return joined, F.size(F.array_intersect(F.col("sa.sh"),
+                                            F.col("sb.sh")))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
                         n: int = 8, threshold: float = 0.8,
                         max_posting_size: int | None = None) -> DataFrame:
@@ -114,78 +194,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str, id_col: str,
     shingle; a pair is missed only when it shares NOTHING rarer than
     the cap — real near-duplicates share many rare shingles.  Uncapped,
     results are exhaustively exact; at scale prefer minhash_lsh_pairs
-    (this function is its verifier)."""
-    sh = (spread_for_compute(df)
-            .select(F.col(id_col).alias("id"),
-                    char_shingles(F.col(text_col), n).alias("sh"))
-            .withColumn("n_sh", F.size("sh")))
-    e = sh.select("id", F.explode("sh").alias("s"))
+    (this function is its verifier).  Scaffolding shared with
+    ngram_containment_pairs (_shingle_index/_capped_candidates/
+    _verified_pairs — r13 review consolidation)."""
+    sh, e = _shingle_index(df, text_col, id_col, n)
+    jac_of = lambda shared: shared / (F.col("na") + F.col("nb")
+                                      - shared)
     if max_posting_size is None:
-        # exhaustive: the join itself counts shared shingles exactly, so
-        # the Jaccard comes straight from the aggregate — no per-pair
-        # array work at all
-        a, b = e.alias("a"), e.alias("b")
-        pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                        (F.col("a.id") < F.col("b.id")))
-                 .groupBy(F.col("a.id").alias("id_a"),
-                          F.col("b.id").alias("id_b"))
-                 .agg(F.count(F.lit(1)).alias("shared")))
-        meta = sh.select("id", "n_sh")
-        jac = F.col("shared") / (F.col("na") + F.col("nb")
-                                 - F.col("shared"))
+        pairs = _join_pair_sizes(_shared_shingle_counts(e, "shared"),
+                                 sh.select("id", "n_sh"),
+                                 {"n_sh": ("na", "nb")})
         return (pairs
-                .join(meta.select(F.col("id").alias("id_a"),
-                                  F.col("n_sh").alias("na")), "id_a")
-                .join(meta.select(F.col("id").alias("id_b"),
-                                  F.col("n_sh").alias("nb")), "id_b")
-                .withColumn("jaccard", F.round(jac, 6))
+                .withColumn("jaccard",
+                            F.round(jac_of(F.col("shared")), 6))
                 .filter(F.col("jaccard") >= threshold)
                 .select("id_a", "id_b", "jaccard"))
-
-    # capped: (1) drop over-cap postings before the join; (2) count
-    # shared KEPT shingles per pair (a lower bound of true shared);
-    # (3) prune with a sound upper bound — true shared can exceed the
-    # kept count by at most min(capped_a, capped_b); (4) exact-verify
-    # only the survivors on their full shingle arrays.  No false
-    # negatives among pairs sharing >=1 kept shingle.
-    big = (e.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__pc"))
-            .filter(F.col("__pc") > max_posting_size)
-            .select("s"))
-    kept = e.join(F.broadcast(big), "s", "left_anti")
-    n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
-    meta = (sh.select("id", "n_sh")
-              .join(n_kept, "id", "left")
-              .withColumn("n_capped",
-                          F.col("n_sh") - F.coalesce("n_kept", F.lit(0)))
-              .select("id", "n_sh", "n_capped"))
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("shared_kept")))
-    pairs = (pairs
-             .join(meta.select(F.col("id").alias("id_a"),
-                               F.col("n_sh").alias("na"),
-                               F.col("n_capped").alias("ca")), "id_a")
-             .join(meta.select(F.col("id").alias("id_b"),
-                               F.col("n_sh").alias("nb"),
-                               F.col("n_capped").alias("cb")), "id_b"))
-    ub_shared = F.col("shared_kept") + F.least("ca", "cb")
-    ub_j = ub_shared / (F.col("na") + F.col("nb") - ub_shared)
-    cand = pairs.filter(ub_j >= threshold).select("id_a", "id_b")
-    verified = (cand
-                .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-                .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
-                .withColumn("shared", F.size(F.array_intersect(
-                    F.col("sa.sh"), F.col("sb.sh"))))
-                .withColumn("jaccard", F.round(
-                    F.col("shared") /
-                    (F.col("sa.n_sh") + F.col("sb.n_sh")
-                     - F.col("shared")), 6))
-                .filter(F.col("jaccard") >= threshold))
-    return verified.select("id_a", "id_b", "jaccard")
+    cand = _capped_candidates(sh, e, max_posting_size, threshold,
+                              jac_of)
+    j, shared = _verified_pairs(cand, sh)
+    return (j.withColumn("jaccard", F.round(
+                shared / (F.col("sa.n_sh") + F.col("sb.n_sh")
+                          - shared), 6))
+             .filter(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
 
 
 def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -206,33 +237,19 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
     correctly-rounded division each, so the values replay bit-exactly
     in any engine).
 
-    Scale shape: identical to ngram_jaccard_pairs — inverted-index
-    self-join whose aggregate counts shared shingles (never per-pair
-    array scans over the candidate set), with the same
-    ``max_posting_size`` straggler guard: over-cap postings drop
-    before the join, the kept-shared count lower-bounds true shared,
-    the sound upper bound (kept + min(capped_a, capped_b)) prunes —
-    against the SMALLER denominator, the direction where containment
-    is largest — and the few survivors exact-verify on their full
-    shingle arrays."""
-    sh = (spread_for_compute(df)
-            .select(F.col(id_col).alias("id"),
-                    char_shingles(F.col(text_col), n).alias("sh"))
-            .withColumn("n_sh", F.size("sh")))
-    e = sh.select("id", F.explode("sh").alias("s"))
+    Scale shape: identical to ngram_jaccard_pairs (the scaffolding is
+    literally shared — _shingle_index/_capped_candidates/
+    _verified_pairs): inverted-index self-join whose aggregate counts
+    shared shingles, with the same ``max_posting_size`` straggler
+    guard; the capped path prunes against the SMALLER denominator —
+    the direction where containment is largest — before the exact
+    verification of survivors."""
+    sh, e = _shingle_index(df, text_col, id_col, n)
     if max_posting_size is None:
-        a, b = e.alias("a"), e.alias("b")
-        pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                        (F.col("a.id") < F.col("b.id")))
-                 .groupBy(F.col("a.id").alias("id_a"),
-                          F.col("b.id").alias("id_b"))
-                 .agg(F.count(F.lit(1)).alias("shared")))
-        meta = sh.select("id", "n_sh")
+        pairs = _join_pair_sizes(_shared_shingle_counts(e, "shared"),
+                                 sh.select("id", "n_sh"),
+                                 {"n_sh": ("na", "nb")})
         return (pairs
-                .join(meta.select(F.col("id").alias("id_a"),
-                                  F.col("n_sh").alias("na")), "id_a")
-                .join(meta.select(F.col("id").alias("id_b"),
-                                  F.col("n_sh").alias("nb")), "id_b")
                 .withColumn("cont_a_in_b",
                             F.round(F.col("shared") / F.col("na"), 6))
                 .withColumn("cont_b_in_a",
@@ -240,47 +257,16 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
                 .filter((F.col("cont_a_in_b") >= threshold)
                         | (F.col("cont_b_in_a") >= threshold))
                 .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
-
-    big = (e.groupBy("s")
-            .agg(F.count(F.lit(1)).alias("__pc"))
-            .filter(F.col("__pc") > max_posting_size)
-            .select("s"))
-    kept = e.join(F.broadcast(big), "s", "left_anti")
-    n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_kept"))
-    meta = (sh.select("id", "n_sh")
-              .join(n_kept, "id", "left")
-              .withColumn("n_capped",
-                          F.col("n_sh") - F.coalesce("n_kept", F.lit(0)))
-              .select("id", "n_sh", "n_capped"))
-    a, b = kept.alias("a"), kept.alias("b")
-    pairs = (a.join(b, (F.col("a.s") == F.col("b.s")) &
-                    (F.col("a.id") < F.col("b.id")))
-             .groupBy(F.col("a.id").alias("id_a"),
-                      F.col("b.id").alias("id_b"))
-             .agg(F.count(F.lit(1)).alias("shared_kept")))
-    pairs = (pairs
-             .join(meta.select(F.col("id").alias("id_a"),
-                               F.col("n_sh").alias("na"),
-                               F.col("n_capped").alias("ca")), "id_a")
-             .join(meta.select(F.col("id").alias("id_b"),
-                               F.col("n_sh").alias("nb"),
-                               F.col("n_capped").alias("cb")), "id_b"))
-    ub_shared = F.col("shared_kept") + F.least("ca", "cb")
-    # prune on the LARGER containment direction (smaller denominator)
-    ub_cont = ub_shared / F.least("na", "nb")
-    cand = pairs.filter(ub_cont >= threshold).select("id_a", "id_b")
-    shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
-    verified = (cand
-                .join(sh.alias("sa"), F.col("id_a") == F.col("sa.id"))
-                .join(sh.alias("sb"), F.col("id_b") == F.col("sb.id"))
-                .withColumn("cont_a_in_b",
-                            F.round(shared / F.col("sa.n_sh"), 6))
-                .withColumn("cont_b_in_a",
-                            F.round(shared / F.col("sb.n_sh"), 6))
-                .filter((F.col("cont_a_in_b") >= threshold)
-                        | (F.col("cont_b_in_a") >= threshold)))
-    return verified.select("id_a", "id_b",
-                           "cont_a_in_b", "cont_b_in_a")
+    cand = _capped_candidates(sh, e, max_posting_size, threshold,
+                              lambda ub: ub / F.least("na", "nb"))
+    j, shared = _verified_pairs(cand, sh)
+    return (j.withColumn("cont_a_in_b",
+                         F.round(shared / F.col("sa.n_sh"), 6))
+             .withColumn("cont_b_in_a",
+                         F.round(shared / F.col("sb.n_sh"), 6))
+             .filter((F.col("cont_a_in_b") >= threshold)
+                     | (F.col("cont_b_in_a") >= threshold))
+             .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a"))
 
 
 # ---------------------------------------------------------------------------

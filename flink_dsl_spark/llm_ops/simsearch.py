@@ -308,37 +308,21 @@ def _is_numeric_probe(v) -> bool:
     return isinstance(v, (int, float)) or type(v).__name__ == "Decimal"
 
 
-def _qkey(v) -> str:
-    """Canonical NUMERIC membership key mirroring Spark isin's
-    coercion for numeric probes: an integral numeric (int, 1.0,
-    Decimal('1'), 1e17) canonicalizes to the plain int spelling —
-    int(f) is exact for any integral float, so a float query id
-    1e17 agrees with a bigint column value 10**17 — a numeric-
-    looking STRING id canonicalizes the same way (isin casts a
-    string column to double when the probe is numeric), and
-    everything else falls back to str.  Only consulted for numeric
-    probes (see the membership check): string probes compare as
-    plain strings, matching isin's string-vs-string equality."""
+def _dkey(v):
+    """Double-collapse membership key mirroring what Spark's isin
+    actually does for a NUMERIC probe: cast the id column to double
+    and compare — so int 1, float 1.0 and string '1' all collapse to
+    repr(1.0), and (beyond 2**53) bigint 10**17 + 1 collapses onto
+    the same double as the probe 1e17, exactly like the cast.
+    Returns None for values the cast would NULL out (non-numeric
+    strings, unconvertible types) — those can never isin-match a
+    numeric probe."""
     if isinstance(v, bool):
-        return str(v)
-    if isinstance(v, int):
-        return str(v)      # exact — never route ints through float
-    if isinstance(v, float) or type(v).__name__ == "Decimal":
-        try:
-            f = float(v)
-        except (ValueError, OverflowError):
-            return str(v)
-        if f != f or f in (float("inf"), float("-inf")):
-            return repr(f)
-        if f == int(f):
-            return str(int(f))            # exact for integral floats
-        return repr(f)
-    if isinstance(v, str):
-        try:
-            return _qkey(float(v))
-        except ValueError:
-            return v
-    return str(v)
+        return None
+    try:
+        return repr(float(v))
+    except (ValueError, TypeError, OverflowError):
+        return None
 
 
 def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
@@ -389,20 +373,22 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     # the query vectors), not inside the returned lazy plan.
     # Membership mirrors isin's per-probe coercion: every probe first
     # compares by raw str() (int 1 vs column '1', exact string ids);
-    # a NUMERIC probe additionally matches through the canonical
-    # numeric key (_qkey), because isin casts the column to double
-    # for numeric probes — so float 1.0 finds int column value 1,
-    # and float 1e17 finds bigint 10**17.  A STRING probe never
-    # takes the numeric path: isin compares string-vs-string
-    # exactly, so a requested '1.0' against a string column holding
-    # only '1' is correctly reported missing.
+    # a NUMERIC probe additionally matches through the double-collapse
+    # key (_dkey), because isin CASTS THE COLUMN TO DOUBLE for
+    # numeric probes — float 1.0 finds int column value 1, and (past
+    # 2**53, where distinct bigints collide as doubles) a probe 1e17
+    # finds bigint 10**17 + 1 exactly like the cast does.  A STRING
+    # probe never takes the numeric path: isin compares
+    # string-vs-string exactly, so a requested '1.0' against a string
+    # column holding only '1' is correctly reported missing.
     qrows = qdf.collect()
     raw_found = {str(r["qid"]) for r in qrows}
-    canon_found = {_qkey(r["qid"]) for r in qrows}
+    double_found = {k for k in (_dkey(r["qid"]) for r in qrows)
+                    if k is not None}
     missing = sorted(
         str(i) for i in set(query_ids)
         if str(i) not in raw_found
-        and not (_is_numeric_probe(i) and _qkey(i) in canon_found))
+        and not (_is_numeric_probe(i) and _dkey(i) in double_found))
     if missing:
         raise ValueError(
             f"query id(s) not present in the corpus: "

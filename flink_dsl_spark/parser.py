@@ -1351,7 +1351,12 @@ class Parser:
             alias = self.alias_ident()
             if alias is None:
                 self.error("LATERAL subquery requires an alias")
-            return DerivedTable(q, alias, None, lateral=True)
+            # parse the suffix so the rejection is the CLEAR sqlgen
+            # one (LATERAL always compiles on the SQL-text path,
+            # where TABLESAMPLE has no form) instead of a generic
+            # trailing-input parse error
+            return DerivedTable(q, alias, None, lateral=True,
+                                sample=self.parse_tablesample())
         if self.at_op("("):
             # lookahead: derived table (select/with/values) vs
             # parenthesized join
@@ -2048,10 +2053,12 @@ def _inline_rel(rel, cmap: dict):
         hit = cmap.get(rel.name.lower())
         if hit is None:
             return rel
-        # window specs ride through: DerivedTable carries them (the
-        # derived-continuous-view path, q33's shape)
+        # window specs and TABLESAMPLE suffixes ride through:
+        # DerivedTable carries both (the derived-continuous-view
+        # path, q33's shape; dropping `sample` here silently ran the
+        # query UNSAMPLED — r13 review finding)
         return DerivedTable(copy.deepcopy(hit), rel.alias or rel.name,
-                            rel.window)
+                            rel.window, sample=rel.sample)
     return rel
 
 

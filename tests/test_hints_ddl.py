@@ -1312,6 +1312,33 @@ def test_tablesample_derived_table_and_alias(engine):
     assert d3.count() > 0
 
 
+def test_tablesample_survives_cte_inlining(engine):
+    """r13 review: CTE inlining rebuilds a TableRef as a DerivedTable
+    — the sample suffix must ride through, not silently vanish (the
+    query ran UNSAMPLED before the fix)."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash
+    import pyspark.sql.functions as F
+    got = engine.sql(
+        "with d as (select doc_id from documents) "
+        "select doc_id from d tablesample(doc_id, 300)")
+    want = (engine.catalog.get("documents")
+            .filter(md5_id_hash(F.col("doc_id"), 42) % 1000 < 300))
+    assert {r["doc_id"] for r in got.collect()} == \
+        {r["doc_id"] for r in want.collect()}
+
+
+def test_tablesample_on_lateral_rejected_clearly(engine):
+    """r13 review: LATERAL always compiles on the SQL-text path where
+    TABLESAMPLE has no form — the rejection must NAME the clause, not
+    die as generic trailing input."""
+    from flink_dsl_spark.errors import UnsupportedError
+    with pytest.raises(UnsupportedError, match="TABLESAMPLE"):
+        engine.sql(
+            "select d.doc_id, l.m from documents d, lateral "
+            "(select max(n_chars) as m from documents) l "
+            "tablesample(m, 100)")
+
+
 def test_tablesample_errors(engine):
     with pytest.raises(PlanError, match="not in relation"):
         engine.sql("select doc_id from documents "

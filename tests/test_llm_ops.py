@@ -2946,6 +2946,15 @@ def test_cosine_topk_batch_large_integral_float_id(spark):
     # is only that the validation no longer raises a spurious
     # "not present" for the float spelling
     assert {r["qid"] for r in out.collect()} == {big, big + 1}
+    # and the collision-only corpus (r13 review): the column holds
+    # ONLY big + 1, which isin still matches through the double cast
+    # — the validation must agree, not raise
+    df2 = spark.createDataFrame(
+        [(big + 1, [0.0, 1.0]), (5, [1.0, 1.0])],
+        "vid long, embedding array<double>")
+    out2 = L.cosine_topk_batch(df2, "embedding", "vid",
+                               [float(big)], k=1)
+    assert {r["qid"] for r in out2.collect()} == {big + 1}
 
 
 def test_cosine_topk_batch_rejects_stream(spark, tmp_path):
