@@ -1513,6 +1513,19 @@ def _llm_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "llm79_containment_pairs": lambda s, d: (
             L.ngram_containment_pairs(
                 _docs(s, d), "text", "doc_id", n=8, threshold=0.6)),
+        # capped-scaffold twin (the llm26 exhaustive-twin pattern):
+        # the SAME containment config with max_posting_size=450 —
+        # above the corpus' max posting at the oracle SFs (399 at
+        # sf0.001 / 394 at sf0.01), so the FULL capped code path
+        # (posting-size aggregate, broadcast anti-join, n_kept /
+        # n_capped meta, rounded upper-bound prune, exact
+        # verification on full shingle arrays — the scaffold SHARED
+        # with ngram_jaccard_pairs) executes driver-side while
+        # remaining exhaustive-equivalent and value-oracle-able
+        "llm80_containment_capped": lambda s, d: (
+            L.ngram_containment_pairs(
+                _docs(s, d), "text", "doc_id", n=8, threshold=0.6,
+                max_posting_size=450)),
         "llm78_hybrid_rrf": lambda s, d: L.hybrid_topk(
             _docs(s, d).join(
                 s.read.parquet(f"{d}/embeddings.parquet"),
@@ -2099,12 +2112,12 @@ _PRIORITY = [
     # 5).  The one-per-round rows-only re-entry below buys exactly
     # that, nothing stronger — do not report such rows as verified.
     # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
-    # 8+17+1+5+3+16 = 50):
+    # 8+17+1+6+3+15 = 50):
     # regression core 8; the 17-key r8 tail the r12 ledger named as
     # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
     # the late q91/llm77/q90 first rows); the llm07 rows-only
     # RE-ENTRY (next in registry order after llm04's r12 row — the
-    # one-per-round cadence); FIRST rows for the FIVE new r13
+    # one-per-round cadence); FIRST rows for the SIX new r13
     # surfaces (q92 bm25 hint — also the fresh row for the
     # r13-touched bm25_scores/textstats code via the new-surface
     # carve-out, r11/r12 precedent, llm77 lends its slot; s20 the
@@ -2112,7 +2125,8 @@ _PRIORITY = [
     # VERDICT item 7, taking llm48's slot; llm78 hybrid RRF
     # retrieval, taking llm47's; llm79 asymmetric containment
     # pairs, taking llm46's; q93 the TABLESAMPLE relation suffix,
-    # taking llm45's — all per the new-surfaces-
+    # taking llm45's; llm80 the capped-scaffold exhaustive twin,
+    # taking llm42's — all per the new-surfaces-
     # displace-the-r9-tail rule); fresh rows for the
     # three other r13-touched families (q89: the stratified hint's
     # rn-collision guard; llm75: cosine_topk_batch's streaming guard
@@ -2120,10 +2134,10 @@ _PRIORITY = [
     # under the touched-code exception to the second-consecutive-
     # sample rule; llm02: the n-gram pair detectors' shared-scaffold
     # refactor + rounded-prune fix touched ngram_jaccard_pairs,
-    # llm43_dup_spans lends its slot); then the 16 OLDEST r9 greens
-    # in ledger order — the r9 tail (llm43, llm45, llm46, llm47,
-    # llm48 first, then llm49..llm71) waits below the fold and leads
-    # the r14 rotation.
+    # llm43_dup_spans lends its slot); then the 15 OLDEST r9 greens
+    # in ledger order — the r9 tail (llm42, llm43, llm45, llm46,
+    # llm47, llm48 first, then llm49..llm71) waits below the fold
+    # and leads the r14 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
@@ -2140,16 +2154,17 @@ _PRIORITY = [
     # -- FIRST rows: new r13 surfaces --
     "q92_bm25_hint", "s20_stream_sample_over", "llm78_hybrid_rrf",
     "llm79_containment_pairs", "q93_tablesample",
+    "llm80_containment_capped",
     # -- fresh rows for the r13-touched families --
     "q89_priority_stratified_hint", "llm75_ann_topk_batch",
     "llm02_dedup_ngram_jaccard",
-    # -- 16 oldest r9 greens (ledger order) --
+    # -- 15 oldest r9 greens (ledger order) --
     "q15_exists", "q02_filter_projection", "q05_right_join",
     "q08_using_join", "q09_rollup", "q12_order_limit_offset",
     "q16_scalar_subquery", "q17a_union",
     "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
     "q67_tpch_q15", "q73_tpch_q22",
-    "llm41_gopher_repetition", "llm42_line_dedup",
+    "llm41_gopher_repetition",
     # --- fold: entries below are outside the 50-entry prefix sample;
     #     all stay value-checked by the per-session pytest oracle
     #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
@@ -2159,8 +2174,9 @@ _PRIORITY = [
     # r9 tail (oldest driver evidence below the fold — leads r14;
     # llm48 lent its slot to the late-r13 s20 first row, llm47 to
     # llm78's, llm46 to llm79's, llm45 to q93's, llm43 to the
-    # jaccard-refactor fresh row llm02)
-    "llm43_dup_spans", "llm45_domain_mixture", "llm46_corpus_stats",
+    # jaccard-refactor fresh row llm02, llm42 to llm80's)
+    "llm42_line_dedup", "llm43_dup_spans", "llm45_domain_mixture",
+    "llm46_corpus_stats",
     "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
@@ -2342,6 +2358,11 @@ def oracle_sql() -> dict[str, str]:
     # per-session rehearsal sweep), so llm26's exact-shingle-Jaccard
     # SQL applies verbatim
     o["llm03_dedup_minhash_lsh"] = o["llm26_minhash_verified_pairs"]
+    # llm80: max_posting_size=450 exceeds the corpus' largest posting
+    # at both oracle SFs (399 / 394 — the cap never engages), so the
+    # capped code path is exhaustive-equivalent and llm79's exact
+    # containment SQL applies verbatim (the llm03/llm26 pattern)
+    o["llm80_containment_capped"] = o["llm79_containment_pairs"]
     # llm23: the md5 shuffle key is llm30's oracled premise; with the
     # key value-exact, the rank is its dense 0-based order (keys are
     # 60-bit md5 values — collision-free on any realistic corpus, so
