@@ -1355,6 +1355,31 @@ def test_tablesample_errors(engine):
             "where n_chars > (select avg(n_chars) from documents)")
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.one_of(st.integers(min_value=-10**6,
+                                      max_value=10**6),
+                          st.none()),
+                min_size=1, max_size=40, unique=True),
+       st.integers(min_value=1, max_value=999))
+def test_tablesample_membership_python_replay_fuzz(spark, ids,
+                                                   permille):
+    """r13 fuzz shape for TABLESAMPLE: random id sets (NULLs
+    included) and permilles vs a pure-Python md5 replay of the
+    membership rule — NULL ids never sampled."""
+    import hashlib
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame([(i,) for i in ids], "id long")
+    eng.register("ts_t", df)
+    got = {r["id"] for r in eng.sql(
+        f"select id from ts_t tablesample(id, {permille})").collect()}
+    exp = {i for i in ids if i is not None and
+           int(hashlib.md5(f"{i}:42".encode()).hexdigest()[:15], 16)
+           % 1000 < permille}
+    assert got == exp, (ids, permille)
+
+
 def test_tablesample_streaming_safe(engine, spark):
     import os
     import tempfile

@@ -2866,6 +2866,44 @@ def test_hybrid_topk_equals_manual_composition(docs, emb, spark):
                       query_id=3, pool=0)
 
 
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from("abcde"),
+                         min_size=0, max_size=30).map("".join),
+                min_size=2, max_size=12),
+       st.sampled_from([0.3, 0.5, 0.8]),
+       st.sampled_from([2, 3]))
+def test_ngram_containment_python_replay_fuzz(spark, texts, th, n):
+    """r13 fuzz shape for containment: random tiny-alphabet corpora
+    (heavy shingle overlap by construction) vs a pure-Python shingle
+    replay with the same round-6 divisions and either-direction
+    threshold."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {(r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+           for r in L.ngram_containment_pairs(
+               df, "text", "id", n=n, threshold=th).collect()}
+    def sh(t):
+        if len(t) <= n:
+            return {t[0:n]} if t else {""}
+        return {t[i:i + n] for i in range(len(t) - n + 1)}
+    exp = {}
+    for i, a in rows:
+        for j, b in rows:
+            if i >= j:
+                continue
+            sa, sb = sh(a), sh(b)
+            shared = len(sa & sb)
+            if not shared:
+                continue
+            ca = round(shared / len(sa), 6)
+            cb = round(shared / len(sb), 6)
+            if ca >= th or cb >= th:
+                exp[(i, j)] = (ca, cb)
+    assert got == exp, (texts, th, n)
+
+
 def test_cosine_topk_batch_equals_per_query(emb):
     """The batched form must return exactly each query's cosine_topk
     result (same rounding, same tie-break)."""
