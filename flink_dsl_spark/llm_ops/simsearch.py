@@ -16,6 +16,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .dedup import cosine_sim
 from .util import spread_for_compute
@@ -371,24 +372,48 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     # scanned exactly once per side: NOTE the function is therefore
     # EAGER — the query-side scan runs at call time (and snapshots
     # the query vectors), not inside the returned lazy plan.
-    # Membership mirrors isin's per-probe coercion: every probe first
-    # compares by raw str() (int 1 vs column '1', exact string ids);
-    # a NUMERIC probe additionally matches through the double-collapse
-    # key (_dkey), because isin CASTS THE COLUMN TO DOUBLE for
-    # numeric probes — float 1.0 finds int column value 1, and (past
-    # 2**53, where distinct bigints collide as doubles) a probe 1e17
-    # finds bigint 10**17 + 1 exactly like the cast does.  A STRING
-    # probe never takes the numeric path: isin compares
-    # string-vs-string exactly, so a requested '1.0' against a string
-    # column holding only '1' is correctly reported missing.
+    # Membership mirrors isin's coercion, which is LIST-LEVEL: Spark
+    # resolves In(col, probes) to ONE common comparison type across
+    # the column and every probe (measured on this Spark, ANSI on).
+    # Every probe first compares by raw str() (int 1 vs long column
+    # 1, exact string ids); a probe additionally matches through the
+    # double-collapse key (_dkey) exactly when that common type is
+    # floating-point, i.e. when
+    #   - the id column is float/double (casting the probes), or
+    #   - ANY probe is a fractional numeric (float/Decimal): it
+    #     promotes the WHOLE list, so even an int probe then collides
+    #     past 2**53 ([10**17, 2.5] matches bigint 10**17 + 1 —
+    #     measured);
+    # otherwise the comparison is exact at long/decimal/string type:
+    # an all-int probe list against a bigint column can NEVER be
+    # validated through another probe's colliding _dkey (r13 advice:
+    # that false acceptance silently shrank results), and a string
+    # probe against an integer column is cast to LONG by Spark itself
+    # (a malformed '1.0' raises Spark's own CAST_INVALID_INPUT at the
+    # collect below — loud, and not ours to re-report).
     qrows = qdf.collect()
     raw_found = {str(r["qid"]) for r in qrows}
     double_found = {k for k in (_dkey(r["qid"]) for r in qrows)
                     if k is not None}
+    id_type = df.schema[id_col].dataType
+    numeric_col = isinstance(id_type, T.NumericType)
+    float_col = isinstance(id_type, (T.FloatType, T.DoubleType))
+    frac_probe = any(_is_numeric_probe(p) and not isinstance(p, int)
+                     for p in query_ids)
+    list_at_double = float_col or (numeric_col and frac_probe)
+
+    def _collapses(probe) -> bool:
+        """Does isin compare this probe to the id column at double?"""
+        if isinstance(probe, bool):
+            return False
+        if _is_numeric_probe(probe) and not isinstance(probe, int):
+            return True                # float / Decimal probe
+        return list_at_double          # int / string probe
     missing = sorted(
         str(i) for i in set(query_ids)
         if str(i) not in raw_found
-        and not (_is_numeric_probe(i) and _dkey(i) in double_found))
+        and not (_collapses(i) and _dkey(i) is not None
+                 and _dkey(i) in double_found))
     if missing:
         raise ValueError(
             f"query id(s) not present in the corpus: "

@@ -208,6 +208,13 @@ class Parser:
         if self.eat_kw("as"):
             return self.ident("alias")
         t = self.cur
+        if t.kind == "ident" and t.lower == "for" \
+                and self.peek().kind == "ident" \
+                and self.peek().lower == "update":
+            # ``from t for update`` — the FOR UPDATE suffix, not an
+            # implicit alias named 'for'.  (Alias a relation "for" by
+            # quoting it or using AS.)
+            return None
         if t.kind == "qident" or (t.kind == "ident"
                                   and t.lower not in RESERVED
                                   and t.lower not in self._NON_ALIAS):
@@ -648,6 +655,15 @@ class Parser:
                 left.limit = self.parse_limit_term()
                 if self.eat_kw("offset"):
                     left.offset = self.parse_limit_term()
+        # trailing ``FOR UPDATE`` — parsed and DISCARDED, exactly like
+        # the reference (flinkdsl/parser.scala:27 ``<~ opt("for".i ~
+        # "update".i)``): a JDBC-era row-lock suffix with no meaning in
+        # an analytics engine.  Guarded on the following UPDATE so a
+        # genuine stray ``for`` still reads as trailing input.
+        if self.at_kw("for") and self.peek().kind == "ident" \
+                and self.peek().lower == "update":
+            self.advance()
+            self.advance()
         return left
 
     def parse_with_query(self, allow_recursive: bool = False):
@@ -1016,6 +1032,12 @@ class Parser:
         return hints
 
     def parse_select_item(self) -> SelectItem:
+        # per-item ``ALL`` prefix — parsed and DISCARDED, exactly like
+        # the reference's projection grammar (flinkdsl/parser.scala:30
+        # ``repsep((opt("all".i) ~> named), ",")``): ALL is the ANSI
+        # no-op opposite of DISTINCT.  Safe to eat unconditionally —
+        # ``all`` is RESERVED, so it can never start an expression.
+        self.eat_kw("all")
         if self.at_op("*"):
             self.advance()
             return SelectItem(Star(None))
@@ -1390,6 +1412,17 @@ class Parser:
             self.expect_op("(")
             rel = self.parse_from()
             self.expect_op(")")
+            # mirror the LATERAL branch: consume a TABLESAMPLE suffix
+            # so the user gets a CLEAR named rejection instead of a
+            # generic trailing-input error — relation-level sampling
+            # is defined on base relations and derived tables, not on
+            # a parenthesized join (which relation's id column would
+            # seed the hash?)
+            if self.at_kw("tablesample"):
+                self.error(
+                    "TABLESAMPLE is not supported on a parenthesized "
+                    "join — apply it to the base relation or wrap the "
+                    "join in a derived table (select * from ...) t")
             return rel
         name = self.ident("stream/table name")
         window = self.parse_window_spec() if self.at_op("[") else None

@@ -2995,6 +2995,42 @@ def test_cosine_topk_batch_large_integral_float_id(spark):
     assert {r["qid"] for r in out2.collect()} == {big + 1}
 
 
+def test_cosine_topk_batch_int_probe_exact_past_2_53(spark):
+    """r14 (r13 advice): an ALL-INT probe list against a bigint
+    column compares exactly at long type — an absent int probe past
+    2**53 must fail loudly, never be validated through another
+    probe's colliding _dkey (the false acceptance silently returned
+    zero rows for that qid)."""
+    big = 10 ** 17
+    df = spark.createDataFrame(
+        [(big + 1, [1.0, 0.0]), (5, [0.0, 1.0]), (6, [1.0, 1.0])],
+        "vid long, embedding array<double>")
+    # 5 matches exactly; big does NOT (only big + 1 is in the
+    # corpus, and long comparison does not collide)
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(df, "embedding", "vid", [5, big], k=1)
+    # but add one fractional probe and Spark promotes the WHOLE IN
+    # list to double (measured) — the int probe then legitimately
+    # matches big + 1 through the collapse, so no error
+    out = L.cosine_topk_batch(df, "embedding", "vid",
+                              [5.0, big], k=1)
+    assert big + 1 in {r["qid"] for r in out.collect()}
+
+
+def test_cosine_topk_batch_int_string_probe_vs_bigint_exact(spark):
+    """r14 (r13 advice follow-up): Spark ANSI casts a string probe
+    against a bigint column to LONG, not double — a well-formed
+    integer string matches exactly (raw-str), an absent one fails
+    loudly, and the validation never collapses it to double."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vid long, embedding array<double>")
+    out = L.cosine_topk_batch(df, "embedding", "vid", ["2"], k=1)
+    assert {r["qid"] for r in out.collect()} == {2}
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(df, "embedding", "vid", ["9"], k=1)
+
+
 def test_cosine_topk_batch_rejects_stream(spark, tmp_path):
     """r12 ADVICE: the function collects the query rows eagerly at
     call time — a streaming DataFrame must be rejected with a clear

@@ -177,6 +177,50 @@ def test_derived_table_requires_alias_ok():
     assert isinstance(stmt.from_, DerivedTable) and stmt.from_.alias == "q"
 
 
+def test_for_update_parsed_and_discarded():
+    """Trailing FOR UPDATE is a parse-and-discard no-op, parity with
+    flinkdsl/parser.scala:27 (``<~ opt("for".i ~ "update".i)``)."""
+    stmt = parse("select a from t where b > 1 for update")
+    plain = parse("select a from t where b > 1")
+    assert isinstance(stmt, Select)
+    assert to_sql(stmt) == to_sql(plain)
+    # composes with ORDER BY / LIMIT, set operations, and subselects
+    # (the reference hangs the suffix on every selectStmt production)
+    parse("select a from t order by a limit 3 for update")
+    parse("select a from t union select a from u for update")
+    sub = parse("select x.a from (select a from t for update) x")
+    assert isinstance(sub.from_, DerivedTable)
+    # FOR not followed by UPDATE keeps its pre-existing meaning: an
+    # implicit relation alias ('for' is not reserved) — and anything
+    # after that alias is still trailing input
+    aliased = parse("select a from t for")
+    assert aliased.from_.alias == "for"
+    with pytest.raises(ParseError, match="trailing"):
+        parse("select a from t for share")
+
+
+def test_select_all_per_item_discarded():
+    """Per-item ALL prefix is a parse-and-discard no-op, parity with
+    the reference projection grammar (flinkdsl/parser.scala:30
+    ``repsep((opt("all".i) ~> named), ",")``)."""
+    stmt = parse("select all a, all b + 1 as c from t")
+    plain = parse("select a, b + 1 as c from t")
+    assert to_sql(stmt) == to_sql(plain)
+    # ALL alone is not a projection
+    with pytest.raises(ParseError):
+        parse("select all from t")
+    # agg(ALL x) stays the ANSI aggregate quantifier path, unchanged
+    parse("select all count(a) from t group by b")
+
+
+def test_tablesample_on_parenthesized_join_named_rejection():
+    """r13 advice: the suffix after ``(a join b)`` must fail with a
+    rejection that NAMES the clause, not generic trailing input."""
+    with pytest.raises(ParseError, match="TABLESAMPLE.*parenthesized"):
+        parse("select * from (a join b on a.id = b.id) "
+              "tablesample(id, 100)")
+
+
 # --------------------------------------------------------------------------
 # error positions (parity with Failure(msg, column, line),
 # fsql/package.scala:75)
