@@ -821,6 +821,21 @@ _SCRIPTS: dict[str, str] = {
         from documents c tablesample(doc_id, 300)
         join embeddings e on c.doc_id = e.vec_id
         group by c.source""",
+    # hybrid_rrf hint (r14): the llm78 hybrid retrieval as a dialect
+    # surface — BM25 over the term bag + cosine to the query_id row's
+    # vector, each leg cut to its top-pool (default 50), rank-fused
+    # by RRF, the fused top-k's input rows kept with the score
+    # appended as rrf_score (the second score-adding row hint after
+    # q92's bm25; same three resolution touch points, now driven by
+    # the shared SCORE_HINTS map)
+    "q94_hybrid_rrf_hint": """
+        select /*+ hybrid_rrf(text, embedding, doc_id,
+                              'data stream window', 7, 10) */
+               doc_id, source, rrf_score
+        from (select d.doc_id, d.source, d.text, e.embedding
+              from documents d
+              join embeddings e on d.doc_id = e.vec_id) j
+        order by rrf_score desc, doc_id""",
     # mixture_temperature hint (r11): explicit priors from a weights
     # relation, temperature-flattened w' = w^(1/T) at plan time before
     # the same rate algebra.  T=2 = sqrt, correctly rounded by
@@ -2109,88 +2124,58 @@ _PRIORITY = [
     # schema_match NULL ("no_oracle") — the driver skips ALL
     # comparison, so its row proves only that the config EXECUTES
     # driver-side without error (run-only evidence, r12 verdict item
-    # 5).  The one-per-round rows-only re-entry below buys exactly
-    # that, nothing stronger — do not report such rows as verified.
-    # Round-13 window (VERDICT r12 items 1-3, 7; arithmetic
-    # 8+17+1+6+3+15 = 50):
-    # regression core 8; the 17-key r8 tail the r12 ledger named as
-    # r13 leaders (q71/q74/q75 first — they lent their r12 slots to
-    # the late q91/llm77/q90 first rows); the llm07 rows-only
-    # RE-ENTRY (next in registry order after llm04's r12 row — the
-    # one-per-round cadence); FIRST rows for the SIX new r13
-    # surfaces (q92 bm25 hint — also the fresh row for the
-    # r13-touched bm25_scores/textstats code via the new-surface
-    # carve-out, r11/r12 precedent, llm77 lends its slot; s20 the
-    # streaming sample-hint x running-OVER x QUALIFY composition —
-    # VERDICT item 7, taking llm48's slot; llm78 hybrid RRF
-    # retrieval, taking llm47's; llm79 asymmetric containment
-    # pairs, taking llm46's; q93 the TABLESAMPLE relation suffix,
-    # taking llm45's; llm80 the capped-scaffold exhaustive twin,
-    # taking llm42's — all per the new-surfaces-
-    # displace-the-r9-tail rule); fresh rows for the
-    # three other r13-touched families (q89: the stratified hint's
-    # rn-collision guard; llm75: cosine_topk_batch's streaming guard
-    # + coercion-normalized missing-id check — both keep their slots
-    # under the touched-code exception to the second-consecutive-
-    # sample rule; llm02: the n-gram pair detectors' shared-scaffold
-    # refactor + rounded-prune fix touched ngram_jaccard_pairs,
-    # llm43_dup_spans lends its slot); then the 15 OLDEST r9 greens
-    # in ledger order — the r9 tail (llm42, llm43, llm45, llm46,
-    # llm47, llm48 first, then llm49..llm71) waits below the fold
-    # and leads the r14 rotation.
+    # 5).  The rows-only re-entries below buy exactly that, nothing
+    # stronger — do not report such rows as verified.
+    # Round-14 window (VERDICT r13 items 1-2, 4; arithmetic
+    # 8+23+2+1+2+14 = 50):
+    # regression core 8; the 23-key r9 tail the r13 ledger named as
+    # r14 leaders (llm42/llm43/llm45-48 first — they lent their r13
+    # slots to the late r13 first rows); TWO rows-only RE-ENTRIES
+    # (llm20 + llm21 — VERDICT r13 item 2 doubles the cadence so the
+    # six never-cleanly-sampled run-only keys all have post-fix rows
+    # by r16: llm14+llm15 next in r15, llm22+llm25 in r16); the ONE
+    # new r14 surface (q94 hybrid_rrf hint — the RRF dialect form,
+    # VERDICT item 4, taking an r10-green slot per the new-surfaces
+    # rule); fresh rows for the two r14-touched families (q92: the
+    # bm25 hint's resolution path was refactored onto the shared
+    # SCORE_HINTS map that q94 introduced — second-consecutive-sample
+    # allowed under the touched-code exception; llm75: the
+    # cosine_topk_batch missing-id validation was rewritten to
+    # list-level isin coercion — same exception); then the 14 OLDEST
+    # r10 greens in ledger order.  The remaining 27 r10 greens wait
+    # below the fold and lead the r15 rotation.
     # -- regression core (one per SURVEY §2 family) --
     "q01_pricing_summary", "q03_join_group", "q35_asof_join",
     "q38_rollup_timeseries", "s01_stream_time_window", "llm01_dedup_exact",
     "x01_expr_projection", "q40_update_delete",
-    # -- the 17-key r8 tail (stalest value-oracled keys) --
-    "q71_lateral", "q74_semi_anti", "q75_pivot", "q76_unpivot",
-    "q77_recursive_cte", "q04_left_join",
-    "q14_in_subquery", "s08_stream_dedup", "s09_stream_quality",
-    "s10_stream_hll", "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
-    "llm38_features_verified", "llm39_pipeline_verified",
-    "llm40_decontaminate", "q78_distinct_on", "q79_ilike",
-    # -- rows-only re-entry (run-only driver evidence, see note) --
-    "llm07_ann_lsh",
-    # -- FIRST rows: new r13 surfaces --
-    "q92_bm25_hint", "s20_stream_sample_over", "llm78_hybrid_rrf",
-    "llm79_containment_pairs", "q93_tablesample",
-    "llm80_containment_capped",
-    # -- fresh rows for the r13-touched families --
-    "q89_priority_stratified_hint", "llm75_ann_topk_batch",
-    "llm02_dedup_ngram_jaccard",
-    # -- 15 oldest r9 greens (ledger order) --
-    "q15_exists", "q02_filter_projection", "q05_right_join",
-    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
-    "q16_scalar_subquery", "q17a_union",
-    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
-    "q67_tpch_q15", "q73_tpch_q22",
-    "llm41_gopher_repetition",
-    # --- fold: entries below are outside the 50-entry prefix sample;
-    #     all stay value-checked by the per-session pytest oracle
-    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
-    #     Ordered by next-staleness: the 17-key r9 tail leads the
-    #     r14 rotation, then the r10 greens, the r11 greens, and the
-    #     r12 greens (freshest, sampled last).
-    # r9 tail (oldest driver evidence below the fold — leads r14;
-    # llm48 lent its slot to the late-r13 s20 first row, llm47 to
-    # llm78's, llm46 to llm79's, llm45 to q93's, llm43 to the
-    # jaccard-refactor fresh row llm02, llm42 to llm80's)
+    # -- the 23-key r9 tail (stalest value-oracled keys) --
     "llm42_line_dedup", "llm43_dup_spans", "llm45_domain_mixture",
-    "llm46_corpus_stats",
-    "llm47_cross_dedup_pairs", "llm48_dedup_against",
+    "llm46_corpus_stats", "llm47_cross_dedup_pairs", "llm48_dedup_against",
     "llm49_classifier_score", "llm50_kmeans", "llm51_semdedup",
     "llm52_lm_perplexity", "llm53_html_strip", "llm54_vocab_stats",
     "llm55_mixture_epochs", "llm56_shard_assign", "llm57_ann_quantized",
     "llm58_curation_report", "llm59_bpe_pairs", "llm60_nfc_normalize",
-    "llm63_mixture_temperature",
-    "llm67_ngram_novelty", "llm69_length_quantiles", "llm70_topk_quality",
-    "llm71_length_outliers",
-    # r10 greens
+    "llm63_mixture_temperature", "llm67_ngram_novelty",
+    "llm69_length_quantiles", "llm70_topk_quality", "llm71_length_outliers",
+    # -- rows-only re-entries x2 (run-only driver evidence, see note) --
+    "llm20_split_dataset", "llm21_pack_sequences",
+    # -- FIRST row: new r14 surface --
+    "q94_hybrid_rrf_hint",
+    # -- fresh rows for the r14-touched families --
+    "q92_bm25_hint", "llm75_ann_topk_batch",
+    # -- 14 oldest r10 greens (ledger order) --
     "q18_case_arith", "q20_comma_from", "q21_between_like_null",
     "q22_agg_distinct", "q23_params", "q24_star_scoped", "q25_dual",
     "q28_count_tumbling", "q31_delta_tumbling", "q33_derived_stream",
     "x02_expr_filter_groupby", "s05_stream_session_window",
     "s07_stream_time_sliding", "llm03_dedup_minhash_lsh",
+    # --- fold: entries below are outside the 50-entry prefix sample;
+    #     all stay value-checked by the per-session pytest oracle
+    #     sweep (sf0.001) and tools/rehearse.py --all (sf0.01).
+    #     Ordered by next-staleness: the 27 remaining r10 greens lead
+    #     the r15 rotation, then the r11 greens, the r12 greens, and
+    #     the r13 greens (freshest, sampled last).
+    # r10 greens (oldest driver evidence below the fold — lead r15)
     "llm05_dedup_embedding", "llm06_ann_topk_bruteforce", "llm09_lang_id",
     "llm10_quality_score", "llm11_fingerprint", "llm12_multimodal_decode",
     "llm16_ann_ivf_exhaustive", "llm17_dup_clusters",
@@ -2239,6 +2224,28 @@ _PRIORITY = [
     "q57_nullsafe", "q59_tpch_q5", "q63_tpch_q14", "q64_tpch_q17",
     "q65_tpch_q18", "q66_tpch_q13", "q72_tpch_q9", "q68_quantified",
     "q69_agg_filter", "q70_group_by_all",
+
+    # r13 greens displaced by this rotation (freshest driver
+    # evidence, sampled last): the 17-key r8-tail refreshes, llm07's
+    # run-only re-entry row, the six r13 first rows, the q89/llm02
+    # touched-code fresh rows, and the 15 r9 rotate-backs
+    "q71_lateral", "q74_semi_anti", "q75_pivot", "q76_unpivot",
+    "q77_recursive_cte", "q04_left_join", "q14_in_subquery",
+    "s08_stream_dedup", "s09_stream_quality", "s10_stream_hll",
+    "llm36_pack_verified", "llm37_embdup_lsh_exhaustive",
+    "llm38_features_verified", "llm39_pipeline_verified",
+    "llm40_decontaminate", "q78_distinct_on", "q79_ilike",
+    "llm07_ann_lsh",
+    "s20_stream_sample_over", "llm78_hybrid_rrf",
+    "llm79_containment_pairs", "q93_tablesample",
+    "llm80_containment_capped",
+    "q89_priority_stratified_hint", "llm02_dedup_ngram_jaccard",
+    "q15_exists", "q02_filter_projection", "q05_right_join",
+    "q08_using_join", "q09_rollup", "q12_order_limit_offset",
+    "q16_scalar_subquery", "q17a_union",
+    "q58_tpch_q3", "q60_tpch_q7", "q61_tpch_q8", "q62_tpch_q10",
+    "q67_tpch_q15", "q73_tpch_q22",
+    "llm41_gopher_repetition",
 ]
 
 
@@ -2834,6 +2841,68 @@ def _oracle_sql_base() -> dict[str, str]:
                         AS BIGINT) % 1000 < 300) c
             JOIN embeddings e ON c.doc_id = e.vec_id
             GROUP BY c.source""",
+        # q94: the llm78 hybrid-RRF replay (llm77 BM25 recipe + llm06
+        # round-6 cosine, both ranked (score desc, id), fused by the
+        # left-associated coalesce(1/(60+r),0) sum in list order —
+        # bm25 leg first, cosine second, matching rrf_fusion), with
+        # the fused top-10 joined BACK to the input rows carrying the
+        # score as rrf_score — the hint's keep-all-columns contract;
+        # NULL ids excluded before scoring like the engine
+        "q94_hybrid_rrf_hint": """
+            WITH j0 AS (SELECT d.doc_id AS id, d.source, d.text,
+                               e.embedding
+                        FROM documents d
+                        JOIN embeddings e ON d.doc_id = e.vec_id
+                        WHERE d.doc_id IS NOT NULL),
+            t AS (
+              SELECT id,
+                     list_filter(string_split(trim(regexp_replace(
+                         regexp_replace(lower(text), '[^a-z0-9\\s]',
+                                        ' ', 'g'),
+                         '\\s+', ' ', 'g')), ' '), x -> x <> '')
+                         AS toks
+              FROM j0),
+            e AS (SELECT id, len(toks) AS dl, unnest(toks) AS term
+                  FROM t),
+            stats AS (SELECT count(*) AS n_docs,
+                             avg(len(toks)) AS avgdl FROM t),
+            tf AS (SELECT id, dl, term, count(*) AS tf FROM e
+                   WHERE term IN ('data', 'stream', 'window')
+                   GROUP BY 1, 2, 3),
+            dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            sc AS (SELECT id,
+                          CAST(round(
+                              ln((n_docs - df + 0.5)
+                                 / (df + 0.5) + 1)
+                              * ((tf * (1.2 + 1)) /
+                                 (tf + 1.2 * (1 - 0.75
+                                              + 0.75 * dl / avgdl)))
+                              * 1000000.0, 0) AS BIGINT) AS micro
+                   FROM tf JOIN dfq USING (term) CROSS JOIN stats),
+            bmk AS (SELECT id, sum(micro) / 1000000.0 AS score
+                    FROM sc GROUP BY id
+                    ORDER BY score DESC, id LIMIT 50),
+            bmr AS (SELECT id, row_number() OVER
+                        (ORDER BY score DESC, id) AS rank FROM bmk),
+            csk AS (SELECT id,
+                           round(list_cosine_similarity(
+                               embedding::DOUBLE[],
+                               (SELECT embedding::DOUBLE[] FROM j0
+                                WHERE id = 7)), 6) AS cosine
+                    FROM j0 WHERE id <> 7
+                    ORDER BY cosine DESC, id LIMIT 50),
+            csr AS (SELECT id, row_number() OVER
+                        (ORDER BY cosine DESC, id) AS rank FROM csk),
+            f AS (SELECT coalesce(b.id, c.id) AS id,
+                         coalesce(1.0 / (60 + b.rank), 0.0)
+                         + coalesce(1.0 / (60 + c.rank), 0.0) AS rrf
+                  FROM bmr b FULL OUTER JOIN csr c ON b.id = c.id),
+            topk AS (SELECT id, rrf FROM f
+                     ORDER BY rrf DESC, id LIMIT 10)
+            SELECT j0.id AS doc_id, j0.source,
+                   topk.rrf AS rrf_score
+            FROM j0 JOIN topk ON j0.id = topk.id
+            ORDER BY rrf_score DESC, doc_id""",
         # q84: q81's algebra with the weights temperature-flattened —
         # the oracle COMPUTES sqrt(w) like the engine does (every
         # root is non-representable, so a literal-weight shortcut

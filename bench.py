@@ -85,7 +85,28 @@ def main():
     from flink_dsl_spark.testdata_sentinel import assert_testdata
     assert_testdata(SF_DIR)
 
+    # ambient-load GATE (r13 verdict item 5): the VM hosts other
+    # tenants whose load spikes have repeatedly contaminated ledgered
+    # figures (r12's 112 ms plan phase, r13's 15.45 s cold — both
+    # later adjudicated ambient by idle re-runs).  Instead of
+    # recording a contaminated number and adjudicating after the
+    # fact, quiesce BEFORE the JVM spins up: while the 1-minute load
+    # exceeds the threshold, sleep and retry (bounded), and record
+    # every attempt in the JSON so a could-not-quiesce run is
+    # self-describing.  Override knobs: SPARK_GRAFT_LOAD_GATE
+    # (threshold, default 2.0; 0 disables), SPARK_GRAFT_LOAD_RETRIES
+    # (default 10 x 60 s).
+    gate = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+    retries = int(os.environ.get("SPARK_GRAFT_LOAD_RETRIES", "10"))
+    load_attempts = []
     loadavg_start = _read_loadavg()
+    while (gate > 0 and loadavg_start is not None
+           and loadavg_start[0] > gate and len(load_attempts) < retries):
+        load_attempts.append(loadavg_start)
+        time.sleep(60)
+        loadavg_start = _read_loadavg()
+    quiesced = not (gate > 0 and loadavg_start is not None
+                    and loadavg_start[0] > gate)
 
     import __spark_entry__ as entrymod
     from flink_dsl_spark import get_session
@@ -221,7 +242,15 @@ def main():
         # high loadavg here is ambient, not a plan change.  "start"
         # is read before the JVM spins up (pre-existing load);
         # "end" right before printing includes our own run.
-        "loadavg": {"start": loadavg_start, "end": _read_loadavg()},
+        "loadavg": {"start": loadavg_start, "end": _read_loadavg(),
+                    # the pre-flight gate's history (r13 verdict item
+                    # 5): each rejected 1-min reading before the run
+                    # started, and whether the gate was ever satisfied
+                    # — a false "quiesced" with a recorded wait list
+                    # means the box never went idle and the figures
+                    # are ambient-suspect by construction
+                    "gate": gate, "waited": load_attempts,
+                    "quiesced": quiesced},
     }
     prev = _prev_round_queries()
     if prev:

@@ -363,6 +363,15 @@ class Hint:
     args: list
 
 
+# Row hints that APPEND a score column to the select's input rows
+# (rather than filtering them): hint name -> the column it adds.  The
+# resolver (scope binding, WHERE-hide, star columns) and the planner
+# (_expand_star, collision checks) all iterate this ONE map, so a new
+# score-adding hint needs no per-site special cases (the r13 bm25
+# lesson: the column has three resolution touch points).
+SCORE_HINTS = {"bm25": "bm25_score", "hybrid_rrf": "rrf_score"}
+
+
 @dataclass
 class Select:
     """SELECT core (both dialects).  ``rollup`` per flinkdsl/ast.scala:218-220;

@@ -504,6 +504,14 @@ class Parser:
         self.expect_kw("merge")
         self.expect_kw("into")
         target = self.parse_table_name_alias()
+        if self.at_kw("tablesample"):
+            # named rejection (the r13 LATERAL lesson): sampling the
+            # merge TARGET would flip its unsampled rows into NOT
+            # MATCHED BY SOURCE and delete/update them — never valid
+            self.error(
+                "TABLESAMPLE is not supported on the MERGE target "
+                "(unsampled target rows would read as NOT MATCHED "
+                "BY SOURCE)")
         self.expect_kw("using")
         if self.at_op("("):
             tok = self.cur
@@ -517,6 +525,17 @@ class Parser:
             source = DerivedTable(sub, alias)
         else:
             source = self.parse_table_name_alias()
+        if self.at_kw("tablesample"):
+            # supported SPELLING for a sampled source: inside the
+            # subquery — using (select * from s tablesample(id, p)) x
+            # — which routes through the ordinary relation suffix and
+            # is value-tested; the bare suffix here would need its own
+            # plan_merge plumbing for no added power
+            self.error(
+                "TABLESAMPLE is not supported directly on the MERGE "
+                "source — sample inside the subquery form instead: "
+                "USING (select * from s tablesample(id, permille)) "
+                "alias")
         self.expect_kw("on")
         on = self.parse_expr()
         matched: list = []

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, CreateSchema, CreateStream, Delete,
     DerivedTable, Exists, FuncCall, InList, InSubquery, Insert,
-    QuantifiedCmp,
+    QuantifiedCmp, SCORE_HINTS,
     IntervalLit, IsNull, Join, Lit, OrderItem, Param, ScalarSubquery,
     Subscript,
     Select, SelectItem, SetOp, Star, TableRef, UnOp, Update, WindowFunc,
@@ -162,7 +162,16 @@ class Planner:
         if isinstance(stmt, RecursiveWith):
             # native WITH RECURSIVE text — Spark evaluates the
             # fixpoint itself (same dispatch as FsqlEngine._run; here
-            # so EXPLAIN and direct planner callers work too)
+            # so EXPLAIN and direct planner callers work too).  This
+            # is a SQL-compilation path: sqlgen never renders hints,
+            # so one buried in a CTE or the body must reject like
+            # _plan_via_sql, not silently drop (r14 probe: a sample
+            # hint inside a recursive CTE ran UNSAMPLED)
+            if any(_query_has_hints(q) for _, _, q in stmt.ctes) \
+                    or _query_has_hints(stmt.body):
+                raise PlanError(
+                    "optimizer hints are not supported inside WITH "
+                    "RECURSIVE (the SQL-compilation path)")
             from .sqlgen import to_sql
             return self.catalog.spark.sql(to_sql(stmt, self._params))
         if isinstance(stmt, Insert):
@@ -335,6 +344,25 @@ class Planner:
                                     "positive_int_k)")
                 row_hints.append(("bm25", tuple(h.args)))
                 continue
+            if h.name == "hybrid_rrf":
+                ok = (len(h.args) in (6, 7)
+                      and all(isinstance(a, str) for a in h.args[:4])
+                      and not isinstance(h.args[4], bool)
+                      and isinstance(h.args[4], (int, str))
+                      and not isinstance(h.args[5], bool)
+                      and isinstance(h.args[5], int) and h.args[5] >= 1
+                      and (len(h.args) == 6
+                           or (not isinstance(h.args[6], bool)
+                               and isinstance(h.args[6], int)
+                               and h.args[6] >= 1)))
+                if not ok:
+                    raise PlanError(
+                        "hybrid_rrf hint takes (text_column, "
+                        "vector_column, id_column, 'term term ...', "
+                        "query_id, positive_int_k[, positive_int_"
+                        "pool])")
+                row_hints.append(("hybrid_rrf", tuple(h.args)))
+                continue
             if h.name == "priority_sample":
                 if len(h.args) not in (3, 4) \
                         or not isinstance(h.args[0], str) \
@@ -359,7 +387,9 @@ class Planner:
                                 "domain, id, tokens, weights, T), "
                                 "priority_sample(id, weight, k"
                                 "[, stratum]), sample(id, permille), "
-                                "bm25(text, id, 'terms', k))")
+                                "bm25(text, id, 'terms', k), "
+                                "hybrid_rrf(text, vec, id, 'terms', "
+                                "query_id, k[, pool]))")
             if len(h.args) != 2 or not isinstance(h.args[0], str) \
                     or isinstance(h.args[1], bool) \
                     or not isinstance(h.args[1], int) or h.args[1] < 1:
@@ -406,6 +436,8 @@ class Planner:
                 df = self._apply_sample_hint(df, *spec)
             elif kind == "bm25":
                 df = self._apply_bm25_hint(df, *spec)
+            elif kind == "hybrid_rrf":
+                df = self._apply_hybrid_rrf_hint(df, *spec)
             else:
                 df = self._apply_token_budget_hint(df, *spec)
 
@@ -693,13 +725,16 @@ class Planner:
             for c in leaf_cols:
                 cols.append(F.col(f"{leaf.binding}.{c}"))
                 names.append(c)
-        # the bm25 row hint appends a score column that belongs to no
-        # relation leaf — an unqualified * includes it (last, like the
-        # join that added it); a qualified t.* stays leaf-only
-        if star.qualifier is None and any(
-                getattr(h, "name", None) == "bm25" for h in sel.hints):
-            cols.append(F.col("bm25_score"))
-            names.append("bm25_score")
+        # score-adding row hints (SCORE_HINTS) append a column that
+        # belongs to no relation leaf — an unqualified * includes it
+        # (last, in written hint order, like the join that added it);
+        # a qualified t.* stays leaf-only
+        if star.qualifier is None:
+            for h in sel.hints:
+                sc = SCORE_HINTS.get(getattr(h, "name", None))
+                if sc is not None:
+                    cols.append(F.col(sc))
+                    names.append(sc)
         return cols, names
 
     # --- aggregate path ---
@@ -1841,6 +1876,76 @@ class Planner:
             scores.select(F.col("id").alias(join_id),
                           F.col("score").alias(score_col)))
         return (df.join(scores, F.col(idc) == F.col(join_id))
+                  .drop(join_id))
+
+    def _apply_hybrid_rrf_hint(self, df: DataFrame, textcol: str,
+                               veccol: str, idcol: str, terms: str,
+                               query_id, k: int,
+                               pool: int = 50) -> DataFrame:
+        """hybrid_rrf(text, vec, id, 'term term ...', query_id, k[,
+        pool]): keep the input rows of the k documents ranking
+        highest under Reciprocal Rank Fusion of BM25 (over the query
+        term bag) and embedding-cosine (to the ``query_id`` row's
+        vector), with the fused score appended as an ``rrf_score``
+        column — the declarative form of llm_ops.simsearch.
+        hybrid_topk ("docs that MATCH the terms OR RESEMBLE the seed
+        doc, with all their columns").  Each leg is cut to its
+        top-``pool`` candidates (default 50) before fusion; ranks
+        tie-break ascending id over already-deterministic scores, so
+        the kept row set AND the fused score value-oracle bit-exactly
+        (simsearch.rrf_fusion docstring: integer ranks, one
+        correctly-rounded reciprocal per leg, list-order association
+        — BM25 leg first, cosine leg second).
+
+        Like the other row hints it applies AFTER the WHERE filter,
+        in written hint order; NULL-id rows are excluded BEFORE
+        scoring, the bm25-hint rule (they could never join back, so
+        they must not hold candidate slots on either leg).
+
+        Scale shape: the corpus-scale work is the two upstream
+        operators' (bm25_scores: filtered explode + broadcast stats +
+        TakeOrderedAndProject; cosine_topk: broadcast 1-row query +
+        TakeOrderedAndProject); the fusion join runs on two ≤ pool-row
+        relations and the ≤ k-row result BROADCASTS back onto the
+        input — one broadcast hash join, the corpus is never shuffled
+        (plan-gated in test_hints_ddl)."""
+        if df.isStreaming:
+            raise PlanError(
+                "hybrid_rrf hint is batch-only (global top-k legs "
+                "need the finite corpus and corpus-wide statistics)")
+        tc, vc, idc = self._resolve_hint_cols(
+            df, (textcol, veccol, idcol), "hybrid_rrf")
+        from .llm_ops.simsearch import hybrid_topk
+        scorable = df.filter(F.col(idc).isNotNull())
+        # a typo'd / absent query_id would silently EMPTY the cosine
+        # leg (its 1-row broadcast query never matches) and degrade
+        # the fusion to pure-BM25 ranking — fail loudly instead.  The
+        # probe uses the SAME ``==`` comparison as the leg's own query
+        # filter, so its verdict agrees with the leg exactly; it makes
+        # the hint EAGER at plan time (one short-circuited corpus
+        # probe, the cosine_topk_batch precedent).
+        if scorable.filter(F.col(idc) == F.lit(query_id)) \
+                   .limit(1).count() == 0:
+            raise PlanError(
+                f"hybrid_rrf hint: query_id {query_id!r} not present "
+                f"in column {idc!r} of the select input")
+        try:
+            fused = hybrid_topk(scorable, tc, vc, idc, terms.split(),
+                                query_id, k=k, pool=pool)
+        except ValueError as e:       # e.g. no usable query terms,
+            raise PlanError(f"hybrid_rrf hint: {e}")    # absent qid
+        score_col = "rrf_score"
+        if score_col in df.columns:
+            raise PlanError("hybrid_rrf hint adds an 'rrf_score' "
+                            "column but the select input already has "
+                            "one — rename or drop it first")
+        join_id = "__rrf_id"
+        while join_id in df.columns:
+            join_id += "_"
+        fused = F.broadcast(
+            fused.select(F.col("id").alias(join_id),
+                         F.col("rrf").alias(score_col)))
+        return (df.join(fused, F.col(idc) == F.col(join_id))
                   .drop(join_id))
 
     def _apply_priority_sample_hint(self, df: DataFrame, idcol: str,

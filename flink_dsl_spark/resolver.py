@@ -21,7 +21,7 @@ from typing import Optional
 from .ast_nodes import (
     Between, BinOp, Case, Cast, Col, DerivedTable, Exists, FuncCall,
     InList, InSubquery, Insert, IntervalLit, IsNull, Join, Lit, Param,
-    QuantifiedCmp,
+    QuantifiedCmp, SCORE_HINTS,
     Policy, ScalarSubquery, Select, SelectItem, SetOp, Star, Subscript,
     TableRef,
     UnOp, WindowFunc, WindowSpec, relation_leaves, visible_leaves,
@@ -183,29 +183,31 @@ class Resolver:
                 scope.bindings.pop(b, None)
                 if b in scope.order:
                     scope.order.remove(b)
-            # the bm25 row hint APPENDS a score column to the FROM
-            # rows (the one hint that adds rather than filters) — make
-            # it referencable from the select list / ORDER BY at this
-            # level; a same-named table column resolves ambiguous
-            # here, matching the planner's collision rejection
-            if any(getattr(h, "name", None) == "bm25"
-                   for h in getattr(sel, "hints", [])):
-                scope.add("__bm25_hint__", ["bm25_score"])
+            # score-adding row hints (SCORE_HINTS: bm25, hybrid_rrf)
+            # APPEND a column to the FROM rows — make it referencable
+            # from the select list / ORDER BY at this level; a
+            # same-named table column resolves ambiguous here,
+            # matching the planner's collision rejection
+            score_cols = [SCORE_HINTS[h.name]
+                          for h in getattr(sel, "hints", [])
+                          if getattr(h, "name", None) in SCORE_HINTS]
+            if score_cols:
+                scope.add("__score_hint__", score_cols)
         for item in sel.items:
             self._resolve_expr(item.expr, scope)
         if sel.where is not None:
-            # the bm25 hint applies AFTER the WHERE filter, so its
-            # score column is NOT visible there — hide the synthetic
+            # score hints apply AFTER the WHERE filter, so their
+            # score columns are NOT visible there — hide the synthetic
             # binding so the reference fails HERE with a resolution
             # error instead of deep in Spark (the probe-binding rule)
-            hidden = scope.bindings.pop("__bm25_hint__", None)
+            hidden = scope.bindings.pop("__score_hint__", None)
             if hidden is not None:
-                scope.order.remove("__bm25_hint__")
+                scope.order.remove("__score_hint__")
             try:
                 self._resolve_expr(sel.where, scope)
             finally:
                 if hidden is not None:
-                    scope.add("__bm25_hint__", hidden)
+                    scope.add("__score_hint__", hidden)
         for g in sel.group_by:
             self._resolve_expr(g, scope)
         if sel.having is not None:
@@ -311,10 +313,10 @@ class Resolver:
                 b = scope.find_unqualified(e.name)
                 if b is None:
                     raise ResolutionError(f"unknown column {e.name!r}")
-                # hint-added columns (the bm25 score) exist on the
+                # hint-added columns (SCORE_HINTS) exist on the
                 # post-hint DataFrame but belong to no relation —
                 # compile UNQUALIFIED (binding None -> F.col(name))
-                e.binding = None if b == "__bm25_hint__" else b
+                e.binding = None if b == "__score_hint__" else b
             return
         if isinstance(e, Star):
             if e.qualifier is not None and \
@@ -423,11 +425,12 @@ class Resolver:
         if not out:
             raise ResolutionError(
                 f"unknown relation {star.qualifier!r} for {star.qualifier}.*")
-        # mirror planner._expand_star: the bm25 row hint appends its
-        # score column to an unqualified * (last), so a derived table
-        # around a hinted select exposes it to the outer query
-        if star.qualifier is None and any(
-                getattr(h, "name", None) == "bm25"
-                for h in getattr(q, "hints", [])):
-            out.append("bm25_score")
+        # mirror planner._expand_star: score-adding row hints append
+        # their column to an unqualified * (last, in written hint
+        # order), so a derived table around a hinted select exposes
+        # it to the outer query
+        if star.qualifier is None:
+            out.extend(SCORE_HINTS[h.name]
+                       for h in getattr(q, "hints", [])
+                       if getattr(h, "name", None) in SCORE_HINTS)
         return out

@@ -37,19 +37,20 @@ def test_priority_window_integrity():
     is exactly the intended prefix, and every in-window batch query
     has a value oracle (streaming s* keys are checked too — their
     oracles exist; only the 8 documented rows-only-by-design keys may
-    lack one, and at most the ONE ledgered rows-only re-entry may sit
-    in the window: VERDICT r11 item 3 rotates one rows-only key
-    through per round so the driver executes that code path too —
-    r13: llm07.  NOTE such a row reads as run-only (rows_match NULL,
-    'no_oracle'): the driver skips all comparison without an oracle
-    — r12 verdict item 5)."""
+    lack one, and at most the TWO ledgered rows-only re-entries may
+    sit in the window: VERDICT r13 item 2 doubles r11's one-per-round
+    cadence so the six never-cleanly-sampled run-only keys all have
+    post-fix driver rows by r16 — r14: llm20 + llm21 (llm14 + llm15
+    next in r15, llm22 + llm25 in r16).  NOTE such a row reads as
+    run-only (rows_match NULL, 'no_oracle'): the driver skips all
+    comparison without an oracle — r12 verdict item 5)."""
     pri = entrymod._PRIORITY
     assert len(pri) == len(set(pri)), "duplicate _PRIORITY keys"
     missing = [k for k in pri if k not in _QUERIES]
     assert not missing, f"_PRIORITY keys not in queries(): {missing}"
     window = list(_QUERIES)[:50]
     assert window == pri[:50], "window is not the _PRIORITY prefix"
-    rows_only_reentry = {"llm07_ann_lsh"}
+    rows_only_reentry = {"llm20_split_dataset", "llm21_pack_sequences"}
     unoracled = [k for k in window
                  if k not in _ORACLES and k not in rows_only_reentry]
     assert not unoracled, \

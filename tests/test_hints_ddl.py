@@ -1380,6 +1380,37 @@ def test_tablesample_membership_python_replay_fuzz(spark, ids,
     assert got == exp, (ids, permille)
 
 
+def test_tablesample_in_merge(engine, spark):
+    """r13 verdict item 6: TABLESAMPLE composes with MERGE through
+    the USING (subquery) form — value-checked against the Python
+    membership replay — while the bare suffix on the source or the
+    target gets a NAMED rejection (never a silent drop and never a
+    generic trailing-input error)."""
+    from flink_dsl_spark.llm_ops.assemble import md5_id_hash
+    import pyspark.sql.functions as F
+    eng = FsqlEngine(spark)
+    src = spark.createDataFrame([(i, f"v{i}") for i in range(40)],
+                                "id long, v string")
+    eng.register("ms_src", src)
+    eng.register("ms_tgt", spark.createDataFrame(
+        [(i, "old") for i in range(40)], "id long, v string"))
+    eng.sql("""merge into ms_tgt using
+               (select * from ms_src tablesample(id, 500)) x
+               on ms_tgt.id = x.id
+               when matched then update set v = x.v""")
+    got = {r["id"] for r in eng.catalog.get("ms_tgt").collect()
+           if r["v"] != "old"}
+    want = {r["id"] for r in src.filter(
+        md5_id_hash(F.col("id"), 42) % 1000 < 500).collect()}
+    assert got == want and 0 < len(got) < 40
+    with pytest.raises(ParseError, match="MERGE source"):
+        eng.sql("merge into ms_tgt using ms_src tablesample(id, 500)"
+                " on ms_tgt.id = ms_src.id when matched then delete")
+    with pytest.raises(ParseError, match="MERGE target"):
+        eng.sql("merge into ms_tgt tablesample(id, 500) using ms_src"
+                " on ms_tgt.id = ms_src.id when matched then delete")
+
+
 def test_tablesample_streaming_safe(engine, spark):
     import os
     import tempfile
@@ -1575,6 +1606,255 @@ def test_bm25_hint_equals_api_fuzz(spark, texts, terms, k):
     want = bm25_scores(df, "text", "id", terms.split(), k=k).collect()
     assert {(r["id"], r["bm25_score"]) for r in got} == \
         {(r["id"], r["score"]) for r in want}
+    texts_by_id = dict(enumerate(texts))
+    assert all(r["text"] == texts_by_id[r["id"]] for r in got)
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rrf(text, vec, id, 'terms', query_id, k[, pool]) hint (r14)
+# ---------------------------------------------------------------------------
+
+# text + vector on one relation: the documents ⋈ embeddings join the
+# hint is designed to sit on (the llm78 serving shape)
+_HY_J = ("(select d.doc_id, d.source, d.text, e.embedding "
+         "from documents d join embeddings e "
+         "on d.doc_id = e.vec_id) j")
+
+
+def test_hybrid_rrf_hint_equals_python_api(engine):
+    """/*+ hybrid_rrf(...) */ keeps exactly the fused top-k rows of
+    llm_ops.simsearch.hybrid_topk with the score appended as
+    rrf_score, and all input columns preserved."""
+    from flink_dsl_spark.llm_ops.simsearch import hybrid_topk
+    got = engine.sql(
+        "select /*+ hybrid_rrf(text, embedding, doc_id, "
+        "'data stream window', 7, 10) */ doc_id, source, rrf_score "
+        f"from {_HY_J}")
+    d = engine.catalog.get("documents")
+    e = engine.catalog.get("embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "source", "text", "embedding")
+    want = hybrid_topk(joined, "text", "embedding", "doc_id",
+                       ["data", "stream", "window"], 7, k=10, pool=50)
+    assert {(r["doc_id"], r["rrf_score"]) for r in got.collect()} == \
+        {(r["id"], r["rrf"]) for r in want.collect()}
+    assert got.columns == ["doc_id", "source", "rrf_score"]
+
+
+def test_hybrid_rrf_hint_pool_arg_and_star(engine):
+    """The optional 7th arg narrows each leg's candidate pool (a
+    pool-3 fusion differs from the default-50 one); unqualified *
+    appends rrf_score last."""
+    from flink_dsl_spark.llm_ops.simsearch import hybrid_topk
+    got = engine.sql(
+        "select /*+ hybrid_rrf(text, embedding, doc_id, "
+        "'data stream', 7, 5, 3) */ * "
+        f"from {_HY_J}")
+    assert got.columns[-1] == "rrf_score"
+    d = engine.catalog.get("documents")
+    e = engine.catalog.get("embeddings")
+    joined = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "source", "text", "embedding")
+    want = hybrid_topk(joined, "text", "embedding", "doc_id",
+                       ["data", "stream"], 7, k=5, pool=3)
+    assert {(r["doc_id"], r["rrf_score"]) for r in got.collect()} == \
+        {(r["id"], r["rrf"]) for r in want.collect()}
+
+
+def test_hybrid_rrf_hint_applies_after_where(engine):
+    """The hint scores the FILTERED corpus: both legs' statistics and
+    candidate pools come from the post-WHERE rows."""
+    from flink_dsl_spark.llm_ops.simsearch import hybrid_topk
+    got = engine.sql(
+        "select /*+ hybrid_rrf(text, embedding, doc_id, "
+        "'data stream', 7, 8) */ doc_id, rrf_score "
+        f"from {_HY_J} where doc_id < 300")
+    d = engine.catalog.get("documents")
+    e = engine.catalog.get("embeddings")
+    joined = (d.join(e, d.doc_id == e.vec_id)
+               .select("doc_id", "text", "embedding")
+               .filter("doc_id < 300"))
+    want = hybrid_topk(joined, "text", "embedding", "doc_id",
+                       ["data", "stream"], 7, k=8, pool=50)
+    assert {(r["doc_id"], r["rrf_score"]) for r in got.collect()} == \
+        {(r["id"], r["rrf"]) for r in want.collect()}
+
+
+def test_hybrid_rrf_hint_plan_broadcasts(engine):
+    """Scale gate: the corpus-side work is one bm25 explode
+    (Generate) + one broadcast 1-row cosine query; the ≤k fused
+    relation broadcasts back (BroadcastHashJoin); the leg cuts are
+    TakeOrderedAndProject; the corpus is never cartesian-joined."""
+    df = engine.sql(
+        "select /*+ hybrid_rrf(text, embedding, doc_id, "
+        "'data stream', 7, 10) */ doc_id, rrf_score "
+        f"from {_HY_J}")
+    plan = _plan(df)
+    assert plan.count("Generate") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hybrid_rrf_hint_bad_args_error(engine):
+    for bad in ["hybrid_rrf(text, embedding, doc_id, 'x', 7)",
+                "hybrid_rrf(text, embedding, doc_id, 'x', 7, 0)",
+                "hybrid_rrf(text, embedding, doc_id, 'x', 7, 5, 0)",
+                "hybrid_rrf(text, embedding, doc_id, 7, 7, 5)"]:
+        with pytest.raises(PlanError, match="hybrid_rrf hint takes"):
+            engine.sql(f"select /*+ {bad} */ doc_id from {_HY_J}")
+    with pytest.raises(PlanError, match="not in select input"):
+        engine.sql("select /*+ hybrid_rrf(nope, embedding, doc_id, "
+                   f"'x', 7, 5) */ doc_id from {_HY_J}")
+    with pytest.raises(PlanError, match="empty after normalization"):
+        engine.sql("select /*+ hybrid_rrf(text, embedding, doc_id, "
+                   f"'!! ??', 7, 5) */ doc_id from {_HY_J}")
+
+
+def test_hybrid_rrf_hint_absent_query_id_fails_loudly(engine):
+    """An absent query_id would silently EMPTY the cosine leg and
+    degrade the fusion to pure BM25 — it must raise instead."""
+    with pytest.raises(PlanError, match="not present"):
+        engine.sql("select /*+ hybrid_rrf(text, embedding, doc_id, "
+                   f"'data', 999999999, 5) */ doc_id from {_HY_J}")
+
+
+def test_hybrid_rrf_score_not_visible_in_where(engine):
+    """The hint applies AFTER the WHERE filter, so an rrf_score
+    reference there fails with a clean resolution error."""
+    from flink_dsl_spark.errors import ResolutionError
+    with pytest.raises(ResolutionError, match="unknown column"):
+        engine.sql("select /*+ hybrid_rrf(text, embedding, doc_id, "
+                   f"'data', 7, 5) */ doc_id from {_HY_J} "
+                   "where rrf_score > 0")
+    # and without the hint, rrf_score is not a column at all
+    with pytest.raises(ResolutionError, match="unknown column"):
+        engine.sql("select rrf_score from documents")
+
+
+def test_hybrid_rrf_hint_score_collision_rejected(engine, spark):
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "data", [1.0, 0.0], 0.5), (2, "x", [0.0, 1.0], 0.1)],
+        "id long, text string, v array<double>, rrf_score double")
+    eng.register("hy_t", df)
+    with pytest.raises(PlanError, match="already has one"):
+        eng.sql("select /*+ hybrid_rrf(text, v, id, 'data', 1, 2) */"
+                " id from hy_t")
+
+
+def test_hybrid_rrf_hint_excludes_null_ids(engine, spark):
+    """NULL-id rows can never join back, so they must not hold
+    candidate slots on either leg (the bm25-hint rule)."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(None, "data data data", [1.0, 0.0]),
+         (2, "data", [0.9, 0.1]), (3, "nothing", [0.0, 1.0])],
+        "id long, text string, v array<double>")
+    eng.register("hy_n", df)
+    rows = eng.sql("select /*+ hybrid_rrf(text, v, id, 'data', 3, 1)"
+                   " */ id, rrf_score from hy_n").collect()
+    assert [r["id"] for r in rows] == [2]
+
+
+def test_hybrid_rrf_hint_derived_table_composition(engine):
+    """A derived table around a hinted select exposes rrf_score to
+    the outer query — through projection and the inner *."""
+    got = engine.sql(
+        "select doc_id, rrf_score from "
+        "(select /*+ hybrid_rrf(text, embedding, doc_id, "
+        f"'data stream', 7, 5) */ * from {_HY_J}) t "
+        "where rrf_score > 0")
+    rows = got.collect()
+    assert len(rows) == 5 and all(r["rrf_score"] > 0 for r in rows)
+
+
+def test_two_score_hints_compose(engine):
+    """bm25 + hybrid_rrf in ONE select: applied in written order
+    (bm25 keeps its top-k rows first, hybrid_rrf then fuses over
+    that CUT corpus — a query_id outside the cut fails loudly), BOTH
+    score columns referencable, and an unqualified * carries both
+    (in written hint order)."""
+    # pick a query_id guaranteed inside the bm25 top-40 cut
+    cut = engine.sql(
+        "select /*+ bm25(text, doc_id, 'data stream window', 40) */ "
+        f"doc_id from {_HY_J}").collect()
+    qid = min(r["doc_id"] for r in cut)
+    got = engine.sql(
+        "select /*+ bm25(text, doc_id, 'data stream window', 40), "
+        "hybrid_rrf(text, embedding, doc_id, 'data stream', "
+        f"{qid}, 5) */"
+        f" doc_id, bm25_score, rrf_score from {_HY_J}")
+    rows = got.collect()
+    assert len(rows) == 5
+    assert all(r["bm25_score"] > 0 and r["rrf_score"] > 0
+               for r in rows)
+    star = engine.sql(
+        "select /*+ bm25(text, doc_id, 'data stream window', 40), "
+        "hybrid_rrf(text, embedding, doc_id, 'data stream', "
+        f"{qid}, 5) */"
+        f" * from {_HY_J}")
+    assert star.columns[-2:] == ["bm25_score", "rrf_score"]
+    # a query_id OUTSIDE the cut corpus fails loudly (order matters)
+    out_of_cut = 999_999_999
+    with pytest.raises(PlanError, match="not present"):
+        engine.sql(
+            "select /*+ bm25(text, doc_id, 'data stream window', 5),"
+            " hybrid_rrf(text, embedding, doc_id, 'data stream', "
+            f"{out_of_cut}, 3) */ doc_id from {_HY_J}")
+
+
+def test_hybrid_rrf_hint_is_batch_only(engine, spark):
+    import os
+    import tempfile
+    eng = FsqlEngine(spark, streaming=True)
+    d = tempfile.mkdtemp(prefix="hy_stream_")
+    os.symlink(f"{SF_DIR}/documents.parquet",
+               os.path.join(d, "documents.parquet"))
+    eng.sql("create stream hy_docs (doc_id long, text string, "
+            "lang string, source string, n_chars long) "
+            f"source file ('{d}', 'parquet')")
+    try:
+        with pytest.raises(PlanError, match="batch-only"):
+            eng.sql("select /*+ hybrid_rrf(text, text, doc_id, "
+                    "'x', 1, 5) */ doc_id from hy_docs")
+    finally:
+        eng.sql("drop stream hy_docs")
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.lists(st.sampled_from(
+            ["red", "blue", "green", "fast", "x9"]),
+            min_size=0, max_size=8).map(" ".join),
+            min_size=2, max_size=12),
+       st.sampled_from(["red", "blue x9", "green fast"]),
+       st.integers(min_value=1, max_value=5),
+       st.integers(min_value=1, max_value=6))
+def test_hybrid_rrf_hint_equals_api_fuzz(spark, texts, terms, k,
+                                         pool):
+    """r14 fuzz shape for the hybrid_rrf hint: random corpora, query
+    bags, k and pool vs the Python API — guards the join-back (row
+    identity, column preservation), the leg cuts, and the fused
+    tie-break together; rrf_fusion's arithmetic is fuzzed in
+    test_llm_ops."""
+    from flink_dsl_spark.llm_ops.simsearch import hybrid_topk
+    eng = FsqlEngine(spark)
+    # deterministic unit-ish vectors varying by index — the fuzz
+    # drives structure (ranks, ties, pool cuts), not float edge cases
+    rows = [(i, t, [1.0 / (i + 1), float(i % 3)])
+            for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows,
+                               "id long, text string, v array<double>")
+    eng.register("hy_f", df)
+    got = eng.sql(
+        f"select /*+ hybrid_rrf(text, v, id, '{terms}', 0, {k}, "
+        f"{pool}) */ id, text, rrf_score from hy_f").collect()
+    want = hybrid_topk(df, "text", "v", "id", terms.split(), 0,
+                       k=k, pool=pool).collect()
+    assert {(r["id"], r["rrf_score"]) for r in got} == \
+        {(r["id"], r["rrf"]) for r in want}
     texts_by_id = dict(enumerate(texts))
     assert all(r["text"] == texts_by_id[r["id"]] for r in got)
 

@@ -56,6 +56,22 @@ def test_duplicate_cte_name_rejected():
                  select 1 from r""")
 
 
+def test_hints_rejected_not_silently_dropped(engine):
+    """r14 probe: WITH RECURSIVE renders through sqlgen, which never
+    renders hints — a row hint buried in a CTE or the body must
+    reject loudly (the _plan_via_sql rule), not run UNSAMPLED (a
+    sample hint inside a recursive CTE silently kept all rows)."""
+    from flink_dsl_spark.errors import PlanError
+    with pytest.raises(PlanError, match="WITH RECURSIVE"):
+        engine.sql("""with recursive r(doc_id) as (
+                        select /*+ sample(doc_id, 100) */ doc_id
+                        from documents)
+                      select count(*) as n from r""")
+    with pytest.raises(PlanError, match="WITH RECURSIVE"):
+        engine.sql("""with recursive r(n) as (select 1)
+                      select /*+ sample(n, 100) */ n from r""")
+
+
 CASES = {
     "series_sum": """
         with recursive seq(n) as (
