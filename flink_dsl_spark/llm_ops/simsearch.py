@@ -300,15 +300,6 @@ def random_projection(df: DataFrame, vec_col: str, id_col: str,
             .select(F.col(id_col).alias("id"), *cols))
 
 
-def _is_numeric_probe(v) -> bool:
-    """True for the probe types Spark's isin compares NUMERICALLY
-    against the id column (casting the column when needed) — ints,
-    floats, Decimals, but never bools."""
-    if isinstance(v, bool):
-        return False
-    return isinstance(v, (int, float)) or type(v).__name__ == "Decimal"
-
-
 def _dkey(v):
     """Double-collapse membership key mirroring what Spark's isin
     actually does for a NUMERIC probe: cast the id column to double
@@ -324,6 +315,29 @@ def _dkey(v):
         return repr(float(v))
     except (ValueError, TypeError, OverflowError):
         return None
+
+
+def _ekey(v):
+    """Exact-numeric canonical key for comparisons Spark performs at
+    long/decimal type: the plain-notation decimal string with
+    trailing fractional zeros stripped, so Decimal('5.0'), int 5 and
+    string '0005' all key to '5' — exact numeric equality, never a
+    2**53-style collapse (two distinct values never share a key).
+    Returns None for values decimal can't parse (non-numeric strings,
+    floats — floats force the double regime and never reach here)."""
+    import decimal
+    if isinstance(v, bool) or isinstance(v, float):
+        return None
+    if not isinstance(v, (int, str)) and type(v).__name__ != "Decimal":
+        return None
+    try:
+        d = decimal.Decimal(str(v))
+    except decimal.InvalidOperation:
+        return None
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return "0" if s in ("", "-", "-0") else s
 
 
 def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
@@ -375,45 +389,53 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
     # Membership mirrors isin's coercion, which is LIST-LEVEL: Spark
     # resolves In(col, probes) to ONE common comparison type across
     # the column and every probe (measured on this Spark, ANSI on).
-    # Every probe first compares by raw str() (int 1 vs long column
-    # 1, exact string ids); a probe additionally matches through the
-    # double-collapse key (_dkey) exactly when that common type is
-    # floating-point, i.e. when
-    #   - the id column is float/double (casting the probes), or
-    #   - ANY probe is a fractional numeric (float/Decimal): it
-    #     promotes the WHOLE list, so even an int probe then collides
-    #     past 2**53 ([10**17, 2.5] matches bigint 10**17 + 1 —
-    #     measured);
-    # otherwise the comparison is exact at long/decimal/string type:
-    # an all-int probe list against a bigint column can NEVER be
-    # validated through another probe's colliding _dkey (r13 advice:
-    # that false acceptance silently shrank results), and a string
-    # probe against an integer column is cast to LONG by Spark itself
-    # (a malformed '1.0' raises Spark's own CAST_INVALID_INPUT at the
-    # collect below — loud, and not ours to re-report).
+    # Two regimes:
+    #   - comparison AT DOUBLE — when the id column is float/double
+    #     or ANY probe is a Python float (it promotes the whole
+    #     list: [10**17, 2.5] matches bigint 10**17 + 1 — measured;
+    #     [5, 2.5] matches string ids '5.0' and '2.5' — measured).
+    #     Probes match through the double-collapse key (_dkey),
+    #     colliding past 2**53 exactly like the cast.
+    #   - comparison EXACT — everything else: long for int probes vs
+    #     integer columns, DECIMAL for Decimal probes vs integer/
+    #     decimal/STRING columns (r14 review, execution-confirmed:
+    #     Spark widens long+decimal to decimal and casts a string
+    #     column to the decimal probe's type, never to double —
+    #     treating a Decimal probe as double-promoting falsely
+    #     accepted an absent int probe past 2**53 through a
+    #     colliding _dkey), string-vs-string for string ids.  Probes
+    #     match by raw str() or by the exact-numeric canonical key
+    #     (_ekey), which collapses trailing zeros (Decimal('5.0')
+    #     finds bigint 5) but never two distinct values.  A
+    #     malformed string probe vs a numeric column — or a
+    #     non-integer string ID under an int probe's column cast —
+    #     raises Spark's own CAST_INVALID_INPUT at the collect
+    #     below: loud, and not ours to re-report.
     qrows = qdf.collect()
     raw_found = {str(r["qid"]) for r in qrows}
-    double_found = {k for k in (_dkey(r["qid"]) for r in qrows)
-                    if k is not None}
     id_type = df.schema[id_col].dataType
-    numeric_col = isinstance(id_type, T.NumericType)
     float_col = isinstance(id_type, (T.FloatType, T.DoubleType))
-    frac_probe = any(_is_numeric_probe(p) and not isinstance(p, int)
-                     for p in query_ids)
-    list_at_double = float_col or (numeric_col and frac_probe)
+    list_at_double = (
+        float_col
+        or any(isinstance(p, float) and not isinstance(p, bool)
+               for p in query_ids))
+    string_col = isinstance(id_type, T.StringType)
+    key = _dkey if list_at_double else _ekey
+    key_found = {k for k in (key(r["qid"]) for r in qrows)
+                 if k is not None}
 
-    def _collapses(probe) -> bool:
-        """Does isin compare this probe to the id column at double?"""
-        if isinstance(probe, bool):
+    def _present(p) -> bool:
+        if str(p) in raw_found:
+            return True
+        if isinstance(p, bool):
             return False
-        if _is_numeric_probe(probe) and not isinstance(probe, int):
-            return True                # float / Decimal probe
-        return list_at_double          # int / string probe
-    missing = sorted(
-        str(i) for i in set(query_ids)
-        if str(i) not in raw_found
-        and not (_collapses(i) and _dkey(i) is not None
-                 and _dkey(i) in double_found))
+        if not list_at_double and string_col and isinstance(p, str):
+            # pure string-vs-string comparison: exact, no numeric
+            # canonicalization ('1.0' must not find id '1')
+            return False
+        k = key(p)
+        return k is not None and k in key_found
+    missing = sorted(str(i) for i in set(query_ids) if not _present(i))
     if missing:
         raise ValueError(
             f"query id(s) not present in the corpus: "

@@ -1850,6 +1850,7 @@ class Planner:
                             "needs the finite corpus and corpus-wide "
                             "df/avgdl statistics)")
         tc, idc = self._resolve_hint_cols(df, (textcol, idcol), "bm25")
+        score_col = self._score_hint_output_col(df, "bm25")
         from .llm_ops.textstats import bm25_scores
         # NULL ids can never join back (NULL never equals), so they
         # must not occupy top-k score slots either — exclude them
@@ -1861,20 +1862,37 @@ class Planner:
             scores = bm25_scores(scorable, tc, idc, terms.split(), k=k)
         except ValueError as e:           # e.g. no usable query terms
             raise PlanError(f"bm25 hint: {e}")
-        # the score column is part of the hint's CONTRACT (the select
-        # list references it by name), so a pre-existing column is an
-        # error, not a silent rename like internal bookkeeping names
-        score_col = "bm25_score"
+        return self._join_back_score(df, idc, scores, "score",
+                                     score_col, "bm25")
+
+    def _score_hint_output_col(self, df: DataFrame, hint: str) -> str:
+        """The score column a SCORE_HINTS hint appends is part of its
+        CONTRACT (the select list references it by name), so a
+        pre-existing column is an error, not a silent rename like
+        internal bookkeeping names — checked FIRST, before any
+        plan-time work (r14 review: the hybrid probe ran a corpus
+        job before this trivially detectable rejection)."""
+        score_col = SCORE_HINTS[hint]
         if score_col in df.columns:
-            raise PlanError("bm25 hint adds a 'bm25_score' column but "
-                            "the select input already has one — "
-                            "rename or drop it first")
-        join_id = "__bm25_id"
+            raise PlanError(
+                f"{hint} hint adds a {score_col!r} column but the "
+                "select input already has one — rename or drop it "
+                "first")
+        return score_col
+
+    def _join_back_score(self, df: DataFrame, idc: str,
+                         scores: DataFrame, value_col: str,
+                         score_col: str, hint: str) -> DataFrame:
+        """Broadcast a <=k (id, value) score relation back onto the
+        hint's input rows, appending it as ``score_col`` — the shared
+        join-back tail of every SCORE_HINTS hint (one broadcast hash
+        join; the corpus is never shuffled)."""
+        join_id = f"__{hint}_id"
         while join_id in df.columns:
             join_id += "_"
         scores = F.broadcast(
             scores.select(F.col("id").alias(join_id),
-                          F.col("score").alias(score_col)))
+                          F.col(value_col).alias(score_col)))
         return (df.join(scores, F.col(idc) == F.col(join_id))
                   .drop(join_id))
 
@@ -1915,38 +1933,37 @@ class Planner:
                 "need the finite corpus and corpus-wide statistics)")
         tc, vc, idc = self._resolve_hint_cols(
             df, (textcol, veccol, idcol), "hybrid_rrf")
+        score_col = self._score_hint_output_col(df, "hybrid_rrf")
         from .llm_ops.simsearch import hybrid_topk
         scorable = df.filter(F.col(idc).isNotNull())
-        # a typo'd / absent query_id would silently EMPTY the cosine
-        # leg (its 1-row broadcast query never matches) and degrade
-        # the fusion to pure-BM25 ranking — fail loudly instead.  The
-        # probe uses the SAME ``==`` comparison as the leg's own query
-        # filter, so its verdict agrees with the leg exactly; it makes
-        # the hint EAGER at plan time (one short-circuited corpus
-        # probe, the cosine_topk_batch precedent).
-        if scorable.filter(F.col(idc) == F.lit(query_id)) \
-                   .limit(1).count() == 0:
+        # a typo'd / absent query_id — or one whose VECTOR is NULL
+        # (r14 review: cosine_sim(v, NULL) is NULL for every
+        # candidate, so the leg silently ranks by ascending id) —
+        # would silently degrade the fusion to pure-BM25-plus-noise;
+        # fail loudly instead.  The probe uses the SAME ``==``
+        # comparison as the leg's own query filter, so its verdict
+        # agrees with the leg exactly; it makes the hint EAGER at
+        # plan time (one short-circuited corpus probe, the
+        # cosine_topk_batch precedent).
+        hit = (scorable.filter(F.col(idc) == F.lit(query_id))
+                       .select(F.col(vc).alias("__v"))
+                       .limit(1).collect())
+        if not hit:
             raise PlanError(
                 f"hybrid_rrf hint: query_id {query_id!r} not present "
                 f"in column {idc!r} of the select input")
+        if hit[0]["__v"] is None:
+            raise PlanError(
+                f"hybrid_rrf hint: the query_id {query_id!r} row has "
+                f"a NULL {vc!r} vector — the cosine leg would rank "
+                "meaninglessly (every cosine NULL)")
         try:
             fused = hybrid_topk(scorable, tc, vc, idc, terms.split(),
                                 query_id, k=k, pool=pool)
-        except ValueError as e:       # e.g. no usable query terms,
-            raise PlanError(f"hybrid_rrf hint: {e}")    # absent qid
-        score_col = "rrf_score"
-        if score_col in df.columns:
-            raise PlanError("hybrid_rrf hint adds an 'rrf_score' "
-                            "column but the select input already has "
-                            "one — rename or drop it first")
-        join_id = "__rrf_id"
-        while join_id in df.columns:
-            join_id += "_"
-        fused = F.broadcast(
-            fused.select(F.col("id").alias(join_id),
-                         F.col("rrf").alias(score_col)))
-        return (df.join(fused, F.col(idc) == F.col(join_id))
-                  .drop(join_id))
+        except ValueError as e:           # e.g. no usable query terms
+            raise PlanError(f"hybrid_rrf hint: {e}")
+        return self._join_back_score(df, idc, fused, "rrf",
+                                     score_col, "hybrid_rrf")
 
     def _apply_priority_sample_hint(self, df: DataFrame, idcol: str,
                                     wcol: str, k: int,

@@ -1719,6 +1719,26 @@ def test_hybrid_rrf_hint_absent_query_id_fails_loudly(engine):
                    f"'data', 999999999, 5) */ doc_id from {_HY_J}")
 
 
+def test_hybrid_rrf_hint_null_query_vector_fails_loudly(engine,
+                                                        spark):
+    """r14 review: a query row that EXISTS but carries a NULL vector
+    makes every candidate cosine NULL — the leg would silently rank
+    by ascending id; the probe must reject it by name."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "data", None), (2, "data x", [0.1, 0.9]),
+         (3, "y", [0.9, 0.1])],
+        "id long, text string, v array<double>")
+    eng.register("hy_nv", df)
+    with pytest.raises(PlanError, match="NULL.*vector"):
+        eng.sql("select /*+ hybrid_rrf(text, v, id, 'data', 1, 2) */"
+                " id from hy_nv")
+    # a non-NULL query vector on the same table still works
+    rows = eng.sql("select /*+ hybrid_rrf(text, v, id, 'data', 2, 2)"
+                   " */ id, rrf_score from hy_nv").collect()
+    assert len(rows) >= 1
+
+
 def test_hybrid_rrf_score_not_visible_in_where(engine):
     """The hint applies AFTER the WHERE filter, so an rrf_score
     reference there fails with a clean resolution error."""

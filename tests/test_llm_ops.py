@@ -3031,6 +3031,39 @@ def test_cosine_topk_batch_int_string_probe_vs_bigint_exact(spark):
         L.cosine_topk_batch(df, "embedding", "vid", ["9"], k=1)
 
 
+def test_cosine_topk_batch_decimal_probe_exact(spark):
+    """r14 review (execution-confirmed): Spark widens long+decimal
+    to DECIMAL, not double — a Decimal probe must NOT promote the
+    list, so an absent int probe past 2**53 still fails loudly even
+    beside a Decimal probe; and a trailing-zero Decimal('5.0')
+    legitimately finds bigint 5 (decimal equality) without a
+    spurious missing error."""
+    from decimal import Decimal
+    big = 10 ** 17
+    df = spark.createDataFrame(
+        [(big + 1, [1.0, 0.0]), (5, [0.0, 1.0]), (6, [1.0, 1.0])],
+        "vid long, embedding array<double>")
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(df, "embedding", "vid",
+                            [big, Decimal("5")], k=1)
+    out = L.cosine_topk_batch(df, "embedding", "vid",
+                              [Decimal("5.0"), 6], k=1)
+    assert {r["qid"] for r in out.collect()} == {5, 6}
+
+
+def test_cosine_topk_batch_string_col_float_probe(spark):
+    """r14 review: a float probe promotes the whole IN list to
+    double even against a STRING id column (measured: [5, 2.5]
+    matches ids '5.0' and '2.5') — the validation must not raise a
+    spurious missing error for the int probe."""
+    df = spark.createDataFrame(
+        [("5.0", [1.0, 0.0]), ("2.5", [0.0, 1.0]),
+         ("7.5", [1.0, 1.0])],
+        "sid string, embedding array<double>")
+    out = L.cosine_topk_batch(df, "embedding", "sid", [5, 2.5], k=1)
+    assert {r["qid"] for r in out.collect()} == {"5.0", "2.5"}
+
+
 def test_cosine_topk_batch_rejects_stream(spark, tmp_path):
     """r12 ADVICE: the function collects the query rows eagerly at
     call time — a streaming DataFrame must be rejected with a clear

@@ -336,6 +336,9 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # <=pool-row relations (bounded domain — the llm69 pattern),
     # never the corpus
     "llm78_hybrid_rrf",
+    # hybrid RRF hint (r14): llm78's plan plus the <=k fused relation
+    # broadcast back onto the input rows (the q92 join-back shape)
+    "q94_hybrid_rrf_hint",
 }
 
 
