@@ -298,8 +298,11 @@ def _expr(draw, depth=0):
 @st.composite
 def _select_sql(draw):
     n = draw(st.integers(1, 4))
+    # r14: the reference's per-item ALL prefix (parse-and-discard,
+    # flinkdsl/parser.scala:30) may precede any projection item
     items = ", ".join(
-        f"{draw(_expr())} as c{i}" for i in range(n))
+        f"{'all ' if draw(st.booleans()) else ''}{draw(_expr())} as c{i}"
+        for i in range(n))
     sql = f"select {items} from {draw(_ident)}"
     if draw(st.booleans()):
         sql += f" where {draw(_expr())} > {draw(_expr())}"
@@ -307,6 +310,10 @@ def _select_sql(draw):
         sql += f" group by {draw(_ident)}"
     if draw(st.booleans()):
         sql += f" order by c0 desc limit {draw(st.integers(1, 100))}"
+    if draw(st.booleans()):
+        # r14: trailing FOR UPDATE (parse-and-discard,
+        # flinkdsl/parser.scala:27)
+        sql += " for update"
     return sql
 
 
