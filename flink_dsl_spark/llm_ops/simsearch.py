@@ -420,6 +420,14 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
         or any(isinstance(p, float) and not isinstance(p, bool)
                for p in query_ids))
     string_col = isinstance(id_type, T.StringType)
+    # string probes take the string comparison ONLY when the whole
+    # list is strings against a string column — one int/Decimal probe
+    # in the list drags the string column through the numeric cast
+    # (list-level coercion), and the string probes compare numerically
+    # with it (r14 review pass 2: the per-probe guard spuriously
+    # rejected a numeric-cast-matched string probe in a mixed list)
+    pure_string_cmp = string_col and all(
+        isinstance(p, str) for p in query_ids)
     key = _dkey if list_at_double else _ekey
     key_found = {k for k in (key(r["qid"]) for r in qrows)
                  if k is not None}
@@ -429,7 +437,7 @@ def cosine_topk_batch(df: DataFrame, vec_col: str, id_col: str,
             return True
         if isinstance(p, bool):
             return False
-        if not list_at_double and string_col and isinstance(p, str):
+        if not list_at_double and pure_string_cmp:
             # pure string-vs-string comparison: exact, no numeric
             # canonicalization ('1.0' must not find id '1')
             return False

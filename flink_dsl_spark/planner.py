@@ -1945,13 +1945,25 @@ class Planner:
         # agrees with the leg exactly; it makes the hint EAGER at
         # plan time (one short-circuited corpus probe, the
         # cosine_topk_batch precedent).
+        # limit(2), not limit(1): exactly one matching row is the
+        # contract — a DUPLICATE query_id would broadcast 2+ query
+        # rows into the cosine crossJoin (every candidate duplicated,
+        # ranks and the fused score silently corrupted — r14 review
+        # pass 2), and a limit(1) probe could land on the one clean
+        # row of a dirty pair.  Two collected rows prove duplication
+        # without scanning past the second match.
         hit = (scorable.filter(F.col(idc) == F.lit(query_id))
                        .select(F.col(vc).alias("__v"))
-                       .limit(1).collect())
+                       .limit(2).collect())
         if not hit:
             raise PlanError(
                 f"hybrid_rrf hint: query_id {query_id!r} not present "
                 f"in column {idc!r} of the select input")
+        if len(hit) > 1:
+            raise PlanError(
+                f"hybrid_rrf hint: query_id {query_id!r} matches "
+                f"more than one row — the cosine leg needs exactly "
+                "one query vector (dedupe the input first)")
         if hit[0]["__v"] is None:
             raise PlanError(
                 f"hybrid_rrf hint: the query_id {query_id!r} row has "

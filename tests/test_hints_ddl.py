@@ -1739,6 +1739,23 @@ def test_hybrid_rrf_hint_null_query_vector_fails_loudly(engine,
     assert len(rows) >= 1
 
 
+def test_hybrid_rrf_hint_duplicate_query_id_fails_loudly(engine,
+                                                         spark):
+    """r14 review pass 2: a duplicated query_id would broadcast 2+
+    query rows into the cosine crossJoin (candidates duplicated,
+    ranks corrupted) — and a limit(1) probe could land on the clean
+    row of a dirty pair.  Must reject by name."""
+    eng = FsqlEngine(spark)
+    df = spark.createDataFrame(
+        [(1, "data", [0.5, 0.5]), (1, "data dup", None),
+         (2, "data x", [0.1, 0.9]), (3, "y", [0.9, 0.1])],
+        "id long, text string, v array<double>")
+    eng.register("hy_dup", df)
+    with pytest.raises(PlanError, match="more than one row"):
+        eng.sql("select /*+ hybrid_rrf(text, v, id, 'data', 1, 2) */"
+                " id from hy_dup")
+
+
 def test_hybrid_rrf_score_not_visible_in_where(engine):
     """The hint applies AFTER the WHERE filter, so an rrf_score
     reference there fails with a clean resolution error."""

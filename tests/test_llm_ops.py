@@ -3064,6 +3064,22 @@ def test_cosine_topk_batch_string_col_float_probe(spark):
     assert {r["qid"] for r in out.collect()} == {"5.0", "2.5"}
 
 
+def test_cosine_topk_batch_mixed_list_string_probe(spark):
+    """r14 review pass 2: one int probe in the list drags a STRING
+    id column through the numeric cast (list-level coercion), so a
+    string probe in the SAME list compares numerically too — '3'
+    must match id '03' without a spurious missing error.  A
+    pure-string list against the same column stays exact ('3' does
+    NOT match '03')."""
+    df = spark.createDataFrame(
+        [("5", [1.0, 0.0]), ("03", [0.0, 1.0])],
+        "sid string, embedding array<double>")
+    out = L.cosine_topk_batch(df, "embedding", "sid", [5, "3"], k=1)
+    assert {r["qid"] for r in out.collect()} == {"5", "03"}
+    with pytest.raises(ValueError, match="not present in the corpus"):
+        L.cosine_topk_batch(df, "embedding", "sid", ["5", "3"], k=1)
+
+
 def test_cosine_topk_batch_rejects_stream(spark, tmp_path):
     """r12 ADVICE: the function collects the query rows eagerly at
     call time — a streaming DataFrame must be rejected with a clear
