@@ -521,6 +521,14 @@ def hybrid_topk(df: DataFrame, text_col: str, vec_col: str,
     sum; cosine_topk's round-6 cosine), so the fused ordering
     value-oracles bit-exactly (see rrf_fusion).
 
+    Input contract (lazy building block — NOT validated here; the
+    hybrid_rrf dialect hint validates eagerly): ``query_id`` must
+    match exactly ONE row and that row's vector must be non-NULL.
+    An absent id silently empties the cosine leg (pure-BM25
+    ranking); a duplicate id broadcasts 2+ query rows into the
+    cosine crossJoin (candidates duplicated, ranks corrupted); a
+    NULL vector NULLs every cosine (leg ranks by ascending id).
+
     Scale shape: the corpus-scale work is exactly the two upstream
     operators' (bm25_scores: one filtered explode + broadcast stats +
     TakeOrderedAndProject; cosine_topk: broadcast 1-row query +
