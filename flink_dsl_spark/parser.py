@@ -72,7 +72,7 @@ _TOKEN_RE = re.compile(
   | (?P<comment>--[^\n]*)
   | (?P<hint>/\*\+(?:[^*]|\*(?!/))*\*/)
   | (?P<blockcomment>/\*(?:[^*]|\*(?!/))*\*/)
-  | (?P<number>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+([eE][+-]?\d+)?|\d+)
+  | (?P<number>\d+\.\d*([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\.\d+([eE][+-]?\d+)?|\d+)
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"[^"]+"|`[^`]+`)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
@@ -330,7 +330,7 @@ class Parser:
             self.expect_op("(")
             host = self.string_lit()
             self.expect_op(",")
-            port = int(self.number_lit())
+            port = self.int_lit("port")
             self.expect_op(")")
             return HostSource(host, port)
         if self.eat_kw("file"):
@@ -343,7 +343,7 @@ class Parser:
             return FileSource(path, fmt)
         if self.eat_kw("rate"):
             self.expect_op("(")
-            rps = int(self.number_lit())
+            rps = self.int_lit("rate")
             self.expect_op(")")
             return RateSource(rps)
         self.error("expected HOST, FILE or RATE source")
@@ -361,6 +361,16 @@ class Parser:
             self.error("expected numeric literal")
         self.advance()
         return t.text
+
+    def int_lit(self, what: str) -> int:
+        """Integer-only numeric literal — `99.` (a valid double
+        literal since the r14 trailing-dot form) must fail HERE with
+        a positioned parse error, not a raw ValueError from int()."""
+        t = self.cur
+        txt = self.number_lit()
+        if not txt.isdigit():
+            self.error(f"expected integer {what}", t)
+        return int(txt)
 
     # --- DML ---
 
@@ -477,6 +487,14 @@ class Parser:
 
     def parse_delete(self) -> Delete:
         self.expect_kw("delete")
+        if not self.at_kw("from"):
+            # MySQL-style pre-FROM target list — parsed and DISCARDED,
+            # exactly like the reference (flinkdsl/parser.scala:64
+            # ``opt(repsep(ident, ","))``: its Delete AST drops the
+            # list, `case _ ~ _ ~ t ~ w => Delete(t, w)`)
+            self.ident("table name")
+            while self.eat_op(","):
+                self.ident("table name")
         self.expect_kw("from")
         tables = [self.parse_table_name_alias()]
         while self.eat_op(","):
@@ -831,11 +849,16 @@ class Parser:
                     if plain:
                         group_by.append(Lit(i + 1, "long"))
             else:
+                # collate is PER ITEM like the reference
+                # (flinkdsl/parser.scala:258 ``rep1sep(term <~
+                # opt(collate), ",")``) — parsed, no-op
                 group_by = [self.parse_expr()]
+                if self.eat_kw("collate"):
+                    self.ident("collation")
                 while self.eat_op(","):
                     group_by.append(self.parse_expr())
-                if self.eat_kw("collate"):
-                    self.ident("collation")          # parsed, no-op
+                    if self.eat_kw("collate"):
+                        self.ident("collation")
                 if self.eat_kw("with"):
                     self.expect_kw("rollup")
                     rollup = True
@@ -1128,7 +1151,7 @@ class Parser:
             p = Param(self.n_params)
             self.n_params += 1
             return p
-        return Lit(int(self.number_lit()), "long")
+        return Lit(self.int_lit("LIMIT/OFFSET"), "long")
 
     # --- FROM / joins / windows ---
 
@@ -1555,7 +1578,7 @@ class Parser:
         return WindowSpec(size, every, partition, kind)
 
     def parse_policy(self) -> Policy:
-        value = int(self.number_lit())
+        value = self.int_lit("window size")
         unit = None
         t = self.cur
         if t.kind == "ident" and t.lower in TIME_UNITS:

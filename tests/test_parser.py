@@ -213,6 +213,56 @@ def test_select_all_per_item_discarded():
     parse("select all count(a) from t group by b")
 
 
+def test_delete_pre_from_target_list_discarded():
+    """MySQL-style ``DELETE t1, t2 FROM …`` target list is parsed
+    and discarded, parity with flinkdsl/parser.scala:64 (the
+    reference's Delete AST drops the list)."""
+    d = parse("delete t from t where a = 1")
+    plain = parse("delete from t where a = 1")
+    assert isinstance(d, Delete)
+    assert d == plain          # dataclass equality: list discarded
+    parse("delete t1, t2 from t1, t2 where a = 1")
+    with pytest.raises(ParseError):
+        parse("delete where a = 1")
+
+
+def test_trailing_dot_numeric_literal():
+    """``5.`` is a double literal, parity with the reference's
+    numericLit ``\\d+(\\.\\d*)?`` (flinkdsl/parser.scala:319)."""
+    stmt = parse("select 5. as x from t")
+    assert stmt.items[0].expr.value == 5.0
+    assert stmt.items[0].expr.type_name == "double"
+    # integer contexts still reject it
+    with pytest.raises(ParseError):
+        parse("select a from t limit 5.")
+
+
+def test_group_by_per_item_collate():
+    """collate is per GROUP BY item, parity with
+    flinkdsl/parser.scala:258 ``rep1sep(term <~ opt(collate), ",")``
+    — parsed and discarded on any item, WITH ROLLUP still follows."""
+    a = parse("select a, b, count(*) as n from t "
+              "group by a collate c1, b")
+    plain = parse("select a, b, count(*) as n from t group by a, b")
+    assert to_sql(a) == to_sql(plain)
+    parse("select a, b from t group by a, b collate c1 with rollup")
+    parse("select a, b from t group by a collate c1, b collate c2")
+
+
+def test_dash_identifiers_stay_arithmetic():
+    """DELIBERATE divergence (SURVEY §7.0(6)): the reference's
+    identValue regex allows '-' INSIDE identifiers, so its lexer
+    reads unspaced ``a-b`` as ONE column named 'a-b' (and its own
+    corpus spaces every subtraction).  Standard SQL lexing wins
+    here: '-' is an operator; quote "a-b" to name such a column."""
+    stmt = parse("select a-b from t")
+    from flink_dsl_spark.ast_nodes import BinOp
+    assert isinstance(stmt.items[0].expr, BinOp)
+    assert stmt.items[0].expr.op == "-"
+    q = parse('select "a-b" from t')
+    assert q.items[0].expr.name == "a-b"
+
+
 def test_tablesample_on_parenthesized_join_named_rejection():
     """r13 advice: the suffix after ``(a join b)`` must fail with a
     rejection that NAMES the clause, not generic trailing input."""
