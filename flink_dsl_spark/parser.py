@@ -363,14 +363,15 @@ class Parser:
         return t.text
 
     def int_lit(self, what: str) -> int:
-        """Integer-only numeric literal — `99.` (a valid double
-        literal since the r14 trailing-dot form) must fail HERE with
-        a positioned parse error, not a raw ValueError from int()."""
+        """Integer-only numeric literal — digit-run tokens only:
+        `99.` (a valid double literal since the r14 trailing-dot
+        form) and exponent forms like `2e1` must fail HERE with a
+        positioned parse error, not a raw ValueError from int()."""
         t = self.cur
-        txt = self.number_lit()
-        if not txt.isdigit():
+        if t.kind != "number" or not t.text.isdigit():
             self.error(f"expected integer {what}", t)
-        return int(txt)
+        self.advance()
+        return int(t.text)
 
     # --- DML ---
 
@@ -406,11 +407,7 @@ class Parser:
         bucket_cols = self._parse_paren_name_list("bucket column")
         self.expect_kw("into")
         t = self.cur
-        # digits only: rejects 2.5 AND exponent forms like 2e1, which
-        # tokenize as 'number' but would crash int() past this check
-        if t.kind != "number" or not t.text.isdigit():
-            self.error("expected integer bucket count")
-        num_buckets = int(self.advance().text)
+        num_buckets = self.int_lit("bucket count")
         if num_buckets < 1:
             self.error("bucket count must be >= 1", t)
         self.expect_kw("buckets")
@@ -852,13 +849,13 @@ class Parser:
                 # collate is PER ITEM like the reference
                 # (flinkdsl/parser.scala:258 ``rep1sep(term <~
                 # opt(collate), ",")``) — parsed, no-op
-                group_by = [self.parse_expr()]
-                if self.eat_kw("collate"):
-                    self.ident("collation")
-                while self.eat_op(","):
+                group_by = []
+                while True:
                     group_by.append(self.parse_expr())
                     if self.eat_kw("collate"):
                         self.ident("collation")
+                    if not self.eat_op(","):
+                        break
                 if self.eat_kw("with"):
                     self.expect_kw("rollup")
                     rollup = True
@@ -1058,8 +1055,12 @@ class Parser:
                     if a.kind == "ident" or a.kind == "qident":
                         args.append(a.text.strip('"`'))
                     elif a.kind == "number":
-                        args.append(float(a.text) if "." in a.text
-                                    else int(a.text))
+                        # int only for digit-runs; '5.' / '2e1' are
+                        # float args (planner validation rejects them
+                        # where an int is required — hints like
+                        # mixture_temperature take genuine floats)
+                        args.append(int(a.text) if a.text.isdigit()
+                                    else float(a.text))
                     elif a.kind == "string":
                         args.append(a.text[1:-1].replace("''", "'"))
                     else:
@@ -1489,11 +1490,7 @@ class Parser:
         col = self.ident("tablesample id column")
         self.expect_op(",")
         t = self.cur
-        # digits only: rejects 2.5 AND exponent forms like 2e1 (the
-        # bucket-count lesson)
-        if t.kind != "number" or not t.text.isdigit():
-            self.error("expected integer permille in TABLESAMPLE")
-        permille = int(self.advance().text)
+        permille = self.int_lit("permille in TABLESAMPLE")
         if not 1 <= permille <= 999:
             self.error("TABLESAMPLE permille must be between 1 and "
                        "999", t)
@@ -1970,8 +1967,8 @@ class Parser:
         self.advance()
         precision = scale = None
         if t.lower == "decimal" and self.eat_op("("):
-            precision = self.parse_int("decimal precision")
-            scale = self.parse_int("decimal scale") if self.eat_op(",") \
+            precision = self.int_lit("decimal precision")
+            scale = self.int_lit("decimal scale") if self.eat_op(",") \
                 else 0
             self.expect_op(")")
         self.expect_op(")")
@@ -1995,13 +1992,6 @@ class Parser:
         e = self.parse_expr()
         self.expect_op(")")
         return FuncCall(f.lower, [e])
-
-    def parse_int(self, what: str) -> int:
-        t = self.cur
-        if t.kind == "number" and "." not in t.text:
-            self.advance()
-            return int(t.text)
-        self.error(f"expected integer {what}")
 
     def parse_over_clause(self, call: FuncCall,
                           ignore_nulls: bool = False) -> WindowFunc:
