@@ -23,6 +23,13 @@ def _xxhash_id(c, seed: int):
     return F.xxhash64(c, F.lit(seed))
 
 
+# static codomains (r14): a seeded id hash's value range is known a
+# priori, so range-bucketing on it never needs the one-pass min/max
+# scan _range_bucket otherwise runs — one full corpus pass saved per
+# prefix-sum operator (token_budget / shard_corpus / shuffle rank).
+_xxhash_id.hash_range = (float(-(1 << 63)), float(1 << 63))
+
+
 def md5_id_hash(c, seed: int):
     """Cross-engine deterministic id hash (same pattern as
     dedup.md5_token_hash): 60-bit value of ``md5(id || ':' || seed)``,
@@ -36,6 +43,9 @@ def md5_id_hash(c, seed: int):
     concat(NULL, ':', seed) = NULL on both engines."""
     s = F.concat(c.cast("string"), F.lit(":"), F.lit(str(seed)))
     return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+md5_id_hash.hash_range = (0.0, float(1 << 60))  # 15 hex digits
 
 
 def split_dataset(df: DataFrame, id_col: str,
@@ -95,8 +105,13 @@ def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
               .sortWithinPartitions("shuffle_key"))
     if rank:
         from ..streaming.windows import _global_index
-        out, _total = _global_index(out, F.col("shuffle_key"),
-                                    "shuffle_rank")
+        # the order key is the seeded hash itself: static codomain (no
+        # min/max pass) and no collected counts (the rank never needs
+        # the total) — the numbering is one lazy plan, zero eager jobs
+        out, _total = _global_index(
+            out, F.col("shuffle_key"), "shuffle_rank",
+            known_range=getattr(id_hash, "hash_range", None),
+            need_total=False)
         out = out.withColumn("shuffle_rank", F.col("shuffle_rank") - 1)
     return out
 
@@ -419,16 +434,22 @@ def token_budget_filter(df: DataFrame, id_col: str, tokens_col: str,
                         _fresh("__tb_off"), _fresh("__tb_n"))
     d = df.withColumn(key, id_hash(F.col(id_col), seed)) \
           .withColumn(n, F.col(tokens_col).cast("long"))
-    d = d.withColumn(bkt, _range_bucket(d, F.col(key), buckets))
-    sums = sorted(
-        (r[bkt], r["s"]) for r in
-        d.groupBy(bkt).agg(F.sum(n).alias("s")).collect())
-    offsets, running = [], 0
-    for b, s in sums:
-        offsets.append((b, running))
-        running += int(s or 0)
-    off_df = spark.createDataFrame(offsets, f"{bkt} int, {off} long") \
-        if offsets else spark.createDataFrame([], f"{bkt} int, {off} long")
+    # the order key is a seeded hash with a statically-known codomain,
+    # so range-bucketing needs no min/max pass; the per-bucket prefix
+    # offsets are built LAZILY (sum aggregate + one cumulative window
+    # over <= buckets+2 rows) inside the same plan — the whole cut is
+    # one action with zero eager driver jobs, where the r13 shape ran
+    # a min/max scan plus a subtotal-collect scan before the query
+    # even started (guide §1.2 / §5: remove passes, keep the driver
+    # out of the data path).
+    d = d.withColumn(bkt, _range_bucket(
+        d, F.col(key), buckets,
+        known_range=getattr(id_hash, "hash_range", None)))
+    wo = W.orderBy(bkt).rowsBetween(W.unboundedPreceding, -1)
+    off_df = (d.groupBy(bkt).agg(F.sum(n).alias("__tb_s"))
+               .select(F.col(bkt),
+                       F.coalesce(F.sum("__tb_s").over(wo),
+                                  F.lit(0)).alias(off)))
     w = (W.partitionBy(bkt).orderBy(key, id_col)
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     cum = cum_col or _fresh("__tb_cum")
@@ -812,16 +833,18 @@ def shard_corpus(df: DataFrame, id_col: str, tokens_col: str,
     d = df.select(F.col(id_col).alias("id"),
                   F.col(tokens_col).cast("long").alias("n_tokens"))
     d = d.withColumn("__key", id_hash(F.col("id"), seed))
-    d = d.withColumn("__bkt", _range_bucket(d, F.col("__key"), buckets))
-    sums = sorted(
-        (r["__bkt"], r["s"]) for r in
-        d.groupBy("__bkt").agg(F.sum("n_tokens").alias("s")).collect())
-    offsets, running = [], 0
-    for b, s in sums:
-        offsets.append((b, running))
-        running += int(s)
-    off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
-        if offsets else spark.createDataFrame([], "__bkt int, __off long")
+    # static hash codomain + lazy prefix offsets — same r14 shape as
+    # token_budget_filter: no min/max pass, no subtotal collect; one
+    # action, the corpus touched by exactly the (partial-aggregated)
+    # subtotal branch and the main branch
+    d = d.withColumn("__bkt", _range_bucket(
+        d, F.col("__key"), buckets,
+        known_range=getattr(id_hash, "hash_range", None)))
+    wo = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
+    off_df = (d.groupBy("__bkt").agg(F.sum("n_tokens").alias("__s"))
+               .select(F.col("__bkt"),
+                       F.coalesce(F.sum("__s").over(wo),
+                                  F.lit(0)).alias("__off")))
     w = (W.partitionBy("__bkt").orderBy("__key", "id")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (d.join(F.broadcast(off_df), "__bkt")

@@ -274,11 +274,14 @@ def ngram_containment_pairs(df: DataFrame, text_col: str, id_col: str,
 # ---------------------------------------------------------------------------
 
 def release_sig_cache() -> None:
-    """Unpersist the signature cache of the most recent
-    ``minhash_lsh_pairs`` call (safe to call any time; a consumer that
-    has already materialized its result loses nothing)."""
+    """Unpersist the signature / candidate / candidate-shingle caches
+    of the most recent ``minhash_lsh_pairs`` call (safe to call any
+    time; a consumer that has already materialized its result loses
+    nothing)."""
     from .util import release_caches
     release_caches("minhash_sig")
+    release_caches("minhash_cand")
+    release_caches("minhash_csh")
 
 
 def _perm_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -315,14 +318,41 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     @F.pandas_udf(ArrayType(LongType()))
     def _perm_mins(base: pd.Series) -> pd.Series:
-        out = []
-        for arr in base:
+        # vectorized ACROSS documents (r14, guide §4.2): concatenate
+        # the batch's base hashes into one flat vector, compute the
+        # permutation matrix in doc-boundary-aligned chunks, and take
+        # per-doc minima with np.minimum.reduceat — the r13 per-doc
+        # loop paid ~1.5 ms/doc in numpy temporaries and tolist()
+        # conversions (measured: ~550 ms of python wait per task on
+        # the signature stage).  The math is unchanged and exact:
+        # (h*a + b) % p in int64 with h,a < p = 2^31-1, so every
+        # product < 2^62.
+        out = [None] * len(base)
+        arrs, idxs, lens = [], [], []
+        for i, arr in enumerate(base):
             if arr is None or len(arr) == 0:
-                out.append(empty_sig)
-                continue
-            h = np.asarray(arr, dtype=np.int64)
-            m = (h[:, None] * a_vec[None, :] + b_vec[None, :]) % p
-            out.append(m.min(axis=0).tolist())
+                out[i] = empty_sig
+            else:
+                arrs.append(np.asarray(arr, dtype=np.int64))
+                idxs.append(i)
+                lens.append(len(arr))
+        pos = 0
+        while pos < len(arrs):
+            # chunk at ~1M shingles -> <= ~512 MB of int64 temporaries
+            take, tot = 0, 0
+            while pos + take < len(arrs) and (take == 0 or
+                                              tot < 1_000_000):
+                tot += lens[pos + take]
+                take += 1
+            flat = np.concatenate(arrs[pos:pos + take])
+            m = (flat[:, None] * a_vec[None, :] + b_vec[None, :]) % p
+            starts = np.zeros(take, dtype=np.int64)
+            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
+                      out=starts[1:])
+            mins = np.minimum.reduceat(m, starts, axis=0)
+            for j in range(take):
+                out[idxs[pos + j]] = mins[j]
+            pos += take
         return pd.Series(out)
 
     sh = char_shingles(F.col(text_col), n)
@@ -357,18 +387,24 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     r = num_hashes // bands
-    # persist only (id, signature) — a few hundred bytes per doc.  The
-    # shingle sets (a ~10x corpus inflation) are recomputed below for the
-    # candidate rows only; at 100 TB that recompute is orders of
-    # magnitude cheaper than writing the shingles through a persist.
-    # The persist must outlive this (lazy) function, so it is tracked in
-    # a cache-of-one: a repeat call evicts the previous call's cache, and
-    # release_sig_cache() frees the last one.
+    # The signature frame has exactly ONE consumer in the uncapped
+    # plan (the banding explode below — a linear chain), so persisting
+    # it only adds an InMemoryRelation encode+write+read to the lone
+    # pass (r14: measured as part of llm03's dominant middle stage).
+    # Only the max_bucket_size path references `buckets` twice (the
+    # over-cap aggregate + the anti-join probe), which would recompute
+    # the Arrow-batched signature UDF without a persist — keep the
+    # cache there.  The persist must outlive this (lazy) function, so
+    # it is tracked in a cache-of-one: a repeat call evicts the
+    # previous call's cache, and release_sig_cache() frees the last
+    # one.  Only (id, signature) is ever persisted — a few hundred
+    # bytes per doc; the shingle sets (a ~10x corpus inflation) are
+    # recomputed below for the candidate rows only.
     from .util import cache_of_one
-    sig = cache_of_one(
-        "minhash_sig",
-        minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
-        .select("id", "signature"))
+    sig = (minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
+           .select("id", "signature"))
+    if max_bucket_size is not None:
+        sig = cache_of_one("minhash_sig", sig)
 
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -407,21 +443,47 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
                    .select("p.id_a", "p.id_b")
                    .distinct())
 
-    # verify candidates with exact Jaccard: join the raw text, then
-    # shingle AFTER the join — the projection runs on candidate rows
-    # only, never on the full corpus
-    t = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # verify candidates with exact Jaccard on full shingle arrays.
+    # r13 shape: join the raw TEXT per side and shingle AFTER the join
+    # — but Catalyst pushed the jaccard filter into the join condition
+    # and re-derived the shingling expression there and in every
+    # downstream projection, so each candidate pair re-shingled both
+    # documents ~6x (measured in the r14 before-plan: the
+    # array_distinct(transform(...)) subtree appears in the join
+    # condition plus three Projects).  r14 shape (guide §4.4 family —
+    # stop the optimizer duplicating expensive expressions): shingle
+    # each candidate DOCUMENT exactly once, below the join, by
+    # semi-joining the corpus to the candidate id set first.  The
+    # jaccard filter still lands in the join condition, but it now
+    # references the materialized shingle COLUMNS of the join inputs
+    # (Catalyst never re-derives an expression through a join
+    # boundary).  At scale this also drops one corpus scan: one
+    # semi-joined scan computes both sides' shingles instead of two
+    # per-side text joins.  cand and the shingled candidate docs are
+    # tiny by construction (LSH candidates), so the cache-of-one
+    # persists are bounded.
+    cand = cache_of_one("minhash_cand", cand)
+    ids = (cand.select(F.col("id_a").alias("id"))
+               .union(cand.select(F.col("id_b").alias("id")))
+               .distinct())
+    # spread before the (broadcast, exchange-free) semi join: the scan
+    # of a small file is one partition and the shingle projection is
+    # the expensive part — without the spread it runs on a single task
+    # (measured r14: 0.8 s serial CPU); at 100 TB the scan is already
+    # parallel and this is a no-op
+    csh = (spread_for_compute(df.select(F.col(id_col).alias("id"),
+                                        F.col(text_col).alias("t")))
+             .join(F.broadcast(ids), "id", "left_semi")
+             .select("id", char_shingles(F.col("t"), n).alias("sh"))
+             .withColumn("n_sh", F.size("sh")))
+    csh = cache_of_one("minhash_csh", csh)
+    shared = F.size(F.array_intersect(F.col("sa.sh"), F.col("sb.sh")))
     verified = (cand
-                .join(t.alias("sa"), F.col("id_a") == F.col("sa.id"))
-                .join(t.alias("sb"), F.col("id_b") == F.col("sb.id"))
-                .withColumn("sha", char_shingles(F.col("sa.t"), n))
-                .withColumn("shb", char_shingles(F.col("sb.t"), n))
-                .withColumn("shared", F.size(F.array_intersect(
-                    F.col("sha"), F.col("shb"))))
+                .join(csh.alias("sa"), F.col("id_a") == F.col("sa.id"))
+                .join(csh.alias("sb"), F.col("id_b") == F.col("sb.id"))
                 .withColumn("jaccard", F.round(
-                    F.col("shared") /
-                    (F.size("sha") + F.size("shb") - F.col("shared")),
-                    6))
+                    shared / (F.col("sa.n_sh") + F.col("sb.n_sh")
+                              - shared), 6))
                 .filter(F.col("jaccard") >= threshold))
     return verified.select("id_a", "id_b", "jaccard")
 

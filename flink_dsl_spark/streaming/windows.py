@@ -132,13 +132,25 @@ def _cast_to_double_is_monotone(df: DataFrame, order: Column) -> bool:
                            DateType, BooleanType))
 
 
-def _range_bucket(df: DataFrame, order: Column, buckets: int):
+def _range_bucket(df: DataFrame, order: Column, buckets: int,
+                  known_range: tuple[float, float] | None = None):
     """Range-bucket expression for ``order`` such that bucket ids are
     non-decreasing along the column's sort order: NULLs -> 0 (sort
     first), NaN -> buckets+2 (sorts last in Spark), everything else via
     ``width_bucket`` over the non-NaN min/max.  Falls back to a single
     bucket when the cast to double is not order-preserving or the range
-    is degenerate."""
+    is degenerate.
+
+    ``known_range``: static (lo, hi) bounds covering every possible
+    value of ``order`` — callers whose order key is a seeded HASH know
+    its codomain a priori (xxhash64: full int64; md5-60bit: [0, 2^60)),
+    so the one-pass min/max scan this function otherwise runs is a
+    wasted full pass over the input (r14 optimization, guide §1.2:
+    remove unnecessary passes).  Bucket boundaries differ from the
+    observed-range ones, but every consumer only requires bucket ids to
+    be non-decreasing along the sort order with equal keys sharing a
+    bucket — any fixed monotone bucketing satisfies that, so results
+    are unchanged."""
     if buckets <= 1 or not _cast_to_double_is_monotone(df, order):
         return F.lit(1)
     from pyspark.sql.types import TimestampNTZType
@@ -148,8 +160,12 @@ def _range_bucket(df: DataFrame, order: Column, buckets: int):
     num = (order.cast("timestamp").cast("double")
            if isinstance(dt, TimestampNTZType) else order.cast("double"))
     safe = F.when(F.isnan(num), F.lit(None)).otherwise(num)
-    row = df.select(F.min(safe).alias("mn"), F.max(safe).alias("mx")).first()
-    mn, mx = row["mn"], row["mx"]
+    if known_range is not None:
+        mn, mx = float(known_range[0]), float(known_range[1])
+    else:
+        row = df.select(F.min(safe).alias("mn"),
+                        F.max(safe).alias("mx")).first()
+        mn, mx = row["mn"], row["mx"]
     if mn is None or mn == mx:
         # empty / all-NULL / constant order column: one bucket is all
         # there is (NaN rows, if any, still go to the top bucket)
@@ -163,7 +179,9 @@ def _range_bucket(df: DataFrame, order: Column, buckets: int):
 
 def _global_index(df: DataFrame, order: Column,
                   idx_name: str = "__idx",
-                  buckets: Optional[int] = None):
+                  buckets: Optional[int] = None,
+                  known_range: tuple[float, float] | None = None,
+                  need_total: bool = True):
     """Total-order row numbering without a single-partition sort.
 
     Three distributed phases:
@@ -182,20 +200,45 @@ def _global_index(df: DataFrame, order: Column,
     Returns ``(df_with_idx_column, total_row_count)``.  Runs two extra
     column-pruned passes over the order column (min/max + counts) —
     eager at plan-build time, batch only.
+
+    ``known_range`` skips the min/max pass (see _range_bucket).  With
+    ``need_total=False`` the per-bucket counts are NOT collected: the
+    offsets table is built lazily (count aggregate + a cumulative
+    window over at most buckets+2 rows) inside the same query plan, so
+    the whole numbering is one action with zero driver jobs at
+    plan-build time; the returned total is None.
     """
     spark = df.sparkSession
     if buckets is None:
         buckets = spark.sparkContext.defaultParallelism
-    df = df.withColumn("__bkt", _range_bucket(df, order, buckets))
-    cnts = sorted(
-        (r["__bkt"], r["cnt"]) for r in
-        df.groupBy("__bkt").agg(F.count(F.lit(1)).alias("cnt")).collect())
-    offsets, running = [], 0
-    for b, c in cnts:
-        offsets.append((b, running))
-        running += c
-    off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
-        if offsets else spark.createDataFrame([], "__bkt int, __off long")
+    df = df.withColumn("__bkt",
+                       _range_bucket(df, order, buckets,
+                                     known_range=known_range))
+    if need_total:
+        cnts = sorted(
+            (r["__bkt"], r["cnt"]) for r in
+            df.groupBy("__bkt").agg(
+                F.count(F.lit(1)).alias("cnt")).collect())
+        offsets, running = [], 0
+        for b, c in cnts:
+            offsets.append((b, running))
+            running += c
+        off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
+            if offsets else \
+            spark.createDataFrame([], "__bkt int, __off long")
+    else:
+        # lazy offsets: off(b) = sum of counts over buckets < b.  The
+        # window runs over at most buckets+2 aggregated rows on a
+        # single task — the corpus itself is touched by the (partial-
+        # aggregated) count only.
+        wo = (W.orderBy("__bkt")
+               .rowsBetween(W.unboundedPreceding, -1))
+        off_df = (df.groupBy("__bkt")
+                    .agg(F.count(F.lit(1)).alias("__cnt"))
+                    .select(F.col("__bkt"),
+                            F.coalesce(F.sum("__cnt").over(wo),
+                                       F.lit(0)).alias("__off")))
+        running = None
     lrn = F.row_number().over(W.partitionBy("__bkt").orderBy(order))
     out = (df.join(F.broadcast(off_df), "__bkt")
              .withColumn(idx_name, (F.col("__off") + lrn).cast("long"))

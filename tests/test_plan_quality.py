@@ -203,14 +203,36 @@ def test_dup_spans_shuffles_hashes_not_substrings(spark, queries):
     assert "SortMergeJoin" not in p
 
 
+def _assert_single_partition_only_over_bucket_agg(p: str):
+    """r14 lazy-offsets shape: the per-bucket prefix offsets are built
+    inside the plan (bucket aggregate -> cumulative window -> broadcast)
+    instead of an eager collect, so ONE SinglePartition exchange is
+    legitimate — but only when its input is the already-aggregated
+    bucket subtotals (<= buckets+2 rows), never corpus rows.  Assert
+    each SinglePartition exchange is fed directly by the bucket
+    HashAggregate, and the corpus-sized cumsum window stays
+    hash-partitioned by the bucket column."""
+    lines = p.splitlines()
+    sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
+    assert len(sp) <= 1, p
+    for i in sp:
+        nxt = lines[i + 1]
+        assert "HashAggregate(keys=[" in nxt and "bkt" in nxt, \
+            f"SinglePartition not fed by the bucket aggregate:\n{nxt}"
+    assert any("Exchange hashpartitioning(" in ln and "bkt" in ln
+               for ln in lines), "corpus window lost its bucket partitioning"
+
+
 def test_token_budget_cumsum_is_distributed(spark, queries):
     """The token-budget running sum (llm44) must use the range-bucket +
     broadcast-offset machinery: bucketed window partitions, offsets
-    joined by broadcast, and NO single-partition exchange (the naive
-    sum() OVER (ORDER BY ...) formulation is exactly that)."""
+    joined by broadcast, and no corpus-sized single-partition exchange
+    (the naive sum() OVER (ORDER BY ...) formulation is exactly that);
+    the only single-partition step allowed is the r14 lazy-offsets
+    window over the <= buckets+2 aggregated subtotal rows."""
     p = queries["llm44_token_budget"](spark, SF) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in p
+    _assert_single_partition_only_over_bucket_agg(p)
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
 
 
@@ -245,10 +267,12 @@ def test_mixture_epochs_replication_is_shuffle_free(spark, queries):
 def test_shard_assignment_cumsum_is_distributed(spark, queries):
     """Corpus sharding (llm56) reuses llm44's distributed running sum:
     per-bucket window partitions with broadcast prefix offsets — no
-    single-partition exchange, no shuffled join."""
+    corpus-sized single-partition exchange (the lazy-offsets subtotal
+    window is the one allowed single-partition step), no shuffled
+    join."""
     p = queries["llm56_shard_assign"](spark, SF) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "SinglePartition" not in p
+    _assert_single_partition_only_over_bucket_agg(p)
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
 
@@ -361,5 +385,12 @@ def test_driver_window_free_of_scale_killers(spark, queries):
         p = queries[name](spark, SF) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in p, name
-        if name not in _SINGLE_PARTITION_BY_DESIGN:
-            assert "SinglePartition" not in p, name
+        if name not in _SINGLE_PARTITION_BY_DESIGN \
+                and "SinglePartition" in p:
+            # r14 lazy-offsets: a single-partition step is legitimate
+            # ONLY over the already-aggregated bucket subtotals
+            # (<= buckets+2 rows) of the distributed prefix-sum family
+            try:
+                _assert_single_partition_only_over_bucket_agg(p)
+            except AssertionError as e:
+                raise AssertionError(f"{name}: {e}") from None
