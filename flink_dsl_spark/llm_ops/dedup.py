@@ -297,74 +297,96 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     Shingle base-hashes stay JVM-side (one ``xxhash64`` pass, whole-stage
     codegen); the ``num_hashes`` universal-hash permutations
-    ``min((a*h+b) mod p)`` run as ONE Arrow-batched Pandas UDF doing a
-    single numpy broadcast multiply per document — measured ~40x faster
-    than the equivalent higher-order-function expression tree, whose
-    lambda bodies are interpreted per element per permutation.  With
-    p = 2^31-1 every product fits int64, so the math is exact.
+    ``min((a*h+b) mod p)`` run through ONE ``mapInArrow`` pass that
+    operates on the Arrow list buffers directly — the flat int64 value
+    buffer and the offsets array are zero-copy numpy views, so no
+    per-document Python objects are ever materialized.  Measured r14:
+    the previous pandas_udf form paid ~1.5 ms/doc converting each Arrow
+    list element into a per-doc ndarray (8.3 s single-threaded for 5 k
+    docs); the buffer form runs the same chunked broadcast-multiply +
+    ``np.minimum.reduceat`` at ~4x less Python CPU (guide §4.2: hand
+    whole batches to vectorized native code, re-slice buffers instead
+    of copying rows).  Earlier rounds also measured the pure
+    higher-order-function expression tree (~40x slower: interpreted
+    lambda per element per permutation) and an explode + 64-way
+    min-aggregate (slower and adds an exchange) — both rejected.  With
+    p = 2^31-1 every product fits int64, so the math is exact and
+    bit-identical to the previous forms.
 
     The shingle arrays themselves are streamed through the projection and
     never returned: at scale a persisted shingle column is a ~10x
     inflation of the corpus, so consumers that need shingles (the LSH
     verifier) recompute them for just the rows they touch."""
     import numpy as np
-    from pyspark.sql.types import ArrayType, LongType
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StructField, StructType)
 
     params = _perm_params(num_hashes, seed)
     a_vec = np.array([a for a, _b in params], dtype=np.int64)
     b_vec = np.array([b for _a, b in params], dtype=np.int64)
     p = _MERSENNE
-    empty_sig = [int(p)] * num_hashes
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def _perm_mins(base: pd.Series) -> pd.Series:
-        # vectorized ACROSS documents (r14, guide §4.2): concatenate
-        # the batch's base hashes into one flat vector, compute the
-        # permutation matrix in doc-boundary-aligned chunks, and take
-        # per-doc minima with np.minimum.reduceat — the r13 per-doc
-        # loop paid ~1.5 ms/doc in numpy temporaries and tolist()
-        # conversions (measured: ~550 ms of python wait per task on
-        # the signature stage).  The math is unchanged and exact:
-        # (h*a + b) % p in int64 with h,a < p = 2^31-1, so every
-        # product < 2^62.
-        out = [None] * len(base)
-        arrs, idxs, lens = [], [], []
-        for i, arr in enumerate(base):
-            if arr is None or len(arr) == 0:
-                out[i] = empty_sig
-            else:
-                arrs.append(np.asarray(arr, dtype=np.int64))
-                idxs.append(i)
-                lens.append(len(arr))
-        pos = 0
-        while pos < len(arrs):
-            # chunk at ~1M shingles -> <= ~512 MB of int64 temporaries
-            take, tot = 0, 0
-            while pos + take < len(arrs) and (take == 0 or
-                                              tot < 1_000_000):
-                tot += lens[pos + take]
-                take += 1
-            flat = np.concatenate(arrs[pos:pos + take])
-            m = (flat[:, None] * a_vec[None, :] + b_vec[None, :]) % p
-            starts = np.zeros(take, dtype=np.int64)
-            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
-                      out=starts[1:])
-            mins = np.minimum.reduceat(m, starts, axis=0)
-            for j in range(take):
-                out[idxs[pos + j]] = mins[j]
-            pos += take
-        return pd.Series(out)
+    num = num_hashes
 
     sh = char_shingles(F.col(text_col), n)
     df = spread_for_compute(df)
     prepped = df.select(
         F.col(id_col).alias("id"), sh.alias("__shingles")
-    ).withColumn(
-        "__base",
+    ).select(
+        "id",
         F.transform("__shingles",
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(p))))
-    return prepped.select("id", _perm_mins("__base").alias("signature"),
-                          F.size("__shingles").alias("n_sh"))
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+         .alias("__base"),
+        F.size("__shingles").alias("n_sh"))
+    id_field = prepped.schema["id"]
+
+    def _perm_mins_batches(batches):
+        import pyarrow as pa
+
+        def flat_arr(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
+                else c
+
+        for batch in batches:
+            ids = flat_arr(batch.column(0))
+            base = flat_arr(batch.column(1))
+            n_sh = flat_arr(batch.column(2))
+            nrows = len(base)
+            offs = base.offsets.to_numpy()          # nrows+1, zero-copy
+            flat = base.values.to_numpy()           # all shingle hashes
+            lens = np.diff(offs)
+            valid = base.is_valid().to_numpy(zero_copy_only=False)
+            out = np.empty((nrows, num), dtype=np.int64)
+            out[:] = p                              # NULL/empty -> p^num
+            ne_idx = np.flatnonzero(valid & (lens > 0))
+            s = 0
+            while s < len(ne_idx):
+                # chunk at ~256k shingles -> <= ~128 MB for the
+                # (shingles x num_hashes) int64 permutation matrix
+                e, tot = s, 0
+                while e < len(ne_idx) and (e == s or tot < 262_144):
+                    tot += lens[ne_idx[e]]
+                    e += 1
+                sel = ne_idx[s:e]
+                fl = np.concatenate(
+                    [flat[offs[i]:offs[i + 1]] for i in sel])
+                m = fl[:, None] * a_vec[None, :]
+                m += b_vec[None, :]
+                m %= p
+                starts = np.zeros(len(sel), dtype=np.int64)
+                np.cumsum(lens[sel][:-1], out=starts[1:])
+                out[sel] = np.minimum.reduceat(m, starts, axis=0)
+                s = e
+            sig = pa.ListArray.from_arrays(
+                pa.array(np.arange(nrows + 1, dtype=np.int32) * num),
+                pa.array(out.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig, n_sh], ["id", "signature", "n_sh"])
+
+    out_schema = StructType([
+        id_field,
+        StructField("signature", ArrayType(LongType())),
+        StructField("n_sh", IntegerType())])
+    return prepped.mapInArrow(_perm_mins_batches, out_schema)
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
@@ -466,14 +488,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     ids = (cand.select(F.col("id_a").alias("id"))
                .union(cand.select(F.col("id_b").alias("id")))
                .distinct())
-    # spread before the (broadcast, exchange-free) semi join: the scan
-    # of a small file is one partition and the shingle projection is
-    # the expensive part — without the spread it runs on a single task
-    # (measured r14: 0.8 s serial CPU); at 100 TB the scan is already
-    # parallel and this is a no-op
-    csh = (spread_for_compute(df.select(F.col(id_col).alias("id"),
-                                        F.col(text_col).alias("t")))
-             .join(F.broadcast(ids), "id", "left_semi")
+    # semi-join FIRST, spread AFTER (guide §2.3: filter before the
+    # exchange): the broadcast semi join prunes the corpus to candidate
+    # docs on the scan tasks with no exchange, so the spread
+    # repartition moves only the (tiny) candidate rows instead of the
+    # full corpus; the expensive shingle projection then runs
+    # parallelized over the survivors rather than on the single task a
+    # one-row-group file scan would give it (measured r14: 0.8 s
+    # serial CPU without the spread).  At 100 TB the scan is already
+    # parallel and the spread is a no-op.
+    csh = (spread_for_compute(
+               df.select(F.col(id_col).alias("id"),
+                         F.col(text_col).alias("t"))
+                 .join(F.broadcast(ids), "id", "left_semi"))
              .select("id", char_shingles(F.col("t"), n).alias("sh"))
              .withColumn("n_sh", F.size("sh")))
     csh = cache_of_one("minhash_csh", csh)
@@ -607,18 +634,46 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str,
     @pandas_udf("long")
     def fold(hs: pd.Series) -> pd.Series:
         import numpy as np
+        # vectorized ACROSS documents (r14, guide §4.2 — the minhash
+        # reduceat recipe): flatten the batch's token hashes, build one
+        # (tokens x 64) bit matrix, per-doc lane votes via
+        # np.add.reduceat, then pack sign bits with a single matmul
+        # against the lane powers.  The r13 form looped per doc AND per
+        # set lane in Python.  All-integer ops — bit-identical.
         out = np.zeros(len(hs), dtype=np.int64)
+        arrs, idxs, lens = [], [], []
         for i, arr in enumerate(hs):
-            if arr is None or len(arr) == 0:
-                continue
-            a = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            # 64xN bit matrix -> sum of (2*bit-1) per lane -> sign bits
-            bits = ((a[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            votes = (2 * bits.astype(np.int32) - 1).sum(axis=0)
-            sim = np.uint64(0)
-            for lane in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(lane)
-            out[i] = np.int64(sim)
+            if arr is not None and len(arr) > 0:
+                arrs.append(np.asarray(arr, dtype=np.int64))
+                idxs.append(i)
+                lens.append(len(arr))
+        if not arrs:
+            return pd.Series(out)
+        lanes = np.arange(64, dtype=np.uint64)
+        powers = (np.uint64(1) << lanes).astype(np.uint64)
+        pos = 0
+        while pos < len(arrs):
+            # chunk at ~256k tokens -> <= ~128 MB for the bit matrix
+            take, tot = 0, 0
+            while pos + take < len(arrs) and (take == 0 or
+                                              tot < 262_144):
+                tot += lens[pos + take]
+                take += 1
+            flat = np.concatenate(arrs[pos:pos + take]).astype(np.uint64)
+            bits = ((flat[:, None] >> lanes[None, :]) & 1) \
+                .astype(np.int32)
+            starts = np.zeros(take, dtype=np.int64)
+            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
+                      out=starts[1:])
+            ones = np.add.reduceat(bits, starts, axis=0)
+            cnt = np.asarray(lens[pos:pos + take],
+                             dtype=np.int64)[:, None]
+            votes = 2 * ones - cnt            # sum of (2*bit - 1)
+            sims = ((votes > 0).astype(np.uint64) @ powers) \
+                .astype(np.uint64)
+            for j in range(take):
+                out[idxs[pos + j]] = np.int64(sims[j])
+            pos += take
         return pd.Series(out)
 
     return spread_for_compute(df).select(F.col(id_col).alias("id"),

@@ -507,11 +507,20 @@ def top_terms_tfidf(df: DataFrame, text_col: str, id_col: str,
     terms = (df.select(F.col(id_col).alias("id"),
                        F.explode(tokens).alias("term")))
     tf = terms.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(F.col(id_col)).distinct().count()
+    # n_docs as a LAZY 1-row scalar aggregate cross-joined back in (the
+    # llm77/q54 broadcast-scalar pattern) — the r13 shape ran an eager
+    # distinct().count() at plan-build time: a full corpus pass plus a
+    # distinct shuffle before the real query even started (r14, guide
+    # §1.2/§5: remove passes, keep the driver out of the data path).
+    # (count_distinct + 1) cast to double divides identically to the
+    # old float(n_docs + 1) literal, so scores are bit-identical.
+    nd = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
     docfreq = (tf.groupBy("term")
                  .agg(F.count(F.lit(1)).alias("df")))
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    idf = F.log((F.col("__n_docs") + F.lit(1)).cast("double")
+                / (F.col("df") + 1)) + 1
     scored = (tf.join(docfreq, "term")
+                .crossJoin(F.broadcast(nd))
                 .withColumn("score",
                             F.round(F.col("tf") * idf, 6)))
     w = Window.partitionBy("id").orderBy(F.col("score").desc(),
