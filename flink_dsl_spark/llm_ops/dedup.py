@@ -297,96 +297,86 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     Shingle base-hashes stay JVM-side (one ``xxhash64`` pass, whole-stage
     codegen); the ``num_hashes`` universal-hash permutations
-    ``min((a*h+b) mod p)`` run through ONE ``mapInArrow`` pass that
-    operates on the Arrow list buffers directly — the flat int64 value
-    buffer and the offsets array are zero-copy numpy views, so no
-    per-document Python objects are ever materialized.  Measured r14:
-    the previous pandas_udf form paid ~1.5 ms/doc converting each Arrow
-    list element into a per-doc ndarray (8.3 s single-threaded for 5 k
-    docs); the buffer form runs the same chunked broadcast-multiply +
-    ``np.minimum.reduceat`` at ~4x less Python CPU (guide §4.2: hand
-    whole batches to vectorized native code, re-slice buffers instead
-    of copying rows).  Earlier rounds also measured the pure
-    higher-order-function expression tree (~40x slower: interpreted
-    lambda per element per permutation) and an explode + 64-way
-    min-aggregate (slower and adds an exchange) — both rejected.  With
-    p = 2^31-1 every product fits int64, so the math is exact and
-    bit-identical to the previous forms.
+    ``min((a*h+b) mod p)`` run as ONE Arrow-batched Pandas UDF,
+    vectorized ACROSS documents: the batch's base hashes concatenate
+    into one flat vector, the permutation matrix is computed in
+    doc-boundary-aligned chunks, and per-doc minima come from
+    ``np.minimum.reduceat``.  With p = 2^31-1 every product fits int64,
+    so the math is exact.
+
+    Alternatives measured and rejected (r14): the equivalent
+    higher-order-function expression tree is ~40x slower (lambda bodies
+    interpreted per element per permutation); an explode + 64-way
+    min-aggregate is ~1.7x slower and adds an exchange; a ``mapInArrow``
+    form reading the Arrow list buffers zero-copy wins single-threaded
+    (~1.8x — no per-doc ndarray materialization) but LOST the
+    interleaved A/B at normal parallelism (llm03 steady 2.4 s -> 3.2 s:
+    the extra passthrough columns and the map barrier cost more than
+    the per-doc conversions it saves once partitions are small), so the
+    pandas form stays.
 
     The shingle arrays themselves are streamed through the projection and
     never returned: at scale a persisted shingle column is a ~10x
     inflation of the corpus, so consumers that need shingles (the LSH
     verifier) recompute them for just the rows they touch."""
     import numpy as np
-    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
-                                   StructField, StructType)
+    from pyspark.sql.types import ArrayType, LongType
 
     params = _perm_params(num_hashes, seed)
     a_vec = np.array([a for a, _b in params], dtype=np.int64)
     b_vec = np.array([b for _a, b in params], dtype=np.int64)
     p = _MERSENNE
-    num = num_hashes
+    empty_sig = [int(p)] * num_hashes
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def _perm_mins(base: pd.Series) -> pd.Series:
+        # vectorized ACROSS documents (r14, guide §4.2): concatenate
+        # the batch's base hashes into one flat vector, compute the
+        # permutation matrix in doc-boundary-aligned chunks, and take
+        # per-doc minima with np.minimum.reduceat — the r13 per-doc
+        # loop paid ~1.5 ms/doc in numpy temporaries and tolist()
+        # conversions (measured: ~550 ms of python wait per task on
+        # the signature stage).  The math is unchanged and exact:
+        # (h*a + b) % p in int64 with h,a < p = 2^31-1, so every
+        # product < 2^62.
+        out = [None] * len(base)
+        arrs, idxs, lens = [], [], []
+        for i, arr in enumerate(base):
+            if arr is None or len(arr) == 0:
+                out[i] = empty_sig
+            else:
+                arrs.append(np.asarray(arr, dtype=np.int64))
+                idxs.append(i)
+                lens.append(len(arr))
+        pos = 0
+        while pos < len(arrs):
+            # chunk at ~1M shingles -> <= ~512 MB of int64 temporaries
+            take, tot = 0, 0
+            while pos + take < len(arrs) and (take == 0 or
+                                              tot < 1_000_000):
+                tot += lens[pos + take]
+                take += 1
+            flat = np.concatenate(arrs[pos:pos + take])
+            m = (flat[:, None] * a_vec[None, :] + b_vec[None, :]) % p
+            starts = np.zeros(take, dtype=np.int64)
+            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
+                      out=starts[1:])
+            mins = np.minimum.reduceat(m, starts, axis=0)
+            for j in range(take):
+                out[idxs[pos + j]] = mins[j]
+            pos += take
+        return pd.Series(out)
 
     sh = char_shingles(F.col(text_col), n)
     df = spread_for_compute(df)
     prepped = df.select(
         F.col(id_col).alias("id"), sh.alias("__shingles")
-    ).select(
-        "id",
+    ).withColumn(
+        "__base",
         F.transform("__shingles",
-                    lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
-         .alias("__base"),
-        F.size("__shingles").alias("n_sh"))
-    id_field = prepped.schema["id"]
-
-    def _perm_mins_batches(batches):
-        import pyarrow as pa
-
-        def flat_arr(c):
-            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
-                else c
-
-        for batch in batches:
-            ids = flat_arr(batch.column(0))
-            base = flat_arr(batch.column(1))
-            n_sh = flat_arr(batch.column(2))
-            nrows = len(base)
-            offs = base.offsets.to_numpy()          # nrows+1, zero-copy
-            flat = base.values.to_numpy()           # all shingle hashes
-            lens = np.diff(offs)
-            valid = base.is_valid().to_numpy(zero_copy_only=False)
-            out = np.empty((nrows, num), dtype=np.int64)
-            out[:] = p                              # NULL/empty -> p^num
-            ne_idx = np.flatnonzero(valid & (lens > 0))
-            s = 0
-            while s < len(ne_idx):
-                # chunk at ~256k shingles -> <= ~128 MB for the
-                # (shingles x num_hashes) int64 permutation matrix
-                e, tot = s, 0
-                while e < len(ne_idx) and (e == s or tot < 262_144):
-                    tot += lens[ne_idx[e]]
-                    e += 1
-                sel = ne_idx[s:e]
-                fl = np.concatenate(
-                    [flat[offs[i]:offs[i + 1]] for i in sel])
-                m = fl[:, None] * a_vec[None, :]
-                m += b_vec[None, :]
-                m %= p
-                starts = np.zeros(len(sel), dtype=np.int64)
-                np.cumsum(lens[sel][:-1], out=starts[1:])
-                out[sel] = np.minimum.reduceat(m, starts, axis=0)
-                s = e
-            sig = pa.ListArray.from_arrays(
-                pa.array(np.arange(nrows + 1, dtype=np.int32) * num),
-                pa.array(out.ravel()))
-            yield pa.RecordBatch.from_arrays(
-                [ids, sig, n_sh], ["id", "signature", "n_sh"])
-
-    out_schema = StructType([
-        id_field,
-        StructField("signature", ArrayType(LongType())),
-        StructField("n_sh", IntegerType())])
-    return prepped.mapInArrow(_perm_mins_batches, out_schema)
+                    lambda s: F.pmod(F.xxhash64(s), F.lit(p))))
+    return prepped.select("id", _perm_mins("__base").alias("signature"),
+                          F.size("__shingles").alias("n_sh"))
 
 
 def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
