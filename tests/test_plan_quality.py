@@ -351,6 +351,11 @@ _SINGLE_PARTITION_BY_DESIGN = {
     # ONE row per task, and the 1-row result broadcasts back; the
     # scoring path itself shuffles on (id, term) postings only
     "llm77_bm25_scores",
+    # tfidf (r14): n_docs became a LAZY count_distinct scalar fold
+    # broadcast back via crossJoin (replacing an eager
+    # distinct().count() driver job) — the same 1-row
+    # partial-aggregated SinglePartition fold as llm77's stats
+    "llm19_top_terms_tfidf",
     # bm25 hint (r13): same stats scalar fold as llm77; the scoring
     # path shuffles postings only and the <=k score relation
     # broadcasts back onto the input rows
