@@ -445,11 +445,8 @@ def token_budget_filter(df: DataFrame, id_col: str, tokens_col: str,
     d = d.withColumn(bkt, _range_bucket(
         d, F.col(key), buckets,
         known_range=getattr(id_hash, "hash_range", None)))
-    wo = W.orderBy(bkt).rowsBetween(W.unboundedPreceding, -1)
-    off_df = (d.groupBy(bkt).agg(F.sum(n).alias("__tb_s"))
-               .select(F.col(bkt),
-                       F.coalesce(F.sum("__tb_s").over(wo),
-                                  F.lit(0)).alias(off)))
+    from ..streaming.windows import _lazy_prefix_offsets
+    off_df = _lazy_prefix_offsets(d, bkt, F.sum(n), off)
     w = (W.partitionBy(bkt).orderBy(key, id_col)
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     cum = cum_col or _fresh("__tb_cum")
@@ -840,11 +837,8 @@ def shard_corpus(df: DataFrame, id_col: str, tokens_col: str,
     d = d.withColumn("__bkt", _range_bucket(
         d, F.col("__key"), buckets,
         known_range=getattr(id_hash, "hash_range", None)))
-    wo = W.orderBy("__bkt").rowsBetween(W.unboundedPreceding, -1)
-    off_df = (d.groupBy("__bkt").agg(F.sum("n_tokens").alias("__s"))
-               .select(F.col("__bkt"),
-                       F.coalesce(F.sum("__s").over(wo),
-                                  F.lit(0)).alias("__off")))
+    from ..streaming.windows import _lazy_prefix_offsets
+    off_df = _lazy_prefix_offsets(d, "__bkt", F.sum("n_tokens"), "__off")
     w = (W.partitionBy("__bkt").orderBy("__key", "id")
           .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (d.join(F.broadcast(off_df), "__bkt")

@@ -350,10 +350,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                 lens.append(len(arr))
         pos = 0
         while pos < len(arrs):
-            # chunk at ~1M shingles -> <= ~512 MB of int64 temporaries
+            # chunk at ~256k shingles -> <= ~128 MB for the
+            # (shingles x num_hashes) int64 permutation matrix PER
+            # python worker; with one worker per executor core this
+            # bounds the stage's python-side peak at cores x 128 MB
+            # plus temporaries (r14 review: the earlier 1M bound was a
+            # 512 MB/worker cliff).  A single document above the bound
+            # still forms one oversized chunk — inherent to per-doc
+            # minima.
             take, tot = 0, 0
             while pos + take < len(arrs) and (take == 0 or
-                                              tot < 1_000_000):
+                                              tot < 262_144):
                 tot += lens[pos + take]
                 take += 1
             flat = np.concatenate(arrs[pos:pos + take])
@@ -412,11 +419,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # one.  Only (id, signature) is ever persisted — a few hundred
     # bytes per doc; the shingle sets (a ~10x corpus inflation) are
     # recomputed below for the candidate rows only.
-    from .util import cache_of_one
+    from .util import cache_of_one, release_caches
     sig = (minhash_signatures(df, text_col, id_col, num_hashes, n, seed)
            .select("id", "signature"))
     if max_bucket_size is not None:
         sig = cache_of_one("minhash_sig", sig)
+    else:
+        # an earlier CAPPED call may have left its signature cache
+        # under this tag; without this release an uncapped repeat call
+        # would pin it for the rest of the session (r14 review)
+        release_caches("minhash_sig")
 
     band_arr = F.array(*[
         F.struct(F.lit(i).alias("band"),
@@ -478,19 +490,20 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     ids = (cand.select(F.col("id_a").alias("id"))
                .union(cand.select(F.col("id_b").alias("id")))
                .distinct())
-    # semi-join FIRST, spread AFTER (guide §2.3: filter before the
-    # exchange): the broadcast semi join prunes the corpus to candidate
-    # docs on the scan tasks with no exchange, so the spread
-    # repartition moves only the (tiny) candidate rows instead of the
-    # full corpus; the expensive shingle projection then runs
-    # parallelized over the survivors rather than on the single task a
-    # one-row-group file scan would give it (measured r14: 0.8 s
-    # serial CPU without the spread).  At 100 TB the scan is already
-    # parallel and the spread is a no-op.
+    # the candidate-doc shingle pass: spread the scan (so the shingle
+    # projection is not serialized onto the one task a one-row-group
+    # file gives it — measured r14: 0.8 s serial CPU; at 100 TB the
+    # scan is already parallel and the spread is a no-op), semi-join
+    # down to candidate docs, shingle the survivors once.  NO broadcast
+    # hint on the id set: banded LSH candidates are usually tiny and
+    # AQE picks the broadcast join from the real materialized size,
+    # but a duplicate-heavy corpus can produce a candidate set past
+    # the 8 GB broadcast cap — forcing the hint there fails the job
+    # where a shuffle semi join is the correct plan (r14 review).
     csh = (spread_for_compute(
                df.select(F.col(id_col).alias("id"),
-                         F.col(text_col).alias("t"))
-                 .join(F.broadcast(ids), "id", "left_semi"))
+                         F.col(text_col).alias("t")))
+             .join(ids, "id", "left_semi")
              .select("id", char_shingles(F.col("t"), n).alias("sh"))
              .withColumn("n_sh", F.size("sh")))
     csh = cache_of_one("minhash_csh", csh)

@@ -513,7 +513,12 @@ def top_terms_tfidf(df: DataFrame, text_col: str, id_col: str,
     # distinct shuffle before the real query even started (r14, guide
     # §1.2/§5: remove passes, keep the driver out of the data path).
     # (count_distinct + 1) cast to double divides identically to the
-    # old float(n_docs + 1) literal, so scores are bit-identical.
+    # old float(n_docs + 1) literal for non-NULL ids, so scores on a
+    # NULL-free id column are bit-identical.  For a corpus WITH NULL
+    # ids the two differ: distinct().count() counted the NULL group as
+    # a document while count_distinct excludes it — the oracle computes
+    # count(DISTINCT doc_id), so the new form matches the oracle where
+    # the r13 form silently diverged (r14 review).
     nd = df.select(F.count_distinct(F.col(id_col)).alias("__n_docs"))
     docfreq = (tf.groupBy("term")
                  .agg(F.count(F.lit(1)).alias("df")))

@@ -177,6 +177,26 @@ def _range_bucket(df: DataFrame, order: Column, buckets: int,
     return F.when(F.isnan(num), F.lit(buckets + 2)).otherwise(base)
 
 
+def _lazy_prefix_offsets(d: DataFrame, bkt_col: str, measure,
+                         off_name: str) -> DataFrame:
+    """LAZY per-bucket prefix offsets (r14 shape, shared by
+    token_budget_filter / shard_corpus / _global_index):
+    ``off(b) = sum of measure over buckets < b``, built inside the plan
+    as bucket aggregate -> cumulative window -> (caller broadcasts it
+    back).  The window runs over at most buckets+2 aggregated rows on
+    one task — the corpus itself is touched only by the
+    partial-aggregated sum.  The first bucket (empty window frame)
+    coalesces to 0, identical to the removed eager driver-collect
+    form.  The plan-quality suite pins this exact shape
+    (_assert_single_partition_only_over_bucket_agg)."""
+    wo = W.orderBy(bkt_col).rowsBetween(W.unboundedPreceding, -1)
+    return (d.groupBy(bkt_col)
+             .agg(measure.alias("__lpo_m"))
+             .select(F.col(bkt_col),
+                     F.coalesce(F.sum("__lpo_m").over(wo),
+                                F.lit(0)).alias(off_name)))
+
+
 def _global_index(df: DataFrame, order: Column,
                   idx_name: str = "__idx",
                   buckets: Optional[int] = None,
@@ -227,17 +247,8 @@ def _global_index(df: DataFrame, order: Column,
             if offsets else \
             spark.createDataFrame([], "__bkt int, __off long")
     else:
-        # lazy offsets: off(b) = sum of counts over buckets < b.  The
-        # window runs over at most buckets+2 aggregated rows on a
-        # single task — the corpus itself is touched by the (partial-
-        # aggregated) count only.
-        wo = (W.orderBy("__bkt")
-               .rowsBetween(W.unboundedPreceding, -1))
-        off_df = (df.groupBy("__bkt")
-                    .agg(F.count(F.lit(1)).alias("__cnt"))
-                    .select(F.col("__bkt"),
-                            F.coalesce(F.sum("__cnt").over(wo),
-                                       F.lit(0)).alias("__off")))
+        off_df = _lazy_prefix_offsets(df, "__bkt", F.count(F.lit(1)),
+                                      "__off")
         running = None
     lrn = F.row_number().over(W.partitionBy("__bkt").orderBy(order))
     out = (df.join(F.broadcast(off_df), "__bkt")

@@ -17,6 +17,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def main():
+    if len(sys.argv) < 2:
+        print(__doc__.strip().splitlines()[2])   # the Usage line
+        sys.exit(2)
     suffix = sys.argv[1]
     import bench
     import __spark_entry__ as entrymod
