@@ -298,11 +298,14 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     Shingle base-hashes stay JVM-side (one ``xxhash64`` pass, whole-stage
     codegen); the ``num_hashes`` universal-hash permutations
     ``min((a*h+b) mod p)`` run as ONE Arrow-batched Pandas UDF,
-    vectorized ACROSS documents: the batch's base hashes concatenate
-    into one flat vector, the permutation matrix is computed in
-    doc-boundary-aligned chunks, and per-doc minima come from
-    ``np.minimum.reduceat``.  With p = 2^31-1 every product fits int64,
-    so the math is exact.
+    vectorized ACROSS documents and computed one permutation at a time:
+    the batch's base hashes concatenate into one flat vector, each
+    permutation is one ``(flat*a + b) % p`` pass with per-doc minima
+    from ``np.minimum.reduceat`` — peak temporaries are one flat-sized
+    vector, never a (shingles x num_hashes) matrix (r15: the matrix
+    form paid ~4 s of first-call page-fault cost per worker and was 4x
+    slower steady; numbers in the UDF body).  With p = 2^31-1 every
+    product fits int64, so the math is exact.
 
     Alternatives measured and rejected (r14): the equivalent
     higher-order-function expression tree is ~40x slower (lambda bodies
@@ -330,15 +333,22 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
 
     @F.pandas_udf(ArrayType(LongType()))
     def _perm_mins(base: pd.Series) -> pd.Series:
-        # vectorized ACROSS documents (r14, guide §4.2): concatenate
-        # the batch's base hashes into one flat vector, compute the
-        # permutation matrix in doc-boundary-aligned chunks, and take
-        # per-doc minima with np.minimum.reduceat — the r13 per-doc
-        # loop paid ~1.5 ms/doc in numpy temporaries and tolist()
-        # conversions (measured: ~550 ms of python wait per task on
-        # the signature stage).  The math is unchanged and exact:
-        # (h*a + b) % p in int64 with h,a < p = 2^31-1, so every
-        # product < 2^62.
+        # vectorized ACROSS documents (r14, guide §4.2), one PERMUTATION
+        # at a time (r15): concatenate the batch's base hashes into one
+        # flat vector, then for each of the num_hashes permutations run
+        # (flat*a + b) % p over the whole batch and take per-doc minima
+        # with np.minimum.reduceat.  The r14 form materialized the full
+        # (shingles x num_hashes) int64 permutation matrix in 256k-
+        # shingle chunks — measured (r15, single process, one llm03-
+        # sized batch): 4.4 s on its FIRST call (~0.5 GB of fresh-page
+        # mmap/fault traffic for the matrix + its 3 modular-arithmetic
+        # temporaries, paid once per worker and the dominant term of
+        # llm03's cold regression) and 0.43 s steady; this per-hash
+        # column loop runs 0.11 s with NO first-call cliff — its
+        # temporaries are one flat-sized vector (~2.5 MB here), cache-
+        # resident instead of memory-bandwidth-bound.  The math is
+        # unchanged and exact: (h*a + b) % p in int64 with h,a < p =
+        # 2^31-1, so every product < 2^62.
         out = [None] * len(base)
         arrs, idxs, lens = [], [], []
         for i, arr in enumerate(base):
@@ -348,30 +358,17 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                 arrs.append(np.asarray(arr, dtype=np.int64))
                 idxs.append(i)
                 lens.append(len(arr))
-        pos = 0
-        while pos < len(arrs):
-            # chunk at ~256k shingles -> <= ~128 MB for the
-            # (shingles x num_hashes) int64 permutation matrix PER
-            # python worker; with one worker per executor core this
-            # bounds the stage's python-side peak at cores x 128 MB
-            # plus temporaries (r14 review: the earlier 1M bound was a
-            # 512 MB/worker cliff).  A single document above the bound
-            # still forms one oversized chunk — inherent to per-doc
-            # minima.
-            take, tot = 0, 0
-            while pos + take < len(arrs) and (take == 0 or
-                                              tot < 262_144):
-                tot += lens[pos + take]
-                take += 1
-            flat = np.concatenate(arrs[pos:pos + take])
-            m = (flat[:, None] * a_vec[None, :] + b_vec[None, :]) % p
-            starts = np.zeros(take, dtype=np.int64)
-            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
+        if arrs:
+            flat = np.concatenate(arrs)
+            starts = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(lens[:-1] if len(lens) > 1 else [],
                       out=starts[1:])
-            mins = np.minimum.reduceat(m, starts, axis=0)
-            for j in range(take):
-                out[idxs[pos + j]] = mins[j]
-            pos += take
+            mins = np.empty((len(arrs), num_hashes), dtype=np.int64)
+            for h in range(num_hashes):
+                v = (flat * a_vec[h] + b_vec[h]) % p
+                mins[:, h] = np.minimum.reduceat(v, starts)
+            for j, i in enumerate(idxs):
+                out[i] = mins[j]
         return pd.Series(out)
 
     sh = char_shingles(F.col(text_col), n)
@@ -487,8 +484,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     # tiny by construction (LSH candidates), so the cache-of-one
     # persists are bounded.
     cand = cache_of_one("minhash_cand", cand)
-    ids = (cand.select(F.col("id_a").alias("id"))
-               .union(cand.select(F.col("id_b").alias("id")))
+    # one explode instead of a two-branch union + distinct: the id set
+    # is the same, the plan subtree is half the size (r15, guide §1.2 —
+    # plan weight is cold-start cost: codegen/JIT of every subtree)
+    ids = (cand.select(F.explode(F.array("id_a", "id_b")).alias("id"))
                .distinct())
     # the candidate-doc shingle pass: spread the scan (so the shingle
     # projection is not serialized onto the one task a one-row-group
@@ -638,11 +637,18 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str,
     def fold(hs: pd.Series) -> pd.Series:
         import numpy as np
         # vectorized ACROSS documents (r14, guide §4.2 — the minhash
-        # reduceat recipe): flatten the batch's token hashes, build one
-        # (tokens x 64) bit matrix, per-doc lane votes via
-        # np.add.reduceat, then pack sign bits with a single matmul
-        # against the lane powers.  The r13 form looped per doc AND per
-        # set lane in Python.  All-integer ops — bit-identical.
+        # reduceat recipe), one LANE at a time (r15): flatten the
+        # batch's token hashes, then for each of the 64 lanes extract
+        # that bit column over the whole batch and count per-doc ones
+        # via np.add.reduceat; pack sign bits with a single matmul
+        # against the lane powers.  The r14 form materialized the full
+        # (tokens x 64) bit matrix in 256k-token chunks — measured
+        # (r15, one batch, single process): 0.27 s first call / 0.05 s
+        # steady vs 0.01 s here with no first-call page-fault cliff
+        # (the same alloc-bound profile as the minhash matrix, see
+        # _perm_mins).  Lane counts accumulate in int64 (r14 ADVICE:
+        # the int32 reduceat overflowed in theory for >= 2^31-token
+        # docs).  All-integer ops — bit-identical.
         out = np.zeros(len(hs), dtype=np.int64)
         arrs, idxs, lens = [], [], []
         for i, arr in enumerate(hs):
@@ -654,29 +660,20 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str,
             return pd.Series(out)
         lanes = np.arange(64, dtype=np.uint64)
         powers = (np.uint64(1) << lanes).astype(np.uint64)
-        pos = 0
-        while pos < len(arrs):
-            # chunk at ~256k tokens -> <= ~128 MB for the bit matrix
-            take, tot = 0, 0
-            while pos + take < len(arrs) and (take == 0 or
-                                              tot < 262_144):
-                tot += lens[pos + take]
-                take += 1
-            flat = np.concatenate(arrs[pos:pos + take]).astype(np.uint64)
-            bits = ((flat[:, None] >> lanes[None, :]) & 1) \
-                .astype(np.int32)
-            starts = np.zeros(take, dtype=np.int64)
-            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
-                      out=starts[1:])
-            ones = np.add.reduceat(bits, starts, axis=0)
-            cnt = np.asarray(lens[pos:pos + take],
-                             dtype=np.int64)[:, None]
-            votes = 2 * ones - cnt            # sum of (2*bit - 1)
-            sims = ((votes > 0).astype(np.uint64) @ powers) \
-                .astype(np.uint64)
-            for j in range(take):
-                out[idxs[pos + j]] = np.int64(sims[j])
-            pos += take
+        flat = np.concatenate(arrs).astype(np.uint64)
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1] if len(lens) > 1 else [], out=starts[1:])
+        one = np.uint64(1)
+        ones = np.empty((len(arrs), 64), dtype=np.int64)
+        for lane in range(64):
+            b = ((flat >> np.uint64(lane)) & one).astype(np.int64)
+            ones[:, lane] = np.add.reduceat(b, starts)
+        cnt = np.asarray(lens, dtype=np.int64)[:, None]
+        votes = 2 * ones - cnt                # sum of (2*bit - 1)
+        sims = ((votes > 0).astype(np.uint64) @ powers) \
+            .astype(np.uint64)
+        for j, i in enumerate(idxs):
+            out[i] = np.int64(sims[j])
         return pd.Series(out)
 
     return spread_for_compute(df).select(F.col(id_col).alias("id"),

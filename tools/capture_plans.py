@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for headline queries into plans/r14/.
+"""Capture .explain('formatted') for headline queries into plans/r15/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r14/<query>_<suffix>.txt for each query (default: the
+Writes plans/r15/<query>_<suffix>.txt for each query (default: the
 bench HEADLINE set).  Plans only — nothing is executed, so timings are
 not contaminated by a concurrently running suite.
 """
@@ -30,7 +30,7 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     queries = entrymod.queries()
     outdir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r14")
+        os.path.abspath(__file__))), "plans", "r15")
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         fn = queries.get(name)
