@@ -185,14 +185,20 @@ def main():
           .outputMode("complete").trigger(availableNow=True).start())
     wq.awaitTermination(60)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = queries.get(name)
+            if fn is None:
+                continue
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    snap0 = _cpu_snapshot()
+    timings = run_pass()
+    snap1 = _cpu_snapshot()
 
     # steady-state pass: the SAME queries a second time.  First-run
     # timings (above, the headline metric — methodology unchanged since
@@ -201,14 +207,31 @@ def main():
     # scan+shuffle+compute cost and carry ~10x less run-to-run noise
     # (llm01 measured 3.1 s cold / 0.65 s steady with ±2 s cold
     # variance from ambient container load).
-    steady: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = queries.get(name)
-        if fn is None:
-            continue
-        t0 = time.perf_counter()
-        _force(fn(spark, SF_DIR))
-        steady[name] = round(time.perf_counter() - t0, 3)
+    steady = run_pass()
+    snap2 = _cpu_snapshot()
+
+    # per-pass ambient self-adjudication (r14 verdict item 2): the
+    # start gate cannot see MID-run tenant load, and end loadavg
+    # cannot tell tenants from the bench's own 32-core work — the
+    # own-vs-ambient CPU split (_cpu_snapshot) can.  When the steady
+    # pass ran against more than `gate` cores of ambient CPU, re-run
+    # it once and report the re-run as queries_steady (the first
+    # attempt is kept verbatim in queries_steady_first, both passes'
+    # ambient numbers in the JSON) — the steady figures adjudicate
+    # themselves by construction.  The cold pass cannot be re-run (a
+    # second run is by definition not cold), so its ambient number is
+    # recorded for the reader instead.
+    ambient = {"cold": _ambient_cores(snap0, snap1),
+               "steady": _ambient_cores(snap1, snap2),
+               "gate_cores": gate}
+    steady_first = None
+    amb_steady = ambient["steady"]
+    if (gate > 0 and amb_steady is not None
+            and amb_steady["ambient_cores"] > gate):
+        steady_first = steady
+        snap3 = _cpu_snapshot()
+        steady = run_pass()
+        ambient["steady_rerun"] = _ambient_cores(snap3, _cpu_snapshot())
 
     # engine compile-phase timings (parity with the reference's Timer,
     # fsql/timer.scala:3-16 / BASELINE.md "engine-internal")
@@ -251,7 +274,12 @@ def main():
                     # are ambient-suspect by construction
                     "gate": gate, "waited": load_attempts,
                     "quiesced": quiesced},
+        # own-vs-ambient CPU per pass (r15; see _cpu_snapshot)
+        "ambient": ambient,
     }
+    if steady_first is not None:
+        out["queries_steady_first"] = steady_first
+        out["steady_first_total"] = round(sum(steady_first.values()), 3)
     prev = _prev_round_queries()
     if prev:
         out["delta_vs_prev_round"] = {
@@ -268,6 +296,69 @@ def _read_loadavg() -> list | None:
             return [float(x) for x in f.read().split()[:3]]
     except (OSError, ValueError):
         return None
+
+
+def _cpu_snapshot() -> dict | None:
+    """System-wide busy jiffies plus THIS process tree's jiffies — the
+    two numbers that separate our own load from other tenants'.
+
+    Loadavg cannot adjudicate mid-run contamination: the bench itself
+    legitimately drives a 32-core box to loadavg 10+ (r14's "quiesced
+    at 1.31, ended at 9.56" run was almost certainly self-load).  The
+    unambiguous signal is CPU accounting: everything busy on the box
+    minus everything charged to our own process tree (python driver,
+    the JVM, every python worker) is, by construction, other tenants.
+    Tree CPU sums utime+stime of live members plus cutime+cstime
+    (reaped descendants), so deltas stay correct when workers exit
+    between snapshots."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:11]]
+        busy = sum(vals) - vals[3] - vals[4]        # minus idle+iowait
+        me = os.getpid()
+        ppid: dict[int, int] = {}
+        jiffies: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except (OSError, ValueError):
+                continue
+            rest = st[st.rindex(")") + 2:].split()
+            pid = int(d)
+            ppid[pid] = int(rest[1])
+            jiffies[pid] = (int(rest[11]) + int(rest[12])
+                            + int(rest[13]) + int(rest[14]))
+        tree = {me}
+        grew = True
+        while grew:
+            grew = False
+            for pid, pp in ppid.items():
+                if pp in tree and pid not in tree:
+                    tree.add(pid)
+                    grew = True
+        return {"t": time.monotonic(), "busy": busy,
+                "own": sum(jiffies.get(p, 0) for p in tree),
+                "clk": os.sysconf("SC_CLK_TCK")}
+    except (OSError, ValueError, AttributeError):
+        return None
+
+
+def _ambient_cores(a: dict | None, b: dict | None) -> dict | None:
+    """Average cores of NON-bench CPU between two snapshots."""
+    if a is None or b is None:
+        return None
+    wall = b["t"] - a["t"]
+    if wall <= 0:
+        return None
+    own = (b["own"] - a["own"]) / a["clk"] / wall
+    total = (b["busy"] - a["busy"]) / a["clk"] / wall
+    return {"wall_sec": round(wall, 1),
+            "own_cores": round(own, 2),
+            "ambient_cores": round(max(0.0, total - own), 2)}
 
 
 def _prev_round_queries() -> dict | None:
