@@ -108,10 +108,9 @@ def seeded_shuffle(df: DataFrame, id_col: str, seed: int = 42,
         # the order key is the seeded hash itself: static codomain (no
         # min/max pass) and no collected counts (the rank never needs
         # the total) — the numbering is one lazy plan, zero eager jobs
-        out, _total = _global_index(
+        out = _global_index(
             out, F.col("shuffle_key"), "shuffle_rank",
-            known_range=getattr(id_hash, "hash_range", None),
-            need_total=False)
+            known_range=getattr(id_hash, "hash_range", None))
         out = out.withColumn("shuffle_rank", F.col("shuffle_rank") - 1)
     return out
 
@@ -437,7 +436,7 @@ def token_budget_filter(df: DataFrame, id_col: str, tokens_col: str,
     # the order key is a seeded hash with a statically-known codomain,
     # so range-bucketing needs no min/max pass; the per-bucket prefix
     # offsets are built LAZILY (sum aggregate + one cumulative window
-    # over <= buckets+2 rows) inside the same plan — the whole cut is
+    # over <= buckets+3 rows) inside the same plan — the whole cut is
     # one action with zero eager driver jobs, where the r13 shape ran
     # a min/max scan plus a subtotal-collect scan before the query
     # even started (guide §1.2 / §5: remove passes, keep the driver

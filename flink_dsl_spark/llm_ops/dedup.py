@@ -424,7 +424,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str, id_col: str,
     else:
         # an earlier CAPPED call may have left its signature cache
         # under this tag; without this release an uncapped repeat call
-        # would pin it for the rest of the session (r14 review)
+        # would pin it for the rest of the session (r14 review).
+        # Known mixed-usage caveat (r14 ADVICE, accepted): BUILDING an
+        # uncapped plan evicts a previously built capped plan's cache
+        # at plan-build time, so a capped plan materialized AFTERWARDS
+        # recomputes its signature UDF once per consumer — correctness
+        # unaffected (the UDF is deterministic); interleave
+        # materialization with building, or re-call the capped form,
+        # to restore the cache.
         release_caches("minhash_sig")
 
     band_arr = F.array(*[
@@ -766,12 +773,11 @@ def embedding_dup_pairs_lsh(df: DataFrame, vec_col: str, id_col: str,
     need few planes and more tables (e.g. planes=3/tables=12 -> ~95%).
     More tables buy recall at linear cost; more planes shrink buckets
     (cheaper join) but cut per-table recall."""
-    dim = len(df.select(vec_col).first()[0])
     v = spread_for_compute(df).select(F.col(id_col).alias("id"),
                                       F.col(vec_col).alias("v"))
     table_arr = F.array(*[
         F.struct(F.lit(t).alias("t"),
-                 _table_sign_bits(F.col("v"), dim, planes, t).alias("b"))
+                 _table_sign_bits(F.col("v"), planes, t).alias("b"))
         for t in range(tables)
     ])
     buckets = (v.select("id", F.explode(table_arr).alias("tb"))
@@ -792,14 +798,17 @@ def embedding_dup_pairs_lsh(df: DataFrame, vec_col: str, id_col: str,
                 .filter(F.col("cosine") >= threshold))
 
 
-def _table_sign_bits(vec: Column, dim: int, planes: int,
+def _table_sign_bits(vec: Column, planes: int,
                      table: int) -> Column:
     """Sign-bit bucket for one LSH table; hyperplanes are derived from
-    xxhash64(table, plane, component) — deterministic, JVM-side."""
+    xxhash64(table, plane, component) — deterministic, JVM-side, sized
+    per row from ``size(vec)`` (r15: replaces a dim probed with an
+    eager ``.first()`` driver job at plan-build; identical component
+    values for a uniform-dim corpus)."""
     bucket = F.lit(0).cast("long")
     for p in range(planes):
         plane = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.sequence(F.lit(0), F.size(vec) - 1),
             lambda j: (F.xxhash64(F.lit(table), F.lit(p), j)
                        % F.lit(10**6)).cast("double") / F.lit(5 * 10**5))
         dot = F.aggregate(

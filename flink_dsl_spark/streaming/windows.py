@@ -178,55 +178,66 @@ def _range_bucket(df: DataFrame, order: Column, buckets: int,
 
 
 def _lazy_prefix_offsets(d: DataFrame, bkt_col: str, measure,
-                         off_name: str) -> DataFrame:
+                         off_name: str,
+                         total_name: str | None = None) -> DataFrame:
     """LAZY per-bucket prefix offsets (r14 shape, shared by
     token_budget_filter / shard_corpus / _global_index):
     ``off(b) = sum of measure over buckets < b``, built inside the plan
     as bucket aggregate -> cumulative window -> (caller broadcasts it
-    back).  The window runs over at most buckets+2 aggregated rows on
-    one task — the corpus itself is touched only by the
+    back).  The window runs over at most buckets+3 aggregated rows on
+    one task (NULL bucket 0, width_bucket 1..buckets+1, NaN bucket
+    buckets+2) — the corpus itself is touched only by the
     partial-aggregated sum.  The first bucket (empty window frame)
     coalesces to 0, identical to the removed eager driver-collect
-    form.  The plan-quality suite pins this exact shape
-    (_assert_single_partition_only_over_bucket_agg)."""
+    form.  With ``total_name`` the same fold also exposes the
+    table-wide sum as a column (an unbounded frame over the identical
+    tiny window — zero extra passes; r15, closing the last eager
+    collect in _global_index).  The plan-quality suite pins this exact
+    shape (_assert_single_partition_only_over_bucket_agg)."""
     wo = W.orderBy(bkt_col).rowsBetween(W.unboundedPreceding, -1)
+    cols = [F.col(bkt_col),
+            F.coalesce(F.sum("__lpo_m").over(wo),
+                       F.lit(0)).alias(off_name)]
+    if total_name is not None:
+        wa = W.orderBy(bkt_col).rowsBetween(W.unboundedPreceding,
+                                            W.unboundedFollowing)
+        cols.append(F.sum("__lpo_m").over(wa).alias(total_name))
     return (d.groupBy(bkt_col)
              .agg(measure.alias("__lpo_m"))
-             .select(F.col(bkt_col),
-                     F.coalesce(F.sum("__lpo_m").over(wo),
-                                F.lit(0)).alias(off_name)))
+             .select(*cols))
 
 
 def _global_index(df: DataFrame, order: Column,
                   idx_name: str = "__idx",
                   buckets: Optional[int] = None,
                   known_range: tuple[float, float] | None = None,
-                  need_total: bool = True):
+                  total_name: str | None = None) -> DataFrame:
     """Total-order row numbering without a single-partition sort.
 
-    Three distributed phases:
-      1. assign each row a range bucket via ``width_bucket`` over the
-         order column's min/max (one scalar aggregate; the bucket is a
-         pure function of the value, so recomputation across jobs is
-         deterministic — no persist needed);
+    Three distributed phases, ALL lazy — zero driver jobs at
+    plan-build time (r15: the per-bucket-counts ``collect()`` the
+    eager variant ran is gone; the offsets AND the total come from
+    one in-plan fold):
+      1. assign each row a range bucket via ``width_bucket`` (over a
+         statically known range when the caller provides one, else a
+         one-pass min/max — the bucket is a pure function of the
+         value, so recomputation across jobs is deterministic);
       2. ``row_number`` per bucket — one task per bucket, parallel;
-      3. rebase with per-bucket offsets (bucket counts collected to the
-         driver — at most ``buckets``+2 longs — and broadcast-joined).
+      3. rebase with per-bucket offsets built lazily inside the plan
+         (count aggregate -> cumulative window over at most buckets+3
+         aggregated rows -> broadcast join back).
 
     Ties within the order column keep row_number's usual arbitrary tie
     order; equal values always share a bucket, so the numbering is a
     valid total order extension exactly like the single-task variant.
 
-    Returns ``(df_with_idx_column, total_row_count)``.  Runs two extra
-    column-pruned passes over the order column (min/max + counts) —
-    eager at plan-build time, batch only.
+    With ``total_name`` the output additionally carries the table-wide
+    row count as a column — served by the SAME broadcast-joined
+    offsets fold (an unbounded frame over the identical tiny window),
+    so callers needing "last N of the total order" filter in-plan
+    instead of forcing an eager counting pass.
 
-    ``known_range`` skips the min/max pass (see _range_bucket).  With
-    ``need_total=False`` the per-bucket counts are NOT collected: the
-    offsets table is built lazily (count aggregate + a cumulative
-    window over at most buckets+2 rows) inside the same query plan, so
-    the whole numbering is one action with zero driver jobs at
-    plan-build time; the returned total is None.
+    ``known_range`` skips the min/max pass (see _range_bucket).
     """
     spark = df.sparkSession
     if buckets is None:
@@ -234,27 +245,12 @@ def _global_index(df: DataFrame, order: Column,
     df = df.withColumn("__bkt",
                        _range_bucket(df, order, buckets,
                                      known_range=known_range))
-    if need_total:
-        cnts = sorted(
-            (r["__bkt"], r["cnt"]) for r in
-            df.groupBy("__bkt").agg(
-                F.count(F.lit(1)).alias("cnt")).collect())
-        offsets, running = [], 0
-        for b, c in cnts:
-            offsets.append((b, running))
-            running += c
-        off_df = spark.createDataFrame(offsets, "__bkt int, __off long") \
-            if offsets else \
-            spark.createDataFrame([], "__bkt int, __off long")
-    else:
-        off_df = _lazy_prefix_offsets(df, "__bkt", F.count(F.lit(1)),
-                                      "__off")
-        running = None
+    off_df = _lazy_prefix_offsets(df, "__bkt", F.count(F.lit(1)),
+                                  "__off", total_name=total_name)
     lrn = F.row_number().over(W.partitionBy("__bkt").orderBy(order))
-    out = (df.join(F.broadcast(off_df), "__bkt")
-             .withColumn(idx_name, (F.col("__off") + lrn).cast("long"))
-             .drop("__bkt", "__off"))
-    return out, running
+    return (df.join(F.broadcast(off_df), "__bkt")
+              .withColumn(idx_name, (F.col("__off") + lrn).cast("long"))
+              .drop("__bkt", "__off"))
 
 
 def _latest_session_distributed(df: DataFrame, time_col: Column,
@@ -350,10 +346,12 @@ def last_window_filter(df: DataFrame, spec: WindowSpec,
             return (df.withColumn("__rn", F.row_number().over(w))
                       .filter(F.col("__rn") <= size.value)
                       .drop("__rn"))
-        # last N of a total order: ascending distributed index + count
-        df, total = _global_index(df, order, "__rn")
-        return (df.filter(F.col("__rn") > total - size.value)
-                  .drop("__rn"))
+        # last N of a total order: ascending distributed index + the
+        # in-plan total (one lazy fold serves both — no eager count)
+        df = _global_index(df, order, "__rn", total_name="__rn_total")
+        return (df.filter(F.col("__rn") > F.col("__rn_total")
+                          - size.value)
+                  .drop("__rn", "__rn_total"))
 
     if axis == "time":
         if time_col is None:
@@ -431,21 +429,33 @@ def window_grouping(df: DataFrame, spec: WindowSpec,
                 "stateful operator: flink_dsl_spark.streaming.stateful."
                 "count_window_agg (row_number emulation is batch-only)")
         order = _order_col(spec, time_col)
+        n = size.value
+        if every is None:
+            # tumbling count window: groups of N consecutive rows —
+            # the total is never needed, so don't compute one
+            if parts:
+                w = W.partitionBy(*parts).orderBy(order)
+                df = df.withColumn("__idx", F.row_number().over(w))
+            else:
+                df = _global_index(df, order, "__idx")
+            df = df.withColumn(
+                "__win_no", F.floor((F.col("__idx") - 1) / F.lit(n)))
+            return df, [F.col("__win_no")], [("window_no", F.col("__win_no"))]
         total = None
         if parts:
             w = W.partitionBy(*parts).orderBy(order)
             df = df.withColumn("__idx", F.row_number().over(w))
         else:
-            df, total = _global_index(df, order, "__idx")
-        n = size.value
-        if every is None:
-            # tumbling count window: groups of N consecutive rows
-            df = df.withColumn(
-                "__win_no", F.floor((F.col("__idx") - 1) / F.lit(n)))
-            return df, [F.col("__win_no")], [("window_no", F.col("__win_no"))]
+            # the trigger high-water mark needs the table-wide row
+            # count: served in-plan by the same lazy offsets fold
+            df = _global_index(df, order, "__idx",
+                               total_name="__idx_total")
+            total = F.col("__idx_total")
         m = every.value
         df = _explode_triggers(df, F.col("__idx"), n, m, parts,
                                integral=True, maxpos=total)
+        if total is not None:
+            df = df.drop("__idx_total")
         return df, [F.col("__trigger")], [("trigger", F.col("__trigger"))]
 
     # delta axis
@@ -472,7 +482,12 @@ def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
     ``explode(sequence(...))`` (scales to any data size; no shuffle added
     beyond the aggregation's own).  Triggers that lie beyond the last seen
     position (per partition) have not fired yet and are dropped.
+
+    ``maxpos`` may be an int literal or an in-plan Column (r15: the
+    count axis hands over the lazy total column instead of an eagerly
+    collected count).
     """
+    from pyspark.sql import Column as _Column
     first = (F.ceil(pos / F.lit(every)) * F.lit(every)).cast("long")
     last = (F.ceil((pos + F.lit(size)) / F.lit(every)) * F.lit(every)
             - F.lit(every)).cast("long")
@@ -493,7 +508,9 @@ def _explode_triggers(df: DataFrame, pos: Column, size: int, every: int,
     # a global mark uses a broadcast scalar — never a single-partition
     # whole-table Window.
     if maxpos is not None:
-        df = df.withColumn("__maxpos", F.lit(maxpos))
+        df = df.withColumn("__maxpos",
+                           maxpos if isinstance(maxpos, _Column)
+                           else F.lit(maxpos))
     elif parts:
         df = df.withColumn("__maxpos",
                            F.max(pos).over(W.partitionBy(*parts)))

@@ -447,11 +447,14 @@ def test_global_index_is_total_order(spark, vals, buckets):
     from flink_dsl_spark.streaming.windows import _global_index
     df = spark.createDataFrame([(v,) for v in vals], "v long") \
               .repartition(5)
-    out, total = _global_index(df, F.col("v"), "idx", buckets=buckets)
-    got = {r["v"]: r["idx"] for r in out.collect()}
+    out = _global_index(df, F.col("v"), "idx", buckets=buckets,
+                        total_name="tot")
+    rows = out.collect()
+    got = {r["v"]: r["idx"] for r in rows}
     expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
     assert got == expected
-    assert total == len(vals)
+    # the lazy in-plan total must equal the row count on every row
+    assert {r["tot"] for r in rows} == {len(vals)}
 
 
 def test_global_index_string_order_column(spark):

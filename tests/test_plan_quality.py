@@ -10,6 +10,7 @@ every value check and still fall over on a cluster.
 """
 
 import io
+import re
 from contextlib import redirect_stdout
 
 import pytest
@@ -129,12 +130,15 @@ def test_global_count_windows_have_no_single_partition_exchange(
     the whole table through one task via Window.partitionBy().orderBy();
     the distributed _global_index / broadcast-scalar-max rewrite must
     keep every Exchange partitioned."""
-    # count-axis windows know their total up front: no scalar agg, so no
-    # SinglePartition exchange of any kind may remain
+    # count-axis windows number rows with the LAZY offsets fold (r15:
+    # the eager per-bucket-counts collect is gone, closing the last
+    # driver job in windows.py): exactly the one
+    # SinglePartition-over-bucket-subtotals exchange of the llm44/q80
+    # prefix-sum family is allowed, never a corpus-sized one
     for name in ["q28_count_tumbling", "q29_count_sliding"]:
         plan = queries[name](spark, SF) \
             ._jdf.queryExecution().executedPlan().toString()
-        assert "SinglePartition" not in plan, name
+        _assert_single_partition_only_over_bucket_agg(plan)
     # the time-axis snapshot replaces its whole-table Window with a
     # broadcast scalar max: a SinglePartition exchange may exist only as
     # the (one-row-per-partition) final step of that scalar aggregate,
@@ -203,21 +207,32 @@ def test_dup_spans_shuffles_hashes_not_substrings(spark, queries):
     assert "SortMergeJoin" not in p
 
 
-def _assert_single_partition_only_over_bucket_agg(p: str):
+_BKT_AGG_RE = re.compile(r"HashAggregate\(keys=\[[^]\n]*__\w*bkt")
+
+
+def _assert_single_partition_only_over_bucket_agg(p: str,
+                                                  max_folds: int = 1):
     """r14 lazy-offsets shape: the per-bucket prefix offsets are built
     inside the plan (bucket aggregate -> cumulative window -> broadcast)
-    instead of an eager collect, so ONE SinglePartition exchange is
+    instead of an eager collect, so a SinglePartition exchange is
     legitimate — but only when its input is the already-aggregated
-    bucket subtotals (<= buckets+2 rows), never corpus rows.  Assert
+    bucket subtotals (<= buckets+3 rows: NULL bucket 0, width_bucket
+    1..buckets+1, NaN bucket buckets+2), never corpus rows.  Assert
     each SinglePartition exchange is fed directly by the bucket
-    HashAggregate, and the corpus-sized cumsum window stays
-    hash-partitioned by the bucket column."""
+    HashAggregate (keyed on a __*bkt bookkeeping column — the strict
+    regex, r14 ADVICE: a bare 'bkt' substring could false-pass on an
+    unrelated aggregate), at most ``max_folds`` of them (a query
+    composing several lazy prefix-offset folds passes its own count),
+    and the corpus-sized cumsum window stays hash-partitioned by the
+    bucket column."""
     lines = p.splitlines()
     sp = [i for i, ln in enumerate(lines) if "Exchange SinglePartition" in ln]
-    assert len(sp) <= 1, p
+    assert len(sp) <= max_folds, p
     for i in sp:
+        assert i + 1 < len(lines), \
+            f"SinglePartition with no child in plan:\n{lines[i]}"
         nxt = lines[i + 1]
-        assert "HashAggregate(keys=[" in nxt and "bkt" in nxt, \
+        assert _BKT_AGG_RE.search(nxt), \
             f"SinglePartition not fed by the bucket aggregate:\n{nxt}"
     assert any("Exchange hashpartitioning(" in ln and "bkt" in ln
                for ln in lines), "corpus window lost its bucket partitioning"
@@ -229,7 +244,7 @@ def test_token_budget_cumsum_is_distributed(spark, queries):
     joined by broadcast, and no corpus-sized single-partition exchange
     (the naive sum() OVER (ORDER BY ...) formulation is exactly that);
     the only single-partition step allowed is the r14 lazy-offsets
-    window over the <= buckets+2 aggregated subtotal rows."""
+    window over the <= buckets+3 aggregated subtotal rows."""
     p = queries["llm44_token_budget"](spark, SF) \
         ._jdf.queryExecution().executedPlan().toString()
     _assert_single_partition_only_over_bucket_agg(p)
@@ -394,7 +409,7 @@ def test_driver_window_free_of_scale_killers(spark, queries):
                 and "SinglePartition" in p:
             # r14 lazy-offsets: a single-partition step is legitimate
             # ONLY over the already-aggregated bucket subtotals
-            # (<= buckets+2 rows) of the distributed prefix-sum family
+            # (<= buckets+3 rows) of the distributed prefix-sum family
             try:
                 _assert_single_partition_only_over_bucket_agg(p)
             except AssertionError as e:
