@@ -322,16 +322,20 @@ def _cpu_snapshot() -> dict | None:
         for d in os.listdir("/proc"):
             if not d.isdigit():
                 continue
+            # the WHOLE per-pid read+parse is fallible (a process can
+            # exit between open and read, leaving an empty stat whose
+            # rindex raises) — one dead pid must cost one pid, not the
+            # snapshot (r15 review)
             try:
                 with open(f"/proc/{d}/stat") as f:
                     st = f.read()
-            except (OSError, ValueError):
+                rest = st[st.rindex(")") + 2:].split()
+                pid = int(d)
+                ppid[pid] = int(rest[1])
+                jiffies[pid] = (int(rest[11]) + int(rest[12])
+                                + int(rest[13]) + int(rest[14]))
+            except (OSError, ValueError, IndexError):
                 continue
-            rest = st[st.rindex(")") + 2:].split()
-            pid = int(d)
-            ppid[pid] = int(rest[1])
-            jiffies[pid] = (int(rest[11]) + int(rest[12])
-                            + int(rest[13]) + int(rest[14]))
         tree = {me}
         grew = True
         while grew:

@@ -358,17 +358,31 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
                 arrs.append(np.asarray(arr, dtype=np.int64))
                 idxs.append(i)
                 lens.append(len(arr))
-        if arrs:
-            flat = np.concatenate(arrs)
-            starts = np.zeros(len(arrs), dtype=np.int64)
-            np.cumsum(lens[:-1] if len(lens) > 1 else [],
+        # doc-aligned chunks of ~4M shingles bound the per-hash
+        # temporaries (~3 flat-sized int64 vectors, <= ~100 MB peak
+        # per worker) independently of the Arrow batch size — the
+        # memory-bound intent of the r14 256k-chunk review fix, kept
+        # through the r15 per-hash rewrite.  A bench-sized batch
+        # (~300k shingles) is a single chunk, so the fast path is
+        # unchanged.
+        pos = 0
+        while pos < len(arrs):
+            take, tot = 0, 0
+            while pos + take < len(arrs) and (take == 0 or
+                                              tot < 4_194_304):
+                tot += lens[pos + take]
+                take += 1
+            flat = np.concatenate(arrs[pos:pos + take])
+            starts = np.zeros(take, dtype=np.int64)
+            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
                       out=starts[1:])
-            mins = np.empty((len(arrs), num_hashes), dtype=np.int64)
+            mins = np.empty((take, num_hashes), dtype=np.int64)
             for h in range(num_hashes):
                 v = (flat * a_vec[h] + b_vec[h]) % p
                 mins[:, h] = np.minimum.reduceat(v, starts)
-            for j, i in enumerate(idxs):
-                out[i] = mins[j]
+            for j in range(take):
+                out[idxs[pos + j]] = mins[j]
+            pos += take
         return pd.Series(out)
 
     sh = char_shingles(F.col(text_col), n)
@@ -667,20 +681,33 @@ def simhash_64(df: DataFrame, text_col: str, id_col: str,
             return pd.Series(out)
         lanes = np.arange(64, dtype=np.uint64)
         powers = (np.uint64(1) << lanes).astype(np.uint64)
-        flat = np.concatenate(arrs).astype(np.uint64)
-        starts = np.zeros(len(arrs), dtype=np.int64)
-        np.cumsum(lens[:-1] if len(lens) > 1 else [], out=starts[1:])
         one = np.uint64(1)
-        ones = np.empty((len(arrs), 64), dtype=np.int64)
-        for lane in range(64):
-            b = ((flat >> np.uint64(lane)) & one).astype(np.int64)
-            ones[:, lane] = np.add.reduceat(b, starts)
-        cnt = np.asarray(lens, dtype=np.int64)[:, None]
-        votes = 2 * ones - cnt                # sum of (2*bit - 1)
-        sims = ((votes > 0).astype(np.uint64) @ powers) \
-            .astype(np.uint64)
-        for j, i in enumerate(idxs):
-            out[i] = np.int64(sims[j])
+        # same ~4M-token doc-aligned chunking as the minhash fold:
+        # bounds the per-lane temporaries (~2 flat-sized vectors)
+        # regardless of the Arrow batch size (r15 review)
+        pos = 0
+        while pos < len(arrs):
+            take, tot = 0, 0
+            while pos + take < len(arrs) and (take == 0 or
+                                              tot < 4_194_304):
+                tot += lens[pos + take]
+                take += 1
+            flat = np.concatenate(arrs[pos:pos + take]).astype(np.uint64)
+            starts = np.zeros(take, dtype=np.int64)
+            np.cumsum(lens[pos:pos + take - 1] if take > 1 else [],
+                      out=starts[1:])
+            ones = np.empty((take, 64), dtype=np.int64)
+            for lane in range(64):
+                b = ((flat >> np.uint64(lane)) & one).astype(np.int64)
+                ones[:, lane] = np.add.reduceat(b, starts)
+            cnt = np.asarray(lens[pos:pos + take],
+                             dtype=np.int64)[:, None]
+            votes = 2 * ones - cnt            # sum of (2*bit - 1)
+            sims = ((votes > 0).astype(np.uint64) @ powers) \
+                .astype(np.uint64)
+            for j in range(take):
+                out[idxs[pos + j]] = np.int64(sims[j])
+            pos += take
         return pd.Series(out)
 
     return spread_for_compute(df).select(F.col(id_col).alias("id"),

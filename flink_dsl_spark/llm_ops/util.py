@@ -33,18 +33,30 @@ def release_caches(tag: str | None = None) -> None:
             prev.unpersist()
 
 
+import re as _re
+
 # logical operators whose presence means the frame's parallelism is
 # already spark.sql.shuffle.partitions (they all compile to an
-# exchange); Distinct/Dedup/intersections rewrite to Aggregate/Join by
-# the optimizer, so this short list covers the catalog
-_SHUFFLING_NODES = ("Aggregate", "Join", "Sort", "Window",
-                    "Repartition", "RebalancePartitions")
+# exchange).  Join is deliberately NOT here (r15 review): a broadcast
+# join never shuffles its probe side, so a joined frame can still sit
+# at scan partitioning — it falls through to the size estimate, which
+# repartitions exactly the small (broadcast-candidate) cases the old
+# partition probe would have.  Distinct/Dedup/intersections rewrite to
+# Aggregate/Join by the optimizer, so the list covers the catalog.
+_SHUFFLING_NODES = {"Aggregate", "Sort", "Window", "Repartition",
+                    "RepartitionByExpression", "RebalancePartitions"}
+
+# the operator NAME is the first identifier after the tree-drawing
+# prefix — matching anywhere in the line would false-hit expression
+# text (r15 review: 'sum((id - 1))' contains '- ' and broke a
+# suffix-split parse)
+_NODE_NAME_RE = _re.compile(r"^[\s:+|-]*([A-Za-z][A-Za-z0-9]*)")
 
 
 def _looks_pre_shuffled(plan_text: str) -> bool:
     for line in plan_text.splitlines():
-        op = line.rsplit("- ", 1)[-1].lstrip()
-        if op.startswith(_SHUFFLING_NODES):
+        m = _NODE_NAME_RE.match(line)
+        if m and m.group(1) in _SHUFFLING_NODES:
             return True
     return False
 
@@ -87,8 +99,15 @@ def spread_for_compute(df: DataFrame) -> DataFrame:
         if _looks_pre_shuffled(plan.toString()):
             return df
         size = int(plan.stats().sizeInBytes())
-        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
-                    .rstrip("bB"))
+        if size >= (1 << 62):
+            # unknown-size leaf (LogicalRDD etc. default to
+            # Long.MaxValue): the estimate is meaningless — fall back
+            # to the real partition probe (r15 review)
+            raise ValueError("sizeInBytes is the unknown sentinel")
+        # exact bytes from the session state (handles '128m'-style
+        # user settings the string form would misparse — r15 review)
+        split = int(df.sparkSession._jsparkSession.sessionState()
+                    .conf().filesMaxPartitionBytes())
         est_splits = max(1, -(-size // max(split, 1)))
     except Exception:   # noqa: BLE001 — any py4j surprise: old probe
         est_splits = df.rdd.getNumPartitions()

@@ -467,11 +467,13 @@ def test_global_index_string_order_column(spark):
     vals = ["10", "9", "2", "100", "abc", "1e3", "0"]
     df = spark.createDataFrame([(v,) for v in vals], "v string") \
               .repartition(4)
-    out, total = _global_index(df, F.col("v"), "idx", buckets=8)
-    got = {r["v"]: r["idx"] for r in out.collect()}
+    out = _global_index(df, F.col("v"), "idx", buckets=8,
+                        total_name="tot")
+    rows = out.collect()
+    got = {r["v"]: r["idx"] for r in rows}
     expected = {v: i + 1 for i, v in enumerate(sorted(vals))}
     assert got == expected
-    assert total == len(vals)
+    assert {r["tot"] for r in rows} == {len(vals)}
 
 
 def test_global_index_nan_and_null(spark):
@@ -484,9 +486,10 @@ def test_global_index_nan_and_null(spark):
     vals = [3.0, float("nan"), 1.0, None, 2.0, float("nan"), -5.0]
     df = spark.createDataFrame([(v,) for v in vals], "v double") \
               .repartition(3)
-    out, total = _global_index(df, F.col("v"), "idx", buckets=6)
+    out = _global_index(df, F.col("v"), "idx", buckets=6,
+                        total_name="tot")
     rows = sorted(out.collect(), key=lambda r: r["idx"])
-    assert total == len(vals)
+    assert {r["tot"] for r in rows} == {len(vals)}
     assert [r["idx"] for r in rows] == list(range(1, len(vals) + 1))
     seq = [r["v"] for r in rows]
     assert seq[0] is None                       # NULL first
